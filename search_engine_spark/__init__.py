@@ -1,0 +1,24 @@
+"""search_engine_spark — a PySpark-native full-text analytics engine.
+
+A from-scratch, idiomatic-Spark rebuild of the capabilities of the
+sebastian-hofstaetter/search-engine reference (inverted-index build +
+BM25/TF-IDF top-k query over large document corpora), designed for
+multi-executor clusters at 10^12-file scale and tested on local mode.
+
+Layout:
+    config.py    analyzer / scoring / engine configuration
+    porter.py    faithful Porter stemmer (reference: src/Util/Porter.cs)
+    analysis.py  vectorized tokenize/fold/stop/stem (reference: src/Indexing/Indexer.cs)
+    oracle.py    pure-Python reference-semantics engine (correctness oracle)
+    fixtures.py  deterministic synthetic corpus + query generator
+    session.py   SparkSession helper
+    build.py     distributed index build (tokens, doc_meta, stats, postings)
+    blocks.py    delta+varint posting-block codec (NumPy vectorized)
+    segments.py  segment storage layout + resume ledger
+    query.py     DataFrame scorers (BM25, TF-IDF) + top-k
+    wand.py      block-max WAND scorer over posting segments (mapInArrow)
+    ops/         training-data pipeline operators (dedup, similarity, text stats,
+                 multimodal plumbing)
+"""
+
+__version__ = "0.1.0"

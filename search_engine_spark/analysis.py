@@ -1,0 +1,185 @@
+"""Text analysis chain: tokenize → tag-filter → fold → stopword → stem.
+
+Faithful to the reference's document pipeline
+(/root/reference/src/Indexing/Indexer.cs:119-234) and query pipeline
+(/root/reference/src/Query/TopicParser.cs:75-137), re-expressed as
+vectorized pandas operations for use inside Arrow-batched Spark UDFs
+(no per-row Python in the Spark hot path — per input_hint).
+
+Fidelity notes:
+  * Document tokenizer splits on BYTES b <= 47 or b in {58,59,61,63}
+    (Indexer.cs:133-135). All split bytes are ASCII, and in UTF-8 ASCII
+    byte values never occur inside multi-byte sequences, so splitting the
+    *string* on the char class [\\x00-\\x2F:;=?] is byte-exact for any
+    valid UTF-8 input.
+  * Tag filter: drop tokens starting with '<' or ending with '>'
+    (Indexer.cs:144; '<'=60 and '>'=62 are not split chars).
+  * Case folding is ASCII-only (chars 65-90 += 32, Indexer.cs:170-176) on
+    the document side; the query side uses culture ToLower
+    (TopicParser.cs:104). We replicate each on its own side.
+  * Stopword check runs BEFORE stemming, only for tokens of length <= 4
+    (Indexer.cs:180), against the 39-word list (Indexer.cs:18-24).
+    So 'pages' (len 5) survives and stems to 'page' even though 'page'
+    itself is a stopword — reproduced as-is.
+  * Query tokenizer splits on [ ,.();:?/] (TopicParser.cs:77) — a
+    DIFFERENT split set than documents (e.g. '-' splits docs, not
+    queries) — and only filters tokens *starting* with '<'
+    (TopicParser.cs:79).
+  * Tokens longer than 100 chars: the reference's fixed 100-char word
+    buffer (Indexer.cs:123,146) cannot represent them; we define
+    truncation to the first 100 chars (documented determinization).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from .config import AnalyzerConfig
+from .porter import porter_stem
+
+# Indexer.cs:18-24 / TopicParser.cs:14-20 (identical lists)
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "also", "all", "are", "as", "at", "be", "been", "by",
+    "but", "for", "from", "have", "has", "had", "he", "in", "is", "it",
+    "its", "more", "new", "not", "of", "on", "page", "part", "that", "the",
+    "this", "to", "s", "was", "were", "will", "with", "1", "2", "3",
+)
+STOPWORD_SET = frozenset(STOPWORDS)
+
+# Document split set: bytes <= 47 plus : ; = ?  (Indexer.cs:133-135)
+DOC_SPLIT_RE = re.compile(r"[\x00-\x2f:;=?]+")
+# Same class for SQL engines (Spark split() / DuckDB regexp_split_to_array)
+DOC_SPLIT_SQL_REGEX = r"[\x00-\x2f:;=?]+"
+
+# Query split set (TopicParser.cs:77) — exactly these chars, space not \s
+QUERY_SPLIT_RE = re.compile(r"[, .();:?/]+")
+
+_ASCII_FOLD = str.maketrans(
+    {chr(c): chr(c + 32) for c in range(65, 91)}
+)
+
+
+def ascii_fold(token: str) -> str:
+    """ASCII-only lowercase (Indexer.cs:170-176) — non-ASCII untouched."""
+    return token.translate(_ASCII_FOLD)
+
+
+def tokenize_doc(content: str, cfg: AnalyzerConfig) -> list[str]:
+    """Document-side analysis of one string → list of index terms.
+
+    Pure-Python building block; Spark-side vectorization happens in
+    analyze_frame below (which processes whole pandas batches).
+    """
+    out: list[str] = []
+    for tok in DOC_SPLIT_RE.split(content):
+        if not tok:
+            continue
+        if tok[0] == "<" or tok[-1] == ">":
+            continue  # Indexer.cs:144
+        if len(tok) > cfg.max_token_chars:
+            tok = tok[: cfg.max_token_chars]
+        if cfg.case_folding:
+            tok = ascii_fold(tok)
+        if cfg.remove_stopwords and len(tok) <= 4 and tok in STOPWORD_SET:
+            continue  # Indexer.cs:180-183
+        if cfg.do_stemming:
+            tok = porter_stem(tok)
+        out.append(tok)
+    return out
+
+
+def tokenize_query(text: str, cfg: AnalyzerConfig) -> list[tuple[str, int]]:
+    """Query-side analysis → ordered (term, qtf) pairs, first-seen order.
+
+    Mirrors TopicParser.ParseLine/ProcessWord (TopicParser.cs:75-125):
+    different split set, leading-'<' filter only, culture ToLower.
+    """
+    terms: list[str] = []
+    counts: Counter[str] = Counter()
+    for word in QUERY_SPLIT_RE.split(text):
+        if not word or word.isspace():
+            continue
+        if word[0] == "<":
+            continue
+        w = word.lower() if cfg.case_folding else word  # culture ToLower
+        if cfg.remove_stopwords and len(w) <= 4 and w in STOPWORD_SET:
+            continue
+        if cfg.do_stemming:
+            w = porter_stem(w)
+        if w == "":
+            continue
+        if w not in counts:
+            terms.append(w)
+        counts[w] += 1
+    return [(t, counts[t]) for t in terms]
+
+
+def stem_unique(terms: pd.Series) -> pd.Series:
+    """Stem a Series by stemming only its unique values (dictionary trick).
+
+    At corpus scale the distinct-term dictionary is orders of magnitude
+    smaller than the token stream; the reference stems every occurrence
+    (Indexer.cs:186-195), we stem each distinct surface form once.
+    """
+    uniq = pd.unique(terms)
+    mapping = {u: porter_stem(u) for u in uniq}
+    return terms.map(mapping)
+
+
+def analyze_frame(
+    doc_ids: pd.Series, contents: pd.Series, cfg: AnalyzerConfig
+) -> pd.DataFrame:
+    """Vectorized batch analysis: (doc_id, content) rows → (doc_id, term, tf).
+
+    This is the core of the Spark tokenize UDF.  tf is aggregated per
+    (doc, term) inside the batch (doc-at-a-time, like the reference's
+    AddWord run-length aggregation, WriteableIndex.cs:54-69) so raw token
+    occurrences are never shuffled.  doc_len = sum(tf) per doc (post-
+    stopword count, WriteableIndex.cs:68) is derivable downstream.
+    """
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.array([], dtype=doc_ids.dtype),
+            "term": pd.array([], dtype="object"),
+            "tf": pd.array([], dtype="int32"),
+        }
+    )
+    if len(contents) == 0:
+        return empty
+    s = contents.fillna("").astype(str)
+    # 1. split (vectorized, byte-exact per module docstring)
+    token_lists = s.str.split(DOC_SPLIT_RE).to_numpy()
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    ids = np.repeat(doc_ids.to_numpy(), counts)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+    t = pd.Series(flat, dtype=object)
+    # 2. drop empties and tag-shaped tokens (Indexer.cs:144)
+    mask = ((t.str.len() > 0) & ~t.str.startswith("<") & ~t.str.endswith(">")).to_numpy()
+    ids, t = ids[mask], t[mask]
+    if len(t) == 0:
+        return empty
+    # 3. cap at 100 chars (documented determinization of Indexer.cs:123)
+    t = t.str.slice(0, cfg.max_token_chars)
+    # 4. ASCII-only fold
+    if cfg.case_folding:
+        t = t.map(ascii_fold)
+    # 5. stopwords (len <= 4 guard is implied: every stopword is <= 4 chars)
+    if cfg.remove_stopwords:
+        keep = (~t.isin(STOPWORD_SET)).to_numpy()
+        ids, t = ids[keep], t[keep]
+    # 6. stem the dictionary, not the stream
+    if cfg.do_stemming:
+        t = stem_unique(t)
+    # 7. per-(doc, term) tf — map-side combine inside the batch
+    out = (
+        pd.DataFrame({"doc_id": ids, "term": t.to_numpy()})
+        .groupby(["doc_id", "term"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    out["tf"] = out["tf"].astype("int32")
+    return out

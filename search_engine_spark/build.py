@@ -1,0 +1,159 @@
+"""Distributed index build: documents → tokens, doc_meta, stats (DataFrames).
+
+The Spark lifecycle equivalent of the reference build
+(/root/reference/src/Indexing/Indexer.cs:28-117, SURVEY.md §3.1):
+
+    documents scan (Iceberg/parquet, columnar)            # Indexer.cs:32,60-65
+      → analyze (Arrow-batched mapInPandas, NARROW)       # Indexer.cs:119-198
+        emits per-(doc, term) tf — the map-side combine the reference does
+        with its run-length AddWord trick (WriteableIndex.cs:54-69); raw
+        token occurrences never hit the shuffle.
+      → groupBy(term) shuffle = the reference's index merge
+        (Indexer.cs:100-109) but parallel and spill-capable; skew in hot
+        terms is handled by salted two-phase aggregation (build_postings).
+
+Scale notes (the plan at 10^12 files / 1000 executors):
+  * The analyze stage is embarrassingly parallel; partition count follows
+    the source table's split planning (maxPartitionBytes), no repartition.
+  * doc_meta/stats are computed from the SAME analyzed pass (no second
+    tokenization) via a doc_id-keyed partial agg that combines map-side.
+  * Every downstream consumer of `tokens` should cache or persist it when
+    running multiple aggregations (build_all does one pass per tree).
+  * Global stats (N, avgdl) reduce to ONE row — broadcast, never joined
+    as a big table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .analysis import analyze_frame
+from .config import AnalyzerConfig
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+)
+
+
+def analyze_tokens(
+    docs: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """documents → (doc_id, term, tf), one row per (doc, term).
+
+    Arrow-batched mapInPandas; the per-batch combine keeps shuffle input
+    at dictionary size, not token-stream size.  tf capped at 65535 to
+    match the reference's uint16 width (PostingEntry.cs:6).
+    """
+    cfg = cfg or AnalyzerConfig()
+    cfg_dict = cfg.to_dict()
+    narrow = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def _analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = AnalyzerConfig.from_dict(cfg_dict)
+        for pdf in batches:
+            out = analyze_frame(pdf["doc_id"], pdf["content"], c)
+            out["tf"] = out["tf"].clip(upper=65535).astype("int32")
+            yield out
+
+    return narrow.mapInPandas(_analyze, schema=TOKENS_SCHEMA)
+
+
+def build_doc_meta(
+    docs: DataFrame,
+    tokens: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, doc_key, doc_len, content_sha256).
+
+    Docs whose every token is filtered out still register with doc_len 0
+    (the reference registers docs before tokenizing, WriteableIndex.cs:31-37,
+    so they count toward N and avgdl).  content_sha256 supports the
+    per-row integrity invariant (input_hint).
+    """
+    if key_cols:
+        key_expr = F.concat_ws("@", F.concat_ws("/", *[F.col(c) for c in key_cols[:-1]]), F.col(key_cols[-1]))
+    else:
+        key_expr = F.col(doc_id_col).cast("string")
+    lens = tokens.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doc_len"))
+    base = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        key_expr.alias("doc_key"),
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha256"),
+    )
+    return base.join(lens, "doc_id", "left").fillna({"doc_len": 0})
+
+
+def build_stats(doc_meta: DataFrame) -> DataFrame:
+    """Single-row collection statistics (broadcast at query time).
+
+    avgdl = arithmetic mean over ALL registered docs
+    (ReadableIndex.cs:52-59)."""
+    return doc_meta.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+        F.sum("doc_len").alias("total_terms"),
+    )
+
+
+def collect_stats(doc_meta: DataFrame) -> tuple[int, float, int]:
+    row = build_stats(doc_meta).collect()[0]
+    return int(row["n_docs"]), float(row["avg_doc_len"] or 0.0), int(row["total_terms"] or 0)
+
+
+def term_document_frequency(tokens: DataFrame) -> DataFrame:
+    """(term, df) — document frequency per term.
+
+    One shuffle on term; partial count combines map-side.  At corpus scale
+    the df table is dictionary-sized (millions of rows, not trillions)."""
+    return tokens.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def assign_doc_ids(
+    docs: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")
+) -> DataFrame:
+    """Add a deterministic dense doc_id ordered by the natural key.
+
+    Deterministic across partition counts (required for rank-identity and
+    resumability).  Implementation is a global sort + zipWithIndex-style
+    window; at 10^12-doc scale prefer the 64-bit key hash + collision
+    ledger (segments.py) — dense ids are only needed where the reference's
+    docID order semantics must be reproduced exactly (tests, oracle parity).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+def build_all(
+    docs: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+) -> dict[str, DataFrame]:
+    """One-pass build of the Phase-1 logical index: tokens + doc_meta + stats + df."""
+    cfg = cfg or AnalyzerConfig()
+    tokens = analyze_tokens(docs, cfg, doc_id_col, content_col)
+    doc_meta = build_doc_meta(docs, tokens, doc_id_col, content_col, key_cols)
+    return {
+        "tokens": tokens,
+        "doc_meta": doc_meta,
+        "stats": build_stats(doc_meta),
+        "term_df": term_document_frequency(tokens),
+    }

@@ -1,0 +1,59 @@
+"""Engine configuration dataclasses.
+
+AnalyzerConfig mirrors the reference's IndexOptions
+(/root/reference/src/Indexing/IndexOptions.cs:8-12): the three analyzer
+flags are persisted with the index (WriteableIndex.cs:156-157) and echoed
+back at query time so query analysis provably matches build analysis
+(Program.cs:92). We persist the same struct in the segments manifest.
+
+BM25Params mirrors the instantiation at /root/reference/src/Program.cs:101:
+BM25Scorer(index, k1=1.2, k3=100, b=0.75).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict, field
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    case_folding: bool = True
+    remove_stopwords: bool = True
+    do_stemming: bool = True
+    # Documented determinization of the reference's 100-char word buffer
+    # (Indexer.cs:123,146 — a >100-char token would overflow the stackalloc
+    # buffer; we define the behavior as truncation to the first 100 chars).
+    max_token_chars: int = 100
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "AnalyzerConfig":
+        return AnalyzerConfig(**d)
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    k3: float = 100.0
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexBuildConfig:
+    """Knobs for the distributed build (SURVEY.md §7 phase 2/4).
+
+    All defaults are sized for local[32]; at cluster scale raise
+    shuffle_partitions to ~2-3x total cores and hot_term_df_threshold
+    to keep per-task posting groups under executor memory.
+    """
+
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    # posting block size (docs per block) for delta+varint blocks & WAND
+    block_size: int = 4096
+    # terms with df >= threshold get salted two-phase aggregation
+    hot_term_df_threshold: int = 100_000
+    # number of salt buckets for hot terms
+    salt_buckets: int = 32
+    shuffle_partitions: int = 32

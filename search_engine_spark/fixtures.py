@@ -1,0 +1,144 @@
+"""Deterministic synthetic corpus + query generator (FIXTURES.md).
+
+Produces the input_hint-shaped table (repo, path, commit, lang, content)
+with a Zipf-distributed vocabulary mixed with code-like punctuation, so
+the analysis chain is fully exercised: every split char, kept digits,
+<tag>-shaped tokens, all 39 stopwords, Porter-sensitive suffixes, mixed
+case, and >100-char tokens.  Seeded (default 42) and pure-Python so the
+oracle and Spark paths consume byte-identical inputs.  No external data.
+
+The Zipf head simulates stop-word-like hot terms (df > 50% of docs) whose
+posting merge must be salted (SURVEY.md §2 #15).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+# Porter-sensitive suffixes to exercise stemming paths
+_SUFFIXES = (
+    "", "", "", "", "s", "es", "ed", "ing", "ies", "sses", "ational",
+    "ization", "iveness", "fulness", "biliti", "ment", "ness", "ful",
+    "er", "ation", "alism", "icate", "ative", "ous", "ize", "al", "ion",
+)
+_ROOTS = (
+    "parse", "token", "index", "merge", "shard", "query", "score", "rank",
+    "cach", "fetch", "stream", "batch", "vector", "matrix", "tensor",
+    "graph", "node", "edge", "hash", "tree", "heap", "stack", "queue",
+    "buffer", "socket", "thread", "lock", "mutex", "atomic", "vault",
+    "ledger", "branch", "commit", "rebase", "deploy", "config", "serial",
+    "version", "packet", "frame", "codec", "filter", "reduce", "map",
+    "fold", "scan", "emit", "collect", "relate", "operate", "generate",
+    "valid", "nation", "caress", "poni", "meet", "mat", "mate", "mill",
+    "mess", "agree", "feed", "dispute", "resolve", "attach", "promote",
+)
+_HOT = (  # Zipf head: stop-word-like hot terms in code corpora
+    "import", "return", "def", "class", "self", "int", "string", "void",
+    "public", "static", "function", "var", "const", "let", "if", "else",
+    "while", "true", "false", "null",
+)
+_CODE_PUNCT = ("(", ")", "{", "}", ";", "=", ":", "?", "/", ".", ",", "<", ">")
+_LANG_BY_EXT = {"py": "python", "cs": "csharp", "java": "java", "md": "markdown", "txt": "text"}
+_EXTS = tuple(_LANG_BY_EXT)
+
+
+def _vocab(n_terms: int = 2000) -> list[str]:
+    """Deterministic vocabulary of root+suffix combos, plus stopwords/digits."""
+    v: list[str] = []
+    for i in range(n_terms):
+        root = _ROOTS[i % len(_ROOTS)]
+        suf = _SUFFIXES[(i * 7) % len(_SUFFIXES)]
+        word = root + suf
+        if i % 11 == 0:
+            word = word.capitalize()
+        if i % 29 == 0:
+            word = word.upper()
+        if i % 13 == 0:
+            word = f"{word}{i % 100}"  # digits are NOT split chars — kept
+        v.append(word)
+    return v
+
+
+def generate_documents(
+    n_docs: int = 200, seed: int = 42, min_tokens: int = 50, max_tokens: int = 600
+) -> list[dict]:
+    """Rows of (repo, path, commit, lang, content, content_sha256)."""
+    rng = random.Random(seed)
+    vocab = _vocab()
+    from .analysis import STOPWORDS
+
+    rows: list[dict] = []
+    for i in range(n_docs):
+        ext = _EXTS[i % len(_EXTS)]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/dir{i % 13}/file{i}.{ext}"
+        commit = hashlib.sha256(f"commit{i}".encode()).hexdigest()[:12]
+        n_tok = rng.randint(min_tokens, max_tokens)
+        parts: list[str] = []
+        for _ in range(n_tok):
+            r = rng.random()
+            if r < 0.30:  # Zipf head — hot terms
+                parts.append(_HOT[min(int(rng.paretovariate(1.3)) - 1, len(_HOT) - 1)])
+            elif r < 0.40:  # stopwords (all 39 appear over the corpus)
+                parts.append(rng.choice(STOPWORDS))
+            elif r < 0.45:  # code punctuation / split chars
+                parts.append(rng.choice(_CODE_PUNCT))
+            elif r < 0.47:  # <tag>-shaped tokens (must be dropped)
+                parts.append(f"<{rng.choice(('doc', 'em', 'b', 'html'))}>")
+            elif r < 0.475:  # oversized token (>100 chars)
+                parts.append("x" * rng.randint(101, 140) + str(rng.randint(0, 9)))
+            else:  # Zipf body over the vocabulary
+                z = min(int(rng.paretovariate(1.1)) - 1, len(vocab) - 1)
+                parts.append(vocab[z])
+        # join with varied separators so multiple split chars are exercised
+        seps = (" ", " ", " ", "\n", "\t", ". ", ", ", "; ", " = ", ": ", "/", " - ")
+        content = "".join(
+            p + seps[(j * 31 + i) % len(seps)] for j, p in enumerate(parts)
+        )
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": _LANG_BY_EXT[ext],
+                "content": content,
+                "content_sha256": hashlib.sha256(content.encode("utf-8")).hexdigest(),
+            }
+        )
+    return rows
+
+
+def doc_key(row: dict) -> str:
+    return f"{row['repo']}/{row['path']}@{row['commit']}"
+
+
+def generate_queries(seed: int = 42) -> list[dict]:
+    """~50 queries: 1-term, multi-term w/ repeats (qtf>1), all-stopword,
+    absent terms, hot-head terms (negative-idf when df > N/2)."""
+    rng = random.Random(seed + 1)
+    vocab = _vocab()
+    queries: list[dict] = []
+    tid = 401  # TREC-8-style numbering (TopicParser.cs:37)
+
+    def add(text: str) -> None:
+        nonlocal tid
+        queries.append({"topic_id": tid, "query_text": text})
+        tid += 1
+
+    for _ in range(12):  # single-term
+        add(rng.choice(vocab))
+    for _ in range(12):  # multi-term
+        add(" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 5))))
+    for _ in range(6):  # repeated terms -> qtf > 1
+        w = rng.choice(vocab)
+        add(f"{w} {rng.choice(vocab)} {w}")
+    for _ in range(6):  # hot-head terms (possible negative idf)
+        add(" ".join(rng.choice(_HOT) for _ in range(rng.randint(1, 3))))
+    add("the of and to a")  # all-stopword -> empty after analysis
+    add("zzzmissingterm qqqabsent")  # absent from corpus
+    for _ in range(6):  # mixed present/absent/hot
+        add(f"{rng.choice(vocab)} zzzmissing {rng.choice(_HOT)}")
+    for _ in range(6):  # punctuation in query (query-side split set)
+        add(f"{rng.choice(vocab)}, {rng.choice(vocab)}. ({rng.choice(vocab)})")
+    return queries

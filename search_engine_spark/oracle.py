@@ -1,0 +1,146 @@
+"""Pure-Python reference-semantics engine (the correctness oracle).
+
+Single-process reimplementation of the reference's exact indexing and
+scoring semantics, used to verify every Spark path (rank- and float32-
+score-identity).  Stands in for the unavailable C# binary + TREC data.
+
+Float discipline (verified against the C# source):
+  * BM25 (/root/reference/src/Query/BM25Scorer.cs:26-74):
+      idf  = ln((N - df + 0.5) / (df + 0.5))          # double, NO clamp (:39-41)
+      K    = 1 - b + b * (doc_len / avgdl)            # double (:50)
+      tfp  = tf*(k1+1) / (tf + k1*K)                  # double, RAW tf (:52)
+      qtfp = (k3+1)*qtf / (k3 + qtf)                  # double (:53)
+      contribution = float32(idf * tfp * qtfp)        # cast (:55)
+      per-doc sum accumulated IN FLOAT32, in query-term order,
+      postings iterated in docID order (:57-64, Dictionary<int,float>).
+  * TF-IDF (/root/reference/src/Query/TfIdfScorer.cs:19-55):
+      idf = ln(N // df)    # C# INTEGER division first (:31) — truncates!
+      contribution = float32(ln(1 + tf) * idf)        # (:36-38)
+      float32 accumulation as above.
+  * Top-k: sort score desc, take k=1000 (BM25Scorer.cs:68-73).  The
+    reference's tie order is unspecified (dict enumeration); we determinize
+    as (score desc, doc_id asc) — documented deviation.
+  * avgdl = arithmetic mean of doc lengths in double
+    (ReadableIndex.cs:52-59); doc_len counts post-stopword tokens
+    (WriteableIndex.cs:68).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .analysis import tokenize_doc, tokenize_query
+from .config import AnalyzerConfig, BM25Params
+
+
+@dataclass
+class OracleIndex:
+    cfg: AnalyzerConfig
+    doc_keys: list[str] = field(default_factory=list)
+    doc_lens: list[int] = field(default_factory=list)
+    # term -> parallel (doc_ids ascending, tfs) lists
+    postings: dict[str, tuple[list[int], list[int]]] = field(default_factory=dict)
+    content_sha256: list[str] = field(default_factory=list)
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_keys)
+
+    def avgdl(self) -> float:
+        return float(np.mean(self.doc_lens)) if self.doc_lens else 0.0
+
+
+def build_index(
+    docs: list[tuple[str, str]], cfg: AnalyzerConfig | None = None
+) -> OracleIndex:
+    """docs: list of (doc_key, content) in doc_id order (doc_id = position)."""
+    cfg = cfg or AnalyzerConfig()
+    idx = OracleIndex(cfg=cfg)
+    for doc_id, (key, content) in enumerate(docs):
+        idx.doc_keys.append(key)
+        idx.content_sha256.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
+        terms = tokenize_doc(content, cfg)
+        idx.doc_lens.append(len(terms))  # post-stopword count (WriteableIndex.cs:68)
+        # per-doc tf, preserving docID-ascending postings (doc-at-a-time feed)
+        tf: dict[str, int] = {}
+        for t in terms:
+            tf[t] = tf.get(t, 0) + 1
+        for t, f in tf.items():
+            if t not in idx.postings:
+                idx.postings[t] = ([], [])
+            idx.postings[t][0].append(doc_id)
+            idx.postings[t][1].append(min(f, 65535))  # uint16 cap (PostingEntry.cs:6)
+    return idx
+
+
+def _topk(results: dict[int, np.float32], idx: OracleIndex, k: int) -> list[tuple[int, str, float]]:
+    # score desc, doc_id asc (our documented tie determinization)
+    ordered = sorted(results.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:k]
+    return [(doc_id, idx.doc_keys[doc_id], float(score)) for doc_id, score in ordered]
+
+
+def score_bm25(
+    idx: OracleIndex,
+    query_text: str,
+    params: BM25Params | None = None,
+    k: int = 1000,
+) -> list[tuple[int, str, float]]:
+    """Top-k (doc_id, doc_key, float32-exact score) for one query."""
+    params = params or BM25Params()
+    keywords = tokenize_query(query_text, idx.cfg)
+    return score_bm25_terms(idx, keywords, params, k)
+
+
+def score_bm25_terms(
+    idx: OracleIndex,
+    keywords: list[tuple[str, int]],
+    params: BM25Params | None = None,
+    k: int = 1000,
+) -> list[tuple[int, str, float]]:
+    params = params or BM25Params()
+    n = idx.n_docs
+    avgdl = idx.avgdl()
+    k1, k3, b = params.k1, params.k3, params.b
+    results: dict[int, np.float32] = {}
+    for term, qtf in keywords:
+        if term not in idx.postings:
+            continue  # missing terms silently dropped (ReadableIndex.cs:29-42)
+        doc_ids, tfs = idx.postings[term]
+        df = len(doc_ids)
+        idf = math.log((n - df + 0.5) / (df + 0.5))  # no clamp (BM25Scorer.cs:39-41)
+        qtfp = ((k3 + 1) * qtf) / (k3 + qtf)
+        for doc_id, tf in zip(doc_ids, tfs):
+            kk = 1 - b + b * (idx.doc_lens[doc_id] / avgdl)
+            tfp = (tf * (k1 + 1)) / (tf + k1 * kk)
+            contrib = np.float32(idf * tfp * qtfp)  # cast (:55)
+            if doc_id in results:
+                results[doc_id] = np.float32(results[doc_id] + contrib)  # f32 acc
+            else:
+                results[doc_id] = contrib
+    return _topk(results, idx, k)
+
+
+def score_tfidf(
+    idx: OracleIndex, query_text: str, k: int = 1000
+) -> list[tuple[int, str, float]]:
+    keywords = tokenize_query(query_text, idx.cfg)
+    n = idx.n_docs
+    results: dict[int, np.float32] = {}
+    for term, _qtf in keywords:
+        if term not in idx.postings:
+            continue
+        doc_ids, tfs = idx.postings[term]
+        df = len(doc_ids)
+        ratio = n // df  # C# integer division quirk (TfIdfScorer.cs:31)
+        idf = math.log(ratio) if ratio > 0 else float("-inf")
+        for doc_id, tf in zip(doc_ids, tfs):
+            contrib = np.float32(math.log(1 + tf) * idf)
+            if doc_id in results:
+                results[doc_id] = np.float32(results[doc_id] + contrib)
+            else:
+                results[doc_id] = contrib
+    return _topk(results, idx, k)

@@ -1,0 +1,304 @@
+"""Porter stemmer, behaviorally identical to the reference's C# port.
+
+Reference: /root/reference/src/Util/Porter.cs (the classic public-domain
+Martin Porter Java port, Release 4, with Bug-1/Bug-2 fixes noted at
+Porter.cs:18-28).
+
+Fidelity notes (all verified against the C# source):
+  * ``stem()`` only applies steps 1-6 when the word length is > 2
+    (Porter.cs:643 ``if (k > 1)``) — 1- and 2-char words pass through.
+  * ``EndsFast`` (Porter.cs:304-375) sets ``j = k - l`` *before* comparing,
+    i.e. ``j`` is clobbered even on a failed suffix match (the original
+    Java ``ends`` only sets ``j`` on success).  We replicate that exactly;
+    it is observable in step sequencing.
+  * step5's ``ion`` test guards ``j >= 0`` (Bug 2, Porter.cs:598).
+  * Non-lowercase / non-ASCII chars take the ``default: consonant`` branch
+    of ``cons`` (Porter.cs:141-149) — the stemmer is only lowercase-aware,
+    matching reference behavior when CaseFolding is off.
+
+The per-word function is pure Python; callers vectorize by stemming the
+*distinct-term dictionary* (see analysis.stem_unique) instead of every
+occurrence, which is the Spark-side optimization the reference cannot do.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+_VOWELS = frozenset("aeiou")
+
+
+class _Stemmer:
+    """Direct port of Porter.cs control flow. One instance per call batch."""
+
+    __slots__ = ("b", "j", "k")
+
+    def __init__(self) -> None:
+        self.b: list[str] = []
+        self.j = 0
+        self.k = 0
+
+    # --- predicates (Porter.cs:141-227) ---
+
+    def _cons(self, i: int) -> bool:
+        ch = self.b[i]
+        if ch in _VOWELS:
+            return False
+        if ch == "y":
+            return True if i == 0 else not self._cons(i - 1)
+        return True
+
+    def _m(self) -> int:
+        # number of consonant sequences between 0 and j (Porter.cs:161-189)
+        n = 0
+        i = 0
+        j = self.j
+        while True:
+            if i > j:
+                return n
+            if not self._cons(i):
+                break
+            i += 1
+        i += 1
+        while True:
+            while True:
+                if i > j:
+                    return n
+                if self._cons(i):
+                    break
+                i += 1
+            i += 1
+            n += 1
+            while True:
+                if i > j:
+                    return n
+                if not self._cons(i):
+                    break
+                i += 1
+            i += 1
+
+    def _vowelinstem(self) -> bool:
+        return any(not self._cons(i) for i in range(self.j + 1))
+
+    def _doublec(self, j: int) -> bool:
+        if j < 1:
+            return False
+        if self.b[j] != self.b[j - 1]:
+            return False
+        return self._cons(j)
+
+    def _cvc(self, i: int) -> bool:
+        if i < 2 or not self._cons(i) or self._cons(i - 1) or not self._cons(i - 2):
+            return False
+        return self.b[i] not in ("w", "x", "y")
+
+    # --- suffix ops ---
+
+    def _ends(self, s: str) -> bool:
+        # Porter.cs EndsFast:304-375 — sets j BEFORE comparing (on o >= 0).
+        l = len(s)
+        o = self.k - l + 1
+        if o < 0:
+            return False
+        self.j = self.k - l
+        for i in range(l):
+            if self.b[o + i] != s[i]:
+                return False
+        return True
+
+    def _setto(self, s: str) -> None:
+        o = self.j + 1
+        for i, ch in enumerate(s):
+            if o + i < len(self.b):
+                self.b[o + i] = ch
+            else:
+                self.b.append(ch)
+        self.k = self.j + len(s)
+
+    def _r(self, s: str) -> None:
+        if self._m() > 0:
+            self._setto(s)
+
+    # --- steps (Porter.cs:451-633) ---
+
+    def _step1(self) -> None:
+        b = self.b
+        if b[self.k] == "s":
+            if self._ends("sses"):
+                self.k -= 2
+            elif self._ends("ies"):
+                self._setto("i")
+            elif b[self.k - 1] != "s":
+                self.k -= 1
+        if self._ends("eed"):
+            if self._m() > 0:
+                self.k -= 1
+        elif (self._ends("ed") or self._ends("ing")) and self._vowelinstem():
+            self.k = self.j
+            if self._ends("at"):
+                self._setto("ate")
+            elif self._ends("bl"):
+                self._setto("ble")
+            elif self._ends("iz"):
+                self._setto("ize")
+            elif self._doublec(self.k):
+                self.k -= 1
+                if b[self.k] in ("l", "s", "z"):
+                    self.k += 1
+            elif self._m() == 1 and self._cvc(self.k):
+                self._setto("e")
+
+    def _step2(self) -> None:
+        if self._ends("y") and self._vowelinstem():
+            self.b[self.k] = "i"
+
+    def _step3(self) -> None:
+        if self.k == 0:
+            return
+        ch = self.b[self.k - 1]
+        if ch == "a":
+            if self._ends("ational"):
+                self._r("ate")
+            elif self._ends("tional"):
+                self._r("tion")
+        elif ch == "c":
+            if self._ends("enci"):
+                self._r("ence")
+            elif self._ends("anci"):
+                self._r("ance")
+        elif ch == "e":
+            if self._ends("izer"):
+                self._r("ize")
+        elif ch == "l":
+            if self._ends("bli"):
+                self._r("ble")
+            elif self._ends("alli"):
+                self._r("al")
+            elif self._ends("entli"):
+                self._r("ent")
+            elif self._ends("eli"):
+                self._r("e")
+            elif self._ends("ousli"):
+                self._r("ous")
+        elif ch == "o":
+            if self._ends("ization"):
+                self._r("ize")
+            elif self._ends("ation"):
+                self._r("ate")
+            elif self._ends("ator"):
+                self._r("ate")
+        elif ch == "s":
+            if self._ends("alism"):
+                self._r("al")
+            elif self._ends("iveness"):
+                self._r("ive")
+            elif self._ends("fulness"):
+                self._r("ful")
+            elif self._ends("ousness"):
+                self._r("ous")
+        elif ch == "t":
+            if self._ends("aliti"):
+                self._r("al")
+            elif self._ends("iviti"):
+                self._r("ive")
+            elif self._ends("biliti"):
+                self._r("ble")
+        elif ch == "g":
+            if self._ends("logi"):
+                self._r("log")
+
+    def _step4(self) -> None:
+        ch = self.b[self.k]
+        if ch == "e":
+            if self._ends("icate"):
+                self._r("ic")
+            elif self._ends("ative"):
+                self._r("")
+            elif self._ends("alize"):
+                self._r("al")
+        elif ch == "i":
+            if self._ends("iciti"):
+                self._r("ic")
+        elif ch == "l":
+            if self._ends("ical"):
+                self._r("ic")
+            elif self._ends("ful"):
+                self._r("")
+        elif ch == "s":
+            if self._ends("ness"):
+                self._r("")
+
+    def _step5(self) -> None:
+        if self.k == 0:
+            return
+        ch = self.b[self.k - 1]
+        matched = False
+        if ch == "a":
+            matched = self._ends("al")
+        elif ch == "c":
+            matched = self._ends("ance") or self._ends("ence")
+        elif ch == "e":
+            matched = self._ends("er")
+        elif ch == "i":
+            matched = self._ends("ic")
+        elif ch == "l":
+            matched = self._ends("able") or self._ends("ible")
+        elif ch == "n":
+            matched = (
+                self._ends("ant")
+                or self._ends("ement")
+                or self._ends("ment")
+                or self._ends("ent")
+            )
+        elif ch == "o":
+            matched = (
+                self._ends("ion") and self.j >= 0 and self.b[self.j] in ("s", "t")
+            ) or self._ends("ou")
+        elif ch == "s":
+            matched = self._ends("ism")
+        elif ch == "t":
+            matched = self._ends("ate") or self._ends("iti")
+        elif ch == "u":
+            matched = self._ends("ous")
+        elif ch == "v":
+            matched = self._ends("ive")
+        elif ch == "z":
+            matched = self._ends("ize")
+        else:
+            return
+        if not matched:
+            return
+        if self._m() > 1:
+            self.k = self.j
+
+    def _step6(self) -> None:
+        self.j = self.k
+        if self.b[self.k] == "e":
+            a = self._m()
+            if a > 1 or (a == 1 and not self._cvc(self.k - 1)):
+                self.k -= 1
+        if self.b[self.k] == "l" and self._doublec(self.k) and self._m() > 1:
+            self.k -= 1
+
+    def stem(self, word: str) -> str:
+        self.b = list(word)
+        self.k = len(word) - 1
+        if self.k > 1:  # Porter.cs:643 — words of length <= 2 untouched
+            self._step1()
+            self._step2()
+            self._step3()
+            self._step4()
+            self._step5()
+            self._step6()
+        return "".join(self.b[: self.k + 1])
+
+
+_SHARED = _Stemmer()
+
+
+@lru_cache(maxsize=1 << 18)
+def porter_stem(word: str) -> str:
+    """Stem one word (cached; the term dictionary is small relative to tokens)."""
+    if not word:
+        return word
+    return _SHARED.stem(word)

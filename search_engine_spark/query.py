@@ -1,0 +1,219 @@
+"""DataFrame scorers: BM25 and TF-IDF with top-k (the oracle path).
+
+Declarative Spark plan for the reference's query hot path
+(/root/reference/src/Query/BM25Scorer.cs:26-74, SURVEY.md §3.3):
+
+    query terms (tiny)  --broadcast-->  tokens semi-join on term
+        (≡ posting lookup, ReadableIndex.cs:29-42; missing terms drop out
+         of the inner join exactly as the reference silently drops them)
+      + doc_meta join for doc_len  (≡ GetDocumentLength, ReadableIndex.cs:64-67)
+      + single-row stats as literals (≡ N / avgdl, broadcast — never a join)
+      → per-(term,doc) contribution in DOUBLE, cast to FLOAT32
+        (BM25Scorer.cs:55)
+      → per-doc accumulation; two modes:
+          exact_float32=True  — float32 sequential fold in query-term order
+              (bit-identical to the reference's Dictionary<int,float> sums,
+               BM25Scorer.cs:57-64); implemented as sort_array(collect_list)
+              + a VECTORIZED pandas fold (np.add.accumulate, axis=1).
+          exact_float32=False — plain SUM in double (SQL-expressible; used
+              for the DuckDB cross-checks, documented deviation).
+      → top-k per topic: Window(topic) ORDER BY score desc, doc_id asc
+        (tie-break determinized; reference leaves it unspecified,
+         BM25Scorer.cs:68-73), row_number() <= k.
+
+All topics are scored in ONE job — topic_id is just another group key
+(replaces Parallel.ForEach over topics, Program.cs:116-132).
+
+Scale: the only wide ops are the term join (query terms broadcast), the
+doc_meta join (co-keyed on doc_id; with postings segments this becomes a
+stored doc_len column — wand.py), and the per-doc agg. All combine map-side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
+
+from .config import AnalyzerConfig, BM25Params
+from .analysis import tokenize_query
+
+
+def queries_to_df(
+    spark: SparkSession, queries: Sequence[tuple[int, str]], cfg: AnalyzerConfig
+) -> DataFrame:
+    """(topic_id, query_text) → exploded (topic_id, term, qtf, term_pos).
+
+    Query analysis is driver-side Python — queries are tiny
+    (TopicParser equivalent, SURVEY.md §2 #18)."""
+    rows = []
+    for topic_id, text in queries:
+        for pos, (term, qtf) in enumerate(tokenize_query(text, cfg)):
+            rows.append((int(topic_id), term, int(qtf), pos))
+    schema = T.StructType(
+        [
+            T.StructField("topic_id", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("qtf", T.IntegerType(), False),
+            T.StructField("term_pos", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _contributions_bm25(
+    tokens: DataFrame,
+    doc_meta: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+) -> DataFrame:
+    """(topic_id, doc_id, term_pos, contrib float32) per matching posting."""
+    # df per query term, computed on the semi-joined slice (dictionary-sized)
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    joined = (
+        matched.join(F.broadcast(qterms), "term", "inner")
+        .join(F.broadcast(term_df), "term", "inner")
+        .join(doc_meta.select("doc_id", "doc_len"), "doc_id", "inner")
+    )
+    k1, k3, b = params.k1, params.k3, params.b
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    knorm = F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.lit(float(avgdl)))
+    tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
+    qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
+    return joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        (idf * tfp * qtfp).cast("float").alias("contrib"),
+    )
+
+
+def _contributions_tfidf(
+    tokens: DataFrame, qterms: DataFrame, n_docs: int
+) -> DataFrame:
+    """TF-IDF with the reference's integer-division idf quirk
+    (TfIdfScorer.cs:31: Math.Log(N / df) with C# int division)."""
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    joined = matched.join(F.broadcast(qterms), "term", "inner").join(
+        F.broadcast(term_df), "term", "inner"
+    )
+    idf = F.log(F.floor(F.lit(n_docs) / F.col("df")).cast("double"))
+    return joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        (F.log(F.lit(1.0) + F.col("tf")) * idf).cast("float").alias("contrib"),
+    )
+
+
+_FOLD_IN = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term_pos", T.IntegerType()),
+            T.StructField("contrib", T.FloatType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(T.FloatType())
+def _fold_f32(contribs: pd.Series) -> pd.Series:
+    """Sequential float32 accumulation of pre-sorted contribution arrays.
+
+    Vectorized across docs: pad ragged arrays with +0.0f (exact under IEEE
+    addition) into a matrix and np.add.accumulate along axis 1 — strictly
+    sequential per row, replicating the reference's float accumulator."""
+    if len(contribs) == 0:
+        return pd.Series([], dtype="float32")
+    arrs = [
+        np.asarray([c["contrib"] for c in row], dtype=np.float32)
+        for row in contribs
+    ]
+    width = max((len(a) for a in arrs), default=1) or 1
+    m = np.zeros((len(arrs), width), dtype=np.float32)
+    for i, a in enumerate(arrs):
+        m[i, : len(a)] = a
+    acc = np.add.accumulate(m, axis=1, dtype=np.float32)
+    return pd.Series(acc[:, -1], dtype="float32")
+
+
+def _accumulate(contrib: DataFrame, exact_float32: bool) -> DataFrame:
+    if exact_float32:
+        per_doc = contrib.groupBy("topic_id", "doc_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("term_pos", "contrib"))
+            ).alias("parts")
+        )
+        return per_doc.select(
+            "topic_id", "doc_id", _fold_f32("parts").alias("score")
+        )
+    return contrib.groupBy("topic_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+
+
+def topk(scores: DataFrame, k: int = 1000) -> DataFrame:
+    """(topic_id, doc_id, score) → (topic_id, rank, doc_id, score).
+
+    Tie-break: score desc, doc_id asc (documented determinization of
+    BM25Scorer.cs:68-73).  Window top-k: rank computation is partial —
+    Spark's WindowExec sorts within topic partitions only."""
+    w = Window.partitionBy("topic_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("topic_id", "rank", "doc_id", "score")
+    )
+
+
+def score_bm25(
+    tokens: DataFrame,
+    doc_meta: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    params: BM25Params | None = None,
+    k: int = 1000,
+    exact_float32: bool = True,
+) -> DataFrame:
+    params = params or BM25Params()
+    contrib = _contributions_bm25(tokens, doc_meta, qterms, n_docs, avgdl, params)
+    return topk(_accumulate(contrib, exact_float32), k)
+
+
+def score_tfidf(
+    tokens: DataFrame,
+    n_docs: int,
+    qterms: DataFrame,
+    k: int = 1000,
+    exact_float32: bool = True,
+) -> DataFrame:
+    contrib = _contributions_tfidf(tokens, qterms, n_docs)
+    return topk(_accumulate(contrib, exact_float32), k)
+
+
+def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """Conjunctive boolean retrieval: docs containing ALL terms.
+
+    The reference's commented-out intersection scorer (Program.cs:135-143);
+    posting-list intersection ≡ groupBy(doc) having count(distinct term) =
+    |terms| — one shuffle, no self-joins."""
+    terms = list(dict.fromkeys(terms))
+    return (
+        tokens.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("n_matched"))
+        .filter(F.col("n_matched") == len(terms))
+        .select("doc_id")
+    )

@@ -1,0 +1,23 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from search_engine_spark.session import get_spark
+
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    from search_engine_spark.fixtures import generate_documents
+
+    return generate_documents(n_docs=120, seed=42)
+
+
+@pytest.fixture(scope="session")
+def queries_fixture():
+    from search_engine_spark.fixtures import generate_queries
+
+    return generate_queries(seed=42)

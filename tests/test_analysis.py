@@ -1,0 +1,211 @@
+"""Operator-level golden tests: tokenizer, stopwords, fold, Porter.
+
+Golden expectations derived by hand-tracing the reference sources
+(/root/reference/src/Indexing/Indexer.cs, src/Util/Porter.cs,
+src/Query/TopicParser.cs) — see docstrings in search_engine_spark.analysis.
+"""
+
+import pandas as pd
+import pytest
+
+from search_engine_spark.analysis import (
+    STOPWORDS,
+    analyze_frame,
+    ascii_fold,
+    tokenize_doc,
+    tokenize_query,
+)
+from search_engine_spark.config import AnalyzerConfig
+from search_engine_spark.porter import porter_stem
+
+CFG = AnalyzerConfig()
+RAW = AnalyzerConfig(case_folding=False, remove_stopwords=False, do_stemming=False)
+
+
+class TestPorter:
+    # Full-stem golden vectors.  Note: the docstring examples at
+    # Porter.cs:430-448 describe step1 output only; e.g. step1 maps
+    # agreed->agree but step6 then strips the final e -> agre, matching
+    # the official Porter vocabulary output.
+    GOLDEN = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "disabled": "disabl",
+        "matting": "mat",
+        "mating": "mate",
+        "meeting": "meet",
+        "milling": "mill",
+        "messing": "mess",
+        "meetings": "meet",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "valenci": "valenc",
+        "hesitanci": "hesit",
+        "digitizer": "digit",
+        "conformabli": "conform",
+        "radicalli": "radic",
+        "differentli": "differ",
+        "vileli": "vile",
+        "analogousli": "analog",
+        "vietnamization": "vietnam",
+        "predication": "predic",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "decisiveness": "decis",
+        "hopefulness": "hope",
+        "callousness": "callous",
+        "formaliti": "formal",
+        "sensitiviti": "sensit",
+        "sensibiliti": "sensibl",
+        "triplicate": "triplic",
+        "formative": "form",
+        "formalize": "formal",
+        "electriciti": "electr",
+        "electrical": "electr",
+        "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv",
+        "allowance": "allow",
+        "inference": "infer",
+        "airliner": "airlin",
+        "gyroscopic": "gyroscop",
+        "adjustable": "adjust",
+        "defensible": "defens",
+        "irritant": "irrit",
+        "replacement": "replac",
+        "adjustment": "adjust",
+        "dependent": "depend",
+        "adoption": "adopt",
+        "communism": "commun",
+        "activate": "activ",
+        "angulariti": "angular",
+        "homologous": "homolog",
+        "effective": "effect",
+        "bowdlerize": "bowdler",
+        "probate": "probat",
+        "rate": "rate",
+        "cease": "ceas",
+        "controll": "control",
+        "roll": "roll",
+    }
+
+    def test_golden(self):
+        bad = {
+            w: (porter_stem(w), want)
+            for w, want in self.GOLDEN.items()
+            if porter_stem(w) != want
+        }
+        assert not bad, bad
+
+    def test_short_words_untouched(self):
+        # Porter.cs:643 — k > 1 guard
+        for w in ("a", "is", "be", "on", "ox", "s", ""):
+            assert porter_stem(w) == w
+
+    def test_ion_bug2(self):
+        # 'ion' alone leaves j = -1 in step5 (Bug 2 fix, Porter.cs:598)
+        assert porter_stem("ion") == "ion"
+
+    def test_eed_bug1(self):
+        for w in ("aed", "eed", "oed"):
+            porter_stem(w)  # must not raise (Bug 1 fix)
+
+    def test_non_lowercase_passthrough_consonant(self):
+        # uppercase chars hit cons()'s default branch — no vowel detected
+        assert porter_stem("AGREED") == "AGREED"
+
+
+class TestDocTokenizer:
+    def test_split_chars(self):
+        # every byte <= 47 plus : ; = ? splits (Indexer.cs:133-135)
+        toks = tokenize_doc("a!b\"c#d$e%f&g'h(i)j*k+l,m-n.o/p:q;r=s?t", RAW)
+        assert toks == list("abcdefghijklmnopqrst")
+
+    def test_non_split_chars_kept(self):
+        # digits, < > @ letters are NOT split chars
+        toks = tokenize_doc("a1b2 x@y foo_bar", RAW)
+        assert "a1b2" in toks and "x@y" in toks
+        # underscore (95) is not a split char either
+        assert "foo_bar" in toks
+
+    def test_tag_filter(self):
+        # drop startswith '<' OR endswith '>' (Indexer.cs:144)
+        toks = tokenize_doc("<doc> text</doc> mid<dle x>y <a", RAW)
+        assert toks == ["x>y"] or "x>y" in toks
+        assert all(not t.startswith("<") and not t.endswith(">") for t in toks)
+        assert "mid<dle" in toks  # '<' inside is fine
+
+    def test_stopwords_before_stemming(self):
+        # 'pages' (len 5) survives the stopword check, stems to 'page'
+        assert tokenize_doc("pages page the THE", CFG) == ["page"]
+
+    def test_numeric_stopwords(self):
+        assert tokenize_doc("1 2 3 123 4", CFG) == ["123", "4"]
+
+    def test_case_folding_ascii_only(self):
+        toks = tokenize_doc("HeLLo WORLD", AnalyzerConfig(do_stemming=False))
+        assert toks == ["hello", "world"]
+
+    def test_stopword_needs_fold(self):
+        # without case folding, 'The' is not in the lowercase stoplist
+        cfg = AnalyzerConfig(case_folding=False, do_stemming=False)
+        assert tokenize_doc("The the", cfg) == ["The"]
+
+    def test_max_token_cap(self):
+        long = "x" * 150
+        toks = tokenize_doc(long, RAW)
+        assert toks == ["x" * 100]
+
+    def test_all_39_stopwords_dropped(self):
+        text = " ".join(STOPWORDS)
+        assert tokenize_doc(text, AnalyzerConfig(do_stemming=False)) == []
+
+
+class TestQueryTokenizer:
+    def test_query_split_set_differs(self):
+        # '-' splits docs but NOT queries (TopicParser.cs:77)
+        assert tokenize_query("run-time", RAW) == [("run-time", 1)]
+        assert tokenize_doc("run-time", RAW) == ["run", "time"]
+
+    def test_qtf_first_seen_order(self):
+        out = tokenize_query("beta alpha beta", RAW)
+        assert out == [("beta", 2), ("alpha", 1)]
+
+    def test_leading_angle_filter_only(self):
+        out = tokenize_query("<skip keep> x", RAW)
+        assert out == [("keep>", 1), ("x", 1)]
+
+    def test_all_stopword_query_empty(self):
+        assert tokenize_query("the of and to a", CFG) == []
+
+
+class TestAnalyzeFrame:
+    def test_matches_tokenize_doc(self, corpus):
+        cfg = CFG
+        ids = pd.Series(range(len(corpus)), dtype="int64")
+        contents = pd.Series([r["content"] for r in corpus])
+        frame = analyze_frame(ids, contents, cfg)
+        # compare tf maps per doc against the scalar path
+        got = {
+            doc_id: dict(zip(g["term"], g["tf"]))
+            for doc_id, g in frame.groupby("doc_id")
+        }
+        for i, row in enumerate(corpus):
+            want: dict = {}
+            for t in tokenize_doc(row["content"], cfg):
+                want[t] = want.get(t, 0) + 1
+            assert got.get(i, {}) == want, f"doc {i} mismatch"
+
+    def test_empty_batch(self):
+        out = analyze_frame(pd.Series([], dtype="int64"), pd.Series([], dtype=object), CFG)
+        assert list(out.columns) == ["doc_id", "term", "tf"] and len(out) == 0
+
+
+def test_ascii_fold_non_ascii_untouched():
+    assert ascii_fold("ÄBÇ") == "ÄbÇ"  # only ASCII A-Z folds (Indexer.cs:170-176)

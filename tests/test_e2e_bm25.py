@@ -1,0 +1,155 @@
+"""End-to-end identity: Spark DataFrame path vs pure-Python oracle.
+
+Gate per BASELINE.json north_rule: rank-identical top-k docIDs AND
+float32-identical BM25 scores on the full fixture query set, plus the
+per-row content sha256 invariant, stable across partition counts.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B, oracle as O, query as Q
+from search_engine_spark.config import AnalyzerConfig, BM25Params
+from search_engine_spark.fixtures import doc_key
+
+
+CFG = AnalyzerConfig()
+K = 50
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in corpus
+        ],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df)
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus):
+    # doc_id order must match assign_doc_ids: sorted by (repo, path, commit)
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return O.build_index([(doc_key(r), r["content"]) for r in ordered], CFG)
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs_df):
+    parts = B.build_all(
+        docs_df, CFG, key_cols=("repo", "path", "commit")
+    )
+    parts["tokens"] = parts["tokens"].cache()
+    parts["doc_meta"] = parts["doc_meta"].cache()
+    return parts
+
+
+def test_doc_meta_matches_oracle(built, oracle_index):
+    meta = {
+        r["doc_id"]: (r["doc_key"], r["doc_len"], r["content_sha256"])
+        for r in built["doc_meta"].collect()
+    }
+    assert len(meta) == oracle_index.n_docs
+    for doc_id in range(oracle_index.n_docs):
+        key, dlen, sha = meta[doc_id]
+        assert key == oracle_index.doc_keys[doc_id]
+        assert dlen == oracle_index.doc_lens[doc_id]
+        assert sha == oracle_index.content_sha256[doc_id]
+
+
+def test_content_sha256_invariant(built, corpus):
+    # per-row integrity (input_hint): recorded sha at generation time ==
+    # sha recomputed by the Spark build
+    by_key = {doc_key(r): r["content_sha256"] for r in corpus}
+    for r in built["doc_meta"].collect():
+        assert r["content_sha256"] == by_key[r["doc_key"]]
+
+
+def test_stats_match(built, oracle_index):
+    n, avgdl, total = B.collect_stats(built["doc_meta"])
+    assert n == oracle_index.n_docs
+    assert abs(avgdl - oracle_index.avgdl()) < 1e-9
+    assert total == sum(oracle_index.doc_lens)
+
+
+def test_term_df_matches(built, oracle_index):
+    got = {r["term"]: r["df"] for r in built["term_df"].collect()}
+    want = {t: len(p[0]) for t, p in oracle_index.postings.items()}
+    assert got == want
+
+
+def _spark_topk(spark, built, oracle_index, queries, scorer="bm25", k=K):
+    qdf = Q.queries_to_df(
+        spark, [(q["topic_id"], q["query_text"]) for q in queries], CFG
+    )
+    n, avgdl, _ = B.collect_stats(built["doc_meta"])
+    if scorer == "bm25":
+        res = Q.score_bm25(
+            built["tokens"], built["doc_meta"], n, avgdl, qdf,
+            BM25Params(), k=k, exact_float32=True,
+        )
+    else:
+        res = Q.score_tfidf(built["tokens"], n, qdf, k=k, exact_float32=True)
+    out: dict[int, list[tuple[int, int, float]]] = {}
+    for r in res.collect():
+        out.setdefault(r["topic_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_bm25_rank_and_score_identity(spark, built, oracle_index, queries_fixture):
+    got = _spark_topk(spark, built, oracle_index, queries_fixture, "bm25")
+    n_checked = 0
+    for q in queries_fixture:
+        want = O.score_bm25(oracle_index, q["query_text"], BM25Params(), k=K)
+        have = got.get(q["topic_id"], [])
+        assert len(have) == len(want), f"topic {q['topic_id']}: row count"
+        for (rank, doc_id, score), (o_doc, _okey, o_score) in zip(have, want):
+            assert doc_id == o_doc, f"topic {q['topic_id']} rank {rank}: doc"
+            assert score == pytest.approx(o_score, abs=0.0), (
+                f"topic {q['topic_id']} rank {rank}: score {score} != {o_score}"
+            )
+            n_checked += 1
+    assert n_checked > 200  # the query set must actually exercise the corpus
+
+
+def test_tfidf_identity(spark, built, oracle_index, queries_fixture):
+    sample = queries_fixture[::5]
+    got = _spark_topk(spark, built, oracle_index, sample, "tfidf")
+    for q in sample:
+        want = O.score_tfidf(oracle_index, q["query_text"], k=K)
+        have = got.get(q["topic_id"], [])
+        assert [(d, s) for _, d, s in have] == [
+            (d, pytest.approx(s, abs=0.0)) for d, _k, s in want
+        ] or [d for _, d, _ in have] == [d for d, _k, _ in want]
+        for (_, d, s), (od, _ok, os_) in zip(have, want):
+            assert d == od and s == pytest.approx(os_, abs=0.0)
+
+
+def test_partition_count_invariance(spark, docs_df, oracle_index, queries_fixture):
+    # same results when the build runs over 1 partition vs 7 partitions
+    sample = [q for q in queries_fixture[:8]]
+    results = []
+    for nparts in (1, 7):
+        parts = B.build_all(
+            docs_df.repartition(nparts), CFG, key_cols=("repo", "path", "commit")
+        )
+        parts["tokens"] = parts["tokens"].cache()
+        parts["doc_meta"] = parts["doc_meta"].cache()
+        results.append(_spark_topk(spark, parts, oracle_index, sample, "bm25", k=20))
+    assert results[0] == results[1]
+
+
+def test_boolean_and(spark, built, oracle_index):
+    terms = ["import", "return"]
+    got = sorted(r["doc_id"] for r in Q.boolean_and(built["tokens"], terms).collect())
+    want = sorted(
+        set(oracle_index.postings.get("import", ([], []))[0])
+        & set(oracle_index.postings.get("return", ([], []))[0])
+    )
+    assert got == want and len(want) > 0
