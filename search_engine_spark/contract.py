@@ -1,0 +1,572 @@
+"""Driver-contract query catalog: Spark queries + DuckDB oracle SQL.
+
+Each entry runs against the driver's pre-registered parquet views
+(documents: doc_id, text, lang, source, n_chars; embeddings: vec_id,
+embedding, label; plus the TPC-H-ish tables).  The Spark side uses the
+engine's own operators; the SQL side is an independent ANSI-SQL
+restatement for DuckDB.  Column names/types are aligned so the driver's
+order-insensitive value-hash matches.
+
+Analyzer for SQL-checked queries: case_folding + stopwords ON, stemming
+OFF (Porter is not SQL-expressible; the stemmed paths are verified in
+pytest against the pure-Python oracle instead — tests/test_e2e_bm25.py).
+
+Cross-engine float discipline: contributions are cast to FLOAT32 in both
+engines (identical bit patterns), per-doc sums run in double, and emitted
+scores are rounded to 4 decimals; integer ratios (jaccard) are exact
+divisions.  Hashes use md5 (identical hex strings in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import build as B, query as Q
+from .analysis import DOC_SPLIT_SQL_REGEX, STOPWORDS, tokenize_query
+from .config import AnalyzerConfig, BM25Params
+from .ops import dedup as D, similarity as S, textstats as TS
+
+SQL_CFG = AnalyzerConfig(do_stemming=False)
+FULL_CFG = AnalyzerConfig()  # stemming on — used by entry() and pytest paths
+
+BM25_QUERY_TEXT = "spark merge window batch part the"
+TFIDF_QUERY_TEXT = "customer query stream"
+BOOL_TERMS = ("spark", "merge", "window")
+TOPK = 20
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.analyze_tokens(_docs(spark, sf_dir), SQL_CFG, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL building blocks
+# ---------------------------------------------------------------------------
+
+def _sql_tokens_cte() -> str:
+    """CTE `tok` = (doc_id, term, tf): the document analyzer in ANSI SQL.
+
+    Restates analysis.analyze_frame with stemming off: split on
+    [\\x00-\\x2f:;=?]+, drop ''/tag-shaped tokens, cap 100 chars,
+    ASCII-only fold (translate — NOT lower(), to match Indexer.cs:170-176
+    exactly on any input), drop the 39 stopwords."""
+    return f"""
+raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}')) AS t
+  FROM documents
+),
+folded AS (
+  SELECT doc_id,
+         translate(substr(t, 1, 100), '{_UPPER}', '{_LOWER}') AS term
+  FROM raw
+  WHERE t <> '' AND NOT starts_with(t, '<') AND NOT ends_with(t, '>')
+),
+tok AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM folded
+  WHERE NOT (length(term) <= 4 AND term IN ({_STOPLIST_SQL}))
+  GROUP BY doc_id, term
+)"""
+
+
+def _sql_meta_stats_cte() -> str:
+    """CTEs meta (doc_id, doc_len incl. empty docs) + stats (n, avgdl)."""
+    return """
+meta AS (
+  SELECT d.doc_id, CAST(COALESCE(s.doc_len, 0) AS BIGINT) AS doc_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, SUM(tf) AS doc_len FROM tok GROUP BY doc_id) s
+    USING (doc_id)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doc_len) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM meta
+)"""
+
+
+def _query_values_sql(text: str) -> str:
+    terms = tokenize_query(text, SQL_CFG)
+    rows = ", ".join(
+        f"('{t}', {qtf}, {pos})" for pos, (t, qtf) in enumerate(terms)
+    )
+    return f"q(term, qtf, term_pos) AS (SELECT * FROM (VALUES {rows}) v(a,b,c))"
+
+
+# ---------------------------------------------------------------------------
+# Spark queries (each: (spark, sf_dir) -> DataFrame)
+# ---------------------------------------------------------------------------
+
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, _tokens(spark, sf_dir), "doc_id", "text")
+    return meta.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.term_document_frequency(_tokens(spark, sf_dir)).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, _tokens(spark, sf_dir), "doc_id", "text")
+    return meta.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("doc_len").cast("double") / F.count("*")).alias("avg_doc_len"),
+        F.sum("doc_len").cast("long").alias("total_terms"),
+    )
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    meta = B.build_doc_meta(docs, tokens, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25(
+        tokens, meta, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=False
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, tokens, "doc_id", "text")
+    n, _, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, TFIDF_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_tfidf(tokens, n, qdf, k=TOPK, exact_float32=False)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Q.boolean_and(_tokens(spark, sf_dir), list(BOOL_TERMS))
+
+
+def q_term_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # index statistics report (#28): word-length histogram over the dictionary
+    df = B.term_document_frequency(_tokens(spark, sf_dir))
+    return df.groupBy(F.length("term").cast("long").alias("term_len")).agg(
+        F.count("*").cast("long").alias("n_terms")
+    )
+
+
+def q_df_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posting-length histogram (#28) — feeds the hot-term salting threshold
+    df = B.term_document_frequency(_tokens(spark, sf_dir))
+    return df.groupBy(F.col("df").cast("long").alias("df")).agg(
+        F.count("*").cast("long").alias("n_terms")
+    )
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # generic window top-k: 5 longest docs per lang (tie: doc_id asc)
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_chars")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TS.with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    sig = D.minhash_signatures(sh, n_hashes=8)
+    return D.lsh_candidate_pairs(sig, n_hashes=8, bands=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", width=3, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = TS.with_quality_score(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = S.cosine_topk_bruteforce(embs, queries, k=10)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _sql_tokenize_tf() -> str:
+    return f"WITH {_sql_tokens_cte()} SELECT doc_id, term, tf FROM tok"
+
+
+def _sql_doc_lengths() -> str:
+    return f"WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()} SELECT doc_id, doc_len FROM meta"
+
+
+def _sql_term_df() -> str:
+    return (
+        f"WITH {_sql_tokens_cte()} "
+        "SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term"
+    )
+
+
+def _sql_collection_stats() -> str:
+    return (
+        f"WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()} "
+        "SELECT n_docs, avgdl AS avg_doc_len, "
+        "(SELECT CAST(SUM(doc_len) AS BIGINT) FROM meta) AS total_terms FROM stats"
+    )
+
+
+def _sql_bm25(params: BM25Params = BM25Params()) -> str:
+    k1, k3, b = params.k1, params.k3, params.b
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+tdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(
+           ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
+           * (({k3} + 1.0) * q.qtf) / ({k3} + q.qtf)
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN q ON q.term = t.term
+  JOIN tdf ON tdf.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, SUM(CAST(c AS DOUBLE)) AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_tfidf() -> str:
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(TFIDF_QUERY_TEXT)},
+tdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+contrib AS (
+  -- integer-division idf quirk (TfIdfScorer.cs:31): floor(N / df)
+  SELECT t.doc_id,
+         CAST(ln(1.0 + t.tf) * ln(CAST(floor(CAST(s.n_docs AS DOUBLE) / tdf.df) AS DOUBLE)) AS FLOAT) AS c
+  FROM tok t
+  JOIN q ON q.term = t.term
+  JOIN tdf ON tdf.term = t.term
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, SUM(CAST(c AS DOUBLE)) AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_boolean_and() -> str:
+    terms = ", ".join(f"'{t}'" for t in BOOL_TERMS)
+    return f"""
+WITH {_sql_tokens_cte()}
+SELECT doc_id FROM tok WHERE term IN ({terms})
+GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(BOOL_TERMS)}
+"""
+
+
+def _sql_term_len_hist() -> str:
+    return (
+        f"WITH {_sql_tokens_cte()}, d AS (SELECT term FROM tok GROUP BY term) "
+        "SELECT CAST(length(term) AS BIGINT) AS term_len, CAST(COUNT(*) AS BIGINT) AS n_terms "
+        "FROM d GROUP BY 1"
+    )
+
+
+def _sql_df_hist() -> str:
+    return (
+        f"WITH {_sql_tokens_cte()}, d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term) "
+        "SELECT df, CAST(COUNT(*) AS BIGINT) AS n_terms FROM d GROUP BY df"
+    )
+
+
+def _sql_top_docs_per_lang() -> str:
+    return """
+SELECT lang, rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM documents
+) WHERE rank <= 5
+"""
+
+
+def _sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_dups, "
+        "MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)"
+    )
+
+
+def _sql_shingles_cte(width: int = 3) -> str:
+    return f"""
+dt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'), t -> t <> '') AS toks,
+         text
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) >= {width}
+              THEN array_to_string(list_slice(toks, i, i + {width} - 1), ' ')
+              ELSE text END AS shingle
+  FROM dt, unnest(CASE WHEN len(toks) >= {width}
+                       THEN range(1, len(toks) - {width} + 2)
+                       ELSE [1] END) u(i)
+)"""
+
+
+def _sql_fingerprint() -> str:
+    return f"""
+WITH {_sql_shingles_cte(3)}
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+"""
+
+
+def _sql_minhash_lsh_pairs(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"MIN(md5('{s}:' || shingle)) AS h{s}" for s in range(n_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_sql_shingles_cte(3)},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({banded})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def _sql_ngram_jaccard(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_sql_shingles_cte(3)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {threshold}
+"""
+
+
+def _sql_quality_scores() -> str:
+    stop = _STOPLIST_SQL
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'), t -> t <> '') AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> lower(t) IN ({stop}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + least(stopword_ratio * 4.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality_score
+FROM m
+"""
+
+
+def _sql_ann_cosine_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+         vec_id, round(cosine, 4) AS cosine
+  FROM pairs
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Public catalog
+# ---------------------------------------------------------------------------
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tokenize_tf": q_tokenize_tf,
+        "doc_lengths": q_doc_lengths,
+        "term_df": q_term_df,
+        "collection_stats": q_collection_stats,
+        "bm25_topk": _bm25_spark,
+        "tfidf_topk": _tfidf_spark,
+        "boolean_and": q_boolean_and,
+        "term_len_hist": q_term_len_hist,
+        "df_hist": q_df_hist,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_scores": q_quality_scores,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
+
+
+def duckdb_oracles() -> dict[str, str]:
+    return {
+        "tokenize_tf": _sql_tokenize_tf(),
+        "doc_lengths": _sql_doc_lengths(),
+        "term_df": _sql_term_df(),
+        "collection_stats": _sql_collection_stats(),
+        "bm25_topk": _sql_bm25(),
+        "tfidf_topk": _sql_tfidf(),
+        "boolean_and": _sql_boolean_and(),
+        "term_len_hist": _sql_term_len_hist(),
+        "df_hist": _sql_df_hist(),
+        "top_docs_per_lang": _sql_top_docs_per_lang(),
+        "dedup_exact": _sql_dedup_exact(),
+        "fingerprint": _sql_fingerprint(),
+        "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "quality_scores": _sql_quality_scores(),
+        "ann_cosine_topk": _sql_ann_cosine_topk(),
+    }
+
+
+def flagship_entry(spark: SparkSession) -> DataFrame:
+    """Full-analyzer (stemming ON) BM25 top-k over sf0.001 documents —
+    the Phase-1 end-to-end slice with exact float32 accumulation."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, FULL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, tokens, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(
+        spark, [(1, "spark merge window"), (2, "customer query stream batch")], FULL_CFG
+    )
+    return Q.score_bm25(
+        tokens, meta, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+    )

@@ -1,0 +1,7 @@
+"""Training-data pipeline operators beyond the reference's IR dataflow.
+
+These are first-class components for running the engine as a large-scale
+training-data pipeline (dedup, similarity search, text analysis,
+multimodal plumbing).  All are DataFrame-first; Python appears only in
+Arrow-batched UDFs.
+"""

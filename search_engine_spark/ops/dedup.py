@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Cross-engine determinism: every hash is derived from md5 hex strings
+(identical in Spark and DuckDB), so the SQL oracles can reproduce the
+exact candidate sets — no engine-specific hash functions in results.
+
+Scale design (100 TB corpora):
+  * exact: one groupBy on a 256-bit content hash — partial agg, no skew
+    (hashes are uniform).
+  * minhash_lsh: shingle → per-seed min-agg (map-side combinable) →
+    band-bucket self-join.  The join key is the band signature; bucket
+    sizes are bounded because identical signatures imply near-identical
+    docs.  Candidate verification (true Jaccard) only touches candidates.
+  * simhash: per-doc 64-bit signature via bit-majority over term hashes —
+    a narrow map + explode-free aggregate; banding on 16-bit chunks for
+    the near-dup join (Hamming <= 3 guaranteed caught by 4-band split).
+  * ngram_jaccard: only ever evaluated on LSH/band candidates, never all
+    pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens_col
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: (content_hash, n_dups, keep_id, dup_ids).
+
+    keep_id = min doc_id (deterministic survivor)."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col).alias("doc_id"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+    )
+
+
+def dedup_exact_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor set after exact dedup (min id per content hash)."""
+    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+
+
+def shingles_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) — distinct token n-gram shingles per doc.
+
+    Built with JVM-side array ops (split/transform/slice) — no UDF."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
+    sh = F.when(
+        n >= width,
+        F.array_distinct(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width)))
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — MinHash signature via seeded md5 permutations.
+
+    h_s(doc) = min over shingles of md5(s || ':' || shingle).  Min over a
+    keyed hex string is a valid minwise permutation and is reproducible in
+    any engine with md5.  One groupBy(doc_id) with n partial min-aggs —
+    fully map-side combinable, no skew."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs sharing at least one LSH band.
+
+    Band key = concat of the band's minhashes.  Self-join per band on the
+    band key, a < b, distinct across bands."""
+    rows = n_hashes // bands
+    pieces = []
+    for b in range(bands):
+        key = F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        pieces.append(
+            signatures.select(F.col("doc_id"), key.alias("band_key"), F.lit(b).alias("band"))
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with shingle-Jaccard >= threshold.
+
+    jaccard = |A ∩ B| / |A ∪ B| over distinct shingles, computed exactly:
+    intersection via shingle join, union via |A|+|B|-∩.  When `candidates`
+    is given (from LSH), only those pairs are verified — at scale, ALWAYS
+    pass candidates; the bare all-pairs shingle join is for small slices.
+    jaccard is an exact rational of two ints — no float drift."""
+    sh = shingles_df(df, text_col, id_col, width)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(F.broadcast(candidates), ["a", "b"], "inner")
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over tf-weighted term hashes.
+
+    Term hash = first 16 hex chars of md5(term) as a 64-bit value; each
+    bit votes +tf / -tf; signature bit = majority.  Pure SQL bit math
+    (conv + bitwise ops), cross-engine reproducible."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # unsigned 64-bit from hex would overflow LongType; use 63 bits
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    withbits = tf.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{i}")
+        for i in range(60)
+    ]
+    per_doc = withbits.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(60):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    sig: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Banding: split the 60-bit signature into `bands` chunks; any pair
+    within distance bands-1 shares at least one exact chunk (pigeonhole),
+    so the self-join on chunks finds all pairs with hamming <= bands-1."""
+    width = 60 // bands
+    pieces = []
+    for b in range(bands):
+        chunk = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        pieces.append(
+            sig.select("doc_id", "simhash", chunk.alias("chunk"), F.lit(b).alias("band"))
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus an LSH-bucketed
+(random hyperplane / SRP) variant as the scale path.  Dot products are
+computed with JVM-side higher-order functions (zip_with + aggregate —
+sequential fold, deterministic order); no Python in the hot path.
+
+Scale: brute force is O(n·q) — fine for broadcast query sets against
+billions of rows (narrow map + per-partition top-k via window).  The SRP
+variant prunes to same-bucket candidates; recall is tunable via
+n_planes/bands.  An IVF variant would cluster first — the bucketed join
+skeleton here is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — exact top-k per query vector.
+
+    queries is small → broadcast cross join; per-query top-k via window.
+    Tie-break: cosine desc, vec_id asc.  Self-matches excluded when ids
+    collide."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    cos = _dot(F.col("qvec"), F.col("vec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("vec"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def srp_buckets(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) — signed-random-projection LSH bucket id.
+
+    bucket bit i = sign(vec · plane_i); planes are caller-provided
+    deterministic pseudo-random hyperplanes (seeded off-line so results
+    are reproducible and oracle-checkable)."""
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return embeddings.select(F.col(id_col).alias("vec_id"), sig.alias("bucket"))
+
+
+def cosine_topk_srp(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    The scale path — the expensive dot product only runs within buckets
+    (expected n / 2^planes candidates per query)."""
+    eb = srp_buckets(embeddings, planes, id_col, vec_col)
+    qb = srp_buckets(queries, planes, query_id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
+        eb, "vec_id"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).join(qb, "query_id")
+    cos = _dot(F.col("qvec"), F.col("vec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("vec"))
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (pure Python, reproducible)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

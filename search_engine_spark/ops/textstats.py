@@ -1,0 +1,125 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure DataFrame/SQL expressions (JVM-side, whole-stage codegen) — no
+Python in the hot path.  Designed to run over trillions of rows: every
+operator is a narrow map or a single partial-aggregating shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..analysis import DOC_SPLIT_SQL_REGEX, STOPWORDS
+
+# Tiny per-language marker sets for the n-gram/stopword heuristic language
+# ID.  Deliberately simple and deterministic (public-knowledge heuristic:
+# function-word hit rate).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for", "with", "as"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "des", "une", "dans", "pour"),
+    "es": ("el", "los", "las", "es", "no", "una", "para", "por", "con", "del"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace+punct token array (the engine's doc split set)."""
+    return F.filter(F.split(text, DOC_SPLIT_SQL_REGEX), lambda t: t != "")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-ish token count plus a BPE-ish subword estimate.
+
+    The BPE-ish estimate counts runs of letters/digits/other separately
+    (a cheap deterministic proxy for subword token counts)."""
+    toks = tokens_col(F.col(text_col))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.col(text_col), r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)", r"$1 "),
+                r"\s+",
+            ),
+            lambda t: t != "",
+        )
+    )
+    return df.withColumn("n_tokens", F.size(toks)).withColumn("n_subtokens", bpe_ish)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, punct ratio, stopword
+    ratio, mean token length, plus a composite [0,1] score.
+
+    Mirrors standard web-corpus quality filters (length / punctuation /
+    stopword-density rules); all columns are exact SQL arithmetic so the
+    operator is oracle-checkable."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        (F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double"))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0)
+    # composite: rewards mid-length docs with some stopwords, few punct runs
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("quality_score", quality)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of function-word hit counts.
+
+    Deterministic tie-break: higher count wins, then language code asc;
+    docs with zero hits in every language get 'und'."""
+    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    out = df.withColumn("__toks", toks)
+    hit_cols = []
+    for rank, (lang, markers) in enumerate(sorted(_LANG_MARKERS.items())):
+        c = F.size(F.filter(F.col("__toks"), lambda t: t.isin(*markers)))
+        # key (hits, -rank): desc sort gives hits desc, then lang ASC
+        hit_cols.append(
+            F.struct(c.alias("hits"), F.lit(-rank).alias("nr"), F.lit(lang).alias("lang"))
+        )
+    arr = F.sort_array(F.array(*hit_cols), asc=False)
+    first = arr[0]
+    return out.withColumn(
+        "lang_pred",
+        F.when(first["hits"] > 0, first["lang"]).otherwise(F.lit("und")),
+    ).drop("__toks")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 3) -> DataFrame:
+    """Document fingerprint: min-hash-of-shingles (rolling-hash style).
+
+    fingerprint = lexicographic min of md5 over token n-gram shingles —
+    deterministic, cross-engine reproducible (md5 is identical in Spark
+    and DuckDB), and robust to small edits.  Falls back to md5 of the
+    whole text for docs shorter than the shingle width."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
+    shingles = F.when(
+        n >= shingle,
+        F.transform(
+            idxs,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i + 1, shingle))
+            ),
+        ),
+    ).otherwise(F.array(F.md5(F.col(text_col))))
+    return df.withColumn("fingerprint", F.array_min(shingles))

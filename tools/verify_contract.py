@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__ queries() entry on Spark and its oracle_sql()
+on DuckDB at sf0.01, compares row count, column names, and
+order-insensitive values (rows sorted after sorting columns by name).
+
+Usage: python tools/verify_contract.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from search_engine_spark.session import get_spark
+
+    sf_dir = "/root/testdata/sf0.01"
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="verify_contract", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP-SQL {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        ok_cols = sorted(s_cols) == sorted(d_cols)
+        ok_count = len(s_rows) == len(d_rows)
+        ok_vals = False
+        if ok_cols and ok_count:
+            ok_vals = rows_key(s_cols, s_rows) == rows_key(d_cols, d_rows)
+        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(s_rows)}/{len(d_rows)} cols {s_cols} vs {d_cols} "
+            f"vals={'match' if ok_vals else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+        )
+        if status == "FAIL" and ok_cols and ok_count:
+            a = rows_key(s_cols, s_rows)
+            b = rows_key(d_cols, d_rows)
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+            for x, y in diffs:
+                print(f"    spark={x}\n    duck ={y}")
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
