@@ -78,7 +78,7 @@ def main() -> None:
     ]
     qdf = Q.queries_to_df(spark, topics, cfg)
     timed("bm25_topk", lambda: Q.score_bm25(
-        built["tokens"], built["meta"], built["n"], built["avgdl"], qdf,
+        built["tokens"], built["n"], built["avgdl"], qdf,
         BM25Params(), k=100, exact_float32=True).count())
     timed("tfidf_topk", lambda: Q.score_tfidf(
         built["tokens"], built["n"], qdf, k=100, exact_float32=True).count())
@@ -120,7 +120,8 @@ def main() -> None:
             B.analyze_tokens(big.limit(256), cfg, "doc_id", "text").count()  # warmup
             t0 = time.perf_counter()
             toks = B.analyze_tokens(big, cfg, "doc_id", "text")
-            meta = B.build_doc_meta(big, toks, "doc_id", "text")
+            toks.groupBy("term").agg(F.sum("tf")).count()  # the one wide stage
+            meta = B.build_doc_meta(big, cfg, "doc_id", "text")
             B.collect_stats(meta)
             dt = time.perf_counter() - t0
             res[cores] = {"sec": round(dt, 3),

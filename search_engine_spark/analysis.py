@@ -37,6 +37,8 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .config import AnalyzerConfig
 from .porter import porter_stem
@@ -130,6 +132,113 @@ def stem_unique(terms: pd.Series) -> pd.Series:
     return terms.map(mapping)
 
 
+_TOKENS_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("term", pa.string()),
+        ("tf", pa.int32()),
+        ("doc_len", pa.int32()),
+    ]
+)
+
+
+def analyze_arrow(
+    batch: pa.RecordBatch, cfg: AnalyzerConfig
+) -> pa.RecordBatch:
+    """Arrow-native batch analysis: (doc_id, content) → (doc_id, term, tf).
+
+    Same semantics as analyze_frame (verified equivalent in
+    tests/test_analysis.py) but implemented with pyarrow.compute kernels
+    (C++, GIL-releasing): split_pattern_regex, ascii_lower — which IS the
+    reference's ASCII-only fold (Indexer.cs:170-176) — is_in, and a C++
+    hash group-by for the per-(doc, term) tf combine.  The only Python
+    loop is Porter stemming over the batch's term DICTIONARY (unique
+    surface forms), via dictionary_encode + take.
+
+    Emits doc_len (surviving-token count per doc, WriteableIndex.cs:68)
+    on every token row: each doc is wholly contained in one batch, so the
+    document length is known here for free — downstream consumers (BM25
+    join, posting blocks) then need NO doc_id-keyed shuffle to get it.
+    """
+    empty = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+            pa.array([], pa.int32()),
+            pa.array([], pa.int32()),
+        ],
+        schema=_TOKENS_ARROW_SCHEMA,
+    )
+    if batch.num_rows == 0:
+        return empty
+    content = pc.fill_null(pc.cast(batch.column("content"), pa.string()), "")
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    # 1. split (byte-exact: all split bytes are ASCII, see module docstring)
+    token_lists = pc.split_pattern_regex(content, DOC_SPLIT_SQL_REGEX)
+    flat = pc.list_flatten(token_lists)
+    ids = pc.take(ids, pc.list_parent_indices(token_lists))
+    # 2. drop empties and tag-shaped tokens (Indexer.cs:144)
+    mask = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.and_(
+            pc.invert(pc.starts_with(flat, "<")),
+            pc.invert(pc.ends_with(flat, ">")),
+        ),
+    )
+    flat, ids = pc.filter(flat, mask), pc.filter(ids, mask)
+    if len(flat) == 0:
+        return empty
+    # 3. cap at max_token_chars codepoints (determinized Indexer.cs:123)
+    flat = pc.utf8_slice_codeunits(flat, 0, cfg.max_token_chars)
+    # 4. ASCII-only fold (ascii_lower touches only A-Z, like Indexer.cs:170-176)
+    if cfg.case_folding:
+        flat = pc.ascii_lower(flat)
+    # 5. stopwords (len <= 4 guard implied: every stopword is <= 4 chars)
+    if cfg.remove_stopwords:
+        keep = pc.invert(pc.is_in(flat, value_set=pa.array(STOPWORDS)))
+        flat, ids = pc.filter(flat, keep), pc.filter(ids, keep)
+        if len(flat) == 0:
+            return empty
+    # 6. stem the batch dictionary, not the stream
+    if cfg.do_stemming:
+        de = flat.dictionary_encode()
+        stemmed_dict = pa.array(
+            [porter_stem(s) for s in de.dictionary.to_pylist()], pa.string()
+        )
+        flat = stemmed_dict.take(de.indices)
+    # 7. per-(doc, term) tf — C++ hash aggregate inside the batch
+    grouped = (
+        pa.table({"doc_id": ids, "term": flat})
+        .group_by(["doc_id", "term"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    tf = pc.cast(pc.min_element_wise(grouped.column("count_all"), 65535), pa.int32())
+    # 8. doc_len = surviving tokens per doc (pre-tf-cap), attached per row
+    lens = (
+        pa.table({"doc_id": ids})
+        .group_by(["doc_id"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    pos = pc.index_in(grouped.column("doc_id"), lens.column("doc_id").combine_chunks())
+    doc_len = pc.cast(
+        pc.min_element_wise(pc.take(lens.column("count_all"), pos), 2**31 - 1),
+        pa.int32(),
+    )
+
+    def _chunked(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    return pa.RecordBatch.from_arrays(
+        [
+            _chunked(grouped.column("doc_id")),
+            _chunked(grouped.column("term")),
+            _chunked(tf),
+            _chunked(doc_len),
+        ],
+        schema=_TOKENS_ARROW_SCHEMA,
+    )
+
+
 def analyze_frame(
     doc_ids: pd.Series, contents: pd.Series, cfg: AnalyzerConfig
 ) -> pd.DataFrame:
@@ -146,6 +255,7 @@ def analyze_frame(
             "doc_id": pd.array([], dtype=doc_ids.dtype),
             "term": pd.array([], dtype="object"),
             "tf": pd.array([], dtype="int32"),
+            "doc_len": pd.array([], dtype="int32"),
         }
     )
     if len(contents) == 0:
@@ -174,12 +284,15 @@ def analyze_frame(
     # 6. stem the dictionary, not the stream
     if cfg.do_stemming:
         t = stem_unique(t)
-    # 7. per-(doc, term) tf — map-side combine inside the batch
+    # 7. per-(doc, term) tf — map-side combine inside the batch;
+    #    doc_len = surviving tokens per doc (WriteableIndex.cs:68)
     out = (
         pd.DataFrame({"doc_id": ids, "term": t.to_numpy()})
         .groupby(["doc_id", "term"], sort=False)
         .size()
         .reset_index(name="tf")
     )
+    lens = out.groupby("doc_id", sort=False)["tf"].transform("sum")
     out["tf"] = out["tf"].astype("int32")
+    out["doc_len"] = lens.astype("int32")
     return out

@@ -30,7 +30,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .analysis import analyze_frame
+from .analysis import STOPWORDS, analyze_frame
 from .config import AnalyzerConfig
 
 TOKENS_SCHEMA = T.StructType(
@@ -38,8 +38,14 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.IntegerType(), False),
+        # surviving-token count of the containing doc (WriteableIndex.cs:68),
+        # computed in-batch so no doc_id-keyed shuffle is ever needed for it
+        T.StructField("doc_len", T.IntegerType(), False),
     ]
 )
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
 def analyze_tokens(
@@ -61,41 +67,73 @@ def analyze_tokens(
         F.col(content_col).alias("content"),
     )
 
-    def _analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = AnalyzerConfig.from_dict(cfg_dict)
-        for pdf in batches:
-            out = analyze_frame(pdf["doc_id"], pdf["content"], c)
-            out["tf"] = out["tf"].clip(upper=65535).astype("int32")
-            yield out
+    def _analyze(batches):
+        import pyarrow as pa
 
-    return narrow.mapInPandas(_analyze, schema=TOKENS_SCHEMA)
+        from search_engine_spark.analysis import analyze_arrow
+        from search_engine_spark.config import AnalyzerConfig as _AC
+
+        # One task slot = one core: a per-worker Arrow thread pool would
+        # oversubscribe the machine cores^2-fold and destroy scaling.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        c = _AC.from_dict(cfg_dict)
+        for batch in batches:
+            yield analyze_arrow(batch, c)
+
+    return narrow.mapInArrow(_analyze, schema=TOKENS_SCHEMA)
+
+
+def doc_len_expr(content_col: str, cfg: AnalyzerConfig | None = None):
+    """Surviving-token count as a pure-JVM Column (whole-stage codegen).
+
+    Third restatement of the analyzer's counting semantics (pandas/Arrow
+    twins in analysis.py; equivalence enforced by tests): split on the
+    doc split class, drop empties and tag-shaped tokens, drop stopwords
+    after an exact ASCII-only fold (translate, not lower()).  Stemming
+    and the 100-char cap cannot change the count.  No Python, no shuffle.
+    """
+    cfg = cfg or AnalyzerConfig()
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    conds = ["t != ''", "NOT startswith(t, '<')", "NOT endswith(t, '>')"]
+    if cfg.remove_stopwords:
+        fold = f"translate(t, '{_UPPER}', '{_LOWER}')" if cfg.case_folding else "t"
+        conds.append(f"NOT ({fold} IN ({stoplist}))")
+    pred = " AND ".join(conds)
+    return F.expr(
+        f"size(filter(split(coalesce({content_col}, ''), '[\\\\x00-\\\\x2f:;=?]+'), t -> {pred}))"
+    ).cast("int")
 
 
 def build_doc_meta(
     docs: DataFrame,
-    tokens: DataFrame,
+    cfg: AnalyzerConfig | None = None,
     doc_id_col: str = "doc_id",
     content_col: str = "content",
     key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, doc_key, doc_len, content_sha256).
+    """(doc_id, doc_key, doc_len, content_sha256) — narrow, JVM-only.
 
     Docs whose every token is filtered out still register with doc_len 0
     (the reference registers docs before tokenizing, WriteableIndex.cs:31-37,
     so they count toward N and avgdl).  content_sha256 supports the
     per-row integrity invariant (input_hint).
+
+    No shuffle: doc_len is recomputed from content with codegen'd
+    higher-order functions (doc_len_expr) instead of aggregating the
+    token stream — a narrow second scan is far cheaper at scale than a
+    doc_id-keyed shuffle of ~200 token rows per document.
     """
     if key_cols:
         key_expr = F.concat_ws("@", F.concat_ws("/", *[F.col(c) for c in key_cols[:-1]]), F.col(key_cols[-1]))
     else:
         key_expr = F.col(doc_id_col).cast("string")
-    lens = tokens.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doc_len"))
-    base = docs.select(
+    return docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         key_expr.alias("doc_key"),
+        doc_len_expr(content_col, cfg).alias("doc_len"),
         F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha256"),
     )
-    return base.join(lens, "doc_id", "left").fillna({"doc_len": 0})
 
 
 def build_stats(doc_meta: DataFrame) -> DataFrame:
@@ -150,7 +188,7 @@ def build_all(
     """One-pass build of the Phase-1 logical index: tokens + doc_meta + stats + df."""
     cfg = cfg or AnalyzerConfig()
     tokens = analyze_tokens(docs, cfg, doc_id_col, content_col)
-    doc_meta = build_doc_meta(docs, tokens, doc_id_col, content_col, key_cols)
+    doc_meta = build_doc_meta(docs, cfg, doc_id_col, content_col, key_cols)
     return {
         "tokens": tokens,
         "doc_meta": doc_meta,

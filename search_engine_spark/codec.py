@@ -1,0 +1,99 @@
+"""Vectorized posting-block codec: delta + varint (LEB128), NumPy only.
+
+The reference serializes postings as raw fixed-width (int32 docIdx,
+uint16 tf) pairs (/root/reference/src/Indexing/WriteableIndex.cs:163-167,
+PostingList.cs:154-167) — no compression.  The north rule requires
+delta-encoded + varint-compressed posting blocks; this module provides
+them as pure-NumPy kernels (no per-element Python) usable inside Arrow
+batches on executors.
+
+Encoding: docID arrays are strictly increasing within a block, so we
+store first_doc_id separately and varint-encode the gaps (delta of the
+remaining n-1 values); tf / doc_len arrays are varint-encoded directly.
+All values are unsigned 64-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # ceil(64 / 7)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array.  Vectorized: O(max_bytes) passes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp != 0)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # offsets of each value's first byte
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    work = v.copy()
+    remaining = nbytes.copy()
+    pos = starts.copy()
+    for _ in range(_MAX_VARINT_BYTES):
+        live = remaining > 0
+        if not live.any():
+            break
+        b = (work[live] & np.uint64(0x7F)).astype(np.uint8)
+        more = remaining[live] > 1
+        b[more] |= np.uint8(0x80)
+        out[pos[live]] = b
+        work[live] >>= np.uint64(7)
+        pos[live] += 1
+        remaining[live] -= 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode n LEB128 values from buf → uint64 array.  Vectorized."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # index of each value's first byte = 0 and positions after each last byte
+    ends = np.flatnonzero(is_last)
+    if ends.size < n:
+        raise ValueError(f"varint stream truncated: {ends.size} < {n} values")
+    ends = ends[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    out = np.zeros(n, dtype=np.uint64)
+    nbytes = ends - starts + 1
+    max_b = int(nbytes.max())
+    payload = (raw & 0x7F).astype(np.uint64)
+    for k in range(max_b):
+        live = nbytes > k
+        out[live] |= payload[starts[live] + k] << np.uint64(7 * k)
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> tuple[int, bytes]:
+    """Strictly-increasing uint64 array → (first_value, varint gap bytes)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return 0, b""
+    gaps = np.diff(v)
+    return int(v[0]), varint_encode(gaps)
+
+
+def delta_decode(first: int, buf: bytes, n: int) -> np.ndarray:
+    """Inverse of delta_encode → uint64 array of length n."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    if n > 1:
+        out[1:] = varint_decode(buf, n - 1)
+        np.cumsum(out, out=out)
+    return out

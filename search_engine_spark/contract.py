@@ -121,7 +121,7 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, _tokens(spark, sf_dir), "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     return meta.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
 
 
@@ -133,7 +133,7 @@ def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, _tokens(spark, sf_dir), "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     return meta.agg(
         F.count("*").cast("long").alias("n_docs"),
         (F.sum("doc_len").cast("double") / F.count("*")).alias("avg_doc_len"),
@@ -144,11 +144,11 @@ def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
-    meta = B.build_doc_meta(docs, tokens, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     n, avgdl, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25(
-        tokens, meta, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=False
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=False
     )
     return res.select(
         F.col("rank").cast("long").alias("rank"),
@@ -160,7 +160,7 @@ def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, tokens, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     n, _, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(spark, [(1, TFIDF_QUERY_TEXT)], SQL_CFG)
     res = Q.score_tfidf(tokens, n, qdf, k=TOPK, exact_float32=False)
@@ -562,11 +562,11 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, FULL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, tokens, "doc_id", "text")
+    meta = B.build_doc_meta(docs, FULL_CFG, "doc_id", "text")
     n, avgdl, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(
         spark, [(1, "spark merge window"), (2, "customer query stream batch")], FULL_CFG
     )
     return Q.score_bm25(
-        tokens, meta, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
     )

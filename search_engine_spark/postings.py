@@ -1,0 +1,488 @@
+"""Phase 2 — materialized inverted index: posting fragments → packed blocks.
+
+Architecture (SURVEY.md §7 phase 2; reference parallels cited inline):
+
+  documents ──mapInArrow──► posting FRAGMENTS, one row per (input
+  partition, term): term, doc_ids[], tfs[], doc_lens[] — the Spark
+  equivalent of the reference's per-worker partial WriteableIndex
+  (/root/reference/src/Indexing/Indexer.cs:45-96).  Packing whole arrays
+  per term keeps the shuffle at fragment granularity (~vocab rows per
+  partition), 2-3 orders of magnitude fewer rows than the raw
+  (doc, term, tf) stream.
+
+  fragments ──groupBy(segment_id, term) shuffle──► PACKED BLOCKS — the
+  reference's sequential index merge (Indexer.cs:100-109,
+  WriteableIndex.cs:74-100) but parallel, spill-capable, and
+  DOC-PARTITIONED: segment_id is the input-partition id, so every
+  (segment, term) reduce group is bounded by the segment's document
+  count.  Stop-word-like hot terms (north_rule skew clause) therefore
+  CANNOT concentrate on one reducer by construction — the doc-range
+  partitioning is the salting, applied universally rather than per hot
+  term.  (A term-major global merge with explicit two-phase salting is
+  also provided for reference-format parity: merge_global_postings.)
+
+  Blocks are delta+varint compressed (codec.py) with per-block metadata
+  (first/last doc id, max_tf, block_max_score) for block-max WAND
+  pruning at query time (wand.py) — north_rule requirement; the
+  reference stores raw uncompressed postings and scores exhaustively
+  (WriteableIndex.cs:163-167, BM25Scorer.cs:34-66).
+
+Scale notes (10^12 docs, 1000 executors):
+  * fragments shuffle: rows = n_partitions × per-partition vocab; the
+    payload arrays are binary-packed by Arrow — no per-row overhead.
+  * term_df is dictionary-sized; it is computed FROM fragments (cheap
+    agg over array sizes) and joined back on term — Catalyst picks
+    broadcast when small, shuffle-hash otherwise (both fine: the join
+    key equals the downstream group key's suffix).
+  * block_max_score bakes in global idf/avgdl — the index is an
+    immutable snapshot, like the reference's serialized index.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .codec import delta_decode, delta_encode, varint_decode, varint_encode
+from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
+
+FRAGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("doc_lens", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("block_max_score", T.FloatType(), False),
+        T.StructField("doc_ids_enc", T.BinaryType(), False),
+        T.StructField("tfs_enc", T.BinaryType(), False),
+        T.StructField("doc_lens_enc", T.BinaryType(), False),
+    ]
+)
+
+
+def posting_fragments(
+    docs: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """documents → per-(input partition, term) posting fragments.
+
+    Narrow (no shuffle).  Within a fragment, doc_ids are ascending —
+    batches are sorted by doc_id before the per-term list aggregation,
+    and input partitions are processed batch-by-batch in order.
+    """
+    cfg = cfg or AnalyzerConfig()
+    cfg_dict = cfg.to_dict()
+    narrow = docs.select(
+        F.spark_partition_id().alias("segment_id"),
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def _fragments(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from search_engine_spark.analysis import analyze_arrow
+        from search_engine_spark.config import AnalyzerConfig as _AC
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        c = _AC.from_dict(cfg_dict)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seg = batch.column("segment_id")[0].as_py()
+            toks = analyze_arrow(batch, c)
+            if toks.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([toks]).sort_by("doc_id")
+            grouped = tbl.group_by(["term"], use_threads=False).aggregate(
+                [("doc_id", "list"), ("tf", "list"), ("doc_len", "list")]
+            )
+            n = grouped.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([seg] * n, pa.int32()),
+                    grouped.column("term").combine_chunks(),
+                    grouped.column("doc_id_list").combine_chunks(),
+                    grouped.column("tf_list").combine_chunks(),
+                    grouped.column("doc_len_list").combine_chunks(),
+                ],
+                names=["segment_id", "term", "doc_ids", "tfs", "doc_lens"],
+            )
+
+    return narrow.mapInArrow(_fragments, schema=FRAGMENTS_SCHEMA)
+
+
+def fragment_term_df(fragments: DataFrame) -> DataFrame:
+    """(term, df) from fragments — sums array sizes, dictionary-sized agg."""
+    return fragments.groupBy("term").agg(
+        F.sum(F.size("doc_ids")).alias("df")
+    )
+
+
+def _bm25_block_upper(
+    tfs: np.ndarray, doc_lens: np.ndarray, idf: float, avgdl: float, p: BM25Params
+) -> float:
+    """Query-independent per-posting score part: idf · tf(k1+1)/(tf+k1·K).
+
+    The qtf saturation factor (BM25Scorer.cs:53) is a per-term constant
+    at query time and multiplies this bound there.  max() is correct for
+    negative idf too (least-negative contribution is the upper bound).
+    """
+    k = 1.0 - p.b + p.b * (doc_lens.astype(np.float64) / avgdl)
+    part = idf * (tfs.astype(np.float64) * (p.k1 + 1.0)) / (tfs + p.k1 * k)
+    # nudge up one float32 ulp so float32-cast query contributions never
+    # exceed the stored bound
+    return float(np.nextafter(np.float32(part.max()), np.float32(np.inf)))
+
+
+def pack_postings(
+    fragments: DataFrame,
+    term_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params | None = None,
+    block_size: int = 4096,
+) -> DataFrame:
+    """fragments → packed posting blocks (the ONE wide stage of the build)."""
+    params = params or BM25Params()
+    p_dict = {"k1": params.k1, "k3": params.k3, "b": params.b}
+    n_docs_f, avgdl_f, bs = float(n_docs), float(avgdl or 1.0), int(block_size)
+
+    frags = fragments.join(term_df, "term")
+    # hash-partition so every (segment, term) group is complete in ONE
+    # partition, then stream-pack with mapInArrow: no per-group
+    # invocation overhead (applyInPandas calls back once per group —
+    # ruinous at 10^5+ terms per segment).
+    frags = frags.repartition("segment_id", "term")
+
+    def _pack_stream(batches):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        p = BM25Params(**p_dict)
+        acc: dict[tuple, list] = {}
+        dfs: dict[tuple, int] = {}
+
+        def _rows(batch, name):
+            # .values + .offsets are the correct pairing (flatten() would
+            # compact a sliced array and desync the offsets)
+            col = batch.column(name)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            return vals, offs
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            terms = batch.column("term").to_pylist()
+            dfcol = batch.column("df").to_numpy(zero_copy_only=False)
+            dv, do = _rows(batch, "doc_ids")
+            tv, to_ = _rows(batch, "tfs")
+            lv, lo = _rows(batch, "doc_lens")
+            for i in range(batch.num_rows):
+                key = (int(segs[i]), terms[i])
+                acc.setdefault(key, []).append(
+                    (
+                        dv[do[i] : do[i + 1]],
+                        tv[to_[i] : to_[i + 1]],
+                        lv[lo[i] : lo[i + 1]],
+                    )
+                )
+                dfs[key] = int(dfcol[i])
+
+        out: list[tuple] = []
+        for (seg, term), parts in acc.items():
+            if len(parts) == 1:
+                doc_ids, tfs, dls = parts[0]
+                doc_ids = np.asarray(doc_ids, dtype=np.int64)
+                tfs = np.asarray(tfs, dtype=np.int64)
+                dls = np.asarray(dls, dtype=np.int64)
+            else:
+                doc_ids = np.concatenate([np.asarray(x[0], dtype=np.int64) for x in parts])
+                tfs = np.concatenate([np.asarray(x[1], dtype=np.int64) for x in parts])
+                dls = np.concatenate([np.asarray(x[2], dtype=np.int64) for x in parts])
+            if not np.all(doc_ids[:-1] <= doc_ids[1:]):
+                order = np.argsort(doc_ids, kind="stable")
+                doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+            df = dfs[(seg, term)]
+            idf = math.log((n_docs_f - df + 0.5) / (df + 0.5))
+            for b0 in range(0, len(doc_ids), bs):
+                d = doc_ids[b0 : b0 + bs]
+                t = tfs[b0 : b0 + bs]
+                l = dls[b0 : b0 + bs]
+                first, gaps = delta_encode(d.astype(np.uint64))
+                out.append(
+                    (
+                        seg, term, df, b0 // bs, len(d),
+                        int(d[0]), int(d[-1]), int(t.max()),
+                        _bm25_block_upper(t, l, idf, avgdl_f, p),
+                        gaps, varint_encode(t.astype(np.uint64)),
+                        varint_encode(l.astype(np.uint64)),
+                    )
+                )
+        CHUNK = 4096
+        names = [f.name for f in POSTINGS_SCHEMA.fields]
+        types = [
+            pa.int32(), pa.string(), pa.int64(), pa.int32(), pa.int32(),
+            pa.int64(), pa.int64(), pa.int32(), pa.float32(),
+            pa.binary(), pa.binary(), pa.binary(),
+        ]
+        for c0 in range(0, len(out), CHUNK):
+            chunk = out[c0 : c0 + CHUNK]
+            cols = list(zip(*chunk))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(col), ty) for col, ty in zip(cols, types)],
+                names=names,
+            )
+
+    return frags.mapInArrow(_pack_stream, schema=POSTINGS_SCHEMA)
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One postings row → (doc_ids, tfs, doc_lens) arrays."""
+    n = row["n"]
+    doc_ids = delta_decode(row["first_doc_id"], bytes(row["doc_ids_enc"]), n).astype(np.int64)
+    tfs = varint_decode(bytes(row["tfs_enc"]), n).astype(np.int64)
+    dls = varint_decode(bytes(row["doc_lens_enc"]), n).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def postings_to_tokens(postings: DataFrame) -> DataFrame:
+    """Decode blocks back to (doc_id, term, tf, doc_len) — round-trip/testing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("doc_len", T.IntegerType(), False),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                d, t, l = decode_block(row)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": d,
+                            "term": row["term"],
+                            "tf": t.astype("int32"),
+                            "doc_len": l.astype("int32"),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return postings.mapInPandas(_decode, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Term-major global posting lists (reference-format parity path)
+# ---------------------------------------------------------------------------
+
+def merge_global_postings(
+    fragments: DataFrame,
+    hot_term_df_threshold: int = 100_000,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-term GLOBAL posting lists (term, df, doc_ids[], tfs[]) — the
+    reference's final merged index shape (WriteableIndex.cs:74-100).
+
+    Two-phase salted merge for hot terms (north_rule skew clause):
+    phase A groups by (term, salt) where salt = fragment's segment_id
+    mod salt_buckets — hot terms' fragments spread over salt_buckets
+    reducers, each concatenating a bounded run; phase B concatenates the
+    (pre-sorted) runs per term.  Cold terms take salt 0 and skip
+    straight through phase B.  Ordering: runs and fragments are merged
+    by explicit sort on doc_id, so the result is docID-ascending like
+    the reference's (PostingList.cs:84-120).
+    """
+    term_df = fragment_term_df(fragments)
+    frags = fragments.join(term_df, "term").withColumn(
+        "salt",
+        F.when(
+            F.col("df") >= hot_term_df_threshold,
+            F.pmod(F.col("segment_id"), F.lit(salt_buckets)),
+        ).otherwise(F.lit(0)),
+    )
+
+    merge_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("df", T.LongType(), False),
+            T.StructField("first_doc_id", T.LongType(), False),
+            T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
+            T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for term, g in pdf.groupby("term", sort=False):
+            d = np.concatenate([np.asarray(a, dtype=np.int64) for a in g["doc_ids"]])
+            t = np.concatenate([np.asarray(a, dtype=np.int64) for a in g["tfs"]])
+            o = np.argsort(d, kind="stable")
+            d, t = d[o], t[o]
+            out.append((term, int(g["df"].iloc[0]), int(d[0]), d, t.astype(np.int32)))
+        return pd.DataFrame(
+            out, columns=["term", "df", "first_doc_id", "doc_ids", "tfs"]
+        )
+
+    # phase A: bounded partial runs
+    runs = frags.groupBy("term", "salt").applyInPandas(_merge, schema=merge_schema)
+
+    # phase B: concatenate per-term runs (≤ salt_buckets rows per term)
+    final = runs.groupBy("term", F.lit(0).alias("salt")).applyInPandas(
+        _merge, schema=merge_schema
+    )
+    return final.drop("first_doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Index persistence + segments ledger (lineage/metrics, resumable builds)
+# ---------------------------------------------------------------------------
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    build_cfg: IndexBuildConfig | None = None,
+    params: BM25Params | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+    chunk_label: str = "full",
+    mode: str = "overwrite",
+) -> dict:
+    """Build + persist the full index to index_dir (parquet layout).
+
+    Layout (Iceberg-shaped; plain parquet + JSON manifest in-sandbox —
+    on a cluster each write becomes .writeTo(tbl).append() and the
+    manifest a snapshot property):
+
+      index_dir/postings/   packed blocks (POSTINGS_SCHEMA)
+      index_dir/doc_meta/   doc_id, doc_key, doc_len, content_sha256
+      index_dir/stats/      single row: n_docs, avg_doc_len, total_terms
+      index_dir/segments/   ledger: chunk_label, segment counts, metrics
+      index_dir/manifest.json  analyzer + BM25 params + block size
+
+    Returns build metrics.
+    """
+    from . import build as B
+
+    build_cfg = build_cfg or IndexBuildConfig()
+    params = params or BM25Params()
+    cfg = build_cfg.analyzer
+    spark = docs.sparkSession
+    t0 = time.time()
+
+    doc_meta = B.build_doc_meta(docs, cfg, doc_id_col, content_col, key_cols)
+    doc_meta.write.mode(mode).parquet(f"{index_dir}/doc_meta")
+    n_docs, avgdl, total_terms = B.collect_stats(
+        spark.read.parquet(f"{index_dir}/doc_meta")
+    )
+    t_meta = time.time()
+
+    fragments = posting_fragments(docs, cfg, doc_id_col, content_col)
+    term_df = fragment_term_df(fragments)
+    postings = pack_postings(
+        fragments, term_df, n_docs, avgdl, params, build_cfg.block_size
+    )
+    postings.write.mode(mode).parquet(f"{index_dir}/postings")
+    t_post = time.time()
+
+    stats_df = spark.createDataFrame(
+        [(n_docs, float(avgdl), total_terms)],
+        schema="n_docs long, avg_doc_len double, total_terms long",
+    )
+    stats_df.write.mode(mode).parquet(f"{index_dir}/stats")
+
+    pstat = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.count_distinct("term").alias("n_terms"),
+            F.count_distinct("segment_id").alias("n_segments"),
+        )
+        .collect()[0]
+    )
+    metrics = {
+        "chunk_label": chunk_label,
+        "n_docs": n_docs,
+        "avg_doc_len": avgdl,
+        "n_terms": int(pstat["n_terms"]),
+        "n_postings": int(pstat["n_postings"]),
+        "n_blocks": int(pstat["n_blocks"]),
+        "n_segments": int(pstat["n_segments"]),
+        "sec_doc_meta": round(t_meta - t0, 3),
+        "sec_postings": round(t_post - t_meta, 3),
+        "sec_total": round(time.time() - t0, 3),
+        "build_ts": t0,
+    }
+    ledger = spark.createDataFrame(
+        [tuple(metrics.values())],
+        schema=(
+            "chunk_label string, n_docs long, avg_doc_len double, n_terms long,"
+            " n_postings long, n_blocks long, n_segments long, sec_doc_meta double,"
+            " sec_postings double, sec_total double, build_ts double"
+        ),
+    )
+    ledger.write.mode(mode).parquet(f"{index_dir}/segments")
+
+    manifest = {
+        "analyzer": cfg.to_dict(),
+        "bm25": {"k1": params.k1, "k3": params.k3, "b": params.b},
+        "block_size": build_cfg.block_size,
+        "version": 1,
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return metrics
+
+
+def load_index(spark: SparkSession, index_dir: str) -> dict:
+    """Read back an index directory → {postings, doc_meta, stats, manifest}."""
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    return {
+        "postings": spark.read.parquet(f"{index_dir}/postings"),
+        "doc_meta": spark.read.parquet(f"{index_dir}/doc_meta"),
+        "n_docs": int(stats["n_docs"]),
+        "avg_doc_len": float(stats["avg_doc_len"]),
+        "total_terms": int(stats["total_terms"]),
+        "manifest": manifest,
+        "analyzer": AnalyzerConfig.from_dict(manifest["analyzer"]),
+        "params": BM25Params(**manifest["bm25"]),
+    }

@@ -66,22 +66,23 @@ def queries_to_df(
 
 def _contributions_bm25(
     tokens: DataFrame,
-    doc_meta: DataFrame,
     qterms: DataFrame,
     n_docs: int,
     avgdl: float,
     params: BM25Params,
 ) -> DataFrame:
-    """(topic_id, doc_id, term_pos, contrib float32) per matching posting."""
+    """(topic_id, doc_id, term_pos, contrib float32) per matching posting.
+
+    doc_len rides on every token row (analyze_arrow emits it in-batch),
+    so NO doc_id-keyed join is needed — the only wide op left is the
+    per-doc accumulation."""
     # df per query term, computed on the semi-joined slice (dictionary-sized)
     matched = tokens.join(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"
     )
     term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
-    joined = (
-        matched.join(F.broadcast(qterms), "term", "inner")
-        .join(F.broadcast(term_df), "term", "inner")
-        .join(doc_meta.select("doc_id", "doc_len"), "doc_id", "inner")
+    joined = matched.join(F.broadcast(qterms), "term", "inner").join(
+        F.broadcast(term_df), "term", "inner"
     )
     k1, k3, b = params.k1, params.k3, params.b
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -179,7 +180,6 @@ def topk(scores: DataFrame, k: int = 1000) -> DataFrame:
 
 def score_bm25(
     tokens: DataFrame,
-    doc_meta: DataFrame,
     n_docs: int,
     avgdl: float,
     qterms: DataFrame,
@@ -188,7 +188,7 @@ def score_bm25(
     exact_float32: bool = True,
 ) -> DataFrame:
     params = params or BM25Params()
-    contrib = _contributions_bm25(tokens, doc_meta, qterms, n_docs, avgdl, params)
+    contrib = _contributions_bm25(tokens, qterms, n_docs, avgdl, params)
     return topk(_accumulate(contrib, exact_float32), k)
 
 

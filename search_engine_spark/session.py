@@ -27,8 +27,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Sandbox: /tmp is HDD-backed; shuffle/spill to tmpfs instead.  On a
+    # real cluster spark.local.dir comes from the cluster conf (local SSDs).
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,253 @@
+"""Phase 3 — top-k BM25 over packed posting segments with block-max pruning.
+
+The fast path the north rule asks for: "top-k BM25 via posting-list
+intersection with block-max WAND pruning expressed as mapInArrow over
+partitioned posting segments".  The reference scores exhaustively
+(/root/reference/src/Query/BM25Scorer.cs:34-66 — every posting of every
+query term); we keep its exact scoring semantics for every SURVIVING
+document and prune provably-hopeless blocks:
+
+  per (segment, topic):
+    1. bootstrap a score floor θ: exact-score the postings of the
+       positive-idf term with the highest upper bound; θ = k-th best
+       single-term contribution (a valid lower bound on the k-th final
+       score only because the other positive terms can only add — terms
+       with negative idf (df > N/2, BM25Scorer.cs:39-41 has no clamp)
+       are excluded from the bootstrap).
+    2. interval pruning: over the doc_id axis, every posting block
+       contributes its block_max_score · qtf_part on [first, last]; an
+       elementary interval with upper-bound sum < θ cannot contain a
+       top-k document, and blocks covered only by such intervals are
+       skipped without decoding.
+    3. decode surviving blocks and exact-score: per-posting contribution
+       float64 → float32 cast (BM25Scorer.cs:55), per-doc FLOAT32 LEFT
+       FOLD in query-term order via np.add.reduceat — bit-identical to
+       the reference's Dictionary<int,float> accumulation
+       (BM25Scorer.cs:57-64) and to query.py's oracle path.
+    4. per-segment top-k (score desc, doc_id asc).
+  global: window top-k over the per-segment candidates (tiny).
+
+Everything runs inside one mapInArrow over the term-filtered postings
+scan; the term filter is pushed to parquet (min/max + dictionary row-
+group pruning).  Segments are doc-partitioned, so a document's full
+score is computable within its segment — no cross-partition state.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .analysis import tokenize_query
+from .config import AnalyzerConfig, BM25Params
+from .postings import decode_block
+from .query import topk
+
+_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("topic_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.FloatType(), False),
+    ]
+)
+
+
+def _qtf_part(qtf: float, p: BM25Params) -> float:
+    return (p.k3 + 1.0) * qtf / (p.k3 + qtf)
+
+
+def _exact_scores(
+    per_term: list[tuple[int, float, np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """[(term_pos, scale, doc_ids, tfs, doc_lens)] → (doc_ids, float32 scores).
+
+    scale = idf · qtf_part; contribution = float32(scale · tf_part),
+    folded per doc in term_pos order with a float32 left fold.
+    """
+    ids = np.concatenate([t[2] for t in per_term])
+    pos = np.concatenate(
+        [np.full(len(t[2]), t[0], dtype=np.int32) for t in per_term]
+    )
+    contrib = np.concatenate([t[3] for t in per_term])
+    order = np.lexsort((pos, ids))
+    ids, contrib = ids[order], contrib[order]
+    boundary = np.diff(ids, prepend=ids[0] - 1) != 0
+    starts = np.flatnonzero(boundary)
+    uniq = ids[starts]
+    # strict float32 left fold per doc (np.add.accumulate is sequential;
+    # reduceat/reduce would switch to pairwise summation on long slices
+    # and break bit-identity with the reference's float accumulator)
+    grp = np.cumsum(boundary) - 1
+    within = np.arange(len(ids)) - starts[grp]
+    width = int(within.max()) + 1
+    m = np.zeros((len(uniq), width), dtype=np.float32)
+    m[grp, within] = contrib
+    scores = np.add.accumulate(m, axis=1, dtype=np.float32)[:, -1]
+    return uniq, scores
+
+
+def _contrib32(
+    tfs: np.ndarray, dls: np.ndarray, idf: float, qtfp: float, avgdl: float, p: BM25Params
+) -> np.ndarray:
+    """Per-posting float32 contribution, float64 math (BM25Scorer.cs:50-55)."""
+    k = 1.0 - p.b + p.b * (dls.astype(np.float64) / avgdl)
+    tfp = tfs.astype(np.float64) * (p.k1 + 1.0) / (tfs + p.k1 * k)
+    return (idf * tfp * qtfp).astype(np.float32)
+
+
+def _segment_topic_topk(
+    term_blocks: dict[str, list[dict]],
+    topic_terms: list[tuple[str, int, int]],
+    n_docs: int,
+    avgdl: float,
+    p: BM25Params,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max-pruned exact top-k for one (segment, topic)."""
+    active = []  # (term_pos, idf, qtfp, ub, blocks)
+    for term, qtf, term_pos in topic_terms:
+        blocks = term_blocks.get(term)
+        if not blocks:
+            continue
+        df = blocks[0]["df"]
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        qtfp = _qtf_part(qtf, p)
+        ub = max(b["block_max_score"] for b in blocks) * qtfp
+        active.append((term_pos, idf, qtfp, ub, blocks))
+    if not active:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    # --- bootstrap θ from the best positive-idf term ---
+    theta = -np.inf
+    boot = [a for a in active if a[1] > 0]
+    if boot:
+        champ = max(boot, key=lambda a: a[3])
+        term_pos, idf, qtfp, _, blocks = champ
+        cs = np.concatenate(
+            [
+                _contrib32(*(decode_block(b)[1:]), idf, qtfp, avgdl, p)
+                for b in blocks
+            ]
+        )
+        if len(cs) >= k:
+            theta = float(np.partition(cs, -k)[-k])
+
+    # --- interval pruning over the doc_id axis ---
+    if theta > -np.inf and len(active) > 1:
+        bounds: list[tuple[int, int, float]] = []
+        for term_pos, idf, qtfp, _, blocks in active:
+            for b in blocks:
+                bounds.append((b["first_doc_id"], b["last_doc_id"], b["block_max_score"] * qtfp))
+        edges = np.unique(
+            np.concatenate([[lo for lo, _, _ in bounds], [hi + 1 for _, hi, _ in bounds]])
+        )
+        ub_sum = np.zeros(len(edges), dtype=np.float64)
+        for lo, hi, ub in bounds:
+            i0 = np.searchsorted(edges, lo)
+            i1 = np.searchsorted(edges, hi + 1)
+            ub_sum[i0:i1] += ub
+        live = ub_sum >= theta  # keep >= so boundary ties survive
+
+        def _block_live(lo: int, hi: int) -> bool:
+            i0 = np.searchsorted(edges, lo, side="right") - 1
+            i1 = np.searchsorted(edges, hi, side="right")
+            return bool(live[max(i0, 0) : i1].any())
+
+        pruned = []
+        for term_pos, idf, qtfp, ub, blocks in active:
+            kept = [b for b in blocks if _block_live(b["first_doc_id"], b["last_doc_id"])]
+            if kept:
+                pruned.append((term_pos, idf, qtfp, ub, kept))
+        active = pruned
+        if not active:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    # --- exact scoring of survivors ---
+    per_term = []
+    for term_pos, idf, qtfp, _, blocks in sorted(active, key=lambda a: a[0]):
+        ds, ts, ls = zip(*(decode_block(b) for b in blocks))
+        d = np.concatenate(ds)
+        c = _contrib32(np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, p)
+        per_term.append((term_pos, None, d, c, None))
+    uniq, scores = _exact_scores(per_term)
+    if len(uniq) > k:
+        # top-k: score desc, doc_id asc
+        order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
+        return uniq[order], scores[order]
+    return uniq, scores
+
+
+def search_bm25(
+    index: dict,
+    queries: Sequence[tuple[int, str]],
+    k: int = 1000,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Top-k BM25 over a load_index() result via block-max WAND.
+
+    Returns (topic_id, rank, doc_id, score) — rank-identical (incl.
+    float32 scores) to query.score_bm25's oracle path and the pure-
+    Python oracle."""
+    p = params or index["params"]
+    cfg: AnalyzerConfig = index["analyzer"]
+    n_docs, avgdl = index["n_docs"], index["avg_doc_len"]
+    p_dict = {"k1": p.k1, "k3": p.k3, "b": p.b}
+
+    topics: list[tuple[int, list[tuple[str, int, int]]]] = []
+    all_terms: set[str] = set()
+    for topic_id, text in queries:
+        terms = [
+            (t, qtf, pos) for pos, (t, qtf) in enumerate(tokenize_query(text, cfg))
+        ]
+        topics.append((int(topic_id), terms))
+        all_terms.update(t for t, _, _ in terms)
+    if not all_terms:
+        spark = index["postings"].sparkSession
+        return spark.createDataFrame(
+            [], schema="topic_id int, rank int, doc_id long, score float"
+        )
+
+    matched = index["postings"].filter(F.col("term").isin(list(all_terms)))
+    # co-locate each segment's blocks in one task
+    matched = matched.repartition("segment_id")
+
+    def _wand(batches):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        pp = BM25Params(**p_dict)
+        # accumulate blocks per (segment, term)
+        segs: dict[int, dict[str, list[dict]]] = defaultdict(lambda: defaultdict(list))
+        for batch in batches:
+            rows = batch.to_pylist()
+            for r in rows:
+                segs[r["segment_id"]][r["term"]].append(r)
+        out_t, out_d, out_s = [], [], []
+        for seg, term_blocks in segs.items():
+            for tb in term_blocks.values():
+                tb.sort(key=lambda r: r["block_id"])
+            for topic_id, terms in topics:
+                ids, scores = _segment_topic_topk(
+                    term_blocks, terms, n_docs, avgdl, pp, k
+                )
+                out_t.append(np.full(len(ids), topic_id, dtype=np.int32))
+                out_d.append(ids)
+                out_s.append(scores)
+        if out_t:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_t), pa.int32()),
+                    pa.array(np.concatenate(out_d), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.float32()),
+                ],
+                names=["topic_id", "doc_id", "score"],
+            )
+
+    candidates = matched.mapInArrow(_wand, schema=_CAND_SCHEMA)
+    return topk(candidates, k)

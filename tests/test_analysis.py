@@ -204,8 +204,56 @@ class TestAnalyzeFrame:
 
     def test_empty_batch(self):
         out = analyze_frame(pd.Series([], dtype="int64"), pd.Series([], dtype=object), CFG)
-        assert list(out.columns) == ["doc_id", "term", "tf"] and len(out) == 0
+        assert list(out.columns) == ["doc_id", "term", "tf", "doc_len"] and len(out) == 0
 
 
 def test_ascii_fold_non_ascii_untouched():
     assert ascii_fold("ÄBÇ") == "ÄbÇ"  # only ASCII A-Z folds (Indexer.cs:170-176)
+
+
+class TestAnalyzerTwinsAgree:
+    """The three restatements of the analyzer — pandas (analyze_frame),
+    Arrow (analyze_arrow), and the JVM doc_len expression — must agree."""
+
+    def test_arrow_matches_pandas(self, corpus):
+        import pyarrow as pa
+        from search_engine_spark.analysis import analyze_arrow
+
+        contents = [r["content"] for r in corpus]
+        for cfg in (
+            CFG,
+            AnalyzerConfig(do_stemming=False),
+            AnalyzerConfig(case_folding=False),
+            AnalyzerConfig(remove_stopwords=False),
+        ):
+            pdf = analyze_frame(
+                pd.Series(range(len(corpus)), dtype="int64"), pd.Series(contents), cfg
+            )
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(range(len(corpus))), pa.int64()),
+                    pa.array(contents, pa.string()),
+                ],
+                names=["doc_id", "content"],
+            )
+            adf = analyze_arrow(batch, cfg).to_pandas()
+            a = pdf.sort_values(["doc_id", "term"]).reset_index(drop=True)
+            b = adf.sort_values(["doc_id", "term"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_doc_len_expr_matches_pandas(self, spark, corpus):
+        from search_engine_spark import build as B
+
+        docs = spark.createDataFrame(
+            [(i, r["content"]) for i, r in enumerate(corpus)],
+            schema="doc_id long, content string",
+        )
+        got = {
+            r["doc_id"]: r["dl"]
+            for r in docs.select(
+                "doc_id", B.doc_len_expr("content", CFG).alias("dl")
+            ).collect()
+        }
+        for i, r in enumerate(corpus):
+            want = len(tokenize_doc(r["content"], AnalyzerConfig(do_stemming=False)))
+            assert got[i] == want, f"doc {i}: {got[i]} != {want}"

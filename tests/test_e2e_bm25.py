@@ -89,7 +89,7 @@ def _spark_topk(spark, built, oracle_index, queries, scorer="bm25", k=K):
     n, avgdl, _ = B.collect_stats(built["doc_meta"])
     if scorer == "bm25":
         res = Q.score_bm25(
-            built["tokens"], built["doc_meta"], n, avgdl, qdf,
+            built["tokens"], n, avgdl, qdf,
             BM25Params(), k=k, exact_float32=True,
         )
     else:

@@ -1,0 +1,189 @@
+"""Phase 2/3 gates: codec round-trip, fragment/pack correctness across
+partition counts, WAND rank+float32-score identity vs the pure-Python
+oracle, index persistence round-trip."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B, oracle as O, postings as P, query as Q
+from search_engine_spark import wand as W
+from search_engine_spark.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
+from search_engine_spark.fixtures import doc_key
+
+CFG = AnalyzerConfig()
+K = 50
+
+
+class TestCodec:
+    def test_varint_round_trip_random(self):
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            n = int(rng.integers(0, 3000))
+            vals = rng.integers(0, 2**62, size=n).astype(np.uint64)
+            assert np.array_equal(varint_decode(varint_encode(vals), n), vals)
+
+    def test_delta_round_trip(self):
+        rng = np.random.default_rng(8)
+        for _ in range(50):
+            v = np.unique(rng.integers(0, 2**40, size=int(rng.integers(1, 2000))).astype(np.uint64))
+            f, b = delta_encode(v)
+            assert np.array_equal(delta_decode(f, b, len(v)), v)
+
+    def test_compression_wins_on_dense_ids(self):
+        seq = np.arange(10_000, 14_096, dtype=np.uint64)
+        _, b = delta_encode(seq)
+        assert len(b) < len(seq) * 2  # ~1 byte/gap vs 8 raw
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df)
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus):
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return O.build_index([(doc_key(r), r["content"]) for r in ordered], CFG)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, docs_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    # small block size so multi-block terms + pruning paths are exercised
+    P.build_index(
+        docs_df.repartition(7),
+        d,
+        IndexBuildConfig(analyzer=CFG, block_size=16),
+        BM25Params(),
+        key_cols=("repo", "path", "commit"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def index(spark, index_dir):
+    return P.load_index(spark, index_dir)
+
+
+def test_round_trip_tokens(spark, docs_df, index, oracle_index):
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in P.postings_to_tokens(index["postings"]).collect()
+    }
+    want = {}
+    for term, (doc_ids, tfs) in oracle_index.postings.items():
+        for d, tf in zip(doc_ids, tfs):
+            want[(d, term)] = (tf, oracle_index.doc_lens[d])
+    assert got == want
+
+
+def test_term_df_and_stats(index, oracle_index):
+    assert index["n_docs"] == oracle_index.n_docs
+    assert index["avg_doc_len"] == pytest.approx(oracle_index.avgdl(), abs=1e-9)
+    dfs = {
+        r["term"]: r["df"]
+        for r in index["postings"].select("term", "df").distinct().collect()
+    }
+    want = {t: len(p[0]) for t, p in oracle_index.postings.items()}
+    assert dfs == want
+
+
+def test_blocks_sorted_disjoint(index):
+    rows = index["postings"].collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["segment_id"], r["term"]), []).append(r)
+    for key, blocks in by_key.items():
+        blocks.sort(key=lambda r: r["block_id"])
+        prev_last = -1
+        for b in blocks:
+            d, t, l = P.decode_block(b)
+            assert len(d) == b["n"]
+            assert d[0] == b["first_doc_id"] and d[-1] == b["last_doc_id"]
+            assert np.all(np.diff(d) > 0), f"doc_ids not strictly increasing {key}"
+            assert d[0] > prev_last, f"blocks overlap {key}"
+            assert t.max() == b["max_tf"]
+            prev_last = int(d[-1])
+
+
+def test_partition_count_invariance(spark, docs_df, oracle_index):
+    outs = []
+    for nparts in (1, 5):
+        frags = P.posting_fragments(docs_df.repartition(nparts), CFG)
+        tdf = P.fragment_term_df(frags)
+        n, avgdl = oracle_index.n_docs, oracle_index.avgdl()
+        packed = P.pack_postings(frags, tdf, n, avgdl, BM25Params(), block_size=32)
+        toks = {
+            (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+            for r in P.postings_to_tokens(packed).collect()
+        }
+        outs.append(toks)
+    assert outs[0] == outs[1]
+
+
+def test_global_merge_matches_oracle(spark, docs_df, oracle_index):
+    frags = P.posting_fragments(docs_df.repartition(6), CFG)
+    # low threshold so the salted two-phase path actually runs
+    merged = P.merge_global_postings(frags, hot_term_df_threshold=5, salt_buckets=3)
+    got = {
+        r["term"]: (list(r["doc_ids"]), list(r["tfs"]), r["df"])
+        for r in merged.collect()
+    }
+    assert set(got) == set(oracle_index.postings)
+    for term, (doc_ids, tfs) in oracle_index.postings.items():
+        g_ids, g_tfs, g_df = got[term]
+        assert g_ids == list(doc_ids), term
+        assert g_tfs == list(tfs), term
+        assert g_df == len(doc_ids)
+
+
+class TestWand:
+    def test_rank_and_score_identity(self, index, oracle_index, queries_fixture):
+        qs = [(q["topic_id"], q["query_text"]) for q in queries_fixture]
+        res = W.search_bm25(index, qs, k=K)
+        got: dict[int, list] = {}
+        for r in res.collect():
+            got.setdefault(r["topic_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+        for v in got.values():
+            v.sort()
+        n_checked = 0
+        for q in queries_fixture:
+            want = O.score_bm25(oracle_index, q["query_text"], BM25Params(), k=K)
+            have = got.get(q["topic_id"], [])
+            assert len(have) == len(want), f"topic {q['topic_id']}"
+            for (rank, doc_id, score), (o_doc, _ok, o_score) in zip(have, want):
+                assert doc_id == o_doc, f"topic {q['topic_id']} rank {rank}"
+                assert score == pytest.approx(o_score, abs=0.0), (
+                    f"topic {q['topic_id']} rank {rank}: {score} != {o_score}"
+                )
+                n_checked += 1
+        assert n_checked > 200
+
+    def test_matches_dataframe_path(self, spark, index, docs_df, queries_fixture):
+        qs = [(q["topic_id"], q["query_text"]) for q in queries_fixture[:10]]
+        tokens = B.analyze_tokens(docs_df, CFG)
+        qdf = Q.queries_to_df(spark, qs, CFG)
+        df_res = Q.score_bm25(
+            tokens, index["n_docs"], index["avg_doc_len"], qdf, BM25Params(), k=20
+        )
+        wd_res = W.search_bm25(index, qs, k=20)
+        a = sorted(map(tuple, df_res.collect()))
+        b = sorted(map(tuple, wd_res.collect()))
+        assert a == b
+
+
+def test_load_index_manifest(index):
+    assert index["analyzer"] == CFG
+    assert index["params"] == BM25Params()
+    assert index["manifest"]["block_size"] == 16
