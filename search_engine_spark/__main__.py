@@ -1,0 +1,182 @@
+"""spark-submit entry point: `index` / `search` CLI.
+
+Mirrors the reference's Program.cs dispatch (/root/reference/src/Program.cs:25-31):
+
+  index  <documents_parquet> <index_dir> [--options ...] [--chunks N] ...
+  search <run_name> <topics_file> <index_dir> <out_run_file> [--scorer ...]
+
+Usage on a cluster (north_rule: "run via spark-submit --py-files"):
+
+  zip -r se_spark.zip search_engine_spark
+  spark-submit --py-files se_spark.zip tools/spark_main.py index \
+      s3://corpus/documents index/ --chunks 64 --key-cols repo,path,commit
+  spark-submit --py-files se_spark.zip tools/spark_main.py search \
+      run1 topics.txt index/ run1.trec --scorer bm25 --path wand
+
+Locally: `python -m search_engine_spark index ...` (SparkSession is created
+here when not provided by spark-submit's gateway).
+
+IndexOptions string parity: `--options CaseFolding,RemoveStopWords,DoStemming`
+mirrors IndexOptions.cs:26-49 (comma-separated flag names; omit to enable all,
+pass `--options none` for the bare tokenizer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _parse_options(s: str | None):
+    from .config import AnalyzerConfig
+
+    if s is None:
+        return AnalyzerConfig()
+    flags = {f.strip().lower() for f in s.split(",") if f.strip()}
+    if flags == {"none"}:
+        flags = set()
+    return AnalyzerConfig(
+        case_folding="casefolding" in flags,
+        remove_stopwords="removestopwords" in flags,
+        do_stemming="dostemming" in flags,
+    )
+
+
+def _get_spark(app: str) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    return b.getOrCreate()
+
+
+def cmd_index(args: argparse.Namespace) -> None:
+    from .config import IndexBuildConfig
+    from .resume import resumable_build
+
+    spark = _get_spark("se-spark-index")
+    docs = spark.read.parquet(args.documents)
+    key_cols = tuple(c for c in (args.key_cols or "").split(",") if c)
+    if args.doc_id_col not in docs.columns:
+        # input_hint shape (repo, path, commit, lang, content): derive a
+        # deterministic 64-bit id from the natural key
+        if not key_cols:
+            key_cols = ("repo", "path", "commit")
+        docs = docs.withColumn(
+            args.doc_id_col, F.xxhash64(*[F.col(c) for c in key_cols])
+        )
+    cfg = IndexBuildConfig(
+        analyzer=_parse_options(args.options), block_size=args.block_size
+    )
+    t0 = time.time()
+    metrics = resumable_build(
+        docs,
+        args.index_dir,
+        n_chunks=args.chunks,
+        build_cfg=cfg,
+        doc_id_col=args.doc_id_col,
+        content_col=args.content_col,
+        key_cols=key_cols,
+        chunk_expr=args.chunk_expr,
+    )
+    wall = time.time() - t0
+    # files/sec mirrors the reference's throughput print (Program.cs:52)
+    metrics["docs_per_sec"] = round(metrics["n_docs"] / wall, 2) if wall else None
+    print(json.dumps(metrics))
+
+
+def cmd_search(args: argparse.Namespace) -> None:
+    from .postings import load_index, postings_to_tokens
+    from .query import queries_to_df, score_bm25, score_tfidf
+    from .topics import QueryOptions, analyzed_topics, load_topics, write_trec_run
+    from .wand import search_bm25
+
+    spark = _get_spark("se-spark-search")
+    index = load_index(spark, args.index_dir)
+    opts = QueryOptions(
+        use_title=not args.no_title, use_desc=args.desc, use_narr=args.narr
+    )
+    topics = load_topics(args.topics, opts)
+    topics = [(tid, text) for tid, text in topics
+              if analyzed_topics([(tid, text)], index["analyzer"])]
+    t0 = time.time()
+
+    if args.scorer == "bm25" and args.path == "wand":
+        res = search_bm25(index, topics, k=args.k)
+    else:
+        tokens = postings_to_tokens(index["postings"])
+        qdf = queries_to_df(spark, topics, index["analyzer"])
+        if args.scorer == "bm25":
+            res = score_bm25(
+                tokens, index["n_docs"], index["avg_doc_len"], qdf,
+                index["params"], k=args.k,
+            )
+        elif args.scorer == "tfidf":
+            res = score_tfidf(tokens, index["n_docs"], qdf, k=args.k)
+        else:
+            from .adpt import score_bm25_adpt
+
+            res = score_bm25_adpt(
+                tokens, index["n_docs"], index["avg_doc_len"], qdf, k=args.k
+            )
+
+    named = res.join(
+        index["doc_meta"].select("doc_id", "doc_key"), "doc_id", "left"
+    ).select("topic_id", "rank", "doc_key", "score")
+    rows = [
+        (r["topic_id"], r["rank"], r["doc_key"] or "?", r["score"])
+        for r in named.collect()
+    ]
+    n = write_trec_run(rows, args.run_name, args.out)
+    print(
+        json.dumps(
+            {
+                "run": args.run_name,
+                "topics": len(topics),
+                "results": n,
+                "sec": round(time.time() - t0, 3),
+                "out": args.out,
+            }
+        )
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="search_engine_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("index", help="build (or resume) an index")
+    ix.add_argument("documents", help="parquet path of the documents table")
+    ix.add_argument("index_dir")
+    ix.add_argument("--options", default=None,
+                    help="CaseFolding,RemoveStopWords,DoStemming | none")
+    ix.add_argument("--chunks", type=int, default=8)
+    ix.add_argument("--chunk-expr", default=None)
+    ix.add_argument("--block-size", type=int, default=4096)
+    ix.add_argument("--doc-id-col", default="doc_id")
+    ix.add_argument("--content-col", default="content")
+    ix.add_argument("--key-cols", default="",
+                    help="comma list forming doc_key (e.g. repo,path,commit)")
+    ix.set_defaults(fn=cmd_index)
+
+    se = sub.add_parser("search", help="run topics against an index")
+    se.add_argument("run_name")
+    se.add_argument("topics")
+    se.add_argument("index_dir")
+    se.add_argument("out")
+    se.add_argument("--scorer", choices=["bm25", "tfidf", "bm25adpt"],
+                    default="bm25")
+    se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
+    se.add_argument("--k", type=int, default=1000)
+    se.add_argument("--no-title", action="store_true")
+    se.add_argument("--desc", action="store_true")
+    se.add_argument("--narr", action="store_true")
+    se.set_defaults(fn=cmd_search)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,176 @@
+"""BM25-ADPT scorer (adaptive per-term k1) — SURVEY.md §2 #22.
+
+Replicates /root/reference/src/Query/BM25ADPT.cs:25-168 semantics exactly,
+including its quirks (all float32 casts noted are real C# float casts):
+
+* c(d)    = float( tf / (1 - b + b·docLen/avgdl) )            (:131-134)
+* dft(t)  = N for t=0; df for t=1; else |{d : c(d) ≥ t-0.5}|  (:107-129,
+            returned as float — count cast)
+* IG(t)   = float( -log2((df+0.5)/(N+1))
+                   + log2((dft(t+1)+0.5)/(dft(t)+1)) )        (:136-140,
+            log2 computed as log(x)/log(2) like C# Math.Log(x,2))
+* IGs[0..99]; on the FIRST decrease at index i the array is truncated to
+  length i+1 with IGs[i] = 0.0f — the C# copy loop `j < i` drops the
+  freshly-computed decreasing value and leaves a ZERO in its slot (:54-69).
+  We reproduce that bug-for-bug (it feeds the k1 grid search).
+* k1* — grid j = 0.2; j <= 2.5; j += 0.1 in DOUBLE accumulation (:148 —
+  the accumulated rounding decides whether 2.5 is included; Python floats
+  are IEEE doubles so the sequence is bit-identical), minimizing
+  Σ_t ( float(IGs[t]/IGs[1]) − ((j+1)·t)/(j+t) )² with strict <,
+  earliest-j-wins (:141-168).  Note IGs[t]/IGs[1] is FLOAT division.
+* contribution = qtf · float(c·(k1+1)/(k1+c)) · IGs[1], accumulated per
+  doc in float32 in query-term order (:79-95); top-1000 by score (:99-104).
+
+Spark decomposition: the per-term statistics (IG curve + k1 grid) need the
+term's FULL posting list — a groupBy(term).applyInPandas over the
+query-matched slice (dictionary-sized: |query terms| groups).  The
+per-posting contribution is then a vectorized float32 pandas UDF, and
+accumulation/top-k reuse query.py's exact-float32 fold — so ADPT shares
+the skeleton of BM25 with one extra tiny per-term aggregation, exactly as
+SURVEY.md §2 #22 prescribes.  Not SQL-expressible (grid search + the
+truncation quirk), so the driver contract records a rows-only check and
+pytest carries the identity gate vs the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .query import _accumulate, topk
+
+
+def term_adpt_params(
+    tfs: np.ndarray, doc_lens: np.ndarray, n_docs: int, avgdl: float, b: float
+) -> tuple[float, float]:
+    """One term's (k1*, IGs[1]) from its full posting arrays.
+
+    Vectorized restatement of BM25ADPT.cs:54-76,107-168; float32
+    discipline matches the C# float casts (see module docstring).
+    """
+    df = len(tfs)
+    c = (
+        tfs.astype(np.float64)
+        / (1.0 - b + b * (doc_lens.astype(np.float64) / avgdl))
+    ).astype(np.float32)
+
+    def dft(t: int) -> float:
+        if t == 0:
+            return float(np.float32(n_docs))
+        if t == 1:
+            return float(np.float32(df))
+        return float(np.float32(np.count_nonzero(c >= t - 0.5)))
+
+    base = -math.log((df + 0.5) / (n_docs + 1), 2)
+
+    def ig(t: int) -> float:
+        return float(
+            np.float32(base + math.log((dft(t + 1) + 0.5) / (dft(t) + 1), 2))
+        )
+
+    igs = [ig(0)]
+    for i in range(1, 100):
+        val = ig(i)
+        if igs[i - 1] > val:
+            # C# truncation quirk: new float[i+1], copy j<i → last slot 0.0f
+            igs = igs[:i] + [0.0]
+            break
+        igs.append(val)
+    igs32 = np.asarray(igs, dtype=np.float32)
+
+    ig1 = float(igs32[1]) if len(igs32) > 1 else 0.0
+    # grid search, double accumulation exactly like `for(j=0.2; j<=2.5; j+=0.1)`
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratios = (igs32 / np.float32(ig1)).astype(np.float64)
+    rlist = [float(r) for r in ratios]
+    k1_best, sq_best = 0.2, float("inf")
+    j = 0.2
+    while j <= 2.5:
+        sq = 0.0  # sequential double accumulation, like the C# loop (:151-157)
+        for t, r in enumerate(rlist):
+            d = r - ((j + 1.0) * t) / (j + t) if t else r
+            sq += d * d
+        if sq < sq_best:
+            sq_best, k1_best = sq, j
+        j += 0.1
+    return float(np.float32(k1_best)), ig1
+
+
+_PARAMS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("k1", T.DoubleType(), False),
+        T.StructField("ig1", T.DoubleType(), False),
+    ]
+)
+
+
+@F.pandas_udf(T.FloatType())
+def _adpt_contrib(
+    tf: pd.Series, doc_len: pd.Series, qtf: pd.Series,
+    k1: pd.Series, ig1: pd.Series, avgdl: pd.Series, b: pd.Series,
+) -> pd.Series:
+    """qtf · float32(c·(k1+1)/(k1+c)) · ig1 — all-float32 like the C# path."""
+    c = (
+        tf.to_numpy(np.float64)
+        / (1.0 - b.to_numpy(np.float64)
+           + b.to_numpy(np.float64) * (doc_len.to_numpy(np.float64) / avgdl.to_numpy(np.float64)))
+    ).astype(np.float32)
+    k1f = k1.to_numpy(np.float64).astype(np.float32)
+    ck = (c * (k1f + np.float32(1.0))) / (k1f + c)
+    out = (
+        qtf.to_numpy(np.float64).astype(np.float32)
+        * ck
+        * ig1.to_numpy(np.float64).astype(np.float32)
+    )
+    return pd.Series(out, dtype="float32")
+
+
+def score_bm25_adpt(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    b: float = 0.75,
+    k: int = 1000,
+    exact_float32: bool = True,
+) -> DataFrame:
+    """(topic_id, rank, doc_id, score) — BM25-ADPT over the token index.
+
+    Instantiation parity: BM25ADPT(index, k3=100, b=0.75) at
+    Program.cs:102 — k3 is accepted but never used by the C# scorer, so it
+    is omitted here.
+    """
+    n_f, avgdl_f, b_f = float(n_docs), float(avgdl or 1.0), float(b)
+
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+
+    def _params(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        k1, ig1 = term_adpt_params(
+            pdf["tf"].to_numpy(np.int64),
+            pdf["doc_len"].to_numpy(np.int64),
+            int(n_f), avgdl_f, b_f,
+        )
+        return pd.DataFrame({"term": [term], "k1": [k1], "ig1": [ig1]})
+
+    tparams = matched.groupBy("term").applyInPandas(_params, schema=_PARAMS_SCHEMA)
+
+    joined = matched.join(F.broadcast(qterms), "term", "inner").join(
+        F.broadcast(tparams), "term", "inner"
+    )
+    contrib = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        _adpt_contrib(
+            F.col("tf"), F.col("doc_len"), F.col("qtf"),
+            F.col("k1"), F.col("ig1"), F.lit(avgdl_f), F.lit(b_f),
+        ).alias("contrib"),
+    )
+    return topk(_accumulate(contrib, exact_float32), k)

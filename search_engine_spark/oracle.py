@@ -124,6 +124,82 @@ def score_bm25_terms(
     return _topk(results, idx, k)
 
 
+def score_bm25_adpt(
+    idx: OracleIndex, query_text: str, b: float = 0.75, k: int = 1000
+) -> list[tuple[int, str, float]]:
+    """BM25-ADPT (/root/reference/src/Query/BM25ADPT.cs:25-168), loop-for-loop.
+
+    Deliberately un-vectorized and independent of adpt.py's NumPy
+    restatement so the two implementations cross-check each other.
+    Quirks replicated: c(d)/dft/IG float32 casts (:107-140), the IG
+    truncation that leaves a trailing 0.0f (:54-69), the double-
+    accumulated k1 grid `for(j=0.2; j<=2.5; j+=0.1)` with strict-<
+    earliest-wins (:141-168), float32 per-doc accumulation (:86-94).
+    """
+    keywords = tokenize_query(query_text, idx.cfg)
+    n = idx.n_docs
+    avgdl = idx.avgdl()
+    results: dict[int, np.float32] = {}
+    for term, qtf in keywords:
+        if term not in idx.postings:
+            continue
+        doc_ids, tfs = idx.postings[term]
+        df = len(doc_ids)
+
+        def _cd(tf: int, doc_id: int) -> np.float32:
+            return np.float32(tf / (1 - b + b * idx.doc_lens[doc_id] / avgdl))
+
+        cds = [_cd(tf, d) for d, tf in zip(doc_ids, tfs)]
+
+        def _dft(t: int) -> float:
+            if t == 0:
+                return float(np.float32(n))
+            if t == 1:
+                return float(np.float32(df))
+            return float(np.float32(sum(1 for c in cds if c >= t - 0.5)))
+
+        def _ig(t: int) -> np.float32:
+            return np.float32(
+                -math.log((df + 0.5) / (n + 1), 2)
+                + math.log((_dft(t + 1) + 0.5) / (_dft(t) + 1), 2)
+            )
+
+        igs = [_ig(0)]
+        for i in range(1, 100):
+            val = _ig(i)
+            if igs[i - 1] > val:
+                igs = igs[:i] + [np.float32(0.0)]  # C# copy drops slot i (:61-66)
+                break
+            igs.append(val)
+
+        ig1 = igs[1]
+        k1_best, sq_best = 0.2, float("inf")
+        j = 0.2
+        while j <= 2.5:
+            sq = 0.0
+            for t in range(len(igs)):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = float(np.float32(igs[t] / ig1))  # float division (:155)
+                d = r - ((j + 1) * t) / (j + t) if t else r
+                sq += d * d
+            if sq < sq_best:
+                sq_best, k1_best = sq, j
+            j += 0.1
+        k1 = np.float32(k1_best)
+
+        for doc_id, tf in zip(doc_ids, tfs):
+            c = _cd(tf, doc_id)
+            ck = np.float32(
+                np.float32(c * np.float32(k1 + np.float32(1.0))) / np.float32(k1 + c)
+            )
+            contrib = np.float32(np.float32(np.float32(qtf) * ck) * ig1)
+            if doc_id in results:
+                results[doc_id] = np.float32(results[doc_id] + contrib)
+            else:
+                results[doc_id] = contrib
+    return _topk(results, idx, k)
+
+
 def score_tfidf(
     idx: OracleIndex, query_text: str, k: int = 1000
 ) -> list[tuple[int, str, float]]:

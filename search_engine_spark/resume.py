@@ -1,0 +1,255 @@
+"""Phase 4 — checkpoint-resumable index builds with a segments ledger.
+
+North-rule clause: "resumable from checkpoint with per-partition lineage +
+metrics".  The reference build is all-or-nothing (single process, index in
+RAM, serialized only at the end — /root/reference/src/Program.cs:35-68);
+a crash at file 10^11 of 10^12 loses everything.  Our build is staged:
+
+  Stage A (resumable, the expensive part):
+      the input is split into n_chunks deterministic chunks; per chunk we
+      materialize
+         staging/doc_meta/chunk=<c>/    (doc_id, doc_key, doc_len, sha256)
+         staging/fragments/chunk=<c>/   per-(partition, term) posting
+                                        fragments (postings.FRAGMENTS_SCHEMA)
+      and only then append ONE ledger row (phase='chunk') to
+      <index_dir>/segments.  Tokenization/analysis — the dominant cost —
+      is therefore checkpointed at chunk granularity.  A crash mid-chunk
+      leaves staging files without a ledger row; the retry overwrites that
+      chunk's directories (idempotent per chunk).
+
+  Finalize (idempotent, one shuffle):
+      global stats over ALL staged doc_meta (block_max_score needs global
+      idf/avgdl — computing it per chunk would break WAND exactness), then
+      fragments → pack_postings → <index_dir>/postings + stats + doc_meta
+      + manifest.json, and a ledger row phase='finalize'.  Rerunning
+      finalize overwrites the same outputs.
+
+  Resume = call resumable_build again: completed chunks are discovered by
+  anti-joining the chunk universe against the ledger (phase='chunk') and
+  skipped; if every chunk is done but finalize isn't, only finalize runs.
+
+Chunking: default chunk_expr is pmod(xxhash64(doc_id), n_chunks) —
+deterministic across partition counts and retries.  On a real cluster
+chunks should align with source partitions (pass e.g. a date/ingest
+column or Iceberg partition value as chunk_expr) so the per-chunk filter
+becomes partition pruning instead of a full scan; with hash chunking each
+chunk pass re-scans the source (filter is still pushed to the parquet
+reader).  Lineage: each ledger row records the chunk predicate and the
+distinct input files that contributed rows (input_file_name).
+
+On a cluster each staged write becomes an Iceberg .writeTo(...).append()
+and the ledger a snapshot-tagged table; the parquet layout here mirrors
+that shape 1:1 (SURVEY.md §7 phase 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import build as B
+from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
+from .postings import (
+    fragment_term_df,
+    pack_postings,
+    posting_fragments,
+)
+
+LEDGER_SCHEMA = (
+    "phase string, chunk_id int, chunk_predicate string, n_docs long,"
+    " n_fragments long, n_input_files int, input_files string,"
+    " sec double, build_ts double"
+)
+
+# staged chunk segment ids are namespaced so they never collide across
+# chunks: segment_id = chunk_id * SEGMENTS_PER_CHUNK + spark_partition_id
+SEGMENTS_PER_CHUNK = 1 << 20
+
+
+def _ledger_path(index_dir: str) -> str:
+    return f"{index_dir}/segments"
+
+
+def read_ledger(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_ledger_path(index_dir))
+    except Exception:
+        return None
+
+
+def completed_chunks(spark: SparkSession, index_dir: str) -> set[int]:
+    led = read_ledger(spark, index_dir)
+    if led is None:
+        return set()
+    rows = led.filter(F.col("phase") == "chunk").select("chunk_id").collect()
+    return {int(r["chunk_id"]) for r in rows}
+
+
+def finalized(spark: SparkSession, index_dir: str) -> bool:
+    led = read_ledger(spark, index_dir)
+    if led is None:
+        return False
+    return led.filter(F.col("phase") == "finalize").limit(1).count() > 0
+
+
+def _append_ledger(spark: SparkSession, index_dir: str, row: tuple) -> None:
+    spark.createDataFrame([row], schema=LEDGER_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(_ledger_path(index_dir))
+
+
+def _build_chunk(
+    docs: DataFrame,
+    index_dir: str,
+    chunk_id: int,
+    chunk_pred_sql: str,
+    cfg: AnalyzerConfig,
+    doc_id_col: str,
+    content_col: str,
+    key_cols: tuple[str, ...],
+) -> None:
+    spark = docs.sparkSession
+    t0 = time.time()
+    chunk_docs = docs.filter(F.expr(chunk_pred_sql))
+
+    meta_dir = f"{index_dir}/staging/doc_meta/chunk={chunk_id}"
+    frag_dir = f"{index_dir}/staging/fragments/chunk={chunk_id}"
+
+    meta = B.build_doc_meta(chunk_docs, cfg, doc_id_col, content_col, key_cols)
+    meta.write.mode("overwrite").parquet(meta_dir)
+    n_docs = spark.read.parquet(meta_dir).count()
+
+    frags = posting_fragments(chunk_docs, cfg, doc_id_col, content_col)
+    frags = frags.withColumn(
+        "segment_id",
+        (F.lit(chunk_id * SEGMENTS_PER_CHUNK) + F.col("segment_id")).cast("int"),
+    )
+    frags.write.mode("overwrite").parquet(frag_dir)
+    n_frags = spark.read.parquet(frag_dir).count()
+
+    # lineage: which source files fed this chunk (empty for non-file sources)
+    try:
+        files = [
+            r[0]
+            for r in chunk_docs.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        ]
+        files = sorted(f for f in files if f)
+    except Exception:
+        files = []
+
+    _append_ledger(
+        spark,
+        index_dir,
+        (
+            "chunk", chunk_id, chunk_pred_sql, n_docs, n_frags,
+            len(files), json.dumps(files[:1000]), round(time.time() - t0, 3), t0,
+        ),
+    )
+
+
+def _finalize(
+    spark: SparkSession,
+    index_dir: str,
+    build_cfg: IndexBuildConfig,
+    params: BM25Params,
+) -> dict:
+    t0 = time.time()
+    staged_meta = spark.read.parquet(f"{index_dir}/staging/doc_meta")
+    # consolidate doc_meta into the canonical layout load_index expects
+    staged_meta.drop("chunk").write.mode("overwrite").parquet(f"{index_dir}/doc_meta")
+    doc_meta = spark.read.parquet(f"{index_dir}/doc_meta")
+    n_docs, avgdl, total_terms = B.collect_stats(doc_meta)
+
+    fragments = spark.read.parquet(f"{index_dir}/staging/fragments").drop("chunk")
+    term_df = fragment_term_df(fragments)
+    postings = pack_postings(
+        fragments, term_df, n_docs, avgdl, params, build_cfg.block_size
+    )
+    postings.write.mode("overwrite").parquet(f"{index_dir}/postings")
+
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), total_terms)],
+        schema="n_docs long, avg_doc_len double, total_terms long",
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+    manifest = {
+        "analyzer": build_cfg.analyzer.to_dict(),
+        "bm25": {"k1": params.k1, "k3": params.k3, "b": params.b},
+        "block_size": build_cfg.block_size,
+        "version": 1,
+        "resumable": True,
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+    sec = round(time.time() - t0, 3)
+    _append_ledger(
+        spark,
+        index_dir,
+        ("finalize", -1, "", n_docs, -1, 0, "[]", sec, t0),
+    )
+    return {
+        "n_docs": n_docs,
+        "avg_doc_len": avgdl,
+        "total_terms": total_terms,
+        "sec_finalize": sec,
+    }
+
+
+def resumable_build(
+    docs: DataFrame,
+    index_dir: str,
+    n_chunks: int = 8,
+    build_cfg: IndexBuildConfig | None = None,
+    params: BM25Params | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+    chunk_expr: str | None = None,
+    fail_after_chunks: int | None = None,
+) -> dict:
+    """Build (or resume) the index at index_dir in n_chunks checkpoints.
+
+    chunk_expr: SQL expression evaluating to the chunk id in [0, n_chunks)
+    — default pmod(xxhash64(doc_id), n_chunks).  Pass a partition-aligned
+    expression on a real cluster so chunk filters prune instead of scan.
+
+    fail_after_chunks: test hook — raise after completing that many NEW
+    chunks this invocation (simulates a mid-build crash for resume tests).
+
+    Returns metrics incl. chunks_built/chunks_skipped this invocation.
+    """
+    build_cfg = build_cfg or IndexBuildConfig()
+    params = params or BM25Params()
+    spark = docs.sparkSession
+    cexpr = chunk_expr or f"pmod(xxhash64(cast({doc_id_col} as long)), {n_chunks})"
+
+    done = completed_chunks(spark, index_dir)
+    t0 = time.time()
+    built = 0
+    for c in range(n_chunks):
+        if c in done:
+            continue
+        if fail_after_chunks is not None and built >= fail_after_chunks:
+            raise RuntimeError(
+                f"injected failure after {built} chunks (test hook)"
+            )
+        _build_chunk(
+            docs, index_dir, c, f"({cexpr}) = {c}",
+            build_cfg.analyzer, doc_id_col, content_col, key_cols,
+        )
+        built += 1
+
+    fin = _finalize(spark, index_dir, build_cfg, params)
+    return {
+        "chunks_total": n_chunks,
+        "chunks_skipped": len(done),
+        "chunks_built": built,
+        "sec_total": round(time.time() - t0, 3),
+        **fin,
+    }

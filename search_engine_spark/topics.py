@@ -1,0 +1,126 @@
+"""TREC topic parsing + TREC run-file sink (driver-side).
+
+Mirrors the reference's query-side I/O (SURVEY.md §2 #18/#26):
+
+* TopicParser (/root/reference/src/Query/TopicParser.cs:22-137): line-based
+  parse of TREC adhoc topic files.  `<num>` lines carry the topic id at a
+  fixed offset ("<num> Number: NNN", int parsed from substring(14) —
+  TopicParser.cs:37); `<title>`/`<desc>`/`<narr>` sections are gated by
+  QueryOptions flags (QueryOptions.cs:8-12).  Per-topic keyword list keeps
+  first-seen order with a query-term-frequency count (TopicParser.cs:84-92).
+  The QUERY split set [, .();:?/ ] intentionally differs from the doc
+  tokenizer's (e.g. '-' splits docs but not queries) — analysis.tokenize_query
+  replicates it; we do NOT "fix" the asymmetry (SURVEY.md §7).
+
+* Run sink (/root/reference/src/Program.cs:150-164): one line per result,
+  `topic Q0 docName rank score runName` (format string at Program.cs:159),
+  rank 1-based, topics in ascending order.
+
+Queries are tiny (tens of topics), so both run driver-side — the scoring
+itself is one Spark job over all topics (query.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .analysis import tokenize_query
+from .config import AnalyzerConfig
+
+
+@dataclass(frozen=True)
+class QueryOptions:
+    """Which topic sections feed the query (QueryOptions.cs:8-12)."""
+
+    use_title: bool = True
+    use_desc: bool = False
+    use_narr: bool = False
+
+
+def parse_trec_topics(text: str, opts: QueryOptions | None = None) -> list[tuple[int, str]]:
+    """TREC topic file text → [(topic_id, concatenated query text)].
+
+    State machine over lines like the reference's (TopicParser.cs:30-65):
+    a section tag starts collecting; any other tag ends it.  `<num>` uses
+    the fixed "<num> Number: " prefix offset.
+    """
+    opts = opts or QueryOptions()
+    topics: list[tuple[int, str]] = []
+    topic_id: int | None = None
+    parts: list[str] = []
+    collecting = False
+
+    def _flush() -> None:
+        nonlocal topic_id, parts
+        if topic_id is not None:
+            topics.append((topic_id, " ".join(p for p in parts if p)))
+        topic_id, parts = None, []
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("<num>"):
+            # "<num> Number: NNN" — substring(14) per TopicParser.cs:37
+            topic_id = int(line[14:].strip())
+            collecting = False
+        elif line.startswith("<title>"):
+            collecting = opts.use_title
+            if collecting:
+                parts.append(line[len("<title>"):].strip())
+        elif line.startswith("<desc>"):
+            collecting = opts.use_desc
+        elif line.startswith("<narr>"):
+            collecting = opts.use_narr
+        elif line.startswith("</top>"):
+            _flush()
+            collecting = False
+        elif line.startswith("<"):
+            collecting = False
+        elif collecting and line:
+            parts.append(line)
+    _flush()
+    return sorted(topics, key=lambda t: t[0])
+
+
+def parse_tsv_topics(text: str) -> list[tuple[int, str]]:
+    """Plain 'topic_id<TAB>query text' lines (modern convenience format)."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        tid, _, q = line.partition("\t")
+        out.append((int(tid), q.strip()))
+    return sorted(out, key=lambda t: t[0])
+
+
+def load_topics(path: str, opts: QueryOptions | None = None) -> list[tuple[int, str]]:
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        text = fh.read()
+    if "<top>" in text or "<num>" in text:
+        return parse_trec_topics(text, opts)
+    return parse_tsv_topics(text)
+
+
+def analyzed_topics(
+    topics: list[tuple[int, str]], cfg: AnalyzerConfig
+) -> list[tuple[int, list[tuple[str, int]]]]:
+    """Apply the query analyzer; drops topics that analyze to nothing."""
+    out = []
+    for tid, text in topics:
+        terms = tokenize_query(text, cfg)
+        if terms:
+            out.append((tid, terms))
+    return out
+
+
+def write_trec_run(rows: list[tuple], run_name: str, path: str) -> int:
+    """rows = (topic_id, rank, doc_key, score) → TREC run file.
+
+    Line format `topic Q0 doc rank score runName` (Program.cs:159); topics
+    ascending, rank ascending (Program.cs:132,150-164).
+    """
+    rows = sorted(rows, key=lambda r: (int(r[0]), int(r[1])))
+    with open(path, "w", encoding="utf-8") as fh:
+        for topic_id, rank, doc_key, score in rows:
+            fh.write(f"{topic_id} Q0 {doc_key} {rank} {score} {run_name}\n")
+    return len(rows)

@@ -1,0 +1,91 @@
+"""Phase 5 gate: BM25-ADPT scorer identity vs the pure-Python oracle.
+
+The oracle (oracle.score_bm25_adpt) is a loop-for-loop transliteration of
+the reference semantics; the Spark path (adpt.score_bm25_adpt) is an
+independent vectorized restatement — agreement on ranks AND float32
+scores checks both, including the IG-truncation and k1-grid quirks
+(/root/reference/src/Query/BM25ADPT.cs:54-69,141-168).
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_spark import build as B, oracle as O, query as Q
+from search_engine_spark.adpt import score_bm25_adpt, term_adpt_params
+from search_engine_spark.config import AnalyzerConfig
+
+CFG = AnalyzerConfig()
+K = 30
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df)
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs_df):
+    parts = B.build_all(docs_df, CFG, key_cols=("repo", "path", "commit"))
+    parts["tokens"] = parts["tokens"].cache()
+    parts["doc_meta"] = parts["doc_meta"].cache()
+    return parts
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus):
+    from search_engine_spark.fixtures import doc_key
+
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return O.build_index([(doc_key(r), r["content"]) for r in ordered], CFG)
+
+
+def test_term_params_match_oracle_curve(oracle_index):
+    """term_adpt_params (vectorized) vs the oracle's scalar IG/k1 path,
+    checked through full scoring below; here spot-check determinism and
+    plausible ranges on real posting lists."""
+    for term in ("import", "merg", "index"):
+        if term not in oracle_index.postings:
+            continue
+        doc_ids, tfs = oracle_index.postings[term]
+        dls = np.array([oracle_index.doc_lens[d] for d in doc_ids], dtype=np.int64)
+        k1, ig1 = term_adpt_params(
+            np.array(tfs, dtype=np.int64), dls,
+            oracle_index.n_docs, oracle_index.avgdl(), 0.75,
+        )
+        k12, ig12 = term_adpt_params(
+            np.array(tfs, dtype=np.int64), dls,
+            oracle_index.n_docs, oracle_index.avgdl(), 0.75,
+        )
+        assert (k1, ig1) == (k12, ig12)
+        assert 0.2 - 1e-6 <= k1 <= 2.5 + 1e-6
+
+
+def test_adpt_rank_and_score_identity(spark, built, oracle_index, queries_fixture):
+    sample = queries_fixture[::3]
+    n, avgdl, _ = B.collect_stats(built["doc_meta"])
+    qdf = Q.queries_to_df(
+        spark, [(q["topic_id"], q["query_text"]) for q in sample], CFG
+    )
+    res = score_bm25_adpt(built["tokens"], n, avgdl, qdf, b=0.75, k=K)
+    got: dict[int, list] = {}
+    for r in res.collect():
+        got.setdefault(r["topic_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for v in got.values():
+        v.sort()
+
+    n_checked = 0
+    for q in sample:
+        want = O.score_bm25_adpt(oracle_index, q["query_text"], b=0.75, k=K)
+        have = got.get(q["topic_id"], [])
+        assert len(have) == len(want), f"topic {q['topic_id']}: row count"
+        for (rank, doc_id, score), (o_doc, _ok, o_score) in zip(have, want):
+            assert doc_id == o_doc, f"topic {q['topic_id']} rank {rank}"
+            assert score == pytest.approx(o_score, abs=0.0), (
+                f"topic {q['topic_id']} rank {rank}: {score} != {o_score}"
+            )
+            n_checked += 1
+    assert n_checked > 50

@@ -1,0 +1,188 @@
+"""Phase 4 gates: resumable chunked build (segments ledger), CLI, topics I/O.
+
+North-rule clause under test: "resumable from checkpoint with
+per-partition lineage + metrics" — an interrupted build, resumed, must
+produce a byte/row-identical index to an uninterrupted one.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B
+from search_engine_spark.config import AnalyzerConfig, IndexBuildConfig
+from search_engine_spark.postings import build_index, load_index, postings_to_tokens
+from search_engine_spark.resume import completed_chunks, finalized, resumable_build
+from search_engine_spark.topics import (
+    QueryOptions,
+    parse_trec_topics,
+    parse_tsv_topics,
+    write_trec_run,
+)
+
+CFG = AnalyzerConfig()
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df).cache()
+
+
+def _tokens_set(spark, index_dir):
+    toks = postings_to_tokens(load_index(spark, index_dir)["postings"])
+    return sorted(
+        (r["doc_id"], r["term"], r["tf"], r["doc_len"]) for r in toks.collect()
+    )
+
+
+def _meta_set(spark, index_dir):
+    meta = load_index(spark, index_dir)["doc_meta"]
+    return sorted(
+        (r["doc_id"], r["doc_key"], r["doc_len"], r["content_sha256"])
+        for r in meta.collect()
+    )
+
+
+def test_interrupt_resume_identity(spark, docs_df, tmp_path):
+    """Crash after 2 of 4 chunks → resume → identical to one-shot build."""
+    resumed_dir = str(tmp_path / "resumed")
+    oneshot_dir = str(tmp_path / "oneshot")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        resumable_build(
+            docs_df, resumed_dir, n_chunks=N_CHUNKS,
+            key_cols=("repo", "path", "commit"), fail_after_chunks=2,
+        )
+    assert len(completed_chunks(spark, resumed_dir)) == 2
+    assert not finalized(spark, resumed_dir)
+
+    metrics = resumable_build(
+        docs_df, resumed_dir, n_chunks=N_CHUNKS,
+        key_cols=("repo", "path", "commit"),
+    )
+    assert metrics["chunks_skipped"] == 2 and metrics["chunks_built"] == 2
+    assert finalized(spark, resumed_dir)
+
+    build_index(
+        docs_df, oneshot_dir, IndexBuildConfig(),
+        key_cols=("repo", "path", "commit"),
+    )
+
+    assert _tokens_set(spark, resumed_dir) == _tokens_set(spark, oneshot_dir)
+    assert _meta_set(spark, resumed_dir) == _meta_set(spark, oneshot_dir)
+    a = load_index(spark, resumed_dir)
+    b = load_index(spark, oneshot_dir)
+    assert (a["n_docs"], a["avg_doc_len"], a["total_terms"]) == (
+        b["n_docs"], b["avg_doc_len"], b["total_terms"],
+    )
+
+
+def test_ledger_lineage_and_metrics(spark, docs_df, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    resumable_build(
+        docs_df, index_dir, n_chunks=N_CHUNKS, key_cols=("repo", "path", "commit")
+    )
+    led = spark.read.parquet(f"{index_dir}/segments")
+    chunks = led.filter(F.col("phase") == "chunk").collect()
+    assert len(chunks) == N_CHUNKS
+    assert sum(r["n_docs"] for r in chunks) == docs_df.count()
+    for r in chunks:
+        assert r["chunk_predicate"].startswith("(pmod(xxhash64(")
+        assert r["sec"] >= 0 and r["n_fragments"] > 0
+        json.loads(r["input_files"])  # lineage is valid JSON
+    assert led.filter(F.col("phase") == "finalize").count() == 1
+
+
+def test_rerun_completed_build_is_noop_chunks(spark, docs_df, tmp_path):
+    index_dir = str(tmp_path / "idx2")
+    resumable_build(docs_df, index_dir, n_chunks=2, key_cols=("repo", "path", "commit"))
+    m = resumable_build(docs_df, index_dir, n_chunks=2, key_cols=("repo", "path", "commit"))
+    assert m["chunks_built"] == 0 and m["chunks_skipped"] == 2
+
+
+# --- topic parsing + TREC run sink (operators #18/#26) ---
+
+TREC_SAMPLE = """<top>
+
+<num> Number: 401
+<title> foreign minorities, Germany
+
+<desc> Description:
+What language and cultural differences impede the integration
+of foreign minorities in Germany?
+
+<narr> Narrative:
+A relevant document will focus on the causes.
+</top>
+<top>
+<num> Number: 402
+<title> behavioral genetics
+<desc> Description:
+What is happening in the field of behavioral genetics?
+</top>
+"""
+
+
+def test_parse_trec_topics_title_only():
+    topics = parse_trec_topics(TREC_SAMPLE, QueryOptions())
+    assert topics == [
+        (401, "foreign minorities, Germany"),
+        (402, "behavioral genetics"),
+    ]
+
+
+def test_parse_trec_topics_with_desc():
+    topics = parse_trec_topics(TREC_SAMPLE, QueryOptions(use_desc=True))
+    assert topics[0][0] == 401
+    assert "impede the integration" in topics[0][1]
+    assert "causes" not in topics[0][1]  # narrative excluded
+
+
+def test_parse_tsv_topics():
+    assert parse_tsv_topics("2\tb c\n1\ta\n# comment\n") == [(1, "a"), (2, "b c")]
+
+
+def test_write_trec_run(tmp_path):
+    out = str(tmp_path / "run.trec")
+    n = write_trec_run(
+        [(402, 1, "docB", 1.5), (401, 2, "docA2", 0.5), (401, 1, "docA1", 2.25)],
+        "run1", out,
+    )
+    assert n == 3
+    lines = open(out).read().splitlines()
+    # Program.cs:159 format, topic-ascending then rank-ascending
+    assert lines[0] == "401 Q0 docA1 1 2.25 run1"
+    assert lines[1] == "401 Q0 docA2 2 0.5 run1"
+    assert lines[2] == "402 Q0 docB 1 1.5 run1"
+
+
+def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
+    """spark-submit surface end-to-end: index → search → TREC run file."""
+    from search_engine_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    docs_df.write.parquet(docs_path)
+    index_dir = str(tmp_path / "cli_idx")
+    main(["index", docs_path, index_dir, "--chunks", "2",
+          "--key-cols", "repo,path,commit", "--content-col", "content"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == docs_df.count() and out["docs_per_sec"] > 0
+
+    topics_path = str(tmp_path / "topics.tsv")
+    with open(topics_path, "w") as fh:
+        fh.write("1\tmerge index\n2\timport return\n")
+    run_path = str(tmp_path / "run.trec")
+    main(["search", "r1", topics_path, index_dir, run_path, "--k", "10"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] > 0
+    lines = open(run_path).read().splitlines()
+    assert all(l.split()[1] == "Q0" and l.split()[5] == "r1" for l in lines)
+    # doc_keys resolved (repo/path@commit), not raw ids
+    assert "@" in lines[0].split()[2]

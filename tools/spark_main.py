@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""spark-submit wrapper: `spark-submit --py-files se_spark.zip tools/spark_main.py ...`.
+
+spark-submit executes a script file, not a module; this shim forwards to
+search_engine_spark.__main__ (see its docstring for the CLI)."""
+import sys
+
+from search_engine_spark.__main__ import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
