@@ -245,6 +245,103 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sig = D.simhash64(docs, "text", "doc_id")
+    return D.simhash_near_dups(sig, max_hamming=3, bands=4).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TS.with_token_count(docs, "text").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subtokens").cast("long").alias("n_subtokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TS.with_lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    pairs = S.cosine_near_dup_pairs(embs, threshold=0.3)
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+_SRP_PLANES = None
+
+
+def _srp_planes() -> list[list[float]]:
+    global _SRP_PLANES
+    if _SRP_PLANES is None:
+        _SRP_PLANES = S.deterministic_planes(dim=64, n_planes=6, seed=42)
+    return _SRP_PLANES
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path): candidates restricted to the query's
+    signed-random-projection bucket — approximate by design; the oracle
+    computes the same bucketed restriction, so the check is exact."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = S.cosine_topk_srp(embs, queries, _srp_planes(), k=10)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (the
+    batch twin of streaming.windowed_event_counts — identical plan shape
+    runs under readStream with a watermark)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy("event_type", win.alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ADPT (SURVEY.md §2 #22) — NOT SQL-expressible (per-term IG
+    curve + k1 grid search with float quirks), so no oracle_sql entry:
+    the driver records a rows-only check and pytest (tests/test_adpt.py)
+    carries the float32 identity gate vs the pure-Python oracle."""
+    from .adpt import score_bm25_adpt
+
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = score_bm25_adpt(tokens, n, avgdl, qdf, b=0.75, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 5).select(
@@ -510,6 +607,147 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
+def _sql_simhash_near_dups(max_hamming: int = 3, bands: int = 4) -> str:
+    """SimHash in ANSI SQL: 60-bit sig from md5 nibbles, banded self-join.
+
+    Bit i of conv(substr(md5,1,15),16,10): hex char 15-(i/4) (1-based,
+    most-significant first), nibble via strpos, then (nibble >> i%4) & 1
+    — byte-identical to the Spark side's conv() bits."""
+    width = 60 // bands
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef',"
+        f" substr(h, {15 - i // 4}, 1)) - 1) >> {i % 4}) & 1 = 1"
+        f" THEN tf ELSE -tf END) AS v{i}"
+        for i in range(60)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(60)
+    )
+    share = " OR ".join(
+        f"((xor(l.sig, r.sig) >> {b * width}) & {mask}) = 0" for b in range(bands)
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         substr(md5(term), 1, 15) AS h
+  FROM raw GROUP BY doc_id, term
+),
+votes AS (SELECT doc_id, {votes} FROM tf GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_expr} AS sig FROM votes)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+WHERE ({share}) AND bit_count(xor(l.sig, r.sig)) <= {max_hamming}
+"""
+
+
+def _sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'),
+                            t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(
+              regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+)', '\\1 ', 'g'),
+              '\\s+'), t -> t <> '')) AS BIGINT) AS n_subtokens
+FROM documents
+"""
+
+
+def _sql_lang_id() -> str:
+    from .ops.textstats import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)  # alphabetical = the Spark tie-break order
+    hit_cols = ", ".join(
+        "len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        + f"))) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, {hit_cols} FROM t)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def _sql_embedding_near_dup(threshold: float = 0.3) -> str:
+    cos = _SQL_COS.format(a="l.embedding", b="r.embedding")
+    return f"""
+SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _sql_srp_ann_topk(k: int = 10) -> str:
+    from .ops.similarity import deterministic_planes
+
+    planes = deterministic_planes(dim=64, n_planes=6, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len(embedding) + 1),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})")
+    bucket = " + ".join(terms)
+    cos = _SQL_COS.format(a="q.qvec", b="e.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cosine
+  FROM b e JOIN q ON q.bucket = e.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+         vec_id, round(cosine, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_events_hourly() -> str:
+    return """
+SELECT event_type,
+       CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
@@ -532,6 +770,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_scores": q_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "simhash_near_dups": q_simhash_near_dups,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "embedding_near_dup": q_embedding_near_dup,
+        "srp_ann_topk": q_srp_ann_topk,
+        "events_hourly": q_events_hourly,
+        "bm25_adpt_topk": q_bm25_adpt_topk,
     }
 
 
@@ -553,6 +798,15 @@ def duckdb_oracles() -> dict[str, str]:
         "ngram_jaccard": _sql_ngram_jaccard(),
         "quality_scores": _sql_quality_scores(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
+        "simhash_near_dups": _sql_simhash_near_dups(),
+        "token_counts": _sql_token_counts(),
+        "lang_id": _sql_lang_id(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        "srp_ann_topk": _sql_srp_ann_topk(),
+        "events_hourly": _sql_events_hourly(),
+        # bm25_adpt_topk: intentionally no SQL oracle (grid search + IG
+        # truncation quirks are not SQL-expressible); rows-only check +
+        # pytest float32 identity gate (tests/test_adpt.py)
     }
 
 

@@ -130,6 +130,42 @@ def cosine_topk_srp(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, cosine) — embedding near-duplicate pairs above threshold.
+
+    The embedding-space analog of MinHash near-dup: pairs whose cosine
+    similarity exceeds `threshold`.  When `candidates` (a, b) is given —
+    e.g. same-SRP-bucket pairs from srp_buckets — only those are scored;
+    at corpus scale ALWAYS pass candidates (the bare self-join is
+    quadratic and only for small slices / verification)."""
+    l = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    r = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    if candidates is not None:
+        pairs = (
+            candidates.join(l, "a").join(r, "b").filter(F.col("a") < F.col("b"))
+        )
+    else:
+        pairs = l.join(r, F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded pseudo-random hyperplanes (pure Python, reproducible)."""
     import random
