@@ -56,7 +56,7 @@ from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 
 FRAGMENTS_SCHEMA = T.StructType(
     [
-        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("segment_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_ids", T.ArrayType(T.LongType()), False),
         T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
@@ -66,7 +66,7 @@ FRAGMENTS_SCHEMA = T.StructType(
 
 POSTINGS_SCHEMA = T.StructType(
     [
-        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("segment_id", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("block_id", T.IntegerType(), False),
@@ -97,7 +97,7 @@ def posting_fragments(
     cfg = cfg or AnalyzerConfig()
     cfg_dict = cfg.to_dict()
     narrow = docs.select(
-        F.spark_partition_id().alias("segment_id"),
+        F.spark_partition_id().cast("long").alias("segment_id"),
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(content_col).alias("content"),
     )
@@ -126,7 +126,7 @@ def posting_fragments(
             n = grouped.num_rows
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([seg] * n, pa.int32()),
+                    pa.array([seg] * n, pa.int64()),
                     grouped.column("term").combine_chunks(),
                     grouped.column("doc_id_list").combine_chunks(),
                     grouped.column("tf_list").combine_chunks(),
@@ -251,7 +251,7 @@ def pack_postings(
         CHUNK = 4096
         names = [f.name for f in POSTINGS_SCHEMA.fields]
         types = [
-            pa.int32(), pa.string(), pa.int64(), pa.int32(), pa.int32(),
+            pa.int64(), pa.string(), pa.int64(), pa.int32(), pa.int32(),
             pa.int64(), pa.int64(), pa.int32(), pa.float32(),
             pa.binary(), pa.binary(), pa.binary(),
         ]

@@ -111,9 +111,31 @@ def _build_chunk(
     content_col: str,
     key_cols: tuple[str, ...],
 ) -> None:
-    spark = docs.sparkSession
+    stage_chunk(
+        docs.filter(F.expr(chunk_pred_sql)),
+        index_dir, chunk_id, chunk_pred_sql, cfg,
+        doc_id_col, content_col, key_cols,
+    )
+
+
+def stage_chunk(
+    chunk_docs: DataFrame,
+    index_dir: str,
+    chunk_id: int,
+    label: str,
+    cfg: AnalyzerConfig,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+) -> None:
+    """Stage ONE chunk (doc_meta + fragments) and append its ledger row.
+
+    Shared by the batch resumable build (chunk = hash/partition slice) and
+    the Structured Streaming incremental build (chunk = micro-batch id,
+    streaming/incremental.py) — the ledger sees identical lineage rows
+    either way, so finalize and resume logic are source-agnostic."""
+    spark = chunk_docs.sparkSession
     t0 = time.time()
-    chunk_docs = docs.filter(F.expr(chunk_pred_sql))
 
     meta_dir = f"{index_dir}/staging/doc_meta/chunk={chunk_id}"
     frag_dir = f"{index_dir}/staging/fragments/chunk={chunk_id}"
@@ -125,7 +147,7 @@ def _build_chunk(
     frags = posting_fragments(chunk_docs, cfg, doc_id_col, content_col)
     frags = frags.withColumn(
         "segment_id",
-        (F.lit(chunk_id * SEGMENTS_PER_CHUNK) + F.col("segment_id")).cast("int"),
+        (F.lit(chunk_id * SEGMENTS_PER_CHUNK) + F.col("segment_id")).cast("long"),
     )
     frags.write.mode("overwrite").parquet(frag_dir)
     n_frags = spark.read.parquet(frag_dir).count()
@@ -146,7 +168,7 @@ def _build_chunk(
         spark,
         index_dir,
         (
-            "chunk", chunk_id, chunk_pred_sql, n_docs, n_frags,
+            "chunk", chunk_id, label, n_docs, n_frags,
             len(files), json.dumps(files[:1000]), round(time.time() - t0, 3), t0,
         ),
     )
@@ -199,6 +221,19 @@ def _finalize(
         "total_terms": total_terms,
         "sec_finalize": sec,
     }
+
+
+def finalize_index(
+    spark: SparkSession,
+    index_dir: str,
+    build_cfg: IndexBuildConfig | None = None,
+    params: BM25Params | None = None,
+) -> dict:
+    """Idempotent finalize over whatever chunks are staged (public API;
+    used standalone by the streaming incremental build)."""
+    return _finalize(
+        spark, index_dir, build_cfg or IndexBuildConfig(), params or BM25Params()
+    )
 
 
 def resumable_build(

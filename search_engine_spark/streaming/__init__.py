@@ -1,0 +1,24 @@
+"""Structured Streaming surface: incremental index build, windowed event
+aggregation with watermarks, and a custom stateful operator.
+
+The reference is strictly batch (index once, then query —
+/root/reference/src/Program.cs:35-68; SURVEY.md §2.16 notes the absence
+of any streaming).  This package is net-new capability the Spark-first
+design gets almost for free: the batch build's chunk-staging machinery
+(resume.stage_chunk) doubles as a foreachBatch sink, so a continuously
+arriving corpus indexes incrementally with exactly-once micro-batches.
+"""
+
+from .incremental import (
+    running_user_counts,
+    sessionize_batch,
+    stream_index_build,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "running_user_counts",
+    "sessionize_batch",
+    "stream_index_build",
+    "windowed_event_counts",
+]

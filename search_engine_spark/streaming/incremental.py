@@ -1,0 +1,221 @@
+"""Streaming operators: incremental index build, watermark-windowed aggs,
+stateful per-key accumulation, sessionization.
+
+Design notes (scale-first):
+
+* stream_index_build — `readStream` over the documents source →
+  `foreachBatch` staging each micro-batch as a ledger chunk
+  (resume.stage_chunk) → one finalize pack when the trigger drains.
+  The streaming checkpoint gives exactly-once batch ingestion: a
+  restarted stream re-reads only unprocessed files, and the ledger's
+  chunk rows carry per-batch lineage + metrics exactly like the batch
+  resumable build.  On a cluster this is the "continuously arriving
+  repos" ingest path; finalize cadence becomes a compaction policy
+  (e.g. hourly) instead of end-of-stream.
+
+* windowed_event_counts — tumbling event-time windows with a watermark
+  for late data.  The SAME function serves batch DataFrames (watermark
+  is a no-op there), which is what the driver-contract `events_hourly`
+  query checks against DuckDB.
+
+* running_user_counts — custom stateful operator via
+  applyInPandasWithState: per-key running totals that survive across
+  micro-batches (update mode).  State is one tiny tuple per key —
+  O(distinct keys) memory spread across partitions by the group-key
+  shuffle.
+
+* sessionize — gap-based sessions.  Batch twin: lag() + cumulative
+  session-break sum per user (two narrow window passes over a
+  user-partitioned sort).  The streaming variant would add a state
+  timeout to flush idle sessions; the batch twin defines its semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+from ..config import BM25Params, IndexBuildConfig
+from ..resume import finalize_index, stage_chunk
+
+# stream chunk ids live far above any batch-build chunk id
+STREAM_CHUNK_BASE = 1_000_000_000
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts+sums per key; watermark bounds state for
+    late data when `events` is streaming (no-op on batch frames)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window)
+    return (
+        src.groupBy(F.col(key_col), win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+    ]
+)
+_RUNNING_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+    ]
+)
+
+
+def running_user_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running (count, sum(value)) across micro-batches.
+
+    Custom stateful operator via applyInPandasWithState (update mode):
+    each batch emits the key's new cumulative totals.  On batch frames
+    falls back to a plain groupBy (same final answer)."""
+    narrow = events.select(F.col(key_col).alias("user_id"), "value")
+    if not events.isStreaming:
+        return narrow.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    def _update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return narrow.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when the time
+    since the previous event exceeds gap_seconds.
+
+    (user_id, session_id, session_start, session_end, n_events, sum_value);
+    session_id is 0-based per user in time order.  Two window passes over
+    one user-partitioned sort — Catalyst runs both in a single shuffle."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    ts = F.col(ts_col).cast("timestamp")
+    prev = F.lag(ts).over(w)
+    is_break = F.when(
+        prev.isNull()
+        | (ts.cast("double") - prev.cast("double") > float(gap_seconds)),
+        1,
+    ).otherwise(0)
+    with_sid = events.withColumn(
+        "session_id", (F.sum(is_break).over(w) - 1).cast("long")
+    )
+    return (
+        with_sid.groupBy(F.col(key_col).alias("user_id"), "session_id")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )
+
+
+def stream_index_build(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    schema: T.StructType | str,
+    build_cfg: IndexBuildConfig | None = None,
+    params: BM25Params | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+    max_files_per_trigger: int | None = None,
+    finalize: bool = True,
+) -> dict:
+    """Incrementally index a growing parquet directory; returns metrics.
+
+    readStream(parquet) → foreachBatch: each micro-batch is staged as a
+    ledger chunk (chunk_id = STREAM_CHUNK_BASE + batch_id so stream
+    chunks never collide with batch-build chunk ids) → availableNow
+    drains everything currently unprocessed → finalize packs postings
+    with global stats.  Re-running after new files land processes ONLY
+    the new files (streaming checkpoint) and re-finalizes — the
+    incremental-build contract is: output ≡ batch build over all input
+    seen so far (tests/test_streaming.py)."""
+    build_cfg = build_cfg or IndexBuildConfig()
+    params = params or BM25Params()
+    base = STREAM_CHUNK_BASE
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    n_batches = {"n": 0}
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stage_chunk(
+            batch_df,
+            index_dir,
+            int(base + batch_id),
+            f"stream batch {batch_id}",
+            build_cfg.analyzer,
+            doc_id_col,
+            content_col,
+            key_cols,
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{index_dir}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    metrics = {"stream_batches": n_batches["n"]}
+    if finalize:
+        metrics.update(finalize_index(spark, index_dir, build_cfg, params))
+    return metrics

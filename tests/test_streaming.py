@@ -1,0 +1,234 @@
+"""Streaming gates: incremental index build ≡ batch build, watermark
+windows ≡ batch windows, stateful running counts ≡ batch groupBy,
+plus multimodal plumbing determinism.
+"""
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from search_engine_spark import build as B
+from search_engine_spark.config import IndexBuildConfig
+from search_engine_spark.postings import build_index, load_index, postings_to_tokens
+from search_engine_spark.streaming import (
+    running_user_counts,
+    sessionize_batch,
+    stream_index_build,
+    windowed_event_counts,
+)
+
+DOCS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, doc_id long"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df).cache()
+
+
+def _tokens_set(spark, index_dir):
+    toks = postings_to_tokens(load_index(spark, index_dir)["postings"])
+    return sorted(
+        (r["doc_id"], r["term"], r["tf"], r["doc_len"]) for r in toks.collect()
+    )
+
+
+def test_stream_build_matches_batch(spark, docs_df, tmp_path):
+    """availableNow stream over a 3-file directory ≡ one-shot batch build;
+    then a 4th file lands, the stream re-runs, and the finalized index
+    equals a batch build over all 4 — the incremental contract."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    # 3 initial files (one parquet dir each, moved in as single files)
+    parts = [
+        docs_df.filter(F.col("doc_id") % 4 == i) for i in range(4)
+    ]
+
+    def _land(df, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(pf, f"{src}/{name}.parquet")
+
+    for i in range(3):
+        _land(parts[i], f"f{i}")
+
+    index_dir = str(tmp_path / "stream_idx")
+    m = stream_index_build(
+        spark, src, index_dir, schema=DOCS_SCHEMA,
+        key_cols=("repo", "path", "commit"), max_files_per_trigger=1,
+    )
+    assert m["stream_batches"] >= 2  # maxFilesPerTrigger forces multi-batch
+
+    batch3_dir = str(tmp_path / "batch3_idx")
+    build_index(
+        docs_df.filter(F.col("doc_id") % 4 != 3), batch3_dir,
+        IndexBuildConfig(), key_cols=("repo", "path", "commit"),
+    )
+    assert _tokens_set(spark, index_dir) == _tokens_set(spark, batch3_dir)
+
+    # late-arriving 4th file → only the new file is processed
+    _land(parts[3], "f3")
+    m2 = stream_index_build(
+        spark, src, index_dir, schema=DOCS_SCHEMA,
+        key_cols=("repo", "path", "commit"),
+    )
+    assert m2["stream_batches"] == 1
+
+    batch4_dir = str(tmp_path / "batch4_idx")
+    build_index(
+        docs_df, batch4_dir, IndexBuildConfig(), key_cols=("repo", "path", "commit")
+    )
+    assert _tokens_set(spark, index_dir) == _tokens_set(spark, batch4_dir)
+    a = load_index(spark, index_dir)
+    b = load_index(spark, batch4_dir)
+    assert (a["n_docs"], a["avg_doc_len"]) == (b["n_docs"], b["avg_doc_len"])
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=(i * 7) % 600, seconds=i % 60),
+                i % 5,
+                ("click", "view", "buy")[i % 3],
+                float(i % 13) / 4.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).cache()
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_df, tmp_path):
+    src = str(tmp_path / "events_src")
+    events_df.coalesce(2).write.parquet(src)
+
+    want = sorted(
+        (r["event_type"], r["window_start"], r["n_events"], round(r["sum_value"], 6))
+        for r in windowed_event_counts(events_df).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(events_df.schema).parquet(src)
+    )
+    agg = windowed_event_counts(stream)  # watermark applied on the stream side
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["event_type"], r["window_start"], r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_running_user_counts_stateful(spark, events_df, tmp_path):
+    """applyInPandasWithState across forced multi-batch input: the last
+    update per key must equal the batch groupBy totals."""
+    src = str(tmp_path / "events_src2")
+    events_df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("run_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends each update; keep the final row
+    # per user = the one with the max n_events (counts are monotone)
+    upd = spark.sql(
+        "SELECT user_id, max_by(sum_value, n_events) AS sum_value,"
+        " max(n_events) AS n_events FROM run_counts GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in upd}
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in running_user_counts(events_df).collect()
+    }
+    assert got == want and len(want) == 5
+
+
+def test_sessionize_batch(spark):
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 45 min > 30 min)
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(minutes=55), 4.0),
+        # user 2: one session
+        (2, base + dt.timedelta(minutes=1), 8.0),
+        (2, base + dt.timedelta(minutes=20), 16.0),
+    ]
+    df = spark.createDataFrame(rows, schema="user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    assert got == {
+        (1, 0): (2, 3.0),
+        (1, 1): (1, 4.0),
+        (2, 0): (2, 24.0),
+    }
+
+
+# --- multimodal plumbing ---
+
+def test_multimodal_features_and_frames(spark, docs_df):
+    from search_engine_spark.ops.multimodal import (
+        extract_features,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs_df.limit(60), "content", "doc_id").cache()
+    assert media.schema["media"].dataType.typeName() == "binary"
+    assert set(r["modality"] for r in media.select("modality").distinct().collect()) == {
+        "image", "audio", "video",
+    }
+
+    feats = extract_features(media, dim=32)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["features"]) == 32 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    # determinism: rerun yields identical vectors
+    rows2 = {r["doc_id"]: r["features"] for r in extract_features(media, dim=32).collect()}
+    assert all(rows2[r["doc_id"]] == r["features"] for r in rows)
+
+    frames = sample_frames(media, every_n=8)
+    frows = frames.collect()
+    vids = {r["doc_id"]: r for r in media.filter(F.col("modality") == "video").collect()}
+    assert len(frows) > 0
+    assert set(r["doc_id"] for r in frows) == set(vids)
+    for r in frows:
+        n = vids[r["doc_id"]]["meta"]["n_frames"]
+        assert r["frame_idx"] < n and r["frame_idx"] % 8 == 0
+        assert isinstance(r["frame"], (bytes, bytearray)) and len(r["frame"]) > 0
+    media.unpersist()
