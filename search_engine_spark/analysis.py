@@ -239,6 +239,63 @@ def analyze_arrow(
     )
 
 
+def doc_stats_arrow(batch: pa.RecordBatch, cfg: AnalyzerConfig) -> pa.RecordBatch:
+    """Doc-level batch stats: (doc_id, doc_key, content) → (doc_id,
+    doc_key, doc_len, content_sha256).
+
+    Same surviving-token counting semantics as analyze_arrow steps 1-5
+    (stemming cannot change the count) but aggregated per input ROW, so
+    zero-token docs keep doc_len=0 — the reference registers documents
+    before tokenizing (WriteableIndex.cs:31-37), so they count toward N
+    and avgdl.  sha256 runs per doc over the UTF-8 bytes (OpenSSL via
+    hashlib; null content → null sha like Spark's sha2(NULL)).
+
+    This is the build hot path's doc_meta: the pure-SQL twin
+    (build.doc_len_expr) is kept for DuckDB-checkable contract queries,
+    but its higher-order-function filter is interpreted (non-codegen)
+    and allocation-bound — measured NEGATIVE core-scaling at 16 threads
+    — so the Arrow kernels here (C++, GIL-releasing) carry the real
+    build.  Equivalence of the two is enforced in tests.
+    """
+    import hashlib
+
+    n = batch.num_rows
+    raw = batch.column("content")
+    content = pc.fill_null(pc.cast(raw, pa.string()), "")
+    token_lists = pc.split_pattern_regex(content, DOC_SPLIT_SQL_REGEX)
+    flat = pc.list_flatten(token_lists)
+    parent = pc.list_parent_indices(token_lists)
+    mask = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.and_(
+            pc.invert(pc.starts_with(flat, "<")),
+            pc.invert(pc.ends_with(flat, ">")),
+        ),
+    )
+    flat, parent = pc.filter(flat, mask), pc.filter(parent, mask)
+    if cfg.remove_stopwords and len(flat) > 0:
+        capped = pc.utf8_slice_codeunits(flat, 0, cfg.max_token_chars)
+        folded = pc.ascii_lower(capped) if cfg.case_folding else capped
+        keep = pc.invert(pc.is_in(folded, value_set=pa.array(STOPWORDS)))
+        parent = pc.filter(parent, keep)
+    counts = np.zeros(n, dtype=np.int64)
+    if len(parent) > 0:
+        np.add.at(counts, parent.to_numpy(zero_copy_only=False), 1)
+    shas = [
+        None if s is None else hashlib.sha256(s.encode("utf-8")).hexdigest()
+        for s in raw.to_pylist()
+    ]
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(batch.column("doc_id"), pa.int64()),
+            pc.cast(batch.column("doc_key"), pa.string()),
+            pa.array(np.minimum(counts, 2**31 - 1).astype(np.int32), pa.int32()),
+            pa.array(shas, pa.string()),
+        ],
+        names=["doc_id", "doc_key", "doc_len", "content_sha256"],
+    )
+
+
 def analyze_frame(
     doc_ids: pd.Series, contents: pd.Series, cfg: AnalyzerConfig
 ) -> pd.DataFrame:

@@ -136,6 +136,60 @@ def build_doc_meta(
     )
 
 
+DOC_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("doc_key", T.StringType(), True),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("content_sha256", T.StringType(), True),
+    ]
+)
+
+
+def build_doc_meta_arrow(
+    docs: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow-kernel doc_meta — the build hot path.
+
+    Identical output to build_doc_meta (enforced by tests) but computed
+    with pyarrow C++ kernels in mapInArrow instead of interpreted JVM
+    higher-order functions: the HOF filter in doc_len_expr is not
+    codegen-supported and measured NEGATIVE scaling past ~8 cores
+    (allocation/GC-bound), while the Arrow pass scales with the scan."""
+    cfg = cfg or AnalyzerConfig()
+    cfg_dict = cfg.to_dict()
+    if key_cols:
+        key_expr = F.concat_ws(
+            "@", F.concat_ws("/", *[F.col(c) for c in key_cols[:-1]]), F.col(key_cols[-1])
+        )
+    else:
+        key_expr = F.col(doc_id_col).cast("string")
+    narrow = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        key_expr.alias("doc_key"),
+        F.col(content_col).alias("content"),
+    )
+
+    def _stats(batches):
+        import pyarrow as pa
+
+        from search_engine_spark.analysis import doc_stats_arrow
+        from search_engine_spark.config import AnalyzerConfig as _AC
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        c = _AC.from_dict(cfg_dict)
+        for batch in batches:
+            if batch.num_rows:
+                yield doc_stats_arrow(batch, c)
+
+    return narrow.mapInArrow(_stats, schema=DOC_META_SCHEMA)
+
+
 def build_stats(doc_meta: DataFrame) -> DataFrame:
     """Single-row collection statistics (broadcast at query time).
 
@@ -188,7 +242,7 @@ def build_all(
     """One-pass build of the Phase-1 logical index: tokens + doc_meta + stats + df."""
     cfg = cfg or AnalyzerConfig()
     tokens = analyze_tokens(docs, cfg, doc_id_col, content_col)
-    doc_meta = build_doc_meta(docs, cfg, doc_id_col, content_col, key_cols)
+    doc_meta = build_doc_meta_arrow(docs, cfg, doc_id_col, content_col, key_cols)
     return {
         "tokens": tokens,
         "doc_meta": doc_meta,

@@ -93,28 +93,44 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs sharing at least one LSH band.
 
-    Band key = concat of the band's minhashes.  Self-join per band on the
-    band key, a < b, distinct across bands."""
+    Physical strategy: ONE pass over signatures (posexplode of the band
+    keys), groupBy(band, band_key) collecting the bucket's doc ids, then
+    an in-bucket pair explode with JVM higher-order functions.  A
+    band-keyed SELF-JOIN would evaluate the whole shingle→minhash
+    lineage once per join side per band (2×bands recomputations of the
+    expensive subtree) — the bucket-grouping form computes it exactly
+    once and adds a single shuffle.  Bucket pair-explosion is O(k²) but
+    k is small by construction: an identical band signature implies
+    near-identical docs, and true giant buckets mean giant duplicate
+    groups that dedup downstream anyway."""
     rows = n_hashes // bands
-    pieces = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-        pieces.append(
-            signatures.select(F.col("doc_id"), key.alias("band_key"), F.lit(b).alias("band"))
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
-    left = banded.alias("l")
-    right = banded.alias("r")
+    keys = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.posexplode(keys).alias("band", "band_key")
+    )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
@@ -199,38 +215,51 @@ def simhash_near_dups(
 
     Banding: split the 60-bit signature into `bands` chunks; any pair
     within distance bands-1 shares at least one exact chunk (pigeonhole),
-    so the self-join on chunks finds all pairs with hamming <= bands-1."""
+    so grouping by chunk finds all pairs with hamming <= bands-1.
+
+    Same bucket-grouping physical form as lsh_candidate_pairs: one pass
+    over sig (posexplode of chunks), bucket collect, in-bucket pair
+    explode — the signature aggregation (60 bit-vote sums) is evaluated
+    once instead of 2×bands times."""
     width = 60 // bands
-    pieces = []
-    for b in range(bands):
-        chunk = F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-        pieces.append(
-            sig.select("doc_id", "simhash", chunk.alias("chunk"), F.lit(b).alias("band"))
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
-    l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("ds"),
+        F.posexplode(chunks).alias("band", "chunk"),
+    )
+    buckets = banded.groupBy("band", "chunk").agg(
+        F.sort_array(F.collect_set("ds")).alias("ids")
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("l"), y.alias("r"))
+                ),
+            )
+        ),
+        lambda p: p["l"]["doc_id"] < p["r"]["doc_id"],
+    )
+    exploded = (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
         .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
+            F.col("p.l.doc_id").alias("a"),
+            F.col("p.r.doc_id").alias("b"),
+            F.bit_count(
+                F.col("p.l.simhash").bitwiseXOR(F.col("p.r.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+    return exploded.filter(F.col("hamming") <= max_hamming).select(
+        "a", "b", "hamming"
     )

@@ -406,7 +406,7 @@ def build_index(
     spark = docs.sparkSession
     t0 = time.time()
 
-    doc_meta = B.build_doc_meta(docs, cfg, doc_id_col, content_col, key_cols)
+    doc_meta = B.build_doc_meta_arrow(docs, cfg, doc_id_col, content_col, key_cols)
     doc_meta.write.mode(mode).parquet(f"{index_dir}/doc_meta")
     n_docs, avgdl, total_terms = B.collect_stats(
         spark.read.parquet(f"{index_dir}/doc_meta")

@@ -140,7 +140,7 @@ def stage_chunk(
     meta_dir = f"{index_dir}/staging/doc_meta/chunk={chunk_id}"
     frag_dir = f"{index_dir}/staging/fragments/chunk={chunk_id}"
 
-    meta = B.build_doc_meta(chunk_docs, cfg, doc_id_col, content_col, key_cols)
+    meta = B.build_doc_meta_arrow(chunk_docs, cfg, doc_id_col, content_col, key_cols)
     meta.write.mode("overwrite").parquet(meta_dir)
     n_docs = spark.read.parquet(meta_dir).count()
 

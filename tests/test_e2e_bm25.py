@@ -61,6 +61,28 @@ def test_doc_meta_matches_oracle(built, oracle_index):
         assert sha == oracle_index.content_sha256[doc_id]
 
 
+def test_doc_meta_arrow_equals_jvm(spark, docs_df):
+    """build_doc_meta (JVM HOF twin, SQL-checkable) and
+    build_doc_meta_arrow (hot path) must be row-identical — including
+    zero-token docs and the full analyzer-config grid."""
+    for cfg in (
+        CFG,
+        AnalyzerConfig(case_folding=False),
+        AnalyzerConfig(remove_stopwords=False),
+    ):
+        jvm = sorted(
+            map(tuple, B.build_doc_meta(
+                docs_df, cfg, key_cols=("repo", "path", "commit")
+            ).collect())
+        )
+        arrow = sorted(
+            map(tuple, B.build_doc_meta_arrow(
+                docs_df, cfg, key_cols=("repo", "path", "commit")
+            ).collect())
+        )
+        assert jvm == arrow
+
+
 def test_content_sha256_invariant(built, corpus):
     # per-row integrity (input_hint): recorded sha at generation time ==
     # sha recomputed by the Spark build
