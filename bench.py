@@ -84,6 +84,21 @@ def main() -> None:
         built["tokens"], built["n"], qdf, k=100, exact_float32=True).count())
     extras["bm25_topics_per_sec"] = round(len(topics) / timings["bm25_topk"], 2)
 
+    # --- materialized index + block-max WAND query path (the fast path) ---
+    import shutil as _sh
+    import tempfile as _tf
+
+    from search_engine_spark.postings import build_index, load_index
+    from search_engine_spark.wand import search_bm25
+
+    idx_tmp = _tf.mkdtemp(prefix="bench_idx_")
+    timed("index_materialize", lambda: build_index(
+        docs, f"{idx_tmp}/idx", doc_id_col="doc_id", content_col="text"))
+    index = load_index(spark, f"{idx_tmp}/idx")
+    timed("wand_topk", lambda: search_bm25(index, topics, k=100).count())
+    extras["wand_topics_per_sec"] = round(len(topics) / timings["wand_topk"], 2)
+    _sh.rmtree(idx_tmp, ignore_errors=True)
+
     # --- contract ops on the raw tables ---
     qcat = spark_queries()
     for name in ("dedup_exact", "minhash_lsh_pairs", "quality_scores", "ann_cosine_topk"):

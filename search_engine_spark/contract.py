@@ -322,6 +322,25 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (streaming/
+    incremental.sessionize_batch); timestamps emitted as epoch seconds
+    for cross-engine hash stability."""
+    from .streaming import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_batch(ev, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        "session_id",
+        F.unix_timestamp("session_start").cast("long").alias("session_start"),
+        F.unix_timestamp("session_end").cast("long").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 3).alias("sum_value"),
+    )
+
+
 def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ADPT (SURVEY.md §2 #22) — NOT SQL-expressible (per-term IG
     curve + k1 grid search with float quirks), so no oracle_sql entry:
@@ -738,6 +757,31 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_sessions(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_seconds}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 3) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def _sql_events_hourly() -> str:
     return """
 SELECT event_type,
@@ -776,6 +820,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "srp_ann_topk": q_srp_ann_topk,
         "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
         "bm25_adpt_topk": q_bm25_adpt_topk,
     }
 
@@ -804,6 +849,7 @@ def duckdb_oracles() -> dict[str, str]:
         "embedding_near_dup": _sql_embedding_near_dup(),
         "srp_ann_topk": _sql_srp_ann_topk(),
         "events_hourly": _sql_events_hourly(),
+        "sessions": _sql_sessions(),
         # bm25_adpt_topk: intentionally no SQL oracle (grid search + IG
         # truncation quirks are not SQL-expressible); rows-only check +
         # pytest float32 identity gate (tests/test_adpt.py)
