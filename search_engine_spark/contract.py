@@ -191,6 +191,17 @@ def q_df_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-stop-word detection (PrintStats, WriteableIndex.cs:102-152:
+    df > threshold and len <= 4) — the df histogram's actionable output,
+    feeding the salted-merge hot-term threshold (SURVEY.md §2 #15/#28).
+    Threshold scaled to the small corpus (reference uses 100,000)."""
+    df = B.term_document_frequency(_tokens(spark, sf_dir))
+    return df.filter(
+        (F.col("df") > 250) & (F.length("term") <= 4)
+    ).select("term", F.col("df").cast("long").alias("df"))
+
+
 def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generic window top-k: 5 longest docs per lang (tie: doc_id asc)
     docs = _docs(spark, sf_dir)
@@ -486,6 +497,14 @@ def _sql_df_hist() -> str:
     return (
         f"WITH {_sql_tokens_cte()}, d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term) "
         "SELECT df, CAST(COUNT(*) AS BIGINT) AS n_terms FROM d GROUP BY df"
+    )
+
+
+def _sql_hot_terms() -> str:
+    return (
+        f"WITH {_sql_tokens_cte()}, d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df"
+        " FROM tok GROUP BY term) "
+        "SELECT term, df FROM d WHERE df > 250 AND length(term) <= 4"
     )
 
 
@@ -807,6 +826,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and": q_boolean_and,
         "term_len_hist": q_term_len_hist,
         "df_hist": q_df_hist,
+        "hot_terms": q_hot_terms,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -836,6 +856,7 @@ def duckdb_oracles() -> dict[str, str]:
         "boolean_and": _sql_boolean_and(),
         "term_len_hist": _sql_term_len_hist(),
         "df_hist": _sql_df_hist(),
+        "hot_terms": _sql_hot_terms(),
         "top_docs_per_lang": _sql_top_docs_per_lang(),
         "dedup_exact": _sql_dedup_exact(),
         "fingerprint": _sql_fingerprint(),
