@@ -216,20 +216,44 @@ def term_document_frequency(tokens: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids(
-    docs: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    n_partitions: int | None = None,
 ) -> DataFrame:
-    """Add a deterministic dense doc_id ordered by the natural key.
+    """Add a deterministic dense doc_id = global rank over the natural key.
 
-    Deterministic across partition counts (required for rank-identity and
-    resumability).  Implementation is a global sort + zipWithIndex-style
-    window; at 10^12-doc scale prefer the 64-bit key hash + collision
-    ledger (segments.py) — dense ids are only needed where the reference's
-    docID order semantics must be reproduced exactly (tests, oracle parity).
+    Distributed two-pass (no single-partition global window, which would
+    funnel the whole table through one task at scale):
+      1. range-partition by key + sort within partitions — partitions are
+         key-ordered, so global rank = partition offset + local rank;
+      2. per-partition row_number (window PARTITIONED by pid — parallel);
+      3. offsets from a tiny per-pid count, broadcast-joined back.
+    The ids equal rank over the total key order for ANY range boundaries,
+    so the result is deterministic across partition counts (required for
+    rank-identity and resumability).  At 10^12 docs prefer
+    xxhash64(natural key) ids (see __main__.cmd_index) — dense ids are
+    only needed where the reference's docID-order semantics must be
+    reproduced exactly (tests, oracle parity).
     """
+    keys = [F.col(c) for c in key_cols]
+    n_partitions = n_partitions or max(docs.sparkSession.sparkContext.defaultParallelism, 2)
+    part = docs.repartitionByRange(n_partitions, *keys).sortWithinPartitions(*keys)
+    part = part.withColumn("__pid", F.spark_partition_id())
+
     from pyspark.sql import Window
 
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
-    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    w = Window.partitionBy("__pid").orderBy(*keys)
+    with_rn = part.withColumn("__rn", F.row_number().over(w).cast("long"))
+    counts = with_rn.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).cast("long")
+    ).select("__pid", "__off")
+    return (
+        with_rn.join(F.broadcast(offsets), "__pid")
+        .withColumn("doc_id", F.col("__off") + F.col("__rn") - 1)
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def build_all(

@@ -14,7 +14,7 @@ Declarative Spark plan for the reference's query hot path
           exact_float32=True  — float32 sequential fold in query-term order
               (bit-identical to the reference's Dictionary<int,float> sums,
                BM25Scorer.cs:57-64); implemented as sort_array(collect_list)
-              + a VECTORIZED pandas fold (np.add.accumulate, axis=1).
+              + a JVM aggregate() float32 fold (no Python in the query path).
           exact_float32=False — plain SUM in double (SQL-expressible; used
               for the DuckDB cross-checks, documented deviation).
       → top-k per topic: Window(topic) ORDER BY score desc, doc_id asc
@@ -33,8 +33,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
 
@@ -118,35 +116,16 @@ def _contributions_tfidf(
     )
 
 
-_FOLD_IN = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("term_pos", T.IntegerType()),
-            T.StructField("contrib", T.FloatType()),
-        ]
-    )
+# Sequential float32 fold in query-term order, entirely JVM-side:
+# Spark float arithmetic does NOT promote (float + float -> float), so
+# aggregate() over the term_pos-sorted contributions IS the reference's
+# Dictionary<int,float> accumulator (BM25Scorer.cs:57-64) — verified
+# bit-identical to a numpy float32 fold and to the pure-Python oracle.
+# Arrays have <= |query terms| elements, so the interpreted HOF cost is
+# negligible and the query path needs no Python workers at all.
+_FOLD_F32_EXPR = (
+    "aggregate(parts, cast(0.0 as float), (acc, x) -> cast(acc + x.contrib as float))"
 )
-
-
-@F.pandas_udf(T.FloatType())
-def _fold_f32(contribs: pd.Series) -> pd.Series:
-    """Sequential float32 accumulation of pre-sorted contribution arrays.
-
-    Vectorized across docs: pad ragged arrays with +0.0f (exact under IEEE
-    addition) into a matrix and np.add.accumulate along axis 1 — strictly
-    sequential per row, replicating the reference's float accumulator."""
-    if len(contribs) == 0:
-        return pd.Series([], dtype="float32")
-    arrs = [
-        np.asarray([c["contrib"] for c in row], dtype=np.float32)
-        for row in contribs
-    ]
-    width = max((len(a) for a in arrs), default=1) or 1
-    m = np.zeros((len(arrs), width), dtype=np.float32)
-    for i, a in enumerate(arrs):
-        m[i, : len(a)] = a
-    acc = np.add.accumulate(m, axis=1, dtype=np.float32)
-    return pd.Series(acc[:, -1], dtype="float32")
 
 
 def _accumulate(contrib: DataFrame, exact_float32: bool) -> DataFrame:
@@ -157,7 +136,7 @@ def _accumulate(contrib: DataFrame, exact_float32: bool) -> DataFrame:
             ).alias("parts")
         )
         return per_doc.select(
-            "topic_id", "doc_id", _fold_f32("parts").alias("score")
+            "topic_id", "doc_id", F.expr(_FOLD_F32_EXPR).alias("score")
         )
     return contrib.groupBy("topic_id", "doc_id").agg(
         F.sum("contrib").alias("score")

@@ -61,6 +61,29 @@ def test_doc_meta_matches_oracle(built, oracle_index):
         assert sha == oracle_index.content_sha256[doc_id]
 
 
+def test_assign_doc_ids_rank_and_invariance(spark, corpus):
+    """doc_id must equal the global rank over (repo, path, commit), for
+    any input partitioning and any range-partition count."""
+    base = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"]) for r in corpus],
+        schema="repo string, path string, commit string",
+    )
+    want = {
+        (r["repo"], r["path"], r["commit"]): i
+        for i, r in enumerate(
+            sorted(corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+        )
+    }
+    for in_parts, n_parts in ((1, 2), (7, 5), (3, 11)):
+        got = {
+            (r["repo"], r["path"], r["commit"]): r["doc_id"]
+            for r in B.assign_doc_ids(
+                base.repartition(in_parts), n_partitions=n_parts
+            ).collect()
+        }
+        assert got == want
+
+
 def test_doc_meta_arrow_equals_jvm(spark, docs_df):
     """build_doc_meta (JVM HOF twin, SQL-checkable) and
     build_doc_meta_arrow (hot path) must be row-identical — including
