@@ -172,3 +172,133 @@ def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[f
 
     rng = random.Random(seed)
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed cell search
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means centroids, DataFrame-only.
+
+    Init: the n_cells rows with the smallest xxhash64(id) — a seeded,
+    order-independent pseudo-random sample.  Each iteration broadcasts
+    the current centroids, assigns every vector to its nearest centroid
+    (JVM dot products), and recomputes means with one groupBy — the
+    classic scalable k-means loop (centroid table is tiny, data never
+    shuffles except the n_cells-key mean agg).  Empty cells keep their
+    previous centroid."""
+    init_rows = (
+        embeddings.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+    for _ in range(n_iters):
+        assigned = ivf_assign_cells(embeddings, centroids, id_col, vec_col)
+        means = (
+            assigned.join(embeddings.select(id_col, vec_col), id_col)
+            .groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                        for i in range(len(centroids[0]))
+                    ]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r["cell"]] = [float(x) for x in r["centroid"]]
+        centroids = new
+    return centroids
+
+
+def _nearest_cell(vec_col_name: str, centroids: list[list[float]]):
+    """Column: argmin over centroids of squared L2 distance (ties → lower
+    cell id).  dist² = |v|² - 2v·c + |c|²; |v|² is common → argmin of
+    (|c|² - 2v·c), all JVM expressions."""
+    best = None
+    for i, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        score = F.lit(c2) - 2.0 * _dot(F.col(vec_col_name), plane)
+        entry = F.struct(score.alias("d"), F.lit(i).alias("cell"))
+        best = entry if best is None else F.least(best, entry)
+    return best["cell"]
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid assignment (narrow, JVM-only)."""
+    return embeddings.select(
+        F.col(id_col).alias(id_col), _nearest_cell(vec_col, centroids).alias("cell")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k probing the query's n_probe nearest IVF cells.
+
+    The IVF twin of cosine_topk_srp: candidates = vectors in the
+    n_probe cells nearest each query (expected n·n_probe/n_cells per
+    query), scored exactly within the probed cells.  Recall rises with
+    n_probe; n_probe = n_cells degenerates to brute force."""
+    eb = ivf_assign_cells(embeddings, centroids, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(eb.withColumnRenamed(id_col, "vec_id"), "vec_id")
+
+    # per-query list of the n_probe nearest cells (tiny — built driver-free
+    # with a posexplode over per-cell distances)
+    cells = []
+    for i, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        cells.append(
+            F.struct(
+                (F.lit(c2) - 2.0 * _dot(F.col(vec_col), plane)).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    probed = F.slice(F.sort_array(F.array(*cells)), 1, n_probe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.transform(probed, lambda s: s["cell"])).alias("cell"),
+    )
+    cos = _dot(F.col("qvec"), F.col("vec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("vec"))
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -1,0 +1,120 @@
+"""Similarity-search gates: brute force as ground truth; SRP and IVF
+approximate paths checked for determinism, containment, and recall; the
+SRP-candidates → near-dup composition (the scale path)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import similarity as S
+
+DIM = 16
+N = 400
+K = 10
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = random.Random(7)
+    # 8 well-separated cluster centers + per-point noise → meaningful
+    # neighbor structure (uniform noise would make ANN recall vacuous)
+    centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(8)]
+    rows = []
+    for i in range(N):
+        c = centers[i % 8]
+        rows.append((i, [c[d] + rng.gauss(0, 0.15) for d in range(DIM)], i % 8))
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embs):
+    return embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def brute(embs, queries):
+    res = S.cosine_topk_bruteforce(embs, queries, k=K)
+    out = {}
+    for r in res.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_bruteforce_shape(brute):
+    assert len(brute) == 8
+    for rows in brute.values():
+        assert [r[0] for r in rows] == list(range(1, K + 1))
+        # scores non-increasing
+        cos = [r[2] for r in rows]
+        assert all(a >= b for a, b in zip(cos, cos[1:]))
+
+
+def test_srp_candidates_subset_and_recall(spark, embs, queries, brute):
+    planes = S.deterministic_planes(DIM, 4, seed=42)
+    res = S.cosine_topk_srp(embs, queries, planes, k=K)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    hits = total = 0
+    for qid, rows in brute.items():
+        truth = {v for _, v, _ in rows}
+        approx = {v for v, _ in got.get(qid, [])}
+        hits += len(truth & approx)
+        total += len(truth)
+    # clustered data + 16 buckets: the query's bucket holds its cluster
+    assert hits / total > 0.5
+
+
+def test_ivf_recall_and_determinism(spark, embs, queries, brute):
+    cents = S.ivf_train_centroids(embs, n_cells=8, n_iters=3)
+    cents2 = S.ivf_train_centroids(embs, n_cells=8, n_iters=3)
+    assert cents == cents2  # deterministic init + Lloyd
+
+    res = S.cosine_topk_ivf(embs, queries, cents, k=K, n_probe=2)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    hits = total = 0
+    for qid, rows in brute.items():
+        truth = {v for _, v, _ in rows}
+        approx = {v for v, _ in got.get(qid, [])}
+        hits += len(truth & approx)
+        total += len(truth)
+    assert hits / total > 0.8  # 8 trained cells on 8 true clusters, 2 probes
+
+    # probing ALL cells must recover brute force exactly
+    full = S.cosine_topk_ivf(embs, queries, cents, k=K, n_probe=8)
+    fgot = {}
+    for r in full.collect():
+        fgot.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, rows in brute.items():
+        assert sorted(fgot[qid]) == [(rk, v) for rk, v, _ in rows]
+
+
+def test_near_dup_via_srp_candidates(spark, embs):
+    """Scale-path composition: SRP buckets → candidate pairs → exact
+    cosine verification; every returned pair must also appear in the
+    exhaustive near-dup set at the same threshold."""
+    planes = S.deterministic_planes(DIM, 4, seed=1)
+    buckets = S.srp_buckets(embs, planes)
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cands = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+    )
+    approx = S.cosine_near_dup_pairs(embs, threshold=0.9, candidates=cands)
+    exact = S.cosine_near_dup_pairs(embs, threshold=0.9)
+    a_set = {(r["a"], r["b"]) for r in approx.collect()}
+    e_set = {(r["a"], r["b"]) for r in exact.collect()}
+    assert a_set <= e_set
+    assert len(e_set) > 0 and len(a_set) > 0
