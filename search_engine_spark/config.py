@@ -57,3 +57,8 @@ class IndexBuildConfig:
     # number of salt buckets for hot terms
     salt_buckets: int = 32
     shuffle_partitions: int = 32
+    # postings are directory-partitioned by pmod(md5-hash(term), term_buckets)
+    # so query-time term filters prune partitions instead of scanning the
+    # whole index; md5-based so drivers can compute bucket ids without a
+    # Spark job.  At cluster scale raise toward ~1 bucket per few GB.
+    term_buckets: int = 16

@@ -56,6 +56,7 @@ from .postings import (
     fragment_term_df,
     pack_postings,
     posting_fragments,
+    write_postings_bucketed,
 )
 
 LEDGER_SCHEMA = (
@@ -192,7 +193,9 @@ def _finalize(
     postings = pack_postings(
         fragments, term_df, n_docs, avgdl, params, build_cfg.block_size
     )
-    postings.write.mode("overwrite").parquet(f"{index_dir}/postings")
+    write_postings_bucketed(
+        postings, f"{index_dir}/postings", build_cfg.term_buckets, "overwrite"
+    )
 
     spark.createDataFrame(
         [(n_docs, float(avgdl), total_terms)],
@@ -203,6 +206,7 @@ def _finalize(
         "analyzer": build_cfg.analyzer.to_dict(),
         "bm25": {"k1": params.k1, "k3": params.k3, "b": params.b},
         "block_size": build_cfg.block_size,
+        "term_buckets": build_cfg.term_buckets,
         "version": 1,
         "resumable": True,
     }

@@ -212,7 +212,16 @@ def search_bm25(
             [], schema="topic_id int, rank int, doc_id long, score float"
         )
 
-    matched = index["postings"].filter(F.col("term").isin(list(all_terms)))
+    matched = index["postings"]
+    n_buckets = (index.get("manifest") or {}).get("term_buckets")
+    if n_buckets and "term_bucket" in matched.columns:
+        # directory-partition pruning: only the query terms' bucket dirs
+        # are listed/read — <=|query| of term_buckets slices of the index
+        from .postings import term_bucket_py
+
+        buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+        matched = matched.filter(F.col("term_bucket").isin(buckets))
+    matched = matched.filter(F.col("term").isin(list(all_terms)))
     # co-locate each segment's blocks in one task
     matched = matched.repartition("segment_id")
 

@@ -96,6 +96,8 @@ def main() -> int:
     p = plan_of(res)
     print("== wand search ==")
     check("wand: term filter pushed to scan", "PushedFilters: [In(term" in p)
+    check("wand: term-bucket partition pruning",
+          "PartitionFilters: [" in p and "term_bucket" in p.split("PartitionFilters")[1][:200])
     check("wand: postings scan prunes encoded cols only as needed",
           "doc_lens_enc" in p)  # full block decode requires the enc cols
 
