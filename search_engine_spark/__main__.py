@@ -56,8 +56,17 @@ def cmd_index(args: argparse.Namespace) -> None:
     from .resume import resumable_build
 
     spark = _get_spark("se-spark-index")
-    docs = spark.read.parquet(args.documents)
     key_cols = tuple(c for c in (args.key_cols or "").split(",") if c)
+    if args.format == "trec":
+        # the reference's native input: directory of TREC SGML files
+        # (Indexer.cs:32, Parser.cs:14-110)
+        from .sources import read_trec_sgml
+
+        docs = read_trec_sgml(spark, args.documents)
+        key_cols = key_cols or ("doc_key",)
+        args.content_col = "content"
+    else:
+        docs = spark.read.parquet(args.documents)
     if args.doc_id_col not in docs.columns:
         # input_hint shape (repo, path, commit, lang, content): derive a
         # deterministic 64-bit id from the natural key
@@ -149,6 +158,7 @@ def main(argv: list[str] | None = None) -> None:
     ix = sub.add_parser("index", help="build (or resume) an index")
     ix.add_argument("documents", help="parquet path of the documents table")
     ix.add_argument("index_dir")
+    ix.add_argument("--format", choices=["parquet", "trec"], default="parquet")
     ix.add_argument("--options", default=None,
                     help="CaseFolding,RemoveStopWords,DoStemming | none")
     ix.add_argument("--chunks", type=int, default=8)

@@ -124,15 +124,23 @@ def build_doc_meta(
     token stream — a narrow second scan is far cheaper at scale than a
     doc_id-keyed shuffle of ~200 token rows per document.
     """
-    if key_cols:
-        key_expr = F.concat_ws("@", F.concat_ws("/", *[F.col(c) for c in key_cols[:-1]]), F.col(key_cols[-1]))
-    else:
-        key_expr = F.col(doc_id_col).cast("string")
     return docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
-        key_expr.alias("doc_key"),
+        _doc_key_expr(doc_id_col, key_cols).alias("doc_key"),
         doc_len_expr(content_col, cfg).alias("doc_len"),
         F.sha2(F.col(content_col).cast("binary"), 256).alias("content_sha256"),
+    )
+
+
+def _doc_key_expr(doc_id_col: str, key_cols: tuple[str, ...]):
+    """doc_key = 'a/b@c' for (a, b, c), the bare column for one key col,
+    stringified doc_id when no key cols are given (SURVEY.md §1.1)."""
+    if not key_cols:
+        return F.col(doc_id_col).cast("string")
+    if len(key_cols) == 1:
+        return F.col(key_cols[0]).cast("string")
+    return F.concat_ws(
+        "@", F.concat_ws("/", *[F.col(c) for c in key_cols[:-1]]), F.col(key_cols[-1])
     )
 
 
@@ -162,15 +170,9 @@ def build_doc_meta_arrow(
     (allocation/GC-bound), while the Arrow pass scales with the scan."""
     cfg = cfg or AnalyzerConfig()
     cfg_dict = cfg.to_dict()
-    if key_cols:
-        key_expr = F.concat_ws(
-            "@", F.concat_ws("/", *[F.col(c) for c in key_cols[:-1]]), F.col(key_cols[-1])
-        )
-    else:
-        key_expr = F.col(doc_id_col).cast("string")
     narrow = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
-        key_expr.alias("doc_key"),
+        _doc_key_expr(doc_id_col, key_cols).alias("doc_key"),
         F.col(content_col).alias("content"),
     )
 

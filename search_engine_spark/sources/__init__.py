@@ -1,0 +1,5 @@
+"""Input sources beyond the parquet/Iceberg documents table."""
+
+from .trec import parse_trec_text, read_trec_sgml
+
+__all__ = ["parse_trec_text", "read_trec_sgml"]

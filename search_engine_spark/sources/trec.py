@@ -1,0 +1,81 @@
+"""TREC SGML document source — the reference engine's native input.
+
+The reference walks a directory tree and runs a byte state machine per
+file extracting (docno, content) per <DOC> record
+(/root/reference/src/Indexing/Indexer.cs:32, src/Indexing/Parser.cs:14-110):
+docno = ASCII between <DOCNO> and </DOCNO>, whitespace-trimmed
+(Parser.cs:70); content = the bytes after </DOCNO> up to </DOC>.
+
+Spark-first restatement: `spark.read.text` with lineSep="</DOC>" splits
+the byte stream into one row per record — Hadoop's record reader handles
+arbitrary record boundaries, so huge files split across tasks and the
+whole corpus parses as a narrow, fully parallel scan (no whole-file
+reads, no Python).  Fields are then pulled with JVM regexes.
+
+Replicated quirk: Parser.cs:98 computes content length as
+`i - start - len("</DOC>")` with `i` sitting ON the final '>' — one byte
+short of the gap between </DOCNO> and </DOC>, so the LAST character
+before </DOC> (virtually always a newline) is dropped from every
+document.  We reproduce that byte-for-byte; parse_trec_text is the
+pure-Python twin used by the tests.
+
+Documented deviation: the reference's naive token matcher resets to
+offset 0 on mismatch without re-testing the current byte (so pathological
+sequences like "<<DOCNO>" miss the tag); we use standard substring
+search, which only differs on malformed inputs no TREC corpus contains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_DOCNO_RE = r"(?s)<DOCNO>(.*?)</DOCNO>"
+_CONTENT_RE = r"(?s)</DOCNO>(.*)"
+
+
+def read_trec_sgml(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of TREC SGML files → (doc_key, content, source_file).
+
+    One row per <DOC> record; records without a <DOCNO> are dropped
+    (the reference never emits a document before seeing one)."""
+    raw = (
+        spark.read.option("lineSep", "</DOC>")
+        .text(path)
+        .select(
+            F.col("value"),
+            F.input_file_name().alias("source_file"),
+        )
+        .filter(F.col("value").contains("</DOCNO>"))
+    )
+    docno = F.regexp_replace(
+        F.regexp_extract(F.col("value"), _DOCNO_RE, 1), r"^\s+|\s+$", ""
+    )
+    body = F.regexp_extract(F.col("value"), _CONTENT_RE, 1)
+    # Parser.cs:98 off-by-one: drop the final char before </DOC>
+    content = F.substring(body, 1, F.length(body) - 1)
+    return raw.select(
+        docno.alias("doc_key"),
+        content.alias("content"),
+        "source_file",
+    )
+
+
+def parse_trec_text(text: str) -> list[tuple[str, str]]:
+    """Pure-Python twin of read_trec_sgml (and of Parser.cs:14-110):
+    [(docno, content)] in file order, with the same trailing-byte quirk."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while True:
+        end = text.find("</DOC>", pos)
+        if end < 0:
+            break
+        record = text[pos:end]
+        pos = end + len("</DOC>")
+        ns = record.find("<DOCNO>")
+        ne = record.find("</DOCNO>", ns + len("<DOCNO>")) if ns >= 0 else -1
+        if ns < 0 or ne < 0:
+            continue
+        docno = record[ns + len("<DOCNO>"): ne].strip()
+        body = record[ne + len("</DOCNO>"):]
+        out.append((docno, body[:-1] if body else body))
+    return out

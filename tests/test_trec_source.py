@@ -1,0 +1,89 @@
+"""TREC SGML source gates: Spark reader ≡ pure-Python twin, quirk parity,
+multi-file end-to-end into the index build."""
+
+import os
+
+import pytest
+
+from search_engine_spark import build as B
+from search_engine_spark.sources import parse_trec_text, read_trec_sgml
+
+SAMPLE = """<DOC>
+<DOCNO> FBIS3-1 </DOCNO>
+<TEXT>
+first document body
+</TEXT>
+</DOC>
+<DOC>
+<DOCNO>
+  LA010189-0001
+</DOCNO>
+second body, with <em>tags</em> and  spacing
+</DOC>
+<DOC>
+<DOCNO>X</DOCNO>x</DOC>
+"""
+
+
+def test_parse_trec_text_semantics():
+    docs = parse_trec_text(SAMPLE)
+    assert [d for d, _ in docs] == ["FBIS3-1", "LA010189-0001", "X"]
+    # content = after </DOCNO> up to </DOC> MINUS the last char (Parser.cs:98)
+    assert docs[0][1] == "\n<TEXT>\nfirst document body\n</TEXT>"
+    assert docs[1][1] == "\nsecond body, with <em>tags</em> and  spacing"
+    assert docs[2][1] == ""  # single-char body loses its only char
+
+
+def test_spark_reader_matches_python(spark, tmp_path, corpus):
+    """Round-trip the fixture corpus through TREC files split over 3
+    files; the Spark reader must agree with the pure-Python twin on
+    every (docno, content)."""
+    files = []
+    for fi in range(3):
+        rows = corpus[fi::3]
+        text = "".join(
+            f"<DOC>\n<DOCNO> doc-{fi}-{i} </DOCNO>\n{r['content']}\n</DOC>\n"
+            for i, r in enumerate(rows)
+        )
+        p = str(tmp_path / f"part{fi}.sgml")
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        files.append(p)
+
+    want = {}
+    for p in files:
+        with open(p, encoding="utf-8") as fh:
+            for docno, content in parse_trec_text(fh.read()):
+                want[docno] = content
+
+    got = {
+        r["doc_key"]: r["content"]
+        for r in read_trec_sgml(spark, str(tmp_path)).collect()
+    }
+    assert got == want and len(got) == len(corpus)
+
+
+def test_trec_to_index_end_to_end(spark, tmp_path, corpus):
+    """TREC files → read_trec_sgml → doc ids → tokens: doc_len of each
+    doc matches tokenizing the same content directly."""
+    rows = corpus[:30]
+    text = "".join(
+        f"<DOC>\n<DOCNO>d{i}</DOCNO>\n{r['content']}\n</DOC>\n"
+        for i, r in enumerate(rows)
+    )
+    p = str(tmp_path / "corpus.sgml")
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write(text)
+
+    docs = read_trec_sgml(spark, p)
+    docs = B.assign_doc_ids(docs, key_cols=("doc_key",))
+    meta = B.build_doc_meta_arrow(docs, key_cols=("doc_key",))
+    got = {r["doc_key"]: r["doc_len"] for r in meta.collect()}
+
+    from search_engine_spark.analysis import tokenize_doc
+    from search_engine_spark.config import AnalyzerConfig
+
+    for i, r in enumerate(rows):
+        body = f"\n{r['content']}\n"[:-1]  # reader quirk: trailing char dropped
+        want = len(tokenize_doc(body, AnalyzerConfig()))
+        assert got[f"d{i}"] == want
