@@ -128,7 +128,10 @@ def main() -> None:
         rep = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "400"))
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
         hi = lo * 4
-        n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        # best-of-4: the sandbox host is noisy (identical configs measured
+        # 6.9s and 8.6s across bench invocations); min is the least-biased
+        # throughput estimator under one-sided contention noise
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
         tmp = tempfile.mkdtemp(prefix="bench_scale_")
         big_path = f"{tmp}/documents_big.parquet"
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
