@@ -146,16 +146,35 @@ def ngram_jaccard_pairs(
     """(a, b, jaccard) for pairs with shingle-Jaccard >= threshold.
 
     jaccard = |A ∩ B| / |A ∪ B| over distinct shingles, computed exactly:
-    intersection via shingle join, union via |A|+|B|-∩.  When `candidates`
-    is given (from LSH), only those pairs are verified — at scale, ALWAYS
-    pass candidates; the bare all-pairs shingle join is for small slices.
-    jaccard is an exact rational of two ints — no float drift."""
+    intersection counted per shared shingle, union via |A|+|B|-∩.  When
+    `candidates` is given (from LSH), only those pairs are verified — at
+    scale, ALWAYS pass candidates; the bare all-pairs form is for small
+    slices.  jaccard is an exact rational of two ints — no float drift.
+
+    Physical form: groupBy(shingle) + in-bucket pair explode (one
+    evaluation of the shingle subtree feeding the pair counts) rather
+    than a shingle-keyed SELF-JOIN that would evaluate it once per side;
+    the pair-count output is identical."""
     sh = shingles_df(df, text_col, id_col, width)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    l, r = sh.alias("l"), sh.alias("r")
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     inter = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("n_inter"))
     )
     if candidates is not None:

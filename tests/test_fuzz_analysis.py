@@ -1,0 +1,105 @@
+"""Property-based fuzz: the four restatements of the analyzer must agree
+on ANY input — pure-Python (oracle), pandas, Arrow kernels, and the
+doc-level Arrow counter.  (The JVM doc_len_expr twin is covered against
+pandas in test_analysis; here we fuzz the Python-side trio, which the
+Spark hot paths actually execute.)
+"""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from search_engine_spark.analysis import (
+    analyze_arrow,
+    analyze_frame,
+    doc_stats_arrow,
+    tokenize_doc,
+    tokenize_query,
+)
+from search_engine_spark.config import AnalyzerConfig
+
+import pandas as pd
+
+# text mixing: ordinary words, every split char, tags, stopwords, digits,
+# unicode (incl. multi-byte + surrogate-adjacent), control bytes, and
+# oversized tokens
+_piece = st.sampled_from(
+    list("abcXYZ019 \t\n.,;:=?/<>-_'\"()!#$%&*+@[]{}|~^")
+    + ["ü", "ß", "文", "🙂", "\x00", "\x1f"]
+    + ["the", "page", "x" * 120, "<tag>", "</tag>", "ponies", "running"]
+)
+_weird = st.lists(_piece, max_size=40).map("".join)
+
+CFGS = [
+    AnalyzerConfig(),
+    AnalyzerConfig(do_stemming=False),
+    AnalyzerConfig(case_folding=False, remove_stopwords=False, do_stemming=False),
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts=st.lists(_weird, min_size=0, max_size=5), cfg_i=st.integers(0, 2))
+def test_four_restatements_agree(texts, cfg_i):
+    cfg = CFGS[cfg_i]
+    doc_ids = list(range(len(texts)))
+
+    # ground truth: pure-Python oracle tokenizer, per doc
+    want_tf = {}
+    want_len = {}
+    for i, t in enumerate(texts):
+        toks = tokenize_doc(t, cfg)
+        want_len[i] = len(toks)
+        for tok in toks:
+            want_tf[(i, tok)] = min(want_tf.get((i, tok), 0) + 1, 65535)
+
+    # pandas restatement
+    pdf = analyze_frame(pd.Series(doc_ids), pd.Series(texts, dtype=object), cfg)
+    got_pd = {
+        (int(r.doc_id), r.term): int(r.tf) for r in pdf.itertuples(index=False)
+    }
+    assert got_pd == want_tf
+
+    # arrow restatement (token-level, with per-row doc_len)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "content"],
+    )
+    ab = analyze_arrow(batch, cfg)
+    got_ar = {}
+    lens_ar = {}
+    for i in range(ab.num_rows):
+        d = ab.column("doc_id")[i].as_py()
+        got_ar[(d, ab.column("term")[i].as_py())] = ab.column("tf")[i].as_py()
+        lens_ar[d] = ab.column("doc_len")[i].as_py()
+    assert got_ar == want_tf
+    for d, n in lens_ar.items():
+        assert n == want_len[d]
+
+    # doc-level arrow counter (keeps zero-token docs)
+    sb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, pa.int64()),
+            pa.array([str(i) for i in doc_ids], pa.string()),
+            pa.array(texts, pa.string()),
+        ],
+        names=["doc_id", "doc_key", "content"],
+    )
+    ds = doc_stats_arrow(sb, cfg)
+    assert ds.num_rows == len(texts)
+    for i in range(ds.num_rows):
+        d = ds.column("doc_id")[i].as_py()
+        assert ds.column("doc_len")[i].as_py() == want_len[d]
+
+
+@settings(max_examples=80, deadline=None)
+@given(text=_weird)
+def test_query_tokenizer_properties(text):
+    cfg = AnalyzerConfig()
+    terms = tokenize_query(text, cfg)
+    seen = [t for t, _ in terms]
+    assert len(seen) == len(set(seen))  # unique, first-seen order
+    assert all(q >= 1 for _, q in terms)
+    total = sum(q for _, q in terms)
+    # rerunning is deterministic
+    assert tokenize_query(text, cfg) == terms
+    assert total >= len(terms)
