@@ -141,6 +141,66 @@ def test_windowed_counts_stream_matches_batch(spark, events_df, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_watermark_append_mode_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark, driven in three
+    availableNow passes over a growing directory:
+      1. early events (10:xx) arrive → nothing emits (windows still open);
+      2. events at 20:00 advance the watermark past the early windows →
+         the 10:xx windows flush to the sink; the 20:00 window stays open;
+      3. stragglers back at 10:xx arrive BEHIND the watermark → dropped,
+         sink unchanged (the late-data contract)."""
+    import pyspark.sql.types as T
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "wm_ckpt")
+    out_rows = {}
+    base = dt.datetime(2026, 1, 2, 10, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def _land(name, rows):
+        df = spark.createDataFrame(rows, schema=schema)
+        stage = str(tmp_path / f"wm_stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(pf, f"{src}/{name}.parquet")
+
+    sink = str(tmp_path / "wm_sink")
+
+    def _run(_qname):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            rows = spark.read.parquet(sink).collect()
+        except Exception:
+            rows = []
+        return sorted(
+            (r["event_type"], r["window_start"].hour, r["n_events"]) for r in rows
+        )
+
+    _land("a", [(1, base, 1, "click", 1.0),
+                (2, base + dt.timedelta(minutes=20), 1, "click", 1.0),
+                (3, base + dt.timedelta(minutes=70), 2, "view", 2.0)])
+    assert _run("wm1") == []  # windows open; append emits nothing yet
+
+    _land("b", [(4, base + dt.timedelta(hours=10), 3, "buy", 5.0)])
+    flushed = _run("wm2")
+    # watermark now ~19:00 → both 10:xx/11:xx windows finalized; 20:00 open
+    assert flushed == [("click", 10, 2), ("view", 11, 1)]
+
+    _land("c", [(5, base + dt.timedelta(minutes=5), 9, "click", 1.0)])  # too late
+    assert _run("wm3") == flushed  # dropped behind the watermark
+
+
 def test_running_user_counts_stateful(spark, events_df, tmp_path):
     """applyInPandasWithState across forced multi-batch input: the last
     update per key must equal the batch groupBy totals."""
