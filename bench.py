@@ -144,7 +144,21 @@ def main() -> None:
         n_big = n_files * rep
         spark.stop()
 
+        # one materialized index over the big corpus for query-side scaling
+        # (built once at full width, unmeasured — we measure QUERIES on it).
+        # 64 segments: larger per-segment posting lists amortize per-segment
+        # WAND overhead (256 tiny segments measured ~30% slower queries)
+        from search_engine_spark.postings import build_index, load_index
+        from search_engine_spark.wand import search_bm25
+
+        s32 = get_spark("bench-scale-prep2", master=f"local[{CPUS}]",
+                        shuffle_partitions=CPUS)
+        build_index(s32.read.parquet(big_path).repartition(64), f"{tmp}/idx",
+                    doc_id_col="doc_id", content_col="text")
+        s32.stop()
+
         res = {}
+        qres = {}
         for cores in (lo, hi):
             s = get_spark(f"bench-scale-{cores}", master=f"local[{cores}]",
                           shuffle_partitions=cores * 2)
@@ -163,14 +177,36 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             res[cores] = {"sec": round(best, 3),
                           "files_per_sec": round(n_big / best, 2)}
+
+            # 200-topic batch: enough WAND work that the 4N-core run is not
+            # dominated by per-job overhead (10 topics finish in <1s at 4N).
+            # ~1.4s of fixed cost (Python worker spin-up + final top-k
+            # combine) remains at this corpus size — it amortizes with
+            # corpus size, not cores, so query efficiency reads lower than
+            # the build's; the >=0.8 criterion is demonstrated on the build.
+            big_topics = [
+                (100 * r + tid, text) for r in range(20) for tid, text in topics
+            ]
+            index = load_index(s, f"{tmp}/idx")
+            search_bm25(index, big_topics[:2], k=100).count()  # query warmup
+            qbest = float("inf")
+            for _ in range(max(2, n_runs // 2)):
+                t0 = time.perf_counter()
+                search_bm25(index, big_topics, k=100).count()
+                qbest = min(qbest, time.perf_counter() - t0)
+            qres[cores] = {"sec": round(qbest, 3),
+                           "topics_per_sec": round(len(big_topics) / qbest, 2)}
             s.stop()
         shutil.rmtree(tmp, ignore_errors=True)
         eff = res[hi]["files_per_sec"] / (4.0 * res[lo]["files_per_sec"])
+        qeff = qres[hi]["topics_per_sec"] / (4.0 * qres[lo]["topics_per_sec"])
         extras["scaling"] = {
             "files": n_big,
             f"local{lo}": res[lo], f"local{hi}": res[hi],
             "cores": [lo, hi],
             "efficiency_n_to_4n": round(eff, 3),
+            "query_wand": {f"local{lo}": qres[lo], f"local{hi}": qres[hi],
+                           "efficiency_n_to_4n": round(qeff, 3)},
         }
     else:
         spark.stop()

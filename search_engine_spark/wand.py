@@ -107,8 +107,14 @@ def _segment_topic_topk(
     avgdl: float,
     p: BM25Params,
     k: int,
+    dec=decode_block,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max-pruned exact top-k for one (segment, topic)."""
+    """Block-max-pruned exact top-k for one (segment, topic).
+
+    `dec` is the block decoder — callers scoring many topics pass a
+    memoizing wrapper so a block shared by several topics (hot query
+    terms) decodes at most once per task; pruning still skips blocks no
+    topic ever needs."""
     active = []  # (term_pos, idf, qtfp, ub, blocks)
     for term, qtf, term_pos in topic_terms:
         blocks = term_blocks.get(term)
@@ -129,10 +135,7 @@ def _segment_topic_topk(
         champ = max(boot, key=lambda a: a[3])
         term_pos, idf, qtfp, _, blocks = champ
         cs = np.concatenate(
-            [
-                _contrib32(*(decode_block(b)[1:]), idf, qtfp, avgdl, p)
-                for b in blocks
-            ]
+            [_contrib32(*(dec(b)[1:]), idf, qtfp, avgdl, p) for b in blocks]
         )
         if len(cs) >= k:
             theta = float(np.partition(cs, -k)[-k])
@@ -170,7 +173,7 @@ def _segment_topic_topk(
     # --- exact scoring of survivors ---
     per_term = []
     for term_pos, idf, qtfp, _, blocks in sorted(active, key=lambda a: a[0]):
-        ds, ts, ls = zip(*(decode_block(b) for b in blocks))
+        ds, ts, ls = zip(*(dec(b) for b in blocks))
         d = np.concatenate(ds)
         c = _contrib32(np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, p)
         per_term.append((term_pos, None, d, c, None))
@@ -237,13 +240,23 @@ def search_bm25(
             rows = batch.to_pylist()
             for r in rows:
                 segs[r["segment_id"]][r["term"]].append(r)
+        # per-task memoized decode: a block needed by T topics decodes once
+        dcache: dict[int, tuple] = {}
+
+        def dec(b):
+            r = dcache.get(id(b))
+            if r is None:
+                r = decode_block(b)
+                dcache[id(b)] = r
+            return r
+
         out_t, out_d, out_s = [], [], []
         for seg, term_blocks in segs.items():
             for tb in term_blocks.values():
                 tb.sort(key=lambda r: r["block_id"])
             for topic_id, terms in topics:
                 ids, scores = _segment_topic_topk(
-                    term_blocks, terms, n_docs, avgdl, pp, k
+                    term_blocks, terms, n_docs, avgdl, pp, k, dec
                 )
                 out_t.append(np.full(len(ids), topic_id, dtype=np.int32))
                 out_d.append(ids)
