@@ -1,9 +1,18 @@
 """Text analysis operators: token counting, quality scoring, language ID,
 document fingerprinting.
 
-All pure DataFrame/SQL expressions (JVM-side, whole-stage codegen) — no
-Python in the hot path.  Designed to run over trillions of rows: every
+All pure DataFrame/SQL expressions (JVM-side) — no Python, and every
 operator is a narrow map or a single partial-aggregating shuffle.
+
+Scale caveat: the lambda-based higher-order functions here (filter/
+aggregate over token arrays) are interpreted, not codegen'd, and are
+allocation-bound — measured flat-to-negative core scaling past ~8
+threads on multi-million-row inputs (see BASELINE.md).  They are the
+right tool for SQL-checkable per-document statistics; for the INDEX
+build hot path the same counting semantics run as pyarrow kernels
+instead (analysis.doc_stats_arrow / build.build_doc_meta_arrow), and a
+pipeline computing these stats over a full 100 TB corpus should follow
+that pattern (an Arrow twin per stat is a mechanical port).
 """
 
 from __future__ import annotations

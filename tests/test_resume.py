@@ -84,6 +84,40 @@ def test_interrupt_resume_identity(spark, docs_df, tmp_path):
     )
 
 
+def test_wand_on_resumed_index_matches_dataframe_path(spark, docs_df, tmp_path):
+    """Close the loop: a crash-resumed, chunked, term-bucketed index must
+    answer WAND top-k rank- AND float32-score-identically to the
+    DataFrame oracle path over freshly analyzed tokens."""
+    from search_engine_spark import build as B, query as Q
+    from search_engine_spark.config import BM25Params
+    from search_engine_spark.wand import search_bm25
+
+    index_dir = str(tmp_path / "widx")
+    with pytest.raises(RuntimeError):
+        resumable_build(docs_df, index_dir, n_chunks=3,
+                        key_cols=("repo", "path", "commit"), fail_after_chunks=1)
+    resumable_build(docs_df, index_dir, n_chunks=3,
+                    key_cols=("repo", "path", "commit"))
+
+    index = load_index(spark, index_dir)
+    queries = [(1, "merge index stream"), (2, "import return"), (3, "token rank")]
+    got = sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"])
+        for r in search_bm25(index, queries, k=15).collect()
+    )
+
+    tokens = B.analyze_tokens(docs_df, CFG, "doc_id", "content")
+    qdf = Q.queries_to_df(spark, queries, CFG)
+    want = sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"])
+        for r in Q.score_bm25(
+            tokens, index["n_docs"], index["avg_doc_len"], qdf,
+            BM25Params(), k=15, exact_float32=True,
+        ).collect()
+    )
+    assert got == want and len(want) > 20
+
+
 def test_ledger_lineage_and_metrics(spark, docs_df, tmp_path):
     index_dir = str(tmp_path / "idx")
     resumable_build(
