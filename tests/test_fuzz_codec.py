@@ -1,0 +1,54 @@
+"""Property-based fuzz for the delta+varint block codec: round-trip
+identity over the full uint64 domain, varint width edges (7-bit
+boundaries), huge gaps, empty/single blocks, and encoding-size sanity."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from search_engine_spark.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+
+# values hugging every 7-bit varint width boundary, plus the extremes
+_edges = [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**32 - 1,
+          2**32, 2**63 - 1, 2**63, 2**64 - 1]
+_val = st.one_of(
+    st.sampled_from(_edges),
+    st.integers(min_value=0, max_value=2**64 - 1),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vals=st.lists(_val, max_size=64))
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    enc = varint_encode(arr)
+    dec = varint_decode(enc, len(vals))
+    assert dec.dtype == np.uint64 and list(dec) == vals
+    # LEB128 size law: ceil(bitlen/7) bytes per value, min 1
+    expect = sum(max(1, (int(v).bit_length() + 6) // 7) for v in vals)
+    assert len(enc) == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    start=st.integers(min_value=0, max_value=2**62),
+    gaps=st.lists(st.integers(min_value=1, max_value=2**40), max_size=64),
+)
+def test_delta_roundtrip(start, gaps):
+    vals = np.cumsum([start] + gaps).astype(np.uint64)
+    first, enc = delta_encode(vals)
+    dec = delta_decode(first, enc, len(vals))
+    assert first == start and list(dec) == list(vals)
+
+
+def test_empty_and_single():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert list(varint_decode(b"", 0)) == []
+    f, enc = delta_encode(np.array([], dtype=np.uint64))
+    assert (f, enc) == (0, b"")
+    f, enc = delta_encode(np.array([42], dtype=np.uint64))
+    assert f == 42 and enc == b"" and list(delta_decode(f, enc, 1)) == [42]
