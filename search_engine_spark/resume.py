@@ -268,6 +268,26 @@ def resumable_build(
     spark = docs.sparkSession
     cexpr = chunk_expr or f"pmod(xxhash64(cast({doc_id_col} as long)), {n_chunks})"
 
+    # chunking-plan guard: resuming with a different chunk universe than
+    # the one staged chunks were built under would double-count or drop
+    # documents silently — pin (n_chunks, chunk_expr) on first run and
+    # refuse mismatched resumes.
+    plan_path = os.path.join(index_dir, "staging_plan.json")
+    plan = {"n_chunks": n_chunks, "chunk_expr": cexpr}
+    if os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            prev = json.load(fh)
+        if prev != plan:
+            raise ValueError(
+                f"resume chunking mismatch: index was staged with {prev}, "
+                f"this invocation uses {plan}; pass the original n_chunks/"
+                "chunk_expr or use a fresh index_dir"
+            )
+    else:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(plan_path, "w") as fh:
+            json.dump(plan, fh)
+
     done = completed_chunks(spark, index_dir)
     t0 = time.time()
     built = 0

@@ -141,6 +141,22 @@ def test_rerun_completed_build_is_noop_chunks(spark, docs_df, tmp_path):
     assert m["chunks_built"] == 0 and m["chunks_skipped"] == 2
 
 
+def test_resume_with_changed_chunking_refused(spark, docs_df, tmp_path):
+    """Resuming with a different chunk universe would double-count or
+    drop docs — must refuse loudly instead."""
+    index_dir = str(tmp_path / "idx3")
+    with pytest.raises(RuntimeError):
+        resumable_build(docs_df, index_dir, n_chunks=4,
+                        key_cols=("repo", "path", "commit"), fail_after_chunks=1)
+    with pytest.raises(ValueError, match="chunking mismatch"):
+        resumable_build(docs_df, index_dir, n_chunks=8,
+                        key_cols=("repo", "path", "commit"))
+    # the original plan still resumes fine
+    m = resumable_build(docs_df, index_dir, n_chunks=4,
+                        key_cols=("repo", "path", "commit"))
+    assert m["chunks_skipped"] == 1 and m["chunks_built"] == 3
+
+
 # --- topic parsing + TREC run sink (operators #18/#26) ---
 
 TREC_SAMPLE = """<top>
