@@ -333,6 +333,53 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family, absent from the
+    reference — SURVEY.md §2.16): doc counts + char sums per (lang,
+    source), per lang, and grand total, with GROUPING_ID disambiguating
+    rollup NULLs."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id("lang", "source").cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (EXCEPT, absent from the reference —
+    §2.16): doc ids dropped by exact dedup = all ids EXCEPT survivors."""
+    docs = _docs(spark, sf_dir)
+    survivors = D.dedup_exact_keep_first(docs, "text", "doc_id")
+    return docs.select("doc_id").exceptAll(survivors.select("doc_id"))
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (absent from the reference — §2.16): pull
+    props.k out of the JSON payload and aggregate it per event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (streaming/
     incremental.sessionize_batch); timestamps emitted as epoch seconds
@@ -776,6 +823,35 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_lang_source_rollup() -> str:
+    return """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def _sql_dedup_dropped() -> str:
+    return """
+SELECT doc_id FROM documents
+EXCEPT ALL
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def _sql_events_json() -> str:
+    return """
+SELECT event_type,
+       CAST(COUNT(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def _sql_sessions(gap_seconds: int = 1800) -> str:
     return f"""
 WITH o AS (
@@ -841,6 +917,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "lang_source_rollup": q_lang_source_rollup,
+        "dedup_dropped": q_dedup_dropped,
+        "events_json": q_events_json,
         "bm25_adpt_topk": q_bm25_adpt_topk,
     }
 
@@ -871,6 +950,9 @@ def duckdb_oracles() -> dict[str, str]:
         "srp_ann_topk": _sql_srp_ann_topk(),
         "events_hourly": _sql_events_hourly(),
         "sessions": _sql_sessions(),
+        "lang_source_rollup": _sql_lang_source_rollup(),
+        "dedup_dropped": _sql_dedup_dropped(),
+        "events_json": _sql_events_json(),
         # bm25_adpt_topk: intentionally no SQL oracle (grid search + IG
         # truncation quirks are not SQL-expressible); rows-only check +
         # pytest float32 identity gate (tests/test_adpt.py)
