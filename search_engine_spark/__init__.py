@@ -12,11 +12,17 @@ Layout:
     oracle.py    pure-Python reference-semantics engine (correctness oracle)
     fixtures.py  deterministic synthetic corpus + query generator
     session.py   SparkSession helper
-    build.py     distributed index build (tokens, doc_meta, stats, postings)
-    blocks.py    delta+varint posting-block codec (NumPy vectorized)
-    segments.py  segment storage layout + resume ledger
-    query.py     DataFrame scorers (BM25, TF-IDF) + top-k
+    build.py     documents → tokens / doc_meta / stats / term df
+    codec.py     delta+varint posting-block codec (NumPy vectorized)
+    postings.py  packed posting segments, term-bucketed index layout, (de)serialization
+    resume.py    checkpoint-resumable chunked build + segments ledger
+    query.py     DataFrame scorers (BM25, TF-IDF, boolean) + top-k
     wand.py      block-max WAND scorer over posting segments (mapInArrow)
+    adpt.py      BM25-ADPT adaptive-k1 scorer
+    topics.py    TREC topic parser + run-file sink
+    __main__.py  spark-submit CLI (index / search)
+    sources/     TREC SGML source
+    streaming/   incremental index build, watermark windows, stateful ops
     ops/         training-data pipeline operators (dedup, similarity, text stats,
                  multimodal plumbing)
 """

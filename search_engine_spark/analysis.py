@@ -349,7 +349,10 @@ def analyze_frame(
         .size()
         .reset_index(name="tf")
     )
+    # doc_len counts every surviving token (WriteableIndex.cs:68) — sum
+    # BEFORE the tf cap; tf itself caps at the uint16 width
+    # (PostingEntry.cs:6), matching analyze_arrow and the oracle
     lens = out.groupby("doc_id", sort=False)["tf"].transform("sum")
-    out["tf"] = out["tf"].astype("int32")
+    out["tf"] = out["tf"].clip(upper=65535).astype("int32")
     out["doc_len"] = lens.astype("int32")
     return out

@@ -78,7 +78,12 @@ folded AS (
   WHERE t <> '' AND NOT starts_with(t, '<') AND NOT ends_with(t, '>')
 ),
 tok AS (
-  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  -- tf caps at the uint16 width (PostingEntry.cs:6); n_raw keeps the
+  -- uncapped token count for doc_len (WriteableIndex.cs:68 counts every
+  -- surviving token regardless of the tf cap)
+  SELECT doc_id, term,
+         CAST(least(count(*), 65535) AS BIGINT) AS tf,
+         CAST(count(*) AS BIGINT) AS n_raw
   FROM folded
   WHERE NOT (length(term) <= 4 AND term IN ({_STOPLIST_SQL}))
   GROUP BY doc_id, term
@@ -91,7 +96,7 @@ def _sql_meta_stats_cte() -> str:
 meta AS (
   SELECT d.doc_id, CAST(COALESCE(s.doc_len, 0) AS BIGINT) AS doc_len
   FROM documents d
-  LEFT JOIN (SELECT doc_id, SUM(tf) AS doc_len FROM tok GROUP BY doc_id) s
+  LEFT JOIN (SELECT doc_id, SUM(n_raw) AS doc_len FROM tok GROUP BY doc_id) s
     USING (doc_id)
 ),
 stats AS (
@@ -215,13 +220,10 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return (
-        docs.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .agg(
-            F.count("*").cast("long").alias("n_dups"),
-            F.min("doc_id").alias("keep_id"),
-        )
+    return D.exact_duplicates(docs, "text", "doc_id", algo="md5").select(
+        "content_hash",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        "keep_id",
     )
 
 

@@ -1,8 +1,11 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Cross-engine determinism: every hash is derived from md5 hex strings
-(identical in Spark and DuckDB), so the SQL oracles can reproduce the
-exact candidate sets — no engine-specific hash functions in results.
+Cross-engine determinism: candidate-generation hashes (MinHash seeds,
+SimHash term hashes, fingerprints) are derived from md5 hex strings
+(identical in Spark and DuckDB), so the SQL oracles reproduce the exact
+candidate sets — no engine-specific hash functions in results.  Exact
+dedup defaults to sha2-256 for collision margin at 10^12-doc scale;
+pass algo="md5" where a DuckDB-checkable hash column is needed.
 
 Scale design (100 TB corpora):
   * exact: one groupBy on a 256-bit content hash — partial agg, no skew
@@ -25,11 +28,22 @@ from pyspark.sql import DataFrame, functions as F
 from .textstats import tokens_col
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _content_hash(text_col: str, algo: str):
+    if algo == "md5":
+        return F.md5(F.col(text_col).cast("binary"))
+    if algo == "sha256":
+        return F.sha2(F.col(text_col).cast("binary"), 256)
+    raise ValueError(f"unsupported hash algo: {algo}")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    algo: str = "sha256",
+) -> DataFrame:
     """Groups of byte-identical docs: (content_hash, n_dups, keep_id, dup_ids).
 
     keep_id = min doc_id (deterministic survivor)."""
-    h = F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash")
+    h = _content_hash(text_col, algo).alias("content_hash")
     return (
         df.select(h, F.col(id_col).alias("doc_id"))
         .groupBy("content_hash")
@@ -42,10 +56,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_exact_keep_first(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    algo: str = "sha256",
 ) -> DataFrame:
     """Survivor set after exact dedup (min id per content hash)."""
-    h = F.sha2(F.col(text_col).cast("binary"), 256)
+    h = _content_hash(text_col, algo)
     return (
         df.withColumn("__h", h)
         .groupBy("__h")

@@ -438,6 +438,16 @@ def build_index(
     """
     from . import build as B
 
+    if mode != "overwrite":
+        # appending would leave a multi-row stats table (load_index reads
+        # one row) and stale idf/block_max bounds baked with the old N in
+        # pre-existing postings — incremental growth goes through
+        # resume.resumable_build / streaming.stream_index_build, whose
+        # finalize re-packs with global stats.
+        raise ValueError(
+            "build_index only supports mode='overwrite'; for incremental "
+            "builds use resume.resumable_build or streaming.stream_index_build"
+        )
     build_cfg = build_cfg or IndexBuildConfig()
     params = params or BM25Params()
     cfg = build_cfg.analyzer

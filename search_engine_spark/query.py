@@ -73,7 +73,15 @@ def _contributions_bm25(
 
     doc_len rides on every token row (analyze_arrow emits it in-batch),
     so NO doc_id-keyed join is needed — the only wide op left is the
-    per-doc accumulation."""
+    per-doc accumulation.
+
+    Plan note: `matched` (which embeds the tokens lineage) feeds both
+    the term_df aggregation and the contribution join, so an UNCACHED
+    tokens input is analyzed twice per query job.  For repeated querying
+    pass a persisted `tokens` (bench.py does) or use the materialized
+    index via wand.search_bm25, which reads stored df instead of
+    re-counting; this DataFrame path is kept dependency-free because it
+    doubles as the SQL-checkable oracle."""
     # df per query term, computed on the semi-joined slice (dictionary-sized)
     matched = tokens.join(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"

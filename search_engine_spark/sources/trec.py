@@ -19,10 +19,16 @@ before </DOC> (virtually always a newline) is dropped from every
 document.  We reproduce that byte-for-byte; parse_trec_text is the
 pure-Python twin used by the tests.
 
-Documented deviation: the reference's naive token matcher resets to
-offset 0 on mismatch without re-testing the current byte (so pathological
-sequences like "<<DOCNO>" miss the tag); we use standard substring
-search, which only differs on malformed inputs no TREC corpus contains.
+Documented deviations (both affect only malformed inputs — every
+well-formed TREC file is </DOC>-terminated and tag-clean):
+* the reference's naive token matcher resets to offset 0 on mismatch
+  without re-testing the current byte (so pathological sequences like
+  "<<DOCNO>" miss the tag); we use standard substring search;
+* a TRUNCATED file whose final record has a complete <DOCNO> but no
+  closing </DOC> IS indexed here (lineSep splitting emits the tail
+  segment and cannot see whether a delimiter followed), whereas
+  Parser.cs:84-101 drops never-terminated documents.  parse_trec_text
+  mirrors THIS reader, so the two stay record-identical on any input.
 """
 
 from __future__ import annotations
@@ -64,18 +70,25 @@ def parse_trec_text(text: str) -> list[tuple[str, str]]:
     """Pure-Python twin of read_trec_sgml (and of Parser.cs:14-110):
     [(docno, content)] in file order, with the same trailing-byte quirk."""
     out: list[tuple[str, str]] = []
+
+    def _emit(record: str) -> None:
+        ns = record.find("<DOCNO>")
+        ne = record.find("</DOCNO>", ns + len("<DOCNO>")) if ns >= 0 else -1
+        if ns < 0 or ne < 0:
+            return
+        docno = record[ns + len("<DOCNO>"): ne].strip()
+        body = record[ne + len("</DOCNO>"):]
+        out.append((docno, body[:-1] if body else body))
+
     pos = 0
     while True:
         end = text.find("</DOC>", pos)
         if end < 0:
             break
-        record = text[pos:end]
+        _emit(text[pos:end])
         pos = end + len("</DOC>")
-        ns = record.find("<DOCNO>")
-        ne = record.find("</DOCNO>", ns + len("<DOCNO>")) if ns >= 0 else -1
-        if ns < 0 or ne < 0:
-            continue
-        docno = record[ns + len("<DOCNO>"): ne].strip()
-        body = record[ne + len("</DOCNO>"):]
-        out.append((docno, body[:-1] if body else body))
+    # trailing unterminated record — the lineSep reader emits it too
+    # (documented deviation from Parser.cs, see module docstring)
+    if pos < len(text):
+        _emit(text[pos:])
     return out

@@ -108,13 +108,15 @@ def _segment_topic_topk(
     p: BM25Params,
     k: int,
     dec=decode_block,
+    allow_prune: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max-pruned exact top-k for one (segment, topic).
 
     `dec` is the block decoder — callers scoring many topics pass a
     memoizing wrapper so a block shared by several topics (hot query
     terms) decodes at most once per task; pruning still skips blocks no
-    topic ever needs."""
+    topic ever needs.  allow_prune=False forces exhaustive scoring
+    (used when stored block bounds don't match the scoring params)."""
     active = []  # (term_pos, idf, qtfp, ub, blocks)
     for term, qtf, term_pos in topic_terms:
         blocks = term_blocks.get(term)
@@ -129,8 +131,18 @@ def _segment_topic_topk(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
     # --- bootstrap θ from the best positive-idf term ---
+    # SOUNDNESS GATE: pruning runs only when EVERY matched term has
+    # idf > 0.  With a negative-idf term (df > N/2 — no clamp,
+    # BM25Scorer.cs:39-41) in play, (a) θ from single-term champ
+    # contributions is NOT a lower bound on the k-th final score (the
+    # champ docs may also contain the negative term, pushing their
+    # finals below θ), and (b) adding negative block bounds into ub_sum
+    # underestimates the ceiling of docs that LACK the negative term.
+    # Either error can prune true top-k docs.  Mixed queries therefore
+    # score exhaustively — exactly what the reference always does
+    # (BM25Scorer.cs:34-66), so this is never worse than parity.
     theta = -np.inf
-    boot = [a for a in active if a[1] > 0]
+    boot = active if (allow_prune and all(a[1] > 0 for a in active)) else []
     if boot:
         champ = max(boot, key=lambda a: a[3])
         term_pos, idf, qtfp, _, blocks = champ
@@ -200,6 +212,10 @@ def search_bm25(
     cfg: AnalyzerConfig = index["analyzer"]
     n_docs, avgdl = index["n_docs"], index["avg_doc_len"]
     p_dict = {"k1": p.k1, "k3": p.k3, "b": p.b}
+    # stored block_max_score bakes in the BUILD-time k1/b; pruning with
+    # different scoring params would treat stale bounds as upper bounds
+    # and silently drop valid results — fall back to exhaustive scoring
+    allow_prune = p == index["params"]
 
     topics: list[tuple[int, list[tuple[str, int, int]]]] = []
     all_terms: set[str] = set()
@@ -256,7 +272,7 @@ def search_bm25(
                 tb.sort(key=lambda r: r["block_id"])
             for topic_id, terms in topics:
                 ids, scores = _segment_topic_topk(
-                    term_blocks, terms, n_docs, avgdl, pp, k, dec
+                    term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune
                 )
                 out_t.append(np.full(len(ids), topic_id, dtype=np.int32))
                 out_d.append(ids)

@@ -1,0 +1,125 @@
+"""Regression gates for review findings: WAND soundness with negative-idf
+terms, params-override fallback, and the uint16 tf cap across all
+analyzer restatements."""
+
+import numpy as np
+import pyarrow as pa
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B, query as Q
+from search_engine_spark.analysis import analyze_arrow, analyze_frame
+from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
+from search_engine_spark.postings import build_index, load_index
+from search_engine_spark.wand import search_bm25
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+
+@pytest.fixture(scope="module")
+def skewed_index(spark, tmp_path_factory):
+    """Adversarial corpus for WAND soundness.  40 docs, uniform length:
+
+    * 'common' in docs 0-29 (df=30 > N/2 → idf ≈ -1.07, NO clamp) with
+      tf=3 — a sizeable NEGATIVE contribution;
+    * 'rare' (df=9, idf > 0): docs 0-7 with tf=10 (posting block 0 at
+      block_size=8) and doc 35 alone with tf=9 (block 1).
+
+    Unsound pruning fails here: θ bootstraps to the k-th best rare-only
+    contribution (tf=10 docs), but those docs' FINAL scores are dragged
+    ~1.7 below that by 'common'; doc 35 (no 'common', true top-1) sits
+    in an interval whose ub_sum = its tf=9 bound < θ, so its block gets
+    pruned — and the champ docs' own intervals go below θ once the
+    negative 'common' bound is summed in, pruning them too."""
+    rows = []
+    for i in range(40):
+        words = []
+        if i < 30:
+            words += ["common"] * 3
+        if i < 8:
+            words += ["rare"] * 10
+        elif i == 35:
+            words += ["rare"] * 9
+        words += [f"pad{j}" for j in range(40 - len(words))]  # uniform doc_len
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string").repartition(1)
+    d = str(tmp_path_factory.mktemp("skew") / "idx")
+    build_index(docs, d, IndexBuildConfig(analyzer=CFG, block_size=8))
+    idx = load_index(docs.sparkSession, d)
+    return docs, idx
+
+
+def _df_path(spark, docs, idx, queries, params, k):
+    tokens = B.analyze_tokens(docs, CFG, "doc_id", "content")
+    qdf = Q.queries_to_df(spark, queries, CFG)
+    res = Q.score_bm25(tokens, idx["n_docs"], idx["avg_doc_len"], qdf,
+                       params, k=k, exact_float32=True)
+    return sorted(tuple(r) for r in res.collect())
+
+
+def test_wand_sound_with_negative_idf_terms(spark, skewed_index):
+    """Mixed positive/negative-idf query: WAND must fall back to
+    exhaustive scoring and match the oracle path exactly (pre-fix, θ
+    bootstrapped off 'rare' pruned blocks containing true top-k docs)."""
+    docs, idx = skewed_index
+    # pad0 is in every doc (df=N → negative idf), common in 30/40
+    queries = [(1, "rare common"), (2, "common"), (3, "rare pad0")]
+    got = sorted(
+        tuple(r) for r in search_bm25(idx, queries, k=5).collect()
+    )
+    assert got == _df_path(spark, docs, idx, queries, BM25Params(), 5)
+    assert len(got) > 10
+    # doc 35 (rare, no common) must be topic 1's rank-1 — the exact doc
+    # the unsound pruner dropped
+    assert (1, 1, 35) in {(t, r, d) for t, r, d, _ in got}
+
+
+def test_wand_pruning_still_engages_on_positive_query(spark, skewed_index):
+    """All-positive-idf query over >k postings per segment: pruning can
+    fire, and results stay identical to the exhaustive path."""
+    docs, idx = skewed_index
+    queries = [(1, "rare pad37")]  # both terms positive-idf (df=9 each)
+    got = sorted(tuple(r) for r in search_bm25(idx, queries, k=3).collect())
+    assert got == _df_path(spark, docs, idx, queries, BM25Params(), 3)
+
+
+def test_params_override_falls_back_to_exhaustive(spark, skewed_index):
+    """Scoring params ≠ build params: stored block bounds are stale, so
+    search_bm25 must score exhaustively and still match the DataFrame
+    path under the OVERRIDE params."""
+    docs, idx = skewed_index
+    override = BM25Params(k1=2.0, k3=50.0, b=0.4)
+    queries = [(1, "rare pad37"), (2, "rare common")]
+    got = sorted(
+        tuple(r) for r in search_bm25(idx, queries, k=5, params=override).collect()
+    )
+    assert got == _df_path(spark, docs, idx, queries, override, 5)
+
+
+def test_tf_cap_consistent_across_restatements(spark):
+    """70,000-repeat term: tf caps at 65535 (uint16, PostingEntry.cs:6)
+    in the pandas, Arrow, and Spark paths alike, while doc_len keeps the
+    uncapped surviving-token count (WriteableIndex.cs:68)."""
+    text = " ".join(["boom"] * 70_000 + ["other"] * 3)
+    pdf = analyze_frame(pd.Series([7]), pd.Series([text]), CFG)
+    got_pd = {r.term: (r.tf, r.doc_len) for r in pdf.itertuples(index=False)}
+    assert got_pd["boom"] == (65535, 70_003)
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([7], pa.int64()), pa.array([text], pa.string())],
+        names=["doc_id", "content"],
+    )
+    ab = analyze_arrow(batch, CFG)
+    got_ar = {
+        ab.column("term")[i].as_py(): (
+            ab.column("tf")[i].as_py(), ab.column("doc_len")[i].as_py()
+        )
+        for i in range(ab.num_rows)
+    }
+    assert got_ar == got_pd
+
+    docs = spark.createDataFrame([(7, text)], "doc_id long, content string")
+    rows = B.analyze_tokens(docs, CFG, "doc_id", "content").collect()
+    got_sp = {r["term"]: (r["tf"], r["doc_len"]) for r in rows}
+    assert got_sp == got_pd

@@ -34,6 +34,21 @@ def test_parse_trec_text_semantics():
     assert docs[2][1] == ""  # single-char body loses its only char
 
 
+def test_truncated_file_spark_matches_python(spark, tmp_path):
+    """A crashed-writer file ending without </DOC>: the Spark reader and
+    the Python twin must agree (both index the complete-DOCNO tail,
+    with the trailing-char quirk applied — documented deviation from
+    Parser.cs, which drops unterminated docs)."""
+    text = "<DOC>\n<DOCNO>ok</DOCNO>\nbody one\n</DOC>\n<DOC>\n<DOCNO>tail</DOCNO>\ntail body"
+    p = str(tmp_path / "trunc.sgml")
+    with open(p, "w") as fh:
+        fh.write(text)
+    want = dict(parse_trec_text(text))
+    got = {r["doc_key"]: r["content"] for r in read_trec_sgml(spark, p).collect()}
+    assert got == want
+    assert want["tail"] == "\ntail bod"  # last char dropped, like every record
+
+
 def test_spark_reader_matches_python(spark, tmp_path, corpus):
     """Round-trip the fixture corpus through TREC files split over 3
     files; the Spark reader must agree with the pure-Python twin on
