@@ -8,12 +8,15 @@ query term); we keep its exact scoring semantics for every SURVIVING
 document and prune provably-hopeless blocks:
 
   per (segment, topic):
-    1. bootstrap a score floor θ: exact-score the postings of the
-       positive-idf term with the highest upper bound; θ = k-th best
-       single-term contribution (a valid lower bound on the k-th final
-       score only because the other positive terms can only add — terms
-       with negative idf (df > N/2, BM25Scorer.cs:39-41 has no clamp)
-       are excluded from the bootstrap).
+    1. bootstrap a score floor θ — ONLY when every matched term has
+       idf > 0 (with a negative-idf term in play — df > N/2,
+       BM25Scorer.cs:39-41 has no clamp — no sound θ or ceiling exists
+       from the stored per-block maxima, so mixed queries score
+       exhaustively like the reference; see the soundness-gate comment
+       in _segment_topic_topk).  θ = k-th best single-term contribution
+       of the highest-upper-bound term — a valid lower bound on the
+       k-th final score because the remaining (all-positive) terms can
+       only add.
     2. interval pruning: over the doc_id axis, every posting block
        contributes its block_max_score · qtf_part on [first, last]; an
        elementary interval with upper-bound sum < θ cannot contain a
