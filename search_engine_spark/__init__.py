@@ -19,6 +19,7 @@ Layout:
     query.py     DataFrame scorers (BM25, TF-IDF, boolean) + top-k
     wand.py      block-max WAND scorer over posting segments (mapInArrow)
     adpt.py      BM25-ADPT adaptive-k1 scorer
+    positional.py positional index + phrase matching
     topics.py    TREC topic parser + run-file sink
     __main__.py  spark-submit CLI (index / search)
     sources/     TREC SGML source

@@ -382,6 +382,22 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("customer", "join")
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (positional.py): docs where the phrase
+    terms occur consecutively in the analyzed token stream, with the
+    per-doc occurrence count."""
+    from .positional import phrase_match, positional_tokens
+
+    docs = _docs(spark, sf_dir)
+    ptoks = positional_tokens(docs, SQL_CFG, "doc_id", "text")
+    return phrase_match(ptoks, list(PHRASE)).select(
+        "doc_id", F.col("n_matches").cast("long").alias("n_matches")
+    )
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (streaming/
     incremental.sessionize_batch); timestamps emitted as epoch seconds
@@ -854,6 +870,32 @@ FROM events GROUP BY event_type
 """
 
 
+def _sql_phrase_match() -> str:
+    a, b = PHRASE
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'),
+                         t -> t <> '' AND NOT starts_with(t, '<') AND NOT ends_with(t, '>')),
+             t -> translate(substr(t, 1, 100), '{_UPPER}', '{_LOWER}')),
+           t -> NOT (length(t) <= 4 AND t IN ({_STOPLIST_SQL}))) AS s
+  FROM documents
+),
+ptok AS (
+  SELECT doc_id, s[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+  FROM base, unnest(range(1, len(s) + 1)) u(i)
+),
+m AS (
+  SELECT l.doc_id, l.pos AS start
+  FROM ptok l JOIN ptok r ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
+  WHERE l.term = '{a}' AND r.term = '{b}'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
+"""
+
+
 def _sql_sessions(gap_seconds: int = 1800) -> str:
     return f"""
 WITH o AS (
@@ -919,6 +961,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "phrase_match": q_phrase_match,
         "lang_source_rollup": q_lang_source_rollup,
         "dedup_dropped": q_dedup_dropped,
         "events_json": q_events_json,
@@ -952,6 +995,7 @@ def duckdb_oracles() -> dict[str, str]:
         "srp_ann_topk": _sql_srp_ann_topk(),
         "events_hourly": _sql_events_hourly(),
         "sessions": _sql_sessions(),
+        "phrase_match": _sql_phrase_match(),
         "lang_source_rollup": _sql_lang_source_rollup(),
         "dedup_dropped": _sql_dedup_dropped(),
         "events_json": _sql_events_json(),

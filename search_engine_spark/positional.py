@@ -1,0 +1,115 @@
+"""Positional index + phrase matching (beyond the reference, which has
+no positions — SURVEY.md §2.16; standard IR capability a switching user
+would expect from a "complete" engine).
+
+Position semantics (documented choice): position = 0-based index in the
+document's SURVIVING token stream — after tag filtering, folding,
+stopword removal, and stemming — so "adjacent" means adjacent among
+indexed terms (stopword gaps close up, like classic engines that index
+positions of kept terms only).  The same analyzed stream the tf index
+is built from, so phrase results are consistent with term queries.
+
+Scale notes: positional rows are token-occurrence granularity (~doc_len
+rows per doc vs ~unique-terms for the tf index) — build it only for
+phrase-serving collections, or wrap the same arrays into delta+varint
+position blocks per (term, doc) exactly like postings.py does for doc
+ids (the codec is reusable as-is).  phrase_match shuffles only the
+PHRASE terms' occurrence rows (broadcast-filtered before the shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .analysis import tokenize_doc
+from .config import AnalyzerConfig
+
+POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+def positional_tokens(
+    docs: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """documents → (doc_id, term, pos), one row per surviving token
+    occurrence, pos = index in the analyzed stream."""
+    cfg = cfg or AnalyzerConfig()
+    cfg_dict = cfg.to_dict()
+    narrow = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def _pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from search_engine_spark.config import AnalyzerConfig as _AC
+
+        c = _AC.from_dict(cfg_dict)
+        for pdf in batches:
+            ids_out, terms_out, pos_out = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                toks = tokenize_doc("" if content is None else str(content), c)
+                if not toks:
+                    continue
+                ids_out.append(np.full(len(toks), doc_id, dtype=np.int64))
+                terms_out.extend(toks)
+                pos_out.append(np.arange(len(toks), dtype=np.int32))
+            if not terms_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_out),
+                    "term": pd.Series(terms_out, dtype=object),
+                    "pos": np.concatenate(pos_out),
+                }
+            )
+
+    return narrow.mapInPandas(_pos, schema=POSITIONS_SCHEMA)
+
+
+def phrase_match(
+    ptokens: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """(doc_id, n_matches) — docs containing the terms CONSECUTIVELY.
+
+    Shift-and-intersect: an occurrence of term i at position p supports
+    a phrase start at p - i; a start position supported by all
+    len(phrase) terms is a match.  One filtered shuffle on
+    (doc_id, start): grouped support count == phrase length.  Phrases
+    with repeated terms work (each occurrence row supports each slot the
+    term fills — count_distinct on the slot index keeps it exact)."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    slots = [(i, t) for i, t in enumerate(phrase_terms)]
+    parts = []
+    for i, t in slots:
+        parts.append(
+            ptokens.filter(F.col("term") == t).select(
+                "doc_id",
+                (F.col("pos") - F.lit(i)).alias("start"),
+                F.lit(i).alias("slot"),
+            )
+        )
+    sup = parts[0]
+    for p in parts[1:]:
+        sup = sup.unionByName(p)
+    matches = (
+        sup.filter(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("slot").alias("n_slots"))
+        .filter(F.col("n_slots") == len(phrase_terms))
+    )
+    return matches.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches")
+    )

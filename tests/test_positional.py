@@ -1,0 +1,75 @@
+"""Positional index + phrase matching gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.analysis import tokenize_doc
+from search_engine_spark.config import AnalyzerConfig
+from search_engine_spark.positional import phrase_match, positional_tokens
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+
+def _brute_phrase_counts(texts, phrase, cfg=CFG):
+    out = {}
+    for doc_id, t in texts:
+        toks = tokenize_doc(t, cfg)
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == list(phrase)
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    texts = [
+        (0, "alpha beta gamma alpha beta"),          # 2x "alpha beta"
+        (1, "alpha the beta"),                        # stopword gap closes -> adjacent
+        (2, "beta alpha"),                            # reversed, no match
+        (3, "alpha beta alpha beta alpha"),           # overlapping starts
+        (4, "x alpha x beta"),                        # not adjacent
+        (5, "rep rep rep"),                           # repeated-term phrase
+        (6, "<tag> alpha beta"),                      # tag dropped, still adjacent
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, content string")
+    return texts, df
+
+
+def test_positions_match_pure_tokenizer(spark, pdocs):
+    texts, df = pdocs
+    rows = positional_tokens(df, CFG).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    for doc_id, t in texts:
+        want = list(enumerate(tokenize_doc(t, CFG)))
+        assert sorted(got.get(doc_id, [])) == want
+
+
+@pytest.mark.parametrize(
+    "phrase", [("alpha", "beta"), ("rep", "rep"), ("alpha", "beta", "alpha")]
+)
+def test_phrase_match_vs_bruteforce(spark, pdocs, phrase):
+    texts, df = pdocs
+    ptoks = positional_tokens(df, CFG)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(ptoks, list(phrase)).collect()
+    }
+    assert got == _brute_phrase_counts(texts, phrase)
+    assert len(got) > 0
+
+
+def test_stopword_gap_counts_as_adjacent(spark, pdocs):
+    """Documented semantics: positions index the SURVIVING stream, so
+    'alpha the beta' matches the phrase (alpha, beta)."""
+    texts, df = pdocs
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(positional_tokens(df, CFG), ["alpha", "beta"]).collect()
+    }
+    assert got[1] == 1 and got[6] == 1
