@@ -417,6 +417,20 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs (iterative label propagation — not SQL-expressible
+    as one query, so no oracle_sql entry: the driver records a rows-only
+    check and pytest gates it against a union-find oracle
+    (tests/test_components.py); the input pair set itself is the
+    DuckDB-checked minhash_lsh_pairs query)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    sig = D.minhash_signatures(sh, n_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, n_hashes=8, bands=4)
+    return D.connected_components(pairs).select("doc_id", "component")
+
+
 def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ADPT (SURVEY.md §2 #22) — NOT SQL-expressible (per-term IG
     curve + k1 grid search with float quirks), so no oracle_sql entry:
@@ -965,6 +979,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_rollup": q_lang_source_rollup,
         "dedup_dropped": q_dedup_dropped,
         "events_json": q_events_json,
+        "near_dup_components": q_near_dup_components,
         "bm25_adpt_topk": q_bm25_adpt_topk,
     }
 
@@ -999,9 +1014,11 @@ def duckdb_oracles() -> dict[str, str]:
         "lang_source_rollup": _sql_lang_source_rollup(),
         "dedup_dropped": _sql_dedup_dropped(),
         "events_json": _sql_events_json(),
-        # bm25_adpt_topk: intentionally no SQL oracle (grid search + IG
-        # truncation quirks are not SQL-expressible); rows-only check +
-        # pytest float32 identity gate (tests/test_adpt.py)
+        # Intentionally no SQL oracle (rows-only driver check + pytest gates):
+        #   bm25_adpt_topk       — grid search + IG truncation quirks are not
+        #                          SQL-expressible (tests/test_adpt.py)
+        #   near_dup_components  — iterative label propagation
+        #                          (tests/test_components.py)
     }
 
 

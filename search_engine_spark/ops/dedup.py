@@ -209,6 +209,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, component) — near-duplicate CLUSTERS from candidate pairs,
+    component = min doc_id reachable (the deterministic survivor).
+
+    Iterative label propagation (large-star-ish): every node starts as
+    its own label; each round, a node adopts the minimum label in its
+    closed neighborhood; converged when no label changes.  Rounds needed
+    ≈ graph diameter (near-dup clusters are small and dense, so a
+    handful); each round is one join + one min-agg, all map-side
+    combinable.  This is the canonical "iterative algorithm the engine
+    must support" — not SQL-expressible as one query, so it's gated by
+    pytest against a union-find oracle rather than a DuckDB oracle.
+
+    At 100 TB scale: checkpoint `labels` every few rounds (lineage grows
+    linearly with iterations) and stop early via the converged count.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
+    labels = nodes.withColumn("component", F.col("doc_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "v"), "v"
+            )
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

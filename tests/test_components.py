@@ -1,0 +1,52 @@
+"""Connected-components gate: label propagation vs a union-find oracle,
+including a long chain (propagation distance) and cross-partition edges."""
+
+import random
+
+import pytest
+
+from search_engine_spark.ops.dedup import connected_components
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_components_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    pairs = set()
+    # several dense clusters
+    for base in (0, 100, 200, 300):
+        members = [base + i for i in range(rng.randint(2, 9))]
+        for m in members[1:]:
+            pairs.add((members[0], m))
+        for _ in range(4):
+            pairs.add(tuple(sorted(rng.sample(members, 2))))
+    # a long chain: worst case for propagation rounds
+    chain = list(range(1000, 1015))
+    pairs |= {(a, b) for a, b in zip(chain, chain[1:])}
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    df = spark.createDataFrame(pairs, "a long, b long").repartition(5)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    want = _union_find(pairs)
+    assert got == want
+    # chain collapses to its min id
+    assert all(got[c] == 1000 for c in chain)
