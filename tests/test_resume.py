@@ -236,3 +236,11 @@ def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
     assert all(l.split()[1] == "Q0" and l.split()[5] == "r1" for l in lines)
     # doc_keys resolved (repo/path@commit), not raw ids
     assert "@" in lines[0].split()[2]
+
+    # the ADPT scorer over the decoded index (DataFrame path)
+    run2 = str(tmp_path / "run2.trec")
+    main(["search", "r2", topics_path, index_dir, run2,
+          "--scorer", "bm25adpt", "--path", "dataframe", "--k", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] > 0
+    assert all(l.split()[5] == "r2" for l in open(run2).read().splitlines())
