@@ -12,13 +12,16 @@ OFF (Porter is not SQL-expressible; the stemmed paths are verified in
 pytest against the pure-Python oracle instead — tests/test_e2e_bm25.py).
 
 Cross-engine float discipline: contributions are cast to FLOAT32 in both
-engines (identical bit patterns), per-doc sums run in double, and emitted
-scores are rounded to 4 decimals; integer ratios (jaccard) are exact
-divisions.  Hashes use md5 (identical hex strings in both engines).
+engines (identical bit patterns); BM25/TF-IDF scores use the reference's
+float32 left fold in BOTH engines (Spark aggregate() expr / DuckDB
+list_reduce with REAL casts — bit-identical, no rounding blur); remaining
+derived floats are rounded to 4-6 decimals; integer ratios (jaccard) are
+exact divisions.  Hashes use md5 (identical hex strings in both engines).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -147,18 +150,56 @@ def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_float32=True: the emitted scores are the reference's float32
+    left-fold bits — DuckDB reproduces them exactly via list_reduce with
+    REAL casts (see _sql_bm25), so no round() blur is needed."""
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
     meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     n, avgdl, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25(
-        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=False
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
     )
     return res.select(
-        F.col("rank").cast("long").alias("rank"),
-        "doc_id",
-        F.round(F.col("score"), 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale fast path under the driver oracle: materialize the
+    packed delta+varint index (postings.build_index) and answer the SAME
+    query as bm25_topk via wand.search_bm25 — block-max WAND over the
+    term-bucketed index.  Must reproduce the oracle ranking and float32
+    scores exactly, so the DuckDB SQL is shared with bm25_topk.
+
+    Note: the driver corpus's 30-word vocabulary gives every query term
+    df > N/2 (negative idf), so WAND's soundness gate scores this query
+    exhaustively — exactly like the reference.  The pruned path's
+    correctness is pytest-gated (tests/test_postings.py,
+    test_review_fixes.py) on corpora where pruning provably fires."""
+    import tempfile
+
+    from . import postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"seng_contract_wand_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    docs = _docs(spark, sf_dir)
+    P.build_index(
+        docs,
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="text",
+    )
+    idx = P.load_index(spark, idx_dir)
+    res = W.search_bm25(idx, [(1, BM25_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
 
 
@@ -168,11 +209,9 @@ def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     n, _, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(spark, [(1, TFIDF_QUERY_TEXT)], SQL_CFG)
-    res = Q.score_tfidf(tokens, n, qdf, k=TOPK, exact_float32=False)
+    res = Q.score_tfidf(tokens, n, qdf, k=TOPK, exact_float32=True)
     return res.select(
-        F.col("rank").cast("long").alias("rank"),
-        "doc_id",
-        F.round(F.col("score"), 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
 
 
@@ -492,6 +531,17 @@ def _sql_collection_stats() -> str:
     )
 
 
+# Float32 left fold in query-term order, cross-engine: DuckDB REAL + REAL
+# stays REAL, so list_reduce over the term_pos-sorted contributions with a
+# CAST(acc + x AS FLOAT) step is bit-identical to Spark's aggregate() fold
+# (query._FOLD_F32_EXPR) and the reference's Dictionary<int,float>
+# accumulation (BM25Scorer.cs:57-64).  list_reduce seeds with the first
+# element, which equals fold-from-0.0f since float32(0 + c0) == c0.
+_FOLD_F32_SQL = (
+    "list_reduce(list(c ORDER BY term_pos), (acc, x) -> CAST(acc + x AS FLOAT))"
+)
+
+
 def _sql_bm25(params: BM25Params = BM25Params()) -> str:
     k1, k3, b = params.k1, params.k3, params.b
     return f"""
@@ -502,7 +552,7 @@ tdf AS (
   WHERE term IN (SELECT term FROM q) GROUP BY term
 ),
 contrib AS (
-  SELECT t.doc_id,
+  SELECT t.doc_id, q.term_pos,
          CAST(
            ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
            * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
@@ -515,11 +565,11 @@ contrib AS (
   CROSS JOIN stats s
 ),
 scores AS (
-  SELECT doc_id, SUM(CAST(c AS DOUBLE)) AS score FROM contrib GROUP BY doc_id
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
 ),
 ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-         doc_id, round(score, 4) AS score
+         doc_id, score
   FROM scores
 )
 SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
@@ -536,7 +586,7 @@ tdf AS (
 ),
 contrib AS (
   -- integer-division idf quirk (TfIdfScorer.cs:31): floor(N / df)
-  SELECT t.doc_id,
+  SELECT t.doc_id, q.term_pos,
          CAST(ln(1.0 + t.tf) * ln(CAST(floor(CAST(s.n_docs AS DOUBLE) / tdf.df) AS DOUBLE)) AS FLOAT) AS c
   FROM tok t
   JOIN q ON q.term = t.term
@@ -544,11 +594,11 @@ contrib AS (
   CROSS JOIN stats s
 ),
 scores AS (
-  SELECT doc_id, SUM(CAST(c AS DOUBLE)) AS score FROM contrib GROUP BY doc_id
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
 ),
 ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-         doc_id, round(score, 4) AS score
+         doc_id, score
   FROM scores
 )
 SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
@@ -956,6 +1006,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "collection_stats": q_collection_stats,
         "bm25_topk": _bm25_spark,
+        "bm25_wand_topk": q_bm25_wand_topk,
         "tfidf_topk": _tfidf_spark,
         "boolean_and": q_boolean_and,
         "term_len_hist": q_term_len_hist,
@@ -991,6 +1042,9 @@ def duckdb_oracles() -> dict[str, str]:
         "term_df": _sql_term_df(),
         "collection_stats": _sql_collection_stats(),
         "bm25_topk": _sql_bm25(),
+        # the WAND/materialized-index fast path must reproduce the oracle
+        # ranking AND float32 scores exactly — one SQL serves both paths
+        "bm25_wand_topk": _sql_bm25(),
         "tfidf_topk": _sql_tfidf(),
         "boolean_and": _sql_boolean_and(),
         "term_len_hist": _sql_term_len_hist(),
