@@ -239,6 +239,83 @@ def analyze_arrow(
     )
 
 
+_POSITIONS_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("term", pa.string()),
+        ("pos", pa.int32()),
+    ]
+)
+
+
+def analyze_positions_arrow(
+    batch: pa.RecordBatch, cfg: AnalyzerConfig
+) -> pa.RecordBatch:
+    """Arrow-native positional analysis: (doc_id, content) → one row per
+    SURVIVING token occurrence with pos = index in the analyzed stream.
+
+    Steps 1-6 of analyze_arrow (split → tag filter → cap → fold →
+    stopword → dictionary-stem) without the tf combine: the occurrence
+    stream itself is the output.  list_flatten preserves per-document
+    token order and documents are contiguous in the flattened stream, so
+    positions are a running index reset at each list_parent_indices
+    change — pure numpy on the already-filtered parent array.  Verified
+    equivalent to the per-doc Python oracle (analysis.tokenize_doc) in
+    tests/test_positional.py.
+    """
+    empty = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+            pa.array([], pa.int32()),
+        ],
+        schema=_POSITIONS_ARROW_SCHEMA,
+    )
+    if batch.num_rows == 0:
+        return empty
+    content = pc.fill_null(pc.cast(batch.column("content"), pa.string()), "")
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    token_lists = pc.split_pattern_regex(content, DOC_SPLIT_SQL_REGEX)
+    flat = pc.list_flatten(token_lists)
+    parent = pc.list_parent_indices(token_lists)
+    mask = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.and_(
+            pc.invert(pc.starts_with(flat, "<")),
+            pc.invert(pc.ends_with(flat, ">")),
+        ),
+    )
+    flat, parent = pc.filter(flat, mask), pc.filter(parent, mask)
+    if len(flat) == 0:
+        return empty
+    flat = pc.utf8_slice_codeunits(flat, 0, cfg.max_token_chars)
+    if cfg.case_folding:
+        flat = pc.ascii_lower(flat)
+    if cfg.remove_stopwords:
+        keep = pc.invert(pc.is_in(flat, value_set=pa.array(STOPWORDS)))
+        flat, parent = pc.filter(flat, keep), pc.filter(parent, keep)
+        if len(flat) == 0:
+            return empty
+    if cfg.do_stemming:
+        de = flat.dictionary_encode()
+        stemmed_dict = pa.array(
+            [porter_stem(s) for s in de.dictionary.to_pylist()], pa.string()
+        )
+        flat = stemmed_dict.take(de.indices)
+    p = parent.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+    runlen = np.diff(np.append(starts, len(p)))
+    pos = np.arange(len(p), dtype=np.int64) - np.repeat(starts, runlen)
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(ids, parent),
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+            pa.array(pos.astype(np.int32), pa.int32()),
+        ],
+        schema=_POSITIONS_ARROW_SCHEMA,
+    )
+
+
 def doc_stats_arrow(batch: pa.RecordBatch, cfg: AnalyzerConfig) -> pa.RecordBatch:
     """Doc-level batch stats: (doc_id, doc_key, content) → (doc_id,
     doc_key, doc_len, content_sha256).

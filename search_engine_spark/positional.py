@@ -15,17 +15,19 @@ phrase-serving collections, or wrap the same arrays into delta+varint
 position blocks per (term, doc) exactly like postings.py does for doc
 ids (the codec is reusable as-is).  phrase_match shuffles only the
 PHRASE terms' occurrence rows (broadcast-filtered before the shuffle).
+
+The tokenizer is the fully Arrow-vectorized analyzer
+(analysis.analyze_positions_arrow — same C++ kernel chain as the tf
+index build, no per-document Python loop), so a positional build costs
+the same per byte as the tf build.  The per-doc Python analyzer
+(analysis.tokenize_doc) remains the equivalence oracle in
+tests/test_positional.py.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .analysis import tokenize_doc
 from .config import AnalyzerConfig
 
 POSITIONS_SCHEMA = T.StructType(
@@ -52,30 +54,21 @@ def positional_tokens(
         F.col(content_col).alias("content"),
     )
 
-    def _pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _pos(batches):
+        import pyarrow as pa
+
+        from search_engine_spark.analysis import analyze_positions_arrow
         from search_engine_spark.config import AnalyzerConfig as _AC
 
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
         c = _AC.from_dict(cfg_dict)
-        for pdf in batches:
-            ids_out, terms_out, pos_out = [], [], []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                toks = tokenize_doc("" if content is None else str(content), c)
-                if not toks:
-                    continue
-                ids_out.append(np.full(len(toks), doc_id, dtype=np.int64))
-                terms_out.extend(toks)
-                pos_out.append(np.arange(len(toks), dtype=np.int32))
-            if not terms_out:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.concatenate(ids_out),
-                    "term": pd.Series(terms_out, dtype=object),
-                    "pos": np.concatenate(pos_out),
-                }
-            )
+        for batch in batches:
+            out = analyze_positions_arrow(batch, c)
+            if out.num_rows:
+                yield out
 
-    return narrow.mapInPandas(_pos, schema=POSITIONS_SCHEMA)
+    return narrow.mapInArrow(_pos, schema=POSITIONS_SCHEMA)
 
 
 def phrase_match(

@@ -50,6 +50,24 @@ def test_positions_match_pure_tokenizer(spark, pdocs):
         assert sorted(got.get(doc_id, [])) == want
 
 
+def test_arrow_positions_match_python_oracle_full_analyzer(spark, corpus):
+    """Arrow-vectorized positional analyzer == per-doc tokenize_doc on the
+    synthetic source-code corpus with the FULL analyzer (stemming ON) —
+    the equivalence gate for the mapInArrow rewrite of positional_tokens."""
+    cfg = AnalyzerConfig()  # stemming on
+    rows = [(i, d["content"]) for i, d in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, content string").repartition(4)
+    got = {}
+    for r in positional_tokens(df, cfg).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    n_occ = 0
+    for doc_id, content in rows:
+        want = list(enumerate(tokenize_doc(content, cfg)))
+        assert sorted(got.get(doc_id, [])) == want
+        n_occ += len(want)
+    assert n_occ > 1000  # non-vacuous: a real token stream was compared
+
+
 @pytest.mark.parametrize(
     "phrase", [("alpha", "beta"), ("rep", "rep"), ("alpha", "beta", "alpha")]
 )

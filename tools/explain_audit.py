@@ -119,6 +119,17 @@ def main() -> int:
     check("doc_meta: no Python at all",
           "Python" not in p and "Arrow" not in p)
 
+    # --- 7. positional phrase search: Arrow tokenizer, no row-Python ---
+    from search_engine_spark.positional import phrase_match, positional_tokens
+
+    ptoks = positional_tokens(docs, cfg, "doc_id", "text")
+    p = plan_of(phrase_match(ptoks, ["merge", "index"]))
+    print("== phrase_match ==")
+    check("positional: Arrow tokenizer (MapInArrow), no row-Python",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+    check("positional: scan pruned to doc_id,text",
+          "ReadSchema: struct<doc_id:bigint,text:string>" in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
