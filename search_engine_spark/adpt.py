@@ -21,15 +21,22 @@ including its quirks (all float32 casts noted are real C# float casts):
 * contribution = qtf · float(c·(k1+1)/(k1+c)) · IGs[1], accumulated per
   doc in float32 in query-term order (:79-95); top-1000 by score (:99-104).
 
-Spark decomposition: the per-term statistics (IG curve + k1 grid) need the
-term's FULL posting list — a groupBy(term).applyInPandas over the
-query-matched slice (dictionary-sized: |query terms| groups).  The
-per-posting contribution is then a vectorized float32 pandas UDF, and
-accumulation/top-k reuse query.py's exact-float32 fold — so ADPT shares
-the skeleton of BM25 with one extra tiny per-term aggregation, exactly as
-SURVEY.md §2 #22 prescribes.  Not SQL-expressible (grid search + the
-truncation quirk), so the driver contract records a rows-only check and
-pytest carries the identity gate vs the pure-Python oracle.
+Spark decomposition — SKEW-SAFE: the IG curve never needs the posting
+list itself, only dft(t) = |{d : c(d) ≥ t−0.5}| for integer t ≤ 100.
+Since c ≥ t−0.5  ⟺  floor(c + 0.5) ≥ t, a per-(term, bucket) histogram
+with bucket = min(floor(c+0.5), 100) carries the whole curve.  The
+histogram is ONE distributive groupBy (map-side combinable, ≤101 rows
+per term regardless of df), so a df≈N hot term costs the same shuffle
+as any aggregation instead of funneling its entire posting list into a
+single pandas task (the one-reducer skew the round-1 review flagged).
+The tiny per-term grid search then runs in ≤101-row applyInPandas
+groups.  The per-posting contribution is a vectorized float32 pandas
+UDF, and accumulation/top-k reuse query.py's exact-float32 fold.
+
+Not SQL-expressible (grid search + the truncation quirk), so the driver
+contract records a rows-only check and pytest carries the identity gate
+vs the pure-Python oracle (including a df≈N-term regression,
+tests/test_adpt.py).
 """
 
 from __future__ import annotations
@@ -43,26 +50,45 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .query import _accumulate, topk
 
 
-def term_adpt_params(
-    tfs: np.ndarray, doc_lens: np.ndarray, n_docs: int, avgdl: float, b: float
-) -> tuple[float, float]:
-    """One term's (k1*, IGs[1]) from its full posting arrays.
+MAX_BUCKET = 100  # IG loop tops out at dft(100) = |{d : c(d) >= 99.5}|
 
-    Vectorized restatement of BM25ADPT.cs:54-76,107-168; float32
-    discipline matches the C# float casts (see module docstring).
-    """
-    df = len(tfs)
+
+def c_buckets(
+    tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float, b: float
+) -> np.ndarray:
+    """Per-posting histogram bucket: min(floor(float32(c) + 0.5), 100).
+
+    c = float32( tf / (1 - b + b·docLen/avgdl) ) — the C# float cast
+    (BM25ADPT.cs:131-134); c ≥ t−0.5 ⟺ bucket ≥ t for integer t, so the
+    bucket counts are a lossless summary of the dft curve."""
     c = (
         tfs.astype(np.float64)
         / (1.0 - b + b * (doc_lens.astype(np.float64) / avgdl))
     ).astype(np.float32)
+    return np.minimum(
+        np.floor(c.astype(np.float64) + 0.5), MAX_BUCKET
+    ).astype(np.int64)
+
+
+def term_adpt_params_from_hist(
+    counts: np.ndarray, n_docs: int
+) -> tuple[float, float]:
+    """One term's (k1*, IGs[1]) from its c-bucket histogram.
+
+    counts[k] = number of postings with bucket k (k in 0..MAX_BUCKET);
+    df = counts.sum().  Restates BM25ADPT.cs:54-76,107-168; float32
+    discipline matches the C# float casts (see module docstring).
+    """
+    df = int(counts.sum())
+    # suffix[t] = |{d : bucket >= t}| = |{d : c(d) >= t - 0.5}|
+    suffix = np.cumsum(counts[::-1])[::-1]
 
     def dft(t: int) -> float:
         if t == 0:
             return float(np.float32(n_docs))
         if t == 1:
             return float(np.float32(df))
-        return float(np.float32(np.count_nonzero(c >= t - 0.5)))
+        return float(np.float32(suffix[t] if t < len(suffix) else 0))
 
     base = -math.log((df + 0.5) / (n_docs + 1), 2)
 
@@ -97,6 +123,18 @@ def term_adpt_params(
             sq_best, k1_best = sq, j
         j += 0.1
     return float(np.float32(k1_best)), ig1
+
+
+def term_adpt_params(
+    tfs: np.ndarray, doc_lens: np.ndarray, n_docs: int, avgdl: float, b: float
+) -> tuple[float, float]:
+    """(k1*, IGs[1]) from full posting arrays — the array-input form used
+    by tests/oracles; delegates to the same histogram core the Spark path
+    aggregates distributively."""
+    counts = np.bincount(
+        c_buckets(tfs, doc_lens, avgdl, b), minlength=MAX_BUCKET + 1
+    )
+    return term_adpt_params_from_hist(counts, n_docs)
 
 
 _PARAMS_SCHEMA = T.StructType(
@@ -150,16 +188,32 @@ def score_bm25_adpt(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"
     )
 
+    # distributive c-bucket histogram (see module docstring): JVM-side
+    # float32 cast of c matches numpy's float64→float32 round exactly, so
+    # the bucket counts equal c_buckets() bit-for-bit.  One map-side-
+    # combinable shuffle; ≤ MAX_BUCKET+1 rows per term no matter the df.
+    c32 = (
+        F.col("tf").cast("double")
+        / (
+            F.lit(1.0 - b_f)
+            + F.lit(b_f) * (F.col("doc_len").cast("double") / F.lit(avgdl_f))
+        )
+    ).cast("float")
+    bucket = F.least(
+        F.floor(c32.cast("double") + F.lit(0.5)), F.lit(MAX_BUCKET)
+    ).cast("int")
+    hist = matched.groupBy("term", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+
     def _params(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
-        k1, ig1 = term_adpt_params(
-            pdf["tf"].to_numpy(np.int64),
-            pdf["doc_len"].to_numpy(np.int64),
-            int(n_f), avgdl_f, b_f,
-        )
+        counts = np.zeros(MAX_BUCKET + 1, dtype=np.int64)
+        counts[pdf["bucket"].to_numpy(np.int64)] = pdf["cnt"].to_numpy(np.int64)
+        k1, ig1 = term_adpt_params_from_hist(counts, int(n_f))
         return pd.DataFrame({"term": [term], "k1": [k1], "ig1": [ig1]})
 
-    tparams = matched.groupBy("term").applyInPandas(_params, schema=_PARAMS_SCHEMA)
+    tparams = hist.groupBy("term").applyInPandas(_params, schema=_PARAMS_SCHEMA)
 
     joined = matched.join(F.broadcast(qterms), "term", "inner").join(
         F.broadcast(tparams), "term", "inner"

@@ -64,6 +64,34 @@ def test_term_params_match_oracle_curve(oracle_index):
         assert 0.2 - 1e-6 <= k1 <= 2.5 + 1e-6
 
 
+def test_adpt_hot_term_df_near_n(spark):
+    """Skew regression: a query term present in EVERY document (df = N).
+
+    The histogram decomposition must still be bit-identical to the
+    pure-Python oracle — and at scale this case no longer funnels the
+    whole posting list into one pandas task (only ≤101 histogram rows
+    per term reach Python)."""
+    texts = []
+    for i in range(80):
+        body = ("hot " * ((i % 9) + 1)) + ("rare " if i % 16 == 0 else "")
+        texts.append((f"d{i:03d}", body + f"w{i % 11} filler{i % 5}"))
+    oracle_index = O.build_index(texts, CFG)
+    df = spark.createDataFrame(
+        [(i, c) for i, (_, c) in enumerate(texts)], "doc_id long, content string"
+    ).repartition(4)
+    tokens = B.analyze_tokens(df, CFG, "doc_id", "content")
+    qdf = Q.queries_to_df(spark, [(1, "hot rare w3")], CFG)
+    res = score_bm25_adpt(
+        tokens, oracle_index.n_docs, oracle_index.avgdl(), qdf, b=0.75, k=K
+    )
+    have = sorted((r["rank"], r["doc_id"], r["score"]) for r in res.collect())
+    want = O.score_bm25_adpt(oracle_index, "hot rare w3", b=0.75, k=K)
+    assert len(have) == len(want) > 0
+    for (rank, doc_id, score), (o_doc, _ok, o_score) in zip(have, want):
+        assert doc_id == o_doc, f"rank {rank}"
+        assert score == o_score, f"rank {rank}: {score} != {o_score}"
+
+
 def test_adpt_rank_and_score_identity(spark, built, oracle_index, queries_fixture):
     sample = queries_fixture[::3]
     n, avgdl, _ = B.collect_stats(built["doc_meta"])
