@@ -103,21 +103,65 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Bucket rows (…, ids sorted asc) → (a, b) pairs, a < b, SPREAD
+    ACROSS ROWS: explode the left id first, then pair it with the later
+    ids only — the largest single value is one bucket's id array (k
+    elements), never the k² pair array, so a duplicate-heavy bucket
+    cannot OOM a task or hit the 2 GB single-value limit.
+
+    Buckets larger than max_bucket_size short-circuit to a STAR: every
+    id pairs with the bucket minimum only (k−1 pairs).  An over-cap
+    bucket means a near-identical template family; the star keeps the
+    group fully connected for downstream clustering
+    (connected_components) at linear cost instead of quadratic.  The cap
+    is a documented semantic: pair-level consumers (e.g. Jaccard verify)
+    see min-to-member pairs for such families, not all-pairs."""
+    buckets = buckets.filter(F.size("ids") > 1)
+    small = buckets.filter(F.size("ids") <= max_bucket_size)
+    big = buckets.filter(F.size("ids") > max_bucket_size)
+    small_pairs = small.select(
+        F.explode("ids").alias("a"), F.col("ids")
+    ).select(
+        "a",
+        F.explode(F.filter(F.col("ids"), lambda y: y > F.col("a"))).alias("b"),
+    )
+    star_pairs = big.select(
+        F.col("ids")[0].alias("a"),
+        F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("b"),
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
+def bucket_size_stats(buckets_or_banded: DataFrame, *key_cols: str) -> DataFrame:
+    """Monitoring companion for the capped pair generators (no silent
+    caps): histogram of bucket sizes per key — run it on the same banded
+    rows to see how many buckets exceed a cap and how much was
+    star-short-circuited.  (size, n_buckets) rows."""
+    sizes = buckets_or_banded.groupBy(*key_cols).agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_buckets"))
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs sharing at least one LSH band.
 
     Physical strategy: ONE pass over signatures (posexplode of the band
     keys), groupBy(band, band_key) collecting the bucket's doc ids, then
-    an in-bucket pair explode with JVM higher-order functions.  A
-    band-keyed SELF-JOIN would evaluate the whole shingle→minhash
-    lineage once per join side per band (2×bands recomputations of the
-    expensive subtree) — the bucket-grouping form computes it exactly
-    once and adds a single shuffle.  Bucket pair-explosion is O(k²) but
-    k is small by construction: an identical band signature implies
-    near-identical docs, and true giant buckets mean giant duplicate
-    groups that dedup downstream anyway."""
+    a row-spread in-bucket pair explode (_bucket_pairs).  A band-keyed
+    SELF-JOIN would evaluate the whole shingle→minhash lineage once per
+    join side per band (2×bands recomputations of the expensive subtree)
+    — the bucket-grouping form computes it exactly once and adds a
+    single shuffle.  Buckets over max_bucket_size (near-identical
+    template families) short-circuit to star pairs — see _bucket_pairs;
+    monitor with bucket_size_stats(banded, 'band', 'band_key')."""
     rows = n_hashes // bands
     keys = F.array(
         *[
@@ -131,23 +175,7 @@ def lsh_candidate_pairs(
     buckets = banded.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
-    return (
-        buckets.filter(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
-    )
+    return _bucket_pairs(buckets, max_bucket_size)
 
 
 def ngram_jaccard_pairs(
@@ -157,6 +185,7 @@ def ngram_jaccard_pairs(
     width: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with shingle-Jaccard >= threshold.
 
@@ -166,30 +195,33 @@ def ngram_jaccard_pairs(
     scale, ALWAYS pass candidates; the bare all-pairs form is for small
     slices.  jaccard is an exact rational of two ints — no float drift.
 
-    Physical form: groupBy(shingle) + in-bucket pair explode (one
-    evaluation of the shingle subtree feeding the pair counts) rather
-    than a shingle-keyed SELF-JOIN that would evaluate it once per side;
-    the pair-count output is identical."""
+    Physical form: groupBy(shingle) + row-spread in-bucket pair explode
+    (one evaluation of the shingle subtree feeding the pair counts)
+    rather than a shingle-keyed SELF-JOIN that would evaluate it once
+    per side; the pair-count output is identical.  Shingles shared by
+    more than max_bucket_size docs are SKIPPED (stop-shingle filtering,
+    standard in the near-dup literature): a shingle that ubiquitous
+    carries no discriminative signal, and its k² pair contribution would
+    dominate the job.  The skip slightly undercounts intersections for
+    affected pairs — monitor with bucket_size_stats(shingles, 'shingle')
+    and lower `width`-driven ubiquity rather than raising the cap."""
     sh = shingles_df(df, text_col, id_col, width)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
-    pair = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
     inter = (
-        buckets.filter(F.size("ids") > 1)
-        .select(F.explode(pair).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        buckets.filter(
+            (F.size("ids") > 1) & (F.size("ids") <= max_bucket_size)
+        )
+        .select(F.explode("ids").alias("a"), F.col("ids"))
+        .select(
+            "a",
+            F.explode(
+                F.filter(F.col("ids"), lambda y: y > F.col("a"))
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
     if candidates is not None:
@@ -262,6 +294,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation advances one hop per round; exiting the
+        # cap with changes pending means labels are WRONG for any chain
+        # longer than max_iter.  Fail loudly rather than return a silently
+        # non-converged clustering (driver check is rows-only here).
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ graph diameter)"
+        )
     return labels
 
 
@@ -299,7 +340,10 @@ def simhash64(
 
 
 def simhash_near_dups(
-    sig: DataFrame, max_hamming: int = 3, bands: int = 4
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance <= max_hamming.
 
@@ -308,9 +352,15 @@ def simhash_near_dups(
     so grouping by chunk finds all pairs with hamming <= bands-1.
 
     Same bucket-grouping physical form as lsh_candidate_pairs: one pass
-    over sig (posexplode of chunks), bucket collect, in-bucket pair
-    explode — the signature aggregation (60 bit-vote sums) is evaluated
-    once instead of 2×bands times."""
+    over sig (posexplode of chunks), bucket collect, row-spread in-bucket
+    pair explode — the signature aggregation (60 bit-vote sums) is
+    evaluated once instead of 2×bands times, and no task ever holds a k²
+    pair array.  Buckets over max_bucket_size (a template family sharing
+    a chunk) short-circuit to star pairs against the bucket minimum —
+    the hamming filter still applies, so star pairs farther than
+    max_hamming drop out; completeness (the pigeonhole guarantee) is
+    deliberately traded away for those buckets.  Monitor with
+    bucket_size_stats(banded, 'band', 'chunk')."""
     width = 60 // bands
     chunks = F.array(
         *[
@@ -327,25 +377,28 @@ def simhash_near_dups(
     buckets = banded.groupBy("band", "chunk").agg(
         F.sort_array(F.collect_set("ds")).alias("ids")
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("l"), y.alias("r"))
-                ),
-            )
-        ),
-        lambda p: p["l"]["doc_id"] < p["r"]["doc_id"],
+    buckets = buckets.filter(F.size("ids") > 1)
+    small = buckets.filter(F.size("ids") <= max_bucket_size)
+    big = buckets.filter(F.size("ids") > max_bucket_size)
+    small_pairs = small.select(
+        F.explode("ids").alias("l"), F.col("ids")
+    ).select(
+        "l",
+        F.explode(
+            F.filter(F.col("ids"), lambda y: y["doc_id"] > F.col("l.doc_id"))
+        ).alias("r"),
+    )
+    star_pairs = big.select(
+        F.col("ids")[0].alias("l"),
+        F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("r"),
     )
     exploded = (
-        buckets.filter(F.size("ids") > 1)
-        .select(F.explode(pairs).alias("p"))
+        small_pairs.unionByName(star_pairs)
         .select(
-            F.col("p.l.doc_id").alias("a"),
-            F.col("p.r.doc_id").alias("b"),
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
             F.bit_count(
-                F.col("p.l.simhash").bitwiseXOR(F.col("p.r.simhash"))
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
         .distinct()

@@ -1,0 +1,91 @@
+"""Giant-bucket guards + convergence guard for the dedup operators.
+
+Adversarial corpus: hundreds of IDENTICAL documents — every doc shares
+every band key / simhash chunk / shingle, so the naive in-bucket pair
+explode would be O(k²) in one task.  The guards must (a) keep results
+exact below the cap, (b) short-circuit over-cap buckets to linear-cost
+star pairs (LSH/SimHash) or skip stop-shingles (Jaccard), and (c) keep
+downstream clustering connectivity intact.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import dedup as D
+
+
+def _identical_docs(spark, n, text="alpha beta gamma delta epsilon zeta"):
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    ).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def sig300(spark):
+    docs = _identical_docs(spark, 300)
+    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    return D.minhash_signatures(sh, n_hashes=8).cache()
+
+
+def test_lsh_small_bucket_exact_all_pairs(spark):
+    docs = _identical_docs(spark, 6)
+    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    sig = D.minhash_signatures(sh, n_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, n_hashes=8, bands=4).collect()
+    assert sorted((r["a"], r["b"]) for r in pairs) == [
+        (a, b) for a in range(6) for b in range(a + 1, 6)
+    ]
+
+
+def test_lsh_giant_bucket_star_short_circuit(spark, sig300):
+    pairs = D.lsh_candidate_pairs(
+        sig300, n_hashes=8, bands=4, max_bucket_size=50
+    ).collect()
+    got = sorted((r["a"], r["b"]) for r in pairs)
+    # star: every doc pairs with the bucket minimum (doc 0) only
+    assert got == [(0, b) for b in range(1, 300)]
+
+
+def test_lsh_star_keeps_cluster_connected(spark, sig300):
+    pairs = D.lsh_candidate_pairs(
+        sig300, n_hashes=8, bands=4, max_bucket_size=50
+    )
+    comp = D.connected_components(pairs).collect()
+    assert len(comp) == 300
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_simhash_giant_bucket_star(spark):
+    docs = _identical_docs(spark, 200)
+    sig = D.simhash64(docs, "text", "doc_id")
+    pairs = D.simhash_near_dups(sig, max_hamming=3, bands=4, max_bucket_size=40).collect()
+    got = sorted((r["a"], r["b"], r["hamming"]) for r in pairs)
+    assert got == [(0, b, 0) for b in range(1, 200)]
+
+
+def test_ngram_jaccard_stop_shingle_skip(spark):
+    docs = _identical_docs(spark, 120)
+    # every shingle bucket has 120 docs > cap 50 -> all skipped -> no pairs
+    capped = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", width=3, threshold=0.5, max_bucket_size=50
+    )
+    assert capped.count() == 0
+    # with the cap above the bucket size the exact result returns
+    full = D.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 5), "text", "doc_id",
+        width=3, threshold=0.5,
+    ).collect()
+    assert sorted((r["a"], r["b"], r["jaccard"]) for r in full) == [
+        (a, b, 1.0) for a in range(5) for b in range(a + 1, 5)
+    ]
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=3)
+    # and converges fine with enough rounds
+    comp = D.connected_components(chain, max_iter=20).collect()
+    assert {r["component"] for r in comp} == {0}
