@@ -399,10 +399,20 @@ def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operator surface (EXCEPT, absent from the reference —
-    §2.16): doc ids dropped by exact dedup = all ids EXCEPT survivors."""
+    §2.16): doc ids dropped by exact dedup = all ids EXCEPT survivors.
+
+    The contract corpus has no natural exact duplicates, which would
+    make this check vacuous (0 vs 0) — so deterministic duplicates are
+    injected IN the query on both engines: every doc_id % 10 == 0 row is
+    unioned back with doc_id + 1_000_000.  The dropped set must be
+    exactly those shifted copies (min-id survivor wins)."""
     docs = _docs(spark, sf_dir)
-    survivors = D.dedup_exact_keep_first(docs, "text", "doc_id")
-    return docs.select("doc_id").exceptAll(survivors.select("doc_id"))
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    aug = docs.unionByName(dup)
+    survivors = D.dedup_exact_keep_first(aug, "text", "doc_id")
+    return aug.select("doc_id").exceptAll(survivors.select("doc_id"))
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,9 +928,14 @@ FROM documents GROUP BY ROLLUP (lang, source)
 
 def _sql_dedup_dropped() -> str:
     return """
-SELECT doc_id FROM documents
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id FROM aug
 EXCEPT ALL
-SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY md5(text)
 """
 
 

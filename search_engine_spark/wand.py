@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .analysis import tokenize_query
+from .codec import delta_decode, varint_decode
 from .config import AnalyzerConfig, BM25Params
 from .postings import decode_block
 from .query import topk
@@ -253,20 +254,61 @@ def search_bm25(
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         pp = BM25Params(**p_dict)
-        # accumulate blocks per (segment, term)
+        # Columnar intake: scalars come out as numpy arrays (one pass, no
+        # per-row dict of the three binary payloads — to_pylist would copy
+        # every encoded block into Python even for blocks pruning later);
+        # the encoded columns stay as Arrow arrays and are materialized
+        # per block only at decode time, so pruned blocks never touch
+        # Python bytes at all.
         segs: dict[int, dict[str, list[dict]]] = defaultdict(lambda: defaultdict(list))
         for batch in batches:
-            rows = batch.to_pylist()
-            for r in rows:
-                segs[r["segment_id"]][r["term"]].append(r)
-        # per-task memoized decode: a block needed by T topics decodes once
-        dcache: dict[int, tuple] = {}
+            if batch.num_rows == 0:
+                continue
+            seg_a = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            terms = batch.column("term").to_pylist()
+            df_a = batch.column("df").to_numpy(zero_copy_only=False)
+            bid_a = batch.column("block_id").to_numpy(zero_copy_only=False)
+            n_a = batch.column("n").to_numpy(zero_copy_only=False)
+            f_a = batch.column("first_doc_id").to_numpy(zero_copy_only=False)
+            l_a = batch.column("last_doc_id").to_numpy(zero_copy_only=False)
+            bms_a = batch.column("block_max_score").to_numpy(zero_copy_only=False)
+            enc_cols = (
+                batch.column("doc_ids_enc"),
+                batch.column("tfs_enc"),
+                batch.column("doc_lens_enc"),
+            )
+            for i in range(batch.num_rows):
+                seg = int(seg_a[i])
+                segs[seg][terms[i]].append(
+                    {
+                        "df": int(df_a[i]),
+                        "block_id": int(bid_a[i]),
+                        "n": int(n_a[i]),
+                        "first_doc_id": int(f_a[i]),
+                        "last_doc_id": int(l_a[i]),
+                        "block_max_score": float(bms_a[i]),
+                        "_seg": seg,
+                        "_term": terms[i],
+                        "_enc": (enc_cols, i),
+                    }
+                )
+        # per-task memoized decode: a block needed by T topics decodes
+        # once.  Key is the STABLE identity (segment, term, block_id) —
+        # never id(dict), which CPython recycles once a row is dropped.
+        dcache: dict[tuple, tuple] = {}
 
         def dec(b):
-            r = dcache.get(id(b))
+            key = (b["_seg"], b["_term"], b["block_id"])
+            r = dcache.get(key)
             if r is None:
-                r = decode_block(b)
-                dcache[id(b)] = r
+                (d_enc, t_enc, l_enc), i = b["_enc"]
+                n = b["n"]
+                r = (
+                    delta_decode(b["first_doc_id"], d_enc[i].as_py(), n).astype(np.int64),
+                    varint_decode(t_enc[i].as_py(), n).astype(np.int64),
+                    varint_decode(l_enc[i].as_py(), n).astype(np.int64),
+                )
+                dcache[key] = r
             return r
 
         out_t, out_d, out_s = [], [], []
