@@ -319,6 +319,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.with_lang_id(docs, "text").select("doc_id", "lang_pred")
 
 
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow hot-path textstats twin (ops.textstats.
+    with_doc_stats_arrow) under the driver oracle directly — one C++
+    pass computing what token_counts + quality_scores + lang_id compute
+    in SQL; the oracle joins those three SQL restatements."""
+    docs = _docs(spark, sf_dir)
+    out = TS.with_doc_stats_arrow(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_subtokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "lang_pred",
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     pairs = S.cosine_near_dup_pairs(embs, threshold=0.3)
@@ -866,6 +885,18 @@ FROM h
 """
 
 
+def _sql_doc_stats() -> str:
+    return f"""
+WITH tc AS ({_sql_token_counts()}),
+qs AS ({_sql_quality_scores()}),
+li AS ({_sql_lang_id()})
+SELECT tc.doc_id, tc.n_tokens, tc.n_subtokens,
+       qs.punct_ratio, qs.stopword_ratio, qs.mean_token_len,
+       qs.quality_score, li.lang_pred
+FROM tc JOIN qs USING (doc_id) JOIN li USING (doc_id)
+"""
+
+
 _SQL_COS = (
     "list_sum(list_transform(range(1, len({a}) + 1),"
     " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -1037,6 +1068,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "doc_stats": q_doc_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "srp_ann_topk": q_srp_ann_topk,
         "events_hourly": q_events_hourly,
@@ -1075,6 +1107,7 @@ def duckdb_oracles() -> dict[str, str]:
         "simhash_near_dups": _sql_simhash_near_dups(),
         "token_counts": _sql_token_counts(),
         "lang_id": _sql_lang_id(),
+        "doc_stats": _sql_doc_stats(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "srp_ann_topk": _sql_srp_ann_topk(),
         "events_hourly": _sql_events_hourly(),

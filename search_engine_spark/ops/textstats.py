@@ -1,22 +1,27 @@
 """Text analysis operators: token counting, quality scoring, language ID,
 document fingerprinting.
 
-All pure DataFrame/SQL expressions (JVM-side) — no Python, and every
-operator is a narrow map or a single partial-aggregating shuffle.
+Two twin implementations of the same per-document statistics:
 
-Scale caveat: the lambda-based higher-order functions here (filter/
-aggregate over token arrays) are interpreted, not codegen'd, and are
-allocation-bound — measured flat-to-negative core scaling past ~8
-threads on multi-million-row inputs (see BASELINE.md).  They are the
-right tool for SQL-checkable per-document statistics; for the INDEX
-build hot path the same counting semantics run as pyarrow kernels
-instead (analysis.doc_stats_arrow / build.build_doc_meta_arrow), and a
-pipeline computing these stats over a full 100 TB corpus should follow
-that pattern (an Arrow twin per stat is a mechanical port).
+  * SQL twins (with_token_count / with_quality_score / with_lang_id):
+    pure DataFrame/SQL expressions — JVM-side, narrow, and DuckDB-
+    restatable, so they carry the driver-contract oracle checks.  Their
+    lambda higher-order functions are interpreted (not codegen'd) and
+    allocation-bound — measured flat-to-negative core scaling past ~8
+    threads on multi-million-row inputs (see BASELINE.md) — fine for
+    oracle checks, wrong for a 100 TB pipeline pass.
+  * Arrow twin (with_doc_stats_arrow): ALL the same statistics in one
+    C++-kernel pass under mapInArrow (GIL-releasing, like the index
+    build's analyzer) — the hot-path form a corpus-scale pipeline should
+    call.  Equality with the SQL twins is pytest-gated
+    (tests/test_textstats_arrow.py).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..analysis import DOC_SPLIT_SQL_REGEX, STOPWORDS
@@ -33,8 +38,14 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace+punct token array (the engine's doc split set)."""
-    return F.filter(F.split(text, DOC_SPLIT_SQL_REGEX), lambda t: t != "")
+    """Whitespace+punct token array (the engine's doc split set).
+
+    NULL text counts as empty (total function — same convention as the
+    Arrow twin and the index analyzer's fill_null)."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), DOC_SPLIT_SQL_REGEX),
+        lambda t: t != "",
+    )
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,11 +53,12 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     The BPE-ish estimate counts runs of letters/digits/other separately
     (a cheap deterministic proxy for subword token counts)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens_col(F.col(text_col))
     bpe_ish = F.size(
         F.filter(
             F.split(
-                F.regexp_replace(F.col(text_col), r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)", r"$1 "),
+                F.regexp_replace(text, _BPE_ISH_REGEX, r"$1 "),
                 r"\s+",
             ),
             lambda t: t != "",
@@ -62,7 +74,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     Mirrors standard web-corpus quality filters (length / punctuation /
     stopword-density rules); all columns are exact SQL arithmetic so the
     operator is oracle-checkable."""
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens_col(text)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
@@ -110,6 +122,160 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred",
         F.when(first["hits"] > 0, first["lang"]).otherwise(F.lit("und")),
     ).drop("__toks")
+
+
+_BPE_ISH_REGEX = r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)"
+
+_DOC_STATS_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_subtokens", pa.int64()),
+        ("punct_ratio", pa.float64()),
+        ("stopword_ratio", pa.float64()),
+        ("mean_token_len", pa.float64()),
+        ("quality_score", pa.float64()),
+        ("lang_pred", pa.string()),
+    ]
+)
+
+
+def _per_doc_counts(n: int, token_lists, value_mask=None) -> np.ndarray:
+    """len-n array of per-row surviving-token counts for a list array."""
+    parent = pc.list_parent_indices(token_lists)
+    flat = pc.list_flatten(token_lists)
+    keep = pc.not_equal(flat, "")
+    if value_mask is not None:
+        keep = pc.and_(keep, value_mask)
+    parent = pc.filter(parent, keep)
+    out = np.zeros(n, dtype=np.int64)
+    if len(parent):
+        np.add.at(out, parent.to_numpy(zero_copy_only=False), 1)
+    return out
+
+
+def doc_stats_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """One Arrow pass computing every textstats column for a batch of
+    (doc_id, text) rows — C++ kernels throughout; the only numpy work is
+    per-document scatter-adds.  Semantics are IDENTICAL to the SQL twins
+    (operation-for-operation, same double arithmetic order), enforced by
+    tests/test_textstats_arrow.py."""
+    n = batch.num_rows
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    text = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+
+    token_lists = pc.split_pattern_regex(text, DOC_SPLIT_SQL_REGEX)
+    flat = pc.list_flatten(token_lists)
+    parent = pc.list_parent_indices(token_lists)
+    keep = pc.not_equal(flat, "")
+    flat = pc.filter(flat, keep)
+    parent_np = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+
+    n_tokens = np.zeros(n, dtype=np.int64)
+    sum_len = np.zeros(n, dtype=np.int64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    low = pc.utf8_lower(flat)
+    if len(flat):
+        np.add.at(n_tokens, parent_np, 1)
+        np.add.at(
+            sum_len, parent_np,
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False),
+        )
+        np.add.at(
+            stop_hits, parent_np,
+            pc.is_in(low, value_set=pa.array(STOPWORDS)).to_numpy(
+                zero_copy_only=False
+            ),
+        )
+
+    # BPE-ish subwords: space out letter/digit/other runs, re-split
+    sub_lists = pc.split_pattern_regex(
+        pc.replace_substring_regex(text, _BPE_ISH_REGEX, r"\1 "), r"\s+"
+    )
+    n_subtokens = _per_doc_counts(n, sub_lists)
+
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    stripped = pc.replace_substring_regex(text, r"[^\w\s]", "")
+    n_punct = n_chars - pc.utf8_length(stripped).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+    # ratios: same guard+order as the SQL twins (double arithmetic)
+    nt = n_tokens.astype(np.float64)
+    punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+    stop_ratio = np.where(n_tokens > 0, stop_hits / np.maximum(nt, 1.0), 0.0)
+    mean_tok_len = np.where(n_tokens > 0, sum_len / np.maximum(nt, 1.0), 0.0)
+    quality = (
+        np.minimum(nt / 100.0, 1.0) * 0.4
+        + np.minimum(stop_ratio * 4.0, 1.0) * 0.4
+        + (1.0 - np.minimum(punct_ratio * 4.0, 1.0)) * 0.2
+    )
+
+    # language ID: marker-hit argmax, tie-break lang code asc, 0 -> 'und'
+    langs = sorted(_LANG_MARKERS)
+    hits = np.zeros((n, len(langs)), dtype=np.int64)
+    if len(flat):
+        for j, lang in enumerate(langs):
+            m = pc.is_in(low, value_set=pa.array(_LANG_MARKERS[lang]))
+            np.add.at(hits[:, j], parent_np, m.to_numpy(zero_copy_only=False))
+    best = hits.argmax(axis=1)  # first max = lang asc tie-break
+    best_hits = hits[np.arange(n), best]
+    lang_arr = np.asarray(langs, dtype=object)[best]
+    lang_pred = np.where(best_hits > 0, lang_arr, "und")
+
+    return pa.RecordBatch.from_arrays(
+        [
+            ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+            pa.array(n_tokens, pa.int64()),
+            pa.array(n_subtokens, pa.int64()),
+            pa.array(punct_ratio, pa.float64()),
+            pa.array(stop_ratio, pa.float64()),
+            pa.array(mean_tok_len, pa.float64()),
+            pa.array(quality, pa.float64()),
+            pa.array(list(lang_pred), pa.string()),
+        ],
+        schema=_DOC_STATS_ARROW_SCHEMA,
+    )
+
+
+def with_doc_stats_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_subtokens, punct_ratio, stopword_ratio,
+    mean_token_len, quality_score, lang_pred) — the Arrow hot-path twin
+    of with_token_count + with_quality_score + with_lang_id in ONE
+    narrow C++ pass.  Use this form for corpus-scale pipeline sweeps."""
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    def _stats(batches):
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(1)
+        from search_engine_spark.ops.textstats import doc_stats_arrow_batch
+
+        for batch in batches:
+            if batch.num_rows:
+                yield doc_stats_arrow_batch(batch)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("n_subtokens", T.LongType(), False),
+            T.StructField("punct_ratio", T.DoubleType(), False),
+            T.StructField("stopword_ratio", T.DoubleType(), False),
+            T.StructField("mean_token_len", T.DoubleType(), False),
+            T.StructField("quality_score", T.DoubleType(), False),
+            T.StructField("lang_pred", T.StringType(), False),
+        ]
+    )
+    return narrow.mapInArrow(_stats, schema=schema)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 3) -> DataFrame:

@@ -1,0 +1,67 @@
+"""Arrow hot-path twin == SQL twins for the textstats operators.
+
+The SQL twins carry the DuckDB contract checks; the Arrow twin carries
+the pipeline hot path (the SQL twins' interpreted HOFs measured negative
+core-scaling past ~8 threads — BASELINE.md).  This gate pins them to
+each other exactly, including the double-arithmetic order.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import textstats as TS
+
+EDGE_TEXTS = [
+    (0, ""),                       # empty doc: all ratios 0, lang 'und'
+    (1, "   \t  "),                # whitespace only
+    (2, "the and of to is in"),    # pure English stopwords
+    (3, "der die das und ist"),    # German markers
+    (4, "le la les et est"),       # French markers
+    (5, "el los las es no"),       # Spanish markers
+    (6, "und la"),                 # tie -> lang asc ('de' before 'fr')
+    (7, "xyzzy qwerty plugh"),     # zero marker hits -> 'und'
+    (8, "a1b2c3 foo_bar!!! ::: <tag> x"),  # punct + subword runs
+    (9, "word " * 300),            # n_tokens/100 cap saturates
+    (10, None),                    # null text
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    rows = [(1000 + i, d["content"]) for i, d in enumerate(corpus)]
+    rows += EDGE_TEXTS
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(4).cache()
+
+
+def _sql_twin(df):
+    out = TS.with_token_count(df, "text")
+    out = TS.with_quality_score(out, "text")
+    # with_quality_score recomputes n_tokens identically; keep one
+    out = TS.with_lang_id(out, "text")
+    return out.select(
+        "doc_id", "n_tokens", "n_subtokens", "punct_ratio",
+        "stopword_ratio", "mean_token_len", "quality_score", "lang_pred",
+    )
+
+
+def test_arrow_twin_equals_sql_twin(spark, docs_df):
+    sql_rows = {r["doc_id"]: r for r in _sql_twin(docs_df).collect()}
+    arrow_rows = {
+        r["doc_id"]: r for r in TS.with_doc_stats_arrow(docs_df).collect()
+    }
+    assert set(sql_rows) == set(arrow_rows)
+    assert len(sql_rows) > 100
+    for doc_id, s in sql_rows.items():
+        a = arrow_rows[doc_id]
+        for col in (
+            "n_tokens", "n_subtokens", "punct_ratio", "stopword_ratio",
+            "mean_token_len", "quality_score", "lang_pred",
+        ):
+            assert a[col] == s[col], f"doc {doc_id} col {col}: {a[col]!r} != {s[col]!r}"
+
+
+def test_arrow_twin_plan_is_arrow_only(spark, docs_df):
+    plan = TS.with_doc_stats_arrow(docs_df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "BatchEvalPython" not in plan
