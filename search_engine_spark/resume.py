@@ -97,9 +97,27 @@ def finalized(spark: SparkSession, index_dir: str) -> bool:
 
 
 def _append_ledger(spark: SparkSession, index_dir: str, row: tuple) -> None:
-    spark.createDataFrame([row], schema=LEDGER_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(_ledger_path(index_dir))
+    """Idempotent per-(phase, chunk) ledger upsert.
+
+    A blind append would double-count on replay: e.g. the streaming
+    incremental build appends the ledger row BEFORE its checkpoint
+    commits, so a crash in that window replays the micro-batch and a
+    second phase='chunk' row for the same chunk would corrupt ledger
+    metrics (sum of n_docs, lineage counts) even though the index itself
+    stays correct.  Writing each row into its own partition with DYNAMIC
+    partition overwrite makes retries and replays overwrite-in-place —
+    at most one ledger row per (phase, chunk_id) ever exists.  Same for
+    re-runs of finalize."""
+    phase, chunk_id = row[0], row[1]
+    (
+        spark.createDataFrame([row], schema=LEDGER_SCHEMA)
+        .withColumn("part", F.lit(f"{phase}_{chunk_id}"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(_ledger_path(index_dir))
+    )
 
 
 def _build_chunk(

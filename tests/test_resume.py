@@ -134,6 +134,26 @@ def test_ledger_lineage_and_metrics(spark, docs_df, tmp_path):
     assert led.filter(F.col("phase") == "finalize").count() == 1
 
 
+def test_ledger_upsert_is_idempotent_per_chunk(spark, docs_df, tmp_path):
+    """Replaying a chunk (e.g. a streaming micro-batch that crashed after
+    the ledger write but before the checkpoint commit) must NOT leave a
+    second ledger row — metrics would double-count."""
+    from search_engine_spark.config import AnalyzerConfig
+    from search_engine_spark.resume import stage_chunk
+
+    index_dir = str(tmp_path / "idx_replay")
+    cfg = AnalyzerConfig()
+    chunk = docs_df.limit(30)
+    stage_chunk(chunk, index_dir, 7, "replay-test", cfg,
+                content_col="content", key_cols=("repo", "path", "commit"))
+    stage_chunk(chunk, index_dir, 7, "replay-test", cfg,
+                content_col="content", key_cols=("repo", "path", "commit"))
+    led = spark.read.parquet(f"{index_dir}/segments")
+    rows = led.filter(F.col("phase") == "chunk").collect()
+    assert len(rows) == 1 and rows[0]["chunk_id"] == 7
+    assert rows[0]["n_docs"] == 30
+
+
 def test_rerun_completed_build_is_noop_chunks(spark, docs_df, tmp_path):
     index_dir = str(tmp_path / "idx2")
     resumable_build(docs_df, index_dir, n_chunks=2, key_cols=("repo", "path", "commit"))
