@@ -1,0 +1,74 @@
+"""Unified table sink: parquet directories in-sandbox, Iceberg tables on
+a cluster — ONE prepared-DataFrame/schema/partitioning path for both.
+
+The north rule persists index segments + lineage to Iceberg.  No Iceberg
+catalog exists in this sandbox, so the layout here is parquet +
+manifest.json with a 1:1 mapping to the catalog form; this module makes
+that mapping CODE rather than a comment: every index table write goes
+through a TableSink, and the only difference between the two sinks is
+the final writer call —
+
+    ParquetSink: df.write.partitionBy(cols).parquet(root/name)
+    IcebergSink: df.writeTo(prefix.name).partitionedBy(cols)
+                   .createOrReplace() / .append()
+
+Everything upstream (column set, repartition, sort-within-partitions,
+bucket derivation) is shared, so switching a cluster deployment to
+Iceberg is a sink swap, not a rewrite.  tests/test_io_sink.py drives the
+IcebergSink code-shape against a recording writeTo stub and pins both
+sinks to the same prepared DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class ParquetSink:
+    """Writes each named table as a parquet directory under `root`."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{self.root}/{name}")
+
+
+class IcebergSink:
+    """Writes each named table via DataFrameWriterV2 to
+    `<table_prefix>.<name>` (an Iceberg catalog namespace on a cluster).
+
+    mode='overwrite' → createOrReplace() (new snapshot replacing the
+    table), mode='append' → append() (the incremental/streaming chunk
+    path).  Partition columns become identity partitionedBy transforms —
+    the same pruning contract as the parquet directory layout."""
+
+    def __init__(self, table_prefix: str):
+        self.table_prefix = table_prefix
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        w = df.writeTo(f"{self.table_prefix}.{name}")
+        if partition_by:
+            cols = [F.col(c) for c in partition_by]
+            w = w.partitionedBy(cols[0], *cols[1:])
+        if mode == "overwrite":
+            w.createOrReplace()
+        elif mode == "append":
+            w.append()
+        else:
+            raise ValueError(f"unsupported mode for IcebergSink: {mode}")

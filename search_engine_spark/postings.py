@@ -282,25 +282,46 @@ def term_bucket_col(term_col, n_buckets: int):
     ).cast("int")
 
 
+def prepare_postings_for_write(postings: DataFrame, n_buckets: int) -> DataFrame:
+    """The sink-independent physical layout of the postings table:
+    term_bucket derived, one task per bucket, rows sorted (term,
+    segment_id, block_id) inside each file so row-group stats prune
+    within a bucket.  Shared verbatim by the parquet and Iceberg sinks
+    (io_sink.py) — the layout IS the schema path."""
+    return (
+        postings.withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition("term_bucket")
+        .sortWithinPartitions("term", "segment_id", "block_id")
+    )
+
+
 def write_postings_bucketed(
-    postings: DataFrame, path: str, n_buckets: int, mode: str = "overwrite"
+    postings: DataFrame, path: str, n_buckets: int, mode: str = "overwrite",
+    sink=None,
 ) -> None:
     """Persist packed blocks directory-partitioned by term bucket.
 
     partitionBy(term_bucket) turns query-time term filters into partition
     PRUNING — a k-term query reads <= k of n_buckets directory slices
     instead of row-group-filtering the whole index (the difference
-    between touching ~k/n of 100 TB and touching all of it).  Blocks are
-    repartitioned to one task per bucket and sorted (term, segment_id,
-    block_id) inside each file so parquet row-group stats prune further
-    within a bucket."""
-    (
-        postings.withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-        .repartition("term_bucket")
-        .sortWithinPartitions("term", "segment_id", "block_id")
-        .write.mode(mode)
-        .partitionBy("term_bucket")
-        .parquet(path)
+    between touching ~k/n of 100 TB and touching all of it).
+
+    `sink` (io_sink.TableSink-shaped) overrides the writer backend: pass
+    io_sink.IcebergSink('catalog.db') on a cluster to land the SAME
+    prepared layout in an Iceberg table instead of a parquet dir."""
+    if sink is None:
+        from .io_sink import ParquetSink
+
+        norm = path.rstrip("/")
+        sink = ParquetSink(os.path.dirname(norm))
+        name = os.path.basename(norm)
+    else:
+        name = os.path.basename(path.rstrip("/"))
+    sink.write(
+        prepare_postings_for_write(postings, n_buckets),
+        name,
+        mode,
+        partition_by=("term_bucket",),
     )
 
 
