@@ -111,41 +111,62 @@ def cmd_search(args: argparse.Namespace) -> None:
               if analyzed_topics([(tid, text)], index["analyzer"])]
     t0 = time.time()
 
-    if args.scorer == "bm25" and args.path == "wand":
-        res = search_bm25(index, topics, k=args.k)
-    else:
-        tokens = postings_to_tokens(index["postings"])
-        qdf = queries_to_df(spark, topics, index["analyzer"])
-        if args.scorer == "bm25":
-            res = score_bm25(
-                tokens, index["n_docs"], index["avg_doc_len"], qdf,
-                index["params"], k=args.k,
-            )
-        elif args.scorer == "tfidf":
-            res = score_tfidf(tokens, index["n_docs"], qdf, k=args.k)
+    # --scorer all mirrors the reference exactly: one `search` invocation
+    # runs TF-IDF, BM25, and BM25-ADPT over the same topics
+    # (Program.cs:99-108), one run file per scorer (suffix .<scorer>).
+    scorers = ["tfidf", "bm25", "bm25adpt"] if args.scorer == "all" else [args.scorer]
+    tokens = qdf = None
+
+    def _decoded():
+        nonlocal tokens, qdf
+        if tokens is None:
+            tokens = postings_to_tokens(index["postings"])
+            if len(scorers) > 1:
+                tokens = tokens.persist()
+            qdf = queries_to_df(spark, topics, index["analyzer"])
+        return tokens, qdf
+
+    outputs = []
+    for sc in scorers:
+        if sc == "bm25" and args.path == "wand":
+            res = search_bm25(index, topics, k=args.k)
         else:
-            from .adpt import score_bm25_adpt
+            toks, q = _decoded()
+            if sc == "bm25":
+                res = score_bm25(
+                    toks, index["n_docs"], index["avg_doc_len"], q,
+                    index["params"], k=args.k,
+                )
+            elif sc == "tfidf":
+                res = score_tfidf(toks, index["n_docs"], q, k=args.k)
+            else:
+                from .adpt import score_bm25_adpt
 
-            res = score_bm25_adpt(
-                tokens, index["n_docs"], index["avg_doc_len"], qdf, k=args.k
-            )
+                res = score_bm25_adpt(
+                    toks, index["n_docs"], index["avg_doc_len"], q, k=args.k
+                )
 
-    named = res.join(
-        index["doc_meta"].select("doc_id", "doc_key"), "doc_id", "left"
-    ).select("topic_id", "rank", "doc_key", "score")
-    rows = [
-        (r["topic_id"], r["rank"], r["doc_key"] or "?", r["score"])
-        for r in named.collect()
-    ]
-    n = write_trec_run(rows, args.run_name, args.out)
+        named = res.join(
+            index["doc_meta"].select("doc_id", "doc_key"), "doc_id", "left"
+        ).select("topic_id", "rank", "doc_key", "score")
+        rows = [
+            (r["topic_id"], r["rank"], r["doc_key"] or "?", r["score"])
+            for r in named.collect()
+        ]
+        multi = len(scorers) > 1
+        out = f"{args.out}.{sc}" if multi else args.out
+        n = write_trec_run(rows, f"{args.run_name}-{sc}" if multi else args.run_name, out)
+        outputs.append({"scorer": sc, "results": n, "out": out})
+    if tokens is not None and len(scorers) > 1:
+        tokens.unpersist()
     print(
         json.dumps(
             {
                 "run": args.run_name,
                 "topics": len(topics),
-                "results": n,
+                "results": sum(o["results"] for o in outputs),
+                "runs": outputs,
                 "sec": round(time.time() - t0, 3),
-                "out": args.out,
             }
         )
     )
@@ -175,8 +196,10 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("topics")
     se.add_argument("index_dir")
     se.add_argument("out")
-    se.add_argument("--scorer", choices=["bm25", "tfidf", "bm25adpt"],
-                    default="bm25")
+    se.add_argument("--scorer", choices=["bm25", "tfidf", "bm25adpt", "all"],
+                    default="bm25",
+                    help="'all' = the reference's behavior: every scorer "
+                         "per invocation (Program.cs:99-108)")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
     se.add_argument("--k", type=int, default=1000)
     se.add_argument("--no-title", action="store_true")

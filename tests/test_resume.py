@@ -264,3 +264,15 @@ def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["results"] > 0
     assert all(l.split()[5] == "r2" for l in open(run2).read().splitlines())
+
+    # --scorer all: the reference's behavior — every scorer per
+    # invocation (Program.cs:99-108), one run file each
+    run3 = str(tmp_path / "run3.trec")
+    main(["search", "r3", topics_path, index_dir, run3,
+          "--scorer", "all", "--k", "5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [o["scorer"] for o in out["runs"]] == ["tfidf", "bm25", "bm25adpt"]
+    for o in out["runs"]:
+        assert o["results"] > 0
+        tag = f"r3-{o['scorer']}"
+        assert all(l.split()[5] == tag for l in open(o["out"]).read().splitlines())
