@@ -466,6 +466,20 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_match_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase over the COMPRESSED positional index (delta+varint
+    per (doc, term), positional.positional_postings): decode only the
+    phrase terms' rows, then shift-and-intersect.  Must reproduce
+    phrase_match exactly — one SQL oracle serves both."""
+    from .positional import phrase_match_packed, positional_postings
+
+    docs = _docs(spark, sf_dir)
+    packed = positional_postings(docs, SQL_CFG, "doc_id", "text")
+    return phrase_match_packed(packed, list(PHRASE)).select(
+        "doc_id", F.col("n_matches").cast("long").alias("n_matches")
+    )
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (streaming/
     incremental.sessionize_batch); timestamps emitted as epoch seconds
@@ -1074,6 +1088,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "phrase_match": q_phrase_match,
+        "phrase_match_packed": q_phrase_match_packed,
         "lang_source_rollup": q_lang_source_rollup,
         "dedup_dropped": q_dedup_dropped,
         "events_json": q_events_json,
@@ -1113,6 +1128,8 @@ def duckdb_oracles() -> dict[str, str]:
         "events_hourly": _sql_events_hourly(),
         "sessions": _sql_sessions(),
         "phrase_match": _sql_phrase_match(),
+        # compressed positional index must reproduce phrase_match exactly
+        "phrase_match_packed": _sql_phrase_match(),
         "lang_source_rollup": _sql_lang_source_rollup(),
         "dedup_dropped": _sql_dedup_dropped(),
         "events_json": _sql_events_json(),

@@ -71,6 +71,139 @@ def positional_tokens(
     return narrow.mapInArrow(_pos, schema=POSITIONS_SCHEMA)
 
 
+POSITIONAL_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_pos", T.IntegerType(), False),
+        T.StructField("pos_enc", T.BinaryType(), False),
+    ]
+)
+
+
+def positional_postings(
+    docs: DataFrame,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """documents → one row per (doc, term) with the term's ascending
+    positions delta+varint-encoded (codec.py — the same block codec the
+    tf index uses, reused as positional.py's round-1 docstring promised).
+
+    Occurrence rows (~doc_len per doc) collapse to dictionary rows
+    (~unique terms per doc) with the gaps varint-packed — the persisted/
+    shuffled footprint of a positional index drops to tf-index scale
+    plus compressed position payloads.  Narrow (no shuffle): grouping
+    happens inside each Arrow batch, docs never span batches."""
+    cfg = cfg or AnalyzerConfig()
+    cfg_dict = cfg.to_dict()
+    narrow = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    def _pack(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from search_engine_spark.analysis import analyze_positions_arrow
+        from search_engine_spark.codec import delta_encode
+        from search_engine_spark.config import AnalyzerConfig as _AC
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        c = _AC.from_dict(cfg_dict)
+        for batch in batches:
+            occ = analyze_positions_arrow(batch, c)
+            if occ.num_rows == 0:
+                continue
+            # occurrence stream is (doc-contiguous, pos ascending); the
+            # hash group-by appends in encounter order, so each group's
+            # pos list is already ascending
+            grouped = (
+                pa.Table.from_batches([occ])
+                .group_by(["doc_id", "term"], use_threads=False)
+                .aggregate([("pos", "list")])
+            )
+            ids = grouped.column("doc_id").to_numpy(zero_copy_only=False)
+            terms = grouped.column("term").to_pylist()
+            pos_col = grouped.column("pos_list").combine_chunks()
+            vals = pos_col.values.to_numpy(zero_copy_only=False)
+            offs = pos_col.offsets.to_numpy(zero_copy_only=False)
+            ns, firsts, encs = [], [], []
+            for i in range(len(ids)):
+                p = vals[offs[i] : offs[i + 1]]
+                first, gaps = delta_encode(p.astype(np.uint64))
+                ns.append(len(p))
+                firsts.append(int(first))
+                encs.append(gaps)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(terms, pa.string()),
+                    pa.array(ns, pa.int32()),
+                    pa.array(firsts, pa.int32()),
+                    pa.array(encs, pa.binary()),
+                ],
+                names=["doc_id", "term", "n", "first_pos", "pos_enc"],
+            )
+
+    return narrow.mapInArrow(_pack, schema=POSITIONAL_POSTINGS_SCHEMA)
+
+
+def positional_tokens_from_packed(packed: DataFrame) -> DataFrame:
+    """Decode packed positional postings back to the occurrence schema
+    (doc_id, term, pos).  FILTER to the needed terms first — e.g.
+    phrase_match over a packed index decodes only the phrase terms'
+    rows: packed.filter(term.isin(phrase)) |> this |> phrase_match."""
+
+    def _decode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from search_engine_spark.codec import delta_decode
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            terms = batch.column("term").to_pylist()
+            ns = batch.column("n").to_numpy(zero_copy_only=False)
+            firsts = batch.column("first_pos").to_numpy(zero_copy_only=False)
+            enc = batch.column("pos_enc")
+            out_ids, out_terms, out_pos = [], [], []
+            for i in range(batch.num_rows):
+                p = delta_decode(int(firsts[i]), enc[i].as_py(), int(ns[i]))
+                out_ids.append(np.full(len(p), ids[i], dtype=np.int64))
+                out_terms.extend([terms[i]] * len(p))
+                out_pos.append(p.astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids), pa.int64()),
+                    pa.array(out_terms, pa.string()),
+                    pa.array(np.concatenate(out_pos), pa.int32()),
+                ],
+                names=["doc_id", "term", "pos"],
+            )
+
+    return packed.mapInArrow(_decode, schema=POSITIONS_SCHEMA)
+
+
+def phrase_match_packed(
+    packed: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """phrase_match over the compressed positional index: pushes the
+    term filter to the packed scan (parquet row-group pruning when the
+    index is persisted), decodes ONLY those rows, then runs the same
+    shift-and-intersect."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    needed = packed.filter(F.col("term").isin(list(set(phrase_terms))))
+    return phrase_match(positional_tokens_from_packed(needed), phrase_terms)
+
+
 def phrase_match(
     ptokens: DataFrame, phrase_terms: list[str]
 ) -> DataFrame:

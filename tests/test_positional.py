@@ -82,6 +82,42 @@ def test_phrase_match_vs_bruteforce(spark, pdocs, phrase):
     assert len(got) > 0
 
 
+def test_packed_positions_round_trip(spark, corpus):
+    """Compressed positional postings (delta+varint per (doc, term))
+    decode back to exactly the occurrence stream."""
+    from search_engine_spark.positional import (
+        positional_postings, positional_tokens_from_packed,
+    )
+
+    cfg = AnalyzerConfig()
+    rows = [(i, d["content"]) for i, d in enumerate(corpus[:60])]
+    df = spark.createDataFrame(rows, "doc_id long, content string").repartition(3)
+    occ = sorted(
+        (r["doc_id"], r["term"], r["pos"])
+        for r in positional_tokens(df, cfg).collect()
+    )
+    packed = positional_postings(df, cfg)
+    back = sorted(
+        (r["doc_id"], r["term"], r["pos"])
+        for r in positional_tokens_from_packed(packed).collect()
+    )
+    assert back == occ and len(occ) > 1000
+    # packed rows = dictionary granularity, strictly fewer than occurrences
+    assert packed.count() < len(occ)
+
+
+def test_phrase_match_packed_equals_unpacked(spark, pdocs):
+    from search_engine_spark.positional import phrase_match_packed, positional_postings
+
+    texts, df = pdocs
+    packed = positional_postings(df, CFG)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_packed(packed, ["alpha", "beta"]).collect()
+    }
+    assert got == _brute_phrase_counts(texts, ("alpha", "beta"))
+
+
 def test_stopword_gap_counts_as_adjacent(spark, pdocs):
     """Documented semantics: positions index the SURVIVING stream, so
     'alpha the beta' matches the phrase (alpha, beta)."""
