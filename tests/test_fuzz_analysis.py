@@ -91,6 +91,32 @@ def test_four_restatements_agree(texts, cfg_i):
         assert ds.column("doc_len")[i].as_py() == want_len[d]
 
 
+@settings(max_examples=120, deadline=None)
+@given(texts=st.lists(_weird, min_size=0, max_size=5), cfg_i=st.integers(0, 2))
+def test_positional_arrow_matches_oracle(texts, cfg_i):
+    """analyze_positions_arrow == enumerate(tokenize_doc) on ANY input —
+    the fuzz gate for the Arrow positional tokenizer (positional.py)."""
+    from search_engine_spark.analysis import analyze_positions_arrow
+
+    cfg = CFGS[cfg_i]
+    doc_ids = list(range(len(texts)))
+    want = {
+        i: list(enumerate(tokenize_doc(t, cfg))) for i, t in enumerate(texts)
+    }
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "content"],
+    )
+    out = analyze_positions_arrow(batch, cfg)
+    got: dict[int, list] = {i: [] for i in doc_ids}
+    for i in range(out.num_rows):
+        got[out.column("doc_id")[i].as_py()].append(
+            (out.column("pos")[i].as_py(), out.column("term")[i].as_py())
+        )
+    for i in doc_ids:
+        assert got[i] == want[i]
+
+
 @settings(max_examples=80, deadline=None)
 @given(text=_weird)
 def test_query_tokenizer_properties(text):
