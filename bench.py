@@ -102,7 +102,8 @@ def main() -> None:
     # --- contract ops on the raw tables ---
     qcat = spark_queries()
     for name in ("dedup_exact", "minhash_lsh_pairs", "quality_scores",
-                 "ann_cosine_topk", "phrase_match", "bm25_adpt_topk"):
+                 "doc_stats", "ann_cosine_topk", "phrase_match",
+                 "bm25_adpt_topk"):
         timed(name, lambda n=name: qcat[n](spark, SF_DIR).count())
 
     built["tokens"].unpersist()
