@@ -533,6 +533,66 @@ def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column (multimodal) plumbing under the oracle: a binary
+    payload column (UTF-8 bytes of text — DuckDB's encode() produces the
+    identical bytes), per-modality rollup of byte length + md5 digests.
+    Bytes never shuffle: length/md5 reduce before the groupBy."""
+    docs = _docs(spark, sf_dir)
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    return media.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("media")).cast("long").alias("sum_bytes"),
+        F.min(F.md5("media")).alias("min_hash"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing (ops.multimodal): synthetic
+    media blobs → mapInPandas feature extraction (deterministic fake in
+    place of the stubbed codecs — libraries absent in-sandbox, documented
+    NotImplementedError hooks).  Not SQL-expressible (sha256-seeded byte
+    streams): rows-only driver check; pytest gates determinism/batch
+    shape (tests/test_streaming.py)."""
+    from .ops import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    media = MM.synthesize_media(docs, "text", "doc_id")
+    feats = MM.extract_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("features")[0].cast("double"), 6).alias("f0"),
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell) ANN — the scale path's second variant next to
+    SRP.  Iterative Lloyd k-means (xxhash64-seeded init) is not
+    SQL-expressible: rows-only driver check; pytest carries recall and
+    exactness-within-probed-cells gates (tests/test_similarity.py)."""
+    embs = _embs(spark, sf_dir)
+    centroids = S.ivf_train_centroids(embs, n_cells=8, n_iters=2)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    res = S.cosine_topk_ivf(embs, queries, centroids, k=10, n_probe=2)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 5).select(
@@ -899,6 +959,17 @@ FROM h
 """
 
 
+def _sql_media_stats() -> str:
+    return """
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+       MIN(md5(text)) AS min_hash
+FROM documents GROUP BY 1
+"""
+
+
 def _sql_doc_stats() -> str:
     return f"""
 WITH tc AS ({_sql_token_counts()}),
@@ -1079,6 +1150,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_scores": q_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
         "simhash_near_dups": q_simhash_near_dups,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -1119,6 +1193,7 @@ def duckdb_oracles() -> dict[str, str]:
         "ngram_jaccard": _sql_ngram_jaccard(),
         "quality_scores": _sql_quality_scores(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
+        "media_stats": _sql_media_stats(),
         "simhash_near_dups": _sql_simhash_near_dups(),
         "token_counts": _sql_token_counts(),
         "lang_id": _sql_lang_id(),
@@ -1138,6 +1213,11 @@ def duckdb_oracles() -> dict[str, str]:
         #                          SQL-expressible (tests/test_adpt.py)
         #   near_dup_components  — iterative label propagation
         #                          (tests/test_components.py)
+        #   ivf_ann_topk         — iterative Lloyd k-means training
+        #                          (tests/test_similarity.py)
+        #   media_features       — sha256-seeded synthetic media bytes
+        #                          (pytest; media_stats carries the
+        #                          DuckDB-checked binary plumbing)
     }
 
 
