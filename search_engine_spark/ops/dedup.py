@@ -119,21 +119,24 @@ def _bucket_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
     group fully connected for downstream clustering
     (connected_components) at linear cost instead of quadratic.  The cap
     is a documented semantic: pair-level consumers (e.g. Jaccard verify)
-    see min-to-member pairs for such families, not all-pairs."""
-    buckets = buckets.filter(F.size("ids") > 1)
-    small = buckets.filter(F.size("ids") <= max_bucket_size)
-    big = buckets.filter(F.size("ids") > max_bucket_size)
-    small_pairs = small.select(
-        F.explode("ids").alias("a"), F.col("ids")
-    ).select(
-        "a",
-        F.explode(F.filter(F.col("ids"), lambda y: y > F.col("a"))).alias("b"),
+    see min-to-member pairs for such families, not all-pairs.
+
+    The cap is ONE when() expression (left side = full ids below the
+    cap, just the bucket minimum above it), not a small/big DataFrame
+    split — a union of two filtered branches would re-evaluate the whole
+    bucket-aggregation lineage once per branch."""
+    lefts = F.when(
+        F.size("ids") <= max_bucket_size, F.col("ids")
+    ).otherwise(F.array(F.col("ids")[0]))
+    return (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(lefts).alias("a"), F.col("ids"))
+        .select(
+            "a",
+            F.explode(F.filter(F.col("ids"), lambda y: y > F.col("a"))).alias("b"),
+        )
+        .distinct()
     )
-    star_pairs = big.select(
-        F.col("ids")[0].alias("a"),
-        F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("b"),
-    )
-    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def bucket_size_stats(buckets_or_banded: DataFrame, *key_cols: str) -> DataFrame:
@@ -377,23 +380,20 @@ def simhash_near_dups(
     buckets = banded.groupBy("band", "chunk").agg(
         F.sort_array(F.collect_set("ds")).alias("ids")
     )
-    buckets = buckets.filter(F.size("ids") > 1)
-    small = buckets.filter(F.size("ids") <= max_bucket_size)
-    big = buckets.filter(F.size("ids") > max_bucket_size)
-    small_pairs = small.select(
-        F.explode("ids").alias("l"), F.col("ids")
-    ).select(
-        "l",
-        F.explode(
-            F.filter(F.col("ids"), lambda y: y["doc_id"] > F.col("l.doc_id"))
-        ).alias("r"),
-    )
-    star_pairs = big.select(
-        F.col("ids")[0].alias("l"),
-        F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("r"),
-    )
+    # cap as ONE when() expression (see _bucket_pairs) — a small/big
+    # DataFrame split would re-evaluate the 60-vote aggregation per branch
+    lefts = F.when(
+        F.size("ids") <= max_bucket_size, F.col("ids")
+    ).otherwise(F.array(F.col("ids")[0]))
     exploded = (
-        small_pairs.unionByName(star_pairs)
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(lefts).alias("l"), F.col("ids"))
+        .select(
+            "l",
+            F.explode(
+                F.filter(F.col("ids"), lambda y: y["doc_id"] > F.col("l.doc_id"))
+            ).alias("r"),
+        )
         .select(
             F.col("l.doc_id").alias("a"),
             F.col("r.doc_id").alias("b"),
