@@ -130,6 +130,26 @@ def main() -> int:
     check("positional: scan pruned to doc_id,text",
           "ReadSchema: struct<doc_id:bigint,text:string>" in p)
 
+    # --- 8. Arrow textstats twin: one narrow C++ pass ---
+    from search_engine_spark.ops.textstats import with_doc_stats_arrow
+
+    p = plan_of(with_doc_stats_arrow(docs, "text", "doc_id"))
+    print("== doc_stats (Arrow twin) ==")
+    check("doc_stats: narrow Arrow pass, no shuffle/row-Python",
+          "MapInArrow" in p and "Exchange" not in p and "BatchEvalPython" not in p)
+
+    # --- 9. packed positional index: narrow pack, filtered decode ---
+    from search_engine_spark.positional import (
+        phrase_match_packed, positional_postings,
+    )
+
+    packed = positional_postings(docs, cfg, "doc_id", "text")
+    p = plan_of(packed)
+    check("positional pack: narrow Arrow pass",
+          "MapInArrow" in p and "Exchange" not in p)
+    p = plan_of(phrase_match_packed(packed, ["merge", "index"]))
+    check("packed phrase: no row-Python", "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
