@@ -533,6 +533,27 @@ def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data-pipeline composition under ONE oracle: exact dedup
+    (keep min-id survivor per content hash) → quality filter (composite
+    score ≥ 0.5) → per-lang rollup of what survives.  The shape every
+    corpus-cleaning job takes before an index build or a training dump:
+    operators compose as DataFrames, so the whole pipeline is one lazy
+    plan (dedup agg + broadcast-able survivor join + narrow quality
+    filter + final rollup)."""
+    docs = _docs(spark, sf_dir)
+    survivors = D.dedup_exact_keep_first(docs, "text", "doc_id")
+    qual = TS.with_quality_score(docs, "text").filter(
+        F.col("quality_score") >= 0.5
+    )
+    clean = qual.join(survivors, "doc_id", "inner")
+    return clean.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column (multimodal) plumbing under the oracle: a binary
     payload column (UTF-8 bytes of text — DuckDB's encode() produces the
@@ -817,6 +838,56 @@ inter AS (
 SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {threshold}
+"""
+
+
+def _sql_quality_cte() -> str:
+    """CTEs base+m ending in `q` = per-doc quality metrics with the
+    composite score UNROUNDED (for downstream filters/aggregations that
+    must match Spark's unrounded doubles exactly)."""
+    stop = _STOPLIST_SQL
+    return f"""
+base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'), t -> t <> '') AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> lower(t) IN ({stop}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_token_len
+  FROM base
+),
+q AS (
+  SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + least(stopword_ratio * 4.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 AS quality_score
+  FROM m
+)"""
+
+
+def _sql_clean_corpus() -> str:
+    return f"""
+WITH {_sql_quality_cte()},
+surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       round(AVG(q.quality_score), 6) AS avg_quality
+FROM documents d
+JOIN surv ON surv.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+WHERE q.quality_score >= 0.5
+GROUP BY d.lang
 """
 
 
@@ -1152,6 +1223,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
+        "clean_corpus": q_clean_corpus,
         "media_features": q_media_features,
         "simhash_near_dups": q_simhash_near_dups,
         "token_counts": q_token_counts,
@@ -1194,6 +1266,7 @@ def duckdb_oracles() -> dict[str, str]:
         "quality_scores": _sql_quality_scores(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
+        "clean_corpus": _sql_clean_corpus(),
         "simhash_near_dups": _sql_simhash_near_dups(),
         "token_counts": _sql_token_counts(),
         "lang_id": _sql_lang_id(),
