@@ -1,0 +1,89 @@
+"""One-off scaling measurement: Arrow textstats twin vs SQL-HOF twins.
+
+Round-1 finding (BASELINE.md): the lambda-HOF SQL twins measured
+flat-to-NEGATIVE core scaling past ~8 threads.  This probe measures both
+twins on a replicated ~1M-doc corpus at local[4] vs local[16] and prints
+throughput + N→4N efficiency for each — the evidence that
+with_doc_stats_arrow is the right hot path at cluster scale.
+
+Usage: python tools/measure_textstats_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops import textstats as TS
+    from search_engine_spark.session import get_spark
+
+    rep = 200  # 5000 docs * 200 = 1M rows
+    tmp = tempfile.mkdtemp(prefix="ts_scale_")
+    s = get_spark("ts-prep", master="local[16]", shuffle_partitions=16)
+    d = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_files = d.count() * rep
+    (
+        d.crossJoin(s.range(rep).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") * rep + F.col("rep")).alias("doc_id"), "text")
+        .repartition(256)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/big")
+    )
+    s.stop()
+
+    def sql_twin(df):
+        out = TS.with_token_count(df, "text")
+        out = TS.with_quality_score(out, "text")
+        out = TS.with_lang_id(out, "text")
+        return out.select(
+            F.sum("n_tokens"), F.sum("n_subtokens"),
+            F.sum("quality_score"), F.count("lang_pred"),
+        )
+
+    def arrow_twin(df):
+        out = TS.with_doc_stats_arrow(df, "text", "doc_id")
+        return out.select(
+            F.sum("n_tokens"), F.sum("n_subtokens"),
+            F.sum("quality_score"), F.count("lang_pred"),
+        )
+
+    results: dict[str, dict] = {"sql": {}, "arrow": {}}
+    for cores in (4, 16):
+        s = get_spark(f"ts-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2)
+        big = s.read.parquet(f"{tmp}/big")
+        # warmup both paths
+        sql_twin(big.limit(20000)).collect()
+        arrow_twin(big.limit(20000)).collect()
+        for name, fn in (("sql", sql_twin), ("arrow", arrow_twin)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(big).collect()
+                best = min(best, time.perf_counter() - t0)
+            results[name][cores] = {
+                "sec": round(best, 3),
+                "files_per_sec": round(n_files / best, 2),
+            }
+        s.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    for name in ("sql", "arrow"):
+        r = results[name]
+        r["efficiency_n_to_4n"] = round(
+            r[16]["files_per_sec"] / (4.0 * r[4]["files_per_sec"]), 3
+        )
+    print(json.dumps({"n_files": n_files, **results}))
+
+
+if __name__ == "__main__":
+    main()
