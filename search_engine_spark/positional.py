@@ -191,6 +191,77 @@ def positional_tokens_from_packed(packed: DataFrame) -> DataFrame:
     return packed.mapInArrow(_decode, schema=POSITIONS_SCHEMA)
 
 
+def write_positional_index(
+    docs: DataFrame,
+    index_dir: str,
+    cfg: AnalyzerConfig | None = None,
+    n_buckets: int = 16,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    mode: str = "overwrite",
+    sink=None,
+) -> None:
+    """Persist the compressed positional index term-bucket-partitioned —
+    the same directory-pruning layout as the tf postings index
+    (postings.write_postings_bucketed): a phrase query lists/reads at
+    most |phrase terms| of n_buckets directory slices.  Rows sorted
+    (term, doc_id) within each file so row-group stats prune further.
+    Analyzer config is recorded in a manifest so query analysis provably
+    matches build analysis."""
+    import json
+    import os
+
+    from .postings import term_bucket_col
+
+    cfg = cfg or AnalyzerConfig()
+    packed = positional_postings(docs, cfg, doc_id_col, content_col)
+    prepared = (
+        packed.withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition("term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    if sink is None:
+        from .io_sink import ParquetSink
+
+        sink = ParquetSink(index_dir)
+    sink.write(prepared, "positions", mode, partition_by=("term_bucket",))
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "positional_manifest.json"), "w") as fh:
+        json.dump(
+            {"analyzer": cfg.to_dict(), "term_buckets": n_buckets, "version": 1},
+            fh,
+        )
+
+
+def phrase_match_indexed(spark, index_dir: str, phrase: list[str]) -> DataFrame:
+    """Phrase search over a persisted positional index: analyze the
+    phrase with the INDEX's analyzer (manifest), prune to the phrase
+    terms' bucket directories, decode only those rows, then
+    shift-and-intersect.  `phrase` is raw surface forms; they pass
+    through the same analyzer chain the index was built with."""
+    import json
+    import os
+
+    from .analysis import tokenize_doc
+    from .postings import term_bucket_py
+
+    with open(os.path.join(index_dir, "positional_manifest.json")) as fh:
+        man = json.load(fh)
+    cfg = AnalyzerConfig.from_dict(man["analyzer"])
+    terms: list[str] = []
+    for w in phrase:
+        terms.extend(tokenize_doc(w, cfg))
+    if not terms:
+        raise ValueError("phrase fully analyzed away (stopwords/tags)")
+    buckets = sorted({term_bucket_py(t, man["term_buckets"]) for t in terms})
+    packed = (
+        spark.read.parquet(f"{index_dir}/positions")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(list(set(terms))))
+    )
+    return phrase_match(positional_tokens_from_packed(packed), terms)
+
+
 def phrase_match_packed(
     packed: DataFrame, phrase_terms: list[str]
 ) -> DataFrame:

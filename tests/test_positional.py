@@ -118,6 +118,29 @@ def test_phrase_match_packed_equals_unpacked(spark, pdocs):
     assert got == _brute_phrase_counts(texts, ("alpha", "beta"))
 
 
+def test_persisted_positional_index_phrase(spark, pdocs, tmp_path):
+    """write_positional_index → phrase_match_indexed: bucket-pruned scan,
+    analyzer from the manifest, results equal the in-memory path."""
+    from search_engine_spark.positional import (
+        phrase_match_indexed, write_positional_index,
+    )
+
+    texts, df = pdocs
+    idx = str(tmp_path / "pidx")
+    write_positional_index(df, idx, CFG, n_buckets=4)
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_indexed(spark, idx, ["alpha", "beta"]).collect()
+    }
+    assert got == _brute_phrase_counts(texts, ("alpha", "beta"))
+    # the scan is partition-pruned to the phrase terms' buckets
+    plan = (
+        phrase_match_indexed(spark, idx, ["alpha", "beta"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "term_bucket" in plan
+
+
 def test_stopword_gap_counts_as_adjacent(spark, pdocs):
     """Documented semantics: positions index the SURVIVING stream, so
     'alpha the beta' matches the phrase (alpha, beta)."""
