@@ -31,6 +31,7 @@ from . import build as B, query as Q
 from .analysis import DOC_SPLIT_SQL_REGEX, STOPWORDS, tokenize_query
 from .config import AnalyzerConfig, BM25Params
 from .ops import dedup as D, similarity as S, textstats as TS
+from .ops.sketch import kmv_sql
 
 SQL_CFG = AnalyzerConfig(do_stemming=False)
 FULL_CFG = AnalyzerConfig()  # stemming on — used by entry() and pytest paths
@@ -552,6 +553,17 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+def q_kmv_doc_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (ops.sketch) — a deterministic sketch
+    whose ESTIMATE is itself oracle-checkable (md5-based, bit-identical
+    in DuckDB), unlike approx_count_distinct: per-lang distinct document
+    texts with k=64 (groups exceed k, so the estimator branch runs)."""
+    from .ops.sketch import kmv_distinct
+
+    docs = _docs(spark, sf_dir)
+    return kmv_distinct(docs, "text", ["lang"], k=64)
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,6 +1236,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
         "clean_corpus": q_clean_corpus,
+        "kmv_doc_cardinality": q_kmv_doc_cardinality,
         "media_features": q_media_features,
         "simhash_near_dups": q_simhash_near_dups,
         "token_counts": q_token_counts,
@@ -1267,6 +1280,7 @@ def duckdb_oracles() -> dict[str, str]:
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),
+        "kmv_doc_cardinality": kmv_sql("documents", "text", ["lang"], k=64),
         "simhash_near_dups": _sql_simhash_near_dups(),
         "token_counts": _sql_token_counts(),
         "lang_id": _sql_lang_id(),

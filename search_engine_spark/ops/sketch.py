@@ -1,0 +1,128 @@
+"""KMV (k-minimum-values) distinct-count sketch — deterministic and
+cross-engine checkable.
+
+The classic sketch counter-part to HLL (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"): hash every value to a
+uniform fraction in [0, 1); keep only the k smallest hashes per group.
+If U is the k-th smallest fraction among n distinct values,
+E[n] ≈ (k-1)/U.  Unlike HLL/approx_count_distinct — whose estimates
+depend on engine-internal hash functions and register layouts — KMV
+over md5 is bit-reproducible in ANY engine with md5 (Spark, DuckDB, …),
+so the sketch itself is an oracle-checkable operator, not just its
+contract.
+
+Scale design (10^12 rows, hot groups):
+  1. distinct (group, hash) — one shuffle over uniform md5 keys
+     (partial-agg combinable, skew-free by construction);
+  2. PARTIAL k-min per (group, partition) inside an Arrow-batched
+     mapInPandas — bounded memory (k values per group per partition),
+     the algebraic "partial aggregate" of the sketch;
+  3. final merge: ≤ k·P rows per group → sort + slice k.
+  k-min merge is exact (the global k smallest are among the per-partition
+  k smallest), so the two-phase plan equals a single-node computation —
+  pytest asserts partition-count invariance.
+
+The fraction uses the first 15 hex chars (60 bits) as an exact BIGINT
+before the double division, so Spark and DuckDB round identically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+FRAC_BITS = 60  # 15 hex chars; 16^15 = 2^60
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """(group_cols…, n_in_sketch, est_distinct) per group.
+
+    n_in_sketch = min(k, true distinct count); est_distinct = the exact
+    count when the group has < k distinct values (the sketch IS the set),
+    else the KMV estimator (k-1)/U_(k) — deterministic, so the same
+    estimate appears in any md5-capable engine."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    h = F.md5(F.col(value_col).cast("string")).alias("h")
+    pairs = df.select(*group_cols, h).distinct()
+
+    out_fields = [pairs.schema[c] for c in group_cols]
+    partial_schema = T.StructType(out_fields + [T.StructField("h", T.StringType(), False)])
+    gcols = list(group_cols)
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition k smallest hashes per group — bounded state:
+        # at most k strings per group held at once
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = sub["h"].tolist()
+                cur = acc.get(key)
+                merged = sorted(set(vals if cur is None else cur + vals))[:k]
+                acc[key] = merged
+        if acc:
+            rows = [
+                list(key) + [hv] for key, mins in acc.items() for hv in mins
+            ]
+            yield pd.DataFrame(rows, columns=gcols + ["h"])
+
+    partial = pairs.mapInPandas(_partial, schema=partial_schema)
+    mins = partial.groupBy(*gcols).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins")
+    )
+    kth = F.element_at("mins", k)
+    frac_long = F.conv(F.substring(kth, 1, 15), 16, 10).cast("long")
+    frac = frac_long.cast("double") / F.lit(float(1 << FRAC_BITS))
+    n_in = F.size("mins")
+    est = F.when(n_in < k, n_in.cast("double")).otherwise(
+        F.lit(float(k - 1)) / frac
+    )
+    return mins.select(
+        *gcols,
+        n_in.cast("long").alias("n_in_sketch"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def kmv_sql(
+    table_expr: str, value_expr: str, group_cols: list[str], k: int = 64
+) -> str:
+    """The identical KMV computation as ANSI SQL for DuckDB (no conv():
+    the 15-hex-char fraction is an exact BIGINT sum of nibble·16^i
+    terms, then the same double division as the Spark side)."""
+    gc = ", ".join(group_cols)
+    nibble_terms = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT {gc}, md5(CAST({value_expr} AS VARCHAR)) AS h FROM {table_expr}
+),
+ranked AS (
+  SELECT {gc}, h,
+         row_number() OVER (PARTITION BY {gc} ORDER BY h) AS rn
+  FROM pairs
+),
+mins AS (SELECT {gc}, h, rn FROM ranked WHERE rn <= {k}),
+agg AS (
+  SELECT {gc},
+         CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+         MAX(CASE WHEN rn = {k} THEN {nibble_terms} END) AS kth_long
+  FROM mins GROUP BY {gc}
+)
+SELECT {gc}, n_in_sketch,
+       round(CASE WHEN n_in_sketch < {k} THEN CAST(n_in_sketch AS DOUBLE)
+                  ELSE {float(k - 1)} / (CAST(kth_long AS DOUBLE) / {float(1 << FRAC_BITS)})
+             END, 6) AS est_distinct
+FROM agg
+"""

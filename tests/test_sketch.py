@@ -1,0 +1,49 @@
+"""KMV distinct-count sketch gates: exactness below k, estimator
+accuracy, partition-count invariance (the k-min merge is exact), and
+cross-engine identity vs the generated DuckDB SQL."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.sketch import kmv_distinct, kmv_sql
+
+
+@pytest.fixture(scope="module")
+def vals_df(spark):
+    # group 'small': 40 distinct (< k -> exact); 'big': 5000 distinct
+    rows = [("small", f"s{i}") for i in range(40)]
+    rows += [("big", f"b{i}") for i in range(5000)]
+    rows += rows[:2000]  # duplicates must not matter
+    return spark.createDataFrame(rows, "g string, v string").cache()
+
+
+def test_exact_below_k_and_estimate_above_k(spark, vals_df):
+    out = {r["g"]: r for r in kmv_distinct(vals_df, "v", ["g"], k=256).collect()}
+    assert out["small"]["n_in_sketch"] == 40
+    assert out["small"]["est_distinct"] == 40.0
+    assert out["big"]["n_in_sketch"] == 256
+    # KMV rel. stderr ~ 1/sqrt(k-2) ~ 6% at k=256; 25% is >4 sigma
+    assert abs(out["big"]["est_distinct"] - 5000) / 5000 < 0.25
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_partition_invariance(spark, vals_df, parts):
+    base = sorted(
+        tuple(r) for r in kmv_distinct(vals_df, "v", ["g"], k=64).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in kmv_distinct(vals_df.repartition(parts), "v", ["g"], k=64).collect()
+    )
+    assert got == base
+
+
+def test_matches_duckdb_sql(spark, vals_df, tmp_path):
+    p = str(tmp_path / "vals.parquet")
+    vals_df.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = sorted(con.execute(kmv_sql("t", "v", ["g"], k=64)).fetchall())
+    got = sorted(tuple(r) for r in kmv_distinct(vals_df, "v", ["g"], k=64).collect())
+    assert [tuple(w) for w in want] == got
