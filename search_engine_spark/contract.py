@@ -184,9 +184,14 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import postings as P, wand as W
     from .config import IndexBuildConfig
 
+    # pid-keyed: unique per driver process (no cross-process build/read
+    # race), but stable within one process so repeated invocations reuse
+    # one directory instead of accumulating /tmp dirs; the dir must
+    # outlive this call — the returned DataFrame reads from it lazily.
     idx_dir = os.path.join(
         tempfile.gettempdir(),
-        f"seng_contract_wand_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"seng_contract_wand_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
     )
     docs = _docs(spark, sf_dir)
     P.build_index(

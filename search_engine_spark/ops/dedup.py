@@ -106,7 +106,9 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET = 10_000
 
 
-def _bucket_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame, max_bucket_size: int, order_field: str | None = None
+) -> DataFrame:
     """Bucket rows (…, ids sorted asc) → (a, b) pairs, a < b, SPREAD
     ACROSS ROWS: explode the left id first, then pair it with the later
     ids only — the largest single value is one bucket's id array (k
@@ -124,7 +126,18 @@ def _bucket_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
     The cap is ONE when() expression (left side = full ids below the
     cap, just the bucket minimum above it), not a small/big DataFrame
     split — a union of two filtered branches would re-evaluate the whole
-    bucket-aggregation lineage once per branch."""
+    bucket-aggregation lineage once per branch.
+
+    `order_field`: None when ids are scalars ordered directly; a struct
+    field name (e.g. 'doc_id') when ids are structs ordered by that
+    field — the SAME physical form serves both LSH (scalar doc ids) and
+    SimHash ((doc_id, simhash) structs).  Output columns are (a, b) raw
+    bucket elements WITHOUT distinct — callers project first, then
+    distinct."""
+
+    def _key(c):
+        return c[order_field] if order_field else c
+
     lefts = F.when(
         F.size("ids") <= max_bucket_size, F.col("ids")
     ).otherwise(F.array(F.col("ids")[0]))
@@ -133,9 +146,10 @@ def _bucket_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
         .select(F.explode(lefts).alias("a"), F.col("ids"))
         .select(
             "a",
-            F.explode(F.filter(F.col("ids"), lambda y: y > F.col("a"))).alias("b"),
+            F.explode(
+                F.filter(F.col("ids"), lambda y: _key(y) > _key(F.col("a")))
+            ).alias("b"),
         )
-        .distinct()
     )
 
 
@@ -178,7 +192,7 @@ def lsh_candidate_pairs(
     buckets = banded.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
-    return _bucket_pairs(buckets, max_bucket_size)
+    return _bucket_pairs(buckets, max_bucket_size).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -380,25 +394,14 @@ def simhash_near_dups(
     buckets = banded.groupBy("band", "chunk").agg(
         F.sort_array(F.collect_set("ds")).alias("ids")
     )
-    # cap as ONE when() expression (see _bucket_pairs) — a small/big
-    # DataFrame split would re-evaluate the 60-vote aggregation per branch
-    lefts = F.when(
-        F.size("ids") <= max_bucket_size, F.col("ids")
-    ).otherwise(F.array(F.col("ids")[0]))
+    # one shared capped pair generator (struct elements ordered by doc_id)
     exploded = (
-        buckets.filter(F.size("ids") > 1)
-        .select(F.explode(lefts).alias("l"), F.col("ids"))
+        _bucket_pairs(buckets, max_bucket_size, order_field="doc_id")
         .select(
-            "l",
-            F.explode(
-                F.filter(F.col("ids"), lambda y: y["doc_id"] > F.col("l.doc_id"))
-            ).alias("r"),
-        )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
             F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
         .distinct()

@@ -51,7 +51,12 @@ def kmv_distinct(
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     h = F.md5(F.col(value_col).cast("string")).alias("h")
-    pairs = df.select(*group_cols, h).distinct()
+    # NULL values are excluded from the sketch in BOTH engines (NULL is
+    # "no value", not a distinct value; leaving it in would also crash
+    # the partial sort and diverge from SQL NULLS-LAST ordering)
+    pairs = (
+        df.where(F.col(value_col).isNotNull()).select(*group_cols, h).distinct()
+    )
 
     out_fields = [pairs.schema[c] for c in group_cols]
     partial_schema = T.StructType(out_fields + [T.StructField("h", T.StringType(), False)])
@@ -107,6 +112,7 @@ def kmv_sql(
     return f"""
 WITH pairs AS (
   SELECT DISTINCT {gc}, md5(CAST({value_expr} AS VARCHAR)) AS h FROM {table_expr}
+  WHERE {value_expr} IS NOT NULL
 ),
 ranked AS (
   SELECT {gc}, h,

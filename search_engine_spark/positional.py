@@ -135,6 +135,14 @@ def positional_postings(
             ns, firsts, encs = [], [], []
             for i in range(len(ids)):
                 p = vals[offs[i] : offs[i + 1]]
+                # delta_encode requires strictly-increasing input; the
+                # hash group-by preserves encounter order today, but that
+                # is not a documented Arrow contract — sort if it ever
+                # breaks rather than silently varint-encoding wrapped
+                # uint64 garbage (positions per (doc, term) are unique,
+                # so sorted == strictly increasing)
+                if len(p) > 1 and not np.all(p[1:] > p[:-1]):
+                    p = np.sort(p)
                 first, gaps = delta_encode(p.astype(np.uint64))
                 ns.append(len(p))
                 firsts.append(int(first))

@@ -313,7 +313,8 @@ def write_postings_bucketed(
         from .io_sink import ParquetSink
 
         norm = path.rstrip("/")
-        sink = ParquetSink(os.path.dirname(norm))
+        # dirname('bare_name') == '' would resolve to the FS root
+        sink = ParquetSink(os.path.dirname(norm) or ".")
         name = os.path.basename(norm)
     else:
         name = os.path.basename(path.rstrip("/"))

@@ -75,10 +75,26 @@ def _ledger_path(index_dir: str) -> str:
 
 
 def read_ledger(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(_ledger_path(index_dir))
-    except Exception:
+    """None when no ledger exists yet; any OTHER read failure (e.g. a
+    corrupted / mixed-layout directory) raises — silently returning None
+    there would make resume silently restage every chunk."""
+    path = _ledger_path(index_dir)
+    if not os.path.isdir(path):
         return None
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg or (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise RuntimeError(
+            f"segments ledger at {path} exists but is unreadable - refusing "
+            "to treat it as empty (that would silently restage all chunks); "
+            "if this is a pre-partitioned-layout ledger mixed with new "
+            "partition dirs, repair it or rebuild from staging"
+        ) from e
 
 
 def completed_chunks(spark: SparkSession, index_dir: str) -> set[int]:
@@ -108,6 +124,7 @@ def _append_ledger(spark: SparkSession, index_dir: str, row: tuple) -> None:
     partition overwrite makes retries and replays overwrite-in-place —
     at most one ledger row per (phase, chunk_id) ever exists.  Same for
     re-runs of finalize."""
+    _migrate_legacy_ledger(spark, index_dir)
     phase, chunk_id = row[0], row[1]
     (
         spark.createDataFrame([row], schema=LEDGER_SCHEMA)
@@ -118,6 +135,47 @@ def _append_ledger(spark: SparkSession, index_dir: str, row: tuple) -> None:
         .partitionBy("part")
         .parquet(_ledger_path(index_dir))
     )
+
+
+def _migrate_legacy_ledger(spark: SparkSession, index_dir: str) -> None:
+    """One-time migration: a ledger written by the old blind-append code
+    has bare part-*.parquet files at the segments root; mixing those
+    with the new part=<phase>_<chunk>/ partition dirs would break
+    Spark's partition discovery (and silently disable resume, since
+    read_ledger would see an unreadable directory).  Rewrite legacy rows
+    into the partitioned layout (max build_ts per (phase, chunk_id), so
+    any historical duplicate appends collapse) before the first new
+    write, then remove the legacy files."""
+    import glob
+
+    led = _ledger_path(index_dir)
+    legacy = [
+        p for p in glob.glob(os.path.join(led, "*.parquet"))
+        if os.path.isfile(p)
+    ]
+    if not legacy:
+        return
+    rows = spark.read.parquet(*legacy).collect()
+    best: dict[tuple, tuple] = {}
+    for r in rows:
+        key = (r["phase"], int(r["chunk_id"]))
+        if key not in best or r["build_ts"] > best[key][-1]:
+            best[key] = tuple(r)
+    df = spark.createDataFrame(list(best.values()), schema=LEDGER_SCHEMA)
+    (
+        df.withColumn(
+            "part", F.concat_ws("_", F.col("phase"), F.col("chunk_id"))
+        )
+        .repartition("part")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(led)
+    )
+    for p in legacy:
+        os.remove(p)
+    for crc in glob.glob(os.path.join(led, ".*.crc")):
+        os.remove(crc)
 
 
 def _build_chunk(

@@ -154,6 +154,35 @@ def test_ledger_upsert_is_idempotent_per_chunk(spark, docs_df, tmp_path):
     assert rows[0]["n_docs"] == 30
 
 
+def test_legacy_ledger_migrates_to_partitioned_layout(spark, docs_df, tmp_path):
+    """A ledger written by the old blind-append code (bare parquet files
+    at the segments root) must migrate — not break partition discovery
+    or silently restage everything — when the new code writes to it."""
+    from search_engine_spark.config import AnalyzerConfig
+    from search_engine_spark.resume import (
+        LEDGER_SCHEMA, completed_chunks, stage_chunk,
+    )
+
+    index_dir = str(tmp_path / "idx_legacy")
+    # legacy layout: blind-appended rows, incl. a duplicate chunk row
+    legacy_rows = [
+        ("chunk", 0, "old-pred", 10, 5, 0, "[]", 1.0, 100.0),
+        ("chunk", 1, "old-pred", 12, 6, 0, "[]", 1.0, 101.0),
+        ("chunk", 1, "old-pred", 12, 6, 0, "[]", 1.0, 102.0),  # dup append
+    ]
+    spark.createDataFrame(legacy_rows, schema=LEDGER_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/segments")
+
+    stage_chunk(docs_df.limit(20), index_dir, 2, "new", AnalyzerConfig(),
+                content_col="content", key_cols=("repo", "path", "commit"))
+    assert completed_chunks(spark, index_dir) == {0, 1, 2}
+    led = spark.read.parquet(f"{index_dir}/segments")
+    # the duplicate legacy append collapsed to max build_ts
+    rows = led.filter(F.col("phase") == "chunk").filter(F.col("chunk_id") == 1).collect()
+    assert len(rows) == 1 and rows[0]["build_ts"] == 102.0
+
+
 def test_rerun_completed_build_is_noop_chunks(spark, docs_df, tmp_path):
     index_dir = str(tmp_path / "idx2")
     resumable_build(docs_df, index_dir, n_chunks=2, key_cols=("repo", "path", "commit"))

@@ -39,6 +39,23 @@ def test_partition_invariance(spark, vals_df, parts):
     assert got == base
 
 
+def test_null_values_excluded_and_cross_engine(spark, tmp_path):
+    """NULL values are 'no value' in both engines — no crash, no
+    divergence from SQL NULLS-LAST ordering."""
+    rows = [("g1", f"v{i}") for i in range(30)] + [("g1", None), ("g2", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in kmv_distinct(df, "v", ["g"], k=64).collect()}
+    assert out["g1"]["n_in_sketch"] == 30 and out["g1"]["est_distinct"] == 30.0
+    assert "g2" not in out  # all-NULL group has no sketch
+    p = str(tmp_path / "nulls.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = sorted(con.execute(kmv_sql("t", "v", ["g"], k=64)).fetchall())
+    got = sorted(tuple(r) for r in kmv_distinct(df, "v", ["g"], k=64).collect())
+    assert [tuple(w) for w in want] == got
+
+
 def test_matches_duckdb_sql(spark, vals_df, tmp_path):
     p = str(tmp_path / "vals.parquet")
     vals_df.write.parquet(p)
