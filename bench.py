@@ -97,6 +97,27 @@ def main() -> None:
     index = load_index(spark, f"{idx_tmp}/idx")
     timed("wand_topk", lambda: search_bm25(index, topics, k=100).count())
     extras["wand_topics_per_sec"] = round(len(topics) / timings["wand_topk"], 2)
+
+    # --- persisted positional index: build once, bucket-pruned phrase query ---
+    from search_engine_spark.positional import (
+        phrase_match_indexed, write_positional_index,
+    )
+
+    # reported as extras (not in the headline sum, which stays
+    # round-comparable): at sf0.1 the one-off index write dominates — the
+    # index pays off with repeated phrase queries / at corpus scale, like
+    # any materialized index
+    t0 = time.perf_counter()
+    pidx = f"{idx_tmp}/pidx"
+    write_positional_index(docs, pidx, cfg, n_buckets=16,
+                           doc_id_col="doc_id", content_col="text")
+    t1 = time.perf_counter()
+    phrase_match_indexed(spark, pidx, ["customer", "join"]).count()
+    t2 = time.perf_counter()
+    extras["positional_index"] = {
+        "write_sec": round(t1 - t0, 4),
+        "phrase_query_sec": round(t2 - t1, 4),
+    }
     _sh.rmtree(idx_tmp, ignore_errors=True)
 
     # --- contract ops on the raw tables ---

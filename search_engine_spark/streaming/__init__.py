@@ -11,6 +11,7 @@ arriving corpus indexes incrementally with exactly-once micro-batches.
 
 from .incremental import (
     running_user_counts,
+    stream_dedup_exact,
     sessionize_batch,
     stream_index_build,
     windowed_event_counts,
@@ -18,6 +19,7 @@ from .incremental import (
 
 __all__ = [
     "running_user_counts",
+    "stream_dedup_exact",
     "sessionize_batch",
     "stream_index_build",
     "windowed_event_counts",

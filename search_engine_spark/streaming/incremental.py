@@ -90,6 +90,37 @@ _RUNNING_STATE = T.StructType(
 )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "content",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct content hash's
+    FIRST-seen row, drop later byte-identical arrivals — the streaming
+    twin of ops.dedup.dedup_exact_keep_first for continuously-arriving
+    corpora (the ingest-side dedup a training-data pipeline runs before
+    staging index chunks).
+
+    Built on Structured Streaming's dropDuplicates state store keyed on
+    sha2-256 of the content: state is one 32-byte key per distinct doc,
+    hash-partitioned (uniform, skew-free).  With `ts_col` given, a
+    watermark bounds state: duplicates arriving later than the watermark
+    delay MAY be re-emitted (documented trade — without a watermark the
+    state grows with distinct-doc count, which is the batch-exact
+    semantics).  Works on batch frames too (dropDuplicates, watermark
+    no-op) so the same code path is pytest- and oracle-checkable."""
+    out = docs.withColumn(
+        "__content_hash", F.sha2(F.col(text_col).cast("binary"), 256)
+    )
+    if ts_col is not None and out.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["__content_hash"]).drop(
+            "__content_hash"
+        )
+    return out.dropDuplicates(["__content_hash"]).drop("__content_hash")
+
+
 def running_user_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Per-key running (count, sum(value)) across micro-batches.
 

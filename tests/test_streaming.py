@@ -235,6 +235,54 @@ def test_running_user_counts_stateful(spark, events_df, tmp_path):
     assert got == want and len(want) == 5
 
 
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Cross-micro-batch exact dedup: duplicates arriving in LATER files
+    are dropped by the state store; batch form equals set-of-hashes."""
+    from search_engine_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "dd_in")
+    os.makedirs(src)
+    schema = "id long, ts timestamp, content string"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def _land(rows, name):
+        stage = str(tmp_path / f"_dd_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(pf, f"{src}/{name}.parquet")
+
+    _land([(1, t0, "alpha"), (2, t0, "beta")], "f1")
+    _land(
+        [(3, t0 + dt.timedelta(minutes=1), "beta"),   # dup, later batch
+         (4, t0 + dt.timedelta(minutes=1), "gamma"),
+         (5, t0 + dt.timedelta(minutes=2), "alpha")],  # dup, later batch
+        "f2",
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(src)
+    )
+    dd = stream_dedup_exact(stream, "content", ts_col="ts", watermark="10 minutes")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["content"] for r in spark.sql("SELECT content FROM dd_out").collect())
+    assert got == ["alpha", "beta", "gamma"]
+
+    # batch twin: same function, batch frame
+    batch = spark.read.parquet(src)
+    out = stream_dedup_exact(batch, "content")
+    assert sorted(r["content"] for r in out.collect()) == ["alpha", "beta", "gamma"]
+
+
 def test_sessionize_batch(spark):
     base = dt.datetime(2026, 1, 1, 12, 0, 0)
     rows = [
