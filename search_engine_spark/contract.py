@@ -539,6 +539,28 @@ def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_source_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function surface (§2.16): per-lang map source→count
+    built with map_from_entries, sized with size(), exploded back to
+    rows — the oracle restates it relationally, so the whole map
+    round-trip is value-checked."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    maps = per.groupBy("lang").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "n")))
+        ).alias("m")
+    )
+    kept = maps.select(
+        "lang", F.size("m").cast("long").alias("n_sources"), F.col("m")
+    )
+    return kept.select(
+        "lang",
+        "n_sources",
+        F.explode("m").alias("source", "n_docs"),
+    ).select("lang", "source", F.col("n_docs").cast("long").alias("n_docs"), "n_sources")
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data-pipeline composition under ONE oracle: exact dedup
     (keep min-id survivor per content hash) → quality filter (composite
@@ -1241,6 +1263,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
         "clean_corpus": q_clean_corpus,
+        "lang_source_map": q_lang_source_map,
         "kmv_doc_cardinality": q_kmv_doc_cardinality,
         "media_features": q_media_features,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1285,6 +1308,15 @@ def duckdb_oracles() -> dict[str, str]:
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),
+        "lang_source_map": """
+WITH per AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources FROM per GROUP BY lang)
+SELECT p.lang, p.source, p.n_docs, c.n_sources
+FROM per p JOIN cnt c USING (lang)
+""",
         "kmv_doc_cardinality": kmv_sql("documents", "text", ["lang"], k=64),
         "simhash_near_dups": _sql_simhash_near_dups(),
         "token_counts": _sql_token_counts(),

@@ -1,0 +1,46 @@
+"""Python UDTF plugin surface (SQL-callable table functions).
+
+The engine's hot paths are Arrow batch transforms (mapInArrow) — a
+row-at-a-time Python UDTF is never the right tool there.  This module
+exists because "a complete engine" exposes the UDTF PLUGIN SURFACE a
+user extends without touching engine code: a class registered once,
+then callable from SQL as a LATERAL table function.  The demo UDTF
+fans a document out to its token shingles — semantically identical to
+ops.dedup.shingles_df (pytest-pinned), so users can verify a plugin
+against the engine-native operator.
+
+Usage:
+    register_udtfs(spark)
+    spark.sql(\"\"\"SELECT d.doc_id, s.pos, s.shingle
+                 FROM documents d, LATERAL shingles(d.text, 3) s\"\"\")
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+from ..analysis import DOC_SPLIT_RE
+
+
+@udtf(returnType="pos int, shingle string")
+class ShingleUDTF:
+    """LATERAL table function: one row per token `width`-gram of `text`
+    (pos = 0-based shingle index).  Shorter-than-width docs emit the
+    whole text at pos 0 — the same fallback as shingles_df."""
+
+    def eval(self, text: str, width: int):  # noqa: D102 (UDTF contract)
+        if text is None:
+            return
+        toks = [t for t in DOC_SPLIT_RE.split(text) if t]
+        if len(toks) >= width:
+            for i in range(len(toks) - width + 1):
+                yield i, " ".join(toks[i : i + width])
+        else:
+            yield 0, text
+
+
+def register_udtfs(spark) -> None:
+    """Register every engine UDTF for SQL use (idempotent)."""
+    spark.udtf.register("shingles", ShingleUDTF)

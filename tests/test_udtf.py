@@ -1,0 +1,42 @@
+"""UDTF plugin-surface gate: the SQL-callable shingles table function
+agrees with the engine-native shingles_df operator."""
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.dedup import shingles_df
+from search_engine_spark.ops.udtf_ops import register_udtfs
+
+
+def test_shingle_udtf_matches_native_operator(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "short"),
+        (2, "a,b;c d(e)f"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    register_udtfs(spark)
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in spark.sql(
+            "SELECT d.doc_id, s.shingle "
+            "FROM udtf_docs d, LATERAL shingles(d.text, 3) s"
+        ).collect()
+    )
+    # native operator emits DISTINCT shingles; the UDTF emits every
+    # occurrence with positions — compare as sets per doc
+    want = sorted(
+        set(
+            (r["doc_id"], r["shingle"])
+            for r in shingles_df(df.filter(F.col("text").isNotNull()),
+                                 "text", "doc_id", width=3).collect()
+        )
+    )
+    assert sorted(set(got)) == want
+    # positional fan-out: doc 0 has 2 shingles at pos 0 and 1
+    pos = spark.sql(
+        "SELECT s.pos FROM udtf_docs d, LATERAL shingles(d.text, 3) s "
+        "WHERE d.doc_id = 0 ORDER BY s.pos"
+    ).collect()
+    assert [r["pos"] for r in pos] == [0, 1]
