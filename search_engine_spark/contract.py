@@ -188,11 +188,20 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # race), but stable within one process so repeated invocations reuse
     # one directory instead of accumulating /tmp dirs; the dir must
     # outlive this call — the returned DataFrame reads from it lazily.
-    idx_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"seng_contract_wand_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{os.getpid()}",
-    )
+    # Dirs left by DEAD processes are garbage-collected here (a live
+    # pid's dir is never touched, preserving the no-race property).
+    import shutil
+
+    base = tempfile.gettempdir()
+    prefix = f"seng_contract_wand_{os.path.basename(os.path.normpath(sf_dir))}_"
+    for d in os.listdir(base):
+        if d.startswith(prefix):
+            pid = d[len(prefix):]
+            if pid != str(os.getpid()) and pid.isdigit() and not os.path.exists(
+                f"/proc/{pid}"
+            ):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    idx_dir = os.path.join(base, f"{prefix}{os.getpid()}")
     docs = _docs(spark, sf_dir)
     P.build_index(
         docs,
@@ -543,8 +552,13 @@ def q_lang_source_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map scalar-function surface (§2.16): per-lang map source→count
     built with map_from_entries, sized with size(), exploded back to
     rows — the oracle restates it relationally, so the whole map
-    round-trip is value-checked."""
-    docs = _docs(spark, sf_dir)
+    round-trip is value-checked.  NULL lang/source coalesce to '<null>'
+    (map keys cannot be null, and the oracle's join must keep the
+    group)."""
+    docs = _docs(spark, sf_dir).select(
+        F.coalesce("lang", F.lit("<null>")).alias("lang"),
+        F.coalesce("source", F.lit("<null>")).alias("source"),
+    )
     per = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
     maps = per.groupBy("lang").agg(
         F.map_from_entries(
@@ -1310,8 +1324,9 @@ def duckdb_oracles() -> dict[str, str]:
         "clean_corpus": _sql_clean_corpus(),
         "lang_source_map": """
 WITH per AS (
-  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM documents GROUP BY lang, source
+  SELECT COALESCE(lang, '<null>') AS lang, COALESCE(source, '<null>') AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
 ),
 cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources FROM per GROUP BY lang)
 SELECT p.lang, p.source, p.n_docs, c.n_sources

@@ -32,6 +32,9 @@ class ShingleUDTF:
 
     def eval(self, text: str, width: int):  # noqa: D102 (UDTF contract)
         if text is None:
+            # match shingles_df exactly: its short-doc fallback emits
+            # array(text) -> one NULL-shingle row for NULL text
+            yield 0, None
             return
         toks = [t for t in DOC_SPLIT_RE.split(text) if t]
         if len(toks) >= width:

@@ -79,7 +79,9 @@ def read_ledger(spark: SparkSession, index_dir: str) -> DataFrame | None:
     corrupted / mixed-layout directory) raises — silently returning None
     there would make resume silently restage every chunk."""
     path = _ledger_path(index_dir)
-    if not os.path.isdir(path):
+    # local fast path only — remote schemes (s3a://, hdfs://) must go
+    # through the Spark reader, os.path knows nothing about them
+    if "://" not in path and not os.path.isdir(path):
         return None
     try:
         return spark.read.parquet(path)

@@ -95,28 +95,44 @@ def stream_dedup_exact(
     text_col: str = "content",
     ts_col: str | None = None,
     watermark: str = "1 hour",
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Streaming exact deduplication: emit each distinct content hash's
-    FIRST-seen row, drop later byte-identical arrivals — the streaming
-    twin of ops.dedup.dedup_exact_keep_first for continuously-arriving
-    corpora (the ingest-side dedup a training-data pipeline runs before
-    staging index chunks).
+    """Streaming exact deduplication: one surviving row per distinct
+    content hash — the streaming twin of ops.dedup.dedup_exact_keep_first
+    for continuously-arriving corpora (the ingest-side dedup a
+    training-data pipeline runs before staging index chunks).
 
     Built on Structured Streaming's dropDuplicates state store keyed on
-    sha2-256 of the content: state is one 32-byte key per distinct doc,
-    hash-partitioned (uniform, skew-free).  With `ts_col` given, a
-    watermark bounds state: duplicates arriving later than the watermark
-    delay MAY be re-emitted (documented trade — without a watermark the
-    state grows with distinct-doc count, which is the batch-exact
-    semantics).  Works on batch frames too (dropDuplicates, watermark
-    no-op) so the same code path is pytest- and oracle-checkable."""
-    out = docs.withColumn(
-        "__content_hash", F.sha2(F.col(text_col).cast("binary"), 256)
-    )
+    sha2-256 of the content (the same hash expression as the batch
+    operator, ops.dedup._content_hash): state is one 32-byte key per
+    distinct doc, hash-partitioned (uniform, skew-free).  With `ts_col`
+    given, a watermark bounds state: duplicates arriving later than the
+    watermark delay MAY be re-emitted (documented trade — without a
+    watermark the state grows with distinct-doc count, the batch-exact
+    semantics).
+
+    Survivor choice: ACROSS micro-batches the state store keeps the
+    first ARRIVAL.  Within one micro-batch — and on batch frames — the
+    dropDuplicates survivor is engine-arbitrary; pass `order_cols`
+    (e.g. ("ts", "doc_id")) for a deterministic minimum-by-order
+    survivor on the batch path (a window rank, like
+    dedup_exact_keep_first's min-id rule)."""
+    from ..ops.dedup import _content_hash
+
+    out = docs.withColumn("__content_hash", _content_hash(text_col, "sha256"))
     if ts_col is not None and out.isStreaming:
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicatesWithinWatermark(["__content_hash"]).drop(
             "__content_hash"
+        )
+    if order_cols and not out.isStreaming:
+        w = Window.partitionBy("__content_hash").orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__content_hash")
         )
     return out.dropDuplicates(["__content_hash"]).drop("__content_hash")
 

@@ -282,6 +282,11 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     out = stream_dedup_exact(batch, "content")
     assert sorted(r["content"] for r in out.collect()) == ["alpha", "beta", "gamma"]
 
+    # deterministic batch survivor: min by (ts, id) per content hash
+    det = stream_dedup_exact(batch, "content", order_cols=("ts", "id"))
+    got = sorted((r["content"], r["id"]) for r in det.collect())
+    assert got == [("alpha", 1), ("beta", 2), ("gamma", 4)]
+
 
 def test_sessionize_batch(spark):
     base = dt.datetime(2026, 1, 1, 12, 0, 0)

@@ -18,22 +18,26 @@ def test_shingle_udtf_matches_native_operator(spark):
     df.createOrReplaceTempView("udtf_docs")
     register_udtfs(spark)
     got = sorted(
-        (r["doc_id"], r["shingle"])
-        for r in spark.sql(
-            "SELECT d.doc_id, s.shingle "
-            "FROM udtf_docs d, LATERAL shingles(d.text, 3) s"
-        ).collect()
+        set(
+            (r["doc_id"], r["shingle"])
+            for r in spark.sql(
+                "SELECT d.doc_id, s.shingle "
+                "FROM udtf_docs d, LATERAL shingles(d.text, 3) s"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1]),
     )
     # native operator emits DISTINCT shingles; the UDTF emits every
-    # occurrence with positions — compare as sets per doc
+    # occurrence with positions — compare as sets per doc (incl. the
+    # NULL-text doc, which both surfaces emit as one NULL-shingle row)
     want = sorted(
         set(
             (r["doc_id"], r["shingle"])
-            for r in shingles_df(df.filter(F.col("text").isNotNull()),
-                                 "text", "doc_id", width=3).collect()
-        )
+            for r in shingles_df(df, "text", "doc_id", width=3).collect()
+        ),
+        key=lambda t: (t[0], t[1] is not None, t[1]),
     )
-    assert sorted(set(got)) == want
+    assert got == want
     # positional fan-out: doc 0 has 2 shingles at pos 0 and 1
     pos = spark.sql(
         "SELECT s.pos FROM udtf_docs d, LATERAL shingles(d.text, 3) s "
