@@ -62,18 +62,19 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL building blocks
 # ---------------------------------------------------------------------------
 
-def _sql_tokens_cte() -> str:
+def _sql_tokens_cte(source_table: str = "documents") -> str:
     """CTE `tok` = (doc_id, term, tf): the document analyzer in ANSI SQL.
 
     Restates analysis.analyze_frame with stemming off: split on
     [\\x00-\\x2f:;=?]+, drop ''/tag-shaped tokens, cap 100 chars,
     ASCII-only fold (translate — NOT lower(), to match Indexer.cs:170-176
-    exactly on any input), drop the 39 stopwords."""
+    exactly on any input), drop the 39 stopwords.  `source_table` lets a
+    query analyze a restricted corpus (e.g. a metadata-filtered CTE)."""
     return f"""
 raw AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}')) AS t
-  FROM documents
+  FROM {source_table}
 ),
 folded AS (
   SELECT doc_id,
@@ -94,12 +95,12 @@ tok AS (
 )"""
 
 
-def _sql_meta_stats_cte() -> str:
+def _sql_meta_stats_cte(source_table: str = "documents") -> str:
     """CTEs meta (doc_id, doc_len incl. empty docs) + stats (n, avgdl)."""
-    return """
+    return f"""
 meta AS (
   SELECT d.doc_id, CAST(COALESCE(s.doc_len, 0) AS BIGINT) AS doc_len
-  FROM documents d
+  FROM {source_table} d
   LEFT JOIN (SELECT doc_id, SUM(n_raw) AS doc_len FROM tok GROUP BY doc_id) s
     USING (doc_id)
 ),
@@ -225,6 +226,29 @@ def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, _, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(spark, [(1, TFIDF_QUERY_TEXT)], SQL_CFG)
     res = Q.score_tfidf(tokens, n, qdf, k=TOPK, exact_float32=True)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+FILTER_LANG = "en"
+
+
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: BM25 over a metadata-RESTRICTED corpus (lang =
+    'en') — the filter composes BEFORE analysis, so collection stats
+    (N, avgdl, df) are those of the restricted corpus, exactly as if the
+    index had been built over the facet.  The lang predicate pushes to
+    the parquet scan; everything downstream is the standard exact-f32
+    BM25 plan."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == FILTER_LANG)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+    )
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
@@ -719,10 +743,14 @@ _FOLD_F32_SQL = (
 )
 
 
-def _sql_bm25(params: BM25Params = BM25Params()) -> str:
+def _sql_bm25(
+    params: BM25Params = BM25Params(),
+    source_table: str = "documents",
+    prelude: str = "",
+) -> str:
     k1, k3, b = params.k1, params.k3, params.b
     return f"""
-WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+WITH {prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
 {_query_values_sql(BM25_QUERY_TEXT)},
 tdf AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
@@ -1262,6 +1290,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": q_collection_stats,
         "bm25_topk": _bm25_spark,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "tfidf_topk": _tfidf_spark,
         "boolean_and": q_boolean_and,
         "term_len_hist": q_term_len_hist,
@@ -1308,6 +1337,11 @@ def duckdb_oracles() -> dict[str, str]:
         # the WAND/materialized-index fast path must reproduce the oracle
         # ranking AND float32 scores exactly — one SQL serves both paths
         "bm25_wand_topk": _sql_bm25(),
+        # restricted-corpus (faceted) BM25: same scorer, stats over the facet
+        "bm25_filtered_topk": _sql_bm25(
+            source_table="fdocs",
+            prelude=f"fdocs AS (SELECT * FROM documents WHERE lang = '{FILTER_LANG}'), ",
+        ),
         "tfidf_topk": _sql_tfidf(),
         "boolean_and": _sql_boolean_and(),
         "term_len_hist": _sql_term_len_hist(),
