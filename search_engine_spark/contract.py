@@ -519,6 +519,46 @@ def q_phrase_match_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_SEED = "qery"  # misspelling of 'query'
+RELATED_SEED = "spark"
+SNIPPET_WIDTH = 3
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (ops.suggest.suggest_terms): dictionary terms within
+    2 edits of a misspelled query term, best-first (dist, df desc) —
+    Levenshtein is classic in both engines, so the whole ranking is
+    oracle-checked."""
+    from .ops.suggest import suggest_terms
+
+    tdf = B.term_document_frequency(_tokens(spark, sf_dir))
+    return suggest_terms(tdf, SUGGEST_SEED, max_dist=2, k=10)
+
+
+def q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-term discovery (ops.suggest.related_terms): terms
+    co-occurring with a seed, ranked by lift — candidate-restricted to
+    the seed's documents (broadcast semi-join), never a full
+    co-occurrence matrix."""
+    from .ops.suggest import related_terms
+
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    n = docs.count()
+    return related_terms(tokens, RELATED_SEED, n, k=10, min_co_docs=2)
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page snippets (positional.analyzed_snippets): ±3 analyzed
+    tokens around each matching doc's first BM25-query-term occurrence."""
+    from .positional import analyzed_snippets, positional_tokens
+
+    docs = _docs(spark, sf_dir)
+    ptoks = positional_tokens(docs, SQL_CFG, "doc_id", "text")
+    terms = [t for t, _ in tokenize_query(BM25_QUERY_TEXT, SQL_CFG)]
+    return analyzed_snippets(ptoks, terms, width=SNIPPET_WIDTH)
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (streaming/
     incremental.sessionize_batch); timestamps emitted as epoch seconds
@@ -1217,10 +1257,11 @@ FROM events GROUP BY event_type
 """
 
 
-def _sql_phrase_match() -> str:
-    a, b = PHRASE
+def _sql_ptok_cte() -> str:
+    """CTEs base+ptok = the analyzed positional token stream (doc_id,
+    term, pos) — shared by phrase matching and snippet extraction."""
     return f"""
-WITH base AS (
+base AS (
   SELECT doc_id,
          list_filter(
            list_transform(
@@ -1233,13 +1274,74 @@ WITH base AS (
 ptok AS (
   SELECT doc_id, s[i] AS term, CAST(i - 1 AS BIGINT) AS pos
   FROM base, unnest(range(1, len(s) + 1)) u(i)
-),
+)"""
+
+
+def _sql_phrase_match() -> str:
+    a, b = PHRASE
+    return f"""
+WITH {_sql_ptok_cte()},
 m AS (
   SELECT l.doc_id, l.pos AS start
   FROM ptok l JOIN ptok r ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
   WHERE l.term = '{a}' AND r.term = '{b}'
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
+"""
+
+
+def _sql_term_suggest() -> str:
+    return f"""
+WITH {_sql_tokens_cte()},
+d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+s AS (SELECT term, df, CAST(levenshtein(term, '{SUGGEST_SEED}') AS BIGINT) AS dist FROM d)
+SELECT term, df, dist FROM s
+WHERE dist <= 2 AND term <> '{SUGGEST_SEED}'
+ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+"""
+
+
+def _sql_related_terms() -> str:
+    return f"""
+WITH {_sql_tokens_cte()},
+seed AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{RELATED_SEED}'),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT COUNT(*) FROM seed) AS DOUBLE) AS df_seed
+),
+co AS (
+  SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS co_docs
+  FROM tok t JOIN seed USING (doc_id)
+  WHERE t.term <> '{RELATED_SEED}'
+  GROUP BY t.term HAVING COUNT(DISTINCT t.doc_id) >= 2
+),
+gdf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term)
+SELECT co.term, co.co_docs, gdf.df,
+       round(CAST(co.co_docs AS DOUBLE) * s.n_docs / (s.df_seed * gdf.df), 6) AS lift
+FROM co JOIN gdf USING (term) CROSS JOIN stats s
+ORDER BY CAST(co.co_docs AS DOUBLE) * s.n_docs / (s.df_seed * gdf.df) DESC,
+         co.co_docs DESC, co.term ASC
+LIMIT 10
+"""
+
+
+def _sql_snippets() -> str:
+    terms = ", ".join(
+        f"'{t}'" for t, _ in tokenize_query(BM25_QUERY_TEXT, SQL_CFG)
+    )
+    w = SNIPPET_WIDTH
+    return f"""
+WITH {_sql_ptok_cte()},
+first AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS first_pos
+  FROM ptok WHERE term IN ({terms}) GROUP BY doc_id
+)
+SELECT p.doc_id, f.first_pos,
+       string_agg(p.term, ' ' ORDER BY p.pos) AS snippet
+FROM ptok p
+JOIN first f ON p.doc_id = f.doc_id
+            AND p.pos BETWEEN f.first_pos - {w} AND f.first_pos + {w}
+GROUP BY p.doc_id, f.first_pos
 """
 
 
@@ -1318,6 +1420,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "phrase_match": q_phrase_match,
+        "term_suggest": q_term_suggest,
+        "related_terms": q_related_terms,
+        "snippets": q_snippets,
         "phrase_match_packed": q_phrase_match_packed,
         "lang_source_rollup": q_lang_source_rollup,
         "dedup_dropped": q_dedup_dropped,
@@ -1376,6 +1481,9 @@ FROM per p JOIN cnt c USING (lang)
         "events_hourly": _sql_events_hourly(),
         "sessions": _sql_sessions(),
         "phrase_match": _sql_phrase_match(),
+        "term_suggest": _sql_term_suggest(),
+        "related_terms": _sql_related_terms(),
+        "snippets": _sql_snippets(),
         # compressed positional index must reproduce phrase_match exactly
         "phrase_match_packed": _sql_phrase_match(),
         "lang_source_rollup": _sql_lang_source_rollup(),

@@ -1,0 +1,89 @@
+"""Query-assist operators: did-you-mean term suggestion and related-term
+discovery — the search-UX features a switching user expects around the
+core ranker (the reference has none of these; beyond-reference surface
+per SURVEY.md §2.16).
+
+Scale notes:
+  * suggest_terms scans the term DICTIONARY (vocab-sized, orders of
+    magnitude smaller than the corpus) with a JVM levenshtein — a narrow
+    pass + tiny top-k.  Both Spark and DuckDB implement classic
+    Levenshtein, so the operator is oracle-checkable.
+  * related_terms touches only the seed term's documents (semi-join on
+    a broadcast doc set), then one tf-agg over that slice — candidate-
+    restricted like the dedup verifiers, never a full co-occurrence
+    matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def suggest_terms(
+    term_df: DataFrame,
+    query_term: str,
+    max_dist: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """(term, df, dist) — dictionary terms within `max_dist` edits of
+    `query_term`, best-first: dist asc, df desc (commoner fix wins),
+    term asc.  term_df = (term, df) as from build.term_document_frequency."""
+    out = (
+        term_df.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(query_term)).cast("long")
+        )
+        .filter((F.col("dist") <= max_dist) & (F.col("term") != query_term))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+    return out.select("term", F.col("df").cast("long").alias("df"), "dist")
+
+
+def related_terms(
+    tokens: DataFrame,
+    seed_term: str,
+    n_docs: int,
+    k: int = 10,
+    min_co_docs: int = 2,
+) -> DataFrame:
+    """(term, co_docs, df, lift) — terms co-occurring with `seed_term`,
+    ranked by lift = P(term|seed)/P(term) = co_docs·N/(df_seed·df_term)
+    (PMI's ratio without the log; >1 means positively associated).
+
+    Physical form: broadcast the seed's doc set (df_seed rows of one
+    long each), semi-join tokens to that slice, one distinct-doc agg per
+    co-occurring term, then join the global df (dictionary-sized).
+    Deterministic order: lift desc, co_docs desc, term asc."""
+    seed_docs = (
+        tokens.filter(F.col("term") == seed_term).select("doc_id").distinct()
+    )
+    df_seed = seed_docs.count()
+    if df_seed == 0:
+        return tokens.sparkSession.createDataFrame(
+            [], "term string, co_docs long, df long, lift double"
+        )
+    co = (
+        tokens.join(F.broadcast(seed_docs), "doc_id")
+        .filter(F.col("term") != seed_term)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("co_docs"))
+        .filter(F.col("co_docs") >= min_co_docs)
+    )
+    gdf = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    out = (
+        co.join(gdf, "term")
+        .withColumn(
+            "lift",
+            F.col("co_docs").cast("double")
+            * F.lit(float(n_docs))
+            / (F.lit(float(df_seed)) * F.col("df")),
+        )
+        .orderBy(F.desc("lift"), F.desc("co_docs"), F.asc("term"))
+        .limit(k)
+    )
+    return out.select(
+        "term",
+        F.col("co_docs").cast("long").alias("co_docs"),
+        F.col("df").cast("long").alias("df"),
+        F.round("lift", 6).alias("lift"),
+    )

@@ -199,6 +199,44 @@ def positional_tokens_from_packed(packed: DataFrame) -> DataFrame:
     return packed.mapInArrow(_decode, schema=POSITIONS_SCHEMA)
 
 
+def analyzed_snippets(
+    ptokens: DataFrame, match_terms: list[str], width: int = 3
+) -> DataFrame:
+    """(doc_id, first_pos, snippet) — a ±width token window of the
+    ANALYZED stream around each matching doc's first query-term
+    occurrence (the result-page snippet, on indexed terms: stopword gaps
+    close up, matching the position semantics documented above).
+
+    Shuffle shape: the match-term filter restricts the first-occurrence
+    agg to the query terms' rows; the window join then touches only
+    matching docs' token rows (broadcast-able first-occurrence side for
+    top-k-sized result sets)."""
+    if not match_terms:
+        raise ValueError("empty match_terms")
+    first = (
+        ptokens.filter(F.col("term").isin(list(set(match_terms))))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    win = ptokens.join(first, "doc_id").filter(
+        (F.col("pos") >= F.col("first_pos") - width)
+        & (F.col("pos") <= F.col("first_pos") + width)
+    )
+    return (
+        win.groupBy("doc_id", "first_pos")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+            ).alias("snippet")
+        )
+        .select("doc_id", F.col("first_pos").cast("long").alias("first_pos"), "snippet")
+    )
+
+
 def write_positional_index(
     docs: DataFrame,
     index_dir: str,

@@ -1,0 +1,45 @@
+"""Query-assist operator gates: suggestion ranking determinism and the
+empty-seed branch (the oracle-checked ranking itself is contract-gated)."""
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.suggest import related_terms, suggest_terms
+
+
+def test_suggest_ranking_dist_then_df(spark):
+    tdf = spark.createDataFrame(
+        [("query", 100), ("quarry", 30), ("qery", 5), ("queries", 40),
+         ("very", 7), ("zzz", 9)],
+        "term string, df long",
+    )
+    got = [(r["term"], r["dist"]) for r in
+           suggest_terms(tdf, "qery", max_dist=2, k=10).collect()]
+    # dist asc first, then df desc: query(1), very(1), quarry(2)...
+    assert got[0] == ("query", 1)
+    assert got[1] == ("very", 1)
+    assert ("qery", 0) not in got  # the input term itself is excluded
+    assert all(d <= 2 for _, d in got)
+
+
+def test_related_terms_empty_seed(spark):
+    toks = spark.createDataFrame(
+        [(1, "a", 1, 2), (2, "b", 1, 2)],
+        "doc_id long, term string, tf int, doc_len int",
+    )
+    out = related_terms(toks, "missing", n_docs=2, k=5)
+    assert out.count() == 0
+    assert out.columns == ["term", "co_docs", "df", "lift"]
+
+
+def test_related_terms_lift_sanity(spark):
+    # 'x' always with seed (lift > 1), 'y' everywhere (lift == 1)
+    rows = []
+    for d in range(10):
+        rows.append((d, "y", 1, 3))
+        if d < 5:
+            rows.append((d, "seed", 1, 3))
+            rows.append((d, "x", 1, 3))
+    toks = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len int")
+    got = {r["term"]: r for r in related_terms(toks, "seed", n_docs=10, k=5).collect()}
+    assert got["x"]["lift"] == 2.0 and got["x"]["co_docs"] == 5
+    assert got["y"]["lift"] == 1.0
