@@ -150,6 +150,25 @@ def main() -> int:
     p = plan_of(phrase_match_packed(packed, ["merge", "index"]))
     check("packed phrase: no row-Python", "BatchEvalPython" not in p)
 
+    # --- 10. query-assist + sketch ops: expected plan shapes ---
+    from search_engine_spark.ops.sketch import kmv_distinct
+    from search_engine_spark.ops.suggest import related_terms, suggest_terms
+    from search_engine_spark.positional import analyzed_snippets
+
+    tdf = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    p = plan_of(suggest_terms(tdf, "merge", k=5))
+    print("== suggest/related/snippets/kmv ==")
+    check("suggest: levenshtein JVM-side, no row-Python",
+          "levenshtein" in p and "BatchEvalPython" not in p)
+    # tokens are stemmed (full analyzer) -> seed must be the stemmed form
+    p = plan_of(related_terms(tokens, "merg", 1000, k=5))
+    check("related: broadcast seed-doc semi-join", "BroadcastHashJoin" in p)
+    p = plan_of(analyzed_snippets(ptoks, ["merge", "index"], width=3))
+    check("snippets: no row-Python", "BatchEvalPython" not in p)
+    p = plan_of(kmv_distinct(docs.select("doc_id", F.col("text")), "text", ["doc_id"], k=8))
+    check("kmv: Arrow/pandas partial, no row-Python",
+          "MapInPandas" in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
