@@ -151,12 +151,13 @@ def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact_float32=True: the emitted scores are the reference's float32
-    left-fold bits — DuckDB reproduces them exactly via list_reduce with
-    REAL casts (see _sql_bm25), so no round() blur is needed."""
-    docs = _docs(spark, sf_dir)
-    tokens = _tokens(spark, sf_dir)
+def _bm25_over(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Exact-float32 BM25 top-k over an arbitrary documents frame — the
+    shared plumbing of the unfaceted and faceted contract queries.  The
+    emitted scores are the reference's float32 left-fold bits — DuckDB
+    reproduces them exactly via list_reduce with REAL casts (see
+    _sql_bm25), so no round() blur is needed."""
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
     meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
     n, avgdl, _ = B.collect_stats(meta)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
@@ -166,6 +167,10 @@ def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_over(spark, _docs(spark, sf_dir))
 
 
 def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,17 +245,9 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avgdl, df) are those of the restricted corpus, exactly as if the
     index had been built over the facet.  The lang predicate pushes to
     the parquet scan; everything downstream is the standard exact-f32
-    BM25 plan."""
-    docs = _docs(spark, sf_dir).filter(F.col("lang") == FILTER_LANG)
-    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
-    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
-    res = Q.score_bm25(
-        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
-    )
-    return res.select(
-        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    BM25 plan (shared with the unfaceted query via _bm25_over)."""
+    return _bm25_over(
+        spark, _docs(spark, sf_dir).filter(F.col("lang") == FILTER_LANG)
     )
 
 
@@ -520,7 +517,11 @@ def q_phrase_match_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SUGGEST_SEED = "qery"  # misspelling of 'query'
+SUGGEST_MAX_DIST = 2
+SUGGEST_K = 10
 RELATED_SEED = "spark"
+RELATED_K = 10
+RELATED_MIN_CO = 2
 SNIPPET_WIDTH = 3
 
 
@@ -532,7 +533,7 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.suggest import suggest_terms
 
     tdf = B.term_document_frequency(_tokens(spark, sf_dir))
-    return suggest_terms(tdf, SUGGEST_SEED, max_dist=2, k=10)
+    return suggest_terms(tdf, SUGGEST_SEED, max_dist=SUGGEST_MAX_DIST, k=SUGGEST_K)
 
 
 def q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,7 +546,7 @@ def q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
     n = docs.count()
-    return related_terms(tokens, RELATED_SEED, n, k=10, min_co_docs=2)
+    return related_terms(tokens, RELATED_SEED, n, k=RELATED_K, min_co_docs=RELATED_MIN_CO)
 
 
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,8 +1297,8 @@ WITH {_sql_tokens_cte()},
 d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
 s AS (SELECT term, df, CAST(levenshtein(term, '{SUGGEST_SEED}') AS BIGINT) AS dist FROM d)
 SELECT term, df, dist FROM s
-WHERE dist <= 2 AND term <> '{SUGGEST_SEED}'
-ORDER BY dist ASC, df DESC, term ASC LIMIT 10
+WHERE dist <= {SUGGEST_MAX_DIST} AND term <> '{SUGGEST_SEED}'
+ORDER BY dist ASC, df DESC, term ASC LIMIT {SUGGEST_K}
 """
 
 
@@ -1313,7 +1314,7 @@ co AS (
   SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS co_docs
   FROM tok t JOIN seed USING (doc_id)
   WHERE t.term <> '{RELATED_SEED}'
-  GROUP BY t.term HAVING COUNT(DISTINCT t.doc_id) >= 2
+  GROUP BY t.term HAVING COUNT(DISTINCT t.doc_id) >= {RELATED_MIN_CO}
 ),
 gdf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term)
 SELECT co.term, co.co_docs, gdf.df,
@@ -1321,7 +1322,7 @@ SELECT co.term, co.co_docs, gdf.df,
 FROM co JOIN gdf USING (term) CROSS JOIN stats s
 ORDER BY CAST(co.co_docs AS DOUBLE) * s.n_docs / (s.df_seed * gdf.df) DESC,
          co.co_docs DESC, co.term ASC
-LIMIT 10
+LIMIT {RELATED_K}
 """
 
 

@@ -51,12 +51,16 @@ def related_terms(
     (PMI's ratio without the log; >1 means positively associated).
 
     Physical form: broadcast the seed's doc set (df_seed rows of one
-    long each), semi-join tokens to that slice, one distinct-doc agg per
-    co-occurring term, then join the global df (dictionary-sized).
-    Deterministic order: lift desc, co_docs desc, term asc."""
-    seed_docs = (
-        tokens.filter(F.col("term") == seed_term).select("doc_id").distinct()
-    )
+    long each), semi-join tokens to that slice, one map-side-combinable
+    count per co-occurring term, then join the global df
+    (dictionary-sized).  Relies on the analyze_tokens invariant — one
+    row per (doc_id, term) — so plain count(*) IS the distinct-doc
+    count (the same invariant build.term_document_frequency uses); no
+    two-phase distinct aggregation needed.  Deterministic order: lift
+    desc, co_docs desc, term asc."""
+    from ..build import term_document_frequency
+
+    seed_docs = tokens.filter(F.col("term") == seed_term).select("doc_id")
     df_seed = seed_docs.count()
     if df_seed == 0:
         return tokens.sparkSession.createDataFrame(
@@ -66,10 +70,10 @@ def related_terms(
         tokens.join(F.broadcast(seed_docs), "doc_id")
         .filter(F.col("term") != seed_term)
         .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("co_docs"))
+        .agg(F.count("*").alias("co_docs"))
         .filter(F.col("co_docs") >= min_co_docs)
     )
-    gdf = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    gdf = term_document_frequency(tokens)
     out = (
         co.join(gdf, "term")
         .withColumn(

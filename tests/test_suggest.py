@@ -14,7 +14,8 @@ def test_suggest_ranking_dist_then_df(spark):
     )
     got = [(r["term"], r["dist"]) for r in
            suggest_terms(tdf, "qery", max_dist=2, k=10).collect()]
-    # dist asc first, then df desc: query(1), very(1), quarry(2)...
+    # dist asc first, then df desc: query(1, df=100), very(1, df=7);
+    # quarry is dist 3 from 'qery' and excluded by max_dist=2
     assert got[0] == ("query", 1)
     assert got[1] == ("very", 1)
     assert ("qery", 0) not in got  # the input term itself is excluded

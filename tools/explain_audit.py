@@ -160,9 +160,18 @@ def main() -> int:
     print("== suggest/related/snippets/kmv ==")
     check("suggest: levenshtein JVM-side, no row-Python",
           "levenshtein" in p and "BatchEvalPython" not in p)
-    # tokens are stemmed (full analyzer) -> seed must be the stemmed form
-    p = plan_of(related_terms(tokens, "merg", 1000, k=5))
-    check("related: broadcast seed-doc semi-join", "BroadcastHashJoin" in p)
+    # tokens are stemmed (full analyzer) -> seed must be the stemmed form.
+    # NOTE: related_terms runs a seed-df count job internally (the one
+    # eager step of this audit); an absent seed would return the empty
+    # frame whose plan has no join at all - check that first so a seed
+    # mismatch doesn't masquerade as a join-strategy failure.
+    rel = related_terms(tokens, "merg", 1000, k=5)
+    p = plan_of(rel)
+    if "ExistingRDD" in p:
+        check("related: broadcast seed-doc semi-join", False,
+              "seed 'merg' missing from corpus - empty-branch plan")
+    else:
+        check("related: broadcast seed-doc semi-join", "BroadcastHashJoin" in p)
     p = plan_of(analyzed_snippets(ptoks, ["merge", "index"], width=3))
     check("snippets: no row-Python", "BatchEvalPython" not in p)
     p = plan_of(kmv_distinct(docs.select("doc_id", F.col("text")), "text", ["doc_id"], k=8))
