@@ -251,6 +251,29 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED two-phase global posting merge (north_rule skew
+    clause; postings.merge_global_postings) under the driver oracle:
+    with the hot-term threshold set below the corpus's df range, every
+    frequent term takes the salted path (phase A bounded runs → phase B
+    concat), and the merged docID-ascending lists are fingerprinted
+    (md5 of the joined id/tf sequences) for exact cross-engine
+    comparison against a relational restatement."""
+    from .postings import merge_global_postings, posting_fragments
+
+    docs = _docs(spark, sf_dir)
+    frags = posting_fragments(docs, SQL_CFG, "doc_id", "text")
+    merged = merge_global_postings(
+        frags, hot_term_df_threshold=100, salt_buckets=4
+    )
+    return merged.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.md5(F.concat_ws(",", F.col("doc_ids"))).alias("doc_ids_md5"),
+        F.md5(F.concat_ws(",", F.col("tfs"))).alias("tfs_md5"),
+    )
+
+
 def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.boolean_and(_tokens(spark, sf_dir), list(BOOL_TERMS))
 
@@ -1396,6 +1419,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "tfidf_topk": _tfidf_spark,
         "boolean_and": q_boolean_and,
+        "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
         "df_hist": q_df_hist,
         "hot_terms": q_hot_terms,
@@ -1450,6 +1474,13 @@ def duckdb_oracles() -> dict[str, str]:
         ),
         "tfidf_topk": _sql_tfidf(),
         "boolean_and": _sql_boolean_and(),
+        "global_postings": f"""
+WITH {_sql_tokens_cte()}
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS doc_ids_md5,
+       md5(string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id)) AS tfs_md5
+FROM tok GROUP BY term
+""",
         "term_len_hist": _sql_term_len_hist(),
         "df_hist": _sql_df_hist(),
         "hot_terms": _sql_hot_terms(),

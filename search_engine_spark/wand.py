@@ -248,6 +248,13 @@ def search_bm25(
     # co-locate each segment's blocks in one task
     matched = matched.repartition("segment_id")
 
+    # topic batch rides a broadcast variable, not the task closure: the
+    # closure is serialized into every task binary, while a broadcast
+    # ships once per executor — the difference between O(tasks) and
+    # O(executors) copies for a large topic batch (Parallel.ForEach
+    # parity at 10^4+ topics).
+    topics_bc = matched.sparkSession.sparkContext.broadcast(topics)
+
     def _wand(batches):
         import pyarrow as pa
 
@@ -315,7 +322,7 @@ def search_bm25(
         for seg, term_blocks in segs.items():
             for tb in term_blocks.values():
                 tb.sort(key=lambda r: r["block_id"])
-            for topic_id, terms in topics:
+            for topic_id, terms in topics_bc.value:
                 ids, scores = _segment_topic_topk(
                     term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune
                 )
