@@ -88,18 +88,35 @@ def shingles_df(
 
 
 def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 16
+    shingles: DataFrame, n_hashes: int = 16, hash_fn: str = "md5"
 ) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — MinHash signature via seeded md5 permutations.
+    """(doc_id, h0..h{n-1}) — MinHash signature via seeded hash
+    permutations.  h_s(doc) = min over shingles of hash(seed=s, shingle);
+    min over a seed-keyed hash is a valid minwise permutation.  One
+    groupBy(doc_id) with n partial min-aggs — fully map-side
+    combinable, no skew.
 
-    h_s(doc) = min over shingles of md5(s || ':' || shingle).  Min over a
-    keyed hex string is a valid minwise permutation and is reproducible in
-    any engine with md5.  One groupBy(doc_id) with n partial min-aggs —
-    fully map-side combinable, no skew."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
+    hash_fn:
+      * 'md5' (default) — 32-char hex strings, bit-reproducible in any
+        engine with md5: the ORACLE-CHECKABLE form the contract uses.
+      * 'xxhash64' — JVM 64-bit longs (seed = the literal first arg):
+        ~4 bytes/agg-cell instead of ~32-char strings and integer min
+        instead of string min — the cheaper PIPELINE form for 100 TB
+        sweeps where cross-engine hash parity is not required.
+    Downstream (lsh_candidate_pairs) is agnostic: band keys are
+    concat_ws over the h columns either way."""
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unsupported hash_fn: {hash_fn}")
     return shingles.groupBy("doc_id").agg(*aggs)
 
 

@@ -80,6 +80,29 @@ def test_ngram_jaccard_stop_shingle_skip(spark):
     ]
 
 
+def test_xxhash64_signature_path(spark):
+    """The cheap pipeline hash variant: identical docs get identical
+    signatures (so LSH still pairs them), near-identical docs share
+    bands, and the downstream pair generator is hash-agnostic."""
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(4)]
+    rows += [(10, "totally different words here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    sig = D.minhash_signatures(sh, n_hashes=8, hash_fn="xxhash64")
+    # long-typed signature columns
+    assert all(f.dataType.simpleString() == "bigint"
+               for f in sig.schema.fields if f.name.startswith("h"))
+    pairs = sorted(
+        (r["a"], r["b"])
+        for r in D.lsh_candidate_pairs(sig, n_hashes=8, bands=4).collect()
+    )
+    assert pairs == [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported hash_fn"):
+        D.minhash_signatures(sh, n_hashes=8, hash_fn="sha1")
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "a long, b long"
