@@ -97,6 +97,37 @@ def test_params_override_falls_back_to_exhaustive(spark, skewed_index):
     assert got == _df_path(spark, docs, idx, queries, override, 5)
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_wand_randomized_equivalence(spark, tmp_path_factory, seed):
+    """Randomized corpora + queries: block-max WAND must stay
+    bit-identical to the exhaustive DataFrame path on ANY input — a
+    Zipf-ish vocabulary yields head terms with df > N/2 (negative idf →
+    soundness-gate exhaustive) and tail terms with positive idf (pruning
+    fires, block_size=16 forces multi-block lists), so each seed
+    exercises both regimes."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    weights = [1.0 / (i + 1) for i in range(60)]
+    rows = []
+    for d in range(150):
+        n = rng.randint(20, 60)
+        rows.append((d, " ".join(rng.choices(vocab, weights=weights, k=n))))
+    docs = spark.createDataFrame(rows, "doc_id long, content string").repartition(3)
+    idx_dir = str(tmp_path_factory.mktemp(f"rnd{seed}") / "idx")
+    build_index(docs, idx_dir, IndexBuildConfig(analyzer=CFG, block_size=16))
+    idx = load_index(spark, idx_dir)
+
+    queries = [
+        (t + 1, " ".join(rng.sample(vocab, rng.randint(2, 4))))
+        for t in range(4)
+    ]
+    got = sorted(tuple(r) for r in search_bm25(idx, queries, k=10).collect())
+    want = _df_path(spark, docs, idx, queries, BM25Params(), 10)
+    assert got == want and len(got) > 20
+
+
 def test_tf_cap_consistent_across_restatements(spark):
     """70,000-repeat term: tf caps at 65535 (uint16, PostingEntry.cs:6)
     in the pandas, Arrow, and Spark paths alike, while doc_len keeps the
