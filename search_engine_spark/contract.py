@@ -539,6 +539,44 @@ def q_phrase_match_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_QUERY_TEXT = "dup key merge"  # contains the rare term 'dup' (df=25)
+EVAL_REL_TERM = "dup"  # binary qrels: a doc is relevant iff it contains 'dup'
+
+
+def q_trec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's evaluation loop, in-engine (evaluation.py): run
+    BM25 for a query containing the rare term 'dup', take docs
+    containing 'dup' as binary qrels, and compute per-topic AP / P@10 /
+    RR / nDCG@10 with window aggregations — trec_eval's core measures,
+    oracle-checked end to end (the run itself is the exact-f32 BM25
+    contract plan)."""
+    from .evaluation import evaluate_run
+
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, EVAL_QUERY_TEXT)], SQL_CFG)
+    run = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+    ).select("topic_id", "rank", "doc_id")
+    qrels = (
+        tokens.filter(F.col("term") == EVAL_REL_TERM)
+        .select(F.lit(1).alias("topic_id"), "doc_id")
+        .distinct()
+    )
+    per = evaluate_run(run, qrels, p_at=10, ndcg_at=10)
+    return per.select(
+        F.col("topic_id").cast("long").alias("topic_id"),
+        "n_rel",
+        "n_rel_ret",
+        F.round("ap", 6).alias("ap"),
+        F.round("p_at_k", 6).alias("p_at_k"),
+        F.round("rr", 6).alias("rr"),
+        F.round("ndcg_at_k", 6).alias("ndcg"),
+    )
+
+
 SUGGEST_SEED = "qery"  # misspelling of 'query'
 SUGGEST_MAX_DIST = 2
 SUGGEST_K = 10
@@ -811,11 +849,12 @@ def _sql_bm25(
     params: BM25Params = BM25Params(),
     source_table: str = "documents",
     prelude: str = "",
+    query_text: str | None = None,
 ) -> str:
     k1, k3, b = params.k1, params.k3, params.b
     return f"""
 WITH {prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
-{_query_values_sql(BM25_QUERY_TEXT)},
+{_query_values_sql(query_text or BM25_QUERY_TEXT)},
 tdf AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
   WHERE term IN (SELECT term FROM q) GROUP BY term
@@ -1314,6 +1353,52 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def _sql_trec_eval() -> str:
+    return f"""
+WITH run0 AS ({_sql_bm25(query_text=EVAL_QUERY_TEXT)}),
+run AS (SELECT 1 AS topic_id, rank, doc_id FROM run0),
+qr AS (
+  SELECT DISTINCT 1 AS topic_id, doc_id FROM (
+    SELECT doc_id,
+           translate(substr(u.t, 1, 100), '{_UPPER}', '{_LOWER}') AS t
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}')) AS t
+          FROM documents) u
+  ) WHERE t = '{EVAL_REL_TERM}'
+),
+flag AS (
+  SELECT r.topic_id, r.rank, r.doc_id,
+         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM run r LEFT JOIN qr q ON q.topic_id = r.topic_id AND q.doc_id = r.doc_id
+),
+cum AS (
+  SELECT *, SUM(rel) OVER (PARTITION BY topic_id ORDER BY rank
+                           ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM flag
+),
+pt AS (
+  SELECT topic_id,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_ret,
+         SUM(CASE WHEN rel = 1 THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0 END) AS ap_num,
+         CAST(SUM(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS p_at_k,
+         COALESCE(1.0 / CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS DOUBLE), 0.0) AS rr,
+         SUM(CASE WHEN rel = 1 AND rank <= 10
+                  THEN 1.0 / log2(CAST(rank AS DOUBLE) + 1.0) ELSE 0 END) AS dcg
+  FROM cum GROUP BY topic_id
+),
+nr AS (SELECT topic_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY topic_id)
+SELECT CAST(nr.topic_id AS BIGINT) AS topic_id, nr.n_rel,
+       COALESCE(pt.n_rel_ret, 0) AS n_rel_ret,
+       round(COALESCE(pt.ap_num, 0.0) / nr.n_rel, 6) AS ap,
+       round(COALESCE(pt.p_at_k, 0.0), 6) AS p_at_k,
+       round(COALESCE(pt.rr, 0.0), 6) AS rr,
+       round(COALESCE(pt.dcg, 0.0)
+             / list_sum(list_transform(range(1, least(nr.n_rel, 10) + 1),
+                                       i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))), 6) AS ndcg
+FROM nr LEFT JOIN pt USING (topic_id)
+"""
+
+
 def _sql_term_suggest() -> str:
     return f"""
 WITH {_sql_tokens_cte()},
@@ -1417,6 +1502,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25_spark,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
@@ -1513,6 +1599,7 @@ FROM per p JOIN cnt c USING (lang)
         "events_hourly": _sql_events_hourly(),
         "sessions": _sql_sessions(),
         "phrase_match": _sql_phrase_match(),
+        "trec_eval_metrics": _sql_trec_eval(),
         "term_suggest": _sql_term_suggest(),
         "related_terms": _sql_related_terms(),
         "snippets": _sql_snippets(),

@@ -1,0 +1,111 @@
+"""IR evaluation metrics over TREC-style runs — trec_eval's core
+measures as DataFrame ops.
+
+The reference's whole correctness story is "write a trec_eval-compatible
+run file and evaluate offline" (/root/reference/src/Program.cs:150-164,
+README.md:6).  This module closes that loop in-engine: given a run
+(topic_id, rank, doc_id) and binary qrels (topic_id, doc_id), compute
+per-topic AP, P@k, reciprocal rank, and nDCG@k with pure window/agg
+expressions — no Python in the plan, oracle-checkable in ANSI SQL.
+
+Scale shape: one left join of the run against qrels on (topic, doc) —
+qrels are evaluation-sized (broadcast) — then per-topic window cumsums
+ordered by rank.  Window partitions are run-sized per topic (≤ k rows),
+so no skew concern at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def evaluate_run(
+    run: DataFrame, qrels: DataFrame, p_at: int = 10, ndcg_at: int = 10
+) -> DataFrame:
+    """(topic_id, n_rel, n_rel_ret, ap, p_at_k, rr, ndcg_at_k) per topic.
+
+    run:   (topic_id, rank, doc_id) — rank 1-based, contiguous per topic.
+    qrels: (topic_id, doc_id) — binary relevance (a row = relevant).
+
+    Definitions (binary trec_eval semantics):
+      AP      = Σ_{rel hits at rank r} (cum_rel(r)/r) / n_rel
+      P@k     = rel hits in top k / k
+      RR      = 1 / rank of first rel hit (0 if none retrieved)
+      nDCG@k  = Σ_{rel hits, r≤k} 1/log2(r+1)  /  Σ_{i=1..min(k,n_rel)} 1/log2(i+1)
+    Topics present in qrels but absent from the run still appear (all
+    zeros) via the n_rel join — evaluation must not silently drop
+    unanswered topics."""
+    rel_flag = (
+        run.join(
+            F.broadcast(qrels.select("topic_id", "doc_id", F.lit(1).alias("rel"))),
+            ["topic_id", "doc_id"],
+            "left",
+        )
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("topic_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = rel_flag.withColumn("cum_rel", F.sum("rel").over(w))
+
+    per_topic = scored.groupBy("topic_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_ret"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.col("cum_rel").cast("double") / F.col("rank"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ap_num"),
+        (
+            F.sum(
+                F.when((F.col("rel") == 1) & (F.col("rank") <= p_at), 1).otherwise(0)
+            ).cast("double")
+            / F.lit(float(p_at))
+        ).alias("p_at_k"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("rel") == 1, F.col("rank"))).cast("double"),
+            F.lit(0.0),
+        ).alias("rr"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rank") <= ndcg_at),
+                F.lit(1.0) / F.log2(F.col("rank").cast("double") + 1.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+    )
+
+    n_rel = qrels.groupBy("topic_id").agg(F.count("*").cast("long").alias("n_rel"))
+    # ideal DCG for binary rel: the first min(k, n_rel) ranks all relevant
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(ndcg_at)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
+    )
+    out = (
+        n_rel.join(per_topic, "topic_id", "left")
+        .na.fill({"n_rel_ret": 0, "ap_num": 0.0, "p_at_k": 0.0, "rr": 0.0, "dcg": 0.0})
+        .withColumn("ap", F.col("ap_num") / F.col("n_rel").cast("double"))
+        .withColumn("idcg", idcg)
+        .withColumn(
+            "ndcg_at_k",
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+        )
+    )
+    return out.select(
+        "topic_id", "n_rel", "n_rel_ret", "ap", "p_at_k", "rr", "ndcg_at_k"
+    )
+
+
+def mean_metrics(per_topic: DataFrame) -> DataFrame:
+    """One-row summary: MAP, mean P@k, MRR, mean nDCG@k over topics."""
+    return per_topic.agg(
+        F.count("*").cast("long").alias("n_topics"),
+        F.avg("ap").alias("map"),
+        F.avg("p_at_k").alias("mean_p_at_k"),
+        F.avg("rr").alias("mrr"),
+        F.avg("ndcg_at_k").alias("mean_ndcg"),
+    )

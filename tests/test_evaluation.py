@@ -1,0 +1,48 @@
+"""trec_eval-style metric gates: hand-computed AP/P@k/RR/nDCG values,
+unanswered-topic handling, and the mean summary."""
+
+import pytest
+
+from search_engine_spark.evaluation import evaluate_run, mean_metrics
+
+
+def test_metrics_hand_computed(spark):
+    run = spark.createDataFrame(
+        [(1, r, d) for r, d in enumerate([10, 11, 12, 13, 14], start=1)],
+        "topic_id int, rank int, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 20)], "topic_id int, doc_id long"
+    )
+    out = {r["topic_id"]: r for r in evaluate_run(run, qrels).collect()}
+
+    t1 = out[1]
+    assert t1["n_rel"] == 3 and t1["n_rel_ret"] == 2
+    # AP = (1/1 + 2/3) / 3
+    assert t1["ap"] == pytest.approx((1.0 + 2.0 / 3.0) / 3.0, abs=1e-12)
+    assert t1["p_at_k"] == pytest.approx(0.2)
+    assert t1["rr"] == pytest.approx(1.0)
+    # DCG = 1/log2(2) + 1/log2(4) = 1.5; IDCG = 1 + 1/log2(3) + 0.5
+    import math
+
+    idcg = 1.0 + 1.0 / math.log2(3.0) + 0.5
+    assert t1["ndcg_at_k"] == pytest.approx(1.5 / idcg, abs=1e-12)
+
+    # topic 2 never answered: zeros, but present
+    t2 = out[2]
+    assert t2["n_rel"] == 1 and t2["n_rel_ret"] == 0
+    assert t2["ap"] == 0.0 and t2["rr"] == 0.0 and t2["ndcg_at_k"] == 0.0
+
+    m = mean_metrics(evaluate_run(run, qrels)).collect()[0]
+    assert m["n_topics"] == 2
+    assert m["map"] == pytest.approx(t1["ap"] / 2.0, abs=1e-12)
+
+
+def test_first_hit_deep_rr(spark):
+    run = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 21)], "topic_id int, rank int, doc_id long"
+    )
+    qrels = spark.createDataFrame([(1, 104)], "topic_id int, doc_id long")
+    r = evaluate_run(run, qrels).collect()[0]
+    assert r["rr"] == pytest.approx(0.25)  # first (only) hit at rank 4
+    assert r["ap"] == pytest.approx(0.25)  # 1 rel: AP = 1/4 / 1
