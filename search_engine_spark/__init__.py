@@ -19,13 +19,17 @@ Layout:
     query.py     DataFrame scorers (BM25, TF-IDF, boolean) + top-k
     wand.py      block-max WAND scorer over posting segments (mapInArrow)
     adpt.py      BM25-ADPT adaptive-k1 scorer
-    positional.py positional index + phrase matching
+    positional.py positional index (Arrow), compressed position postings,
+                 phrase matching, snippets
     topics.py    TREC topic parser + run-file sink
+    evaluation.py trec_eval-style metrics (AP, P@k, MRR, nDCG)
+    io_sink.py   unified parquet/Iceberg table sink
     __main__.py  spark-submit CLI (index / search)
     sources/     TREC SGML source
     streaming/   incremental index build, watermark windows, stateful ops
-    ops/         training-data pipeline operators (dedup, similarity, text stats,
-                 multimodal plumbing)
+    ops/         training-data pipeline operators (dedup, similarity, text
+                 stats, sketches, suggest/related, UDTF surface, multimodal
+                 plumbing)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
