@@ -540,16 +540,29 @@ def q_phrase_match_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVAL_QUERY_TEXT = "dup key merge"  # contains the rare term 'dup' (df=25)
-EVAL_REL_TERM = "dup"  # binary qrels: a doc is relevant iff it contains 'dup'
+EVAL_REL_TERM = "dup"
+# qrels: docs containing 'dup' with EVEN doc_id — deliberately only HALF
+# the docs the query ranks on top, so relevant/non-relevant INTERLEAVE in
+# the run and every metric (P@10, RR, nDCG cutoffs and discounts) takes a
+# non-trivial value the oracle can actually discriminate (all-relevant
+# top-k would pin them at exactly 1.0 and mask cutoff/discount bugs).
+def _eval_rel_pred():
+    # lazy: building a Column requires an active SparkContext, which a
+    # bare `import contract` (e.g. oracle_sql() before session start)
+    # must not assume
+    return F.col("doc_id") % 2 == 0
+
+
+EVAL_REL_PRED_SQL = "doc_id % 2 = 0"
 
 
 def q_trec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's evaluation loop, in-engine (evaluation.py): run
-    BM25 for a query containing the rare term 'dup', take docs
-    containing 'dup' as binary qrels, and compute per-topic AP / P@10 /
-    RR / nDCG@10 with window aggregations — trec_eval's core measures,
-    oracle-checked end to end (the run itself is the exact-f32 BM25
-    contract plan)."""
+    BM25 for a query containing the rare term 'dup', take the even-id
+    docs containing 'dup' as binary qrels (see _eval_rel_pred), and
+    compute per-topic AP / P@10 / RR / nDCG@10 with window aggregations
+    — trec_eval's core measures, oracle-checked end to end (the run
+    itself is the exact-f32 BM25 contract plan)."""
     from .evaluation import evaluate_run
 
     docs = _docs(spark, sf_dir)
@@ -562,6 +575,7 @@ def q_trec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("topic_id", "rank", "doc_id")
     qrels = (
         tokens.filter(F.col("term") == EVAL_REL_TERM)
+        .filter(_eval_rel_pred())
         .select(F.lit(1).alias("topic_id"), "doc_id")
         .distinct()
     )
@@ -1354,17 +1368,17 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 
 
 def _sql_trec_eval() -> str:
+    # the outer tok CTE (the one canonical SQL analyzer restatement —
+    # same filters as the Spark side's analyze_tokens) feeds qrels; the
+    # nested run0 re-declares its own tok in an inner scope (legal CTE
+    # shadowing), keeping both sides on ONE analyzer definition.
     return f"""
-WITH run0 AS ({_sql_bm25(query_text=EVAL_QUERY_TEXT)}),
+WITH {_sql_tokens_cte()},
+run0 AS ({_sql_bm25(query_text=EVAL_QUERY_TEXT)}),
 run AS (SELECT 1 AS topic_id, rank, doc_id FROM run0),
 qr AS (
-  SELECT DISTINCT 1 AS topic_id, doc_id FROM (
-    SELECT doc_id,
-           translate(substr(u.t, 1, 100), '{_UPPER}', '{_LOWER}') AS t
-    FROM (SELECT doc_id,
-                 unnest(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}')) AS t
-          FROM documents) u
-  ) WHERE t = '{EVAL_REL_TERM}'
+  SELECT DISTINCT 1 AS topic_id, doc_id FROM tok
+  WHERE term = '{EVAL_REL_TERM}' AND {EVAL_REL_PRED_SQL}
 ),
 flag AS (
   SELECT r.topic_id, r.rank, r.doc_id,

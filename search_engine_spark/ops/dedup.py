@@ -100,7 +100,7 @@ def minhash_signatures(
       * 'md5' (default) — 32-char hex strings, bit-reproducible in any
         engine with md5: the ORACLE-CHECKABLE form the contract uses.
       * 'xxhash64' — JVM 64-bit longs (seed = the literal first arg):
-        ~4 bytes/agg-cell instead of ~32-char strings and integer min
+        8-byte long agg cells (~4x smaller than 32-char hex strings) and integer min
         instead of string min — the cheaper PIPELINE form for 100 TB
         sweeps where cross-engine hash parity is not required.
     Downstream (lsh_candidate_pairs) is agnostic: band keys are

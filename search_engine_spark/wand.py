@@ -248,12 +248,23 @@ def search_bm25(
     # co-locate each segment's blocks in one task
     matched = matched.repartition("segment_id")
 
-    # topic batch rides a broadcast variable, not the task closure: the
-    # closure is serialized into every task binary, while a broadcast
-    # ships once per executor — the difference between O(tasks) and
-    # O(executors) copies for a large topic batch (Parallel.ForEach
-    # parity at 10^4+ topics).
-    topics_bc = matched.sparkSession.sparkContext.broadcast(topics)
+    # Large topic batches ride a broadcast variable, not the task
+    # closure: the closure is serialized into every task binary, a
+    # broadcast ships once per executor — O(tasks) vs O(executors)
+    # copies at 10^4+ topics.  Small batches stay in the closure: a
+    # broadcast lives until the SparkContext's cleaner reclaims it
+    # (after the returned DataFrame is garbage-collected), so
+    # broadcasting tiny batches would only accumulate driver-side state
+    # in long-lived sessions for no transfer win.
+    if len(topics) > 64:
+        bc = matched.sparkSession.sparkContext.broadcast(topics)
+
+        def get_topics():
+            return bc.value
+    else:
+
+        def get_topics():
+            return topics
 
     def _wand(batches):
         import pyarrow as pa
@@ -322,7 +333,7 @@ def search_bm25(
         for seg, term_blocks in segs.items():
             for tb in term_blocks.values():
                 tb.sort(key=lambda r: r["block_id"])
-            for topic_id, terms in topics_bc.value:
+            for topic_id, terms in get_topics():
                 ids, scores = _segment_topic_topk(
                     term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune
                 )
