@@ -173,6 +173,44 @@ def _bm25_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_over(spark, _docs(spark, sf_dir))
 
 
+def _pid_alive(p: int) -> bool:
+    # Portable liveness probe: signal 0 delivers nothing but checks
+    # existence.  EPERM means "alive but not ours" — still alive.
+    try:
+        os.kill(p, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknown — never GC a possibly-live pid's dir
+    return True
+
+
+def _contract_index_dir(tag: str, sf_dir: str) -> str:
+    """Pid-keyed scratch dir for contract queries that persist an index.
+
+    Unique per driver process (no cross-process build/read race), but
+    stable within one process so repeated invocations reuse one
+    directory instead of accumulating /tmp dirs; the dir must outlive
+    the call — the returned DataFrame reads from it lazily.  Dirs left
+    by DEAD processes are garbage-collected here (a live pid's dir is
+    never touched, preserving the no-race property)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.gettempdir()
+    prefix = f"seng_contract_{tag}_{os.path.basename(os.path.normpath(sf_dir))}_"
+    for d in os.listdir(base):
+        if d.startswith(prefix):
+            pid = d[len(prefix):]
+            if pid != str(os.getpid()) and pid.isdigit() and not _pid_alive(
+                int(pid)
+            ):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return os.path.join(base, f"{prefix}{os.getpid()}")
+
+
 def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale fast path under the driver oracle: materialize the
     packed delta+varint index (postings.build_index) and answer the SAME
@@ -182,32 +220,14 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note: the driver corpus's 30-word vocabulary gives every query term
     df > N/2 (negative idf), so WAND's soundness gate scores this query
-    exhaustively — exactly like the reference.  The pruned path's
-    correctness is pytest-gated (tests/test_postings.py,
-    test_review_fixes.py) on corpora where pruning provably fires."""
-    import tempfile
-
+    exhaustively — exactly like the reference.  The PRUNED branch runs
+    under the driver oracle too, as q_bm25_wand_pruned (rare-term union
+    corpus where pruning provably fires), and stays pytest-gated
+    (tests/test_postings.py, test_review_fixes.py)."""
     from . import postings as P, wand as W
     from .config import IndexBuildConfig
 
-    # pid-keyed: unique per driver process (no cross-process build/read
-    # race), but stable within one process so repeated invocations reuse
-    # one directory instead of accumulating /tmp dirs; the dir must
-    # outlive this call — the returned DataFrame reads from it lazily.
-    # Dirs left by DEAD processes are garbage-collected here (a live
-    # pid's dir is never touched, preserving the no-race property).
-    import shutil
-
-    base = tempfile.gettempdir()
-    prefix = f"seng_contract_wand_{os.path.basename(os.path.normpath(sf_dir))}_"
-    for d in os.listdir(base):
-        if d.startswith(prefix):
-            pid = d[len(prefix):]
-            if pid != str(os.getpid()) and pid.isdigit() and not os.path.exists(
-                f"/proc/{pid}"
-            ):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-    idx_dir = os.path.join(base, f"{prefix}{os.getpid()}")
+    idx_dir = _contract_index_dir("wand", sf_dir)
     docs = _docs(spark, sf_dir)
     P.build_index(
         docs,
@@ -219,6 +239,82 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = P.load_index(spark, idx_dir)
     res = W.search_bm25(idx, [(1, BM25_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+# --- the pruned WAND branch under the driver oracle (VERDICT r2 #3) ---
+# The natural contract corpus can't exercise pruning (30-word vocab, all
+# df > N/2), so the corpus is augmented IN the query — identically in
+# both engines (the dedup_dropped trick) — with deterministic rare-term
+# docs:  300 docs of only 'qqa' (tf = i%7+1) on doc_ids 2e6+i and 100
+# docs of only 'qqc' (tf = i%3+1) on doc_ids 3e6+i.  Both terms then
+# have positive idf (df 300 and 100 of N+400), the champ term qqc
+# bootstraps θ from its ≥k postings, and the qqa block's doc_id interval
+# [2e6, 2e6+299] is disjoint from qqc's, so its upper bound (~1.4) sits
+# below θ (~4.1) and the whole block is interval-pruned — the exact
+# branch wand.py:160-191 takes at scale.  tests/test_wand_pruned.py
+# asserts n_pruned > 0 via the accumulator AND parity with the
+# exhaustive path on this same corpus.
+WAND_PRUNED_QUERY_TEXT = "qqa qqc"
+_PRUNED_A_DOCS, _PRUNED_A_BASE, _PRUNED_A_MOD = 300, 2_000_000, 7
+_PRUNED_C_DOCS, _PRUNED_C_BASE, _PRUNED_C_MOD = 100, 3_000_000, 3
+
+
+def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    syn_a = spark.range(_PRUNED_A_DOCS).select(
+        (F.col("id") + F.lit(_PRUNED_A_BASE)).alias("doc_id"),
+        F.repeat(
+            F.lit("qqa "), ((F.col("id") % _PRUNED_A_MOD) + 1).cast("int")
+        ).alias("text"),
+    )
+    syn_c = spark.range(_PRUNED_C_DOCS).select(
+        (F.col("id") + F.lit(_PRUNED_C_BASE)).alias("doc_id"),
+        F.repeat(
+            F.lit("qqc "), ((F.col("id") % _PRUNED_C_MOD) + 1).cast("int")
+        ).alias("text"),
+    )
+    # coalesce(1): one posting segment, so θ bootstraps from the full
+    # champ posting list and the pruning decision is deterministic (a
+    # correctness-gate sizing choice — the corpus is ≤5,500 docs here;
+    # real builds keep their natural partitioning)
+    return docs.unionByName(syn_a).unionByName(syn_c).coalesce(1)
+
+
+def _sql_pruned_corpus_cte() -> str:
+    return f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST({_PRUNED_A_BASE} + i AS BIGINT) AS doc_id,
+         repeat('qqa ', CAST(i % {_PRUNED_A_MOD} AS INT) + 1) AS text
+  FROM generate_series(0, {_PRUNED_A_DOCS - 1}) t(i)
+  UNION ALL
+  SELECT CAST({_PRUNED_C_BASE} + i AS BIGINT),
+         repeat('qqc ', CAST(i % {_PRUNED_C_MOD} AS INT) + 1)
+  FROM generate_series(0, {_PRUNED_C_DOCS - 1}) t(i)
+), """
+
+
+def q_bm25_wand_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND with the interval-pruning branch ACTUALLY firing,
+    under the driver oracle (exhaustive BM25 SQL over the same union
+    corpus) — see the corpus-construction comment above."""
+    from . import postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("wandpruned", sf_dir)
+    P.build_index(
+        _pruned_corpus(spark, sf_dir),
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="text",
+    )
+    idx = P.load_index(spark, idx_dir)
+    res = W.search_bm25(idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
@@ -1515,6 +1611,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": q_collection_stats,
         "bm25_topk": _bm25_spark,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_wand_pruned": q_bm25_wand_pruned,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
@@ -1567,6 +1664,13 @@ def duckdb_oracles() -> dict[str, str]:
         # the WAND/materialized-index fast path must reproduce the oracle
         # ranking AND float32 scores exactly — one SQL serves both paths
         "bm25_wand_topk": _sql_bm25(),
+        # pruned-branch WAND vs EXHAUSTIVE BM25 SQL over the same
+        # rare-term union corpus — pruning must not change the answer
+        "bm25_wand_pruned": _sql_bm25(
+            source_table="corpus",
+            prelude=_sql_pruned_corpus_cte(),
+            query_text=WAND_PRUNED_QUERY_TEXT,
+        ),
         # restricted-corpus (faceted) BM25: same scorer, stats over the facet
         "bm25_filtered_topk": _sql_bm25(
             source_table="fdocs",

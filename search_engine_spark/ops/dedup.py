@@ -99,7 +99,10 @@ def minhash_signatures(
     hash_fn:
       * 'md5' (default) — 32-char hex strings, bit-reproducible in any
         engine with md5: the ORACLE-CHECKABLE form the contract uses.
-      * 'xxhash64' — JVM 64-bit longs (seed = the literal first arg):
+      * 'xxhash64' — JVM 64-bit longs (xxhash64's seed is FIXED at 42;
+        the literal s is hashed together with the shingle as data, which
+        still yields an independent permutation per s — there is no
+        per-call seed parameter):
         8-byte long agg cells (~4x smaller than 32-char hex strings) and integer min
         instead of string min — the cheaper PIPELINE form for 100 TB
         sweeps where cross-engine hash parity is not required.
@@ -219,7 +222,7 @@ def ngram_jaccard_pairs(
     width: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
-    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with shingle-Jaccard >= threshold.
 
@@ -232,22 +235,27 @@ def ngram_jaccard_pairs(
     Physical form: groupBy(shingle) + row-spread in-bucket pair explode
     (one evaluation of the shingle subtree feeding the pair counts)
     rather than a shingle-keyed SELF-JOIN that would evaluate it once
-    per side; the pair-count output is identical.  Shingles shared by
-    more than max_bucket_size docs are SKIPPED (stop-shingle filtering,
-    standard in the near-dup literature): a shingle that ubiquitous
-    carries no discriminative signal, and its k² pair contribution would
-    dominate the job.  The skip slightly undercounts intersections for
-    affected pairs — monitor with bucket_size_stats(shingles, 'shingle')
-    and lower `width`-driven ubiquity rather than raising the cap."""
+    per side; the pair-count output is identical.
+
+    `max_bucket_size` defaults to None = EXACT Jaccard (every shingle
+    counted).  Set it (e.g. dedup.DEFAULT_MAX_BUCKET) to SKIP shingles
+    shared by more docs than the cap (stop-shingle filtering, standard
+    in the near-dup literature): a shingle that ubiquitous carries no
+    discriminative signal, and its k² pair contribution would dominate
+    the job at 100 TB.  The skip undercounts intersections for affected
+    pairs — an explicit opt-in, never a silent default; monitor with
+    bucket_size_stats(shingles, 'shingle') and lower `width`-driven
+    ubiquity rather than raising the cap."""
     sh = shingles_df(df, text_col, id_col, width)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")
     )
+    keep = F.size("ids") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
     inter = (
-        buckets.filter(
-            (F.size("ids") > 1) & (F.size("ids") <= max_bucket_size)
-        )
+        buckets.filter(keep)
         .select(F.explode("ids").alias("a"), F.col("ids"))
         .select(
             "a",

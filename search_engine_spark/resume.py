@@ -79,10 +79,19 @@ def read_ledger(spark: SparkSession, index_dir: str) -> DataFrame | None:
     corrupted / mixed-layout directory) raises — silently returning None
     there would make resume silently restage every chunk."""
     path = _ledger_path(index_dir)
-    # local fast path only — remote schemes (s3a://, hdfs://) must go
-    # through the Spark reader, os.path knows nothing about them
-    if "://" not in path and not os.path.isdir(path):
-        return None
+    # local fast path only when the path is PROVABLY local: an explicit
+    # file:// scheme, or a scheme-less path on a local-master session
+    # (cluster defaults may resolve scheme-less paths to HDFS, where
+    # os.path.isdir is meaningless and would silently return None —
+    # the exact silent restage-all this guard exists to prevent)
+    if path.startswith("file://"):
+        if not os.path.isdir(path[len("file://"):]):
+            return None
+    elif "://" not in path and spark.conf.get(
+        "spark.master", ""
+    ).startswith("local"):
+        if not os.path.isdir(path):
+            return None
     try:
         return spark.read.parquet(path)
     except Exception as e:  # noqa: BLE001

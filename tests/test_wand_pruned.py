@@ -1,0 +1,83 @@
+"""The pruned WAND branch: proves interval pruning FIRES on the contract's
+rare-term union corpus and that pruning never changes the answer.
+
+Companion to contract.q_bm25_wand_pruned (VERDICT r2 #3): the driver
+oracle checks values; this gate checks the *mechanism* — a non-zero
+blocks-pruned accumulator — so the contract row can't silently degrade
+into another exhaustive run.
+"""
+
+import pytest
+
+from search_engine_spark import build as B, postings as P, query as Q, wand as W
+from search_engine_spark.config import BM25Params, IndexBuildConfig
+from search_engine_spark.contract import (
+    SQL_CFG,
+    TOPK,
+    WAND_PRUNED_QUERY_TEXT,
+    _pruned_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pruned_index(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("wand_pruned_idx"))
+    corpus = _pruned_corpus(spark, SF_DIR)
+    P.build_index(
+        corpus,
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="text",
+    )
+    return P.load_index(spark, idx_dir), corpus
+
+
+def test_pruning_fires_and_matches_exhaustive(spark, pruned_index):
+    idx, corpus = pruned_index
+    acc = spark.sparkContext.accumulator(0)
+    res = W.search_bm25(
+        idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, prune_accumulator=acc
+    )
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()]
+    assert acc.value > 0, (
+        "interval pruning skipped zero blocks on the corpus built to "
+        "exercise it — the contract row would be testing the exhaustive "
+        "path again"
+    )
+
+    # exhaustive oracle path (query.score_bm25, exact float32) over the
+    # SAME corpus — pruning must be answer-invariant, bit for bit
+    tokens = B.analyze_tokens(corpus, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(corpus, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, WAND_PRUNED_QUERY_TEXT)], SQL_CFG)
+    ref = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+    )
+    want = [(r["rank"], r["doc_id"], r["score"]) for r in ref.collect()]
+    assert got == want
+
+
+def test_pruned_docs_are_provably_hopeless(spark, pruned_index):
+    """Every doc the pruned run omits scores strictly below the k-th
+    returned score — pruning dropped only provably-hopeless docs."""
+    idx, corpus = pruned_index
+    res = W.search_bm25(idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
+    rows = res.collect()
+    assert len(rows) == TOPK
+    kth = min(r["score"] for r in rows)
+    # qqa-only docs (the pruned block) all have single-term scores; the
+    # largest possible qqa contribution must sit below the k-th score
+    tokens = B.analyze_tokens(corpus, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(corpus, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, "qqa")], SQL_CFG)
+    best_qqa = (
+        Q.score_bm25(tokens, n, avgdl, qdf, BM25Params(), k=1, exact_float32=True)
+        .collect()[0]["score"]
+    )
+    assert best_qqa < kth
