@@ -752,11 +752,11 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
-    candidate pairs (iterative label propagation — not SQL-expressible
-    as one query, so no oracle_sql entry: the driver records a rows-only
-    check and pytest gates it against a union-find oracle
-    (tests/test_components.py); the input pair set itself is the
-    DuckDB-checked minhash_lsh_pairs query)."""
+    candidate pairs (iterative min-label propagation).  Under the DuckDB
+    oracle since round 3: _sql_near_dup_components computes the same
+    fixpoint as a WITH RECURSIVE transitive closure; pytest additionally
+    gates the operator against a union-find oracle
+    (tests/test_components.py)."""
     docs = _docs(spark, sf_dir)
     sh = D.shingles_df(docs, "text", "doc_id", width=3)
     sig = D.minhash_signatures(sh, n_hashes=8)
@@ -765,10 +765,12 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25-ADPT (SURVEY.md §2 #22) — NOT SQL-expressible (per-term IG
-    curve + k1 grid search with float quirks), so no oracle_sql entry:
-    the driver records a rows-only check and pytest (tests/test_adpt.py)
-    carries the float32 identity gate vs the pure-Python oracle."""
+    """BM25-ADPT (SURVEY.md §2 #22) — under the full DuckDB oracle since
+    round 3 (_sql_bm25_adpt restates the c-bucket histogram, IG curve
+    with the truncation quirk, and the 24-point k1 grid in SQL), with
+    EXACT float32 scores in both engines; pytest (tests/test_adpt.py)
+    additionally gates it against the pure-Python oracle including the
+    df≈N hot-term regression."""
     from .adpt import score_bm25_adpt
 
     docs = _docs(spark, sf_dir)
@@ -778,9 +780,7 @@ def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = score_bm25_adpt(tokens, n, avgdl, qdf, b=0.75, k=TOPK)
     return res.select(
-        F.col("rank").cast("long").alias("rank"),
-        "doc_id",
-        F.round(F.col("score").cast("double"), 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
 
 
@@ -991,6 +991,164 @@ ranked AS (
   FROM scores
 )
 SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _adpt_grid_values() -> str:
+    """The BM25-ADPT k1 grid `for (j = 0.2; j <= 2.5; j += 0.1)` with C#
+    DOUBLE accumulation (BM25ADPT.cs:148) — the accumulated rounding
+    decides the member set, so the exact doubles are materialized here
+    (24 points; the 25th lands at 2.5000000000000013 > 2.5) and inlined
+    into the SQL as full-precision literals."""
+    vals, j = [], 0.2
+    while j <= 2.5:
+        vals.append(j)
+        j += 0.1
+    return ", ".join(f"({i}, {v!r})" for i, v in enumerate(vals))
+
+
+def _sql_bm25_adpt(b: float = 0.75) -> str:
+    """BM25-ADPT (adpt.py) restated in DuckDB SQL — VERDICT r2 #4a.
+
+    The c-bucket histogram is one GROUP BY; dft/IG come from suffix sums
+    over generate_series(0,100); the truncation quirk (first IG decrease
+    → slot zeroed, array cut) is a window-lag + first-decrease join; the
+    24-point k1 grid is a cross join with a sequential double list_reduce
+    for Σd² and row_number argmin (NaN sorts last in DuckDB, matching
+    numpy's `sq < best` never accepting NaN).  Float32 discipline:
+    DuckDB REAL ops stay REAL (verified), so every CAST AS FLOAT mirrors
+    a numpy float32 op in adpt.py.  DuckDB yields NULL on float division
+    by zero (not inf), so the ig1=0 degenerate term takes the explicit
+    k1=0.2 fallback numpy reaches via its all-NaN grid."""
+    one_minus_b = 1.0 - b
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+qt AS (SELECT DISTINCT term FROM q),
+matched AS (
+  SELECT t.doc_id, t.term, t.tf, m.doc_len
+  FROM tok t JOIN qt ON qt.term = t.term JOIN meta m ON m.doc_id = t.doc_id
+),
+cv AS (
+  SELECT doc_id, term, tf,
+         CAST(tf / ({one_minus_b!r} + {b!r} * (doc_len / s.avgdl)) AS FLOAT) AS c32
+  FROM matched CROSS JOIN stats s
+),
+hist AS (
+  SELECT term, LEAST(CAST(floor(CAST(c32 AS DOUBLE) + 0.5) AS BIGINT), 100) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cv GROUP BY 1, 2
+),
+tdf AS (SELECT term, SUM(cnt) AS df FROM hist GROUP BY term),
+ts AS (SELECT term, g.t FROM tdf CROSS JOIN generate_series(0, 100) g(t)),
+sfx AS (
+  SELECT ts.term, ts.t, COALESCE(SUM(h.cnt), 0) AS suffix
+  FROM ts LEFT JOIN hist h ON h.term = ts.term AND h.bucket >= ts.t
+  GROUP BY ts.term, ts.t
+),
+dft AS (
+  -- dft(t): N for t=0, df for t=1, |{{d : c >= t-0.5}}| otherwise — each
+  -- float32-cast like the C# count-to-float return (BM25ADPT.cs:107-129)
+  SELECT s.term, s.t,
+         CAST(CASE WHEN s.t = 0 THEN CAST(st.n_docs AS FLOAT)
+                   WHEN s.t = 1 THEN CAST(d.df AS FLOAT)
+                   ELSE CAST(s.suffix AS FLOAT) END AS DOUBLE) AS v
+  FROM sfx s JOIN tdf d USING (term) CROSS JOIN stats st
+),
+igt AS (
+  SELECT a.term, a.t,
+         CAST(-ln((d.df + 0.5) / (st.n_docs + 1.0)) / ln(2.0)
+              + ln((b2.v + 0.5) / (a.v + 1.0)) / ln(2.0) AS FLOAT) AS ig
+  FROM dft a JOIN dft b2 ON b2.term = a.term AND b2.t = a.t + 1
+  JOIN tdf d ON d.term = a.term CROSS JOIN stats st
+  WHERE a.t <= 99
+),
+fd AS (
+  -- the C# truncation quirk: first decrease at i zeroes slot i and cuts
+  SELECT term, MIN(t) AS i FROM (
+    SELECT term, t, ig, lag(ig) OVER (PARTITION BY term ORDER BY t) AS pig
+    FROM igt
+  ) WHERE t >= 1 AND pig > ig GROUP BY term
+),
+igf AS (
+  SELECT i.term, i.t,
+         CASE WHEN f.i IS NOT NULL AND i.t = f.i THEN CAST(0.0 AS FLOAT)
+              ELSE i.ig END AS ig
+  FROM igt i LEFT JOIN fd f USING (term)
+  WHERE f.i IS NULL OR i.t <= f.i
+),
+ig1 AS (SELECT term, ig AS ig1 FROM igf WHERE t = 1),
+rat AS (
+  SELECT igf.term, igf.t, CAST(CAST(igf.ig / g.ig1 AS FLOAT) AS DOUBLE) AS r
+  FROM igf JOIN ig1 g USING (term) WHERE g.ig1 <> 0
+),
+grid(gi, j) AS (SELECT * FROM (VALUES {_adpt_grid_values()}) v(a, b)),
+sq AS (
+  SELECT r.term, g.gi, g.j,
+         list_reduce(
+           list(CASE WHEN r.t = 0 THEN r.r * r.r
+                     ELSE (r.r - ((g.j + 1.0) * r.t) / (g.j + r.t))
+                          * (r.r - ((g.j + 1.0) * r.t) / (g.j + r.t)) END
+                ORDER BY r.t),
+           (acc, x) -> acc + x) AS sq
+  FROM rat r CROSS JOIN grid g GROUP BY r.term, g.gi, g.j
+),
+best AS (
+  SELECT term, CAST(j AS FLOAT) AS k1 FROM (
+    SELECT term, j, row_number() OVER (
+      PARTITION BY term ORDER BY sq ASC, gi ASC) AS rn
+    FROM sq
+  ) WHERE rn = 1
+),
+tp AS (
+  SELECT g.term,
+         CASE WHEN g.ig1 = 0 THEN CAST(0.2 AS FLOAT) ELSE b.k1 END AS k1,
+         g.ig1
+  FROM ig1 g LEFT JOIN best b USING (term)
+),
+contrib AS (
+  -- qtf · float32(c·(k1+1)/(k1+c)) · IGs[1], all-float32 left to right
+  SELECT cv.doc_id, q.term_pos,
+         CAST(CAST(CAST(q.qtf AS FLOAT)
+                   * CAST(CAST(cv.c32 * CAST(tp.k1 + CAST(1.0 AS FLOAT) AS FLOAT) AS FLOAT)
+                          / CAST(tp.k1 + cv.c32 AS FLOAT) AS FLOAT)
+              AS FLOAT) * tp.ig1 AS FLOAT) AS c
+  FROM cv JOIN q ON q.term = cv.term JOIN tp ON tp.term = cv.term
+),
+scores AS (
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_near_dup_components() -> str:
+    """Connected components over the LSH candidate pairs — VERDICT r2
+    #4b: the Spark side is iterative min-label propagation
+    (ops.dedup.connected_components); DuckDB expresses the same fixpoint
+    as a recursive transitive closure (fine at oracle scale — component
+    sizes are tiny; the Spark operator is the one that scales)."""
+    pairs_sql = _sql_minhash_lsh_pairs(n_hashes=8, bands=4).strip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+FROM reach GROUP BY u
 """
 
 
@@ -1726,11 +1884,9 @@ FROM per p JOIN cnt c USING (lang)
         "lang_source_rollup": _sql_lang_source_rollup(),
         "dedup_dropped": _sql_dedup_dropped(),
         "events_json": _sql_events_json(),
+        "bm25_adpt_topk": _sql_bm25_adpt(),
+        "near_dup_components": _sql_near_dup_components(),
         # Intentionally no SQL oracle (rows-only driver check + pytest gates):
-        #   bm25_adpt_topk       — grid search + IG truncation quirks are not
-        #                          SQL-expressible (tests/test_adpt.py)
-        #   near_dup_components  — iterative label propagation
-        #                          (tests/test_components.py)
         #   ivf_ann_topk         — iterative Lloyd k-means training
         #                          (tests/test_similarity.py)
         #   media_features       — sha256-seeded synthetic media bytes
