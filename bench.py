@@ -7,14 +7,32 @@ Prints ONE JSON line:
 
 Headline set mirrors BASELINE.json's north rule: index-build throughput
 (files/sec) + BM25 top-k latency, plus the training-data-pipeline ops
-(dedup, ANN, quality).  Extras carry files/sec and the two-parallelism
-scaling measurement (local[8] vs local[32] per the sandbox adaptation of
-the N->4N executors criterion; set SPARK_GRAFT_BENCH_SCALING=0 to skip).
+(dedup, ANN, quality).
+
+Measurement method (round 3 — VERDICT r2 #1: n=2 on a ±30% host made
+round deltas uninterpretable): every headline query runs REPS times
+in-process (first rep warms Python workers / shuffle paths; the host is
+one-sided-noise-contended) and reports the MEDIAN, with per-query
+min/max spread in extras["spread"] so a reader can judge whether a
+cross-round delta exceeds the noise band.  Cross-ROUND comparisons use
+tools/ab_bench.py (interleaved multi-worktree A/B) — medians from two
+different bench invocations hours apart still share the host's slow
+drift.
+
+Extras:
+  * tier2 — the same core queries at a ~40x replicated corpus
+    (~200k docs; VERDICT r2 #2: sf0.1's 5k docs are fixed-overhead-
+    dominated, a 2x regression can hide in noise there).
+  * stream_index_build — micro-batch streaming build throughput
+    (VERDICT r2 #7).
+  * scaling — the same job at local[N] vs local[4N] (north-rule N->4N
+    criterion, sandbox form).  SPARK_GRAFT_BENCH_SCALING=0 skips.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,6 +41,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+DO_TIER2 = os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") == "1"
+DO_STREAM = os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") == "1"
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+TOPICS = [
+    (1, "spark merge window batch"), (2, "customer query stream"),
+    (3, "index posting compress"), (4, "the of and"),
+    (5, "parse token merge rank score"), (6, "import return class"),
+    (7, "hash tree graph node"), (8, "zzzmissing vector"),
+    (9, "thread lock atomic mutex socket"), (10, "stream stream stream batch"),
+]
 
 
 def _sf_of(path: str) -> float:
@@ -33,31 +62,52 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def main() -> None:
+class Timer:
+    """Median-of-reps timer with a per-query min/max spread ledger."""
+
+    def __init__(self, reps: int):
+        self.reps = reps
+        self.medians: dict[str, float] = {}
+        self.spread: dict[str, dict] = {}
+
+    def timed(self, name: str, fn, reps: int | None = None) -> None:
+        samples = []
+        for _ in range(reps or self.reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        self.medians[name] = round(statistics.median(samples), 4)
+        self.spread[name] = {
+            "min": round(min(samples), 4),
+            "max": round(max(samples), 4),
+            "n": len(samples),
+        }
+
+
+def _core_queries(spark, sf_dir: str, t: Timer, extras_key: str | None,
+                  extras: dict, op_names: tuple[str, ...]) -> None:
+    """The shared build/query probes run at both the sf tier and tier2."""
     from pyspark.sql import functions as F
 
-    from search_engine_spark.session import get_spark
     from search_engine_spark import build as B, query as Q
     from search_engine_spark.config import AnalyzerConfig, BM25Params
     from search_engine_spark.contract import spark_queries
+    from search_engine_spark.postings import build_index, load_index
+    from search_engine_spark.wand import search_bm25
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    n_files = docs.count()
     cfg = AnalyzerConfig()  # full analyzer: fold + stopwords + Porter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_files = docs.count()
 
-    timings: dict[str, float] = {}
-    extras: dict[str, object] = {}
-
-    def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
-
-    # --- index build: documents -> tokens + doc_meta + stats (files/sec) ---
+    # --- index build: documents -> tokens + doc_meta + stats (files/sec).
+    # Each rep recomputes the full lineage; the persisted frames from the
+    # LAST rep feed the query probes below.
     built: dict = {}
 
     def _build() -> None:
+        if "tokens" in built:
+            built["tokens"].unpersist()
+            built["meta"].unpersist()
         parts = B.build_all(docs, cfg, "doc_id", "text")
         tokens = parts["tokens"].persist()
         tokens.count()
@@ -65,70 +115,147 @@ def main() -> None:
         built["n"], built["avgdl"], _ = B.collect_stats(meta)
         built["tokens"], built["meta"] = tokens, meta
 
-    timed("index_build", _build)
-    extras["index_build_files_per_sec"] = round(n_files / timings["index_build"], 2)
+    t.timed("index_build", _build)
+    if extras_key is None:
+        extras["index_build_files_per_sec"] = round(
+            n_files / t.medians["index_build"], 2
+        )
 
     # --- BM25 / TF-IDF top-k over the built index (10-topic batch) ---
-    topics = [
-        (1, "spark merge window batch"), (2, "customer query stream"),
-        (3, "index posting compress"), (4, "the of and"),
-        (5, "parse token merge rank score"), (6, "import return class"),
-        (7, "hash tree graph node"), (8, "zzzmissing vector"),
-        (9, "thread lock atomic mutex socket"), (10, "stream stream stream batch"),
-    ]
-    qdf = Q.queries_to_df(spark, topics, cfg)
-    timed("bm25_topk", lambda: Q.score_bm25(
+    qdf = Q.queries_to_df(spark, TOPICS, cfg)
+    t.timed("bm25_topk", lambda: Q.score_bm25(
         built["tokens"], built["n"], built["avgdl"], qdf,
         BM25Params(), k=100, exact_float32=True).count())
-    timed("tfidf_topk", lambda: Q.score_tfidf(
+    t.timed("tfidf_topk", lambda: Q.score_tfidf(
         built["tokens"], built["n"], qdf, k=100, exact_float32=True).count())
-    extras["bm25_topics_per_sec"] = round(len(topics) / timings["bm25_topk"], 2)
+    if extras_key is None:
+        extras["bm25_topics_per_sec"] = round(
+            len(TOPICS) / t.medians["bm25_topk"], 2
+        )
 
     # --- materialized index + block-max WAND query path (the fast path) ---
     import shutil as _sh
     import tempfile as _tf
 
-    from search_engine_spark.postings import build_index, load_index
-    from search_engine_spark.wand import search_bm25
-
     idx_tmp = _tf.mkdtemp(prefix="bench_idx_")
-    timed("index_materialize", lambda: build_index(
+    t.timed("index_materialize", lambda: build_index(
         docs, f"{idx_tmp}/idx", doc_id_col="doc_id", content_col="text"))
     index = load_index(spark, f"{idx_tmp}/idx")
-    timed("wand_topk", lambda: search_bm25(index, topics, k=100).count())
-    extras["wand_topics_per_sec"] = round(len(topics) / timings["wand_topk"], 2)
+    t.timed("wand_topk", lambda: search_bm25(index, TOPICS, k=100).count())
+    if extras_key is None:
+        extras["wand_topics_per_sec"] = round(
+            len(TOPICS) / t.medians["wand_topk"], 2
+        )
 
-    # --- persisted positional index: build once, bucket-pruned phrase query ---
-    from search_engine_spark.positional import (
-        phrase_match_indexed, write_positional_index,
-    )
+        # --- persisted positional index (extras-only, one-off write) ---
+        from search_engine_spark.positional import (
+            phrase_match_indexed, write_positional_index,
+        )
 
-    # reported as extras (not in the headline sum, which stays
-    # round-comparable): at sf0.1 the one-off index write dominates — the
-    # index pays off with repeated phrase queries / at corpus scale, like
-    # any materialized index
-    t0 = time.perf_counter()
-    pidx = f"{idx_tmp}/pidx"
-    write_positional_index(docs, pidx, cfg, n_buckets=16,
-                           doc_id_col="doc_id", content_col="text")
-    t1 = time.perf_counter()
-    phrase_match_indexed(spark, pidx, ["customer", "join"]).count()
-    t2 = time.perf_counter()
-    extras["positional_index"] = {
-        "write_sec": round(t1 - t0, 4),
-        "phrase_query_sec": round(t2 - t1, 4),
-    }
+        t0 = time.perf_counter()
+        pidx = f"{idx_tmp}/pidx"
+        write_positional_index(docs, pidx, cfg, n_buckets=16,
+                               doc_id_col="doc_id", content_col="text")
+        t1 = time.perf_counter()
+        phrase_match_indexed(spark, pidx, ["customer", "join"]).count()
+        t2 = time.perf_counter()
+        extras["positional_index"] = {
+            "write_sec": round(t1 - t0, 4),
+            "phrase_query_sec": round(t2 - t1, 4),
+        }
     _sh.rmtree(idx_tmp, ignore_errors=True)
 
     # --- contract ops on the raw tables ---
     qcat = spark_queries()
-    for name in ("dedup_exact", "minhash_lsh_pairs", "quality_scores",
-                 "doc_stats", "ann_cosine_topk", "phrase_match",
-                 "bm25_adpt_topk"):
-        timed(name, lambda n=name: qcat[n](spark, SF_DIR).count())
+    for name in op_names:
+        t.timed(name, lambda n=name: qcat[n](spark, sf_dir).count())
 
     built["tokens"].unpersist()
     built["meta"].unpersist()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import build as B
+    from search_engine_spark.config import AnalyzerConfig
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.wand import search_bm25
+
+    cfg = AnalyzerConfig()
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    n_files = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    extras: dict[str, object] = {}
+    t = Timer(REPS)
+    _core_queries(
+        spark, SF_DIR, t, None, extras,
+        op_names=("dedup_exact", "minhash_lsh_pairs", "quality_scores",
+                  "doc_stats", "ann_cosine_topk", "phrase_match",
+                  "bm25_adpt_topk"),
+    )
+    timings = dict(t.medians)
+    extras["spread"] = t.spread
+    extras["reps"] = REPS
+
+    # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
+    # regression can't hide inside per-job fixed overhead ---
+    if DO_TIER2:
+        import shutil
+        import tempfile
+
+        rep2 = int(os.environ.get("SPARK_GRAFT_TIER2_REPLICATE", "40"))
+        tmp2 = tempfile.mkdtemp(prefix="bench_tier2_")
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        (d.crossJoin(spark.range(rep2).select(F.col("id").alias("rep")))
+          .select(
+              (F.col("doc_id") * rep2 + F.col("rep")).alias("doc_id"),
+              "text", "lang", "source", "n_chars")
+          .repartition(64)
+          .write.mode("overwrite").parquet(f"{tmp2}/documents.parquet"))
+        t2 = Timer(max(2, REPS - 1))
+        _core_queries(
+            spark, tmp2, t2, "tier2", extras,
+            op_names=("dedup_exact", "doc_stats"),
+        )
+        extras["tier2"] = {
+            "n_files": n_files * rep2,
+            "queries": dict(t2.medians),
+            "spread": t2.spread,
+            "files_per_sec": round(
+                n_files * rep2 / t2.medians["index_build"], 2
+            ),
+        }
+        shutil.rmtree(tmp2, ignore_errors=True)
+
+    # --- streaming incremental build throughput (micro-batched) ---
+    if DO_STREAM:
+        import shutil
+        import tempfile
+
+        from search_engine_spark.streaming.incremental import stream_index_build
+
+        tmp3 = tempfile.mkdtemp(prefix="bench_stream_")
+        src = f"{tmp3}/in"
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        d.select("doc_id", "text").repartition(4).write.parquet(src)
+        schema = "doc_id long, text string"
+        t0 = time.perf_counter()
+        stream_index_build(
+            spark, src, f"{tmp3}/idx", schema,
+            doc_id_col="doc_id", content_col="text",
+            max_files_per_trigger=2,  # 4 files -> 2 micro-batches
+        )
+        sec = time.perf_counter() - t0
+        # NOTE: at bench scale this is FIXED-COST dominated (checkpoint
+        # commits + the one-off finalize repack); docs/sec here is a floor
+        # that rises with micro-batch size, not a steady-state ceiling.
+        extras["stream_index_build"] = {
+            "sec": round(sec, 4),
+            "docs_per_sec": round(n_files / sec, 2),
+            "micro_batches": 2,
+        }
+        shutil.rmtree(tmp3, ignore_errors=True)
 
     # --- scaling: same build at local[N] vs local[4N] on replicated input.
     # Sandbox stand-in for the north rule's N->4N executor criterion: the
@@ -138,7 +265,7 @@ def main() -> None:
     # Default pair is 4->16 cores: a pure-CPU multiprocess probe on this
     # box shows 1..16 processes scale ~linearly but 32 tops out at ~2.7x
     # the 8-process rate (SMT / host-level vCPU oversubscription), so
-    # 8->32 would measure the hypervisor, not the engine.  Best-of-3 per
+    # 8->32 would measure the hypervisor, not the engine.  Best-of-N per
     # config damps the sandbox's noisy-neighbor variance.
     if DO_SCALING:
         import shutil
@@ -175,7 +302,6 @@ def main() -> None:
         # 64 segments: larger per-segment posting lists amortize per-segment
         # WAND overhead (256 tiny segments measured ~30% slower queries)
         from search_engine_spark.postings import build_index, load_index
-        from search_engine_spark.wand import search_bm25
 
         s32 = get_spark("bench-scale-prep2", master=f"local[{CPUS}]",
                         shuffle_partitions=CPUS)
@@ -212,7 +338,7 @@ def main() -> None:
             # to keep it <25% of the 4N-core runtime; the high-core config
             # is the noise-volatile one and gets the extra attempts.
             big_topics = [
-                (100 * r + tid, text) for r in range(40) for tid, text in topics
+                (100 * r + tid, text) for r in range(40) for tid, text in TOPICS
             ]
             index = load_index(s, f"{tmp}/idx")
             search_bm25(index, big_topics[:2], k=100).count()  # query warmup
@@ -239,7 +365,7 @@ def main() -> None:
         spark.stop()
 
     out = {
-        "metric": "index-build+bm25-topk wall time (headline set)",
+        "metric": "index-build+bm25-topk wall time (headline set, median of reps)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

@@ -32,4 +32,89 @@ Layout:
                  plumbing)
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+# Curated public surface (PEP 562 lazy exports: importing the package
+# stays free of a pyspark import until an API name is touched).  Each
+# name maps to "module:attr"; scale notes live in the attr docstrings
+# and the README "API" table.
+_EXPORTS = {
+    # build + query core
+    "AnalyzerConfig": "config:AnalyzerConfig",
+    "BM25Params": "config:BM25Params",
+    "IndexBuildConfig": "config:IndexBuildConfig",
+    "analyze_tokens": "build:analyze_tokens",
+    "build_doc_meta": "build:build_doc_meta",
+    "build_doc_meta_arrow": "build:build_doc_meta_arrow",
+    "assign_doc_ids": "build:assign_doc_ids",
+    "collect_stats": "build:collect_stats",
+    "build_index": "postings:build_index",
+    "load_index": "postings:load_index",
+    "search_bm25": "wand:search_bm25",
+    "score_bm25": "query:score_bm25",
+    "score_tfidf": "query:score_tfidf",
+    "boolean_and": "query:boolean_and",
+    "queries_to_df": "query:queries_to_df",
+    "score_bm25_adpt": "adpt:score_bm25_adpt",
+    "resumable_build": "resume:resumable_build",
+    # positional / phrase / snippets
+    "positional_tokens": "positional:positional_tokens",
+    "phrase_match": "positional:phrase_match",
+    "analyzed_snippets": "positional:analyzed_snippets",
+    "write_positional_index": "positional:write_positional_index",
+    "phrase_match_indexed": "positional:phrase_match_indexed",
+    # evaluation
+    "evaluate_run": "evaluation:evaluate_run",
+    "mean_metrics": "evaluation:mean_metrics",
+    # pipeline ops: dedup
+    "exact_duplicates": "ops.dedup:exact_duplicates",
+    "dedup_exact_keep_first": "ops.dedup:dedup_exact_keep_first",
+    "shingles_df": "ops.dedup:shingles_df",
+    "minhash_signatures": "ops.dedup:minhash_signatures",
+    "lsh_candidate_pairs": "ops.dedup:lsh_candidate_pairs",
+    "ngram_jaccard_pairs": "ops.dedup:ngram_jaccard_pairs",
+    "simhash64": "ops.dedup:simhash64",
+    "simhash_near_dups": "ops.dedup:simhash_near_dups",
+    "connected_components": "ops.dedup:connected_components",
+    "bucket_size_stats": "ops.dedup:bucket_size_stats",
+    # pipeline ops: similarity / ANN
+    "cosine_topk_bruteforce": "ops.similarity:cosine_topk_bruteforce",
+    "cosine_topk_srp": "ops.similarity:cosine_topk_srp",
+    "ivf_train_centroids": "ops.similarity:ivf_train_centroids",
+    "cosine_topk_ivf": "ops.similarity:cosine_topk_ivf",
+    "cosine_near_dup_pairs": "ops.similarity:cosine_near_dup_pairs",
+    # pipeline ops: text statistics
+    "with_token_count": "ops.textstats:with_token_count",
+    "with_quality_score": "ops.textstats:with_quality_score",
+    "with_lang_id": "ops.textstats:with_lang_id",
+    "with_doc_stats_arrow": "ops.textstats:with_doc_stats_arrow",
+    "with_fingerprint": "ops.textstats:with_fingerprint",
+    # pipeline ops: sketches / suggest / multimodal
+    "kmv_distinct": "ops.sketch:kmv_distinct",
+    "suggest_terms": "ops.suggest:suggest_terms",
+    "related_terms": "ops.suggest:related_terms",
+    "synthesize_media": "ops.multimodal:synthesize_media",
+    "extract_features": "ops.multimodal:extract_features",
+    "sample_frames": "ops.multimodal:sample_frames",
+    "encode_bmp": "ops.multimodal:encode_bmp",
+    "decode_bmp": "ops.multimodal:decode_bmp",
+    "encode_wav": "ops.multimodal:encode_wav",
+    "decode_wav": "ops.multimodal:decode_wav",
+    # streaming
+    "stream_index_build": "streaming.incremental:stream_index_build",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    mod_name, attr = target.split(":")
+    mod = importlib.import_module(f".{mod_name}", __name__)
+    value = getattr(mod, attr)
+    globals()[name] = value  # cache for next access
+    return value

@@ -2,13 +2,16 @@
 with Arrow-batched pandas over mapInPandas.
 
 Spark-side plumbing is REAL and tested — schema, partition behavior, UDF
-signatures, batch shapes, deterministic outputs.  The actual codec step
-(JPEG decode, audio resample, video frame extraction) is STUBBED: the
-image/audio libraries are not available in this container, so each
-`*_real` hook raises NotImplementedError and the pipeline runs a
-clearly-marked deterministic fake derived from the media bytes.  On a
-real cluster you swap `_decode_image_real` etc. for Pillow/torchaudio/
-PyAV calls — signatures and batch shapes don't change.
+signatures, batch shapes, deterministic outputs.  Codecs: uncompressed
+24-bit BMP and 16-bit PCM WAV are decoded FOR REAL in pure numpy
+(encode_bmp/decode_bmp, encode_wav/decode_wav — no external libraries
+needed), and synthesize_media emits genuine BMP/WAV payloads so the
+feature path exercises a real decode.  COMPRESSED codecs (JPEG/PNG,
+MP3, video) stay stubbed: those libraries are not available in this
+container, so the `*_real` hooks raise NotImplementedError for them and
+the pipeline falls back to a clearly-marked deterministic fake.  On a
+real cluster you extend `_decode_image_real` etc. with Pillow/
+torchaudio/PyAV calls — signatures and batch shapes don't change.
 
 Scale notes:
   * media bytes never hit a shuffle — every operator here is a narrow
@@ -53,23 +56,41 @@ MEDIA_SCHEMA = T.StructType(
 def synthesize_media(
     docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic fake media rows from a text table (test fixture):
-    bytes = sha256-keyed stream; modality/meta derived from doc_id."""
+    """Deterministic media rows from a text table (test fixture).
+
+    Image and audio rows carry REAL payloads — a 24-bit BMP and a PCM16
+    WAV whose pixels/samples are a sha256-keyed stream — so the feature
+    path exercises the genuine decoders; video rows stay an opaque blob
+    (no in-sandbox video codec).  Everything derives deterministically
+    from (doc_id, text)."""
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(doc_id)
                 seed = hashlib.sha256(str(text).encode("utf-8")).digest()
-                blob = (seed * 64)[: 1024 + int(doc_id) % 512]
-                modality = ("image", "audio", "video")[int(doc_id) % 3]
+                stream = np.frombuffer(
+                    (seed * 512)[: 16384], dtype=np.uint8
+                )
+                modality = ("image", "audio", "video")[did % 3]
+                w, hgt = 16 + did % 16, 12 + did % 8
+                n_samp = 256 + did % 128
+                if modality == "image":
+                    px = stream[: w * hgt * 3].reshape(hgt, w, 3)
+                    blob = encode_bmp(px)
+                elif modality == "audio":
+                    raw = stream[: n_samp * 2].view("<i2")
+                    blob = encode_wav(raw, 16000)
+                else:
+                    blob = (seed * 64)[: 1024 + did % 512]
                 meta = {
-                    "width": 64 + int(doc_id) % 64 if modality == "image" else None,
-                    "height": 64 + int(doc_id) % 32 if modality == "image" else None,
+                    "width": w if modality == "image" else None,
+                    "height": hgt if modality == "image" else None,
                     "sample_rate": 16000 if modality == "audio" else None,
-                    "n_frames": 24 + int(doc_id) % 8 if modality == "video" else None,
-                    "format": {"image": "png", "audio": "wav", "video": "mkv"}[modality],
+                    "n_frames": 24 + did % 8 if modality == "video" else None,
+                    "format": {"image": "bmp", "audio": "wav", "video": "mkv"}[modality],
                 }
-                rows.append((int(doc_id), modality, blob, meta))
+                rows.append((did, modality, blob, meta))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "modality", "media", "meta"]
             )
@@ -77,10 +98,121 @@ def synthesize_media(
     return docs.select(id_col, text_col).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+# --- real pure-numpy codecs: uncompressed 24-bit BMP, 16-bit PCM WAV ---
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) uint8, got {px.shape}")
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3  # each row padded to a 4-byte boundary
+    img_size = row_bytes * h
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit bottom-up BMP bytes → (h, w, 3) uint8 RGB."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bitcount, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got {bitcount}-bit, "
+            f"compression {compression})"
+        )
+    if h <= 0 or w <= 0:
+        raise NotImplementedError("top-down / degenerate BMP not supported")
+    row_bytes = (w * 3 + 3) & ~3
+    need = offset + row_bytes * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need} bytes")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    rows = rows.reshape(h, row_bytes)[:, : w * 3]
+    return rows.reshape(h, w, 3)[::-1, :, ::-1].copy()  # top-down, RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes → (int16 samples, sample_rate)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        chunk = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", chunk, 0)
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only PCM16 mono supported (fmt={audio_fmt}, "
+                    f"bits={bits}, channels={channels})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(chunk[: len(chunk) & ~1], dtype="<i2").copy()
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, int(rate)
+
+
+def _image_features(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic grayscale-histogram features: fraction of pixels per
+    luminance bin — bounded [0, 1], comparable across images."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    bins = np.minimum((gray / 256.0 * dim).astype(np.int64), dim - 1)
+    hist = np.bincount(bins.ravel(), minlength=dim).astype(np.float64)
+    return (hist / max(gray.size, 1)).astype(np.float32)
+
+
+def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic amplitude-histogram features over [-2^15, 2^15)."""
+    idx = ((samples.astype(np.int64) + 32768) * dim) // 65536
+    hist = np.bincount(np.minimum(idx, dim - 1), minlength=dim).astype(np.float64)
+    return (hist / max(samples.size, 1)).astype(np.float32)
+
+
 def _decode_image_real(media: bytes, meta: dict) -> np.ndarray:
-    """Hook for a real decoder (Pillow/opencv). Not available in-sandbox."""
+    """Real image decode → (h, w, 3) uint8.  Uncompressed BMP decodes in
+    pure numpy; compressed formats (JPEG/PNG) need Pillow/opencv, absent
+    in-sandbox — extend here on a real cluster."""
+    if media[:2] == b"BM":
+        return decode_bmp(media)
     raise NotImplementedError(
-        "image codec libraries not installed; using deterministic fake"
+        "compressed image codec libraries not installed; using deterministic fake"
+    )
+
+
+def _decode_audio_real(media: bytes, meta: dict) -> tuple[np.ndarray, int]:
+    """Real audio decode → (int16 samples, rate).  PCM WAV decodes in
+    pure numpy; MP3/AAC need torchaudio/ffmpeg, absent in-sandbox."""
+    if media[:4] == b"RIFF":
+        return decode_wav(media)
+    raise NotImplementedError(
+        "compressed audio codec libraries not installed; using deterministic fake"
     )
 
 
@@ -104,15 +236,25 @@ _FEATURES_SCHEMA = T.StructType(
 
 def extract_features(media_df: DataFrame, dim: int = 32) -> DataFrame:
     """(doc_id, modality, n_bytes, features[dim]) via Arrow-batched
-    mapInPandas.  Tries the real decoder per row, falls back to the
-    deterministic fake (NotImplementedError is the documented stub)."""
+    mapInPandas.  Per row: the real decoder for the payload's modality
+    (BMP pixels → luminance histogram, WAV samples → amplitude
+    histogram), falling back to the deterministic fake where only a
+    stubbed compressed codec exists (NotImplementedError is the
+    documented stub path — video in-sandbox)."""
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nb = [], []
-            for media, meta in zip(pdf["media"], pdf["meta"]):
+            for modality, media, meta in zip(
+                pdf["modality"], pdf["media"], pdf["meta"]
+            ):
                 b = bytes(media)
                 try:
-                    v = _decode_image_real(b, meta)
+                    if modality == "image":
+                        v = _image_features(_decode_image_real(b, meta), dim)
+                    elif modality == "audio":
+                        v = _audio_features(_decode_audio_real(b, meta)[0], dim)
+                    else:
+                        raise NotImplementedError("no in-sandbox video codec")
                 except NotImplementedError:
                     v = _fake_features(b, dim)
                 feats.append(v)

@@ -200,12 +200,23 @@ def positional_tokens_from_packed(packed: DataFrame) -> DataFrame:
 
 
 def analyzed_snippets(
-    ptokens: DataFrame, match_terms: list[str], width: int = 3
+    ptokens: DataFrame,
+    match_terms: list[str],
+    width: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, first_pos, snippet) — a ±width token window of the
     ANALYZED stream around each matching doc's first query-term
     occurrence (the result-page snippet, on indexed terms: stopword gaps
     close up, matching the position semantics documented above).
+
+    `candidates`: optional (doc_id) DataFrame — the result page's doc
+    set.  At 100 TB ALWAYS pass it: a common query term matches millions
+    of docs nobody will see, and without the restriction the
+    first-occurrence agg + window join snippet every one of them.  With
+    it, a broadcast semi-join prunes both sides to the top-k docs before
+    any aggregation.  Omitting it keeps the corpus-wide form for small
+    analytical slices (the identity between the two is pytest-gated).
 
     Shuffle shape: the match-term filter restricts the first-occurrence
     agg to the query terms' rows; the window join then touches only
@@ -213,6 +224,12 @@ def analyzed_snippets(
     top-k-sized result sets)."""
     if not match_terms:
         raise ValueError("empty match_terms")
+    if candidates is not None:
+        ptokens = ptokens.join(
+            F.broadcast(candidates.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
     first = (
         ptokens.filter(F.col("term").isin(list(set(match_terms))))
         .groupBy("doc_id")

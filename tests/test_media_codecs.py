@@ -1,0 +1,94 @@
+"""Pure-numpy BMP/WAV codecs + the real decode branch of extract_features
+(VERDICT r2 #5): round-trips, malformed-payload errors, and end-to-end
+feature extraction that provably used the real decoder (features equal
+the independently computed pixel/sample histograms, not the sha256 fake).
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_spark import build as B
+from search_engine_spark.ops import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 3), (5, 3), (12, 7), (8, 16)])
+def test_bmp_round_trip(shape):
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"PNG not bmp")
+    good = MM.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        MM.decode_bmp(good[:-5])  # truncated pixel data
+
+
+@pytest.mark.parametrize("n,rate", [(1, 8000), (255, 16000), (1024, 44100)])
+def test_wav_round_trip(n, rate):
+    rng = np.random.default_rng(n)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    out, got_rate = MM.decode_wav(MM.encode_wav(s, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, s)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"not even riff")
+
+
+def test_extract_features_uses_real_decoders(spark):
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    samples = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    bmp, wav = MM.encode_bmp(px), MM.encode_wav(samples, 16000)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), (5, 6, None, None, "bmp")),
+            (2, "audio", bytearray(wav), (None, None, 16000, None, "wav")),
+            (3, "video", bytearray(b"\x00" * 64), (None, None, None, 8, "mkv")),
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    dim = 16
+    rows = {r["doc_id"]: r for r in MM.extract_features(media, dim=dim).collect()}
+
+    want_img = MM._image_features(px, dim)
+    want_aud = MM._audio_features(samples, dim)
+    assert np.allclose(rows[1]["features"], want_img, atol=0)
+    assert np.allclose(rows[2]["features"], want_aud, atol=0)
+    # and NOT the sha256 fake — the real branch ran
+    assert not np.allclose(rows[1]["features"], MM._fake_features(bmp, dim))
+    assert not np.allclose(rows[2]["features"], MM._fake_features(wav, dim))
+    # video has no real codec: documented fallback to the fake
+    assert np.allclose(rows[3]["features"], MM._fake_features(b"\x00" * 64, dim))
+
+
+def test_synthesized_media_payloads_decode(spark, docs_df):
+    media = MM.synthesize_media(docs_df.limit(30), "content", "doc_id").collect()
+    n_img = n_aud = 0
+    for r in media:
+        blob = bytes(r["media"])
+        if r["modality"] == "image":
+            px = MM.decode_bmp(blob)
+            assert px.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+            n_img += 1
+        elif r["modality"] == "audio":
+            s, rate = MM.decode_wav(blob)
+            assert rate == r["meta"]["sample_rate"] and len(s) > 0
+            n_aud += 1
+    assert n_img > 0 and n_aud > 0

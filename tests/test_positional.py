@@ -150,3 +150,29 @@ def test_stopword_gap_counts_as_adjacent(spark, pdocs):
         for r in phrase_match(positional_tokens(df, CFG), ["alpha", "beta"]).collect()
     }
     assert got[1] == 1 and got[6] == 1
+
+
+def test_snippets_candidates_hook(spark, pdocs):
+    """candidates= restricts analyzed_snippets to the given doc set with
+    results identical to filtering the unrestricted output, and the plan
+    prunes via a broadcast semi-join (the 100-TB shape: only the result
+    page's docs are ever snippeted)."""
+    from search_engine_spark.positional import analyzed_snippets
+
+    _, df = pdocs
+    ptoks = positional_tokens(df, CFG)
+    full = {
+        (r["doc_id"], r["first_pos"], r["snippet"])
+        for r in analyzed_snippets(ptoks, ["alpha"], width=2).collect()
+    }
+    cand_ids = [0, 3, 4]
+    cand = spark.createDataFrame([(i,) for i in cand_ids], "doc_id long")
+    got = {
+        (r["doc_id"], r["first_pos"], r["snippet"])
+        for r in analyzed_snippets(ptoks, ["alpha"], width=2, candidates=cand).collect()
+    }
+    assert got == {t for t in full if t[0] in cand_ids}
+    plan = analyzed_snippets(
+        ptoks, ["alpha"], width=2, candidates=cand
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

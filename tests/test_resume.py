@@ -305,3 +305,13 @@ def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
         assert o["results"] > 0
         tag = f"r3-{o['scorer']}"
         assert all(l.split()[5] == tag for l in open(o["out"]).read().splitlines())
+
+
+def test_read_ledger_file_scheme_fast_path(spark, tmp_path):
+    """Explicit file:// paths take the provably-local fast path: a missing
+    ledger returns None (fresh build) instead of raising or restaging."""
+    from search_engine_spark.resume import read_ledger
+
+    assert read_ledger(spark, f"file://{tmp_path}/no_such_index") is None
+    # scheme-less missing path on a local master: same answer
+    assert read_ledger(spark, f"{tmp_path}/no_such_index2") is None

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Interleaved cross-round A/B bench (VERDICT r2 #1).
+
+Cross-round comparisons from single bench invocations hours apart are
+uninterpretable on this host (±30% one-sided contention noise; identical
+code measured 6.5-8.6s across invocations).  This harness makes them
+interpretable:
+
+  * checks out each prior round's tip into a git worktree,
+  * runs the SAME probe script (lowest-common API across rounds) in each
+    variant's process, INTERLEAVED round-robin so slow host drift hits
+    all variants equally,
+  * several processes per variant x several in-process reps per probe
+    (first rep warms Python workers; later reps measure steady state),
+  * reports per-variant medians, spreads, and pairwise median ratios.
+
+Usage:
+  python tools/ab_bench.py                 # r1 vs r2 vs current tree
+  python tools/ab_bench.py --save out.json
+
+Never run anything else Spark-shaped concurrently — the host is the
+instrument here.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PROC = int(os.environ.get("AB_BENCH_PROCS", "3"))  # processes per variant
+REPS = int(os.environ.get("AB_BENCH_REPS", "3"))  # in-process reps per probe
+
+# round tips (git history is append-only across rounds)
+VARIANTS = {"r1": "83ed06f", "r2": "ac3ec3f", "r3": None}  # None = this tree
+
+RUNNER = r'''
+import json, os, sys, time
+
+variant_dir, sf_dir, reps, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+sys.path.insert(0, variant_dir)
+os.chdir(variant_dir)
+
+from pyspark.sql import functions as F
+from search_engine_spark.session import get_spark
+from search_engine_spark import build as B, query as Q
+from search_engine_spark.config import AnalyzerConfig, BM25Params
+from search_engine_spark.contract import spark_queries
+from search_engine_spark.postings import build_index, load_index
+from search_engine_spark.wand import search_bm25
+
+spark = get_spark("ab-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+cfg = AnalyzerConfig()
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+docs.count()
+
+topics = [
+    (1, "spark merge window batch"), (2, "customer query stream"),
+    (3, "index posting compress"), (4, "the of and"),
+    (5, "parse token merge rank score"), (6, "import return class"),
+    (7, "hash tree graph node"), (8, "zzzmissing vector"),
+    (9, "thread lock atomic mutex socket"), (10, "stream stream stream batch"),
+]
+
+samples = {}
+
+def timed(name, fn):
+    out = samples.setdefault(name, [])
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        out.append(round(time.perf_counter() - t0, 4))
+
+state = {}
+
+def _build():
+    toks = B.analyze_tokens(docs, cfg, "doc_id", "text")
+    toks.groupBy("term").agg(F.sum("tf")).count()
+    meta = B.build_doc_meta(docs, cfg, "doc_id", "text")
+    state["n"], state["avgdl"], _ = B.collect_stats(meta)
+
+timed("index_build", _build)
+
+toks = B.analyze_tokens(docs, cfg, "doc_id", "text").persist()
+toks.count()
+qdf = Q.queries_to_df(spark, topics, cfg)
+
+def _try_exact(fn, *a, **kw):
+    try:
+        return fn(*a, exact_float32=True, **kw)
+    except TypeError:
+        return fn(*a, **kw)
+
+timed("bm25_topk", lambda: _try_exact(
+    Q.score_bm25, toks, state["n"], state["avgdl"], qdf, BM25Params(), k=100).count())
+timed("tfidf_topk", lambda: _try_exact(
+    Q.score_tfidf, toks, state["n"], qdf, k=100).count())
+toks.unpersist()
+
+import tempfile, shutil
+idx_tmp = tempfile.mkdtemp(prefix="ab_idx_")
+timed("index_materialize", lambda: build_index(
+    docs, f"{idx_tmp}/idx", doc_id_col="doc_id", content_col="text"))
+index = load_index(spark, f"{idx_tmp}/idx")
+timed("wand_topk", lambda: search_bm25(index, topics, k=100).count())
+shutil.rmtree(idx_tmp, ignore_errors=True)
+
+qcat = spark_queries()
+for name in ("dedup_exact", "minhash_lsh_pairs", "quality_scores",
+             "ann_cosine_topk", "phrase_match", "bm25_adpt_topk"):
+    if name in qcat:
+        timed(name, lambda n=name: qcat[n](spark, sf_dir).count())
+
+print("ABRESULT " + json.dumps(samples))
+'''
+
+
+def ensure_worktree(name: str, commit: str | None) -> str:
+    if commit is None:
+        return REPO
+    path = f"/tmp/ab_worktrees/{name}"
+    if not os.path.isdir(path):
+        os.makedirs("/tmp/ab_worktrees", exist_ok=True)
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", path, commit],
+            check=True, capture_output=True,
+        )
+    return path
+
+
+def main() -> None:
+    save = None
+    if "--save" in sys.argv:
+        save = sys.argv[sys.argv.index("--save") + 1]
+
+    runner_path = os.path.join(tempfile.gettempdir(), "ab_bench_runner.py")
+    with open(runner_path, "w") as fh:
+        fh.write(RUNNER)
+
+    dirs = {name: ensure_worktree(name, c) for name, c in VARIANTS.items()}
+    raw: dict[str, dict[str, list[float]]] = {n: {} for n in VARIANTS}
+
+    order = list(dirs.items())
+    for proc_round in range(N_PROC):
+        # rotate so no variant systematically runs first (the first
+        # process of a round pays any cold page-cache / cgroup penalty)
+        order = order[1:] + order[:1]
+        for name, d in order:
+            print(f"[ab] round {proc_round + 1}/{N_PROC} variant {name}",
+                  file=sys.stderr, flush=True)
+            env = dict(os.environ, PYTHONPATH=d)
+            r = subprocess.run(
+                [sys.executable, runner_path, d, SF_DIR, str(REPS), str(CPUS)],
+                capture_output=True, text=True, env=env, cwd=d,
+            )
+            line = next(
+                (ln for ln in r.stdout.splitlines() if ln.startswith("ABRESULT ")),
+                None,
+            )
+            if line is None:
+                print(f"[ab] variant {name} FAILED:\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
+                continue
+            for q, xs in json.loads(line[len("ABRESULT "):]).items():
+                raw[name].setdefault(q, []).extend(xs)
+
+    summary: dict[str, dict] = {"sf_dir": SF_DIR, "procs": N_PROC, "reps": REPS,
+                                "variants": {}}
+    for name, queries in raw.items():
+        summary["variants"][name] = {
+            q: {
+                "median": round(statistics.median(xs), 4),
+                "min": round(min(xs), 4),
+                "max": round(max(xs), 4),
+                "n": len(xs),
+            }
+            for q, xs in queries.items()
+        }
+
+    def ratios(a: str, b: str) -> dict:
+        va, vb = summary["variants"].get(a, {}), summary["variants"].get(b, {})
+        return {
+            q: round(vb[q]["median"] / va[q]["median"], 3)
+            for q in va
+            if q in vb and va[q]["median"] > 0
+        }
+
+    summary["median_ratio_r2_over_r1"] = ratios("r1", "r2")
+    summary["median_ratio_r3_over_r2"] = ratios("r2", "r3")
+    print(json.dumps(summary, indent=2))
+    if save:
+        with open(save, "w") as fh:
+            json.dump(summary, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

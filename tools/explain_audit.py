@@ -101,6 +101,23 @@ def main() -> int:
     check("wand: postings scan prunes encoded cols only as needed",
           "doc_lens_enc" in p)  # full block decode requires the enc cols
 
+    # --- 4b. pruned-branch WAND (contract bm25_wand_pruned): pruning must
+    # actually fire — the accumulator is the evidence, not just the plan
+    from search_engine_spark.contract import (
+        SQL_CFG, WAND_PRUNED_QUERY_TEXT, _pruned_corpus,
+    )
+    from search_engine_spark.config import IndexBuildConfig
+
+    build_index(_pruned_corpus(spark, sf_dir), f"{tmp}/pidx2",
+                IndexBuildConfig(analyzer=SQL_CFG),
+                doc_id_col="doc_id", content_col="text")
+    pidx2 = load_index(spark, f"{tmp}/pidx2")
+    acc = spark.sparkContext.accumulator(0)
+    search_bm25(pidx2, [(1, WAND_PRUNED_QUERY_TEXT)], k=20,
+                prune_accumulator=acc).count()
+    check("wand: interval pruning fires on the rare-term corpus",
+          acc.value > 0, f"blocks pruned: {acc.value}")
+
     # --- 5. dedup exact: single partial-agg shuffle ---
     from search_engine_spark.ops.dedup import exact_duplicates
 
@@ -174,6 +191,11 @@ def main() -> int:
         check("related: broadcast seed-doc semi-join", "BroadcastHashJoin" in p)
     p = plan_of(analyzed_snippets(ptoks, ["merge", "index"], width=3))
     check("snippets: no row-Python", "BatchEvalPython" not in p)
+    cand = spark.range(5).select(F.col("id").alias("doc_id"))
+    p = plan_of(analyzed_snippets(ptoks, ["merge", "index"], width=3,
+                                  candidates=cand))
+    check("snippets: candidates= prunes via broadcast semi-join",
+          "BroadcastHashJoin" in p and "LeftSemi" in p)
     p = plan_of(kmv_distinct(docs.select("doc_id", F.col("text")), "text", ["doc_id"], k=8))
     check("kmv: Arrow/pandas partial, no row-Python",
           "MapInPandas" in p and "BatchEvalPython" not in p)
