@@ -89,6 +89,10 @@ _EXPORTS = {
     "with_lang_id": "ops.textstats:with_lang_id",
     "with_doc_stats_arrow": "ops.textstats:with_doc_stats_arrow",
     "with_fingerprint": "ops.textstats:with_fingerprint",
+    # pipeline ops: sampling / splitting / packing
+    "hash_sample": "ops.sampling:hash_sample",
+    "with_split": "ops.sampling:with_split",
+    "pack_by_budget": "ops.sampling:pack_by_budget",
     # pipeline ops: sketches / suggest / multimodal
     "kmv_distinct": "ops.sketch:kmv_distinct",
     "suggest_terms": "ops.suggest:suggest_terms",

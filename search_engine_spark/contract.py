@@ -605,6 +605,89 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
+PACK_BUDGET = 50_000
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (ops.sampling.with_split):
+    membership decided per row by an md5-fraction threshold on doc_id —
+    reproducible across engines/runs and stable as the corpus grows
+    (unlike Spark's RNG sample/sampleBy, which shifts under
+    repartition).  Checked as per-split doc counts + char sums plus a
+    membership fingerprint (md5 of the ordered doc_id list) so the
+    EXACT assignment is value-checked, not just the sizes."""
+    from .ops.sampling import with_split
+
+    docs = _docs(spark, sf_dir)
+    lab = with_split(docs, SPLIT_WEIGHTS, ("train", "val", "test"))
+    return lab.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("ids_md5"),
+    )
+
+
+def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget packing (ops.sampling.pack_by_budget): order-contiguous
+    ~50k-char bins per language — the training-shard prep shape.  The
+    window partitions by lang (the at-scale requirement — no global
+    sort); per-bin rollup is value-checked."""
+    from .ops.sampling import pack_by_budget
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_by_budget(
+        docs, "n_chars", PACK_BUDGET, order_col="doc_id", part_col="lang"
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def _sql_hash_split() -> str:
+    from .ops.sampling import split_thresholds
+
+    t1, t2 = split_thresholds(SPLIT_WEIGHTS)
+    return f"""
+WITH fr AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS f
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN f < {t1} THEN 'train'
+              WHEN f < {t2} THEN 'val'
+              ELSE 'test' END AS split
+  FROM fr
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM lab GROUP BY split
+"""
+
+
+def _sql_pack_batches() -> str:
+    return f"""
+WITH p AS (
+  SELECT lang, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+  FROM documents
+)
+SELECT lang, CAST(floor(pe / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM p GROUP BY 1, 2
+"""
+
+
 PHRASE = ("customer", "join")
 
 
@@ -1257,20 +1340,35 @@ SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
 
 
 def _sql_minhash_lsh_pairs(n_hashes: int = 8, bands: int = 4) -> str:
+    """Restates ops.dedup.minhash_signatures' md5-affine scheme: ONE md5
+    per shingle → base hash H (first 15 hex digits as BIGINT — identical
+    to Spark's conv(...,16,10) — mod P), then n fixed affine
+    permutations (a_s·H + b_s) mod P with the same md5-derived
+    coefficients both engines inline."""
+    from .ops.dedup import MINHASH_PRIME as P, _perm_coeffs
+
     rows = n_hashes // bands
     mins = ", ".join(
-        f"MIN(md5('{s}:' || shingle)) AS h{s}" for s in range(n_hashes)
+        f"MIN(({a} * hb + {b}) % {P}) AS h{s}"
+        for s, (a, b) in enumerate(_perm_coeffs(n_hashes))
     )
     band_selects = []
     for b in range(bands):
-        key = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        key = " || '|' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
         )
     banded = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_sql_shingles_cte(3)},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+shb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {P} AS hb
+  FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
 banded AS ({banded})
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM banded l JOIN banded r
@@ -1809,6 +1907,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "near_dup_components": q_near_dup_components,
         "bm25_adpt_topk": q_bm25_adpt_topk,
+        "hash_split": q_hash_split,
+        "pack_batches": q_pack_batches,
     }
 
 
@@ -1886,6 +1986,8 @@ FROM per p JOIN cnt c USING (lang)
         "events_json": _sql_events_json(),
         "bm25_adpt_topk": _sql_bm25_adpt(),
         "near_dup_components": _sql_near_dup_components(),
+        "hash_split": _sql_hash_split(),
+        "pack_batches": _sql_pack_batches(),
         # Intentionally no SQL oracle (rows-only driver check + pytest gates):
         #   ivf_ann_topk         — iterative Lloyd k-means training
         #                          (tests/test_similarity.py)

@@ -23,6 +23,8 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
 from .textstats import tokens_col
@@ -87,31 +89,58 @@ def shingles_df(
     return df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
 
 
+# Affine-permutation MinHash constants: h_s(x) = (a_s·H + b_s) mod P over
+# one shared base hash H in [0, P).  P = 2^31 − 1 (Mersenne prime): with
+# H, a_s < 2^31 the product stays < 2^62 — no int64 overflow in Spark's
+# ANSI mode or DuckDB.  (a_s, b_s) are fixed md5-derived constants so
+# both engines inline identical literals.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _perm_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    for s in range(n_hashes):
+        d = hashlib.md5(f"minhash-perm-{s}".encode()).hexdigest()
+        a = int(d[:15], 16) % (MINHASH_PRIME - 1) + 1  # a in [1, P)
+        b = int(d[15:30], 16) % MINHASH_PRIME  # b in [0, P)
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 16, hash_fn: str = "md5"
 ) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — MinHash signature via seeded hash
-    permutations.  h_s(doc) = min over shingles of hash(seed=s, shingle);
-    min over a seed-keyed hash is a valid minwise permutation.  One
-    groupBy(doc_id) with n partial min-aggs — fully map-side
-    combinable, no skew.
+    """(doc_id, h0..h{n-1}) — MinHash signature via hash permutations.
+    h_s(doc) = min over shingles of h_s(shingle); min over a hash-keyed
+    permutation is a valid minwise estimator.  One groupBy(doc_id) with
+    n partial min-aggs — fully map-side combinable, no skew.
 
     hash_fn:
-      * 'md5' (default) — 32-char hex strings, bit-reproducible in any
-        engine with md5: the ORACLE-CHECKABLE form the contract uses.
+      * 'md5' (default) — ONE md5 per shingle → base hash H =
+        first-15-hex-digits mod P, then n affine permutations
+        (a_s·H + b_s) mod P, P = 2^31−1, with fixed md5-derived
+        coefficients (_perm_coeffs): bit-reproducible in any engine with
+        md5 + int64 arithmetic — the ORACLE-CHECKABLE form the contract
+        uses.  This replaces the earlier n-md5s-per-shingle form: same
+        statistical family, 1/n-th the hashing, and integer (not
+        32-char-string) agg cells.  31-bit range is ample at oracle
+        scale; for 10^9+ distinct shingles use 'xxhash64'.
       * 'xxhash64' — JVM 64-bit longs (xxhash64's seed is FIXED at 42;
         the literal s is hashed together with the shingle as data, which
         still yields an independent permutation per s — there is no
-        per-call seed parameter):
-        8-byte long agg cells (~4x smaller than 32-char hex strings) and integer min
-        instead of string min — the cheaper PIPELINE form for 100 TB
-        sweeps where cross-engine hash parity is not required.
+        per-call seed parameter): the 64-bit-range PIPELINE form for
+        100 TB sweeps where cross-engine hash parity is not required.
     Downstream (lsh_candidate_pairs) is agnostic: band keys are
     concat_ws over the h columns either way."""
     if hash_fn == "md5":
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+            "long"
+        ) % F.lit(MINHASH_PRIME)
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-            for s in range(n_hashes)
+            F.min(
+                (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{s}")
+            for s, (a, b) in enumerate(_perm_coeffs(n_hashes))
         ]
     elif hash_fn == "xxhash64":
         aggs = [

@@ -1,0 +1,118 @@
+"""Deterministic sampling, dataset splitting, and budget packing — the
+shard-prep operators of a training-data pipeline.
+
+Everything here is HASH-deterministic, never RNG-based: Spark's
+`sample()`/`sampleBy()` draw from per-partition RNG streams, so results
+change under repartition/retry and cannot be restated in another engine.
+A 100 TB pipeline needs the opposite — membership decided per ROW from a
+stable key, so (a) re-runs and engine ports agree bit-for-bit, (b) a
+row's split assignment never flips when the corpus grows, and (c) the
+train/val/test boundary can be audited in SQL.
+
+All operators are narrow row-local filters/projections except
+`pack_by_budget`, whose one window is partitioned by the caller's shard
+column (pass one at scale — see its docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# md5's first 15 hex chars as an exact BIGINT in [0, 2^60): the same
+# fraction convention as ops.sketch (KMV) — reproducible in any engine
+# with md5 + int64 arithmetic.
+FRAC_BITS = 60
+_FRAC_ONE = 1 << FRAC_BITS
+
+
+def _key_fraction(key_col: str, salt: str):
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, frac: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep ~frac of rows, decided per row by md5(salt:key) < frac·2^60.
+
+    Deterministic and repartition-stable; different salts give
+    independent samples over the same keys.  Exact-int threshold — no
+    float comparison drift across engines."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    return df.filter(_key_fraction(key_col, salt) < F.lit(int(frac * _FRAC_ONE)))
+
+
+def split_thresholds(weights: tuple[float, ...]) -> list[int]:
+    """Cumulative-weight thresholds on the 2^60 scale — ONE shared
+    accumulation (float addition is not associative: 0.8+0.1 is
+    0.9000000000000001, not 0.9) so Spark and any SQL restatement inline
+    bit-identical integers."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    out, cum = [], 0.0
+    for w in weights[:-1]:
+        cum += w
+        out.append(int(cum * _FRAC_ONE))
+    return out
+
+
+def with_split(
+    df: DataFrame,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column: train/val/test membership from the key hash.
+
+    Thresholds are cumulative-weight integers on the same 2^60 scale
+    (split_thresholds), so a row's split never changes when other rows
+    come or go — the property RNG splits lack."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    frac = _key_fraction(key_col, salt)
+    expr = None
+    for t, name in zip(split_thresholds(weights), names[:-1]):
+        cond = frac < F.lit(t)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def pack_by_budget(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign contiguous budget-bounded bins: bin = floor(exclusive
+    prefix sum of size / budget) over order_col — the training-shard
+    packing shape (each bin holds an order-contiguous run of rows whose
+    sizes total ~budget; a bin may overshoot by at most one row).
+
+    Fully deterministic and SQL-restatable (one window SUM).  At scale
+    ALWAYS pass part_col (date / source shard / language): without it
+    the window is a single global sort — one task owns the whole corpus.
+    With it, each partition packs independently and in parallel, which
+    is what shard prep wants anyway."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(order_col) if part_col is None else (
+        Window.partitionBy(part_col).orderBy(order_col)
+    )
+    prefix_excl = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return df.withColumn(
+        bin_col, F.floor(prefix_excl / F.lit(budget)).cast("long")
+    )

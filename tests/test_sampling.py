@@ -1,0 +1,92 @@
+"""Deterministic sampling / split / packing gates (ops.sampling):
+repartition stability, growth stability, split exclusivity, pack-bin
+structure — the properties Spark's RNG sample() lacks and a shard-prep
+pipeline needs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import sampling as SP
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.createDataFrame(
+        [(i, f"lang{i % 3}", 100 + (i * 37) % 400) for i in range(500)],
+        "doc_id long, lang string, n_chars int",
+    )
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark, rows):
+    a = sorted(r["doc_id"] for r in SP.hash_sample(rows, 0.3).collect())
+    b = sorted(
+        r["doc_id"] for r in SP.hash_sample(rows.repartition(13), 0.3).collect()
+    )
+    assert a == b and 0 < len(a) < 500
+    # approximate rate (binomial, 500 draws at p=.3 → ±~6% at 3 sigma)
+    assert 100 <= len(a) <= 200
+    # independent salts give different member sets
+    c = sorted(r["doc_id"] for r in SP.hash_sample(rows, 0.3, salt="other").collect())
+    assert a != c
+
+
+def test_hash_sample_membership_stable_under_growth(spark, rows):
+    small = SP.hash_sample(rows.filter(F.col("doc_id") < 100), 0.3)
+    big = SP.hash_sample(rows, 0.3)
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    # a row's membership never flips when the corpus grows
+    assert small_ids == {i for i in big_ids if i < 100}
+
+
+def test_with_split_partitions_exactly(spark, rows):
+    lab = SP.with_split(rows).collect()
+    by_split = {}
+    for r in lab:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    all_ids = set()
+    for s in by_split.values():
+        assert not (all_ids & s)  # exclusive
+        all_ids |= s
+    assert len(all_ids) == 500  # complete
+    assert len(by_split["train"]) > len(by_split["val"])  # ~8:1:1
+
+
+def test_with_split_rejects_bad_weights(spark, rows):
+    with pytest.raises(ValueError):
+        SP.with_split(rows, weights=(0.5, 0.2), names=("a", "b"))
+    with pytest.raises(ValueError):
+        SP.with_split(rows, weights=(0.5, 0.5), names=("a",))
+
+
+def test_pack_by_budget_structure(spark, rows):
+    budget = 3000
+    packed = SP.pack_by_budget(
+        rows, "n_chars", budget, order_col="doc_id", part_col="lang"
+    ).collect()
+    per_lang: dict = {}
+    for r in packed:
+        per_lang.setdefault(r["lang"], []).append(
+            (r["doc_id"], r["n_chars"], r["bin"])
+        )
+    for lang, items in per_lang.items():
+        items.sort()
+        # brute-force the exclusive-prefix-sum definition
+        cum = 0
+        for doc_id, size, got_bin in items:
+            assert got_bin == cum // budget, (lang, doc_id)
+            cum += size
+        # bins are contiguous, start at 0, non-decreasing
+        bins = [b for _, _, b in items]
+        assert bins[0] == 0 and all(
+            b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:])
+        )
+        # every bin except the last reaches the budget with its overshoot row
+        totals: dict = {}
+        for _, size, b in items:
+            totals[b] = totals.get(b, 0) + size
+        for b, tot in totals.items():
+            if b != max(totals):
+                assert tot >= budget - 400  # budget minus max row size
