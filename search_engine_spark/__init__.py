@@ -70,6 +70,7 @@ _EXPORTS = {
     "exact_duplicates": "ops.dedup:exact_duplicates",
     "dedup_exact_keep_first": "ops.dedup:dedup_exact_keep_first",
     "shingles_df": "ops.dedup:shingles_df",
+    "shingles_arrow": "ops.dedup:shingles_arrow",
     "minhash_signatures": "ops.dedup:minhash_signatures",
     "lsh_candidate_pairs": "ops.dedup:lsh_candidate_pairs",
     "ngram_jaccard_pairs": "ops.dedup:ngram_jaccard_pairs",

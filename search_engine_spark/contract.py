@@ -428,7 +428,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    sh = D.shingles_arrow(docs, "text", "doc_id", width=3)
     sig = D.minhash_signatures(sh, n_hashes=8)
     return D.lsh_candidate_pairs(sig, n_hashes=8, bands=4)
 
@@ -841,7 +841,7 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates the operator against a union-find oracle
     (tests/test_components.py)."""
     docs = _docs(spark, sf_dir)
-    sh = D.shingles_df(docs, "text", "doc_id", width=3)
+    sh = D.shingles_arrow(docs, "text", "doc_id", width=3)
     sig = D.minhash_signatures(sh, n_hashes=8)
     pairs = D.lsh_candidate_pairs(sig, n_hashes=8, bands=4)
     return D.connected_components(pairs).select("doc_id", "component")

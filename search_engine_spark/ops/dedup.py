@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .textstats import tokens_col
 
@@ -105,6 +105,103 @@ def _perm_coeffs(n_hashes: int) -> list[tuple[int, int]]:
         b = int(d[15:30], 16) % MINHASH_PRIME  # b in [0, P)
         out.append((a, b))
     return out
+
+
+def shingles_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 3
+) -> DataFrame:
+    """Arrow twin of shingles_df — identical output rows (pytest-gated,
+    tests/test_dedup_guards.py), computed in C++/numpy kernels instead
+    of Spark's interpreted higher-order functions (transform/slice
+    lambdas are allocation-bound and stop scaling past ~8 threads — the
+    same finding as the textstats twins, BASELINE.md).  Shingling feeds
+    every near-dup operator (MinHash, SimHash, Jaccard), so this is the
+    hot-path form for corpus-scale dedup sweeps.
+
+    Per batch: regex-split (RE2) → drop '' tokens → width-grams via
+    offset arithmetic + one binary_join_element_wise — no per-row
+    Python.  Docs with fewer than `width` tokens fall back to the raw
+    text as their single shingle, exactly like shingles_df."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..analysis import DOC_SPLIT_SQL_REGEX  # the engine's doc split set
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("shingle", T.StringType(), True),
+        ]
+    )
+
+    def _batches(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            raw = batch.column(1)
+            toks = pc.split_pattern_regex(
+                pc.fill_null(pc.cast(raw, pa.string()), ""), DOC_SPLIT_SQL_REGEX
+            )
+            toks = pc.list_flatten(toks), pc.list_parent_indices(toks)
+            vals, doc_idx = toks[0], toks[1].to_numpy(zero_copy_only=False)
+            keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+            vals = vals.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            counts = np.bincount(doc_idx, minlength=batch.num_rows)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+            out_ids, out_sh = [], []
+            # docs with >= width tokens: vectorized width-grams
+            n_sh = np.where(counts >= width, counts - width + 1, 0)
+            if int(n_sh.sum()):
+                first = np.repeat(starts, n_sh) + _within_run(n_sh)
+                parts = [vals.take(pa.array(first + s)) for s in range(width)]
+                grams = pc.binary_join_element_wise(*parts, " ")
+                gram_doc = np.repeat(np.arange(len(counts)), n_sh)
+                # per-doc distinct (array_distinct parity)
+                import pandas as pd
+
+                dd = pd.DataFrame(
+                    {"d": gram_doc, "s": grams.to_pandas()}
+                ).drop_duplicates()
+                out_ids.append(ids[dd["d"].to_numpy()])
+                out_sh.append(pa.array(dd["s"], type=pa.string()))
+            # docs with < width tokens: raw text is the single shingle
+            small = counts < width
+            if small.any():
+                out_ids.append(ids[small])
+                out_sh.append(pc.cast(raw, pa.string()).filter(pa.array(small)))
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_ids), pa.int64()),
+                        pa.concat_arrays(
+                            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                             for a in out_sh]
+                        ),
+                    ],
+                    names=["doc_id", "shingle"],
+                )
+
+    return (
+        df.select(F.col(id_col).cast("long"), F.col(text_col))
+        .mapInArrow(_batches, schema=out_schema)
+        .select(F.col("doc_id"), F.col("shingle"))
+    )
+
+
+def _within_run(run_lengths):
+    """[3, 0, 2] -> [0, 1, 2, 0, 1] — per-run arange, vectorized."""
+    import numpy as np
+
+    total = int(run_lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(run_lengths)
+    starts = ends - run_lengths
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, run_lengths)
 
 
 def minhash_signatures(
@@ -275,7 +372,7 @@ def ngram_jaccard_pairs(
     pairs — an explicit opt-in, never a silent default; monitor with
     bucket_size_stats(shingles, 'shingle') and lower `width`-driven
     ubiquity rather than raising the cap."""
-    sh = shingles_df(df, text_col, id_col, width)
+    sh = shingles_arrow(df, text_col, id_col, width)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ids")

@@ -112,3 +112,33 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and converges fine with enough rounds
     comp = D.connected_components(chain, max_iter=20).collect()
     assert {r["component"] for r in comp} == {0}
+
+
+def test_shingles_arrow_identity(spark):
+    """The Arrow shingling twin (hot path for every near-dup operator)
+    must produce EXACTLY shingles_df's row set — including the raw-text
+    fallback for docs under the width, null/empty text, and per-doc
+    distinct collapsing."""
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "a b"),
+        (2, None),
+        (3, ""),
+        (4, "x, y: z; w"),
+        (5, "dup dup dup dup dup"),
+        (6, "tok"),
+        (7, "  leading and trailing  "),
+        (8, "<tag> inside words </tag>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    for width in (2, 3, 5):
+        a = set(map(tuple, D.shingles_df(df, "text", "doc_id", width).collect()))
+        b = set(map(tuple, D.shingles_arrow(df, "text", "doc_id", width).collect()))
+        assert a == b, f"width={width}"
+
+
+def test_shingles_arrow_identity_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = set(map(tuple, D.shingles_df(docs, "text", "doc_id", 3).collect()))
+    b = set(map(tuple, D.shingles_arrow(docs, "text", "doc_id", 3).collect()))
+    assert a == b and len(a) > 100
