@@ -94,6 +94,9 @@ _EXPORTS = {
     "hash_sample": "ops.sampling:hash_sample",
     "with_split": "ops.sampling:with_split",
     "pack_by_budget": "ops.sampling:pack_by_budget",
+    # pipeline ops: profiling
+    "profile_table": "ops.profile:profile_table",
+    "group_quantiles": "ops.profile:group_quantiles",
     # pipeline ops: sketches / suggest / multimodal
     "kmv_distinct": "ops.sketch:kmv_distinct",
     "suggest_terms": "ops.suggest:suggest_terms",

@@ -607,6 +607,57 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 PACK_BUDGET = 50_000
+PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+QUANTILE_PROBS = (0.5, 0.9, 0.99)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiler (ops.profile.profile_table): per-column
+    null counts, exact distinct counts, min/max — one aggregation pass.
+    Profiled on the int/string columns (float formatting differs across
+    engines; text min/max is unbounded-width)."""
+    from .ops.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir), list(PROFILE_COLS))
+
+
+def q_doc_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language doc-length quantiles
+    (ops.profile.group_quantiles): Spark `percentile` and DuckDB
+    `quantile_cont` share the continuous-interpolation formula
+    bit-for-bit, so the doubles are value-checked UNROUNDED."""
+    from .ops.profile import group_quantiles
+
+    docs = _docs(spark, sf_dir).select(
+        F.coalesce("lang", F.lit("<null>")).alias("lang"), "n_chars"
+    )
+    return group_quantiles(docs, "n_chars", ["lang"], QUANTILE_PROBS)
+
+
+def _sql_table_profile() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+       CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+def _sql_doc_len_quantiles() -> str:
+    # same :g label convention as ops.profile.group_quantiles
+    qs = ", ".join(
+        f"quantile_cont(n_chars, {p!r}) AS " + f"p{p * 100:g}".replace(".", "_")
+        for p in QUANTILE_PROBS
+    )
+    return f"""
+SELECT COALESCE(lang, '<null>') AS lang, {qs}
+FROM documents GROUP BY 1
+"""
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,6 +1960,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_adpt_topk": q_bm25_adpt_topk,
         "hash_split": q_hash_split,
         "pack_batches": q_pack_batches,
+        "table_profile": q_table_profile,
+        "doc_len_quantiles": q_doc_len_quantiles,
     }
 
 
@@ -1988,6 +2041,8 @@ FROM per p JOIN cnt c USING (lang)
         "near_dup_components": _sql_near_dup_components(),
         "hash_split": _sql_hash_split(),
         "pack_batches": _sql_pack_batches(),
+        "table_profile": _sql_table_profile(),
+        "doc_len_quantiles": _sql_doc_len_quantiles(),
         # Intentionally no SQL oracle (rows-only driver check + pytest gates):
         #   ivf_ann_topk         — iterative Lloyd k-means training
         #                          (tests/test_similarity.py)

@@ -1,0 +1,75 @@
+"""Tabular profiling: per-column data-quality stats and exact grouped
+quantiles — the audit operators a training-data pipeline runs before and
+after every transform (did dedup drop a language? did a null storm land
+in `source`? how long is p99 of the corpus really?).
+
+Both operators are single-pass aggregations (one shuffle), deterministic,
+and restatable in ANSI SQL — no sampling, no approximation, so two
+engines (or two runs months apart) can be diffed cell-for-cell.
+
+Scale notes: profile_table runs ALL per-column aggregates in ONE agg
+(one pass over the data); the count_distincts expand the aggregation
+buffers k-fold — for very wide tables profile a column subset, or swap
+in approx_count_distinct where exactness isn't contractual.
+group_quantiles uses Spark's exact `percentile` (sort-based within
+groups); for 100 TB single-group quantiles prefer a grouped key (e.g.
+per shard/lang as here) so each sort stays partition-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_val, max_val) — one
+    row per profiled column, computed in a single aggregation pass.
+    min/max are cast to string so heterogeneous column types share one
+    schema (exact for ints/strings; avoid for floats where engines'
+    decimal formatting may differ)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__{c}_nulls"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__{c}_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"__{c}_min"),
+            F.max(F.col(c)).cast("string").alias(f"__{c}_max"),
+        ]
+    row = df.agg(*aggs)
+    stacks = ", ".join(
+        f"'{c}', `__{c}_nulls`, `__{c}_distinct`, `__{c}_min`, `__{c}_max`"
+        for c in cols
+    )
+    return row.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacks}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact continuous-interpolation quantiles of value_col per group —
+    Spark's `percentile` and DuckDB's `quantile_cont` share the formula
+    bit-for-bit (verified), so the result is cross-engine checkable with
+    no rounding.  Output columns p50/p90/p99-style (dots stripped)."""
+    arr = ", ".join(repr(p) for p in probs)
+    q = F.expr(f"percentile({value_col}, array({arr}))")
+    named = [
+        F.col("__q")[i].alias(f"p{p * 100:g}".replace(".", "_"))
+        for i, p in enumerate(probs)
+    ]
+    return (
+        df.groupBy(*group_cols)
+        .agg(q.alias("__q"))
+        .select(*group_cols, *named)
+    )

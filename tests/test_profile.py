@@ -1,0 +1,59 @@
+"""ops.profile gates: profiler vs brute force, quantiles vs numpy's
+linear interpolation (the same continuous formula Spark/DuckDB share).
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_spark.ops.profile import group_quantiles, profile_table
+
+
+@pytest.fixture(scope="module")
+def pdf_rows():
+    return [
+        (1, "en", 10),
+        (2, "en", 20),
+        (3, None, 30),
+        (4, "de", None),
+        (5, "de", 50),
+        (6, "en", 20),
+    ]
+
+
+def test_profile_table_matches_bruteforce(spark, pdf_rows):
+    df = spark.createDataFrame(pdf_rows, "id long, lang string, size int")
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "lang", "size"}
+    for c in got.values():
+        assert c["n_rows"] == 6
+    assert got["lang"]["n_nulls"] == 1 and got["lang"]["n_distinct"] == 2
+    assert got["size"]["n_nulls"] == 1 and got["size"]["n_distinct"] == 4
+    assert got["id"]["n_nulls"] == 0 and got["id"]["n_distinct"] == 6
+    assert got["size"]["min_val"] == "10" and got["size"]["max_val"] == "50"
+    assert got["lang"]["min_val"] == "de" and got["lang"]["max_val"] == "en"
+
+
+def test_group_quantiles_match_numpy(spark):
+    rng = np.random.default_rng(3)
+    vals = {"a": rng.integers(0, 1000, 97), "b": rng.integers(0, 50, 13)}
+    rows = [(g, int(v)) for g, arr in vals.items() for v in arr]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in group_quantiles(df, "v", ["g"], (0.5, 0.9, 0.99)).collect()
+    }
+    for g, arr in vals.items():
+        want = tuple(
+            float(np.percentile(arr, p, method="linear")) for p in (50, 90, 99)
+        )
+        # numpy writes the interpolation as lo + f*(hi-lo); Spark as
+        # (1-f)*lo + f*hi — same value up to 1 ulp.  The EXACT parity
+        # that matters (Spark vs DuckDB quantile_cont) is gated by the
+        # doc_len_quantiles contract row.
+        assert np.allclose(got[g], want, rtol=1e-12, atol=0), g
+
+
+def test_group_quantiles_column_labels(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    out = group_quantiles(df, "v", ["g"], (0.5, 0.999))
+    assert out.columns == ["g", "p50", "p99_9"]
