@@ -705,7 +705,7 @@ def _sql_hash_split() -> str:
     return f"""
 WITH fr AS (
   SELECT doc_id, n_chars,
-         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         CAST(('0x' || substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')), 1, 15))
               AS BIGINT) AS f
   FROM documents
 ),
@@ -1128,17 +1128,58 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _sql_double(v: float) -> str:
+    """A PARSE-PROOF exact double literal for DuckDB.
+
+    DuckDB's string→double parser rounds ~10% of 17-significant-digit
+    reprs one ulp away from CPython's strtod (measured: 210/2000 random
+    doubles; e.g. '1.4000000000000001' parses to the neighbor bit
+    pattern), so inlining `repr(v)` silently perturbs a float literal.
+    `m · 2^e` from math.frexp sidesteps parsing entirely: the 53-bit
+    mantissa integer is exact as BIGINT→DOUBLE, POWER(2, e) is an exact
+    power of two for the whole double range (incl. subnormals), and
+    their product is exact — the expression reconstructs v bit-for-bit
+    in any IEEE engine.  (as_integer_ratio would overflow BIGINT for
+    |v| ≲ 2^-11: 1e-300's denominator is 2^997.)"""
+    import math
+
+    x = float(v)
+    if x != x or math.isinf(x):
+        raise ValueError(f"non-finite literal: {x}")
+    if x == 0.0:
+        # preserve the sign of zero (frexp would lose it via m = 0)
+        return (
+            "(CAST(0 AS DOUBLE) * CAST(-1 AS DOUBLE))"
+            if math.copysign(1.0, x) < 0
+            else "CAST(0 AS DOUBLE)"
+        )
+    frac, exp = math.frexp(x)
+    m = int(frac * (1 << 53))  # exact: frac has <=53 mantissa bits
+    e = exp - 53
+    if e < -1074:
+        # subnormal: 2^e itself would underflow even though m·2^e is
+        # representable — shift the (trailing-zero) mantissa instead
+        m >>= -1074 - e
+        e = -1074
+    if e == 0:
+        return f"CAST({m} AS DOUBLE)"
+    return f"(CAST({m} AS DOUBLE) * POWER(CAST(2 AS DOUBLE), {e}))"
+
+
 def _adpt_grid_values() -> str:
     """The BM25-ADPT k1 grid `for (j = 0.2; j <= 2.5; j += 0.1)` with C#
     DOUBLE accumulation (BM25ADPT.cs:148) — the accumulated rounding
     decides the member set, so the exact doubles are materialized here
-    (24 points; the 25th lands at 2.5000000000000013 > 2.5) and inlined
-    into the SQL as full-precision literals."""
+    (23 points; the accumulated value after 2.400000000000001 is
+    2.5000000000000013 > 2.5, so 2.5 itself is never reached) and
+    inlined via _sql_double: four of the 23 accumulated values misparse
+    by one ulp as plain 17-digit literals (DuckDB strtod), which could
+    flip the k1 argmin on a near-tie corpus."""
     vals, j = [], 0.2
     while j <= 2.5:
         vals.append(j)
         j += 0.1
-    return ", ".join(f"({i}, {v!r})" for i, v in enumerate(vals))
+    return ", ".join(f"({i}, {_sql_double(v)})" for i, v in enumerate(vals))
 
 
 def _sql_bm25_adpt(b: float = 0.75) -> str:
@@ -1147,7 +1188,7 @@ def _sql_bm25_adpt(b: float = 0.75) -> str:
     The c-bucket histogram is one GROUP BY; dft/IG come from suffix sums
     over generate_series(0,100); the truncation quirk (first IG decrease
     → slot zeroed, array cut) is a window-lag + first-decrease join; the
-    24-point k1 grid is a cross join with a sequential double list_reduce
+    23-point k1 grid is a cross join with a sequential double list_reduce
     for Σd² and row_number argmin (NaN sorts last in DuckDB, matching
     numpy's `sq < best` never accepting NaN).  Float32 discipline:
     DuckDB REAL ops stay REAL (verified), so every CAST AS FLOAT mirrors
@@ -1221,8 +1262,8 @@ sq AS (
   SELECT r.term, g.gi, g.j,
          list_reduce(
            list(CASE WHEN r.t = 0 THEN r.r * r.r
-                     ELSE (r.r - ((g.j + 1.0) * r.t) / (g.j + r.t))
-                          * (r.r - ((g.j + 1.0) * r.t) / (g.j + r.t)) END
+                     ELSE (r.r - ((g.j + 1.0) * CAST(r.t AS DOUBLE)) / (g.j + CAST(r.t AS DOUBLE)))
+                          * (r.r - ((g.j + 1.0) * CAST(r.t AS DOUBLE)) / (g.j + CAST(r.t AS DOUBLE))) END
                 ORDER BY r.t),
            (acc, x) -> acc + x) AS sq
   FROM rat r CROSS JOIN grid g GROUP BY r.term, g.gi, g.j

@@ -172,6 +172,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                     f"bits={bits}, channels={channels})"
                 )
         elif cid == b"data":
+            if len(chunk) < size:
+                raise ValueError(
+                    f"truncated WAV data chunk: {len(chunk)} < {size} bytes"
+                )
             samples = np.frombuffer(chunk[: len(chunk) & ~1], dtype="<i2").copy()
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
@@ -255,7 +259,11 @@ def extract_features(media_df: DataFrame, dim: int = 32) -> DataFrame:
                         v = _audio_features(_decode_audio_real(b, meta)[0], dim)
                     else:
                         raise NotImplementedError("no in-sandbox video codec")
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # total function: a corrupt payload (truncated BMP/WAV)
+                    # must not kill a 100-TB job — it degrades to the
+                    # deterministic fake, same as a stubbed codec.  Use
+                    # decode_bmp/decode_wav directly when you want errors.
                     v = _fake_features(b, dim)
                 feats.append(v)
                 nb.append(len(b))

@@ -26,9 +26,14 @@ _FRAC_ONE = 1 << FRAC_BITS
 
 
 def _key_fraction(key_col: str, salt: str):
-    h = F.md5(
-        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
-    )
+    # NULL keys coalesce to a sentinel BEFORE hashing: concat_ws would
+    # silently drop a NULL (hashing just the salt) while a SQL
+    # restatement's `salt || ':' || key` propagates NULL — divergent
+    # membership across engines.  With the sentinel, every null-key row
+    # shares one deterministic fraction in BOTH engines; restate as
+    # md5(salt || ':' || COALESCE(CAST(key AS VARCHAR), '<null>')).
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+    h = F.md5(F.concat_ws(":", F.lit(salt), key))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
 

@@ -92,3 +92,28 @@ def test_synthesized_media_payloads_decode(spark, docs_df):
             assert rate == r["meta"]["sample_rate"] and len(s) > 0
             n_aud += 1
     assert n_img > 0 and n_aud > 0
+
+
+def test_decode_wav_rejects_truncated_data_chunk():
+    s = np.arange(100, dtype=np.int16)
+    whole = MM.encode_wav(s, 16000)
+    with pytest.raises(ValueError):
+        MM.decode_wav(whole[:-6])  # data chunk shorter than its size field
+
+
+def test_extract_features_corrupt_payload_falls_back(spark):
+    """A payload with a valid magic but corrupt body must NOT kill the
+    job — it degrades to the deterministic fake (total function)."""
+    good = MM.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    bad_bmp = good[:-5]
+    bad_wav = MM.encode_wav(np.arange(50, dtype=np.int16))[:-6]
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bad_bmp), (4, 4, None, None, "bmp")),
+            (2, "audio", bytearray(bad_wav), (None, None, 16000, None, "wav")),
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in MM.extract_features(media, dim=8).collect()}
+    assert np.allclose(rows[1]["features"], MM._fake_features(bytes(bad_bmp), 8))
+    assert np.allclose(rows[2]["features"], MM._fake_features(bytes(bad_wav), 8))

@@ -90,3 +90,15 @@ def test_pack_by_budget_structure(spark, rows):
         for b, tot in totals.items():
             if b != max(totals):
                 assert tot >= budget - 400  # budget minus max row size
+
+
+def test_null_keys_get_one_deterministic_membership(spark):
+    """NULL keys hash a sentinel (same in any SQL restatement) instead of
+    concat_ws silently dropping them — cross-engine membership parity."""
+    df = spark.createDataFrame(
+        [(None, "x", 10), (None, "y", 20), (1, "z", 30)],
+        "doc_id long, lang string, n_chars int",
+    )
+    lab = SP.with_split(df).collect()
+    null_splits = {r["split"] for r in lab if r["lang"] in ("x", "y")}
+    assert len(null_splits) == 1  # all null-key rows land together

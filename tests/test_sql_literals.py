@@ -1,0 +1,50 @@
+"""_sql_double: parse-proof float inlining for DuckDB oracles.
+
+DuckDB's strtod rounds a sizable fraction of 17-significant-digit reprs
+one ulp away from CPython's parse (measured ~10%), so `repr(v)` is NOT a
+safe way to put a double into oracle SQL.  The integer-ratio form must
+reconstruct every double bit-for-bit.
+"""
+
+import struct
+
+import duckdb
+import numpy as np
+
+from search_engine_spark.contract import _adpt_grid_values, _sql_double
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+def test_sql_double_bit_exact_random():
+    con = duckdb.connect()
+    rng = np.random.default_rng(7)
+    vals = [float(v) for v in rng.uniform(-3, 3, 500)]
+    vals += [0.1, 0.2, 0.30000000000000004, 1.4000000000000001, 2.5,
+             1e-300, 1e300, 123456789.123456789, -0.0, 0.0, 5.0,
+             5e-324, 2.2250738585072014e-308, 1.7976931348623157e308,
+             -1e-300, 9007199254740993.0]
+    exprs = ", ".join(f"({i}, {_sql_double(v)})" for i, v in enumerate(vals))
+    rows = con.execute(
+        f"SELECT a, b FROM (VALUES {exprs}) v(a, b) ORDER BY a"
+    ).fetchall()
+    for (i, got), want in zip(rows, vals):
+        assert _bits(got) == _bits(want), (i, want, got)
+
+
+def test_adpt_grid_uses_parse_proof_literals():
+    """Every grid j must reach DuckDB bit-identical to the accumulated
+    Python double (plain reprs of 4 of the 23 values misparse)."""
+    con = duckdb.connect()
+    js, j = [], 0.2
+    while j <= 2.5:
+        js.append(j)
+        j += 0.1
+    rows = con.execute(
+        f"SELECT a, b FROM (VALUES {_adpt_grid_values()}) v(a, b) ORDER BY a"
+    ).fetchall()
+    assert len(rows) == len(js) == 23
+    for (i, got), want in zip(rows, js):
+        assert _bits(got) == _bits(want), (i, want, got)

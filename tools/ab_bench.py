@@ -124,12 +124,35 @@ def ensure_worktree(name: str, commit: str | None) -> str:
     if commit is None:
         return REPO
     path = f"/tmp/ab_worktrees/{name}"
-    if not os.path.isdir(path):
-        os.makedirs("/tmp/ab_worktrees", exist_ok=True)
+    want = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", commit],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    if os.path.isdir(path):
+        # a stale worktree (re-pinned variant, or a dirty leftover) would
+        # silently benchmark the WRONG code — verify HEAD matches the pin
+        # and the tree is clean, else rebuild it
+        head = subprocess.run(
+            ["git", "-C", path, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", path, "status", "--porcelain"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        if head == want and not dirty:
+            return path
+        print(f"[ab] rebuilding stale worktree {name} ({head[:9]} != {want[:9]}"
+              f"{' or dirty' if dirty else ''})", file=sys.stderr)
         subprocess.run(
-            ["git", "-C", REPO, "worktree", "add", "--detach", path, commit],
-            check=True, capture_output=True,
+            ["git", "-C", REPO, "worktree", "remove", "--force", path],
+            capture_output=True,
         )
+    os.makedirs("/tmp/ab_worktrees", exist_ok=True)
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--detach", path, want],
+        check=True, capture_output=True,
+    )
     return path
 
 

@@ -1,0 +1,88 @@
+"""One-off scaling measurement: Arrow shingling twin vs SQL-HOF twin.
+
+Round-3 finding (BASELINE.md): shingles_df's transform/slice lambda HOFs
+are interpreted and allocation-bound — the same pathology the textstats
+HOFs showed.  This probe measures BOTH twins feeding the identical
+downstream (a shingle-count agg — the cheapest consumer, so the
+shingling cost dominates) on a replicated corpus at local[4] vs
+local[16] and prints throughput + N→4N efficiency for each — the
+evidence that shingles_arrow is the right hot path for corpus-scale
+dedup sweeps.
+
+Usage: python tools/measure_shingles_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops import dedup as D
+    from search_engine_spark.session import get_spark
+
+    # Per-twin corpus sizing: each measured run must be >=20 s at 4 cores
+    # (sandbox fixed overhead ~1 s; see BASELINE noise note), and the twins
+    # are ~15x apart in cost, so one shared rep would leave the Arrow
+    # 16-core run at ~2 s — measuring job overhead, not shingling.
+    reps = {"sql_hof": 100, "arrow": 1000}  # 500k / 5M rows
+    rep = max(reps.values())
+    tmp = tempfile.mkdtemp(prefix="sh_scale_")
+    s = get_spark("sh-prep", master="local[16]", shuffle_partitions=16)
+    d = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_files = d.count() * rep
+    (
+        d.crossJoin(s.range(rep).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") * rep + F.col("rep")).alias("doc_id"), "text")
+        .repartition(256)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/big")
+    )
+    s.stop()
+
+    def run(df, fn):
+        # count() over the shingle rows: forces full shingling, adds only
+        # a partial-agg reduce — the probe measures the shingling itself
+        return fn(df, "text", "doc_id", 3).groupBy().count().collect()
+
+    results: dict[str, dict] = {"sql_hof": {}, "arrow": {}}
+    for cores in (4, 16):
+        s = get_spark(f"sh-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2)
+        big = s.read.parquet(f"{tmp}/big")
+        run(big.limit(20000), D.shingles_df)
+        run(big.limit(20000), D.shingles_arrow)
+        for name, fn in (("sql_hof", D.shingles_df), ("arrow", D.shingles_arrow)):
+            sub = big.where(F.col("doc_id") % rep < reps[name])
+            n_sub = n_files * reps[name] // rep
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(sub, fn)
+                best = min(best, time.perf_counter() - t0)
+            results[name][cores] = {
+                "n_files": n_sub,
+                "sec": round(best, 3),
+                "files_per_sec": round(n_sub / best, 2),
+            }
+        s.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    for name in ("sql_hof", "arrow"):
+        r = results[name]
+        r["efficiency_n_to_4n"] = round(
+            r[16]["files_per_sec"] / (4.0 * r[4]["files_per_sec"]), 3
+        )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
