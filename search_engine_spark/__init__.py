@@ -16,6 +16,8 @@ Layout:
     codec.py     delta+varint posting-block codec (NumPy vectorized)
     postings.py  packed posting segments, term-bucketed index layout, (de)serialization
     resume.py    checkpoint-resumable chunked build + segments ledger
+    maintenance.py incremental maintenance: delta segments, tombstones,
+                 compaction (live search bit-identical to a rebuild)
     query.py     DataFrame scorers (BM25, TF-IDF, boolean) + top-k
     wand.py      block-max WAND scorer over posting segments (mapInArrow)
     adpt.py      BM25-ADPT adaptive-k1 scorer
@@ -57,6 +59,12 @@ _EXPORTS = {
     "queries_to_df": "query:queries_to_df",
     "score_bm25_adpt": "adpt:score_bm25_adpt",
     "resumable_build": "resume:resumable_build",
+    # incremental index maintenance (Lucene-style segment lifecycle)
+    "append_delta": "maintenance:append_delta",
+    "delete_docs": "maintenance:delete_docs",
+    "live_index": "maintenance:live_index",
+    "compact_index": "maintenance:compact_index",
+    "list_deltas": "maintenance:list_deltas",
     # positional / phrase / snippets
     "positional_tokens": "positional:positional_tokens",
     "phrase_match": "positional:phrase_match",

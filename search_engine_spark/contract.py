@@ -320,6 +320,91 @@ def q_bm25_wand_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental index maintenance under the driver oracle -----------------
+# Base = docs with doc_id % 5 != 0, delta = the rest, tombstones =
+# doc_id % 7 == 0: three lifecycle stages, each against plain BM25 SQL —
+# delta-live == full corpus; live-with-deletes == full-corpus stats with
+# deleted docs dropped from the ranking (Lucene tombstone semantics);
+# compacted == a from-scratch corpus without the deleted docs.
+_MAINT_DELETE_MOD = 7
+
+
+def _maint_index(
+    spark: SparkSession, sf_dir: str, tag: str, *, delete: bool, compact: bool
+) -> str:
+    """Build the maintenance lifecycle index fresh (rmtree first: the
+    pid-stable dir would otherwise accumulate deltas across repeated
+    in-process invocations)."""
+    import shutil
+
+    from . import maintenance as MN, postings as P
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir(tag, sf_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    P.build_index(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        content_col="text",
+    )
+    MN.append_delta(
+        docs.filter(F.col("doc_id") % 5 == 0), idx_dir, content_col="text"
+    )
+    if delete:
+        MN.delete_docs(
+            spark,
+            idx_dir,
+            docs.filter(F.col("doc_id") % _MAINT_DELETE_MOD == 0).select("doc_id"),
+        )
+    if compact:
+        MN.compact_index(spark, idx_dir)
+    return idx_dir
+
+
+def _maint_search(spark: SparkSession, idx_dir: str, live: bool) -> DataFrame:
+    from . import maintenance as MN, postings as P, wand as W
+
+    idx = MN.live_index(spark, idx_dir) if live else P.load_index(spark, idx_dir)
+    res = W.search_bm25(idx, [(1, BM25_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_bm25_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-segment search: base(80%) + appended delta(20%), live WAND
+    with df override + stats-free sound bounds (maintenance.live_index)
+    — must be bit-identical to BM25 over the whole corpus, so the
+    oracle is the plain full-corpus BM25 SQL."""
+    return _maint_search(
+        spark, _maint_index(spark, sf_dir, "delta", delete=False, compact=False),
+        live=True,
+    )
+
+
+def q_bm25_live_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned live search: deleted docs vanish from the ranking but
+    (Lucene semantics) still count in df/avgdl until compaction — the
+    oracle scores the FULL corpus and drops them before ranking."""
+    return _maint_search(
+        spark, _maint_index(spark, sf_dir, "livedel", delete=True, compact=False),
+        live=True,
+    )
+
+
+def q_bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """After compact_index folds deltas+tombstones into a fresh base
+    (df/stats/bounds recomputed over survivors), a plain load_index
+    search must equal BM25 over the corpus WITHOUT the deleted docs."""
+    return _maint_search(
+        spark, _maint_index(spark, sf_dir, "compact", delete=True, compact=True),
+        live=False,
+    )
+
+
 def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
@@ -1094,8 +1179,14 @@ def _sql_bm25(
     source_table: str = "documents",
     prelude: str = "",
     query_text: str | None = None,
+    score_filter: str = "",
 ) -> str:
+    """score_filter (a doc_id predicate) drops docs AFTER scoring but
+    BEFORE ranking — tombstone semantics: stats/df still count the
+    deleted docs (Lucene-style, maintenance.delete_docs), the ranking
+    just never returns them."""
     k1, k3, b = params.k1, params.k3, params.b
+    where_scores = f"WHERE {score_filter}" if score_filter else ""
     return f"""
 WITH {prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
 {_query_values_sql(query_text or BM25_QUERY_TEXT)},
@@ -1122,7 +1213,7 @@ scores AS (
 ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
          doc_id, score
-  FROM scores
+  FROM scores {where_scores}
 )
 SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
@@ -1960,6 +2051,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25_spark,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_pruned": q_bm25_wand_pruned,
+        "bm25_delta_topk": q_bm25_delta_topk,
+        "bm25_live_delete_topk": q_bm25_live_delete_topk,
+        "bm25_compacted_topk": q_bm25_compacted_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
@@ -2022,6 +2116,21 @@ def duckdb_oracles() -> dict[str, str]:
             source_table="corpus",
             prelude=_sql_pruned_corpus_cte(),
             query_text=WAND_PRUNED_QUERY_TEXT,
+        ),
+        # incremental maintenance lifecycle (maintenance.py): the live
+        # delta view must reproduce plain full-corpus BM25 …
+        "bm25_delta_topk": _sql_bm25(),
+        # … tombstones drop docs from the ranking but not the stats …
+        "bm25_live_delete_topk": _sql_bm25(
+            score_filter=f"doc_id % {_MAINT_DELETE_MOD} <> 0"
+        ),
+        # … and compaction re-bases stats on the surviving corpus
+        "bm25_compacted_topk": _sql_bm25(
+            source_table="survivors",
+            prelude=(
+                "survivors AS (SELECT * FROM documents "
+                f"WHERE doc_id % {_MAINT_DELETE_MOD} <> 0), "
+            ),
         ),
         # restricted-corpus (faceted) BM25: same scorer, stats over the facet
         "bm25_filtered_topk": _sql_bm25(

@@ -1,0 +1,388 @@
+"""Incremental index maintenance: delta segments, tombstones, compaction.
+
+The packed index (postings.build_index) is an immutable snapshot — the
+right shape for the reference's one-shot build (it serializes a final
+merged index once, /root/reference/src/Indexing/Indexer.cs:100-109), but
+a 10^12-file corpus keeps growing: new commits arrive daily at ~0.1% of
+corpus size, and re-packing 100 TB of postings to admit 100 GB of new
+docs is a scale-killer.  This module adds the Lucene-style segment
+lifecycle, re-expressed for Spark:
+
+  append_delta(new_docs, index_dir)
+      packs ONLY the new docs into index_dir/deltas/delta_NNNN/ using
+      the base manifest's analyzer/params/block layout — a full
+      build_index of the delta corpus, cost proportional to the DELTA,
+      not the index.  Delta segment_ids are remapped into a disjoint
+      namespace at read time (ordinal · 2^40), so the doc-partitioned
+      scoring invariant (a doc's postings live in exactly one segment)
+      holds across epochs.
+
+  delete_docs(spark, index_dir, doc_ids)
+      appends tombstones (doc_id parquet) — no index rewrite.  Lucene
+      stats semantics: tombstoned docs stay in n_docs/avgdl/df until
+      compaction; queries just never return them.
+
+  live_index(spark, index_dir)
+      one load_index()-shaped view over base + deltas − tombstones:
+      postings/doc_meta unions, EXACT combined stats (Σ total_terms /
+      Σ n_docs reproduces a from-scratch build's avg() bit-for-bit),
+      live=True.  wand.search_bm25 detects live mode and (a) overrides
+      each epoch's pack-time df with the true live df, (b) swaps the
+      stale baked block_max_score for the stats-free sound bound
+      wand._maxtf_bound — so block-max pruning SURVIVES incrementality
+      — and (c) masks tombstones out of both the θ bootstrap and the
+      candidates.  Invariant (pytest-gated): live search over
+      base+deltas is bit-identical to a from-scratch build over the
+      union corpus.
+
+  compact_index(spark, index_dir)
+      folds deltas + tombstones back into one base: decode live blocks
+      (minus tombstoned postings) into posting fragments, recompute df
+      and collection stats over survivors, re-pack with freshly baked
+      bounds via the normal pack_postings path, atomically swap the
+      postings/doc_meta/stats dirs, drop deltas/ and tombstones/.
+      Invariant (pytest-gated): the compacted index answers queries
+      bit-identically to a from-scratch build over the surviving docs.
+
+Scale notes (10^12 docs, 1000 executors):
+  * append cost ∝ delta size; nothing global is touched (df/bounds are
+    corrected at read time, not rewritten).
+  * the live df override is one agg over the term-filtered,
+    bucket-pruned scan — dictionary-sized for any query.
+  * tombstones ride the query task closure as one sorted int64 array;
+    when the set grows past driver memory comfort (~10^8), compaction
+    is the designed response — it's the operation that physically
+    removes them.
+  * compaction is one decode→filter→re-pack pipeline: a narrow
+    mapInArrow over postings plus pack_postings' single wide stage;
+    directory swap is atomic on a POSIX FS — on an object store, land
+    the same layout as an Iceberg snapshot commit instead (io_sink).
+
+Single-writer assumption: one maintainer process per index_dir (delta
+ordinals and the swap are not concurrency-safe; the reference engine is
+single-writer too).  Appending a doc_id that already exists is a caller
+error — upsert = delete_docs(ids) then append_delta(docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import build as B
+from . import postings as P
+from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
+
+# disjoint segment-id namespace per delta generation: base ids are Spark
+# partition ids (< 2^40 forever); delta k maps to [k·2^40, (k+1)·2^40)
+DELTA_SEG_STRIDE = 1 << 40
+
+_DELTA_PREFIX = "delta_"
+
+
+def _deltas_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "deltas")
+
+
+def _tombstones_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def list_deltas(index_dir: str) -> list[str]:
+    """Ordinal-sorted delta directory names (delta_0001, ...)."""
+    root = _deltas_root(index_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith(_DELTA_PREFIX)
+        and os.path.isfile(os.path.join(root, d, "manifest.json"))
+    )
+
+
+def _read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        return json.load(fh)
+
+
+def append_delta(
+    docs: DataFrame,
+    index_dir: str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+) -> dict:
+    """Pack new docs as the next delta segment set of an existing index.
+
+    Cost ∝ |docs| (a normal build_index of just the delta).  The delta's
+    own pack-time stats/df/bounds are epoch-local and WRONG for the live
+    collection — live readers override them (see module docstring); they
+    become right again only for a reader of the delta dir in isolation.
+    """
+    manifest = _read_manifest(index_dir)
+    cfg = IndexBuildConfig(
+        analyzer=AnalyzerConfig.from_dict(manifest["analyzer"]),
+        block_size=manifest["block_size"],
+        term_buckets=manifest["term_buckets"],
+    )
+    params = BM25Params(**manifest["bm25"])
+    existing = list_deltas(index_dir)
+    ordinal = (
+        max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1 if existing else 1
+    )
+    if ordinal * DELTA_SEG_STRIDE >= 2 ** 62:
+        raise ValueError("delta ordinal namespace exhausted — compact_index first")
+    name = f"{_DELTA_PREFIX}{ordinal:04d}"
+    ddir = os.path.join(_deltas_root(index_dir), name)
+    os.makedirs(ddir, exist_ok=True)
+    metrics = P.build_index(
+        docs,
+        ddir,
+        cfg,
+        params,
+        doc_id_col=doc_id_col,
+        content_col=content_col,
+        key_cols=key_cols,
+        chunk_label=name,
+    )
+    metrics["delta"] = name
+    metrics["segment_offset"] = ordinal * DELTA_SEG_STRIDE
+    return metrics
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
+    """Tombstone docs (DataFrame with a doc_id column, or an iterable of
+    ids).  Appends parquet; nothing is rewritten until compact_index."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    else:
+        df = spark.createDataFrame(
+            [(int(x),) for x in doc_ids], schema="doc_id long"
+        )
+    df.write.mode("append").parquet(_tombstones_dir(index_dir))
+
+
+def live_index(spark: SparkSession, index_dir: str) -> dict:
+    """load_index()-shaped dict over base + deltas, with exact combined
+    stats and the tombstone set attached.  Pass straight to
+    wand.search_bm25 (which detects live=True).
+
+    Raises if a delta was built with a different analyzer — mixed
+    tokenizations in one posting space are silent corruption."""
+    base = P.load_index(spark, index_dir)
+    postings, doc_meta = base["postings"], base["doc_meta"]
+    n_docs, total_terms = base["n_docs"], base["total_terms"]
+    deltas = list_deltas(index_dir)
+    for name in deltas:
+        ordinal = int(name[len(_DELTA_PREFIX) :])
+        d = P.load_index(spark, os.path.join(_deltas_root(index_dir), name))
+        if d["manifest"]["analyzer"] != base["manifest"]["analyzer"]:
+            raise ValueError(
+                f"delta {name} analyzer differs from base — rebuild the delta"
+            )
+        off = ordinal * DELTA_SEG_STRIDE
+        postings = postings.unionByName(
+            d["postings"].withColumn(
+                "segment_id", (F.col("segment_id") + F.lit(off)).cast("long")
+            )
+        )
+        doc_meta = doc_meta.unionByName(d["doc_meta"])
+        n_docs += d["n_docs"]
+        total_terms += d["total_terms"]
+
+    tomb_dir = _tombstones_dir(index_dir)
+    tombstones = (
+        spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
+    )
+    return {
+        **base,
+        "postings": postings,
+        "doc_meta": doc_meta,
+        "n_docs": n_docs,
+        "total_terms": total_terms,
+        # Σ total_terms / Σ n_docs == a from-scratch build's avg(doc_len)
+        # bit-for-bit: Spark's Average(long) is exact-long sum, then one
+        # double division — the same two operations on the same totals.
+        "avg_doc_len": (total_terms / n_docs) if n_docs else 0.0,
+        "live": True,
+        "n_deltas": len(deltas),
+        "tombstones": tombstones,
+    }
+
+
+def _postings_to_fragments(
+    postings: DataFrame, tombstones: np.ndarray | None
+) -> DataFrame:
+    """Decode packed blocks back into FRAGMENTS_SCHEMA rows, dropping
+    tombstoned postings — the compaction intake.  Narrow (no shuffle);
+    pack_postings downstream merges same-(segment,term) rows itself."""
+    from .codec import delta_decode, varint_decode
+
+    tomb = (
+        tombstones
+        if tombstones is not None and len(tombstones)
+        else None
+    )
+
+    def _frag(batches):
+        import pyarrow as pa
+
+        from search_engine_spark.wand import _in_sorted
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seg_a = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            terms = batch.column("term").to_pylist()
+            n_a = batch.column("n").to_numpy(zero_copy_only=False)
+            f_a = batch.column("first_doc_id").to_numpy(zero_copy_only=False)
+            d_enc = batch.column("doc_ids_enc")
+            t_enc = batch.column("tfs_enc")
+            l_enc = batch.column("doc_lens_enc")
+            segs, out_t, dl, tl, ll = [], [], [], [], []
+            for i in range(batch.num_rows):
+                n = int(n_a[i])
+                d = delta_decode(int(f_a[i]), d_enc[i].as_py(), n).astype(np.int64)
+                t = varint_decode(t_enc[i].as_py(), n).astype(np.int32)
+                l = varint_decode(l_enc[i].as_py(), n).astype(np.int32)
+                if tomb is not None:
+                    keep = ~_in_sorted(tomb, d)
+                    if not keep.all():
+                        d, t, l = d[keep], t[keep], l[keep]
+                if len(d) == 0:
+                    continue  # fully-tombstoned block vanishes
+                segs.append(int(seg_a[i]))
+                out_t.append(terms[i])
+                dl.append(d)
+                tl.append(t)
+                ll.append(l)
+            if not segs:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(segs, pa.int64()),
+                    pa.array(out_t, pa.string()),
+                    pa.array([x.tolist() for x in dl], pa.list_(pa.int64())),
+                    pa.array([x.tolist() for x in tl], pa.list_(pa.int32())),
+                    pa.array([x.tolist() for x in ll], pa.list_(pa.int32())),
+                ],
+                names=["segment_id", "term", "doc_ids", "tfs", "doc_lens"],
+            )
+
+    return postings.mapInArrow(_frag, schema=P.FRAGMENTS_SCHEMA)
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, block_size: int | None = None
+) -> dict:
+    """Fold deltas and tombstones back into one base index.
+
+    Decode→filter→re-pack: df and collection stats are recomputed over
+    the SURVIVING postings/docs, so baked idf/block_max bounds are tight
+    again and tombstoned docs leave the statistics (the point where
+    Lucene deletes become real).  Writes to index_dir/.compact_tmp, then
+    swaps directories; existing DataFrames over the old dirs are
+    invalidated — reload via load_index/live_index.
+
+    Returns compaction metrics.  No content re-analysis happens —
+    compaction never needs the original text."""
+    t0 = time.time()
+    manifest = _read_manifest(index_dir)
+    params = BM25Params(**manifest["bm25"])
+    bsz = int(block_size or manifest["block_size"])
+    buckets = int(manifest["term_buckets"])
+
+    live = live_index(spark, index_dir)
+    tomb_df = live.get("tombstones")
+    tomb_arr = None
+    if tomb_df is not None:
+        ids = [r[0] for r in tomb_df.select("doc_id").distinct().collect()]
+        if ids:
+            tomb_arr = np.sort(np.asarray(ids, dtype=np.int64))
+
+    tmp = os.path.join(index_dir, ".compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    doc_meta_new = live["doc_meta"]
+    if tomb_arr is not None:
+        doc_meta_new = doc_meta_new.join(
+            tomb_df.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    doc_meta_new.write.parquet(f"{tmp}/doc_meta")
+    # re-read from tmp: breaks lineage to the old dirs before the swap
+    # and makes the stats provably consistent with what was written
+    doc_meta_w = spark.read.parquet(f"{tmp}/doc_meta")
+    n_docs, avgdl, total_terms = B.collect_stats(doc_meta_w)
+
+    frags = _postings_to_fragments(live["postings"], tomb_arr)
+    term_df = P.fragment_term_df(frags)  # post-tombstone df — exact
+    packed = P.pack_postings(frags, term_df, n_docs, avgdl, params, bsz)
+    P.write_postings_bucketed(packed, f"{tmp}/postings", buckets)
+
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), total_terms)],
+        schema="n_docs long, avg_doc_len double, total_terms long",
+    ).write.parquet(f"{tmp}/stats")
+
+    pstat = (
+        spark.read.parquet(f"{tmp}/postings")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.count_distinct("term").alias("n_terms"),
+            F.count_distinct("segment_id").alias("n_segments"),
+        )
+        .collect()[0]
+    )
+
+    # ---- swap (POSIX-atomic per dir; Iceberg snapshot commit at scale)
+    for sub in ("postings", "doc_meta", "stats"):
+        old = os.path.join(index_dir, sub)
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(os.path.join(tmp, sub), old)
+    shutil.rmtree(_deltas_root(index_dir), ignore_errors=True)
+    shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    manifest["block_size"] = bsz
+    manifest["compactions"] = int(manifest.get("compactions", 0)) + 1
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+    sec = round(time.time() - t0, 3)
+    metrics = {
+        "chunk_label": "compact",
+        "n_docs": n_docs,
+        "avg_doc_len": avgdl,
+        "n_terms": int(pstat["n_terms"]),
+        "n_postings": int(pstat["n_postings"] or 0),
+        "n_blocks": int(pstat["n_blocks"]),
+        "n_segments": int(pstat["n_segments"]),
+        "n_tombstones_removed": int(len(tomb_arr)) if tomb_arr is not None else 0,
+        "sec_total": sec,
+    }
+    ledger = spark.createDataFrame(
+        [
+            (
+                "compact", n_docs, float(avgdl), metrics["n_terms"],
+                metrics["n_postings"], metrics["n_blocks"],
+                metrics["n_segments"], 0.0, 0.0, sec, t0,
+            )
+        ],
+        schema=(
+            "chunk_label string, n_docs long, avg_doc_len double, n_terms long,"
+            " n_postings long, n_blocks long, n_segments long, sec_doc_meta double,"
+            " sec_postings double, sec_total double, build_ts double"
+        ),
+    )
+    ledger.write.mode("overwrite").parquet(f"{index_dir}/segments")
+    return metrics

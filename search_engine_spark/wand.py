@@ -65,6 +65,29 @@ def _qtf_part(qtf: float, p: BM25Params) -> float:
     return (p.k3 + 1.0) * qtf / (p.k3 + qtf)
 
 
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of vals in a non-empty SORTED int64 array (vectorized)."""
+    pos = np.minimum(np.searchsorted(sorted_arr, vals), len(sorted_arr) - 1)
+    return sorted_arr[pos] == vals
+
+
+def _maxtf_bound(max_tf: int, idf: float, p: BM25Params) -> float:
+    """Stats-free sound block bound for LIVE (delta-segment) indexes.
+
+    The stored block_max_score bakes the PACK-time idf/avgdl; after a
+    delta append the live collection stats differ and the stored bound
+    is no longer an upper bound.  This one is, for ANY avgdl and doc
+    length: tf_part = tf(k1+1)/(tf + k1·K) with K = 1-b+b·dl/avgdl
+    ≥ 1-b (dl ≥ 0), and tf_part is increasing in tf, so
+    tf_part ≤ (k1+1)·max_tf/(max_tf + k1(1-b)).  Multiplied by the LIVE
+    idf (positive — the soundness gate disables pruning otherwise) it
+    bounds every contribution in the block.  The one-float32-ulp nudge
+    mirrors postings._bm25_block_upper: float32-cast contributions can
+    round up past the float64 product."""
+    tfp = (p.k1 + 1.0) * max_tf / (max_tf + p.k1 * (1.0 - p.b))
+    return float(np.nextafter(np.float32(idf * tfp), np.float32(np.inf)))
+
+
 def _exact_scores(
     per_term: list[tuple[int, float, np.ndarray, np.ndarray, np.ndarray]],
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -113,6 +136,9 @@ def _segment_topic_topk(
     k: int,
     dec=decode_block,
     allow_prune: bool = True,
+    df_map: dict | None = None,
+    live_bounds: bool = False,
+    tombstones: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max-pruned exact top-k for one (segment, topic).
 
@@ -122,19 +148,36 @@ def _segment_topic_topk(
     topic ever needs.  allow_prune=False forces exhaustive scoring
     (used when stored block bounds don't match the scoring params).
 
+    LIVE (delta-segment) mode — maintenance.live_index:
+      * df_map overrides the PACK-time per-(segment,term) df with the
+        true live df (postings of a term span base + delta epochs, each
+        baked with its own epoch-local df);
+      * live_bounds replaces the stored block_max_score (baked with
+        pack-time stats — stale after appends) with the provably-sound
+        stats-free _maxtf_bound, so pruning survives incrementality;
+      * tombstones (sorted int64) are masked out of the θ bootstrap
+        (a tombstoned champ doc would inflate θ and over-prune) and of
+        the final candidates BEFORE top-k selection.
+
     Returns (doc_ids, scores, n_pruned) — n_pruned counts posting
     blocks skipped by interval pruning for this (segment, topic), so
     callers can prove the pruned branch actually fired (VERDICT r2 #3:
     a zero-pruning 'fast path' is just the exhaustive path)."""
+    if tombstones is not None and len(tombstones) == 0:
+        tombstones = None
     active = []  # (term_pos, idf, qtfp, ub, blocks)
     for term, qtf, term_pos in topic_terms:
         blocks = term_blocks.get(term)
         if not blocks:
             continue
-        df = blocks[0]["df"]
+        df = df_map[term] if df_map is not None else blocks[0]["df"]
         idf = math.log((n_docs - df + 0.5) / (df + 0.5))
         qtfp = _qtf_part(qtf, p)
-        ub = max(b["block_max_score"] for b in blocks) * qtfp
+        if live_bounds:
+            bmax = max(_maxtf_bound(b["max_tf"], idf, p) for b in blocks)
+        else:
+            bmax = max(b["block_max_score"] for b in blocks)
+        ub = bmax * qtfp
         active.append((term_pos, idf, qtfp, ub, blocks))
     if not active:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32), 0
@@ -155,9 +198,17 @@ def _segment_topic_topk(
     if boot:
         champ = max(boot, key=lambda a: a[3])
         term_pos, idf, qtfp, _, blocks = champ
-        cs = np.concatenate(
-            [_contrib32(*(dec(b)[1:]), idf, qtfp, avgdl, p) for b in blocks]
-        )
+        parts = []
+        for b in blocks:
+            d, t, l = dec(b)
+            c = _contrib32(t, l, idf, qtfp, avgdl, p)
+            if tombstones is not None:
+                # a tombstoned champ doc is not a candidate — keeping it
+                # would inflate θ above the true live k-th floor and
+                # over-prune live top-k docs
+                c = c[~_in_sorted(tombstones, d)]
+            parts.append(c)
+        cs = np.concatenate(parts)
         if len(cs) >= k:
             theta = float(np.partition(cs, -k)[-k])
 
@@ -167,7 +218,12 @@ def _segment_topic_topk(
         bounds: list[tuple[int, int, float]] = []
         for term_pos, idf, qtfp, _, blocks in active:
             for b in blocks:
-                bounds.append((b["first_doc_id"], b["last_doc_id"], b["block_max_score"] * qtfp))
+                blk_ub = (
+                    _maxtf_bound(b["max_tf"], idf, p)
+                    if live_bounds
+                    else b["block_max_score"]
+                )
+                bounds.append((b["first_doc_id"], b["last_doc_id"], blk_ub * qtfp))
         edges = np.unique(
             np.concatenate([[lo for lo, _, _ in bounds], [hi + 1 for _, hi, _ in bounds]])
         )
@@ -205,6 +261,9 @@ def _segment_topic_topk(
         c = _contrib32(np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, p)
         per_term.append((term_pos, None, d, c, None))
     uniq, scores = _exact_scores(per_term)
+    if tombstones is not None and len(uniq):
+        keep = ~_in_sorted(tombstones, uniq)
+        uniq, scores = uniq[keep], scores[keep]
     if len(uniq) > k:
         # top-k: score desc, doc_id asc
         order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
@@ -236,8 +295,12 @@ def search_bm25(
     p_dict = {"k1": p.k1, "k3": p.k3, "b": p.b}
     # stored block_max_score bakes in the BUILD-time k1/b; pruning with
     # different scoring params would treat stale bounds as upper bounds
-    # and silently drop valid results — fall back to exhaustive scoring
-    allow_prune = p == index["params"]
+    # and silently drop valid results — fall back to exhaustive scoring.
+    # LIVE indexes (maintenance.live_index) ignore stored bounds and
+    # derive stats-free sound bounds from max_tf with the SCORING params
+    # (_maxtf_bound), so pruning stays on for any params there.
+    live = bool(index.get("live"))
+    allow_prune = live or p == index["params"]
 
     topics: list[tuple[int, list[tuple[str, int, int]]]] = []
     all_terms: set[str] = set()
@@ -263,6 +326,30 @@ def search_bm25(
         buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
         matched = matched.filter(F.col("term_bucket").isin(buckets))
     matched = matched.filter(F.col("term").isin(list(all_terms)))
+
+    df_map: dict[str, int] | None = None
+    tomb_arr: np.ndarray | None = None
+    if live:
+        # True live df per query term = Σ block posting counts across all
+        # epochs (each posting is one unique (doc, term)) — one tiny agg
+        # over the already term-filtered, bucket-pruned scan.  Per Lucene
+        # stats semantics, tombstoned docs still count in df/avgdl until
+        # compaction (documented in maintenance.py).
+        df_map = {
+            r["term"]: int(r["df_live"])
+            for r in matched.groupBy("term")
+            .agg(F.sum("n").alias("df_live"))
+            .collect()
+        }
+        tdf = index.get("tombstones")
+        if tdf is not None:
+            # tombstones ride the task closure as one sorted array; a set
+            # too large to collect is the signal to compact_index (which
+            # physically removes them) — documented scale trade.
+            ids = [r[0] for r in tdf.select("doc_id").distinct().collect()]
+            if ids:
+                tomb_arr = np.sort(np.asarray(ids, dtype=np.int64))
+
     # co-locate each segment's blocks in one task
     matched = matched.repartition("segment_id")
 
@@ -311,6 +398,7 @@ def search_bm25(
             n_a = batch.column("n").to_numpy(zero_copy_only=False)
             f_a = batch.column("first_doc_id").to_numpy(zero_copy_only=False)
             l_a = batch.column("last_doc_id").to_numpy(zero_copy_only=False)
+            mtf_a = batch.column("max_tf").to_numpy(zero_copy_only=False)
             bms_a = batch.column("block_max_score").to_numpy(zero_copy_only=False)
             enc_cols = (
                 batch.column("doc_ids_enc"),
@@ -326,6 +414,7 @@ def search_bm25(
                         "n": int(n_a[i]),
                         "first_doc_id": int(f_a[i]),
                         "last_doc_id": int(l_a[i]),
+                        "max_tf": int(mtf_a[i]),
                         "block_max_score": float(bms_a[i]),
                         "_seg": seg,
                         "_term": terms[i],
@@ -357,7 +446,8 @@ def search_bm25(
                 tb.sort(key=lambda r: r["block_id"])
             for topic_id, terms in get_topics():
                 ids, scores, n_pruned = _segment_topic_topk(
-                    term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune
+                    term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune,
+                    df_map, live, tomb_arr,
                 )
                 if prune_accumulator is not None and n_pruned:
                     prune_accumulator.add(n_pruned)

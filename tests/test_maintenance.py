@@ -1,0 +1,273 @@
+"""Incremental index maintenance gates (maintenance.py).
+
+The three lifecycle invariants, each bit-exact:
+  1. live (base + deltas) search == from-scratch build over the union;
+  2. tombstoned search == full ranking minus deleted docs (Lucene stats
+     semantics: df/avgdl unchanged until compaction);
+  3. compacted search == from-scratch build over the SURVIVING docs.
+Plus: pruning still fires in live mode (and stays sound), the θ
+bootstrap ignores tombstoned champ docs (adversarial kernel test), and
+structural checks (segment-id disjointness, dirs dropped on compact,
+token-level round-trip).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B, maintenance as MN, postings as P, wand as W
+from search_engine_spark.config import BM25Params, IndexBuildConfig
+from search_engine_spark.contract import (
+    BM25_QUERY_TEXT,
+    SQL_CFG,
+    TOPK,
+    WAND_PRUNED_QUERY_TEXT,
+    _pruned_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+DEL_MOD = 7
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def idx_dirs(spark, tmp_path_factory):
+    """base(3 of 5)+two deltas at `inc`; full rebuild at `full`;
+    rebuild over the %DEL_MOD survivors at `surv`."""
+    root = tmp_path_factory.mktemp("maint")
+    docs = _docs(spark)
+    cfg = IndexBuildConfig(analyzer=SQL_CFG)
+    inc, full, surv = str(root / "inc"), str(root / "full"), str(root / "surv")
+    P.build_index(
+        docs.filter(F.col("doc_id") % 5 < 3), inc, cfg, BM25Params(),
+        content_col="text",
+    )
+    MN.append_delta(docs.filter(F.col("doc_id") % 5 == 3), inc, content_col="text")
+    MN.append_delta(docs.filter(F.col("doc_id") % 5 == 4), inc, content_col="text")
+    P.build_index(docs, full, cfg, BM25Params(), content_col="text")
+    P.build_index(
+        docs.filter(F.col("doc_id") % DEL_MOD != 0), surv, cfg, BM25Params(),
+        content_col="text",
+    )
+    return inc, full, surv
+
+
+def test_live_equals_full_rebuild(spark, idx_dirs):
+    inc, full, _ = idx_dirs
+    live = MN.live_index(spark, inc)
+    ref = P.load_index(spark, full)
+    assert live["n_deltas"] == 2
+    assert live["n_docs"] == ref["n_docs"]
+    assert live["avg_doc_len"] == ref["avg_doc_len"]  # bit-equal, not approx
+    qs = [(1, BM25_QUERY_TEXT), (2, "spark batch"), (3, "the window")]
+    got = _rows(W.search_bm25(live, qs, k=TOPK))
+    want = _rows(W.search_bm25(ref, qs, k=TOPK))
+    assert got == want
+
+
+def test_delta_segment_ids_disjoint(spark, idx_dirs):
+    inc, _, _ = idx_dirs
+    live = MN.live_index(spark, inc)
+    segs = [r[0] for r in live["postings"].select("segment_id").distinct().collect()]
+    bands = {s // MN.DELTA_SEG_STRIDE for s in segs}
+    assert bands == {0, 1, 2}  # base + delta_0001 + delta_0002 namespaces
+
+
+def test_tombstones_excluded_stats_unchanged(spark, idx_dirs):
+    inc, full, _ = idx_dirs
+    docs = _docs(spark)
+    MN.delete_docs(
+        spark, inc, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    try:
+        live = MN.live_index(spark, inc)
+        q = [(1, BM25_QUERY_TEXT)]
+        got = _rows(W.search_bm25(live, q, k=TOPK))
+        # oracle: FULL-stats ranking (tombstones don't change df/avgdl
+        # until compaction), deleted docs dropped, next docs pulled up
+        ref = P.load_index(spark, full)
+        big = W.search_bm25(ref, q, k=10**6).collect()
+        kept = [
+            r for r in sorted(big, key=lambda r: r["rank"])
+            if r["doc_id"] % DEL_MOD != 0
+        ][:TOPK]
+        want = sorted((1, i + 1, r["doc_id"], r["score"]) for i, r in enumerate(kept))
+        assert got == want
+        assert all(d % DEL_MOD != 0 for _, _, d, _ in got)
+    finally:
+        # later tests in this module re-derive their own tombstones
+        import shutil
+
+        shutil.rmtree(f"{inc}/tombstones", ignore_errors=True)
+
+
+def test_live_pruning_fires_and_stays_sound(spark, tmp_path_factory):
+    """The rare-term pruned corpus split across base+delta: interval
+    pruning must still FIRE with the stats-free live bounds AND the
+    result must equal a from-scratch build of the union."""
+    root = tmp_path_factory.mktemp("maint_pruned")
+    corpus = _pruned_corpus(spark, SF_DIR)
+    cfg = IndexBuildConfig(analyzer=SQL_CFG)
+    inc, full = str(root / "inc"), str(root / "full")
+    # the synthetic rare-term docs (ids >= 2e6) arrive as the delta
+    P.build_index(
+        corpus.filter(F.col("doc_id") < 2_000_000), inc, cfg, BM25Params(),
+        content_col="text",
+    )
+    MN.append_delta(
+        corpus.filter(F.col("doc_id") >= 2_000_000).coalesce(1),
+        inc,
+        content_col="text",
+    )
+    P.build_index(corpus, full, cfg, BM25Params(), content_col="text")
+
+    acc = spark.sparkContext.accumulator(0)
+    live = MN.live_index(spark, inc)
+    got = _rows(
+        W.search_bm25(live, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, prune_accumulator=acc)
+    )
+    want = _rows(
+        W.search_bm25(P.load_index(spark, full), [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
+    )
+    assert got == want
+    assert acc.value > 0, "live-mode pruning never fired"
+
+
+def test_theta_bootstrap_masks_tombstoned_champ_docs():
+    """Adversarial kernel test for the θ/tombstone interaction: the
+    champ term's strongest postings are tombstoned.  An unmasked θ
+    (bug) sits ABOVE the other term's block bound → that block gets
+    interval-pruned → its (live, top-k) docs vanish.  The masked θ
+    keeps it alive.  Expected answer computed by brute force over the
+    live postings with the same float32 contribution pipeline."""
+    p = BM25Params()
+    n_docs, avgdl = 200, 10.0
+    k = 3
+    # term A (champ): docs 0..9, doc_len 10; docs 0-2 carry tf=100 and
+    # are tombstoned.  term B: docs 100..105, tf=1, disjoint id range.
+    a_ids = np.arange(10, dtype=np.int64)
+    a_tfs = np.array([100, 100, 100, 1, 1, 1, 1, 1, 1, 1], dtype=np.int64)
+    b_ids = np.arange(100, 106, dtype=np.int64)
+    b_tfs = np.ones(6, dtype=np.int64)
+    dls = lambda n: np.full(n, 10, dtype=np.int64)
+    blocks = {
+        "aa": [dict(df=10, block_id=0, n=10, first_doc_id=0, last_doc_id=9,
+                    max_tf=100, block_max_score=0.0,
+                    _arrays=(a_ids, a_tfs, dls(10)))],
+        "bb": [dict(df=6, block_id=0, n=6, first_doc_id=100, last_doc_id=105,
+                    max_tf=1, block_max_score=0.0,
+                    _arrays=(b_ids, b_tfs, dls(6)))],
+    }
+    topic = [("aa", 1, 0), ("bb", 1, 1)]
+    df_map = {"aa": 10, "bb": 6}
+    tomb = np.array([0, 1, 2], dtype=np.int64)
+    dec = lambda b: b["_arrays"]
+
+    # sanity: the trap is armed — unmasked θ would exceed bb's bound
+    idf_a = np.log((n_docs - 10 + 0.5) / 10.5)
+    idf_b = np.log((n_docs - 6 + 0.5) / 6.5)
+    theta_unmasked = float(
+        np.sort(W._contrib32(a_tfs, dls(10), idf_a, 1.0, avgdl, p))[-k]
+    )
+    bb_bound = W._maxtf_bound(1, idf_b, p)
+    assert theta_unmasked > bb_bound > 0
+
+    ids, scores, _ = W._segment_topic_topk(
+        blocks, topic, n_docs, avgdl, p, k, dec,
+        allow_prune=True, df_map=df_map, live_bounds=True, tombstones=tomb,
+    )
+    # brute-force expectation over live docs
+    contrib = {}
+    for (ids_t, tfs_t, idf) in ((a_ids, a_tfs, idf_a), (b_ids, b_tfs, idf_b)):
+        c = W._contrib32(tfs_t, dls(len(ids_t)), idf, 1.0, avgdl, p)
+        for d, x in zip(ids_t, c):
+            if d not in tomb:
+                contrib[int(d)] = np.float32(contrib.get(int(d), np.float32(0))) + x
+    want = sorted(contrib.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert [(int(i), float(s)) for i, s in zip(ids, scores)] == [
+        (d, float(s)) for d, s in want
+    ]
+    assert set(ids) & set(b_ids.tolist()), "bb block was wrongly pruned"
+
+
+def test_compact_equals_rebuild_on_survivors(spark, idx_dirs):
+    inc, _, surv = idx_dirs
+    docs = _docs(spark)
+    MN.delete_docs(
+        spark, inc, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    metrics = MN.compact_index(spark, inc)
+    assert metrics["n_tombstones_removed"] > 0
+    comp = P.load_index(spark, inc)
+    ref = P.load_index(spark, surv)
+    assert comp["n_docs"] == ref["n_docs"]
+    assert comp["avg_doc_len"] == ref["avg_doc_len"]  # bit-equal
+    qs = [(1, BM25_QUERY_TEXT), (2, "spark batch")]
+    assert _rows(W.search_bm25(comp, qs, k=TOPK)) == _rows(
+        W.search_bm25(ref, qs, k=TOPK)
+    )
+
+
+def test_compact_structure_and_token_roundtrip(spark, idx_dirs):
+    """Runs after test_compact_*: deltas/tombstones gone, manifest
+    bumped, and decoding every compacted block reproduces exactly the
+    analyzer's token stream over the surviving corpus."""
+    import os
+
+    inc, _, _ = idx_dirs
+    assert not os.path.isdir(f"{inc}/deltas")
+    assert not os.path.isdir(f"{inc}/tombstones")
+    assert MN._read_manifest(inc)["compactions"] == 1
+    comp = P.load_index(spark, inc)
+    got = _rows(
+        P.postings_to_tokens(comp["postings"]).select("doc_id", "term", "tf")
+    )
+    docs = _docs(spark).filter(F.col("doc_id") % DEL_MOD != 0)
+    want = _rows(
+        B.analyze_tokens(docs, SQL_CFG, "doc_id", "text").select(
+            "doc_id", "term", F.col("tf").cast("int")
+        )
+    )
+    assert got == want
+
+
+def test_append_analyzer_mismatch_raises(spark, tmp_path):
+    from search_engine_spark.config import AnalyzerConfig
+
+    docs = _docs(spark).limit(30)
+    idx = str(tmp_path / "idx")
+    P.build_index(
+        docs, idx, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        content_col="text",
+    )
+    bad_cfg = IndexBuildConfig(
+        analyzer=AnalyzerConfig(do_stemming=not SQL_CFG.do_stemming)
+    )
+    P.build_index(
+        docs, f"{idx}/deltas/delta_0001", bad_cfg, BM25Params(), content_col="text"
+    )
+    with pytest.raises(ValueError, match="analyzer"):
+        MN.live_index(spark, idx)
+
+
+def test_delete_docs_accepts_iterable(spark, tmp_path):
+    docs = _docs(spark).limit(50)
+    idx = str(tmp_path / "idx")
+    P.build_index(
+        docs, idx, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        content_col="text",
+    )
+    some = [r[0] for r in docs.select("doc_id").limit(5).collect()]
+    MN.delete_docs(spark, idx, some)
+    live = MN.live_index(spark, idx)
+    got = {r[0] for r in live["tombstones"].select("doc_id").collect()}
+    assert got == set(some)
