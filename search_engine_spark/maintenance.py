@@ -49,14 +49,20 @@ Scale notes (10^12 docs, 1000 executors):
     corrected at read time, not rewritten).
   * the live df override is one agg over the term-filtered,
     bucket-pruned scan — dictionary-sized for any query.
-  * tombstones ride the query task closure as one sorted int64 array;
-    when the set grows past driver memory comfort (~10^8), compaction
-    is the designed response — it's the operation that physically
-    removes them.
+  * the tombstone set is collected once per live_index (one sorted
+    int64 array), and large sets ship to executors as a SparkContext
+    broadcast (once per executor, not per task); when the set grows
+    past driver memory comfort (~10^8), compaction is the designed
+    response — it's the operation that physically removes them.
   * compaction is one decode→filter→re-pack pipeline: a narrow
-    mapInArrow over postings plus pack_postings' single wide stage;
-    directory swap is atomic on a POSIX FS — on an object store, land
+    mapInArrow over postings plus pack_postings' single wide stage.
+    The swap is a roll-forward commit (complete new index staged under
+    .compact_tmp, atomic marker, then per-dir renames finished by
+    _recover_compaction after any crash) — on an object store, land
     the same layout as an Iceberg snapshot commit instead (io_sink).
+  * compaction renumbers segment ids densely, reclaiming the delta
+    ordinal namespace (and keeping base ids < 2^40 — the invariant the
+    read-time delta remap relies on).
 
 Single-writer assumption: one maintainer process per index_dir (delta
 ordinals and the swap are not concurrency-safe; the reference engine is
@@ -84,6 +90,56 @@ from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 DELTA_SEG_STRIDE = 1 << 40
 
 _DELTA_PREFIX = "delta_"
+_SWAP_MARKER = ".compact_swap.json"
+_COMPACT_TMP = ".compact_tmp"
+
+
+class _InjectedCrash(RuntimeError):
+    """Raised only by the test-only fault hook in _roll_forward."""
+
+
+def _recover_compaction(index_dir: str) -> bool:
+    """Crash recovery, called by every maintenance entry point.
+
+    A compaction that died BEFORE its commit marker landed left only a
+    stale .compact_tmp — discard it.  One that died AFTER the marker is
+    rolled FORWARD: the marker is written (atomically) only once the
+    complete new index exists under .compact_tmp, so finishing the swap
+    is always safe, and a half-swapped index (new postings, old
+    doc_meta) can never be observed by a subsequent reader."""
+    marker = os.path.join(index_dir, _SWAP_MARKER)
+    if not os.path.isfile(marker):
+        shutil.rmtree(os.path.join(index_dir, _COMPACT_TMP), ignore_errors=True)
+        return False
+    _roll_forward(index_dir)
+    return True
+
+
+def _roll_forward(index_dir: str, _crash_after_sub: str | None = None) -> None:
+    """Complete the swap committed by the marker.  Idempotent: tmp/<sub>
+    disappears exactly when its os.replace lands, so a re-run skips the
+    finished subdirs.  _crash_after_sub injects a crash mid-swap (tests
+    only)."""
+    marker = os.path.join(index_dir, _SWAP_MARKER)
+    with open(marker) as fh:
+        plan = json.load(fh)
+    tmp = os.path.join(index_dir, _COMPACT_TMP)
+    for sub in ("postings", "doc_meta", "stats"):
+        src = os.path.join(tmp, sub)
+        if os.path.isdir(src):
+            old = os.path.join(index_dir, sub)
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(src, old)
+        if _crash_after_sub == sub:
+            raise _InjectedCrash(sub)
+    shutil.rmtree(_deltas_root(index_dir), ignore_errors=True)
+    shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    mtmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(plan["manifest"], fh, indent=2)
+    os.replace(mtmp, os.path.join(index_dir, "manifest.json"))
+    os.remove(marker)
 
 
 def _deltas_root(index_dir: str) -> str:
@@ -126,6 +182,7 @@ def append_delta(
     collection — live readers override them (see module docstring); they
     become right again only for a reader of the delta dir in isolation.
     """
+    _recover_compaction(index_dir)
     manifest = _read_manifest(index_dir)
     cfg = IndexBuildConfig(
         analyzer=AnalyzerConfig.from_dict(manifest["analyzer"]),
@@ -160,6 +217,7 @@ def append_delta(
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
     """Tombstone docs (DataFrame with a doc_id column, or an iterable of
     ids).  Appends parquet; nothing is rewritten until compact_index."""
+    _recover_compaction(index_dir)
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
     else:
@@ -176,6 +234,7 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
 
     Raises if a delta was built with a different analyzer — mixed
     tokenizations in one posting space are silent corruption."""
+    _recover_compaction(index_dir)
     base = P.load_index(spark, index_dir)
     postings, doc_meta = base["postings"], base["doc_meta"]
     n_docs, total_terms = base["n_docs"], base["total_terms"]
@@ -201,6 +260,15 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
     tombstones = (
         spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
     )
+    tomb_arr = None
+    if tombstones is not None:
+        # collected ONCE here, reused by every search on this view (the
+        # query path must not pay a Spark job per call); a set too large
+        # to hold on the driver is the signal to compact_index, which
+        # physically removes it (module docstring scale notes)
+        ids = [r[0] for r in tombstones.select("doc_id").distinct().collect()]
+        if ids:
+            tomb_arr = np.sort(np.asarray(ids, dtype=np.int64))
     return {
         **base,
         "postings": postings,
@@ -214,18 +282,22 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
         "live": True,
         "n_deltas": len(deltas),
         "tombstones": tombstones,
+        "tombstones_arr": tomb_arr,
     }
 
 
 def _postings_to_fragments(
-    postings: DataFrame, tombstones: np.ndarray | None
+    postings: DataFrame, tombstones: np.ndarray | None, tomb_bc=None
 ) -> DataFrame:
     """Decode packed blocks back into FRAGMENTS_SCHEMA rows, dropping
     tombstoned postings — the compaction intake.  Narrow (no shuffle);
-    pack_postings downstream merges same-(segment,term) rows itself."""
+    pack_postings downstream merges same-(segment,term) rows itself.
+    A large tombstone set should arrive as tomb_bc (a SparkContext
+    broadcast of the sorted array) so it ships once per executor, not in
+    every task closure."""
     from .codec import delta_decode, varint_decode
 
-    tomb = (
+    tomb_outer = (
         tombstones
         if tombstones is not None and len(tombstones)
         else None
@@ -238,6 +310,7 @@ def _postings_to_fragments(
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
+        tomb = tomb_bc.value if tomb_bc is not None else tomb_outer
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -289,12 +362,24 @@ def compact_index(
     Decode→filter→re-pack: df and collection stats are recomputed over
     the SURVIVING postings/docs, so baked idf/block_max bounds are tight
     again and tombstoned docs leave the statistics (the point where
-    Lucene deletes become real).  Writes to index_dir/.compact_tmp, then
-    swaps directories; existing DataFrames over the old dirs are
-    invalidated — reload via load_index/live_index.
+    Lucene deletes become real).  Segment ids are renumbered densely
+    (< 2^40) so the delta-ordinal namespace is RECLAIMED: without the
+    renumber, the next append_delta (ordinals restart at 1 once deltas/
+    is empty) would collide with the offset-remapped ids kept from the
+    folded deltas, and wand's (segment, term, block) decode cache would
+    silently serve the wrong block.
+
+    Crash safety (roll-forward commit): the complete new index is
+    written under index_dir/.compact_tmp first, then a marker file lands
+    atomically and the directory swap runs; a crash anywhere mid-swap is
+    finished by _recover_compaction on the next maintenance call, so a
+    half-swapped index (new postings, old doc_meta) is never observable.
+    Existing DataFrames over the old dirs are invalidated — reload via
+    load_index/live_index.
 
     Returns compaction metrics.  No content re-analysis happens —
     compaction never needs the original text."""
+    _recover_compaction(index_dir)
     t0 = time.time()
     manifest = _read_manifest(index_dir)
     params = BM25Params(**manifest["bm25"])
@@ -303,14 +388,27 @@ def compact_index(
 
     live = live_index(spark, index_dir)
     tomb_df = live.get("tombstones")
-    tomb_arr = None
-    if tomb_df is not None:
-        ids = [r[0] for r in tomb_df.select("doc_id").distinct().collect()]
-        if ids:
-            tomb_arr = np.sort(np.asarray(ids, dtype=np.int64))
+    tomb_arr = live.get("tombstones_arr")
 
-    tmp = os.path.join(index_dir, ".compact_tmp")
+    tmp = os.path.join(index_dir, _COMPACT_TMP)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # dense segment-id renumber — one distinct over the packed
+    # segment_id column (column-pruned scan, no block decode); segment
+    # count is O(partitions · epochs), always driver-sized
+    seg_ids = sorted(
+        r[0] for r in live["postings"].select("segment_id").distinct().collect()
+    )
+    seg_map = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(seg_ids)],
+        schema="segment_id long, seg_new long",
+    )
+    postings_renum = (
+        live["postings"]
+        .join(F.broadcast(seg_map), "segment_id")
+        .drop("segment_id")
+        .withColumnRenamed("seg_new", "segment_id")
+    )
 
     doc_meta_new = live["doc_meta"]
     if tomb_arr is not None:
@@ -323,10 +421,19 @@ def compact_index(
     doc_meta_w = spark.read.parquet(f"{tmp}/doc_meta")
     n_docs, avgdl, total_terms = B.collect_stats(doc_meta_w)
 
-    frags = _postings_to_fragments(live["postings"], tomb_arr)
+    tomb_bc = (
+        spark.sparkContext.broadcast(tomb_arr)
+        if tomb_arr is not None and len(tomb_arr) > 4096
+        else None
+    )
+    frags = _postings_to_fragments(
+        postings_renum, None if tomb_bc is not None else tomb_arr, tomb_bc
+    )
     term_df = P.fragment_term_df(frags)  # post-tombstone df — exact
     packed = P.pack_postings(frags, term_df, n_docs, avgdl, params, bsz)
     P.write_postings_bucketed(packed, f"{tmp}/postings", buckets)
+    if tomb_bc is not None:
+        tomb_bc.unpersist(False)
 
     spark.createDataFrame(
         [(n_docs, float(avgdl), total_terms)],
@@ -344,19 +451,17 @@ def compact_index(
         .collect()[0]
     )
 
-    # ---- swap (POSIX-atomic per dir; Iceberg snapshot commit at scale)
-    for sub in ("postings", "doc_meta", "stats"):
-        old = os.path.join(index_dir, sub)
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(os.path.join(tmp, sub), old)
-    shutil.rmtree(_deltas_root(index_dir), ignore_errors=True)
-    shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-
+    # ---- commit: marker lands atomically only after the COMPLETE new
+    # index exists under tmp; everything past this point rolls forward
+    # on crash (see _recover_compaction).  On an object store, land the
+    # same layout as an Iceberg snapshot commit instead (io_sink).
     manifest["block_size"] = bsz
     manifest["compactions"] = int(manifest.get("compactions", 0)) + 1
-    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=2)
+    marker = os.path.join(index_dir, _SWAP_MARKER)
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"manifest": manifest, "ts": t0}, fh)
+    os.replace(marker + ".tmp", marker)
+    _roll_forward(index_dir)
 
     sec = round(time.time() - t0, 3)
     metrics = {
@@ -370,19 +475,49 @@ def compact_index(
         "n_tombstones_removed": int(len(tomb_arr)) if tomb_arr is not None else 0,
         "sec_total": sec,
     }
-    ledger = spark.createDataFrame(
-        [
-            (
-                "compact", n_docs, float(avgdl), metrics["n_terms"],
-                metrics["n_postings"], metrics["n_blocks"],
-                metrics["n_segments"], 0.0, 0.0, sec, t0,
-            )
-        ],
-        schema=(
-            "chunk_label string, n_docs long, avg_doc_len double, n_terms long,"
-            " n_postings long, n_blocks long, n_segments long, sec_doc_meta double,"
-            " sec_postings double, sec_total double, build_ts double"
-        ),
+    # lineage: record the compaction WITHOUT destroying build history.
+    # Two ledger formats share {index_dir}/segments: resumable_build's
+    # partitioned LEDGER_SCHEMA (part=<phase>_<chunk> dirs) and
+    # build_index's flat metrics rows.  Overwriting a resume-format
+    # ledger with the flat schema would crash the next resumable_build
+    # (completed_chunks filters on a 'phase' column) — so append in
+    # whichever format is already there.
+    seg_dir = os.path.join(index_dir, "segments")
+    resume_format = os.path.isdir(seg_dir) and any(
+        d.startswith("part=") for d in os.listdir(seg_dir)
     )
-    ledger.write.mode("overwrite").parquet(f"{index_dir}/segments")
+    if resume_format:
+        from .resume import _append_ledger
+
+        _append_ledger(
+            spark,
+            index_dir,
+            (
+                "compact", int(manifest["compactions"]), "compact",
+                n_docs, int(pstat["n_blocks"]), 0,
+                json.dumps(
+                    {
+                        "n_tombstones_removed": metrics["n_tombstones_removed"],
+                        "n_deltas": int(live["n_deltas"]),
+                    }
+                ),
+                sec, t0,
+            ),
+        )
+    else:
+        ledger = spark.createDataFrame(
+            [
+                (
+                    "compact", n_docs, float(avgdl), metrics["n_terms"],
+                    metrics["n_postings"], metrics["n_blocks"],
+                    metrics["n_segments"], 0.0, 0.0, sec, t0,
+                )
+            ],
+            schema=(
+                "chunk_label string, n_docs long, avg_doc_len double, n_terms long,"
+                " n_postings long, n_blocks long, n_segments long, sec_doc_meta double,"
+                " sec_postings double, sec_total double, build_ts double"
+            ),
+        )
+        ledger.write.mode("append").parquet(seg_dir)
     return metrics

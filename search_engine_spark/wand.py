@@ -298,9 +298,17 @@ def search_bm25(
     # and silently drop valid results — fall back to exhaustive scoring.
     # LIVE indexes (maintenance.live_index) ignore stored bounds and
     # derive stats-free sound bounds from max_tf with the SCORING params
-    # (_maxtf_bound), so pruning stays on for any params there.
+    # (_maxtf_bound) — but that bound's derivation needs 0 <= b <= 1 and
+    # k1 >= 0 (K = 1-b+b·dl/avgdl >= 1-b only holds there; b > 1 can
+    # drive the denominator <= 0 and yield a negative "upper bound" that
+    # prunes true top-k docs).  Outside that range live search scores
+    # exhaustively, matching the non-live fallback's caution.
     live = bool(index.get("live"))
-    allow_prune = live or p == index["params"]
+    if live:
+        allow_prune = 0.0 <= p.b <= 1.0 and p.k1 >= 0.0
+    else:
+        allow_prune = p == index["params"]
+    live_bounds = live and allow_prune
 
     topics: list[tuple[int, list[tuple[str, int, int]]]] = []
     all_terms: set[str] = set()
@@ -341,14 +349,10 @@ def search_bm25(
             .agg(F.sum("n").alias("df_live"))
             .collect()
         }
-        tdf = index.get("tombstones")
-        if tdf is not None:
-            # tombstones ride the task closure as one sorted array; a set
-            # too large to collect is the signal to compact_index (which
-            # physically removes them) — documented scale trade.
-            ids = [r[0] for r in tdf.select("doc_id").distinct().collect()]
-            if ids:
-                tomb_arr = np.sort(np.asarray(ids, dtype=np.int64))
+        # collected once by live_index (not per search); compact_index is
+        # the designed response when the set outgrows driver memory —
+        # it's the operation that physically removes tombstones.
+        tomb_arr = index.get("tombstones_arr")
 
     # co-locate each segment's blocks in one task
     matched = matched.repartition("segment_id")
@@ -375,12 +379,22 @@ def search_bm25(
         def get_topics():
             return topics
 
+    # same closure-vs-broadcast economics for a large tombstone set
+    # (module docstring contemplates ~10^8 ids ≈ 800 MB): ship once per
+    # executor, not once per task; reclaimed like the topic broadcast
+    tomb_bc = None
+    tomb_closure = tomb_arr
+    if tomb_arr is not None and len(tomb_arr) > 4096:
+        tomb_bc = matched.sparkSession.sparkContext.broadcast(tomb_arr)
+        tomb_closure = None
+
     def _wand(batches):
         import pyarrow as pa
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         pp = BM25Params(**p_dict)
+        tomb = tomb_bc.value if tomb_bc is not None else tomb_closure
         # Columnar intake: scalars come out as numpy arrays (one pass, no
         # per-row dict of the three binary payloads — to_pylist would copy
         # every encoded block into Python even for blocks pruning later);
@@ -447,7 +461,7 @@ def search_bm25(
             for topic_id, terms in get_topics():
                 ids, scores, n_pruned = _segment_topic_topk(
                     term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune,
-                    df_map, live, tomb_arr,
+                    df_map, live_bounds, tomb,
                 )
                 if prune_accumulator is not None and n_pruned:
                     prune_accumulator.add(n_pruned)
@@ -466,12 +480,15 @@ def search_bm25(
 
     candidates = matched.mapInArrow(_wand, schema=_CAND_SCHEMA)
     result = topk(candidates, k)
-    if bc is not None:
+    if bc is not None or tomb_bc is not None:
         # unpersist (NOT destroy): drops executor copies once the caller
         # releases the result; if a derived plan still references the
         # broadcast it is lazily re-shipped from the driver, so this is
         # safe even for DataFrames derived from `result`.
         import weakref
 
-        weakref.finalize(result, bc.unpersist, False)
+        if bc is not None:
+            weakref.finalize(result, bc.unpersist, False)
+        if tomb_bc is not None:
+            weakref.finalize(result, tomb_bc.unpersist, False)
     return result
