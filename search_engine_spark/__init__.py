@@ -62,6 +62,7 @@ _EXPORTS = {
     # incremental index maintenance (Lucene-style segment lifecycle)
     "append_delta": "maintenance:append_delta",
     "delete_docs": "maintenance:delete_docs",
+    "upsert_docs": "maintenance:upsert_docs",
     "live_index": "maintenance:live_index",
     "compact_index": "maintenance:compact_index",
     "list_deltas": "maintenance:list_deltas",

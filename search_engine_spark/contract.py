@@ -405,6 +405,38 @@ def q_bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSERT_MOD = 11
+_UPSERT_SHADOW = 1_000_000_000
+
+
+def q_bm25_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place replacement (maintenance.upsert_docs): base over the
+    whole corpus, then every doc_id % 11 == 0 re-written with the query
+    text appended (their rankings MUST move).  The epoch-aware tombstone
+    kills only the old version; live stats keep BOTH generations until
+    compaction (Lucene deleted-but-unmerged semantics) — so the oracle
+    scores a corpus holding the new content at the real ids plus the old
+    versions as shadow docs (+1e9) and drops the shadows just before
+    ranking."""
+    import shutil
+
+    from . import maintenance as MN, postings as P
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("upsert", sf_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        content_col="text",
+    )
+    upd = docs.filter(F.col("doc_id") % _UPSERT_MOD == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + BM25_QUERY_TEXT))
+    )
+    MN.upsert_docs(upd, idx_dir, content_col="text")
+    return _maint_search(spark, idx_dir, live=True)
+
+
 def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
@@ -2053,6 +2085,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_pruned": q_bm25_wand_pruned,
         "bm25_delta_topk": q_bm25_delta_topk,
         "bm25_live_delete_topk": q_bm25_live_delete_topk,
+        "bm25_upsert_topk": q_bm25_upsert_topk,
         "bm25_compacted_topk": q_bm25_compacted_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "trec_eval_metrics": q_trec_eval_metrics,
@@ -2123,6 +2156,22 @@ def duckdb_oracles() -> dict[str, str]:
         # … tombstones drop docs from the ranking but not the stats …
         "bm25_live_delete_topk": _sql_bm25(
             score_filter=f"doc_id % {_MAINT_DELETE_MOD} <> 0"
+        ),
+        # … an upsert serves ONLY the new version while the superseded
+        # one still counts in n_docs/avgdl/df (shadow rows at +1e9,
+        # dropped just before ranking) …
+        "bm25_upsert_topk": _sql_bm25(
+            source_table="upsert_corpus",
+            prelude=(
+                "upsert_corpus AS ("
+                f"SELECT doc_id, CASE WHEN doc_id % {_UPSERT_MOD} = 0 "
+                f"THEN text || ' {BM25_QUERY_TEXT}' ELSE text END AS text "
+                "FROM documents "
+                "UNION ALL "
+                f"SELECT doc_id + {_UPSERT_SHADOW} AS doc_id, text "
+                f"FROM documents WHERE doc_id % {_UPSERT_MOD} = 0), "
+            ),
+            score_filter=f"doc_id < {_UPSERT_SHADOW}",
         ),
         # … and compaction re-bases stats on the surviving corpus
         "bm25_compacted_topk": _sql_bm25(

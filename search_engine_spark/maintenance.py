@@ -64,10 +64,19 @@ Scale notes (10^12 docs, 1000 executors):
     ordinal namespace (and keeping base ids < 2^40 — the invariant the
     read-time delta remap relies on).
 
+  upsert_docs(docs, index_dir)
+      in-place replacement: tombstones with before_epoch = the new
+      delta's ordinal kill only the SUPERSEDED versions (epoch-aware
+      masking, wand._tomb_mask), the re-added version stays live.
+      Invariant (driver-oracle-gated): live search after an upsert
+      equals BM25 over a corpus holding the new content at the real
+      doc ids plus the old versions as still-counted shadows (Lucene
+      deleted-but-unmerged stats semantics).
+
 Single-writer assumption: one maintainer process per index_dir (delta
 ordinals and the swap are not concurrency-safe; the reference engine is
-single-writer too).  Appending a doc_id that already exists is a caller
-error — upsert = delete_docs(ids) then append_delta(docs).
+single-writer too).  Appending a doc_id that already exists via
+append_delta is a caller error — use upsert_docs.
 """
 
 from __future__ import annotations
@@ -87,7 +96,12 @@ from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 
 # disjoint segment-id namespace per delta generation: base ids are Spark
 # partition ids (< 2^40 forever); delta k maps to [k·2^40, (k+1)·2^40)
-DELTA_SEG_STRIDE = 1 << 40
+from .postings import DELTA_SEG_STRIDE  # noqa: E402  (re-export, canonical home)
+
+# a tombstone's before_epoch: postings in epochs < before_epoch are dead.
+# Plain deletes use ALL_EPOCHS (kill every version); upserts use the
+# re-added delta's ordinal (kill only superseded versions).
+ALL_EPOCHS = 1 << 62
 
 _DELTA_PREFIX = "delta_"
 _SWAP_MARKER = ".compact_swap.json"
@@ -214,9 +228,15 @@ def append_delta(
     return metrics
 
 
-def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
+def delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids, before_epoch: int = ALL_EPOCHS
+) -> None:
     """Tombstone docs (DataFrame with a doc_id column, or an iterable of
-    ids).  Appends parquet; nothing is rewritten until compact_index."""
+    ids).  Appends parquet; nothing is rewritten until compact_index.
+
+    before_epoch: postings in epochs STRICTLY BELOW it are dead.  The
+    default ALL_EPOCHS kills every version (a plain delete); upsert_docs
+    passes the re-added delta's ordinal so only superseded versions die."""
     _recover_compaction(index_dir)
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
@@ -224,7 +244,50 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
         df = spark.createDataFrame(
             [(int(x),) for x in doc_ids], schema="doc_id long"
         )
-    df.write.mode("append").parquet(_tombstones_dir(index_dir))
+    df.withColumn("before_epoch", F.lit(int(before_epoch))).write.mode(
+        "append"
+    ).parquet(_tombstones_dir(index_dir))
+
+
+def upsert_docs(
+    docs: DataFrame,
+    index_dir: str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+) -> dict:
+    """Replace documents in place: tombstone every OLDER epoch's version
+    of each doc, then pack the new versions as the next delta.
+
+    Lucene stats semantics until compaction: the superseded versions
+    still count in n_docs/avgdl/df (one more 'deleted but unmerged'
+    generation); the ranking only ever sees the newest version, because
+    the tombstone's before_epoch equals the new delta's ordinal — it
+    kills epochs < ordinal and leaves the re-added version alive.
+
+    The tombstone lands BEFORE the delta: a crash in between loses the
+    doc from results (a visible gap, healed by re-running the upsert)
+    rather than ever serving both versions at once.  Single-writer, like
+    the rest of this module."""
+    _recover_compaction(index_dir)
+    existing = list_deltas(index_dir)
+    ordinal = (
+        max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1 if existing else 1
+    )
+    spark = docs.sparkSession
+    delete_docs(
+        spark,
+        index_dir,
+        docs.select(F.col(doc_id_col).alias("doc_id")),
+        before_epoch=ordinal,
+    )
+    metrics = append_delta(
+        docs, index_dir, doc_id_col=doc_id_col, content_col=content_col,
+        key_cols=key_cols,
+    )
+    assert metrics["delta"] == f"{_DELTA_PREFIX}{ordinal:04d}"  # single-writer
+    metrics["upsert"] = True
+    return metrics
 
 
 def live_index(spark: SparkSession, index_dir: str) -> dict:
@@ -236,7 +299,11 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
     tokenizations in one posting space are silent corruption."""
     _recover_compaction(index_dir)
     base = P.load_index(spark, index_dir)
-    postings, doc_meta = base["postings"], base["doc_meta"]
+    # _epoch on doc_meta: compaction needs to know WHICH version of an
+    # upserted doc each row describes (epoch-aware tombstones kill only
+    # rows with _epoch < before_epoch); dropped again on compact write
+    postings = base["postings"]
+    doc_meta = base["doc_meta"].withColumn("_epoch", F.lit(0).cast("long"))
     n_docs, total_terms = base["n_docs"], base["total_terms"]
     deltas = list_deltas(index_dir)
     for name in deltas:
@@ -252,7 +319,9 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
                 "segment_id", (F.col("segment_id") + F.lit(off)).cast("long")
             )
         )
-        doc_meta = doc_meta.unionByName(d["doc_meta"])
+        doc_meta = doc_meta.unionByName(
+            d["doc_meta"].withColumn("_epoch", F.lit(ordinal).cast("long"))
+        )
         n_docs += d["n_docs"]
         total_terms += d["total_terms"]
 
@@ -260,15 +329,27 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
     tombstones = (
         spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
     )
+    if tombstones is not None and "before_epoch" not in tombstones.columns:
+        # legacy (pre-upsert) tombstone dirs: doc_id only = kill all
+        tombstones = tombstones.withColumn("before_epoch", F.lit(ALL_EPOCHS))
     tomb_arr = None
     if tombstones is not None:
         # collected ONCE here, reused by every search on this view (the
         # query path must not pay a Spark job per call); a set too large
         # to hold on the driver is the signal to compact_index, which
-        # physically removes it (module docstring scale notes)
-        ids = [r[0] for r in tombstones.select("doc_id").distinct().collect()]
-        if ids:
-            tomb_arr = np.sort(np.asarray(ids, dtype=np.int64))
+        # physically removes it (module docstring scale notes).
+        # Per doc: the WIDEST mask (max before_epoch) — a later plain
+        # delete beats an earlier upsert's partial mask.
+        rows = (
+            tombstones.groupBy("doc_id")
+            .agg(F.max("before_epoch").alias("before_epoch"))
+            .collect()
+        )
+        if rows:
+            ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+            eps = np.asarray([r[1] for r in rows], dtype=np.int64)
+            order = np.argsort(ids)
+            tomb_arr = (ids[order], eps[order])
     return {
         **base,
         "postings": postings,
@@ -287,26 +368,34 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _postings_to_fragments(
-    postings: DataFrame, tombstones: np.ndarray | None, tomb_bc=None
+    postings: DataFrame,
+    tombstones: tuple[np.ndarray, np.ndarray] | None,
+    tomb_bc=None,
+    seg_renumber: dict | None = None,
 ) -> DataFrame:
     """Decode packed blocks back into FRAGMENTS_SCHEMA rows, dropping
     tombstoned postings — the compaction intake.  Narrow (no shuffle);
     pack_postings downstream merges same-(segment,term) rows itself.
-    A large tombstone set should arrive as tomb_bc (a SparkContext
-    broadcast of the sorted array) so it ships once per executor, not in
-    every task closure."""
+
+    tombstones is the live_index (sorted ids, aligned before_epoch)
+    pair; masking is EPOCH-AWARE against the ORIGINAL segment id (an
+    upsert tombstone kills only epochs below the re-added version).
+    seg_renumber maps original segment ids to the dense post-compaction
+    namespace — applied to the OUTPUT rows, after masking.  A large
+    tombstone set should arrive as tomb_bc (a SparkContext broadcast)
+    so it ships once per executor, not in every task closure."""
     from .codec import delta_decode, varint_decode
 
     tomb_outer = (
         tombstones
-        if tombstones is not None and len(tombstones)
+        if tombstones is not None and len(tombstones[0])
         else None
     )
 
     def _frag(batches):
         import pyarrow as pa
 
-        from search_engine_spark.wand import _in_sorted
+        from search_engine_spark.wand import _tomb_mask
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
@@ -324,16 +413,17 @@ def _postings_to_fragments(
             segs, out_t, dl, tl, ll = [], [], [], [], []
             for i in range(batch.num_rows):
                 n = int(n_a[i])
+                seg = int(seg_a[i])
                 d = delta_decode(int(f_a[i]), d_enc[i].as_py(), n).astype(np.int64)
                 t = varint_decode(t_enc[i].as_py(), n).astype(np.int32)
                 l = varint_decode(l_enc[i].as_py(), n).astype(np.int32)
                 if tomb is not None:
-                    keep = ~_in_sorted(tomb, d)
+                    keep = ~_tomb_mask(tomb, seg // DELTA_SEG_STRIDE, d)
                     if not keep.all():
                         d, t, l = d[keep], t[keep], l[keep]
                 if len(d) == 0:
                     continue  # fully-tombstoned block vanishes
-                segs.append(int(seg_a[i]))
+                segs.append(seg_renumber[seg] if seg_renumber is not None else seg)
                 out_t.append(terms[i])
                 dl.append(d)
                 tl.append(t)
@@ -395,27 +485,33 @@ def compact_index(
 
     # dense segment-id renumber — one distinct over the packed
     # segment_id column (column-pruned scan, no block decode); segment
-    # count is O(partitions · epochs), always driver-sized
+    # count is O(partitions · epochs), always driver-sized.  The map is
+    # applied INSIDE the decode pass (after epoch-aware masking, which
+    # needs the original ids' epochs).
     seg_ids = sorted(
         r[0] for r in live["postings"].select("segment_id").distinct().collect()
     )
-    seg_map = spark.createDataFrame(
-        [(s, i) for i, s in enumerate(seg_ids)],
-        schema="segment_id long, seg_new long",
-    )
-    postings_renum = (
-        live["postings"]
-        .join(F.broadcast(seg_map), "segment_id")
-        .drop("segment_id")
-        .withColumnRenamed("seg_new", "segment_id")
-    )
+    seg_renumber = {s: i for i, s in enumerate(seg_ids)}
 
+    # doc_meta: epoch-aware drop — an upserted doc's OLD version rows
+    # (_epoch < before_epoch) die, its newest survives; plain deletes
+    # (before_epoch = ALL_EPOCHS) kill every version
     doc_meta_new = live["doc_meta"]
     if tomb_arr is not None:
-        doc_meta_new = doc_meta_new.join(
-            tomb_df.select("doc_id").distinct(), "doc_id", "left_anti"
+        tomb_max = tomb_df.groupBy("doc_id").agg(
+            F.max("before_epoch").alias("before_epoch")
         )
-    doc_meta_new.write.parquet(f"{tmp}/doc_meta")
+        # no broadcast hint: AQE picks broadcast for small sets; a huge
+        # tombstone set (the compact-me signal) gets a shuffle join
+        doc_meta_new = (
+            doc_meta_new.join(tomb_max, "doc_id", "left")
+            .filter(
+                F.col("before_epoch").isNull()
+                | (F.col("_epoch") >= F.col("before_epoch"))
+            )
+            .drop("before_epoch")
+        )
+    doc_meta_new.drop("_epoch").write.parquet(f"{tmp}/doc_meta")
     # re-read from tmp: breaks lineage to the old dirs before the swap
     # and makes the stats provably consistent with what was written
     doc_meta_w = spark.read.parquet(f"{tmp}/doc_meta")
@@ -423,11 +519,14 @@ def compact_index(
 
     tomb_bc = (
         spark.sparkContext.broadcast(tomb_arr)
-        if tomb_arr is not None and len(tomb_arr) > 4096
+        if tomb_arr is not None and len(tomb_arr[0]) > 4096
         else None
     )
     frags = _postings_to_fragments(
-        postings_renum, None if tomb_bc is not None else tomb_arr, tomb_bc
+        live["postings"],
+        None if tomb_bc is not None else tomb_arr,
+        tomb_bc,
+        seg_renumber,
     )
     term_df = P.fragment_term_df(frags)  # post-tombstone df — exact
     packed = P.pack_postings(frags, term_df, n_docs, avgdl, params, bsz)
@@ -472,7 +571,7 @@ def compact_index(
         "n_postings": int(pstat["n_postings"] or 0),
         "n_blocks": int(pstat["n_blocks"]),
         "n_segments": int(pstat["n_segments"]),
-        "n_tombstones_removed": int(len(tomb_arr)) if tomb_arr is not None else 0,
+        "n_tombstones_removed": int(len(tomb_arr[0])) if tomb_arr is not None else 0,
         "sec_total": sec,
     }
     # lineage: record the compaction WITHOUT destroying build history.

@@ -54,6 +54,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from .codec import delta_decode, delta_encode, varint_decode, varint_encode
 from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 
+# disjoint segment-id namespace per delta generation (maintenance.py):
+# base ids are Spark partition ids (< 2^40 forever, compaction renumbers
+# densely); delta k maps to [k·2^40, (k+1)·2^40).  A segment's epoch is
+# therefore segment_id // DELTA_SEG_STRIDE — the query path uses it for
+# epoch-aware tombstone masking (upserts kill only OLDER epochs).
+DELTA_SEG_STRIDE = 1 << 40
+
 FRAGMENTS_SCHEMA = T.StructType(
     [
         T.StructField("segment_id", T.LongType(), False),

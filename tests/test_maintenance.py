@@ -177,7 +177,8 @@ def test_theta_bootstrap_masks_tombstoned_champ_docs():
     }
     topic = [("aa", 1, 0), ("bb", 1, 1)]
     df_map = {"aa": 10, "bb": 6}
-    tomb = np.array([0, 1, 2], dtype=np.int64)
+    tomb_ids = np.array([0, 1, 2], dtype=np.int64)
+    tomb = (tomb_ids, np.full(3, MN.ALL_EPOCHS, dtype=np.int64))
     dec = lambda b: b["_arrays"]
 
     # sanity: the trap is armed — unmasked θ would exceed bb's bound
@@ -198,7 +199,7 @@ def test_theta_bootstrap_masks_tombstoned_champ_docs():
     for (ids_t, tfs_t, idf) in ((a_ids, a_tfs, idf_a), (b_ids, b_tfs, idf_b)):
         c = W._contrib32(tfs_t, dls(len(ids_t)), idf, 1.0, avgdl, p)
         for d, x in zip(ids_t, c):
-            if d not in tomb:
+            if d not in tomb_ids:
                 contrib[int(d)] = np.float32(contrib.get(int(d), np.float32(0))) + x
     want = sorted(contrib.items(), key=lambda t: (-t[1], t[0]))[:k]
     assert [(int(i), float(s)) for i, s in zip(ids, scores)] == [
@@ -282,6 +283,71 @@ def test_append_after_compact_no_segment_collision(
     qs = [(1, BM25_QUERY_TEXT), (2, "spark batch"), (3, "the window")]
     assert _rows(W.search_bm25(live, qs, k=TOPK)) == _rows(
         W.search_bm25(ref, qs, k=TOPK)
+    )
+
+
+def test_upsert_live_and_compacted(spark, idx_dirs, tmp_path_factory):
+    """upsert_docs: the ranking serves ONLY the new version while the
+    superseded one still counts in n_docs/avgdl/df (Lucene
+    deleted-but-unmerged semantics) — oracle = a from-scratch build
+    over new-content-at-real-ids plus the old versions as shadow docs,
+    shadows dropped before ranking.  Compaction then folds to exactly a
+    from-scratch build over the new corpus."""
+    UP, SHADOW = 11, 1_000_000_000
+    c = _copy_inc(idx_dirs, tmp_path_factory, "maint_upsert")
+    docs = _docs(spark)
+    upd = docs.filter(F.col("doc_id") % UP == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + BM25_QUERY_TEXT))
+    )
+    MN.upsert_docs(upd, c, content_col="text")
+    live = MN.live_index(spark, c)
+    q = [(1, BM25_QUERY_TEXT)]
+    got = _rows(W.search_bm25(live, q, k=TOPK))
+
+    new_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % UP == 0,
+            F.concat(F.col("text"), F.lit(" " + BM25_QUERY_TEXT)),
+        ).otherwise(F.col("text")),
+    )
+    shadow = docs.filter(F.col("doc_id") % UP == 0).withColumn(
+        "doc_id", F.col("doc_id") + SHADOW
+    )
+    root = tmp_path_factory.mktemp("maint_upsert_ref")
+    ref_dir = str(root / "ref")
+    P.build_index(
+        new_docs.unionByName(shadow), ref_dir,
+        IndexBuildConfig(analyzer=SQL_CFG), BM25Params(), content_col="text",
+    )
+    ref = P.load_index(spark, ref_dir)
+    assert live["n_docs"] == ref["n_docs"]
+    assert live["avg_doc_len"] == ref["avg_doc_len"]  # bit-equal
+    big = W.search_bm25(ref, q, k=10**6).collect()
+    kept = [
+        r for r in sorted(big, key=lambda r: r["rank"]) if r["doc_id"] < SHADOW
+    ][:TOPK]
+    want = sorted((1, i + 1, r["doc_id"], r["score"]) for i, r in enumerate(kept))
+    assert got == want
+    # the upsert visibly changed the results (stats moved: +U shadow
+    # docs in n_docs/avgdl, so every score shifts even when no updated
+    # doc cracks the top-k at this corpus size)
+    _, full, _ = idx_dirs
+    orig = _rows(W.search_bm25(P.load_index(spark, full), q, k=TOPK))
+    assert got != orig
+
+    MN.compact_index(spark, c)
+    comp = P.load_index(spark, c)
+    ref2_dir = str(root / "ref2")
+    P.build_index(
+        new_docs, ref2_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        content_col="text",
+    )
+    ref2 = P.load_index(spark, ref2_dir)
+    assert comp["n_docs"] == ref2["n_docs"]
+    assert comp["avg_doc_len"] == ref2["avg_doc_len"]
+    assert _rows(W.search_bm25(comp, q, k=TOPK)) == _rows(
+        W.search_bm25(ref2, q, k=TOPK)
     )
 
 
