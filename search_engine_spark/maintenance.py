@@ -188,6 +188,7 @@ def append_delta(
     doc_id_col: str = "doc_id",
     content_col: str = "content",
     key_cols: tuple[str, ...] = (),
+    ordinal: int | None = None,
 ) -> dict:
     """Pack new docs as the next delta segment set of an existing index.
 
@@ -195,6 +196,12 @@ def append_delta(
     own pack-time stats/df/bounds are epoch-local and WRONG for the live
     collection — live readers override them (see module docstring); they
     become right again only for a reader of the delta dir in isolation.
+
+    ordinal pins the delta's epoch number (streaming ingest maps
+    micro-batch ids to ordinals for exactly-once replays); the default
+    takes the next free one.  A leftover PARTIAL dir at the target
+    ordinal (crash mid-pack: no manifest, so list_deltas never surfaced
+    it) is discarded and rebuilt; a COMPLETE one is a caller error.
     """
     _recover_compaction(index_dir)
     manifest = _read_manifest(index_dir)
@@ -205,13 +212,19 @@ def append_delta(
     )
     params = BM25Params(**manifest["bm25"])
     existing = list_deltas(index_dir)
-    ordinal = (
-        max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1 if existing else 1
-    )
+    if ordinal is None:
+        ordinal = (
+            max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1
+            if existing
+            else 1
+        )
     if ordinal * DELTA_SEG_STRIDE >= 2 ** 62:
         raise ValueError("delta ordinal namespace exhausted — compact_index first")
     name = f"{_DELTA_PREFIX}{ordinal:04d}"
+    if name in existing:
+        raise ValueError(f"delta ordinal {ordinal} already complete at {name}")
     ddir = os.path.join(_deltas_root(index_dir), name)
+    shutil.rmtree(ddir, ignore_errors=True)  # partial from a crashed pack
     os.makedirs(ddir, exist_ok=True)
     metrics = P.build_index(
         docs,
@@ -283,9 +296,8 @@ def upsert_docs(
     )
     metrics = append_delta(
         docs, index_dir, doc_id_col=doc_id_col, content_col=content_col,
-        key_cols=key_cols,
+        key_cols=key_cols, ordinal=ordinal,
     )
-    assert metrics["delta"] == f"{_DELTA_PREFIX}{ordinal:04d}"  # single-writer
     metrics["upsert"] = True
     return metrics
 

@@ -7,10 +7,15 @@ of any streaming).  This package is net-new capability the Spark-first
 design gets almost for free: the batch build's chunk-staging machinery
 (resume.stage_chunk) doubles as a foreachBatch sink, so a continuously
 arriving corpus indexes incrementally with exactly-once micro-batches.
+Two ingest modes span the freshness/throughput trade: stream_index_build
+(stage cheap, pack once at finalize) and stream_append_deltas (pack
+every batch as a delta segment — searchable immediately via
+maintenance.live_index, compaction policy built in).
 """
 
 from .incremental import (
     running_user_counts,
+    stream_append_deltas,
     stream_dedup_exact,
     sessionize_batch,
     stream_index_build,
@@ -19,6 +24,7 @@ from .incremental import (
 
 __all__ = [
     "running_user_counts",
+    "stream_append_deltas",
     "stream_dedup_exact",
     "sessionize_batch",
     "stream_index_build",

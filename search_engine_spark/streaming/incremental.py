@@ -24,6 +24,21 @@ Design notes (scale-first):
   O(distinct keys) memory spread across partitions by the group-key
   shuffle.
 
+* stream_append_deltas — live-searchable streaming ingest into the
+  maintenance lifecycle: each micro-batch becomes one delta segment
+  (maintenance.append_delta), so live_index serves base + everything
+  ingested so far BETWEEN batches, no finalize needed.  Exactly-once
+  across checkpoint replays via a tiny intent/done ledger in the index
+  dir (see the function docstring — the streaming checkpoint alone is
+  not enough once compaction starts deleting delta dirs).  An optional
+  compaction policy (`compact_every`) folds deltas back into the base
+  whenever the delta count reaches the threshold — the "hourly
+  compaction cadence" from stream_index_build's notes, made real.
+  Contrast: stream_index_build stages cheap raw chunks and packs ONCE
+  at the end (lowest total cost, index unsearchable until finalize);
+  stream_append_deltas packs EVERY batch (cost ∝ batch each time,
+  searchable immediately) — the freshness/throughput trade.
+
 * sessionize — gap-based sessions.  Batch twin: lag() + cumulative
   session-break sum per user (two narrow window passes over a
   user-partitioned sort).  The streaming variant would add a state
@@ -32,6 +47,8 @@ Design notes (scale-first):
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -41,6 +58,7 @@ from pyspark.sql.window import Window
 
 from ..config import BM25Params, IndexBuildConfig
 from ..resume import finalize_index, stage_chunk
+from .. import maintenance as MN
 
 # stream chunk ids live far above any batch-build chunk id
 STREAM_CHUNK_BASE = 1_000_000_000
@@ -203,6 +221,137 @@ def sessionize_batch(
             F.sum(value_col).alias("sum_value"),
         )
     )
+
+
+_STREAM_STATE_FILE = "stream_ingest.json"
+
+
+def _read_stream_state(index_dir: str) -> dict:
+    path = os.path.join(index_dir, _STREAM_STATE_FILE)
+    if not os.path.isfile(path):
+        return {"done_batch_id": -1, "intent": None}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _write_stream_state(index_dir: str, state: dict) -> None:
+    path = os.path.join(index_dir, _STREAM_STATE_FILE)
+    with open(path + ".tmp", "w") as fh:
+        json.dump(state, fh)
+    os.replace(path + ".tmp", path)
+
+
+def stream_append_deltas(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    schema: T.StructType | str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = (),
+    compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Live-searchable streaming ingest: each micro-batch of new docs
+    lands as one delta segment of an EXISTING index (built by
+    postings.build_index), so maintenance.live_index answers queries
+    over base + all drained batches at any point between triggers.
+
+    Exactly-once across restarts.  The streaming checkpoint replays the
+    last uncommitted batch with the same batch_id and rows; a durable
+    {index_dir}/stream_ingest.json maps that onto delta appends:
+
+      intent  {batch_id, ordinal}  written (atomic rename) BEFORE the
+              append — a crash mid-pack leaves a partial delta dir with
+              no manifest, and the replay rebuilds it at the SAME
+              pinned ordinal (append_delta discards the partial);
+      done    batch_id             advanced only after the delta's
+              manifest landed — a replay of a done batch is a no-op
+              even after compaction has FOLDED (deleted) its delta dir,
+              which is why "is the delta dir there?" alone cannot
+              detect replays and this ledger exists.
+
+    compact_every=N folds deltas back into the base (compact_index)
+    whenever the completed-delta count reaches N — bounding per-query
+    delta fan-in at a pack cost amortized over N batches.  On a cluster
+    this is the compaction cadence knob (N small = low read amp, N
+    large = low write amp).  Single-writer like the rest of the
+    maintenance lifecycle.
+
+    Returns {"stream_batches", "deltas_appended", "replays_skipped",
+    "compactions"}.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    counters = {
+        "stream_batches": 0,
+        "deltas_appended": 0,
+        "replays_skipped": 0,
+        "compactions": 0,
+    }
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        counters["stream_batches"] += 1
+        st = _read_stream_state(index_dir)
+        if b <= st["done_batch_id"]:
+            counters["replays_skipped"] += 1
+            return
+        if batch_df.isEmpty():
+            _write_stream_state(index_dir, {"done_batch_id": b, "intent": None})
+            return
+        intent = st.get("intent")
+        if intent is not None and int(intent["batch_id"]) == b:
+            # replay of a crashed batch: reuse the pinned ordinal
+            ordinal = int(intent["ordinal"])
+            name = f"{MN._DELTA_PREFIX}{ordinal:04d}"
+            if name in MN.list_deltas(index_dir):
+                # crash fell between the manifest and the done update —
+                # the delta is complete, just commit the ledger
+                _write_stream_state(
+                    index_dir, {"done_batch_id": b, "intent": None}
+                )
+                counters["replays_skipped"] += 1
+                return
+        else:
+            existing = MN.list_deltas(index_dir)
+            ordinal = (
+                max(int(d[len(MN._DELTA_PREFIX) :]) for d in existing) + 1
+                if existing
+                else 1
+            )
+            _write_stream_state(
+                index_dir,
+                {
+                    "done_batch_id": st["done_batch_id"],
+                    "intent": {"batch_id": b, "ordinal": ordinal},
+                },
+            )
+        MN.append_delta(
+            batch_df,
+            index_dir,
+            doc_id_col=doc_id_col,
+            content_col=content_col,
+            key_cols=key_cols,
+            ordinal=ordinal,
+        )
+        _write_stream_state(index_dir, {"done_batch_id": b, "intent": None})
+        counters["deltas_appended"] += 1
+        if compact_every and len(MN.list_deltas(index_dir)) >= compact_every:
+            MN.compact_index(spark, index_dir)
+            counters["compactions"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{index_dir}/_delta_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dict(counters)
 
 
 def stream_index_build(

@@ -17,6 +17,7 @@ from search_engine_spark.postings import build_index, load_index, postings_to_to
 from search_engine_spark.streaming import (
     running_user_counts,
     sessionize_batch,
+    stream_append_deltas,
     stream_index_build,
     windowed_event_counts,
 )
@@ -345,3 +346,139 @@ def test_multimodal_features_and_frames(spark, docs_df):
         assert r["frame_idx"] < n and r["frame_idx"] % 8 == 0
         assert isinstance(r["frame"], (bytes, bytearray)) and len(r["frame"]) > 0
     media.unpersist()
+
+
+# ---------------------------------------------------------------- deltas
+
+
+def _bm25_rows(spark, index_or_dir, queries, k=10):
+    from search_engine_spark import wand as W
+    from search_engine_spark.postings import load_index as _load
+
+    idx = (
+        _load(spark, index_or_dir)
+        if isinstance(index_or_dir, str)
+        else index_or_dir
+    )
+    return sorted(tuple(r) for r in W.search_bm25(idx, queries, k=k).collect())
+
+
+def test_stream_append_deltas_live_equals_batch(spark, docs_df, tmp_path):
+    """Micro-batches land as delta segments; live_index over base+deltas
+    is bit-identical to a from-scratch build over everything seen; a
+    checkpoint-wiped rerun replays every batch as a no-op (the intent/
+    done ledger, not the checkpoint, is the exactly-once authority)."""
+    from search_engine_spark import maintenance as MN
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    parts = [docs_df.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def _land(df, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(pf, f"{src}/{name}.parquet")
+
+    index_dir = str(tmp_path / "delta_idx")
+    build_index(parts[0], index_dir, IndexBuildConfig())  # base = quarter 0
+    for i in range(1, 3):
+        _land(parts[i], f"f{i}")
+
+    m = stream_append_deltas(
+        spark, src, index_dir, schema=DOCS_SCHEMA, max_files_per_trigger=1
+    )
+    assert m["deltas_appended"] == 2 and m["replays_skipped"] == 0
+
+    queries = [(1, "spark merge window"), (2, "def return value"), (3, "the")]
+    live = MN.live_index(spark, index_dir)
+    assert live["n_deltas"] == 2
+    ref3 = str(tmp_path / "ref3")
+    build_index(docs_df.filter(F.col("doc_id") % 4 != 3), ref3, IndexBuildConfig())
+    assert _bm25_rows(spark, live, queries) == _bm25_rows(spark, ref3, queries)
+
+    # a late 4th file: only the new batch appends
+    _land(parts[3], "f3")
+    m2 = stream_append_deltas(spark, src, index_dir, schema=DOCS_SCHEMA)
+    assert m2["deltas_appended"] == 1
+    ref4 = str(tmp_path / "ref4")
+    build_index(docs_df, ref4, IndexBuildConfig())
+    assert _bm25_rows(spark, MN.live_index(spark, index_dir), queries) == _bm25_rows(
+        spark, ref4, queries
+    )
+
+    # wipe the checkpoint: every batch replays, the ledger skips them all
+    shutil.rmtree(f"{index_dir}/_delta_stream_checkpoint")
+    m3 = stream_append_deltas(spark, src, index_dir, schema=DOCS_SCHEMA)
+    assert m3["deltas_appended"] == 0
+    assert m3["replays_skipped"] == m3["stream_batches"] > 0
+    assert _bm25_rows(spark, MN.live_index(spark, index_dir), queries) == _bm25_rows(
+        spark, ref4, queries
+    )
+
+
+def test_stream_append_deltas_crash_and_compaction(spark, docs_df, tmp_path):
+    """(a) A crash mid-pack (intent written, partial delta dir, no
+    manifest) is healed by the replay at the SAME pinned ordinal.
+    (b) compact_every folds deltas into the base mid-stream, and a
+    checkpoint-wiped rerun still ingests nothing twice even though the
+    folded delta dirs no longer exist."""
+    import json as _json
+
+    from search_engine_spark import maintenance as MN
+    from search_engine_spark.streaming.incremental import (
+        _read_stream_state,
+        _write_stream_state,
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    parts = [docs_df.filter(F.col("doc_id") % 5 == i) for i in range(5)]
+
+    def _land(df, name):
+        stage = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(pf, f"{src}/{name}.parquet")
+
+    index_dir = str(tmp_path / "delta_idx")
+    build_index(parts[0], index_dir, IndexBuildConfig())
+    for i in range(1, 5):
+        _land(parts[i], f"f{i}")
+
+    # simulate a PRE-STREAM crashed append at ordinal 1: intent + a
+    # partial delta dir with no manifest (invisible to list_deltas)
+    _write_stream_state(index_dir, {"done_batch_id": -1, "intent": None})
+    ddir = os.path.join(index_dir, "deltas", "delta_0001")
+    os.makedirs(ddir)
+    with open(os.path.join(ddir, "garbage.bin"), "wb") as fh:
+        fh.write(b"\x00" * 64)
+
+    m = stream_append_deltas(
+        spark, src, index_dir, schema=DOCS_SCHEMA,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    # 4 files => 4 non-empty batches; each 2nd delta triggers a fold
+    assert m["deltas_appended"] == 4
+    assert m["compactions"] == 2
+    assert MN.list_deltas(index_dir) == []
+
+    queries = [(1, "spark merge window"), (2, "import class self"), (3, "the")]
+    ref = str(tmp_path / "ref")
+    build_index(docs_df, ref, IndexBuildConfig())
+    assert _bm25_rows(spark, MN.live_index(spark, index_dir), queries) == _bm25_rows(
+        spark, ref, queries
+    )
+
+    # replay-after-compaction: checkpoint wiped, delta dirs gone — the
+    # done ledger alone must prevent re-ingestion
+    shutil.rmtree(f"{index_dir}/_delta_stream_checkpoint")
+    m2 = stream_append_deltas(
+        spark, src, index_dir, schema=DOCS_SCHEMA, compact_every=2
+    )
+    assert m2["deltas_appended"] == 0 and m2["replays_skipped"] == m2["stream_batches"]
+    assert _bm25_rows(spark, MN.live_index(spark, index_dir), queries) == _bm25_rows(
+        spark, ref, queries
+    )
+    st = _read_stream_state(index_dir)
+    assert st["intent"] is None and st["done_batch_id"] >= 0
