@@ -257,6 +257,40 @@ def main() -> None:
         }
         shutil.rmtree(tmp3, ignore_errors=True)
 
+        # the freshness path: per-batch delta packs, live-searchable
+        # between triggers (vs stream_index_build's stage-cheap/pack-once)
+        from search_engine_spark.config import BM25Params, IndexBuildConfig
+        from search_engine_spark.postings import build_index
+        from search_engine_spark.streaming.incremental import (
+            stream_append_deltas,
+        )
+
+        tmp4 = tempfile.mkdtemp(prefix="bench_dstream_")
+        src4 = f"{tmp4}/in"
+        d.select("doc_id", "text").filter(F.col("doc_id") % 3 != 0).repartition(
+            4
+        ).write.parquet(src4)
+        build_index(
+            d.select("doc_id", "text").filter(F.col("doc_id") % 3 == 0),
+            f"{tmp4}/idx",
+            IndexBuildConfig(),
+            BM25Params(),
+            content_col="text",
+        )
+        n_stream = int(d.filter(F.col("doc_id") % 3 != 0).count())
+        t0 = time.perf_counter()
+        stream_append_deltas(
+            spark, src4, f"{tmp4}/idx", "doc_id long, text string",
+            content_col="text", max_files_per_trigger=2,
+        )
+        sec = time.perf_counter() - t0
+        extras["stream_append_deltas"] = {
+            "sec": round(sec, 4),
+            "docs_per_sec": round(n_stream / sec, 2),
+            "micro_batches": 2,
+        }
+        shutil.rmtree(tmp4, ignore_errors=True)
+
     # --- scaling: same build at local[N] vs local[4N] on replicated input.
     # Sandbox stand-in for the north rule's N->4N executor criterion: the
     # input is replicated so every core has real work (tasks >> scheduler

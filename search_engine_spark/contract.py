@@ -437,6 +437,49 @@ def q_bm25_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _maint_search(spark, idx_dir, live=True)
 
 
+def q_bm25_stream_ingested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest under the driver oracle: base index
+    over a third of the corpus, the rest lands as two parquet files in
+    an incoming dir drained by streaming.stream_append_deltas
+    (availableNow, maxFilesPerTrigger=1 → one delta segment per
+    micro-batch); the live view over base + streamed deltas must be
+    bit-identical to plain BM25 over the FULL corpus — the same
+    contract bm25_delta_topk holds for the batch append path."""
+    import glob
+    import shutil
+
+    from . import postings as P
+    from .config import IndexBuildConfig
+    from .streaming import stream_append_deltas
+
+    root = _contract_index_dir("streamingest", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    idx_dir = os.path.join(root, "idx")
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    P.build_index(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        content_col="text",
+    )
+    for mod in (1, 2):  # two single-file arrivals → two micro-batches
+        stage = os.path.join(root, f"_stage_{mod}")
+        docs.filter(F.col("doc_id") % 3 == mod).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(src, f"arrival_{mod}.parquet"),
+        )
+    m = stream_append_deltas(
+        spark, src, idx_dir, schema=docs.schema,
+        content_col="text", max_files_per_trigger=1,
+    )
+    assert m["deltas_appended"] == 2, m
+    return _maint_search(spark, idx_dir, live=True)
+
+
 def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
@@ -884,6 +927,32 @@ def q_phrase_match_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_packed(packed, list(PHRASE)).select(
         "doc_id", F.col("n_matches").cast("long").alias("n_matches")
     )
+
+
+PROX_WINDOW = 4
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy-phrase / NEAR operator (positional.proximity_match): docs
+    where the phrase terms co-occur within PROX_WINDOW positions in
+    either order — a strict superset of phrase_match's consecutive
+    matches (the ordered window=1 degenerate case is pytest-gated)."""
+    from .positional import positional_tokens, proximity_match
+
+    docs = _docs(spark, sf_dir)
+    ptoks = positional_tokens(docs, SQL_CFG, "doc_id", "text")
+    return proximity_match(ptoks, PHRASE[0], PHRASE[1], PROX_WINDOW)
+
+
+PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query `s*` (ops.suggest.prefix_search): per-doc matched-
+    term count + total tf over every dictionary term with the prefix."""
+    from .ops.suggest import prefix_search
+
+    return prefix_search(_tokens(spark, sf_dir), PREFIX_QUERY)
 
 
 EVAL_QUERY_TEXT = "dup key merge"  # contains the rare term 'dup' (df=25)
@@ -1934,6 +2003,31 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def _sql_proximity_match() -> str:
+    a, b = PHRASE
+    return f"""
+WITH {_sql_ptok_cte()},
+pr AS (
+  SELECT l.doc_id, abs(r.pos - l.pos) AS dist
+  FROM ptok l JOIN ptok r ON r.doc_id = l.doc_id
+  WHERE l.term = '{a}' AND r.term = '{b}'
+    AND abs(r.pos - l.pos) BETWEEN 1 AND {PROX_WINDOW}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM pr GROUP BY doc_id
+"""
+
+
+def _sql_prefix_search() -> str:
+    return f"""
+WITH {_sql_tokens_cte()}
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(tf) AS BIGINT) AS sum_tf
+FROM tok WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY doc_id
+"""
+
+
 def _sql_trec_eval() -> str:
     # the outer tok CTE (the one canonical SQL analyzer restatement —
     # same filters as the Spark side's analyze_tokens) feeds qrels; the
@@ -2084,6 +2178,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_pruned": q_bm25_wand_pruned,
         "bm25_delta_topk": q_bm25_delta_topk,
+        "bm25_stream_ingested_topk": q_bm25_stream_ingested_topk,
         "bm25_live_delete_topk": q_bm25_live_delete_topk,
         "bm25_upsert_topk": q_bm25_upsert_topk,
         "bm25_compacted_topk": q_bm25_compacted_topk,
@@ -2117,6 +2212,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "phrase_match": q_phrase_match,
+        "proximity_match": q_proximity_match,
+        "prefix_search": q_prefix_search,
         "term_suggest": q_term_suggest,
         "related_terms": q_related_terms,
         "snippets": q_snippets,
@@ -2153,6 +2250,9 @@ def duckdb_oracles() -> dict[str, str]:
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),
+        # … Structured Streaming ingest (one delta per micro-batch) is
+        # just another way to reach the same live view: full-corpus BM25
+        "bm25_stream_ingested_topk": _sql_bm25(),
         # … tombstones drop docs from the ranking but not the stats …
         "bm25_live_delete_topk": _sql_bm25(
             score_filter=f"doc_id % {_MAINT_DELETE_MOD} <> 0"
@@ -2233,6 +2333,8 @@ FROM per p JOIN cnt c USING (lang)
         "snippets": _sql_snippets(),
         # compressed positional index must reproduce phrase_match exactly
         "phrase_match_packed": _sql_phrase_match(),
+        "proximity_match": _sql_proximity_match(),
+        "prefix_search": _sql_prefix_search(),
         "lang_source_rollup": _sql_lang_source_rollup(),
         "dedup_dropped": _sql_dedup_dropped(),
         "events_json": _sql_events_json(),

@@ -91,3 +91,45 @@ def related_terms(
         F.col("df").cast("long").alias("df"),
         F.round("lift", 6).alias("lift"),
     )
+
+
+def prefix_terms(
+    term_df: DataFrame, prefix: str, k: int | None = None
+) -> DataFrame:
+    """(term, df) — dictionary terms starting with `prefix` (the
+    wildcard query's term-resolution step), df desc / term asc; k caps
+    the expansion (Lucene's maxExpansions guard — an empty prefix would
+    otherwise expand to the whole vocab).  Dictionary-sized scan, like
+    suggest_terms."""
+    out = term_df.filter(F.col("term").startswith(prefix)).orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    if k is not None:
+        out = out.limit(k)
+    return out.select("term", F.col("df").cast("long").alias("df"))
+
+
+def prefix_search(tokens: DataFrame, prefix: str) -> DataFrame:
+    """(doc_id, n_terms, sum_tf) — docs containing ANY term with the
+    prefix: the wildcard query `pre*` materialized as per-doc matched-
+    term count and total tf.  tokens = the aggregated (doc_id, term, tf)
+    stream, already one row per (doc, term), so count(*) == distinct
+    matching terms.
+
+    Scale: `startswith` is a JVM StartsWith predicate evaluated inside
+    the scan (codegen, no shuffle before the doc_id agg); against a
+    persisted index the same call lands on the term-bucketed layout
+    where a prefix maps to a contiguous term range.  For vocab-priced
+    resolution first (e.g. to refuse over-broad wildcards), use
+    prefix_terms and semi-join its (tiny) expansion instead.
+    """
+    if not prefix:
+        raise ValueError("empty prefix (would expand to the whole vocab)")
+    return (
+        tokens.filter(F.col("term").startswith(prefix))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+    )

@@ -373,3 +373,51 @@ def phrase_match(
     return matches.groupBy("doc_id").agg(
         F.count("*").alias("n_matches")
     )
+
+
+def proximity_match(
+    ptokens: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    ordered: bool = False,
+) -> DataFrame:
+    """(doc_id, n_pairs, min_dist) — co-occurrences of two DISTINCT
+    terms within `window` token positions: the sloppy-phrase primitive
+    ("a NEAR/4 b").  ordered=True additionally requires term_a to occur
+    BEFORE term_b (ordered window=1 == the exact bigram phrase —
+    pytest-gated against phrase_match).
+
+    Scale: each side is a single-term position stream (the `term ==`
+    predicate prunes at the scan / posting lookup, so the join input is
+    tf_a + tf_b rows per doc, not the corpus), then ONE doc_id-keyed
+    shuffle join.  Per-doc fan-out is tf_a x tf_b before the window
+    predicate — proportional to the true pair count for any selective
+    window, and inherently so for pair COUNTING (same contract as the
+    dedup verifiers' pair stages); a hot x hot query degrades with its
+    own result size, never with corpus size.
+    """
+    if term_a == term_b:
+        raise ValueError("proximity terms must be distinct")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = ptokens.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = ptokens.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    dist = (
+        (F.col("pb") - F.col("pa"))
+        if ordered
+        else F.abs(F.col("pb") - F.col("pa"))
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= window))
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )

@@ -176,3 +176,83 @@ def test_snippets_candidates_hook(spark, pdocs):
         ptoks, ["alpha"], width=2, candidates=cand
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ------------------------------------------------------------- proximity
+
+
+def _brute_proximity(texts, a, b, window, ordered, cfg=CFG):
+    out = {}
+    for doc_id, t in texts:
+        toks = tokenize_doc(t, cfg)
+        dists = []
+        for i, ta in enumerate(toks):
+            if ta != a:
+                continue
+            for j, tb in enumerate(toks):
+                if tb != b:
+                    continue
+                d = (j - i) if ordered else abs(j - i)
+                if 1 <= d <= window:
+                    dists.append(d)
+        if dists:
+            out[doc_id] = (len(dists), min(dists))
+    return out
+
+
+@pytest.fixture(scope="module")
+def prox_docs(spark):
+    texts = [
+        (0, "alpha x x beta"),            # dist 3
+        (1, "beta x alpha"),              # dist 2, reversed
+        (2, "alpha beta alpha x beta"),   # several pairs both directions
+        (3, "alpha x x x x x beta"),      # dist 6: outside window 4
+        (4, "gamma delta"),               # neither term
+        (5, "alpha the beta"),            # stopword closes the gap
+    ]
+    return texts, spark.createDataFrame(texts, "doc_id long, content string")
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+@pytest.mark.parametrize("window", [1, 2, 4])
+def test_proximity_matches_brute_force(spark, prox_docs, ordered, window):
+    from search_engine_spark.positional import proximity_match
+
+    texts, df = prox_docs
+    ptoks = positional_tokens(df, CFG)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_match(
+            ptoks, "alpha", "beta", window, ordered=ordered
+        ).collect()
+    }
+    assert got == _brute_proximity(texts, "alpha", "beta", window, ordered)
+
+
+def test_proximity_ordered_window1_equals_bigram_phrase(spark, prox_docs):
+    """NEAR/1 ordered degenerates to the exact bigram phrase — ties the
+    new operator to the phrase_match contract."""
+    from search_engine_spark.positional import proximity_match
+
+    texts, df = prox_docs
+    ptoks = positional_tokens(df, CFG)
+    prox = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_match(ptoks, "alpha", "beta", 1, ordered=True).collect()
+    }
+    phr = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(ptoks, ["alpha", "beta"]).collect()
+    }
+    assert prox == phr
+
+
+def test_proximity_rejects_bad_args(spark, prox_docs):
+    from search_engine_spark.positional import proximity_match
+
+    _, df = prox_docs
+    ptoks = positional_tokens(df, CFG)
+    with pytest.raises(ValueError):
+        proximity_match(ptoks, "alpha", "alpha", 3)
+    with pytest.raises(ValueError):
+        proximity_match(ptoks, "alpha", "beta", 0)

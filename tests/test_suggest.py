@@ -44,3 +44,27 @@ def test_related_terms_lift_sanity(spark):
     got = {r["term"]: r for r in related_terms(toks, "seed", n_docs=10, k=5).collect()}
     assert got["x"]["lift"] == 2.0 and got["x"]["co_docs"] == 5
     assert got["y"]["lift"] == 1.0
+
+
+def test_prefix_search_and_terms(spark):
+    from search_engine_spark.ops.suggest import prefix_search, prefix_terms
+
+    import pytest as _pt
+
+    toks = spark.createDataFrame(
+        [(1, "spark", 3), (1, "stream", 1), (1, "join", 2),
+         (2, "sort", 5), (3, "join", 1)],
+        "doc_id long, term string, tf int",
+    )
+    got = {r["doc_id"]: (r["n_terms"], r["sum_tf"])
+           for r in prefix_search(toks, "s").collect()}
+    assert got == {1: (2, 4), 2: (1, 5)}
+    with _pt.raises(ValueError):
+        prefix_search(toks, "")
+
+    vocab = spark.createDataFrame(
+        [("spark", 10), ("sort", 30), ("stream", 30), ("join", 9)],
+        "term string, df long",
+    )
+    top = [r["term"] for r in prefix_terms(vocab, "s", k=2).collect()]
+    assert top == ["sort", "stream"]  # df desc, term asc tiebreak
