@@ -200,6 +200,20 @@ def main() -> int:
     check("kmv: Arrow/pandas partial, no row-Python",
           "MapInPandas" in p and "BatchEvalPython" not in p)
 
+    from search_engine_spark.ops.suggest import prefix_search
+    from search_engine_spark.positional import proximity_match
+
+    print("== proximity/prefix ==")
+    p = plan_of(proximity_match(ptoks, "merge", "index", 4))
+    check("proximity: term filters pushed below the join (no row-Python)",
+          p.count("Filter") >= 2 and "BatchEvalPython" not in p)
+    check("proximity: ONE pair join, sort-merge or hash on doc_id",
+          ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+           or "BroadcastHashJoin" in p))
+    p = plan_of(prefix_search(tokens, "me"))
+    check("prefix: StartsWith evaluated scan-side, single agg shuffle",
+          "StartsWith" in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
