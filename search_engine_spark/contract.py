@@ -480,6 +480,25 @@ def q_bm25_stream_ingested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _maint_search(spark, idx_dir, live=True)
 
 
+QL_MU = 2000.0
+
+
+def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood ranking (query.score_ql) — the
+    language-model scorer, float32-exact cross-engine like BM25/TF-IDF
+    (per-contribution float32 casts + the float32 left fold + one final
+    float32 add of the doc-length term)."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    _, _, total_terms = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_ql(tokens, total_terms, qdf, mu=QL_MU, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
@@ -2003,6 +2022,52 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM m GROUP BY doc_id
 """
 
 
+def _sql_ql() -> str:
+    """Dirichlet QL restated exactly: double math per contribution,
+    float32 cast, term_pos-ordered float32 fold, one final REAL + REAL
+    add of the doc-length term (query.score_ql's discipline)."""
+    mu = _sql_double(QL_MU)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+tt AS (SELECT CAST(SUM(doc_len) AS DOUBLE) AS total_terms FROM meta),
+ctf AS (
+  SELECT term, CAST(SUM(tf) AS DOUBLE) AS ctf FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+lq AS (
+  SELECT q.term, q.qtf, q.term_pos, ctf.ctf
+  FROM q JOIN ctf ON ctf.term = q.term
+),
+qm AS (SELECT CAST(SUM(qtf) AS DOUBLE) AS q_mass FROM lq),
+contrib AS (
+  SELECT t.doc_id, lq.term_pos, m.doc_len,
+         CAST(CAST(lq.qtf AS DOUBLE)
+              * ln(1.0 + CAST(t.tf AS DOUBLE)
+                         / ({mu} * (lq.ctf / tt.total_terms)))
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN lq ON lq.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN tt
+),
+scores AS (
+  SELECT c.doc_id,
+         {_FOLD_F32_SQL}
+         + CAST(qm.q_mass * ln({mu} / (CAST(MAX(c.doc_len) AS DOUBLE) + {mu}))
+                AS FLOAT) AS score
+  FROM contrib c CROSS JOIN qm
+  GROUP BY c.doc_id, qm.q_mass
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _sql_proximity_match() -> str:
     a, b = PHRASE
     return f"""
@@ -2185,6 +2250,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
+        "ql_topk": q_ql_topk,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
@@ -2287,6 +2353,7 @@ def duckdb_oracles() -> dict[str, str]:
             prelude=f"fdocs AS (SELECT * FROM documents WHERE lang = '{FILTER_LANG}'), ",
         ),
         "tfidf_topk": _sql_tfidf(),
+        "ql_topk": _sql_ql(),
         "boolean_and": _sql_boolean_and(),
         "global_postings": f"""
 WITH {_sql_tokens_cte()}

@@ -200,6 +200,41 @@ def score_bm25_adpt(
     return _topk(results, idx, k)
 
 
+def score_ql(
+    idx: OracleIndex, query_text: str, mu: float = 2000.0, k: int = 1000
+) -> list[tuple[int, str, float]]:
+    """Dirichlet query-likelihood twin of query.score_ql (Zhai & Lafferty
+    2001) — loop-for-loop and independent of the Spark plan so the two
+    cross-check.  Float discipline mirrored exactly: per-contribution
+    double math cast to float32, float32 accumulation in query-term
+    order, then ONE final float32 + float32 add of the doc-length term.
+    Query terms absent from the collection (ctf = 0) drop out of BOTH
+    the match sum and the query mass."""
+    keywords = tokenize_query(query_text, idx.cfg)
+    total_terms = float(sum(idx.doc_lens))
+    live: list[tuple[str, int, float]] = []
+    for term, qtf in keywords:
+        if term not in idx.postings:
+            continue
+        live.append((term, qtf, float(sum(idx.postings[term][1]))))
+    results: dict[int, np.float32] = {}
+    for term, qtf, ctf in live:  # keyword order == term_pos order
+        p_c = ctf / total_terms
+        for doc_id, tf in zip(*idx.postings[term]):
+            contrib = np.float32(float(qtf) * math.log(1.0 + tf / (mu * p_c)))
+            if doc_id in results:
+                results[doc_id] = np.float32(results[doc_id] + contrib)
+            else:
+                results[doc_id] = contrib
+    q_mass = float(sum(qtf for _, qtf, _ in live))
+    for doc_id in results:
+        dl_term = np.float32(
+            q_mass * math.log(mu / (float(idx.doc_lens[doc_id]) + mu))
+        )
+        results[doc_id] = np.float32(results[doc_id] + dl_term)
+    return _topk(results, idx, k)
+
+
 def score_tfidf(
     idx: OracleIndex, query_text: str, k: int = 1000
 ) -> list[tuple[int, str, float]]:

@@ -190,6 +190,71 @@ def score_tfidf(
     return topk(_accumulate(contrib, exact_float32), k)
 
 
+def score_ql(
+    tokens: DataFrame,
+    total_terms: int,
+    qterms: DataFrame,
+    mu: float = 2000.0,
+    k: int = 1000,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scorer (Zhai & Lafferty 2001)
+    — the classic language-model alternative to BM25 the reference never
+    grew.  Uses the rank-equivalent decomposition
+
+        log p(q|d) = sum_{t in q AND d} qtf_t * ln(1 + tf / (mu*p(t|C)))
+                     + (sum_{t in q} qtf_t) * ln(mu / (doc_len + mu))
+
+    with p(t|C) = ctf_t / total_terms, so only MATCHED postings are
+    touched (same broadcast-semi-join shape as score_bm25; only docs
+    containing >=1 query term are candidates — absent docs all share the
+    background-only score and are not returned).  Query terms with
+    ctf = 0 (absent from the collection) have p(t|C) = 0 and are dropped
+    from BOTH sums, standard LM practice.
+
+    Float discipline mirrors score_bm25: each matched contribution is
+    cast to float32, folded in query-term order with the float32
+    left-fold, and the doc-length term is added as one final float32 +
+    float32 step — bit-reproducible in DuckDB (REAL + REAL stays REAL).
+    """
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    live_q = qterms.join(F.broadcast(ctf), "term", "inner")  # drops ctf=0
+    joined = matched.join(F.broadcast(live_q), "term", "inner")
+    p_c = F.col("ctf").cast("double") / F.lit(float(total_terms))
+    contrib = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        "doc_len",
+        (
+            F.col("qtf").cast("double")
+            * F.log(F.lit(1.0) + F.col("tf").cast("double") / (F.lit(mu) * p_c))
+        ).cast("float").alias("contrib"),
+    )
+    # per-topic total query mass over the SURVIVING (ctf>0) terms
+    qmass = live_q.groupBy("topic_id").agg(
+        F.sum("qtf").cast("double").alias("q_mass")
+    )
+    per_doc = contrib.groupBy("topic_id", "doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term_pos", "contrib"))).alias(
+            "parts"
+        ),
+        F.first("doc_len").alias("doc_len"),
+    )
+    dl_term = (
+        F.col("q_mass")
+        * F.log(F.lit(mu) / (F.col("doc_len").cast("double") + F.lit(mu)))
+    ).cast("float")
+    scores = per_doc.join(F.broadcast(qmass), "topic_id").select(
+        "topic_id",
+        "doc_id",
+        (F.expr(_FOLD_F32_EXPR) + dl_term).alias("score"),
+    )
+    return topk(scores, k)
+
+
 def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
     """Conjunctive boolean retrieval: docs containing ALL terms.
 

@@ -176,6 +176,36 @@ def test_tfidf_identity(spark, built, oracle_index, queries_fixture):
             assert d == od and s == pytest.approx(os_, abs=0.0)
 
 
+def test_ql_identity(spark, built, oracle_index, queries_fixture):
+    """Dirichlet QL: rank + float32-score identity vs the pure-Python
+    oracle, on the same fixture query set as BM25 (every 3rd query)."""
+    sample = queries_fixture[::3]
+    qdf = Q.queries_to_df(
+        spark, [(q["topic_id"], q["query_text"]) for q in sample], CFG
+    )
+    _, _, total_terms = B.collect_stats(built["doc_meta"])
+    res = Q.score_ql(built["tokens"], total_terms, qdf, mu=2000.0, k=K)
+    got: dict[int, list[tuple[int, int, float]]] = {}
+    for r in res.collect():
+        got.setdefault(r["topic_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for v in got.values():
+        v.sort()
+    n_checked = 0
+    for q in sample:
+        want = O.score_ql(oracle_index, q["query_text"], mu=2000.0, k=K)
+        have = got.get(q["topic_id"], [])
+        assert len(have) == len(want), f"topic {q['topic_id']}: row count"
+        for (rank, doc_id, score), (o_doc, _ok, o_score) in zip(have, want):
+            assert doc_id == o_doc, f"topic {q['topic_id']} rank {rank}: doc"
+            assert score == pytest.approx(o_score, abs=0.0), (
+                f"topic {q['topic_id']} rank {rank}: {score} != {o_score}"
+            )
+            n_checked += 1
+    assert n_checked > 60
+
+
 def test_partition_count_invariance(spark, docs_df, oracle_index, queries_fixture):
     # same results when the build runs over 1 partition vs 7 partitions
     sample = [q for q in queries_fixture[:8]]
