@@ -55,6 +55,10 @@ _EXPORTS = {
     "search_bm25": "wand:search_bm25",
     "score_bm25": "query:score_bm25",
     "score_tfidf": "query:score_tfidf",
+    "score_ql": "query:score_ql",
+    "score_bm25f": "query:score_bm25f",
+    "rrf_fuse": "query:rrf_fuse",
+    "collapse_topk": "query:collapse_topk",
     "boolean_and": "query:boolean_and",
     "queries_to_df": "query:queries_to_df",
     "score_bm25_adpt": "adpt:score_bm25_adpt",

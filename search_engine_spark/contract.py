@@ -62,52 +62,58 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL building blocks
 # ---------------------------------------------------------------------------
 
-def _sql_tokens_cte(source_table: str = "documents") -> str:
-    """CTE `tok` = (doc_id, term, tf): the document analyzer in ANSI SQL.
+def _sql_tokens_cte(
+    source_table: str = "documents", text_col: str = "text", suffix: str = ""
+) -> str:
+    """CTE `tok{suffix}` = (doc_id, term, tf): the document analyzer in
+    ANSI SQL.
 
     Restates analysis.analyze_frame with stemming off: split on
     [\\x00-\\x2f:;=?]+, drop ''/tag-shaped tokens, cap 100 chars,
     ASCII-only fold (translate — NOT lower(), to match Indexer.cs:170-176
     exactly on any input), drop the 39 stopwords.  `source_table` lets a
-    query analyze a restricted corpus (e.g. a metadata-filtered CTE)."""
+    query analyze a restricted corpus (e.g. a metadata-filtered CTE);
+    `text_col` + `suffix` let a fielded query (BM25F) analyze several
+    columns side by side."""
     return f"""
-raw AS (
+raw{suffix} AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}')) AS t
+         unnest(regexp_split_to_array({text_col}, '{DOC_SPLIT_SQL_REGEX}')) AS t
   FROM {source_table}
 ),
-folded AS (
+folded{suffix} AS (
   SELECT doc_id,
          translate(substr(t, 1, 100), '{_UPPER}', '{_LOWER}') AS term
-  FROM raw
+  FROM raw{suffix}
   WHERE t <> '' AND NOT starts_with(t, '<') AND NOT ends_with(t, '>')
 ),
-tok AS (
+tok{suffix} AS (
   -- tf caps at the uint16 width (PostingEntry.cs:6); n_raw keeps the
   -- uncapped token count for doc_len (WriteableIndex.cs:68 counts every
   -- surviving token regardless of the tf cap)
   SELECT doc_id, term,
          CAST(least(count(*), 65535) AS BIGINT) AS tf,
          CAST(count(*) AS BIGINT) AS n_raw
-  FROM folded
+  FROM folded{suffix}
   WHERE NOT (length(term) <= 4 AND term IN ({_STOPLIST_SQL}))
   GROUP BY doc_id, term
 )"""
 
 
-def _sql_meta_stats_cte(source_table: str = "documents") -> str:
-    """CTEs meta (doc_id, doc_len incl. empty docs) + stats (n, avgdl)."""
+def _sql_meta_stats_cte(source_table: str = "documents", suffix: str = "") -> str:
+    """CTEs meta{suffix} (doc_id, doc_len incl. empty docs) +
+    stats{suffix} (n, avgdl), reading tok{suffix}."""
     return f"""
-meta AS (
+meta{suffix} AS (
   SELECT d.doc_id, CAST(COALESCE(s.doc_len, 0) AS BIGINT) AS doc_len
   FROM {source_table} d
-  LEFT JOIN (SELECT doc_id, SUM(n_raw) AS doc_len FROM tok GROUP BY doc_id) s
+  LEFT JOIN (SELECT doc_id, SUM(n_raw) AS doc_len FROM tok{suffix} GROUP BY doc_id) s
     USING (doc_id)
 ),
-stats AS (
+stats{suffix} AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(doc_len) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM meta
+  FROM meta{suffix}
 )"""
 
 
@@ -496,6 +502,86 @@ def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = Q.score_ql(tokens, total_terms, qdf, mu=QL_MU, k=TOPK)
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+BM25F_QUERY_TEXT = "spark merge src4 batch"
+# (column, weight, length-norm b) — `source` is the "title-like" short
+# field (one token per doc), boosted and normalized more gently.
+BM25F_FIELDS = (("text", 1.0, 0.75), ("source", 2.5, 0.6))
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25 (query.score_bm25f) over text + source — the code-
+    corpus shape (content + path) stated on the driver table's columns;
+    float32-exact cross-engine like plain BM25."""
+    docs = _docs(spark, sf_dir)
+    fields = []
+    n_docs = 0
+    for col, w, b in BM25F_FIELDS:
+        toks = B.analyze_tokens(docs, SQL_CFG, "doc_id", col)
+        meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", col)
+        n_docs, avgdl, _ = B.collect_stats(meta)
+        fields.append((toks, w, b, avgdl))
+    qdf = Q.queries_to_df(spark, [(1, BM25F_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25f(fields, n_docs, qdf, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+RRF_QVEC_ID = 7
+RRF_DEPTH = 50
+RRF_K0 = 60.0
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 fused with embedding-cosine top-50
+    via reciprocal-rank fusion (query.rrf_fuse).  doc_id aligns with
+    vec_id in the test tables; scores are exact doubles from integer
+    ranks, so the fused ranking is oracle-checked unrounded."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    lex = Q.score_bm25(tokens, n, avgdl, qdf, k=RRF_DEPTH)
+    embs = _embs(spark, sf_dir)
+    qvec = embs.filter(F.col("vec_id") == RRF_QVEC_ID).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = S.cosine_topk_bruteforce(embs, qvec, k=RRF_DEPTH).select(
+        F.lit(1).alias("topic_id"), F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = Q.rrf_fuse(
+        [lex.select("topic_id", "doc_id", "rank"), ann], k0=RRF_K0, k=TOPK
+    )
+    return fused.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+COLLAPSE_DEPTH = 50
+COLLAPSE_GROUPS = 10
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (query.collapse_topk): BM25 top-50, one best doc
+    per source, top-10 sources — result diversification."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    lex = Q.score_bm25(tokens, n, avgdl, qdf, k=COLLAPSE_DEPTH)
+    res = Q.collapse_topk(
+        lex, docs.select("doc_id", "source"), "source", n_groups=COLLAPSE_GROUPS
+    )
+    return res.select(
+        F.col("group_rank").cast("long").alias("group_rank"),
+        "source",
+        "doc_id",
+        "score",
     )
 
 
@@ -1294,21 +1380,19 @@ _FOLD_F32_SQL = (
 )
 
 
-def _sql_bm25(
+def _sql_bm25_ctes(
     params: BM25Params = BM25Params(),
     source_table: str = "documents",
     prelude: str = "",
     query_text: str | None = None,
     score_filter: str = "",
 ) -> str:
-    """score_filter (a doc_id predicate) drops docs AFTER scoring but
-    BEFORE ranking — tombstone semantics: stats/df still count the
-    deleted docs (Lucene-style, maintenance.delete_docs), the ranking
-    just never returns them."""
+    """The BM25 pipeline as a CTE chain ending in `ranked` (no top-k cut)
+    — shared by _sql_bm25 and the composed oracles (RRF fusion, field
+    collapsing) that post-process the ranking."""
     k1, k3, b = params.k1, params.k3, params.b
     where_scores = f"WHERE {score_filter}" if score_filter else ""
-    return f"""
-WITH {prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
+    return f"""{prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
 {_query_values_sql(query_text or BM25_QUERY_TEXT)},
 tdf AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
@@ -1334,7 +1418,23 @@ ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
          doc_id, score
   FROM scores {where_scores}
-)
+)"""
+
+
+def _sql_bm25(
+    params: BM25Params = BM25Params(),
+    source_table: str = "documents",
+    prelude: str = "",
+    query_text: str | None = None,
+    score_filter: str = "",
+) -> str:
+    """score_filter (a doc_id predicate) drops docs AFTER scoring but
+    BEFORE ranking — tombstone semantics: stats/df still count the
+    deleted docs (Lucene-style, maintenance.delete_docs), the ranking
+    just never returns them."""
+    ctes = _sql_bm25_ctes(params, source_table, prelude, query_text, score_filter)
+    return f"""
+WITH {ctes}
 SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
@@ -2068,6 +2168,117 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _sql_bm25f() -> str:
+    """BM25F restated: per-field weighted tf (double), one saturation on
+    the combined tf~, any-field df, float32 cast per contribution,
+    term_pos-ordered float32 fold — query.score_bm25f's discipline.
+    Operation order mirrors the Spark expressions exactly; the 2-field
+    double sum is commutative, so tf~ is bit-equal cross-engine."""
+    params = BM25Params()
+    k1, k3 = params.k1, params.k3
+    field_selects = []
+    for col, w, b in BM25F_FIELDS:
+        sfx = "" if col == "text" else "_s"
+        field_selects.append(
+            f"""SELECT t.doc_id, t.term,
+         {_sql_double(w)} * t.tf / ({_sql_double(1.0 - b)} + {_sql_double(b)} * (m.doc_len / s.avgdl)) AS wtf
+  FROM tok{sfx} t JOIN meta{sfx} m ON m.doc_id = t.doc_id CROSS JOIN stats{sfx} s
+  WHERE t.term IN (SELECT term FROM q)"""
+        )
+    union = "\n  UNION ALL\n  ".join(field_selects)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_sql_tokens_cte(text_col="source", suffix="_s")}, {_sql_meta_stats_cte(suffix="_s")},
+{_query_values_sql(BM25F_QUERY_TEXT)},
+ftok AS (
+  {union}
+),
+fagg AS (SELECT doc_id, term, SUM(wtf) AS tft FROM ftok GROUP BY doc_id, term),
+fdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM fagg GROUP BY term),
+contrib AS (
+  SELECT a.doc_id, q.term_pos,
+         CAST(ln((s.n_docs - fdf.df + 0.5) / (fdf.df + 0.5))
+              * (a.tft / ({k1} + a.tft))
+              * ((({k3} + 1.0) * q.qtf) / ({k3} + q.qtf)) AS FLOAT) AS c
+  FROM fagg a
+  JOIN q ON q.term = a.term
+  JOIN fdf ON fdf.term = a.term
+  CROSS JOIN stats s
+),
+fscores AS (SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id),
+franked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM fscores
+)
+SELECT rank, doc_id, score FROM franked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_hybrid_rrf() -> str:
+    """RRF fusion restated: the shared BM25 `ranked` CTE chain + the ann
+    cosine ranking (same double dot/norm math as _sql_ann_cosine_topk),
+    1/(k0+rank) parts, double sum, re-rank.  All score math is exact
+    doubles from integer ranks."""
+    return f"""
+WITH {_sql_bm25_ctes()},
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {RRF_QVEC_ID}),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(qv.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS cosine
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {RRF_QVEC_ID}
+),
+vr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r
+  FROM cos
+),
+parts AS (
+  SELECT doc_id, 1.0 / ({_sql_double(RRF_K0)} + rank) AS part
+  FROM ranked WHERE rank <= {RRF_DEPTH}
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_sql_double(RRF_K0)} + r) AS part
+  FROM vr WHERE r <= {RRF_DEPTH}
+),
+fused AS (SELECT doc_id, SUM(part) AS score FROM parts GROUP BY doc_id),
+rranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM fused
+)
+SELECT rank, doc_id, score FROM rranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_collapse_topk() -> str:
+    """Field collapsing restated: BM25 ranked CTE chain -> join the
+    doc->source map on the top-{COLLAPSE_DEPTH} page, best (lowest) rank
+    per source, sources ranked by representative rank."""
+    return f"""
+WITH {_sql_bm25_ctes()},
+joined AS (
+  SELECT r.rank, r.doc_id, r.score, d.source
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+  WHERE r.rank <= {COLLAPSE_DEPTH}
+),
+best AS (
+  SELECT rank, doc_id, score, source,
+         row_number() OVER (PARTITION BY source ORDER BY rank ASC) AS rn
+  FROM joined
+),
+g AS (
+  SELECT CAST(row_number() OVER (ORDER BY rank ASC) AS BIGINT) AS group_rank,
+         source, doc_id, score
+  FROM best WHERE rn = 1
+)
+SELECT group_rank, source, doc_id, score FROM g WHERE group_rank <= {COLLAPSE_GROUPS}
+"""
+
+
 def _sql_proximity_match() -> str:
     a, b = PHRASE
     return f"""
@@ -2251,6 +2462,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
         "ql_topk": q_ql_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "collapse_topk": q_collapse_topk,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
@@ -2354,6 +2568,9 @@ def duckdb_oracles() -> dict[str, str]:
         ),
         "tfidf_topk": _sql_tfidf(),
         "ql_topk": _sql_ql(),
+        "bm25f_topk": _sql_bm25f(),
+        "hybrid_rrf_topk": _sql_hybrid_rrf(),
+        "collapse_topk": _sql_collapse_topk(),
         "boolean_and": _sql_boolean_and(),
         "global_postings": f"""
 WITH {_sql_tokens_cte()}

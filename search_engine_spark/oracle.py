@@ -235,6 +235,52 @@ def score_ql(
     return _topk(results, idx, k)
 
 
+def score_bm25f(
+    field_indexes: list[tuple["OracleIndex", float, float]],
+    query_text: str,
+    params: BM25Params | None = None,
+    k: int = 1000,
+) -> list[tuple[int, str, float]]:
+    """BM25F twin of query.score_bm25f — loop-for-loop independent of the
+    Spark plan.  `field_indexes`: (index, weight, b) per field, every
+    index built over the SAME docs in the same doc_id order (each field's
+    doc_lens are that field's lengths).  df = docs containing the term in
+    ANY field; tf~ saturates once on the combined weighted tf.  Float
+    discipline mirrored: double math, one float32 cast per (term, doc)
+    contribution, float32 accumulation in query-term order."""
+    params = params or BM25Params()
+    base = field_indexes[0][0]
+    n_docs = len(base.doc_lens)
+    keywords = tokenize_query(query_text, base.cfg)
+    avgdls = [
+        sum(idx.doc_lens) / float(n_docs) for idx, _, _ in field_indexes
+    ]
+    k1, k3 = params.k1, params.k3
+    results: dict[int, np.float32] = {}
+    for pos, (term, qtf) in enumerate(keywords):
+        tft: dict[int, float] = {}
+        for (idx, w, b), avgdl in zip(field_indexes, avgdls):
+            if term not in idx.postings:
+                continue
+            for doc_id, tf in zip(*idx.postings[term]):
+                norm = (1.0 - b) + b * (
+                    float(idx.doc_lens[doc_id]) / avgdl
+                )
+                tft[doc_id] = tft.get(doc_id, 0.0) + w * float(tf) / norm
+        df = len(tft)
+        if df == 0:
+            continue
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        qtfp = ((k3 + 1.0) * qtf) / (k3 + qtf)
+        for doc_id, t in tft.items():
+            contrib = np.float32(idf * (t / (k1 + t)) * qtfp)
+            if doc_id in results:
+                results[doc_id] = np.float32(results[doc_id] + contrib)
+            else:
+                results[doc_id] = contrib
+    return _topk(results, base, k)
+
+
 def score_tfidf(
     idx: OracleIndex, query_text: str, k: int = 1000
 ) -> list[tuple[int, str, float]]:

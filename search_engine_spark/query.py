@@ -255,6 +255,151 @@ def score_ql(
     return topk(scores, k)
 
 
+def score_bm25f(
+    fields: Sequence[tuple[DataFrame, float, float, float]],
+    n_docs: int,
+    qterms: DataFrame,
+    params: BM25Params | None = None,
+    k: int = 1000,
+    exact_float32: bool = True,
+) -> DataFrame:
+    """Fielded BM25 (BM25F, Zaragoza et al. CIKM'04 simple variant) — the
+    multi-field scorer the reference never grew (its documents are a single
+    TREC <TEXT> stream) but a code corpus needs: a match in `path` should
+    outrank the same match buried in `content`.
+
+    `fields`: sequence of (tokens, weight, b, avgdl) — one analyzed token
+    frame per field (build.analyze_tokens output: doc_id, term, tf,
+    doc_len, where doc_len is THAT field's length), its boost weight, its
+    length-norm b, and its collection-wide average length.
+
+        tf~(t,d)  = sum_f  w_f * tf_f / (1 - b_f + b_f * dl_f/avgdl_f)
+        score(d)  = sum_t idf(t) * tf~/(k1 + tf~) * (k3+1)qtf/(k3+qtf)
+
+    with df(t) = #docs containing t in ANY field and the reference's
+    no-clamp idf.  Saturation (k1) is applied ONCE on the combined tf~ —
+    the defining property of BM25F vs a naive weighted sum of per-field
+    BM25 scores, which over-rewards a term that appears in every field.
+
+    Float discipline mirrors score_bm25: all math in double, one float32
+    cast per (term, doc) contribution, float32 left fold in query-term
+    order.  Cross-engine bit-exactness holds for <=2 fields (the double
+    sum of two per-field tf~ parts is commutative); with more fields the
+    per-(term,doc) sum order is engine-dependent and only the final
+    float32 quantization absorbs it.
+
+    Scale: per-field matched slices are dictionary-pruned by the
+    broadcast query-term semi-join BEFORE the union, so the groupBy
+    shuffles only matched postings — same shape as score_bm25 with an
+    extra map-side-combined agg on (term, doc_id)."""
+    params = params or BM25Params()
+    qsel = F.broadcast(qterms.select("term").distinct())
+    parts = []
+    for tokens, w, b, avgdl in fields:
+        matched = tokens.join(qsel, "term", "inner")
+        norm = F.lit(1.0 - b) + F.lit(b) * (
+            F.col("doc_len").cast("double") / F.lit(float(avgdl))
+        )
+        parts.append(
+            matched.select(
+                "term",
+                "doc_id",
+                (F.lit(float(w)) * F.col("tf").cast("double") / norm).alias(
+                    "wtf"
+                ),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("term", "doc_id").agg(F.sum("wtf").alias("tft"))
+    tdf = agg.groupBy("term").agg(F.count("*").alias("df"))
+    joined = agg.join(F.broadcast(qterms), "term", "inner").join(
+        F.broadcast(tdf), "term", "inner"
+    )
+    k1, k3 = params.k1, params.k3
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
+    contrib = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        (idf * (F.col("tft") / (F.lit(k1) + F.col("tft"))) * qtfp)
+        .cast("float")
+        .alias("contrib"),
+    )
+    return topk(_accumulate(contrib, exact_float32), k)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame], k0: float = 60.0, k: int = 1000
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of ranked lists:
+
+        rrf(d) = sum_r 1 / (k0 + rank_r(d))
+
+    over every list that returned d.  The standard way to hybridize
+    lexical (BM25) and vector (cosine ANN) retrieval without score
+    calibration — ranks are scale-free.  Each input: (topic_id, doc_id,
+    rank).  Scores are exact doubles from integer ranks (identical in any
+    engine; the sum over <=2 lists is commutative), so the fused ranking
+    is oracle-checkable unrounded.
+
+    Scale: inputs are top-k lists (k rows per topic), so every stage is
+    broadcast-sized regardless of corpus size."""
+    parts = [
+        r.select(
+            "topic_id",
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))
+            ).alias("part"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scores = u.groupBy("topic_id", "doc_id").agg(F.sum("part").alias("score"))
+    return topk(scores, k)
+
+
+def collapse_topk(
+    ranked: DataFrame,
+    groups: DataFrame,
+    group_col: str,
+    n_groups: int = 10,
+) -> DataFrame:
+    """Field collapsing (result diversification): keep only the single
+    best-ranked doc per group (e.g. one result per repo/source), then
+    return the top `n_groups` groups ordered by their representative's
+    rank.  `ranked`: (topic_id, rank, doc_id, score) — a top-k result
+    page; `groups`: (doc_id, <group_col>) — the doc->group map.
+
+    Scale: `ranked` is k rows per topic, so it is BROADCAST against the
+    (corpus-sized) doc->group map — a semi-join that prunes the map scan
+    to the result page; the window then sorts k rows."""
+    joined = groups.select("doc_id", group_col).join(
+        F.broadcast(ranked), "doc_id", "inner"
+    )
+    w_in = Window.partitionBy("topic_id", group_col).orderBy(
+        F.asc("rank")
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w_in))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_out = Window.partitionBy("topic_id").orderBy(F.asc("rank"))
+    return (
+        best.withColumn("group_rank", F.row_number().over(w_out))
+        .filter(F.col("group_rank") <= n_groups)
+        .select("topic_id", "group_rank", group_col, "doc_id", "score")
+    )
+
+
 def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
     """Conjunctive boolean retrieval: docs containing ALL terms.
 

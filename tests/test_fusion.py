@@ -1,0 +1,168 @@
+"""Identity gates for the fielded/fused retrieval operators.
+
+- BM25F over (content, path) — the north-rule code-corpus field shape —
+  rank + float32-score identical to an independent pure-Python oracle
+  (oracle.score_bm25f), including queries that hit ONLY the path field.
+- RRF fusion (query.rrf_fuse) vs a dict-based manual fuse.
+- Field collapsing (query.collapse_topk) vs hand-computed expectation.
+
+The DuckDB-checked contract twins (bm25f_topk / hybrid_rrf_topk /
+collapse_topk) cover the stemming-off SQL-restatable path; these gates
+cover stemming-on and multi-topic batches.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B, oracle as O, query as Q
+from search_engine_spark.config import AnalyzerConfig
+from search_engine_spark.fixtures import doc_key
+
+CFG = AnalyzerConfig()
+K = 30
+FIELDS = (("content", 1.0, 0.75), ("path", 2.0, 0.5))
+# queries that exercise path-only, content-only, and mixed-field matches
+PATH_QUERIES = [
+    (9001, "src py spark"),
+    (9002, "java merge window"),
+    (9003, "md txt"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in corpus
+        ],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df).cache()
+
+
+@pytest.fixture(scope="module")
+def field_indexes(corpus):
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return [
+        (O.build_index([(doc_key(r), r[col]) for r in ordered], CFG), w, b)
+        for col, w, b in FIELDS
+    ]
+
+
+@pytest.fixture(scope="module")
+def spark_fields(docs_df):
+    out = []
+    for col, w, b in FIELDS:
+        toks = B.analyze_tokens(docs_df, CFG, "doc_id", col).cache()
+        meta = B.build_doc_meta(docs_df, CFG, "doc_id", col)
+        n, avgdl, _ = B.collect_stats(meta)
+        out.append((toks, w, b, avgdl, n))
+    return out
+
+
+def test_bm25f_identity(spark, spark_fields, field_indexes, queries_fixture):
+    sample = [
+        (q["topic_id"], q["query_text"]) for q in queries_fixture[::4]
+    ] + PATH_QUERIES
+    # non-vacuity: the path field must actually contribute matches
+    path_idx = field_indexes[1][0]
+    assert any(
+        t in path_idx.postings
+        for _, text in PATH_QUERIES
+        for t, _ in O.tokenize_query(text, CFG)
+    ), "no PATH_QUERIES term hits the path field — gate is vacuous"
+    qdf = Q.queries_to_df(spark, sample, CFG)
+    n_docs = spark_fields[0][4]
+    res = Q.score_bm25f(
+        [(t, w, b, a) for t, w, b, a, _ in spark_fields], n_docs, qdf, k=K
+    )
+    got: dict[int, list[tuple[int, int, float]]] = {}
+    for r in res.collect():
+        got.setdefault(r["topic_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for v in got.values():
+        v.sort()
+    for topic_id, text in sample:
+        want = O.score_bm25f(field_indexes, text, k=K)
+        have = got.get(topic_id, [])
+        assert len(have) == len(want), f"topic {topic_id}: row count"
+        for (rk, d, s), (od, _, os_) in zip(have, want):
+            assert d == od, f"topic {topic_id} rank {rk}: doc {d} != {od}"
+            assert s == pytest.approx(os_, abs=0.0), f"topic {topic_id} rank {rk}"
+
+
+def test_bm25f_path_boost_changes_ranking(spark, spark_fields):
+    """The path field must be able to OUTRANK content: a query on path
+    tokens ranks a path-matching doc above pure content matches."""
+    qdf = Q.queries_to_df(spark, [(1, "py src")], CFG)
+    n_docs = spark_fields[0][4]
+    fields = [(t, w, b, a) for t, w, b, a, _ in spark_fields]
+    fused = Q.score_bm25f(fields, n_docs, qdf, k=5).collect()
+    content_only = Q.score_bm25f([fields[0]], n_docs, qdf, k=5).collect()
+    assert [r["doc_id"] for r in fused] != [
+        r["doc_id"] for r in content_only
+    ], "path field never changed the ranking — weights are vacuous"
+
+
+def _manual_rrf(rankings, k0=60.0):
+    acc: dict[tuple[int, int], float] = {}
+    for ranking in rankings:
+        for topic_id, doc_id, rank in ranking:
+            key = (topic_id, doc_id)
+            acc[key] = acc.get(key, 0.0) + 1.0 / (k0 + rank)
+    out: dict[int, list] = {}
+    for (topic_id, doc_id), score in acc.items():
+        out.setdefault(topic_id, []).append((doc_id, score))
+    for topic_id in out:
+        out[topic_id].sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_rrf_fuse_matches_manual(spark):
+    lex = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)]
+    ann = [(1, 12, 1), (1, 99, 2), (1, 10, 3), (2, 21, 1)]
+    schema = "topic_id int, doc_id long, rank int"
+    fused = Q.rrf_fuse(
+        [
+            spark.createDataFrame(lex, schema),
+            spark.createDataFrame(ann, schema),
+        ],
+        k0=60.0,
+        k=10,
+    ).collect()
+    want = _manual_rrf([lex, ann])
+    got: dict[int, list] = {}
+    for r in fused:
+        got.setdefault(r["topic_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for v in got.values():
+        v.sort()
+    for topic_id, expected in want.items():
+        have = got[topic_id]
+        assert len(have) == len(expected)
+        for (rk, d, s), (od, os_) in zip(have, expected):
+            assert d == od and s == os_  # exact doubles from integer ranks
+
+
+def test_collapse_topk(spark):
+    ranked = [
+        (1, 1, 100, 9.0),
+        (1, 2, 101, 8.0),
+        (1, 3, 102, 7.0),
+        (1, 4, 103, 6.5),
+    ]
+    groups = [(100, "a"), (101, "a"), (102, "b"), (103, "c")]
+    rdf = spark.createDataFrame(
+        ranked, "topic_id int, rank int, doc_id long, score double"
+    )
+    gdf = spark.createDataFrame(groups, "doc_id long, source string")
+    res = Q.collapse_topk(rdf, gdf, "source", n_groups=2).collect()
+    rows = sorted((r["group_rank"], r["source"], r["doc_id"]) for r in res)
+    assert rows == [(1, "a", 100), (2, "b", 102)]
+    # depth covers all groups when n_groups is large
+    res3 = Q.collapse_topk(rdf, gdf, "source", n_groups=10).collect()
+    rows3 = sorted((r["group_rank"], r["source"], r["doc_id"]) for r in res3)
+    assert rows3 == [(1, "a", 100), (2, "b", 102), (3, "c", 103)]
