@@ -139,6 +139,12 @@ def cmd_search(args: argparse.Namespace) -> None:
                 )
             elif sc == "tfidf":
                 res = score_tfidf(toks, index["n_docs"], q, k=args.k)
+            elif sc == "ql":
+                from .query import score_ql
+
+                res = score_ql(
+                    toks, index["total_terms"], q, k=args.k
+                )
             else:
                 from .adpt import score_bm25_adpt
 
@@ -196,7 +202,7 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("topics")
     se.add_argument("index_dir")
     se.add_argument("out")
-    se.add_argument("--scorer", choices=["bm25", "tfidf", "bm25adpt", "all"],
+    se.add_argument("--scorer", choices=["bm25", "tfidf", "bm25adpt", "ql", "all"],
                     default="bm25",
                     help="'all' = the reference's behavior: every scorer "
                          "per invocation (Program.cs:99-108)")

@@ -214,6 +214,32 @@ def main() -> int:
     check("prefix: StartsWith evaluated scan-side, single agg shuffle",
           "StartsWith" in p and "BatchEvalPython" not in p)
 
+    # --- fielded / fused retrieval ---
+    print("== bm25f / rrf / collapse ==")
+    toks_src = B.analyze_tokens(docs, cfg, "doc_id", "source")
+    bm25f = Q.score_bm25f(
+        [(tokens, 1.0, 0.75, 100.0), (toks_src, 2.5, 0.6, 1.0)],
+        1000, qdf, k=10, exact_float32=False,
+    )
+    p = plan_of(bm25f)
+    check("bm25f: query terms + df broadcast (>=2 BroadcastHashJoin)",
+          p.count("BroadcastHashJoin") >= 2)
+    check("bm25f: Arrow analyzers, no row-Python",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+    ranked = Q.score_bm25(tokens, 1000, 100.0, qdf, BM25Params(), k=10,
+                          exact_float32=False)
+    p = plan_of(Q.collapse_topk(ranked, docs.select("doc_id", "source"),
+                                "source", n_groups=5))
+    check("collapse: result page broadcast against the doc->group map",
+          "BroadcastHashJoin" in p)
+    ann_fake = spark.range(10).select(
+        F.lit(1).alias("topic_id"), F.col("id").alias("doc_id"),
+        (F.col("id") + 1).cast("int").alias("rank"))
+    p = plan_of(Q.rrf_fuse([ranked.select("topic_id", "doc_id", "rank"),
+                            ann_fake], k=10))
+    check("rrf: pure JVM agg over union, no row-Python",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
