@@ -112,6 +112,8 @@ _EXPORTS = {
     "group_quantiles": "ops.profile:group_quantiles",
     # pipeline ops: sketches / suggest / multimodal
     "kmv_distinct": "ops.sketch:kmv_distinct",
+    "heavy_hitters": "ops.sketch:heavy_hitters",
+    "regex_count": "ops.textstats:regex_count",
     "suggest_terms": "ops.suggest:suggest_terms",
     "related_terms": "ops.suggest:related_terms",
     "synthesize_media": "ops.multimodal:synthesize_media",

@@ -31,7 +31,7 @@ from . import build as B, query as Q
 from .analysis import DOC_SPLIT_SQL_REGEX, STOPWORDS, tokenize_query
 from .config import AnalyzerConfig, BM25Params
 from .ops import dedup as D, similarity as S, textstats as TS
-from .ops.sketch import kmv_sql
+from .ops.sketch import heavy_hitters, kmv_sql
 
 SQL_CFG = AnalyzerConfig(do_stemming=False)
 FULL_CFG = AnalyzerConfig()  # stemming on — used by entry() and pytest paths
@@ -558,6 +558,35 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fused.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+HH_FRAC = 0.01
+REGEX_PATTERN = "st[a-z]*m"
+
+
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (ops.sketch.heavy_hitters, two-pass weighted
+    Misra-Gries + candidate-restricted recount): terms carrying >1% of
+    total token mass.  The MG pass is bounded-memory and the recount is
+    exact, so the result hash-matches a plain GROUP BY ... HAVING."""
+    tokens = _tokens(spark, sf_dir)
+    res = heavy_hitters(
+        tokens.select("term", "tf"),
+        "term",
+        weight_col="tf",
+        threshold_frac=HH_FRAC,
+    )
+    return res.select("term", F.col("total").cast("long").alias("total_tf"))
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep over the corpus (ops.textstats.regex_count): docs matching
+    the pattern with non-overlapping match counts — scan-side JVM regex,
+    no shuffle."""
+    res = TS.regex_count(_docs(spark, sf_dir), REGEX_PATTERN)
+    return res.select(
+        "doc_id", F.col("n_matches").cast("long").alias("n_matches")
     )
 
 
@@ -2279,6 +2308,29 @@ SELECT group_rank, source, doc_id, score FROM g WHERE group_rank <= {COLLAPSE_GR
 """
 
 
+def _sql_heavy_hitter_terms() -> str:
+    """The HAVING restatement of the exact two-pass MG heavy hitters:
+    same strict > comparison on the same double product."""
+    return f"""
+WITH {_sql_tokens_cte()}
+SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tok GROUP BY term
+HAVING CAST(SUM(tf) AS DOUBLE) >
+       {_sql_double(HH_FRAC)} * (SELECT CAST(SUM(tf) AS DOUBLE) FROM tok)
+"""
+
+
+def _sql_regex_search() -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{REGEX_PATTERN}')) AS BIGINT) AS n_matches
+  FROM documents
+)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+"""
+
+
 def _sql_proximity_match() -> str:
     a, b = PHRASE
     return f"""
@@ -2465,6 +2517,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "collapse_topk": q_collapse_topk,
+        "heavy_hitter_terms": q_heavy_hitter_terms,
+        "regex_search": q_regex_search,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
@@ -2571,6 +2625,8 @@ def duckdb_oracles() -> dict[str, str]:
         "bm25f_topk": _sql_bm25f(),
         "hybrid_rrf_topk": _sql_hybrid_rrf(),
         "collapse_topk": _sql_collapse_topk(),
+        "heavy_hitter_terms": _sql_heavy_hitter_terms(),
+        "regex_search": _sql_regex_search(),
         "boolean_and": _sql_boolean_and(),
         "global_postings": f"""
 WITH {_sql_tokens_cte()}

@@ -132,3 +132,77 @@ SELECT {gc}, n_in_sketch,
              END, 6) AS est_distinct
 FROM agg
 """
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    threshold_frac: float = 0.001,
+    k_counters: int | None = None,
+) -> DataFrame:
+    """(item, total) — EXACT heavy hitters via two-pass Misra-Gries:
+    every item whose total weight exceeds threshold_frac of the global
+    weight (MG 1982; merge rule per Agarwal et al. PODS'12).
+
+    Pass 1 (sketch): per-partition weighted MG summaries with k counters
+    inside ONE Arrow-batched mapInPandas — each batch is pre-aggregated
+    (groupby) then merged into the k-counter summary (sum counts; if
+    > k survive, subtract the (k+1)-th largest and drop non-positive),
+    so memory is O(k) per partition and the raw stream never shuffles.
+    Guarantee: MG undercounts by <= W_p/(k+1) in partition p, and by
+    weighted pigeonhole any item with global weight > W/(k+1) exceeds
+    that bound in some partition — so with k >= 1/threshold_frac
+    (enforced) the union of per-partition survivors is a SUPERSET of
+    the true heavy hitters.
+    Pass 2 (verify): exact recount restricted to the candidate set via
+    a broadcast semi-join + the threshold filter — the result is EXACT
+    (identical to GROUP BY ... HAVING), but the full-dictionary shuffle
+    is replaced by a candidates-only one (<= k * n_partitions rows).
+
+    At 10^12 tokens over a 10^9-term dictionary the HAVING plan
+    shuffles the whole dictionary; this plan shuffles k rows per
+    partition, then recounts only candidates."""
+    if not (0.0 < threshold_frac < 1.0):
+        raise ValueError("threshold_frac must be in (0, 1)")
+    k = max(k_counters or 0, int(1.0 / threshold_frac) + 1)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    pairs = df.select(
+        F.col(item_col).cast("string").alias("item"), w.alias("w")
+    ).where(F.col("item").isNotNull())
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, float] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            batch = pdf.groupby("item", sort=False)["w"].sum()
+            for item, wt in batch.items():
+                counters[item] = counters.get(item, 0.0) + float(wt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from everyone,
+                # keep strictly-positive survivors (<= k of them)
+                import numpy as np
+
+                vals = np.fromiter(counters.values(), dtype="float64")
+                cut = np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c - cut > 0.0
+                }
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = (
+        pairs.mapInPandas(_mg, schema="item string").distinct()
+    )
+    total = pairs.agg(F.sum("w")).collect()[0][0] or 0.0
+    threshold = float(threshold_frac) * float(total)
+    exact = pairs.join(F.broadcast(candidates), "item", "inner").groupBy(
+        "item"
+    ).agg(F.sum("w").alias("total"))
+    return exact.filter(F.col("total") > F.lit(threshold)).select(
+        F.col("item").alias(item_col), "total"
+    )

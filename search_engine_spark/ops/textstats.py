@@ -298,3 +298,32 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 3) ->
         ),
     ).otherwise(F.array(F.md5(F.col(text_col))))
     return df.withColumn("fingerprint", F.array_min(shingles))
+
+
+def regex_count(
+    df: DataFrame,
+    pattern: str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matches) for docs matching `pattern` at least once —
+    the grep primitive over a source-code corpus (the reference has no
+    raw-content search; the brief's code tables make it table stakes).
+
+    Runs scan-side in whole-stage codegen (regexp_count is a JVM
+    expression, no Python), no shuffle at all; the n_matches > 0 filter
+    prunes the stream before any downstream join.  At 100 TB this is a
+    pure map over the content scan — parallel by input split.
+
+    Stick to regex constructs with identical semantics in Java and RE2
+    (character classes, quantifiers, alternation — no backreferences or
+    lookaround) when the result must be oracle-checkable."""
+    return (
+        df.select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.regexp_count(F.col(content_col), F.lit(pattern)).alias(
+                "n_matches"
+            ),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -64,3 +64,75 @@ def test_matches_duckdb_sql(spark, vals_df, tmp_path):
     want = sorted(con.execute(kmv_sql("t", "v", ["g"], k=64)).fetchall())
     got = sorted(tuple(r) for r in kmv_distinct(vals_df, "v", ["g"], k=64).collect())
     assert [tuple(w) for w in want] == got
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters: exact two-pass Misra-Gries
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    """1,000 distinct items, 5 of them heavy — a dictionary much larger
+    than the MG counter budget, so evictions actually happen."""
+    base = spark.range(0, 50_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 1000).cast("string")).alias(
+            "item"
+        ),
+        F.when(F.col("id") % 1000 < 5, F.lit(100.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    return base.cache()
+
+
+def _exact_hh(df, frac):
+    total = df.agg(F.sum("w")).collect()[0][0]
+    rows = (
+        df.groupBy("item")
+        .agg(F.sum("w").alias("total"))
+        .filter(F.col("total") > frac * total)
+        .collect()
+    )
+    return {r["item"]: r["total"] for r in rows}
+
+
+def test_heavy_hitters_exact_under_eviction(spark, skewed_df):
+    from search_engine_spark.ops.sketch import heavy_hitters
+
+    # k_counters defaults to 1/frac + 1 = 101 << 1000 distinct items
+    got = {
+        r["item"]: r["total"]
+        for r in heavy_hitters(
+            skewed_df, "item", weight_col="w", threshold_frac=0.01
+        ).collect()
+    }
+    want = _exact_hh(skewed_df, 0.01)
+    assert got == want
+    assert len(want) == 5  # the 5 boosted items, nothing else
+
+
+@pytest.mark.parametrize("parts", [2, 13])
+def test_heavy_hitters_partition_invariance(spark, skewed_df, parts):
+    from search_engine_spark.ops.sketch import heavy_hitters
+
+    got = {
+        r["item"]: r["total"]
+        for r in heavy_hitters(
+            skewed_df.repartition(parts), "item", weight_col="w",
+            threshold_frac=0.01,
+        ).collect()
+    }
+    assert got == _exact_hh(skewed_df, 0.01)
+
+
+def test_heavy_hitters_unweighted_and_validation(spark):
+    from search_engine_spark.ops.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [(f"x{i}",) for i in range(10)],
+        "item string",
+    )
+    got = {r["item"] for r in heavy_hitters(df, "item", threshold_frac=0.25).collect()}
+    assert got == {"a", "b"}
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", threshold_frac=0.0)
