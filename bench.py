@@ -198,6 +198,18 @@ def main() -> None:
     extras["spread"] = t.spread
     extras["reps"] = REPS
 
+    # --- round-3 query-surface ops (extras-only: the headline set stays
+    # fixed so cross-round totals compare like for like) ---
+    from search_engine_spark.contract import spark_queries as _sq
+
+    t_r3 = Timer(REPS)
+    qcat_r3 = _sq()
+    for name in ("ql_topk", "bm25f_topk", "hybrid_rrf_topk",
+                 "collapse_topk", "heavy_hitter_terms", "regex_search"):
+        t_r3.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_r3"] = {"medians": t_r3.medians,
+                                  "spread": t_r3.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:
