@@ -391,6 +391,42 @@ def q_bm25_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel (snapshot) search: base + two deltas with a
+    between-delta delete; live_index(as_of=1) must reconstruct epoch 1
+    exactly — the later delete (stamped epoch 2) and delta 2 invisible —
+    so the oracle is plain BM25 SQL over epoch-1's doc subset."""
+    import shutil
+
+    from . import maintenance as MN, postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("asof", sf_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    P.build_index(
+        docs.filter(F.col("doc_id") % 5 >= 2),
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        content_col="text",
+    )
+    MN.append_delta(
+        docs.filter(F.col("doc_id") % 5 == 1), idx_dir, content_col="text"
+    )
+    MN.delete_docs(
+        spark, idx_dir, docs.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    )
+    MN.append_delta(
+        docs.filter(F.col("doc_id") % 5 == 0), idx_dir, content_col="text"
+    )
+    idx = MN.live_index(spark, idx_dir, as_of=1)
+    res = W.search_bm25(idx, [(1, BM25_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def q_bm25_live_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstoned live search: deleted docs vanish from the ranking but
     (Lucene semantics) still count in df/avgdl until compaction — the
@@ -2506,6 +2542,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_wand_pruned": q_bm25_wand_pruned,
         "bm25_delta_topk": q_bm25_delta_topk,
+        "bm25_asof_topk": q_bm25_asof_topk,
         "bm25_stream_ingested_topk": q_bm25_stream_ingested_topk,
         "bm25_live_delete_topk": q_bm25_live_delete_topk,
         "bm25_upsert_topk": q_bm25_upsert_topk,
@@ -2584,6 +2621,10 @@ def duckdb_oracles() -> dict[str, str]:
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),
+        "bm25_asof_topk": _sql_bm25(
+            prelude="adocs AS (SELECT * FROM documents WHERE doc_id % 5 >= 1), ",
+            source_table="adocs",
+        ),
         # … Structured Streaming ingest (one delta per micro-batch) is
         # just another way to reach the same live view: full-corpus BM25
         "bm25_stream_ingested_topk": _sql_bm25(),

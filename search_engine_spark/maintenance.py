@@ -242,24 +242,46 @@ def append_delta(
 
 
 def delete_docs(
-    spark: SparkSession, index_dir: str, doc_ids, before_epoch: int = ALL_EPOCHS
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids,
+    before_epoch: int = ALL_EPOCHS,
+    created_epoch: int | None = None,
 ) -> None:
     """Tombstone docs (DataFrame with a doc_id column, or an iterable of
     ids).  Appends parquet; nothing is rewritten until compact_index.
 
     before_epoch: postings in epochs STRICTLY BELOW it are dead.  The
     default ALL_EPOCHS kills every version (a plain delete); upsert_docs
-    passes the re-added delta's ordinal so only superseded versions die."""
+    passes the re-added delta's ordinal so only superseded versions die.
+
+    created_epoch: the snapshot epoch this tombstone belongs to, for
+    as-of (time-travel) reads.  The default stamps the NEXT delta
+    ordinal — a delete issued between delta e and delta e+1 logically
+    belongs to the epoch being built, so every already-published epoch
+    view stays IMMUTABLE (an as_of=e reader never sees results change
+    under it).  The live view (as_of=None) always sees every tombstone.
+    upsert_docs passes its new delta's ordinal explicitly, so at
+    as_of=ordinal the new version is visible and the old one dead."""
     _recover_compaction(index_dir)
+    if created_epoch is None:
+        existing = list_deltas(index_dir)
+        created_epoch = (
+            max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1
+            if existing
+            else 1
+        )
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
     else:
         df = spark.createDataFrame(
             [(int(x),) for x in doc_ids], schema="doc_id long"
         )
-    df.withColumn("before_epoch", F.lit(int(before_epoch))).write.mode(
-        "append"
-    ).parquet(_tombstones_dir(index_dir))
+    df.withColumn(
+        "before_epoch", F.lit(int(before_epoch)).cast("long")
+    ).withColumn(
+        "created_epoch", F.lit(int(created_epoch)).cast("long")
+    ).write.mode("append").parquet(_tombstones_dir(index_dir))
 
 
 def upsert_docs(
@@ -293,6 +315,7 @@ def upsert_docs(
         index_dir,
         docs.select(F.col(doc_id_col).alias("doc_id")),
         before_epoch=ordinal,
+        created_epoch=ordinal,
     )
     metrics = append_delta(
         docs, index_dir, doc_id_col=doc_id_col, content_col=content_col,
@@ -302,10 +325,21 @@ def upsert_docs(
     return metrics
 
 
-def live_index(spark: SparkSession, index_dir: str) -> dict:
+def live_index(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> dict:
     """load_index()-shaped dict over base + deltas, with exact combined
     stats and the tombstone set attached.  Pass straight to
     wand.search_bm25 (which detects live=True).
+
+    as_of: time-travel — reconstruct the index exactly as it stood at
+    snapshot epoch `as_of` (Iceberg-snapshot semantics over the delta
+    log): deltas with ordinal > as_of and tombstones with
+    created_epoch > as_of are excluded; as_of=0 is the base build.
+    Published epochs are immutable (delete_docs stamps between-delta
+    tombstones with the NEXT ordinal), so an as_of view is a stable
+    snapshot no later write can change.  as_of=None is the mutable live
+    head (every delta + every tombstone).
 
     Raises if a delta was built with a different analyzer — mixed
     tokenizations in one posting space are silent corruption."""
@@ -318,6 +352,10 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
     doc_meta = base["doc_meta"].withColumn("_epoch", F.lit(0).cast("long"))
     n_docs, total_terms = base["n_docs"], base["total_terms"]
     deltas = list_deltas(index_dir)
+    if as_of is not None:
+        deltas = [
+            n for n in deltas if int(n[len(_DELTA_PREFIX) :]) <= as_of
+        ]
     for name in deltas:
         ordinal = int(name[len(_DELTA_PREFIX) :])
         d = P.load_index(spark, os.path.join(_deltas_root(index_dir), name))
@@ -339,11 +377,31 @@ def live_index(spark: SparkSession, index_dir: str) -> dict:
 
     tomb_dir = _tombstones_dir(index_dir)
     tombstones = (
-        spark.read.parquet(tomb_dir) if os.path.isdir(tomb_dir) else None
+        # mergeSchema: a dir may mix legacy files (no created_epoch /
+        # before_epoch) with current ones — merge, then default the gaps
+        spark.read.option("mergeSchema", "true").parquet(tomb_dir)
+        if os.path.isdir(tomb_dir)
+        else None
     )
     if tombstones is not None and "before_epoch" not in tombstones.columns:
         # legacy (pre-upsert) tombstone dirs: doc_id only = kill all
         tombstones = tombstones.withColumn("before_epoch", F.lit(ALL_EPOCHS))
+    if tombstones is not None:
+        tombstones = tombstones.withColumn(
+            "before_epoch", F.coalesce("before_epoch", F.lit(ALL_EPOCHS))
+        )
+        if "created_epoch" in tombstones.columns:
+            # legacy rows (null created_epoch) predate time travel:
+            # visible at every epoch
+            tombstones = tombstones.withColumn(
+                "created_epoch", F.coalesce("created_epoch", F.lit(0))
+            )
+        else:
+            tombstones = tombstones.withColumn("created_epoch", F.lit(0))
+        if as_of is not None:
+            tombstones = tombstones.filter(
+                F.col("created_epoch") <= F.lit(int(as_of))
+            )
     tomb_arr = None
     if tombstones is not None:
         # collected ONCE here, reused by every search on this view (the

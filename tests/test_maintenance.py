@@ -455,3 +455,70 @@ def test_delete_docs_accepts_iterable(spark, tmp_path):
     live = MN.live_index(spark, idx)
     got = {r[0] for r in live["tombstones"].select("doc_id").collect()}
     assert got == set(some)
+
+
+def test_as_of_time_travel(spark, tmp_path_factory):
+    """Snapshot (as-of) reads over the delta log: every epoch view equals
+    a from-scratch build of that epoch's corpus; a between-delta delete
+    belongs to the NEXT epoch (so published epochs stay immutable); later
+    writes — including an upsert — never change an already-published
+    epoch's ranking; as_of=<latest ordinal> equals the live head."""
+    root = tmp_path_factory.mktemp("maint_asof")
+    docs = _docs(spark)
+    cfg = IndexBuildConfig(analyzer=SQL_CFG)
+    inc = str(root / "inc")
+    base = docs.filter(F.col("doc_id") % 5 < 3)
+    P.build_index(base, inc, cfg, BM25Params(), content_col="text")
+    MN.append_delta(docs.filter(F.col("doc_id") % 5 == 3), inc, content_col="text")
+    # delete issued BETWEEN delta 1 and delta 2 -> stamped epoch 2
+    MN.delete_docs(
+        spark, inc, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    MN.append_delta(docs.filter(F.col("doc_id") % 5 == 4), inc, content_col="text")
+
+    q = [(1, BM25_QUERY_TEXT), (2, "spark batch")]
+
+    def _ranked(as_of=None):
+        return _rows(
+            W.search_bm25(MN.live_index(spark, inc, as_of=as_of), q, k=TOPK)
+        )
+
+    # epoch 0: the base build, no tombstones
+    ref0 = str(root / "e0")
+    P.build_index(base, ref0, cfg, BM25Params(), content_col="text")
+    assert _ranked(0) == _rows(W.search_bm25(P.load_index(spark, ref0), q, k=TOPK))
+
+    # epoch 1: base + delta1; the (later) delete is NOT visible
+    ref1 = str(root / "e1")
+    P.build_index(
+        docs.filter(F.col("doc_id") % 5 <= 3), ref1, cfg, BM25Params(),
+        content_col="text",
+    )
+    e1 = _ranked(1)
+    assert e1 == _rows(W.search_bm25(P.load_index(spark, ref1), q, k=TOPK))
+
+    # epoch 2: all docs' stats (Lucene semantics), delete visible
+    ref_full = str(root / "efull")
+    P.build_index(docs, ref_full, cfg, BM25Params(), content_col="text")
+    big = W.search_bm25(P.load_index(spark, ref_full), q, k=10**6).collect()
+    want2 = []
+    for tid in (1, 2):
+        kept = [
+            r for r in sorted(
+                (r for r in big if r["topic_id"] == tid),
+                key=lambda r: r["rank"],
+            )
+            if r["doc_id"] % DEL_MOD != 0
+        ][:TOPK]
+        want2 += [(tid, i + 1, r["doc_id"], r["score"]) for i, r in enumerate(kept)]
+    e2 = _ranked(2)
+    assert e2 == sorted(want2)
+
+    # immutability: an upsert (epoch 3) must not move epochs 1-2
+    mod = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" spark spark merge"))
+    )
+    MN.upsert_docs(mod, inc, content_col="text")
+    assert _ranked(1) == e1
+    assert _ranked(2) == e2
+    assert _ranked(3) == _ranked(None)  # latest epoch == live head
