@@ -599,6 +599,14 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HH_FRAC = 0.01
 REGEX_PATTERN = "st[a-z]*m"
+BOOL_QUERY = "(spark AND merge) OR (batch NOT window)"
+
+
+def q_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language (query.parse_boolean + boolean_eval):
+    AND/OR/binary-NOT with parentheses over analyzed terms, executed as
+    dictionary-pruned relational set ops."""
+    return Q.boolean_search(_tokens(spark, sf_dir), BOOL_QUERY, SQL_CFG)
 
 
 def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2356,6 +2364,16 @@ HAVING CAST(SUM(tf) AS DOUBLE) >
 """
 
 
+def _sql_boolean_query() -> str:
+    """The SAME AST the engine executes, restated as ANSI set ops
+    (query.boolean_to_sql) over the token CTE."""
+    ast = Q.parse_boolean(BOOL_QUERY, SQL_CFG)
+    return f"""
+WITH {_sql_tokens_cte()}
+SELECT doc_id FROM ({Q.boolean_to_sql(ast)}) t
+"""
+
+
 def _sql_regex_search() -> str:
     return f"""
 WITH m AS (
@@ -2556,6 +2574,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": q_collapse_topk,
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "regex_search": q_regex_search,
+        "boolean_query": q_boolean_query,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
@@ -2668,6 +2687,7 @@ def duckdb_oracles() -> dict[str, str]:
         "collapse_topk": _sql_collapse_topk(),
         "heavy_hitter_terms": _sql_heavy_hitter_terms(),
         "regex_search": _sql_regex_search(),
+        "boolean_query": _sql_boolean_query(),
         "boolean_and": _sql_boolean_and(),
         "global_postings": f"""
 WITH {_sql_tokens_cte()}

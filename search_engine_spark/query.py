@@ -414,3 +414,171 @@ def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
         .filter(F.col("n_matched") == len(terms))
         .select("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean query language: TERM, AND, OR, NOT (binary difference), parens
+# ---------------------------------------------------------------------------
+
+class BoolNode:
+    """AST node: ("term", analyzed_term_or_None) | (op, left, right)
+    with op in {"and", "or", "not"}.  NOT is the BINARY difference
+    `a NOT b` (Lucene's `a AND NOT b`): a complement would be a
+    full-corpus scan, which the language deliberately cannot express."""
+
+    __slots__ = ("op", "term", "left", "right")
+
+    def __init__(self, op, term=None, left=None, right=None):
+        self.op, self.term, self.left, self.right = op, term, left, right
+
+    def __repr__(self):  # debugging aid
+        if self.op == "term":
+            return repr(self.term)
+        return f"({self.left!r} {self.op.upper()} {self.right!r})"
+
+
+def parse_boolean(query: str, cfg: AnalyzerConfig | None = None) -> BoolNode:
+    """Parse `(spark AND merge) OR (batch NOT window)` into a BoolNode.
+
+    Grammar (precedence low -> high):
+        or_expr   := and_expr ( OR and_expr )*
+        and_expr  := diff_expr ( AND diff_expr )*
+        diff_expr := atom ( NOT atom )*
+        atom      := TERM | '(' or_expr ')'
+    Operators are case-sensitive upper-case words; every other token is
+    a term and passes through the QUERY analyzer chain (fold / stopword
+    / stem), so `Sparks` matches what indexing made of it.  A term the
+    analyzer drops entirely (a stopword) becomes the EMPTY set —
+    documented, deterministic semantics."""
+    cfg = cfg or AnalyzerConfig()
+    toks: list[str] = []
+    for raw in query.replace("(", " ( ").replace(")", " ) ").split():
+        toks.append(raw)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of boolean query")
+        if t == "(":
+            take()
+            node = or_expr()
+            if peek() != ")":
+                raise ValueError("missing ')' in boolean query")
+            take()
+            return node
+        if t in ("AND", "OR", "NOT", ")"):
+            raise ValueError(f"unexpected '{t}' in boolean query")
+        take()
+        analyzed = tokenize_query(t, cfg)
+        # multi-token surface forms (e.g. 'a.b') conjoin; dropped -> None
+        node = None
+        for term, _ in analyzed:
+            leaf = BoolNode("term", term=term)
+            node = leaf if node is None else BoolNode("and", left=node, right=leaf)
+        return node if node is not None else BoolNode("term", term=None)
+
+    def diff_expr():
+        node = atom()
+        while peek() == "NOT":
+            take()
+            node = BoolNode("not", left=node, right=atom())
+        return node
+
+    def and_expr():
+        node = diff_expr()
+        while peek() == "AND":
+            take()
+            node = BoolNode("and", left=node, right=diff_expr())
+        return node
+
+    def or_expr():
+        node = and_expr()
+        while peek() == "OR":
+            take()
+            node = BoolNode("or", left=node, right=and_expr())
+        return node
+
+    root = or_expr()
+    if peek() is not None:
+        raise ValueError(f"trailing '{peek()}' in boolean query")
+    return root
+
+
+def boolean_terms(node: BoolNode) -> set[str]:
+    """Every analyzed term referenced by the AST (for posting pruning)."""
+    if node.op == "term":
+        return {node.term} if node.term is not None else set()
+    return boolean_terms(node.left) | boolean_terms(node.right)
+
+
+def boolean_eval(tokens: DataFrame, node: BoolNode) -> DataFrame:
+    """Evaluate a parsed boolean query to a (doc_id) DataFrame.
+
+    Leaves are distinct doc-id posting sets pruned by ONE shared
+    `term IN (...)` scan filter (pushed to the source); combinators are
+    relational set ops — intersect / union / except(all=False) — which
+    Catalyst plans as co-partitioned hash aggregations over
+    candidate-sized inputs, never the full corpus.  AQE coalesces the
+    post-set-op partitions.  The doc-id sets are dictionary-pruned
+    before any shuffle, so cost scales with the matched postings, not
+    the index."""
+    pruned = tokens.filter(
+        F.col("term").isin(sorted(boolean_terms(node)))
+    ).select("doc_id", "term")
+
+    def ev(n: BoolNode) -> DataFrame:
+        if n.op == "term":
+            if n.term is None:  # analyzer dropped the term: empty set
+                return pruned.filter(F.lit(False)).select("doc_id")
+            return (
+                pruned.filter(F.col("term") == n.term)
+                .select("doc_id")
+                .distinct()
+            )
+        left, right = ev(n.left), ev(n.right)
+        if n.op == "and":
+            return left.intersect(right)
+        if n.op == "or":
+            return left.union(right).distinct()
+        return left.subtract(right)  # EXCEPT DISTINCT; left is already a set
+
+    return ev(node)
+
+
+def boolean_search(
+    tokens: DataFrame, query: str, cfg: AnalyzerConfig | None = None
+) -> DataFrame:
+    """parse_boolean + boolean_eval in one call: (doc_id) for docs
+    satisfying the boolean expression."""
+    return boolean_eval(tokens, parse_boolean(query, cfg))
+
+
+def boolean_to_sql(
+    node: BoolNode, tok_table: str = "tok", doc_col: str = "doc_id"
+) -> str:
+    """The AST restated as ANSI-SQL set operations over a (doc_id, term)
+    token table — the oracle twin of boolean_eval (INTERSECT / UNION /
+    EXCEPT are distinct-set ops in standard SQL, matching the engine's
+    distinct doc-id-set semantics)."""
+    if node.op == "term":
+        if node.term is None:
+            return f"SELECT {doc_col} FROM {tok_table} WHERE 1=0"
+        return (
+            f"SELECT DISTINCT {doc_col} FROM {tok_table} "
+            f"WHERE term = '{node.term}'"
+        )
+    op = {"and": "INTERSECT", "or": "UNION", "not": "EXCEPT"}[node.op]
+    return (
+        f"({boolean_to_sql(node.left, tok_table, doc_col)}) {op} "
+        f"({boolean_to_sql(node.right, tok_table, doc_col)})"
+    )

@@ -1,0 +1,104 @@
+"""Boolean query language gates: parser precedence/associativity and
+error handling, plus set-semantics equivalence of boolean_eval against a
+pure-Python set evaluator on a controlled corpus (including analyzed
+terms, stopword-dropped leaves, and the binary-NOT difference)."""
+
+import pytest
+
+from search_engine_spark import build as B, query as Q
+from search_engine_spark.config import AnalyzerConfig
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+DOCS = [
+    (0, "spark merge window"),
+    (1, "spark merge"),
+    (2, "batch window"),
+    (3, "batch"),
+    (4, "spark batch window"),
+    (5, "merge"),
+    (6, "spark Spark SPARK"),  # folding
+    (7, "the of and"),  # all stopwords
+]
+
+
+def _sets():
+    out: dict[str, set[int]] = {}
+    for doc_id, text in DOCS:
+        for t in text.lower().split():
+            if t in ("the", "of", "and"):
+                continue
+            out.setdefault(t, set()).add(doc_id)
+    return out
+
+
+def _py_eval(node, sets):
+    if node.op == "term":
+        return set(sets.get(node.term, set())) if node.term else set()
+    l, r = _py_eval(node.left, sets), _py_eval(node.right, sets)
+    return {"and": l & r, "or": l | r, "not": l - r}[node.op]
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return B.analyze_tokens(df, CFG, "doc_id", "text").cache()
+
+
+QUERIES = [
+    "spark AND merge",
+    "spark OR batch",
+    "spark NOT window",
+    "(spark AND merge) OR (batch NOT window)",
+    "spark AND merge OR batch",  # AND binds tighter: (spark AND merge) OR batch
+    "spark OR batch AND window",  # spark OR (batch AND window)
+    "spark NOT window NOT merge",  # left-assoc: (spark NOT window) NOT merge
+    "((spark))",
+    "Spark AND MERGE",  # analyzer folds terms (operators stay upper-case)
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_boolean_eval_matches_python_sets(spark, tokens, q):
+    ast = Q.parse_boolean(q, CFG)
+    got = {r["doc_id"] for r in Q.boolean_eval(tokens, ast).collect()}
+    assert got == _py_eval(ast, _sets()), q
+
+
+def test_precedence_shapes():
+    ast = Q.parse_boolean("a AND b OR c", CFG)
+    assert ast.op == "or" and ast.left.op == "and"
+    ast = Q.parse_boolean("a OR b AND c", CFG)
+    assert ast.op == "or" and ast.right.op == "and"
+    ast = Q.parse_boolean("a NOT b AND c", CFG)
+    assert ast.op == "and" and ast.left.op == "not"
+
+
+def test_stopword_leaf_is_empty_set(spark, tokens):
+    got = Q.boolean_search(tokens, "the OR spark", CFG).collect()
+    assert {r["doc_id"] for r in got} == _sets()["spark"]
+    assert Q.boolean_search(tokens, "spark AND the", CFG).count() == 0
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "AND spark", "spark AND", "(spark", "spark)", "spark OR OR merge"],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        Q.parse_boolean(bad, CFG)
+
+
+def test_sql_twin_matches(spark, tokens):
+    """boolean_to_sql over the same tokens (via DuckDB) equals the
+    DataFrame evaluation — the oracle used by the contract."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    ast = Q.parse_boolean("(spark AND merge) OR (batch NOT window)", CFG)
+    tok_pdf = tokens.select("doc_id", "term").toPandas()
+    con = duckdb.connect()
+    con.register("tok", tok_pdf)
+    want = {r[0] for r in con.execute(Q.boolean_to_sql(ast)).fetchall()}
+    got = {r["doc_id"] for r in Q.boolean_eval(tokens, ast).collect()}
+    assert got == want
