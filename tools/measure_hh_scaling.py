@@ -1,0 +1,123 @@
+"""Measure heavy_hitters (two-pass Misra-Gries) vs the naive
+GROUP BY ... HAVING plan on a wide-dictionary corpus, at two
+parallelism levels (the sandbox form of the north rule's N vs 4N).
+
+The MG path's 100-TB argument is SHUFFLE VOLUME: the naive plan
+shuffles one row per distinct item (the whole dictionary), the MG plan
+shuffles <= k rows per partition plus the candidate recount.  Wall time
+at laptop scale can favor either (the MG pass pays Python/Arrow batch
+cost; the naive plan pays the dictionary shuffle), so this tool reports
+BOTH wall time and the shuffled-row proxy (distinct items vs
+k*partitions + candidates) so the trade is visible rather than assumed.
+
+Usage: python tools/measure_hh_scaling.py [n_rows] [n_distinct]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+N_DISTINCT = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+FRAC = 0.001
+N_HEAVY = 50
+SPLITS = 256
+CORES = (4, 16)
+REPS = 3
+
+
+def run(master_cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops.sketch import heavy_hitters
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        f"hh_scale_{master_cores}",
+        master=f"local[{master_cores}]",
+        shuffle_partitions=master_cores * 2,
+    )
+    # long-tail dictionary + N_HEAVY hot items (each ~1% of mass)
+    base = (
+        spark.range(0, N_ROWS, numPartitions=SPLITS)
+        .select(
+            F.when(
+                F.col("id") % 100 < 50,  # 50% of rows go to the hot head
+                F.concat(F.lit("hot"), (F.col("id") % N_HEAVY).cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("t"), (F.col("id") % N_DISTINCT).cast("string")
+                )
+            )
+            .alias("item")
+        )
+        .persist()
+    )
+    base.count()
+
+    out: dict = {"cores": master_cores}
+    for name, fn in (
+        (
+            "mg_two_pass",
+            lambda: heavy_hitters(base, "item", threshold_frac=FRAC).count(),
+        ),
+        (
+            "naive_having",
+            lambda: base.groupBy("item")
+            .agg(F.count("*").cast("double").alias("total"))
+            .filter(F.col("total") > FRAC * N_ROWS)
+            .count(),
+        ),
+    ):
+        best = min(_timed(fn) for _ in range(REPS))
+        out[name] = {
+            "sec": round(best, 3),
+            "rows_per_sec": round(N_ROWS / best, 1),
+        }
+    base.unpersist()
+    spark.stop()
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    results = [run(c) for c in CORES]
+    lo, hi = results[0], results[1]
+    ratio = CORES[1] / CORES[0]
+    eff = {
+        k: round(
+            (hi[k]["rows_per_sec"] / lo[k]["rows_per_sec"]) / ratio, 3
+        )
+        for k in ("mg_two_pass", "naive_having")
+    }
+    print(
+        json.dumps(
+            {
+                "n_rows": N_ROWS,
+                "n_distinct": N_DISTINCT,
+                "frac": FRAC,
+                "reps": REPS,
+                "runs": results,
+                "scaling_efficiency": eff,
+                "shuffle_rows_proxy": {
+                    "naive": N_DISTINCT + N_HEAVY,
+                    "mg": f"<= k({int(1 / FRAC) + 1}) * {SPLITS} partitions + candidates",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
