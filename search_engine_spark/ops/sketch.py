@@ -145,24 +145,33 @@ def heavy_hitters(
     every item whose total weight exceeds threshold_frac of the global
     weight (MG 1982; merge rule per Agarwal et al. PODS'12).
 
-    Pass 1 (sketch): per-partition weighted MG summaries with k counters
-    inside ONE Arrow-batched mapInPandas — each batch is pre-aggregated
-    (groupby) then merged into the k-counter summary (sum counts; if
-    > k survive, subtract the (k+1)-th largest and drop non-positive),
-    so memory is O(k) per partition and the raw stream never shuffles.
-    Guarantee: MG undercounts by <= W_p/(k+1) in partition p, and by
-    weighted pigeonhole any item with global weight > W/(k+1) exceeds
-    that bound in some partition — so with k >= 1/threshold_frac
-    (enforced) the union of per-partition survivors is a SUPERSET of
-    the true heavy hitters.
-    Pass 2 (verify): exact recount restricted to the candidate set via
-    a broadcast semi-join + the threshold filter — the result is EXACT
-    (identical to GROUP BY ... HAVING), but the full-dictionary shuffle
-    is replaced by a candidates-only one (<= k * n_partitions rows).
+    Pass 1 (sketch): items are xxhash64-hashed to int64 JVM-SIDE, then
+    per-partition weighted MG summaries with k counters run inside ONE
+    Arrow-batched mapInArrow over (hash, weight) — pure numpy/pandas
+    int64 kernels, no Python string objects ever materialize (the
+    string-keyed variant measured ~1.2M rows/s; int64 is ~10x).  Each
+    batch is pre-aggregated then merged into the k-counter summary (sum
+    counts; if > k survive, subtract the (k+1)-th largest and drop
+    non-positives), so memory is O(k) per partition and the raw stream
+    never shuffles.  Guarantee: MG undercounts by <= W_p/(k+1) in
+    partition p, and by weighted pigeonhole any item with global weight
+    > W/(k+1) exceeds that bound in some partition — so with
+    k >= 1/threshold_frac (enforced) the per-partition survivors form a
+    SUPERSET of the true heavy hitters.  A hash collision only merges
+    counts UPWARD, so it can add a false candidate but never lose a
+    true one — the superset property is collision-proof.
+    Pass 2 (verify): exact recount BY ITEM restricted to the candidate
+    hashes via a broadcast semi-join + the threshold filter — the
+    result is EXACT (identical to GROUP BY ... HAVING, collisions
+    resolved here), but the full-dictionary shuffle is replaced by a
+    candidates-only one (<= k * n_partitions rows).
 
     At 10^12 tokens over a 10^9-term dictionary the HAVING plan
-    shuffles the whole dictionary; this plan shuffles k rows per
-    partition, then recounts only candidates."""
+    shuffles (and holds hash tables over) the whole dictionary; this
+    plan's state is k counters per partition, and only candidates
+    shuffle.  On a single box whose dictionary fits in memory the naive
+    plan is faster (tools/measure_hh_scaling.py) — this operator is the
+    bounded-memory path for when it does not."""
     if not (0.0 < threshold_frac < 1.0):
         raise ValueError("threshold_frac must be in (0, 1)")
     k = max(k_counters or 0, int(1.0 / threshold_frac) + 1)
@@ -171,38 +180,70 @@ def heavy_hitters(
         if weight_col
         else F.lit(1.0)
     )
-    pairs = df.select(
+    base = df.select(
         F.col(item_col).cast("string").alias("item"), w.alias("w")
     ).where(F.col("item").isNotNull())
+    hashed = base.select(F.xxhash64("item").alias("h"), "w")
 
-    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, float] = {}
-        for pdf in batches:
-            if pdf.empty:
+    def _mg(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        counters = pd.Series(dtype="float64")
+        part_total = 0.0
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            batch = pdf.groupby("item", sort=False)["w"].sum()
-            for item, wt in batch.items():
-                counters[item] = counters.get(item, 0.0) + float(wt)
+            hs = batch.column(0).to_numpy(zero_copy_only=False)
+            ws = batch.column(1).to_numpy(zero_copy_only=False)
+            part_total += float(ws.sum())
+            bagg = pd.Series(ws).groupby(hs, sort=False).sum()
+            counters = (
+                counters.add(bagg, fill_value=0.0) if len(counters) else bagg
+            )
             if len(counters) > k:
-                # subtract the (k+1)-th largest count from everyone,
+                # subtract the (k+1)-th largest count from everyone and
                 # keep strictly-positive survivors (<= k of them)
-                import numpy as np
+                vals = counters.to_numpy()
+                cut = np.partition(vals, len(vals) - (k + 1))[
+                    len(vals) - (k + 1)
+                ]
+                counters = counters[vals > cut] - cut
+        # one NULL-hash row carries this partition's total weight, so
+        # the global threshold needs NO second scan of the stream
+        hs_out = counters.index.to_numpy(dtype="int64")
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.concatenate([hs_out, [0]]).tolist(),
+                    type=pa.int64(),
+                    mask=np.concatenate(
+                        [np.zeros(len(hs_out), dtype=bool), [True]]
+                    ),
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(len(hs_out)), [part_total]]
+                    ).tolist(),
+                    type=pa.float64(),
+                ),
+            ],
+            names=["h", "pt"],
+        )
 
-                vals = np.fromiter(counters.values(), dtype="float64")
-                cut = np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)]
-                counters = {
-                    i: c - cut for i, c in counters.items() if c - cut > 0.0
-                }
-        yield pd.DataFrame({"item": list(counters.keys())})
-
-    candidates = (
-        pairs.mapInPandas(_mg, schema="item string").distinct()
+    sketch = hashed.mapInArrow(_mg, schema="h long, pt double").persist()
+    total = (
+        sketch.where(F.col("h").isNull()).agg(F.sum("pt")).collect()[0][0]
+        or 0.0
     )
-    total = pairs.agg(F.sum("w")).collect()[0][0] or 0.0
+    candidates = sketch.where(F.col("h").isNotNull()).select("h").distinct()
     threshold = float(threshold_frac) * float(total)
-    exact = pairs.join(F.broadcast(candidates), "item", "inner").groupBy(
-        "item"
-    ).agg(F.sum("w").alias("total"))
+    exact = (
+        base.withColumn("h", F.xxhash64("item"))
+        .join(F.broadcast(candidates), "h", "inner")
+        .groupBy("item")
+        .agg(F.sum("w").alias("total"))
+    )
     return exact.filter(F.col("total") > F.lit(threshold)).select(
         F.col("item").alias(item_col), "total"
     )
