@@ -370,10 +370,16 @@ def _maint_index(
     return idx_dir
 
 
-def _maint_search(spark: SparkSession, idx_dir: str, live: bool) -> DataFrame:
+def _maint_search(
+    spark: SparkSession, idx_dir: str, live: bool, as_of: int | None = None
+) -> DataFrame:
     from . import maintenance as MN, postings as P, wand as W
 
-    idx = MN.live_index(spark, idx_dir) if live else P.load_index(spark, idx_dir)
+    idx = (
+        MN.live_index(spark, idx_dir, as_of=as_of)
+        if live
+        else P.load_index(spark, idx_dir)
+    )
     res = W.search_bm25(idx, [(1, BM25_QUERY_TEXT)], k=TOPK)
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
@@ -398,7 +404,7 @@ def q_bm25_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is plain BM25 SQL over epoch-1's doc subset."""
     import shutil
 
-    from . import maintenance as MN, postings as P, wand as W
+    from . import maintenance as MN, postings as P
     from .config import IndexBuildConfig
 
     idx_dir = _contract_index_dir("asof", sf_dir)
@@ -420,11 +426,7 @@ def q_bm25_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MN.append_delta(
         docs.filter(F.col("doc_id") % 5 == 0), idx_dir, content_col="text"
     )
-    idx = MN.live_index(spark, idx_dir, as_of=1)
-    res = W.search_bm25(idx, [(1, BM25_QUERY_TEXT)], k=TOPK)
-    return res.select(
-        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
-    )
+    return _maint_search(spark, idx_dir, live=True, as_of=1)
 
 
 def q_bm25_live_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

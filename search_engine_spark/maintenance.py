@@ -325,6 +325,49 @@ def upsert_docs(
     return metrics
 
 
+def _read_tombstones(spark: SparkSession, tomb_dir: str) -> DataFrame:
+    """Read the append-only tombstone dir tolerating every writer
+    generation: current files (doc_id, before_epoch, created_epoch — all
+    BIGINT), pre-time-travel files (no created_epoch; upsert tombstones
+    wrote before_epoch as INT32 via an uncast literal, which
+    mergeSchema CANNOT merge with BIGINT), and pre-upsert files
+    (doc_id only).
+
+    Fast path: one mergeSchema read.  On a schema-merge failure the
+    dir provably mixes writer generations — fall back to per-file reads
+    with explicit casts and a normalizing union (tombstone dirs are
+    append-per-delete, so the file count is maintenance-operation-sized,
+    not corpus-sized)."""
+    try:
+        return spark.read.option("mergeSchema", "true").parquet(tomb_dir)
+    except Exception:
+        import glob
+
+        parts = []
+        for f in sorted(glob.glob(os.path.join(tomb_dir, "*.parquet"))):
+            d = spark.read.parquet(f)
+            cols = [F.col("doc_id").cast("long").alias("doc_id")]
+            cols.append(
+                (
+                    F.col("before_epoch")
+                    if "before_epoch" in d.columns
+                    else F.lit(ALL_EPOCHS)
+                ).cast("long").alias("before_epoch")
+            )
+            cols.append(
+                (
+                    F.col("created_epoch")
+                    if "created_epoch" in d.columns
+                    else F.lit(0)
+                ).cast("long").alias("created_epoch")
+            )
+            parts.append(d.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
 def live_index(
     spark: SparkSession, index_dir: str, as_of: int | None = None
 ) -> dict:
@@ -352,7 +395,23 @@ def live_index(
     doc_meta = base["doc_meta"].withColumn("_epoch", F.lit(0).cast("long"))
     n_docs, total_terms = base["n_docs"], base["total_terms"]
     deltas = list_deltas(index_dir)
+    generation = int(base["manifest"].get("compactions", 0))
     if as_of is not None:
+        # Epoch numbering RESTARTS at each compaction (compaction folds
+        # deltas and purges tombstones, so pre-compaction epochs are not
+        # reconstructable).  Validate instead of silently serving the
+        # wrong snapshot; a reader pinning an epoch across maintenance
+        # should also pin the returned "generation".
+        max_ord = max(
+            (int(n[len(_DELTA_PREFIX) :]) for n in deltas), default=0
+        )
+        if as_of < 0 or as_of > max_ord:
+            raise ValueError(
+                f"as_of={as_of} is not a published epoch of this log "
+                f"(latest is {max_ord}, generation {generation}): it "
+                "either never existed or was folded away by "
+                "compact_index — epoch numbering restarts each compaction"
+            )
         deltas = [
             n for n in deltas if int(n[len(_DELTA_PREFIX) :]) <= as_of
         ]
@@ -377,11 +436,7 @@ def live_index(
 
     tomb_dir = _tombstones_dir(index_dir)
     tombstones = (
-        # mergeSchema: a dir may mix legacy files (no created_epoch /
-        # before_epoch) with current ones — merge, then default the gaps
-        spark.read.option("mergeSchema", "true").parquet(tomb_dir)
-        if os.path.isdir(tomb_dir)
-        else None
+        _read_tombstones(spark, tomb_dir) if os.path.isdir(tomb_dir) else None
     )
     if tombstones is not None and "before_epoch" not in tombstones.columns:
         # legacy (pre-upsert) tombstone dirs: doc_id only = kill all
@@ -431,6 +486,7 @@ def live_index(
         # double division — the same two operations on the same totals.
         "avg_doc_len": (total_terms / n_docs) if n_docs else 0.0,
         "live": True,
+        "generation": generation,
         "n_deltas": len(deltas),
         "tombstones": tombstones,
         "tombstones_arr": tomb_arr,

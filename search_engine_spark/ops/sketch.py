@@ -180,9 +180,13 @@ def heavy_hitters(
         if weight_col
         else F.lit(1.0)
     )
+    # NULL items carry no identity and NULL weights are "no weight" —
+    # both are dropped, matching SUM()'s null-skipping in the SQL
+    # restatement (an unfiltered NULL weight would NaN-poison the
+    # partition totals and silently empty the result)
     base = df.select(
         F.col(item_col).cast("string").alias("item"), w.alias("w")
-    ).where(F.col("item").isNotNull())
+    ).where(F.col("item").isNotNull() & F.col("w").isNotNull())
     hashed = base.select(F.xxhash64("item").alias("h"), "w")
 
     def _mg(batches):
@@ -236,7 +240,17 @@ def heavy_hitters(
         sketch.where(F.col("h").isNull()).agg(F.sum("pt")).collect()[0][0]
         or 0.0
     )
-    candidates = sketch.where(F.col("h").isNotNull()).select("h").distinct()
+    # localCheckpoint materializes the (<= (k+1)*partitions)-row candidate
+    # set so the big sketch cache can be released NOW rather than leaking
+    # one cached DataFrame per call (single-session operator: checkpoint
+    # blocks don't survive executor loss, same durability as the cache)
+    candidates = (
+        sketch.where(F.col("h").isNotNull())
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sketch.unpersist()
     threshold = float(threshold_frac) * float(total)
     exact = (
         base.withColumn("h", F.xxhash64("item"))

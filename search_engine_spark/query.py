@@ -451,9 +451,7 @@ def parse_boolean(query: str, cfg: AnalyzerConfig | None = None) -> BoolNode:
     analyzer drops entirely (a stopword) becomes the EMPTY set —
     documented, deterministic semantics."""
     cfg = cfg or AnalyzerConfig()
-    toks: list[str] = []
-    for raw in query.replace("(", " ( ").replace(")", " ) ").split():
-        toks.append(raw)
+    toks = query.replace("(", " ( ").replace(")", " ) ").split()
     pos = 0
 
     def peek():

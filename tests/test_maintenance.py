@@ -522,3 +522,49 @@ def test_as_of_time_travel(spark, tmp_path_factory):
     assert _ranked(1) == e1
     assert _ranked(2) == e2
     assert _ranked(3) == _ranked(None)  # latest epoch == live head
+
+
+def test_legacy_mixed_tombstone_schemas(spark, idx_dirs, tmp_path_factory):
+    """A tombstone dir mixing a legacy INT32 before_epoch file (the
+    pre-time-travel upsert writer), a doc_id-only file (pre-upsert), and
+    a current all-BIGINT file cannot schema-merge — the per-file
+    normalizing fallback must load all three generations."""
+    c = _copy_inc(idx_dirs, tmp_path_factory, "maint_legacy_tomb")
+    tdir = MN._tombstones_dir(c)
+    # legacy upsert-style: INT32 before_epoch, no created_epoch
+    spark.createDataFrame([(7,)], "doc_id long").withColumn(
+        "before_epoch", F.lit(2).cast("int")
+    ).write.mode("append").parquet(tdir)
+    # pre-upsert style: doc_id only
+    spark.createDataFrame([(14,)], "doc_id long").write.mode(
+        "append"
+    ).parquet(tdir)
+    # current writer (BIGINT epochs)
+    MN.delete_docs(spark, c, [21])
+    live = MN.live_index(spark, c)
+    rows = {
+        r["doc_id"]: (r["before_epoch"], r["created_epoch"])
+        for r in live["tombstones"].collect()
+    }
+    assert set(rows) == {7, 14, 21}
+    assert rows[7][0] == 2  # legacy epoch-masked upsert tombstone kept
+    assert rows[14][0] == MN.ALL_EPOCHS  # doc_id-only = kill-all
+    assert rows[14][1] == 0 and rows[7][1] == 0  # legacy: always visible
+
+
+def test_as_of_validation_and_generation(spark, idx_dirs, tmp_path_factory):
+    """as_of beyond the delta log raises instead of silently serving the
+    live head; compaction folds the log (old epochs rejected) and bumps
+    the generation a pinned reader can check."""
+    inc, _, _ = idx_dirs
+    with pytest.raises(ValueError, match="not a published epoch"):
+        MN.live_index(spark, inc, as_of=99)
+    with pytest.raises(ValueError, match="not a published epoch"):
+        MN.live_index(spark, inc, as_of=-1)
+    c = _copy_inc(idx_dirs, tmp_path_factory, "maint_asof_gen")
+    g0 = MN.live_index(spark, c)["generation"]
+    MN.compact_index(spark, c)
+    with pytest.raises(ValueError, match="not a published epoch"):
+        MN.live_index(spark, c, as_of=1)
+    live0 = MN.live_index(spark, c, as_of=0)
+    assert live0["generation"] == g0 + 1

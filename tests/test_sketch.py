@@ -136,3 +136,19 @@ def test_heavy_hitters_unweighted_and_validation(spark):
     assert got == {"a", "b"}
     with pytest.raises(ValueError):
         heavy_hitters(df, "item", threshold_frac=0.0)
+
+
+def test_heavy_hitters_null_weights_skipped(spark):
+    """NULL weights are 'no weight' (SUM semantics), not NaN poison."""
+    from search_engine_spark.ops.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("b", 1.0)], "item string, w double"
+    )
+    got = {
+        (r["item"], r["total"])
+        for r in heavy_hitters(
+            df, "item", weight_col="w", threshold_frac=0.5
+        ).collect()
+    }
+    assert got == {("a", 5.0)}
