@@ -72,6 +72,7 @@ _EXPORTS = {
     "live_index": "maintenance:live_index",
     "compact_index": "maintenance:compact_index",
     "list_deltas": "maintenance:list_deltas",
+    "list_epochs": "maintenance:list_epochs",
     # positional / phrase / snippets
     "positional_tokens": "positional:positional_tokens",
     "phrase_match": "positional:phrase_match",

@@ -102,7 +102,19 @@ def cmd_search(args: argparse.Namespace) -> None:
     from .wand import search_bm25
 
     spark = _get_spark("se-spark-search")
-    index = load_index(spark, args.index_dir)
+    if args.live or args.as_of is not None:
+        # tombstones + read-time df/stats overrides are applied by the
+        # live WAND path; the DataFrame scorers would silently ignore
+        # them, so refuse rather than serve deleted docs
+        if args.scorer != "bm25" or args.path != "wand":
+            raise SystemExit(
+                "--live/--as-of require --scorer bm25 --path wand"
+            )
+        from .maintenance import live_index
+
+        index = live_index(spark, args.index_dir, as_of=args.as_of)
+    else:
+        index = load_index(spark, args.index_dir)
     opts = QueryOptions(
         use_title=not args.no_title, use_desc=args.desc, use_narr=args.narr
     )
@@ -208,6 +220,12 @@ def main(argv: list[str] | None = None) -> None:
                          "per invocation (Program.cs:99-108)")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
     se.add_argument("--k", type=int, default=1000)
+    se.add_argument("--live", action="store_true",
+                    help="search base + delta segments with tombstones "
+                         "applied (maintenance.live_index)")
+    se.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="time-travel: search the index as of this "
+                         "snapshot epoch (implies --live)")
     se.add_argument("--no-title", action="store_true")
     se.add_argument("--desc", action="store_true")
     se.add_argument("--narr", action="store_true")

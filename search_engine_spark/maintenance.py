@@ -325,6 +325,46 @@ def upsert_docs(
     return metrics
 
 
+def list_epochs(spark: SparkSession, index_dir: str) -> list[dict]:
+    """The published snapshot log: one row per as_of-able epoch.
+
+    Epoch 0 is the base build; each delta ordinal is an epoch; a
+    tombstone batch belongs to the epoch it was stamped with
+    (created_epoch — between-delta deletes join the NEXT epoch).  All
+    metadata-sized: the delta listing is a dir walk and the tombstone
+    rollup aggregates the maintenance-operation-sized tombstone files."""
+    _recover_compaction(index_dir)
+    manifest = _read_manifest(index_dir)
+    epochs: dict[int, dict] = {
+        0: {"epoch": 0, "kind": "base", "n_tombstones": 0}
+    }
+    for name in list_deltas(index_dir):
+        e = int(name[len(_DELTA_PREFIX) :])
+        epochs[e] = {"epoch": e, "kind": "delta", "n_tombstones": 0}
+    tomb_dir = _tombstones_dir(index_dir)
+    if os.path.isdir(tomb_dir):
+        t = _read_tombstones(spark, tomb_dir)
+        ce = (
+            F.coalesce("created_epoch", F.lit(0))
+            if "created_epoch" in t.columns
+            else F.lit(0)
+        )
+        for r in (
+            t.groupBy(ce.alias("created_epoch"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ):
+            e = int(r["created_epoch"])
+            entry = epochs.setdefault(
+                e, {"epoch": e, "kind": "pending", "n_tombstones": 0}
+            )
+            entry["n_tombstones"] += int(r["n"])
+    out = [epochs[e] for e in sorted(epochs)]
+    for entry in out:
+        entry["generation"] = int(manifest.get("compactions", 0))
+    return out
+
+
 def _read_tombstones(spark: SparkSession, tomb_dir: str) -> DataFrame:
     """Read the append-only tombstone dir tolerating every writer
     generation: current files (doc_id, before_epoch, created_epoch — all

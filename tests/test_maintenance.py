@@ -568,3 +568,15 @@ def test_as_of_validation_and_generation(spark, idx_dirs, tmp_path_factory):
         MN.live_index(spark, c, as_of=1)
     live0 = MN.live_index(spark, c, as_of=0)
     assert live0["generation"] == g0 + 1
+
+
+def test_list_epochs(spark, idx_dirs, tmp_path_factory):
+    """The snapshot log: base + each delta, with between-delta deletes
+    grouped under the (pending) NEXT epoch."""
+    c = _copy_inc(idx_dirs, tmp_path_factory, "maint_epochs")
+    MN.delete_docs(spark, c, [3])  # 2 deltas exist -> stamped epoch 3
+    by_e = {e["epoch"]: e for e in MN.list_epochs(spark, c)}
+    assert by_e[0]["kind"] == "base"
+    assert by_e[1]["kind"] == "delta" and by_e[2]["kind"] == "delta"
+    assert by_e[3]["kind"] == "pending" and by_e[3]["n_tombstones"] == 1
+    assert all(e["generation"] == 0 for e in by_e.values())

@@ -315,3 +315,57 @@ def test_read_ledger_file_scheme_fast_path(spark, tmp_path):
     assert read_ledger(spark, f"file://{tmp_path}/no_such_index") is None
     # scheme-less missing path on a local master: same answer
     assert read_ledger(spark, f"{tmp_path}/no_such_index2") is None
+
+
+def test_cli_live_and_as_of_search(spark, docs_df, tmp_path, capsys):
+    """--live applies delta + tombstones; --as-of time-travels; both are
+    refused off the WAND path (DataFrame scorers would silently ignore
+    tombstones)."""
+    import pytest as _pt
+
+    from search_engine_spark import maintenance as MN
+    from search_engine_spark.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    half = docs_df.filter(F.col("doc_id") % 2 == 0)
+    half.write.parquet(docs_path)
+    index_dir = str(tmp_path / "cli_live_idx")
+    main(["index", docs_path, index_dir, "--chunks", "1",
+          "--key-cols", "repo,path,commit", "--content-col", "content"])
+    capsys.readouterr()
+    MN.append_delta(
+        docs_df.filter(F.col("doc_id") % 2 == 1), index_dir,
+        key_cols=("repo", "path", "commit"),
+    )
+    deleted = [r["doc_id"] for r in half.limit(3).collect()]
+    MN.delete_docs(spark, index_dir, deleted)
+
+    topics_path = str(tmp_path / "topics.tsv")
+    with open(topics_path, "w") as fh:
+        fh.write("1\tmerge index return\n")
+
+    run_live = str(tmp_path / "live.trec")
+    main(["search", "r1", topics_path, index_dir, run_live,
+          "--k", "1000", "--live"])
+    capsys.readouterr()
+    run_asof = str(tmp_path / "asof.trec")
+    main(["search", "r2", topics_path, index_dir, run_asof,
+          "--k", "1000", "--as-of", "1"])
+    capsys.readouterr()
+
+    # the live run must not contain tombstoned docs; the as-of=1 run
+    # predates the delete (stamped epoch 2), so deleted docs may rank
+    from search_engine_spark.fixtures import doc_key as _dk
+
+    deleted_keys = {
+        _dk(r.asDict())
+        for r in docs_df.filter(F.col("doc_id").isin(deleted)).collect()
+    }
+    live_keys = {l.split()[2] for l in open(run_live).read().splitlines()}
+    asof_keys = {l.split()[2] for l in open(run_asof).read().splitlines()}
+    assert not (live_keys & deleted_keys), "tombstoned doc served by --live"
+    assert asof_keys & deleted_keys, "as-of=1 should predate the delete"
+
+    with _pt.raises(SystemExit):
+        main(["search", "r3", topics_path, index_dir,
+              str(tmp_path / "x.trec"), "--live", "--scorer", "tfidf"])
