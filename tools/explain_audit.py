@@ -240,6 +240,21 @@ def main() -> int:
     check("rrf: pure JVM agg over union, no row-Python",
           "BatchEvalPython" not in p and "CartesianProduct" not in p)
 
+    # --- boolean language / heavy hitters ---
+    print("== boolean / heavy hitters ==")
+    from search_engine_spark.ops.sketch import heavy_hitters
+
+    p = plan_of(Q.boolean_search(tokens, "(merge AND index) OR (stream NOT batch)", cfg))
+    check("boolean: dictionary-pruned scan (term IN filter), no cartesian",
+          ("isin" in p.lower() or " IN (" in p) and "CartesianProduct" not in p)
+    # pass 1 (Arrow MG sketch) executes EAGERLY inside heavy_hitters —
+    # the returned plan is pass 2 only: the recount joined against the
+    # checkpointed candidate set, which must be the broadcast side
+    p = plan_of(heavy_hitters(docs.select(F.col("text").substr(1, 8).alias("item")),
+                              "item", threshold_frac=0.01))
+    check("heavy hitters: broadcast candidate recount, no row-Python",
+          "BroadcastHashJoin" in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
