@@ -60,6 +60,8 @@ _EXPORTS = {
     "rrf_fuse": "query:rrf_fuse",
     "collapse_topk": "query:collapse_topk",
     "boolean_and": "query:boolean_and",
+    "score_bm25_prf": "query:score_bm25_prf",
+    "expand_query_prf": "query:expand_query_prf",
     "parse_boolean": "query:parse_boolean",
     "boolean_search": "query:boolean_search",
     "queries_to_df": "query:queries_to_df",

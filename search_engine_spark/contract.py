@@ -599,6 +599,27 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRF_FB_K = 5
+PRF_N_EXP = 5
+
+
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (query.score_bm25_prf):
+    top-5 feedback docs, 5 integer-fb_tf expansion terms, full second
+    pass — the whole expand-then-rescore pipeline under one oracle."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25_prf(
+        tokens, n, avgdl, qdf, fb_k=PRF_FB_K, n_exp=PRF_N_EXP, k=TOPK
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 HH_FRAC = 0.01
 REGEX_PATTERN = "st[a-z]*m"
 BOOL_QUERY = "(spark AND merge) OR (batch NOT window)"
@@ -2366,6 +2387,60 @@ HAVING CAST(SUM(tf) AS DOUBLE) >
 """
 
 
+def _sql_bm25_prf() -> str:
+    """PRF restated: the shared BM25 CTE chain supplies the feedback
+    ranking; expansion terms are the top-{PRF_N_EXP} by INTEGER feedback
+    tf (deterministic tie-break term asc), appended at qtf=1 after the
+    original positions; then the full BM25 pipeline re-runs over the
+    expanded query q2 with the same float32 discipline."""
+    params = BM25Params()
+    k1, k3, b = params.k1, params.k3, params.b
+    return f"""
+WITH {_sql_bm25_ctes()},
+fb AS (SELECT doc_id FROM ranked WHERE rank <= {PRF_FB_K}),
+fbtf AS (
+  SELECT t.term, CAST(SUM(t.tf) AS BIGINT) AS fb_tf
+  FROM tok t JOIN fb ON fb.doc_id = t.doc_id
+  WHERE t.term NOT IN (SELECT term FROM q)
+  GROUP BY t.term
+),
+expq AS (
+  SELECT term, 1 AS qtf,
+         (SELECT MAX(term_pos) FROM q)
+         + row_number() OVER (ORDER BY fb_tf DESC, term ASC) AS term_pos
+  FROM fbtf ORDER BY fb_tf DESC, term ASC LIMIT {PRF_N_EXP}
+),
+q2 AS (
+  SELECT term, qtf, term_pos FROM q
+  UNION ALL SELECT term, qtf, term_pos FROM expq
+),
+tdf2 AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM q2) GROUP BY term
+),
+contrib2 AS (
+  SELECT t.doc_id, q2.term_pos,
+         CAST(
+           ln((s.n_docs - tdf2.df + 0.5) / (tdf2.df + 0.5))
+           * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
+           * (({k3} + 1.0) * q2.qtf) / ({k3} + q2.qtf)
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN q2 ON q2.term = t.term
+  JOIN tdf2 ON tdf2.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores2 AS (SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib2 GROUP BY doc_id),
+ranked2 AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores2
+)
+SELECT rank, doc_id, score FROM ranked2 WHERE rank <= {TOPK}
+"""
+
+
 def _sql_boolean_query() -> str:
     """The SAME AST the engine executes, restated as ANSI set ops
     (query.boolean_to_sql) over the token CTE."""
@@ -2577,6 +2652,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_terms": q_heavy_hitter_terms,
         "regex_search": q_regex_search,
         "boolean_query": q_boolean_query,
+        "bm25_prf_topk": q_bm25_prf_topk,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
@@ -2690,6 +2766,7 @@ def duckdb_oracles() -> dict[str, str]:
         "heavy_hitter_terms": _sql_heavy_hitter_terms(),
         "regex_search": _sql_regex_search(),
         "boolean_query": _sql_boolean_query(),
+        "bm25_prf_topk": _sql_bm25_prf(),
         "boolean_and": _sql_boolean_and(),
         "global_postings": f"""
 WITH {_sql_tokens_cte()}

@@ -281,6 +281,34 @@ def score_bm25f(
     return _topk(results, base, k)
 
 
+def score_bm25_prf(
+    idx: OracleIndex,
+    query_text: str,
+    params: BM25Params | None = None,
+    fb_k: int = 5,
+    n_exp: int = 5,
+    k: int = 1000,
+) -> list[tuple[int, str, float]]:
+    """Pseudo-relevance-feedback twin of query.score_bm25_prf: BM25 top
+    fb_k feedback docs, expansion = top n_exp non-query terms by INTEGER
+    feedback tf (tie-break term asc) at qtf=1 positioned after the
+    original terms, then a standard second BM25 pass."""
+    params = params or BM25Params()
+    keywords = tokenize_query(query_text, idx.cfg)
+    fb = {d for d, _, _ in score_bm25_terms(idx, keywords, params, fb_k)}
+    orig = {t for t, _ in keywords}
+    cand: list[tuple[int, str]] = []
+    for term, (doc_ids, tfs) in idx.postings.items():
+        if term in orig:
+            continue
+        fb_tf = sum(tf for d, tf in zip(doc_ids, tfs) if d in fb)
+        if fb_tf > 0:
+            cand.append((fb_tf, term))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    expanded = list(keywords) + [(t, 1) for _, t in cand[:n_exp]]
+    return score_bm25_terms(idx, expanded, params, k)
+
+
 def score_tfidf(
     idx: OracleIndex, query_text: str, k: int = 1000
 ) -> list[tuple[int, str, float]]:

@@ -416,6 +416,85 @@ def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
     )
 
 
+def expand_query_prf(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    params: BM25Params | None = None,
+    fb_k: int = 5,
+    n_exp: int = 5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-style,
+    integer-exact variant): run BM25, take the top fb_k docs per topic,
+    and append the n_exp terms with the highest total feedback term
+    frequency (fb_tf = sum of tf over the feedback docs) that are not
+    already in the query, at qtf=1, positioned after the original terms.
+
+    Expansion scoring is deliberately INTEGER (fb_tf, not a float
+    relevance-model weight): term selection and ordering (fb_tf desc,
+    term asc) are bit-reproducible in any engine, so the whole
+    expand-then-rescore pipeline stays under the DuckDB oracle — the
+    float-weighted RM3 interpolation would make term selection hinge on
+    double summation order.
+
+    Scale: the feedback set is fb_k rows per topic → broadcast against
+    the token stream; candidate scoring is one dictionary-pruned agg."""
+    params = params or BM25Params()
+    fb_docs = score_bm25(
+        tokens, n_docs, avgdl, qterms, params, k=fb_k
+    ).select("topic_id", "doc_id")
+    fb_tf = (
+        tokens.join(F.broadcast(fb_docs), "doc_id", "inner")
+        .groupBy("topic_id", "term")
+        .agg(F.sum("tf").alias("fb_tf"))
+    )
+    cand = fb_tf.join(
+        F.broadcast(qterms.select("topic_id", "term")),
+        ["topic_id", "term"],
+        "left_anti",
+    )
+    w = Window.partitionBy("topic_id").orderBy(
+        F.desc("fb_tf"), F.asc("term")
+    )
+    exp = cand.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= n_exp
+    )
+    n_orig = qterms.groupBy("topic_id").agg(F.max("term_pos").alias("mx"))
+    expq = exp.join(F.broadcast(n_orig), "topic_id").select(
+        "topic_id",
+        "term",
+        F.lit(1).alias("qtf"),
+        (F.col("mx") + F.col("r")).cast("int").alias("term_pos"),
+    )
+    return qterms.select("topic_id", "term", "qtf", "term_pos").unionByName(
+        expq
+    )
+
+
+def score_bm25_prf(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    params: BM25Params | None = None,
+    fb_k: int = 5,
+    n_exp: int = 5,
+    k: int = 1000,
+    exact_float32: bool = True,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback: expand_query_prf, then a
+    standard second BM25 pass over the expanded query — two passes over
+    matched postings, both broadcast-semi-join shaped."""
+    expanded = expand_query_prf(
+        tokens, n_docs, avgdl, qterms, params, fb_k=fb_k, n_exp=n_exp
+    )
+    return score_bm25(
+        tokens, n_docs, avgdl, expanded, params, k=k,
+        exact_float32=exact_float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Boolean query language: TERM, AND, OR, NOT (binary difference), parens
 # ---------------------------------------------------------------------------

@@ -228,3 +228,33 @@ def test_boolean_and(spark, built, oracle_index):
         & set(oracle_index.postings.get("return", ([], []))[0])
     )
     assert got == want and len(want) > 0
+
+
+def test_bm25_prf_identity(spark, built, oracle_index, queries_fixture):
+    """PRF expand-then-rescore: rank + float32-score identity vs the
+    pure-Python oracle (feedback selection, integer-tf expansion term
+    choice, positions, and the second scoring pass all in lockstep)."""
+    sample = queries_fixture[2::5]
+    qdf = Q.queries_to_df(
+        spark, [(q["topic_id"], q["query_text"]) for q in sample], CFG
+    )
+    n, avgdl, _ = B.collect_stats(built["doc_meta"])
+    res = Q.score_bm25_prf(
+        built["tokens"], n, avgdl, qdf, fb_k=5, n_exp=5, k=K
+    )
+    got: dict[int, list[tuple[int, int, float]]] = {}
+    for r in res.collect():
+        got.setdefault(r["topic_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for v in got.values():
+        v.sort()
+    for q in sample:
+        want = O.score_bm25_prf(
+            oracle_index, q["query_text"], fb_k=5, n_exp=5, k=K
+        )
+        have = got.get(q["topic_id"], [])
+        assert len(have) == len(want), f"topic {q['topic_id']}: row count"
+        for (rk, d, s), (od, _, os_) in zip(have, want):
+            assert d == od, f"topic {q['topic_id']} rank {rk}"
+            assert s == pytest.approx(os_, abs=0.0)
