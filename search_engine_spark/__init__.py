@@ -61,6 +61,7 @@ _EXPORTS = {
     "collapse_topk": "query:collapse_topk",
     "boolean_and": "query:boolean_and",
     "score_bm25_prf": "query:score_bm25_prf",
+    "more_like_this": "query:more_like_this",
     "expand_query_prf": "query:expand_query_prf",
     "parse_boolean": "query:parse_boolean",
     "boolean_search": "query:boolean_search",

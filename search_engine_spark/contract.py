@@ -599,6 +599,26 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLT_SEEDS = (3, 11)
+MLT_TERMS = 8
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document search (query.more_like_this): each seed doc's
+    top-8 terms (integer tf criterion) become a BM25 query; the seed
+    itself is dropped from its results."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    res = Q.more_like_this(
+        tokens, n, avgdl, MLT_SEEDS, n_terms=MLT_TERMS, k=TOPK
+    )
+    return res.select(
+        "topic_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 PRF_FB_K = 5
 PRF_N_EXP = 5
 
@@ -2387,6 +2407,53 @@ HAVING CAST(SUM(tf) AS DOUBLE) >
 """
 
 
+def _sql_more_like_this() -> str:
+    """MLT restated: per-seed top-tf term extraction (QUALIFY window),
+    the standard multi-topic BM25 pipeline, seed dropped before
+    ranking — which equals the engine's drop-then-renumber."""
+    params = BM25Params()
+    k1, k3, b = params.k1, params.k3, params.b
+    seeds = ", ".join(str(int(d)) for d in MLT_SEEDS)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+seedq AS (
+  SELECT CAST(doc_id AS INTEGER) AS topic_id, term, 1 AS qtf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) - 1 AS INTEGER) AS term_pos
+  FROM tok WHERE doc_id IN ({seeds})
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= {MLT_TERMS}
+),
+tdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM seedq) GROUP BY term
+),
+contrib AS (
+  SELECT sq.topic_id, t.doc_id, sq.term_pos,
+         CAST(
+           ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
+           * (({k3} + 1.0) * sq.qtf) / ({k3} + sq.qtf)
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN seedq sq ON sq.term = t.term
+  JOIN tdf ON tdf.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT topic_id, doc_id, {_FOLD_F32_SQL} AS score
+  FROM contrib GROUP BY topic_id, doc_id
+),
+kept AS (SELECT * FROM scores WHERE doc_id <> topic_id),
+ranked AS (
+  SELECT topic_id,
+         CAST(row_number() OVER (PARTITION BY topic_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM kept
+)
+SELECT topic_id, rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _sql_bm25_prf() -> str:
     """PRF restated: the shared BM25 CTE chain supplies the feedback
     ranking; expansion terms are the top-{PRF_N_EXP} by INTEGER feedback
@@ -2653,6 +2720,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "boolean_query": q_boolean_query,
         "bm25_prf_topk": q_bm25_prf_topk,
+        "more_like_this": q_more_like_this,
         "boolean_and": q_boolean_and,
         "global_postings": q_global_postings,
         "term_len_hist": q_term_len_hist,
@@ -2767,6 +2835,7 @@ def duckdb_oracles() -> dict[str, str]:
         "regex_search": _sql_regex_search(),
         "boolean_query": _sql_boolean_query(),
         "bm25_prf_topk": _sql_bm25_prf(),
+        "more_like_this": _sql_more_like_this(),
         "boolean_and": _sql_boolean_and(),
         "global_postings": f"""
 WITH {_sql_tokens_cte()}

@@ -309,6 +309,30 @@ def score_bm25_prf(
     return score_bm25_terms(idx, expanded, params, k)
 
 
+def more_like_this(
+    idx: OracleIndex,
+    seed_doc_id: int,
+    params: BM25Params | None = None,
+    n_terms: int = 8,
+    k: int = 1000,
+) -> list[tuple[int, str, float]]:
+    """MoreLikeThis twin of query.more_like_this: seed's top-n_terms
+    terms by (tf desc, term asc), qtf=1 in that order, standard BM25,
+    seed dropped and the remainder pulled up."""
+    params = params or BM25Params()
+    seed_terms: list[tuple[int, str]] = []
+    for term, (doc_ids, tfs) in idx.postings.items():
+        for d, tf in zip(doc_ids, tfs):
+            if d == seed_doc_id:
+                seed_terms.append((tf, term))
+                break
+    seed_terms.sort(key=lambda x: (-x[0], x[1]))
+    keywords = [(t, 1) for _, t in seed_terms[:n_terms]]
+    ranked = score_bm25_terms(idx, keywords, params, k + 1)
+    kept = [r for r in ranked if r[0] != seed_doc_id][:k]
+    return kept
+
+
 def score_tfidf(
     idx: OracleIndex, query_text: str, k: int = 1000
 ) -> list[tuple[int, str, float]]:

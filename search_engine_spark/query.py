@@ -416,6 +416,53 @@ def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
     )
 
 
+def more_like_this(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    seed_doc_ids: Sequence[int],
+    params: BM25Params | None = None,
+    n_terms: int = 8,
+    k: int = 1000,
+    exact_float32: bool = True,
+) -> DataFrame:
+    """Similar-document search (Lucene MoreLikeThis shape): for each
+    seed doc, form a query from its n_terms most frequent terms (tf
+    desc, term asc — INTEGER criterion, bit-reproducible cross-engine)
+    at qtf=1 in that order, run standard BM25, and drop the seed itself.
+    topic_id of each result block = the seed doc_id.
+
+    Scale: the seed rows are a broadcast-sized filter on the token
+    stream (one `doc_id IN` scan filter); everything downstream is the
+    ordinary BM25 broadcast-semi-join pipeline."""
+    params = params or BM25Params()
+    seeds = [int(d) for d in seed_doc_ids]
+    seed_tokens = tokens.filter(F.col("doc_id").isin(seeds))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        seed_tokens.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n_terms)
+        .select(
+            F.col("doc_id").cast("int").alias("topic_id"),
+            "term",
+            F.lit(1).alias("qtf"),
+            (F.col("r") - 1).cast("int").alias("term_pos"),
+        )
+    )
+    ranked = score_bm25(
+        tokens, n_docs, avgdl, qterms, params, k=k + 1,
+        exact_float32=exact_float32,
+    )
+    # drop the seed doc, pull the rest up one rank
+    kept = ranked.filter(F.col("doc_id") != F.col("topic_id"))
+    w2 = Window.partitionBy("topic_id").orderBy(F.asc("rank"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("topic_id", "rank", "doc_id", "score")
+    )
+
+
 def expand_query_prf(
     tokens: DataFrame,
     n_docs: int,

@@ -258,3 +258,27 @@ def test_bm25_prf_identity(spark, built, oracle_index, queries_fixture):
         for (rk, d, s), (od, _, os_) in zip(have, want):
             assert d == od, f"topic {q['topic_id']} rank {rk}"
             assert s == pytest.approx(os_, abs=0.0)
+
+
+def test_more_like_this_identity(spark, built, oracle_index):
+    """MoreLikeThis: per-seed term extraction, scoring, and seed-drop
+    renumbering identical to the oracle, several seeds in one job."""
+    seeds = [0, 17, 55, 101]
+    n, avgdl, _ = B.collect_stats(built["doc_meta"])
+    res = Q.more_like_this(
+        built["tokens"], n, avgdl, seeds, n_terms=8, k=K
+    )
+    got: dict[int, list[tuple[int, int, float]]] = {}
+    for r in res.collect():
+        got.setdefault(r["topic_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for v in got.values():
+        v.sort()
+    for seed in seeds:
+        want = O.more_like_this(oracle_index, seed, n_terms=8, k=K)
+        have = got.get(seed, [])
+        assert len(have) == len(want), f"seed {seed}: row count"
+        assert all(d != seed for _, d, _ in have)
+        for (rk, d, s), (od, _, os_) in zip(have, want):
+            assert d == od and s == pytest.approx(os_, abs=0.0), (seed, rk)
