@@ -102,3 +102,47 @@ def test_sql_twin_matches(spark, tokens):
     want = {r[0] for r in con.execute(Q.boolean_to_sql(ast)).fetchall()}
     got = {r["doc_id"] for r in Q.boolean_eval(tokens, ast).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property: render(ast) reparses to the same shape for random ASTs
+# ---------------------------------------------------------------------------
+
+def _render(node, prec=0):
+    """Minimal-paren renderer with the grammar's precedence
+    (OR=1 < AND=2 < NOT=3, all left-assoc)."""
+    if node.op == "term":
+        return node.term
+    mine = {"or": 1, "and": 2, "not": 3}[node.op]
+    left = _render(node.left, mine - 1)   # left child may share my level
+    right = _render(node.right, mine)     # right child must bind tighter
+    s = f"{left} {node.op.upper()} {right}"
+    return f"({s})" if mine <= prec else s
+
+
+def _shape(node):
+    if node.op == "term":
+        return ("term", node.term)
+    return (node.op, _shape(node.left), _shape(node.right))
+
+
+def test_parse_render_roundtrip_fuzz():
+    import random
+
+    rng = random.Random(42)
+    terms = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return Q.parse_boolean(rng.choice(terms), CFG)
+        op = rng.choice(["and", "or", "not"])
+        n = Q.parse_boolean("x", CFG)  # reuse node class via a leaf parse
+        n.op, n.term = op, None
+        n.left, n.right = gen(depth - 1), gen(depth - 1)
+        return n
+
+    for _ in range(300):
+        ast = gen(4)
+        rendered = _render(ast)
+        reparsed = Q.parse_boolean(rendered, CFG)
+        assert _shape(reparsed) == _shape(ast), rendered
