@@ -20,6 +20,44 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # ceil(64 / 7)
 
 
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array and ALSO return per-value byte
+    offsets (length n+1, sentinel = total bytes), so a caller that packs
+    MANY value runs can encode them all in one vectorized pass and slice
+    each run's bytes out — the byte stream of a concatenation equals the
+    concatenation of byte streams (varint is per-value).  This is the
+    multi-group fast path of pack_postings: per-group varint_encode
+    calls cost ~15 numpy dispatches per (tiny) group; one global pass
+    costs the same dispatches TOTAL."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp != 0)
+        tmp >>= np.uint64(7)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    work = v.copy()
+    remaining = nbytes.copy()
+    pos = offsets[:-1].copy()
+    for _ in range(_MAX_VARINT_BYTES):
+        live = remaining > 0
+        if not live.any():
+            break
+        b = (work[live] & np.uint64(0x7F)).astype(np.uint8)
+        more = remaining[live] > 1
+        b[more] |= np.uint8(0x80)
+        out[pos[live]] = b
+        work[live] >>= np.uint64(7)
+        pos[live] += 1
+        remaining[live] -= 1
+    return out.tobytes(), offsets
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array.  Vectorized: O(max_bytes) passes."""
     v = np.ascontiguousarray(values, dtype=np.uint64)

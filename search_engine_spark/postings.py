@@ -41,7 +41,6 @@ Scale notes (10^12 docs, 1000 executors):
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from typing import Iterator
@@ -51,7 +50,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .codec import delta_decode, delta_encode, varint_decode, varint_encode
+from .codec import delta_decode, varint_decode, varint_encode_offsets
 from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 
 # disjoint segment-id namespace per delta generation (maintenance.py):
@@ -190,71 +189,148 @@ def pack_postings(
 
     def _pack_stream(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         p = BM25Params(**p_dict)
-        acc: dict[tuple, list] = {}
-        dfs: dict[tuple, int] = {}
 
-        def _rows(batch, name):
-            # .values + .offsets are the correct pairing (flatten() would
-            # compact a sliced array and desync the offsets)
-            col = batch.column(name)
-            vals = col.values.to_numpy(zero_copy_only=False)
-            offs = col.offsets.to_numpy(zero_copy_only=False)
-            return vals, offs
+        # ---- vectorized MULTI-group pack, zero per-row python ----
+        # Two costs killed the old per-row/per-group design on realistic
+        # dictionaries (10^5-10^6 tiny groups per partition): a python
+        # dict-accumulate loop (~200k rows/s) and ~15 numpy dispatches
+        # per group (~150us — ~0.5 core-hours per million groups).
+        # Instead: buffer the partition as ONE arrow table, sort it by
+        # (segment_id, term) in C++ so groups become consecutive runs,
+        # detect boundaries with arrow/numpy compares, and encode ALL
+        # groups with a fixed number of GLOBAL numpy passes (diff /
+        # repeat / reduceat / one varint pass per stream); the per-block
+        # python work is pure byte slicing.  Output bytes are
+        # bit-identical to a per-group encode (varint is per-value, so
+        # slicing a global encode equals encoding each slice).
+        blist = [b for b in batches if b.num_rows > 0]
+        if not blist:
+            return
+        tbl = (
+            pa.Table.from_batches(blist)
+            .sort_by([("segment_id", "ascending"), ("term", "ascending")])
+            .combine_chunks()
+        )
+        n_rows = tbl.num_rows
+        segs = tbl.column("segment_id").chunk(0).to_numpy(zero_copy_only=False)
+        terms_col = tbl.column("term").chunk(0)
+        df_rows = tbl.column("df").chunk(0).to_numpy(zero_copy_only=False)
+        dcol = tbl.column("doc_ids").chunk(0)
+        tcol = tbl.column("tfs").chunk(0)
+        lcol = tbl.column("doc_lens").chunk(0)
 
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            segs = batch.column("segment_id").to_numpy(zero_copy_only=False)
-            terms = batch.column("term").to_pylist()
-            dfcol = batch.column("df").to_numpy(zero_copy_only=False)
-            dv, do = _rows(batch, "doc_ids")
-            tv, to_ = _rows(batch, "tfs")
-            lv, lo = _rows(batch, "doc_lens")
-            for i in range(batch.num_rows):
-                key = (int(segs[i]), terms[i])
-                acc.setdefault(key, []).append(
-                    (
-                        dv[do[i] : do[i + 1]],
-                        tv[to_[i] : to_[i + 1]],
-                        lv[lo[i] : lo[i + 1]],
-                    )
-                )
-                dfs[key] = int(dfcol[i])
+        # group boundaries over the sorted rows (multi-chunk fragments
+        # of one (segment, term) are now adjacent)
+        if n_rows > 1:
+            t_ne = pc.not_equal(
+                terms_col.slice(1), terms_col.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+            s_ne = segs[1:] != segs[:-1]
+            bnd = np.flatnonzero(t_ne | s_ne) + 1
+        else:
+            bnd = np.empty(0, dtype=np.int64)
+        row_start = np.concatenate([np.zeros(1, dtype=np.int64), bnd])
+        G = row_start.size
+
+        # entry-level views: a group's entries are CONTIGUOUS in the
+        # child arrays because sort_by materialized rows in group order
+        # (.values + .offsets are the correct pairing; flatten() would
+        # compact a sliced array and desync the offsets)
+        d_off = dcol.offsets.to_numpy(zero_copy_only=False)
+        all_d = dcol.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        all_t = tcol.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        all_l = lcol.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        gstart = d_off[np.concatenate([row_start, [n_rows]])].astype(np.int64)
+        lens = np.diff(gstart)
+
+        # within-group doc order: fragments arrive doc-ascending, but a
+        # multi-fragment group's concatenation may interleave — detect
+        # globally (boundaries masked) and fix the rare offenders
+        gd = np.diff(all_d)
+        bad = gd < 0
+        if G > 1:
+            bad[gstart[1:G] - 1] = False
+        if bad.any():
+            all_d = all_d.copy()
+            all_t = all_t.copy()
+            all_l = all_l.copy()
+            for g in np.unique(
+                np.searchsorted(gstart, np.flatnonzero(bad), side="right") - 1
+            ):
+                s, e = int(gstart[g]), int(gstart[g + 1])
+                order = np.argsort(all_d[s:e], kind="stable")
+                all_d[s:e] = all_d[s:e][order]
+                all_t[s:e] = all_t[s:e][order]
+                all_l[s:e] = all_l[s:e][order]
+            gd = np.diff(all_d)
+
+        df_g = df_rows[row_start].astype(np.int64, copy=False)
+        seg_g = segs[row_start]
+        terms_g = terms_col.take(pa.array(row_start)).to_pylist()
+
+        # block tiling: contiguous over the concatenated stream
+        nblocks = (lens + bs - 1) // bs
+        total_b = int(nblocks.sum())
+        bgroup = np.repeat(np.arange(G), nblocks)
+        first_block = np.cumsum(nblocks) - nblocks
+        bidx = np.arange(total_b) - first_block[bgroup]
+        bstart = gstart[bgroup] + bidx * bs
+        bend = np.minimum(bstart + bs, gstart[bgroup + 1])
+        blen = bend - bstart
+        first_doc = all_d[bstart]
+        last_doc = all_d[bend - 1]
+        max_tf = np.maximum.reduceat(all_t, bstart)
+
+        # block-max upper bound — the same expression as the old
+        # per-group _bm25_block_upper, elementwise (identical doubles),
+        # max per block via reduceat, +1 float32 ulp nudge
+        idf_g = np.log((n_docs_f - df_g + 0.5) / (df_g + 0.5))
+        idf_e = np.repeat(idf_g, lens)
+        kk = 1.0 - p.b + p.b * (all_l.astype(np.float64) / avgdl_f)
+        part = (
+            idf_e * (all_t.astype(np.float64) * (p.k1 + 1.0))
+            / (all_t + p.k1 * kk)
+        )
+        bscore = np.nextafter(
+            np.maximum.reduceat(part, bstart).astype(np.float32),
+            np.float32(np.inf),
+        )
+
+        # one varint pass per stream + per-block byte slicing.  Gap
+        # bytes at cross-block positions are encoded then never sliced
+        # (gaps for block [s,e) are gd[s:e-1]).
+        # goff has exactly n_all entries: n_all-1 value offsets + the
+        # total-bytes sentinel, so goff[e-1] is valid for every block
+        gbuf, goff = varint_encode_offsets(gd.astype(np.uint64))
+        tbuf, toff = varint_encode_offsets(all_t.astype(np.uint64))
+        lbuf, loff = varint_encode_offsets(all_l.astype(np.uint64))
 
         out: list[tuple] = []
-        for (seg, term), parts in acc.items():
-            if len(parts) == 1:
-                doc_ids, tfs, dls = parts[0]
-                doc_ids = np.asarray(doc_ids, dtype=np.int64)
-                tfs = np.asarray(tfs, dtype=np.int64)
-                dls = np.asarray(dls, dtype=np.int64)
-            else:
-                doc_ids = np.concatenate([np.asarray(x[0], dtype=np.int64) for x in parts])
-                tfs = np.concatenate([np.asarray(x[1], dtype=np.int64) for x in parts])
-                dls = np.concatenate([np.asarray(x[2], dtype=np.int64) for x in parts])
-            if not np.all(doc_ids[:-1] <= doc_ids[1:]):
-                order = np.argsort(doc_ids, kind="stable")
-                doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-            df = dfs[(seg, term)]
-            idf = math.log((n_docs_f - df + 0.5) / (df + 0.5))
-            for b0 in range(0, len(doc_ids), bs):
-                d = doc_ids[b0 : b0 + bs]
-                t = tfs[b0 : b0 + bs]
-                l = dls[b0 : b0 + bs]
-                first, gaps = delta_encode(d.astype(np.uint64))
-                out.append(
-                    (
-                        seg, term, df, b0 // bs, len(d),
-                        int(d[0]), int(d[-1]), int(t.max()),
-                        _bm25_block_upper(t, l, idf, avgdl_f, p),
-                        gaps, varint_encode(t.astype(np.uint64)),
-                        varint_encode(l.astype(np.uint64)),
-                    )
+        for bi in range(total_b):
+            g = bgroup[bi]
+            s = int(bstart[bi])
+            e = int(bend[bi])
+            out.append(
+                (
+                    int(seg_g[g]), terms_g[g], int(df_g[g]), int(bidx[bi]),
+                    int(blen[bi]), int(first_doc[bi]), int(last_doc[bi]),
+                    int(max_tf[bi]), float(bscore[bi]),
+                    gbuf[goff[s] : goff[e - 1]],
+                    tbuf[toff[s] : toff[e]],
+                    lbuf[loff[s] : loff[e]],
                 )
+            )
         CHUNK = 4096
         names = [f.name for f in POSTINGS_SCHEMA.fields]
         types = [
