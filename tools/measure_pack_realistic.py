@@ -1,0 +1,113 @@
+"""Measure the posting-pack stage on a REALISTIC dictionary at two
+parallelism levels — the probe that caught the per-group-overhead defect
+the 28-term synthetic corpora hide (see BASELINE.md round-3 notes).
+
+Generates n_docs documents of 50 tokens each over a 200k-term long-tail
+vocabulary plus 10 hot terms (deterministic, xxhash64-derived), builds
+posting fragments once, then times fragment_term_df + pack_postings
+(count-forced) at local[4] and local[16].
+
+Usage: python tools/measure_pack_realistic.py [n_docs]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+VOCAB = 200_000
+CORES = (4, 16)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="pack_real_")
+    docs_path = f"{tmp}/docs.parquet"
+    frags_path = f"{tmp}/frags.parquet"
+
+    s = get_spark("pack_real_prep", master="local[16]", shuffle_partitions=32)
+    d = s.range(0, N_DOCS, numPartitions=256).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("hot"), ((F.col("id") + F.lit(j)) % 10).cast("string")
+                )
+                for j in range(10)
+            ],
+            *[
+                F.concat(
+                    F.lit("t"),
+                    F.abs(
+                        F.xxhash64((F.col("id") * 40 + F.lit(j)).cast("string"))
+                        % VOCAB
+                    ).cast("string"),
+                )
+                for j in range(40)
+            ],
+        ).alias("text"),
+    )
+    d.write.mode("overwrite").parquet(docs_path)
+    from search_engine_spark.postings import posting_fragments
+
+    posting_fragments(
+        s.read.parquet(docs_path), doc_id_col="doc_id", content_col="text"
+    ).write.mode("overwrite").parquet(frags_path)
+    s.stop()
+
+    results = {}
+    for cores in CORES:
+        sp = get_spark(
+            f"pack_real_{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        from search_engine_spark.config import BM25Params
+        from search_engine_spark.postings import (
+            fragment_term_df,
+            pack_postings,
+        )
+
+        frags = sp.read.parquet(frags_path)
+        t0 = time.perf_counter()
+        tdf = fragment_term_df(frags)
+        packed = pack_postings(frags, tdf, N_DOCS, 50.0, BM25Params(), 4096)
+        n_blocks = packed.count()
+        sec = time.perf_counter() - t0
+        results[f"local{cores}"] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(N_DOCS / sec, 1),
+            "n_blocks": n_blocks,
+        }
+        sp.stop()
+    lo, hi = results[f"local{CORES[0]}"], results[f"local{CORES[1]}"]
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "n_docs": N_DOCS,
+                "vocab": VOCAB,
+                "pack": results,
+                "efficiency_n_to_4n": round(
+                    (hi["docs_per_sec"] / lo["docs_per_sec"])
+                    / (CORES[1] / CORES[0]),
+                    3,
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
