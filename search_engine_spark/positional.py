@@ -109,7 +109,7 @@ def positional_postings(
         import pyarrow as pa
 
         from search_engine_spark.analysis import analyze_positions_arrow
-        from search_engine_spark.codec import delta_encode
+        from search_engine_spark.codec import varint_encode_offsets
         from search_engine_spark.config import AnalyzerConfig as _AC
 
         pa.set_cpu_count(1)
@@ -127,32 +127,55 @@ def positional_postings(
                 .group_by(["doc_id", "term"], use_threads=False)
                 .aggregate([("pos", "list")])
             )
-            ids = grouped.column("doc_id").to_numpy(zero_copy_only=False)
-            terms = grouped.column("term").to_pylist()
+            n_g = grouped.num_rows
             pos_col = grouped.column("pos_list").combine_chunks()
             vals = pos_col.values.to_numpy(zero_copy_only=False)
-            offs = pos_col.offsets.to_numpy(zero_copy_only=False)
-            ns, firsts, encs = [], [], []
-            for i in range(len(ids)):
-                p = vals[offs[i] : offs[i + 1]]
-                # delta_encode requires strictly-increasing input; the
-                # hash group-by preserves encounter order today, but that
-                # is not a documented Arrow contract — sort if it ever
-                # breaks rather than silently varint-encoding wrapped
-                # uint64 garbage (positions per (doc, term) are unique,
-                # so sorted == strictly increasing)
-                if len(p) > 1 and not np.all(p[1:] > p[:-1]):
-                    p = np.sort(p)
-                first, gaps = delta_encode(p.astype(np.uint64))
-                ns.append(len(p))
-                firsts.append(int(first))
-                encs.append(gaps)
+            offs = pos_col.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            # vectorized MULTI-group delta+varint (same technique as
+            # postings.pack_postings): realistic corpora have one group
+            # per ~1.3 occurrences, so a per-group delta_encode call
+            # (~50us of numpy dispatch) dominated the whole pack.  One
+            # global diff + ONE varint pass; each group's bytes are
+            # slices of the shared buffer (varint is per-value, so a
+            # sliced global encode is bit-identical to per-group).
+            if vals.size > 1:
+                gdp = np.diff(vals)
+                # strictly-increasing required per group; the hash
+                # group-by preserves encounter order today, but that is
+                # not a documented Arrow contract — sort offenders
+                # rather than varint-encoding wrapped uint64 garbage
+                # (positions per (doc, term) are unique)
+                badp = gdp <= 0
+                if n_g > 1:
+                    badp[offs[1:n_g] - 1] = False
+                if badp.any():
+                    vals = vals.copy()
+                    for g in np.unique(
+                        np.searchsorted(
+                            offs, np.flatnonzero(badp), side="right"
+                        )
+                        - 1
+                    ):
+                        s, e = int(offs[g]), int(offs[g + 1])
+                        vals[s:e] = np.sort(vals[s:e])
+                    gdp = np.diff(vals)
+            else:
+                gdp = np.empty(0, dtype=np.int64)
+            gbuf, goff = varint_encode_offsets(gdp.astype(np.uint64))
+            firsts = vals[offs[:-1]]
+            ns = np.diff(offs)
+            encs = [
+                gbuf[goff[offs[i]] : goff[offs[i + 1] - 1]]
+                for i in range(n_g)
+            ]
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
-                    pa.array(terms, pa.string()),
-                    pa.array(ns, pa.int32()),
-                    pa.array(firsts, pa.int32()),
+                    grouped.column("doc_id").combine_chunks(),
+                    grouped.column("term").combine_chunks(),
+                    pa.array(ns.astype(np.int32), pa.int32()),
+                    pa.array(firsts.astype(np.int32), pa.int32()),
                     pa.array(encs, pa.binary()),
                 ],
                 names=["doc_id", "term", "n", "first_pos", "pos_enc"],
