@@ -490,24 +490,109 @@ def merge_global_postings(
         ]
     )
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for term, g in pdf.groupby("term", sort=False):
-            d = np.concatenate([np.asarray(a, dtype=np.int64) for a in g["doc_ids"]])
-            t = np.concatenate([np.asarray(a, dtype=np.int64) for a in g["tfs"]])
-            o = np.argsort(d, kind="stable")
-            d, t = d[o], t[o]
-            out.append((term, int(g["df"].iloc[0]), int(d[0]), d, t.astype(np.int32)))
-        return pd.DataFrame(
-            out, columns=["term", "df", "first_doc_id", "doc_ids", "tfs"]
-        )
+    def _merge_stream_factory(with_salt: bool):
+        """Vectorized multi-group merge (same recipe as pack_postings —
+        a per-GROUP pandas call costs ~1ms of DataFrame construction,
+        ruinous at 10^5+ terms): sort the partition's rows by
+        (term[, salt], first_doc_id) in arrow C++, detect group
+        boundaries vectorized, concatenate via the child-array views,
+        and fix docID order only for groups whose fragment ranges
+        actually interleave (doc-partitioned segments make ranges
+        disjoint, so ordering rows by first_doc_id already merges)."""
 
-    # phase A: bounded partial runs
-    runs = frags.groupBy("term", "salt").applyInPandas(_merge, schema=merge_schema)
+        def _merge_stream(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-    # phase B: concatenate per-term runs (≤ salt_buckets rows per term)
-    final = runs.groupBy("term", F.lit(0).alias("salt")).applyInPandas(
-        _merge, schema=merge_schema
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+            blist = [b for b in batches if b.num_rows > 0]
+            if not blist:
+                return
+            keys = (
+                [("term", "ascending"), ("salt", "ascending")]
+                if with_salt
+                else [("term", "ascending")]
+            )
+            tbl = (
+                pa.Table.from_batches(blist)
+                .sort_by(keys + [("first_doc_id", "ascending")])
+                .combine_chunks()
+            )
+            n_rows = tbl.num_rows
+            terms_col = tbl.column("term").chunk(0)
+            dfr = tbl.column("df").chunk(0).to_numpy(zero_copy_only=False)
+            dcol = tbl.column("doc_ids").chunk(0)
+            tcol = tbl.column("tfs").chunk(0)
+            if n_rows > 1:
+                ne = pc.not_equal(
+                    terms_col.slice(1), terms_col.slice(0, n_rows - 1)
+                ).to_numpy(zero_copy_only=False)
+                if with_salt:
+                    salts = tbl.column("salt").chunk(0).to_numpy(
+                        zero_copy_only=False
+                    )
+                    ne = ne | (salts[1:] != salts[:-1])
+                bnd = np.flatnonzero(ne) + 1
+            else:
+                bnd = np.empty(0, dtype=np.int64)
+            row_start = np.concatenate([np.zeros(1, dtype=np.int64), bnd])
+            G = row_start.size
+            d_off = dcol.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            all_d = dcol.values.to_numpy(zero_copy_only=False)
+            all_t = tcol.values.to_numpy(zero_copy_only=False)
+            gstart = d_off[np.concatenate([row_start, [n_rows]])]
+            # fix groups whose concatenation is not docID-ascending
+            if all_d.size > 1:
+                gd = np.diff(all_d)
+                bad = gd < 0
+                if G > 1:
+                    bad[gstart[1:G] - 1] = False
+                if bad.any():
+                    all_d = all_d.copy()
+                    all_t = all_t.copy()
+                    for g in np.unique(
+                        np.searchsorted(
+                            gstart, np.flatnonzero(bad), side="right"
+                        )
+                        - 1
+                    ):
+                        s, e = int(gstart[g]), int(gstart[g + 1])
+                        order = np.argsort(all_d[s:e], kind="stable")
+                        all_d[s:e] = all_d[s:e][order]
+                        all_t[s:e] = all_t[s:e][order]
+            offsets32 = pa.array(gstart.astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    terms_col.take(pa.array(row_start)),
+                    pa.array(dfr[row_start], pa.int64()),
+                    pa.array(all_d[gstart[:-1]], pa.int64()),
+                    pa.ListArray.from_arrays(
+                        offsets32, pa.array(all_d, pa.int64())
+                    ),
+                    pa.ListArray.from_arrays(
+                        offsets32, pa.array(all_t, pa.int32())
+                    ),
+                ],
+                names=["term", "df", "first_doc_id", "doc_ids", "tfs"],
+            )
+
+        return _merge_stream
+
+    frags = frags.withColumn("first_doc_id", F.element_at("doc_ids", 1))
+    # phase A: bounded partial runs, co-located by (term, salt)
+    runs = (
+        frags.select("term", "salt", "df", "first_doc_id", "doc_ids", "tfs")
+        .repartition("term", "salt")
+        .mapInArrow(_merge_stream_factory(with_salt=True), schema=merge_schema)
+    )
+
+    # phase B: concatenate per-term runs (<= salt_buckets rows per term)
+    final = (
+        runs.repartition("term")
+        .mapInArrow(_merge_stream_factory(with_salt=False), schema=merge_schema)
     )
     return final.drop("first_doc_id")
 
