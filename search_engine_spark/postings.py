@@ -563,6 +563,12 @@ def merge_global_postings(
                         order = np.argsort(all_d[s:e], kind="stable")
                         all_d[s:e] = all_d[s:e][order]
                         all_t[s:e] = all_t[s:e][order]
+            if int(gstart[-1]) > 2**31 - 1:
+                raise ValueError(
+                    "merge partition exceeds 2^31 posting entries — "
+                    "arrow list offsets are int32; raise salt_buckets / "
+                    "shuffle partitions so per-reducer runs stay bounded"
+                )
             offsets32 = pa.array(gstart.astype(np.int32))
             yield pa.RecordBatch.from_arrays(
                 [
