@@ -135,3 +135,41 @@ def delta_decode(first: int, buf: bytes, n: int) -> np.ndarray:
         out[1:] = varint_decode(buf, n - 1)
         np.cumsum(out, out=out)
     return out
+
+
+def fix_unsorted_runs(
+    run_starts: np.ndarray,
+    values: np.ndarray,
+    payloads: tuple = (),
+    strict: bool = False,
+) -> tuple[np.ndarray, np.ndarray, tuple]:
+    """Ensure every run of `values` (runs delimited by the offsets array
+    `run_starts`, length G+1) is ascending — strictly if `strict` —
+    sorting ONLY the offending runs (group-wise codec streams expect
+    pre-sorted runs; interleaving is the rare multi-fragment case).
+
+    Returns (diff(values) recomputed after any fix, values, payloads) —
+    values/payloads are copies only when a fix was needed (arrow-backed
+    views are read-only).  Shared by pack_postings, merge_global_postings
+    and positional._pack so the subtle boundary-mask + searchsorted run
+    attribution lives in exactly one place."""
+    G = run_starts.size - 1
+    if values.size <= 1:
+        return np.empty(0, dtype=values.dtype), values, payloads
+    d = np.diff(values)
+    bad = (d <= 0) if strict else (d < 0)
+    if G > 1:
+        bad[run_starts[1:G] - 1] = False  # cross-run boundaries don't count
+    if bad.any():
+        values = values.copy()
+        payloads = tuple(p.copy() for p in payloads)
+        for g in np.unique(
+            np.searchsorted(run_starts, np.flatnonzero(bad), side="right") - 1
+        ):
+            s, e = int(run_starts[g]), int(run_starts[g + 1])
+            order = np.argsort(values[s:e], kind="stable")
+            values[s:e] = values[s:e][order]
+            for p in payloads:
+                p[s:e] = p[s:e][order]
+        d = np.diff(values)
+    return d, values, payloads

@@ -109,7 +109,10 @@ def positional_postings(
         import pyarrow as pa
 
         from search_engine_spark.analysis import analyze_positions_arrow
-        from search_engine_spark.codec import varint_encode_offsets
+        from search_engine_spark.codec import (
+            fix_unsorted_runs,
+            varint_encode_offsets,
+        )
         from search_engine_spark.config import AnalyzerConfig as _AC
 
         pa.set_cpu_count(1)
@@ -140,29 +143,17 @@ def positional_postings(
             # global diff + ONE varint pass; each group's bytes are
             # slices of the shared buffer (varint is per-value, so a
             # sliced global encode is bit-identical to per-group).
-            if vals.size > 1:
-                gdp = np.diff(vals)
-                # strictly-increasing required per group; the hash
-                # group-by preserves encounter order today, but that is
-                # not a documented Arrow contract — sort offenders
-                # rather than varint-encoding wrapped uint64 garbage
-                # (positions per (doc, term) are unique)
-                badp = gdp <= 0
-                if n_g > 1:
-                    badp[offs[1:n_g] - 1] = False
-                if badp.any():
-                    vals = vals.copy()
-                    for g in np.unique(
-                        np.searchsorted(
-                            offs, np.flatnonzero(badp), side="right"
-                        )
-                        - 1
-                    ):
-                        s, e = int(offs[g]), int(offs[g + 1])
-                        vals[s:e] = np.sort(vals[s:e])
-                    gdp = np.diff(vals)
-            else:
-                gdp = np.empty(0, dtype=np.int64)
+            # strictly-increasing required per group; the hash group-by
+            # preserves encounter order today, but that is not a
+            # documented Arrow contract — offenders are sorted
+            # individually (codec.fix_unsorted_runs; positions per
+            # (doc, term) are unique, so sorted == strictly increasing)
+            gdp, vals, _ = fix_unsorted_runs(offs, vals, (), strict=True)
+            # zero the never-referenced cross-group boundary diffs:
+            # negative boundaries wrap to 10-byte uint64 varints — and
+            # with ~1.3 occurrences per group, MOST diffs are boundaries
+            if n_g > 1 and gdp.size:
+                gdp[offs[1:n_g] - 1] = 0
             gbuf, goff = varint_encode_offsets(gdp.astype(np.uint64))
             firsts = vals[offs[:-1]]
             ns = np.diff(offs)

@@ -50,7 +50,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .codec import delta_decode, varint_decode, varint_encode_offsets
+from .codec import (
+    delta_decode,
+    fix_unsorted_runs,
+    varint_decode,
+    varint_encode_offsets,
+)
 from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 
 # disjoint segment-id namespace per delta generation (maintenance.py):
@@ -151,22 +156,6 @@ def fragment_term_df(fragments: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_block_upper(
-    tfs: np.ndarray, doc_lens: np.ndarray, idf: float, avgdl: float, p: BM25Params
-) -> float:
-    """Query-independent per-posting score part: idf · tf(k1+1)/(tf+k1·K).
-
-    The qtf saturation factor (BM25Scorer.cs:53) is a per-term constant
-    at query time and multiplies this bound there.  max() is correct for
-    negative idf too (least-negative contribution is the upper bound).
-    """
-    k = 1.0 - p.b + p.b * (doc_lens.astype(np.float64) / avgdl)
-    part = idf * (tfs.astype(np.float64) * (p.k1 + 1.0)) / (tfs + p.k1 * k)
-    # nudge up one float32 ulp so float32-cast query contributions never
-    # exceed the stored bound
-    return float(np.nextafter(np.float32(part.max()), np.float32(np.inf)))
-
-
 def pack_postings(
     fragments: DataFrame,
     term_df: DataFrame,
@@ -208,9 +197,22 @@ def pack_postings(
         # python work is pure byte slicing.  Output bytes are
         # bit-identical to a per-group encode (varint is per-value, so
         # slicing a global encode equals encoding each slice).
-        blist = [b for b in batches if b.num_rows > 0]
+        blist = []
+        total_entries = 0
+        for b in batches:
+            if b.num_rows > 0:
+                blist.append(b)
+                total_entries += len(b.column("doc_ids").values)
         if not blist:
             return
+        if total_entries > 2**31 - 1:
+            # arrow list offsets are int32; combine_chunks/sort_by would
+            # die with an opaque offset-overflow — fail actionably first
+            raise ValueError(
+                "pack partition exceeds 2^31 posting entries — raise "
+                "spark.sql.shuffle.partitions so per-reducer posting "
+                "volume stays bounded"
+            )
         tbl = (
             pa.Table.from_batches(blist)
             .sort_by([("segment_id", "ascending"), ("term", "ascending")])
@@ -255,25 +257,17 @@ def pack_postings(
         lens = np.diff(gstart)
 
         # within-group doc order: fragments arrive doc-ascending, but a
-        # multi-fragment group's concatenation may interleave — detect
-        # globally (boundaries masked) and fix the rare offenders
-        gd = np.diff(all_d)
-        bad = gd < 0
-        if G > 1:
-            bad[gstart[1:G] - 1] = False
-        if bad.any():
-            all_d = all_d.copy()
-            all_t = all_t.copy()
-            all_l = all_l.copy()
-            for g in np.unique(
-                np.searchsorted(gstart, np.flatnonzero(bad), side="right") - 1
-            ):
-                s, e = int(gstart[g]), int(gstart[g + 1])
-                order = np.argsort(all_d[s:e], kind="stable")
-                all_d[s:e] = all_d[s:e][order]
-                all_t[s:e] = all_t[s:e][order]
-                all_l[s:e] = all_l[s:e][order]
-            gd = np.diff(all_d)
+        # multi-fragment group's concatenation may interleave — fixed
+        # per offending group only (codec.fix_unsorted_runs)
+        gd, all_d, (all_t, all_l) = fix_unsorted_runs(
+            gstart, all_d, (all_t, all_l)
+        )
+        # zero the never-referenced cross-group boundary diffs BEFORE the
+        # varint pass: negative boundaries wrap to 10-byte uint64 varints
+        # and force worst-case encode passes; a zero costs one byte and
+        # is sliced out anyway
+        if G > 1 and gd.size:
+            gd[gstart[1:G] - 1] = 0
 
         df_g = df_rows[row_start].astype(np.int64, copy=False)
         seg_g = segs[row_start]
@@ -292,9 +286,13 @@ def pack_postings(
         last_doc = all_d[bend - 1]
         max_tf = np.maximum.reduceat(all_t, bstart)
 
-        # block-max upper bound — the same expression as the old
-        # per-group _bm25_block_upper, elementwise (identical doubles),
-        # max per block via reduceat, +1 float32 ulp nudge
+        # block-max upper bound: the query-independent score part
+        # idf * tf(k1+1)/(tf+k1*K) per posting (the qtf saturation factor
+        # is a per-term constant at query time and multiplies the bound
+        # there), max per block via reduceat, then a +1 float32-ulp nudge
+        # so float32-cast query contributions never exceed the stored
+        # bound; max() is correct for negative idf too (least-negative
+        # contribution is the upper bound)
         idf_g = np.log((n_docs_f - df_g + 0.5) / (df_g + 0.5))
         idf_e = np.repeat(idf_g, lens)
         kk = 1.0 - p.b + p.b * (all_l.astype(np.float64) / avgdl_f)
@@ -506,9 +504,23 @@ def merge_global_postings(
 
             pa.set_cpu_count(1)
             pa.set_io_thread_count(1)
-            blist = [b for b in batches if b.num_rows > 0]
+            blist = []
+            total_entries = 0
+            for b in batches:
+                if b.num_rows > 0:
+                    blist.append(b)
+                    total_entries += len(b.column("doc_ids").values)
             if not blist:
                 return
+            if total_entries > 2**31 - 1:
+                # arrow list offsets are int32 and the old per-group path
+                # bounded this PER GROUP, not per partition — fail with
+                # the remedy before combine_chunks dies opaquely
+                raise ValueError(
+                    "merge partition exceeds 2^31 posting entries — "
+                    "raise salt_buckets / shuffle partitions so "
+                    "per-reducer runs stay bounded"
+                )
             keys = (
                 [("term", "ascending"), ("salt", "ascending")]
                 if with_salt
@@ -545,30 +557,8 @@ def merge_global_postings(
             all_t = tcol.values.to_numpy(zero_copy_only=False)
             gstart = d_off[np.concatenate([row_start, [n_rows]])]
             # fix groups whose concatenation is not docID-ascending
-            if all_d.size > 1:
-                gd = np.diff(all_d)
-                bad = gd < 0
-                if G > 1:
-                    bad[gstart[1:G] - 1] = False
-                if bad.any():
-                    all_d = all_d.copy()
-                    all_t = all_t.copy()
-                    for g in np.unique(
-                        np.searchsorted(
-                            gstart, np.flatnonzero(bad), side="right"
-                        )
-                        - 1
-                    ):
-                        s, e = int(gstart[g]), int(gstart[g + 1])
-                        order = np.argsort(all_d[s:e], kind="stable")
-                        all_d[s:e] = all_d[s:e][order]
-                        all_t[s:e] = all_t[s:e][order]
-            if int(gstart[-1]) > 2**31 - 1:
-                raise ValueError(
-                    "merge partition exceeds 2^31 posting entries — "
-                    "arrow list offsets are int32; raise salt_buckets / "
-                    "shuffle partitions so per-reducer runs stay bounded"
-                )
+            # (codec.fix_unsorted_runs — shared with pack_postings)
+            _, all_d, (all_t,) = fix_unsorted_runs(gstart, all_d, (all_t,))
             offsets32 = pa.array(gstart.astype(np.int32))
             yield pa.RecordBatch.from_arrays(
                 [

@@ -97,8 +97,8 @@ def _maxtf_bound(max_tf: int, idf: float, p: BM25Params) -> float:
     tf_part ≤ (k1+1)·max_tf/(max_tf + k1(1-b)).  Multiplied by the LIVE
     idf (positive — the soundness gate disables pruning otherwise) it
     bounds every contribution in the block.  The one-float32-ulp nudge
-    mirrors postings._bm25_block_upper: float32-cast contributions can
-    round up past the float64 product."""
+    mirrors the pack-time block-max bound (postings.pack_postings):
+    float32-cast contributions can round up past the float64 product."""
     tfp = (p.k1 + 1.0) * max_tf / (max_tf + p.k1 * (1.0 - p.b))
     return float(np.nextafter(np.float32(idf * tfp), np.float32(np.inf)))
 

@@ -52,3 +52,48 @@ def test_empty_and_single():
     assert (f, enc) == (0, b"")
     f, enc = delta_encode(np.array([42], dtype=np.uint64))
     assert f == 42 and enc == b"" and list(delta_decode(f, enc, 1)) == [42]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=200
+    ),
+    st.randoms(),
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_encode_offsets_slicing(vals, rng):
+    """The load-bearing invariant of the multi-group packers: for ANY
+    contiguous run, buf[off[i]:off[j]] is bit-identical to encoding the
+    run alone — including 10-byte wrapped-uint64 boundary junk."""
+    from search_engine_spark.codec import varint_encode_offsets
+
+    arr = np.array(vals, dtype=np.uint64)
+    buf, off = varint_encode_offsets(arr)
+    assert off.size == arr.size + 1 if arr.size else off.size == 1
+    assert buf == varint_encode(arr)
+    for _ in range(5):
+        i = rng.randint(0, arr.size) if arr.size else 0
+        j = rng.randint(i, arr.size) if arr.size else 0
+        assert buf[off[i]:off[j]] == varint_encode(arr[i:j])
+
+
+def test_fix_unsorted_runs():
+    from search_engine_spark.codec import fix_unsorted_runs
+
+    starts = np.array([0, 3, 5, 9], dtype=np.int64)
+    vals = np.array([1, 5, 3, 9, 2, 4, 4, 6, 5], dtype=np.int64)
+    pay = np.arange(9, dtype=np.int64) * 10
+    d, v, (p,) = fix_unsorted_runs(starts, vals, (pay,))
+    # every run re-sorted, payload permuted in lockstep (stable)
+    assert v.tolist() == [1, 3, 5, 2, 9, 4, 4, 5, 6]
+    assert p.tolist() == [0, 20, 10, 40, 30, 50, 60, 80, 70]
+    assert d.tolist() == np.diff(v).tolist()
+    # strict mode: the equal 4,4 pair sorts stably to the same order
+    d2, v2, _ = fix_unsorted_runs(starts, vals, (), strict=True)
+    assert v2[5:9].tolist() == sorted([4, 4, 6, 5])
+    # boundary descent alone triggers nothing
+    sorted_vals = np.array([1, 2, 3, 1, 2], dtype=np.int64)
+    d3, v3, _ = fix_unsorted_runs(
+        np.array([0, 3, 5], dtype=np.int64), sorted_vals, ()
+    )
+    assert v3 is sorted_vals  # untouched, no copy
