@@ -97,6 +97,12 @@ _EXPORTS = {
     "simhash_near_dups": "ops.dedup:simhash_near_dups",
     "connected_components": "ops.dedup:connected_components",
     "bucket_size_stats": "ops.dedup:bucket_size_stats",
+    # pipeline ops: train/test decontamination
+    "contamination_pairs": "ops.decontam:contamination_pairs",
+    "decontaminate": "ops.decontam:decontaminate",
+    # search UX: faceted counts over a match set
+    "facet_counts": "ops.facets:facet_counts",
+    "facet_topk": "ops.facets:facet_topk",
     # pipeline ops: similarity / ANN
     "cosine_topk_bruteforce": "ops.similarity:cosine_topk_bruteforce",
     "cosine_topk_srp": "ops.similarity:cosine_topk_srp",

@@ -751,6 +751,26 @@ def q_global_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_QUERY_TEXT = "sparkk mergee window"
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25 (query.score_bm25_fuzzy): dictionary terms
+    within 1 edit of each analyzed query term, each scored with its own
+    df/idf scaled by the Lucene-style boost 1 − dist/max(len)."""
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n_docs, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, FUZZY_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25_fuzzy(
+        tokens, n_docs, avgdl, qdf, max_dist=1, k=TOPK
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.boolean_and(_tokens(spark, sf_dir), list(BOOL_TERMS))
 
@@ -780,6 +800,28 @@ def q_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         (F.col("df") > 250) & (F.length("term") <= 4)
     ).select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (ops/facets.py): the BM25 query's candidate match
+    set (docs containing >=1 analyzed query term) counted per lang and
+    source, top-5 values per facet."""
+    from .ops import facets as FC
+
+    terms = [t for t, _ in tokenize_query(BM25_QUERY_TEXT, SQL_CFG)]
+    matches = _tokens(spark, sf_dir).join(
+        F.broadcast(
+            spark.createDataFrame([(t,) for t in terms], ["term"])
+        ),
+        "term",
+        "inner",
+    )
+    out = FC.facet_topk(matches, _docs(spark, sf_dir), ["lang", "source"], k=5)
+    return out.select(
+        "facet", "value",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,6 +860,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", width=3, threshold=0.5)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _bench_set(docs: DataFrame) -> DataFrame:
+    """Deterministic in-corpus 'benchmark' table for the decontamination
+    contract: every 41st doc, truncated to its first 200 chars — a
+    PARTIAL-containment probe (the truncation cuts the final token, so
+    overlap < 1.0 for long docs; exact dups in the corpus cross-flag)."""
+    return docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs containing >=50% of a
+    benchmark doc's distinct 3-gram shingles (ops/decontam.py)."""
+    from .ops import decontam as DC
+
+    docs = _docs(spark, sf_dir)
+    pairs = DC.contamination_pairs(
+        docs, _bench_set(docs), width=3, threshold=0.5
+    )
+    return pairs.select(
+        "doc_id", "bench_id", "n_overlap", "n_bench",
+        F.round("overlap", 6).alias("overlap"),
+    )
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1609,6 +1677,58 @@ def _adpt_grid_values() -> str:
     return ", ".join(f"({i}, {_sql_double(v)})" for i, v in enumerate(vals))
 
 
+def _sql_fuzzy_topk(params: BM25Params = BM25Params()) -> str:
+    """Restates query.score_bm25_fuzzy: dictionary terms within 1 edit
+    of each analyzed query term (length-band prefilter, classic
+    levenshtein in both engines), BM25 with per-expanded-term df times
+    the boost 1 − dist/max(len).  The fold orders by (term_pos, c) —
+    expanded terms share a term_pos, the value breaks the tie exactly
+    like Spark's struct sort.  Division associativity mirrors the Spark
+    expression tree: idf * (tf-part) * (qtf-part) * boost."""
+    k1, k3, b = params.k1, params.k3, params.b
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(FUZZY_QUERY_TEXT)},
+dict AS (SELECT DISTINCT term FROM tok),
+exp AS (
+  SELECT d.term, q.qtf, q.term_pos,
+         1.0 - CAST(levenshtein(d.term, q.term) AS DOUBLE)
+               / greatest(length(d.term), length(q.term)) AS boost
+  FROM dict d JOIN q ON abs(length(d.term) - length(q.term)) <= 1
+  WHERE levenshtein(d.term, q.term) <= 1
+),
+mdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM exp) GROUP BY term
+),
+contrib AS (
+  SELECT t.doc_id, e.term_pos,
+         CAST(
+           ln((s.n_docs - mdf.df + 0.5) / (mdf.df + 0.5))
+           * ((t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl))))
+           * ((({k3} + 1.0) * e.qtf) / ({k3} + e.qtf))
+           * e.boost
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN exp e ON e.term = t.term
+  JOIN mdf ON mdf.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id,
+         list_reduce(list(c ORDER BY term_pos, c), (acc, x) -> CAST(acc + x AS FLOAT)) AS score
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def _sql_bm25_adpt(b: float = 0.75) -> str:
     """BM25-ADPT (adpt.py) restated in DuckDB SQL — VERDICT r2 #4a.
 
@@ -1815,6 +1935,40 @@ def _sql_hot_terms() -> str:
     )
 
 
+def _sql_facet_counts() -> str:
+    """Restates ops.facets.facet_topk over the BM25 query's candidate
+    match set: distinct matched docs, lang+source unpivoted and counted
+    in one pass, top-5 per facet (ties value-ascending)."""
+    return f"""
+WITH {_sql_tokens_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+m AS (
+  SELECT DISTINCT tok.doc_id
+  FROM tok JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+),
+meta AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(d.lang AS VARCHAR), '(missing)') AS lang,
+         COALESCE(CAST(d.source AS VARCHAR), '(missing)') AS source
+  FROM documents d JOIN m USING (doc_id)
+),
+unp AS (
+  SELECT 'lang' AS facet, lang AS value FROM meta
+  UNION ALL
+  SELECT 'source' AS facet, source AS value FROM meta
+),
+c AS (
+  SELECT facet, value, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM unp GROUP BY facet, value
+)
+SELECT facet, value, n_docs, rank FROM (
+  SELECT facet, value, n_docs,
+         CAST(row_number() OVER (PARTITION BY facet ORDER BY n_docs DESC, value ASC) AS BIGINT) AS rank
+  FROM c
+) WHERE rank <= 5
+"""
+
+
 def _sql_top_docs_per_lang() -> str:
     return """
 SELECT lang, rank, doc_id, n_chars FROM (
@@ -1832,20 +1986,25 @@ def _sql_dedup_exact() -> str:
     )
 
 
-def _sql_shingles_cte(width: int = 3) -> str:
+def _sql_shingles_cte(
+    width: int = 3, source: str = "documents", prefix: str = ""
+) -> str:
+    """CTEs `{prefix}dt`/`{prefix}sh` = distinct per-doc shingles of
+    `source` (any relation exposing doc_id + text), restating
+    ops.dedup.shingles_arrow."""
     return f"""
-dt AS (
+{prefix}dt AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'), t -> t <> '') AS toks,
          text
-  FROM documents
+  FROM {source}
 ),
-sh AS (
+{prefix}sh AS (
   SELECT DISTINCT doc_id,
          CASE WHEN len(toks) >= {width}
               THEN array_to_string(list_slice(toks, i, i + {width} - 1), ' ')
               ELSE text END AS shingle
-  FROM dt, unnest(CASE WHEN len(toks) >= {width}
+  FROM {prefix}dt, unnest(CASE WHEN len(toks) >= {width}
                        THEN range(1, len(toks) - {width} + 2)
                        ELSE [1] END) u(i)
 )"""
@@ -1907,6 +2066,34 @@ inter AS (
 SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {threshold}
+"""
+
+
+def _sql_contamination(threshold: float = 0.5) -> str:
+    """Restates ops.decontam.contamination_pairs over the derived
+    benchmark of _bench_set: distinct-shingle containment normalized by
+    the benchmark side; the threshold compares integers cross-multiplied
+    (n_overlap >= t * n_bench) exactly as the Spark filter does."""
+    return f"""
+WITH {_sql_shingles_cte(3)},
+bench AS (
+  SELECT doc_id AS doc_id, substr(text, 1, 200) AS text
+  FROM documents WHERE doc_id % 41 = 0
+),
+{_sql_shingles_cte(3, source="bench", prefix="b")},
+bsizes AS (
+  SELECT doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench
+  FROM bsh GROUP BY doc_id
+),
+hits AS (
+  SELECT s.doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM sh s JOIN bsh b ON s.shingle = b.shingle
+  GROUP BY s.doc_id, b.doc_id
+)
+SELECT h.doc_id, h.bench_id, h.n_overlap, z.n_bench,
+       round(CAST(h.n_overlap AS DOUBLE) / z.n_bench, 6) AS overlap
+FROM hits h JOIN bsizes z ON z.bench_id = h.bench_id
+WHERE CAST(h.n_overlap AS DOUBLE) * 1.0 >= {threshold} * z.n_bench
 """
 
 
@@ -2710,6 +2897,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_upsert_topk": q_bm25_upsert_topk,
         "bm25_compacted_topk": q_bm25_compacted_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "fuzzy_topk": q_fuzzy_topk,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
         "ql_topk": q_ql_topk,
@@ -2727,10 +2915,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_hist": q_df_hist,
         "hot_terms": q_hot_terms,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "facet_counts": q_facet_counts,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
         "quality_scores": q_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -2827,6 +3017,7 @@ def duckdb_oracles() -> dict[str, str]:
             prelude=f"fdocs AS (SELECT * FROM documents WHERE lang = '{FILTER_LANG}'), ",
         ),
         "tfidf_topk": _sql_tfidf(),
+        "fuzzy_topk": _sql_fuzzy_topk(),
         "ql_topk": _sql_ql(),
         "bm25f_topk": _sql_bm25f(),
         "hybrid_rrf_topk": _sql_hybrid_rrf(),
@@ -2848,10 +3039,12 @@ FROM tok GROUP BY term
         "df_hist": _sql_df_hist(),
         "hot_terms": _sql_hot_terms(),
         "top_docs_per_lang": _sql_top_docs_per_lang(),
+        "facet_counts": _sql_facet_counts(),
         "dedup_exact": _sql_dedup_exact(),
         "fingerprint": _sql_fingerprint(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "contamination": _sql_contamination(),
         "quality_scores": _sql_quality_scores(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),

@@ -1,0 +1,108 @@
+"""Train/test decontamination: n-gram overlap against a benchmark set.
+
+The standard LLM-training-data hygiene step (GPT-3 appendix C /
+PaLM-style decontamination): a training document is CONTAMINATED by a
+benchmark document when a large fraction of the benchmark's distinct
+n-gram shingles appear verbatim in the training document.  Unlike
+near-dup detection (symmetric Jaccard over a single corpus), this is an
+ASYMMETRIC containment test between two tables — overlap is normalized
+by the BENCHMARK side, so a 10-line eval prompt embedded in a 10k-line
+training file still flags.
+
+Scale design (100 TB corpus vs a benchmark of 10^3..10^6 rows):
+  * The benchmark side is small by construction — its distinct shingles
+    broadcast; the corpus-side shingle stream (the expensive side) is
+    produced once by the Arrow shingler and never self-joined.
+  * The broadcast-hash inner join on `shingle` prunes the corpus stream
+    to rows that touch ANY benchmark shingle before the (doc, bench)
+    aggregation, so shuffle volume is O(matching shingles), not
+    O(corpus shingles).
+  * Counting uses DISTINCT shingles per side (containment of sets), so
+    repeated boilerplate inside one doc can't inflate overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles_arrow
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    width: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, bench_id, n_overlap, n_bench, overlap) for corpus docs
+    containing >= threshold of a benchmark doc's distinct shingles.
+
+    overlap = |S(bench) ∩ S(doc)| / |S(bench)| — an exact rational of
+    two ints (no float drift in the comparison; callers round for
+    display).  Docs shorter than `width` tokens shingle to their raw
+    text (shingles_arrow semantics), so exact short-string matches
+    still flag.
+    """
+    corpus_sh = shingles_arrow(corpus, text_col, id_col, width).distinct()
+    bench_sh = (
+        shingles_arrow(
+            benchmark.select(
+                F.col(bench_id_col).alias("doc_id"),
+                F.col(bench_text_col).alias("text"),
+            ),
+            "text",
+            "doc_id",
+            width,
+        )
+        .distinct()
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count("*").alias("n_bench")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "inner")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        hits.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "overlap",
+            F.col("n_overlap").cast("double") / F.col("n_bench"),
+        )
+        .filter(F.col("n_overlap") * F.lit(1.0) >= F.lit(threshold) * F.col("n_bench"))
+        .select("doc_id", "bench_id", "n_overlap", "n_bench", "overlap")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    width: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The corpus with contaminated documents REMOVED (left-anti join on
+    the flagged doc set).  The flagged set is tiny relative to the
+    corpus, so the anti-join broadcasts; the corpus is never shuffled."""
+    flagged = contamination_pairs(
+        corpus,
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        bench_text_col=bench_text_col,
+        bench_id_col=bench_id_col,
+        width=width,
+        threshold=threshold,
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

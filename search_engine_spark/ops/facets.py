@@ -1,0 +1,87 @@
+"""Faceted search: per-facet value counts over a query's match set.
+
+The Lucene-faceting shape (reference has no facet module; this is part
+of the beyond-reference search-UX surface alongside ops/suggest.py):
+given the set of documents matching a query, report how the matches
+distribute over metadata dimensions (lang, source, repo, ...) so a UI
+can render drill-down counts next to the result page.
+
+Scale design (100 TB corpus, 10^12 docs):
+  * The match set arrives as a DataFrame of doc_ids — typically the
+    dictionary-pruned candidate set (docs containing >=1 query term),
+    orders of magnitude smaller than the corpus.  It is BROADCAST
+    against the metadata table, so the corpus-sized side is never
+    shuffled; Catalyst prunes the metadata scan to id + facet columns.
+  * ALL requested facets are counted in ONE aggregation: the facet
+    columns are unpivoted with stack() (a narrow map), so k facets cost
+    one shuffle, not k.
+  * NULL facet values are kept as an explicit "(missing)" bucket —
+    silently dropping them would misreport coverage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+MISSING = "(missing)"
+
+
+def facet_counts(
+    matches: DataFrame,
+    docs: DataFrame,
+    facet_cols: Sequence[str],
+    id_col: str = "doc_id",
+    broadcast_matches: bool = True,
+) -> DataFrame:
+    """(facet, value, n_docs) — DISTINCT matched docs per facet value.
+
+    `matches` needs only an `id_col` column (dup rows tolerated — e.g.
+    a raw (topic, doc) match stream); `docs` provides the facet columns.
+    Set broadcast_matches=False when the match set is known to be
+    corpus-sized (a match-all query) — Spark then picks a shuffle join.
+    """
+    ids = matches.select(id_col).distinct()
+    if broadcast_matches:
+        ids = F.broadcast(ids)
+    meta = docs.select(
+        id_col,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(MISSING)).alias(c)
+            for c in facet_cols
+        ],
+    ).join(ids, id_col, "inner")
+    stack_expr = "stack({n}, {args}) as (facet, value)".format(
+        n=len(facet_cols),
+        args=", ".join(f"'{c}', `{c}`" for c in facet_cols),
+    )
+    return (
+        meta.select(F.expr(stack_expr))
+        .groupBy("facet", "value")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def facet_topk(
+    matches: DataFrame,
+    docs: DataFrame,
+    facet_cols: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k facet values per facet by matched-doc count (the drill-down
+    menu shape).  Ties break value-ascending so the page is
+    deterministic.  One window over the (facets x values)-sized count
+    table — tiny after the aggregation."""
+    counts = facet_counts(matches, docs, facet_cols, id_col=id_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("facet").orderBy(
+        F.desc("n_docs"), F.asc("value")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("facet", "value", "n_docs", "rank")
+    )

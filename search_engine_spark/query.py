@@ -400,6 +400,103 @@ def collapse_topk(
     )
 
 
+def fuzzy_expand(
+    term_df: DataFrame, qterms: DataFrame, max_dist: int = 1
+) -> DataFrame:
+    """Expand analyzed query terms to dictionary terms within `max_dist`
+    edits: (topic_id, term, qtf, term_pos, boost).
+
+    boost = 1 − dist / max(len(term), len(qterm)) — the Lucene
+    FuzzyQuery degrade (farther edits score less; the exact term keeps
+    boost 1.0).  Physical shape: the DICTIONARY (vocab-sized, not
+    corpus-sized) is scanned once against the broadcast query-term list;
+    a |len(term) − len(qterm)| <= max_dist band prunes before the JVM
+    levenshtein runs (an automaton-free stand-in for Lucene's LevFSA —
+    at 10^9-term dictionaries add a length/prefix bucketing on top).
+    Spark and DuckDB both implement classic Levenshtein, so the
+    expansion is oracle-checkable."""
+    qd = qterms.select(
+        "topic_id",
+        F.col("term").alias("qterm"),
+        "qtf",
+        "term_pos",
+    )
+    dist = F.levenshtein(F.col("term"), F.col("qterm"))
+    joined = term_df.select("term").join(
+        F.broadcast(qd),
+        F.abs(F.length("term") - F.length("qterm")) <= F.lit(max_dist),
+        "inner",
+    )
+    return (
+        joined.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "topic_id",
+            "term",
+            "qtf",
+            "term_pos",
+            (
+                F.lit(1.0)
+                - F.col("dist")
+                / F.greatest(F.length("term"), F.length("qterm")).cast(
+                    "double"
+                )
+            ).alias("boost"),
+        )
+    )
+
+
+def score_bm25_fuzzy(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    max_dist: int = 1,
+    params: BM25Params | None = None,
+    k: int = 1000,
+    term_df: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 over edit-distance-expanded query terms (typo-tolerant
+    search).  Each expanded term contributes with ITS OWN df/idf, scaled
+    by the fuzzy boost; the per-doc accumulation folds float32 sorted by
+    (term_pos, contrib) — expanded terms share their source term's
+    term_pos, so the value itself disambiguates the fold order and the
+    result stays bit-reproducible cross-engine.
+
+    Pass a precomputed `term_df` (build.term_document_frequency output,
+    e.g. read from the persisted index manifest) to skip the dictionary
+    aggregation; by default it is derived from `tokens`."""
+    from .build import term_document_frequency
+
+    params = params or BM25Params()
+    if term_df is None:
+        term_df = term_document_frequency(tokens)
+    exp = fuzzy_expand(term_df, qterms, max_dist)
+    matched = tokens.join(
+        F.broadcast(exp.select("term").distinct()), "term", "inner"
+    )
+    mdf = matched.groupBy("term").agg(F.count("*").alias("df"))
+    joined = matched.join(F.broadcast(exp), "term", "inner").join(
+        F.broadcast(mdf), "term", "inner"
+    )
+    k1, k3, b = params.k1, params.k3, params.b
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    knorm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("doc_len") / F.lit(float(avgdl))
+    )
+    tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
+    qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
+    contrib = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        (idf * tfp * qtfp * F.col("boost")).cast("float").alias("contrib"),
+    )
+    return topk(_accumulate(contrib, exact_float32=True), k)
+
+
 def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:
     """Conjunctive boolean retrieval: docs containing ALL terms.
 

@@ -1,0 +1,77 @@
+"""Decontamination (ops/decontam.py): planted-overlap identities.
+
+A benchmark prompt embedded verbatim inside a larger training doc must
+flag (asymmetric containment), a vocabulary-sharing-but-not-containing
+doc must not, and decontaminate() must drop exactly the flagged docs.
+"""
+
+import pytest
+
+from search_engine_spark.ops.decontam import contamination_pairs, decontaminate
+
+
+BENCH_PROMPT = (
+    "translate the following sentence into french the quick brown fox "
+    "jumps over the lazy dog tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    corpus_rows = [
+        # doc 1: benchmark embedded verbatim inside a longer file
+        (1, "header comment line\n" + BENCH_PROMPT + "\nfooter assertions here"),
+        # doc 2: shares vocabulary but no 3-gram run of the prompt
+        (2, "the brown dog jumps quick over fox the lazy translate sentence"),
+        # doc 3: exactly the benchmark text
+        (3, BENCH_PROMPT),
+        # doc 4: unrelated
+        (4, "import numpy as np def main(): return np.zeros(3)"),
+        # doc 5: HALF the prompt (9 of 17 tokens -> ~44% of 3-gram shingles)
+        (5, "translate the following sentence into french the quick brown"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, BENCH_PROMPT)], ["bench_id", "text"])
+    return corpus, bench
+
+
+def test_containment_flags_embedded_and_exact(spark, tables):
+    corpus, bench = tables
+    pairs = contamination_pairs(corpus, bench, width=3, threshold=0.5)
+    got = {(r.doc_id, r.bench_id): r.overlap for r in pairs.collect()}
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (3, 100) in got and got[(3, 100)] == 1.0
+    assert (2, 100) not in got
+    assert (4, 100) not in got
+    # doc 5 keeps 7 of the prompt's 14 distinct 3-grams = exactly 0.5:
+    # threshold is inclusive (>=)
+    assert got[(5, 100)] == 0.5
+    strict = contamination_pairs(corpus, bench, width=3, threshold=0.51)
+    assert 5 not in {r.doc_id for r in strict.collect()}
+
+
+def test_threshold_is_benchmark_normalized(spark, tables):
+    corpus, bench = tables
+    pairs = contamination_pairs(corpus, bench, width=3, threshold=0.4)
+    got = {r.doc_id: (r.n_overlap, r.n_bench) for r in pairs.collect()}
+    # prompt has 16 tokens -> 14 distinct 3-gram shingles; doc 5 keeps
+    # the first 7 of them
+    assert got[5] == (7, 14)
+    assert got[1] == (14, 14)
+
+
+def test_decontaminate_drops_exactly_flagged(spark, tables):
+    corpus, bench = tables
+    kept = decontaminate(corpus, bench, width=3, threshold=0.51)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 5]
+
+
+def test_short_doc_raw_text_fallback(spark):
+    # docs under `width` tokens shingle to raw text: exact short-string
+    # match still flags
+    corpus = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ab ce")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "ab cd")], ["bench_id", "text"])
+    got = contamination_pairs(corpus, bench, width=3, threshold=1.0).collect()
+    assert [(r.doc_id, r.bench_id, r.overlap) for r in got] == [(1, 9, 1.0)]

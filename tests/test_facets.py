@@ -1,0 +1,55 @@
+"""Faceted search (ops/facets.py): counts, missing bucket, top-k ties."""
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.facets import MISSING, facet_counts, facet_topk
+
+
+def _tables(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "python", "web"),
+            (2, "python", None),
+            (3, "java", "web"),
+            (4, "java", "news"),
+            (5, None, "web"),
+            (6, "go", "news"),  # not matched
+        ],
+        ["doc_id", "lang", "source"],
+    )
+    # duplicate match rows on purpose: facet counts are per DISTINCT doc
+    matches = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (4,), (5,)], ["doc_id"]
+    )
+    return docs, matches
+
+
+def test_counts_distinct_docs_and_missing_bucket(spark):
+    docs, matches = _tables(spark)
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in facet_counts(matches, docs, ["lang", "source"]).collect()
+    }
+    assert got[("lang", "python")] == 2
+    assert got[("lang", "java")] == 2
+    assert got[("lang", MISSING)] == 1
+    assert got[("source", "web")] == 3
+    assert got[("source", MISSING)] == 1
+    assert ("lang", "go") not in got  # unmatched doc contributes nothing
+    # k facets, one aggregate: every facet's counts sum to the match set
+    assert sum(v for (f, _), v in got.items() if f == "lang") == 5
+
+
+def test_topk_rank_ties_value_ascending(spark):
+    docs, matches = _tables(spark)
+    rows = facet_topk(matches, docs, ["lang"], k=2).collect()
+    ranked = sorted([(r.rank, r.value, r.n_docs) for r in rows])
+    # java and python tie at 2 docs -> java first (value asc)
+    assert ranked == [(1, "java", 2), (2, "python", 2)]
+
+
+def test_single_shuffle_plan(spark):
+    docs, matches = _tables(spark)
+    plan = facet_counts(matches, docs, ["lang", "source"])._jdf.queryExecution().executedPlan().toString()
+    # metadata side joined via broadcast; only the final count shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

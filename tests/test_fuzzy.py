@@ -1,0 +1,59 @@
+"""Fuzzy BM25 (query.score_bm25_fuzzy): identity + typo-recovery gates."""
+
+import pytest
+
+from search_engine_spark import build as B, query as Q
+from search_engine_spark.config import AnalyzerConfig, BM25Params
+
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(corpus)],
+        schema="doc_id long, text string",
+    )
+    tokens = B.analyze_tokens(docs, CFG, "doc_id", "text").cache()
+    meta = B.build_doc_meta(docs, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    return tokens, n, avgdl
+
+
+def test_max_dist_zero_is_plain_bm25(spark, engine):
+    tokens, n, avgdl = engine
+    qdf = Q.queries_to_df(spark, [(1, "parse token merge")], CFG)
+    plain = Q.score_bm25(tokens, n, avgdl, qdf, BM25Params(), k=50)
+    fuzzy = Q.score_bm25_fuzzy(tokens, n, avgdl, qdf, max_dist=0, k=50)
+    a = [(r.rank, r.doc_id, r.score) for r in plain.collect()]
+    b = [(r.rank, r.doc_id, r.score) for r in fuzzy.collect()]
+    # boost = 1.0 everywhere at dist 0 -> bit-identical float32 scores
+    assert a == b
+
+
+def test_typo_recovers_exact_terms_ranking(spark, engine):
+    tokens, n, avgdl = engine
+    clean = Q.queries_to_df(spark, [(1, "parse token")], CFG)
+    typo = Q.queries_to_df(spark, [(1, "parze tokxn")], CFG)
+    base = {r.doc_id for r in Q.score_bm25(tokens, n, avgdl, clean, k=20).collect()}
+    fz = Q.score_bm25_fuzzy(tokens, n, avgdl, typo, max_dist=1, k=20)
+    got = {r.doc_id for r in fz.collect()}
+    # the typo'd query must retrieve docs (the clean terms are 1 edit
+    # away), and its doc set overlaps the clean query's page
+    assert got and got & base
+
+
+def test_boost_degrades_farther_edits(spark):
+    term_df = spark.createDataFrame(
+        [("spark", 10), ("sparks", 4), ("spork", 2)], ["term", "df"]
+    )
+    qdf = Q.queries_to_df(
+        spark.sparkSession if hasattr(spark, "sparkSession") else spark,
+        [(1, "spark")],
+        CFG,
+    )
+    exp = {r.term: r.boost for r in Q.fuzzy_expand(term_df, qdf, 1).collect()}
+    assert exp["spark"] == 1.0
+    assert exp["sparks"] == pytest.approx(1 - 1 / 6)
+    assert exp["spork"] == pytest.approx(1 - 1 / 5)
