@@ -61,6 +61,9 @@ _EXPORTS = {
     "collapse_topk": "query:collapse_topk",
     "boolean_and": "query:boolean_and",
     "score_bm25_prf": "query:score_bm25_prf",
+    "score_bm25_fuzzy": "query:score_bm25_fuzzy",
+    "fuzzy_expand": "query:fuzzy_expand",
+    "explain_bm25": "query:explain_bm25",
     "more_like_this": "query:more_like_this",
     "expand_query_prf": "query:expand_query_prf",
     "parse_boolean": "query:parse_boolean",

@@ -751,6 +751,34 @@ def q_global_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style scoring explanation (query.explain_bm25) for the
+    BM25 query's top-10 page: every factor of every matched term,
+    contrib float32-exact, factor doubles rounded to 6."""
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    page = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=10, exact_float32=True
+    ).select("doc_id")
+    exp = Q.explain_bm25(tokens, n, avgdl, qdf).join(
+        F.broadcast(page), "doc_id", "inner"
+    )
+    return exp.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_component", 6).alias("tf_component"),
+        F.round("qtf_component", 6).alias("qtf_component"),
+        "contrib",
+    )
+
+
 FUZZY_QUERY_TEXT = "sparkk mergee window"
 
 
@@ -1675,6 +1703,36 @@ def _adpt_grid_values() -> str:
         vals.append(j)
         j += 0.1
     return ", ".join(f"({i}, {_sql_double(v)})" for i, v in enumerate(vals))
+
+
+def _sql_explain_score(params: BM25Params = BM25Params()) -> str:
+    """Restates query.explain_bm25 over the BM25 ranking's top-10 page.
+    Association mirrors the Spark expression tree: idf * (tf-part) *
+    (qtf-part), each part parenthesized."""
+    k1, k3, b = params.k1, params.k3, params.b
+    ctes = _sql_bm25_ctes(params)
+    return f"""
+WITH {ctes},
+page AS (SELECT doc_id FROM ranked WHERE rank <= 10)
+SELECT t.doc_id, t.term,
+       CAST(t.tf AS BIGINT) AS tf,
+       CAST(m.doc_len AS BIGINT) AS doc_len,
+       CAST(tdf.df AS BIGINT) AS df,
+       round(ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)), 6) AS idf,
+       round((t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl))), 6) AS tf_component,
+       round((({k3} + 1.0) * q.qtf) / ({k3} + q.qtf), 6) AS qtf_component,
+       CAST(
+         ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+         * ((t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl))))
+         * ((({k3} + 1.0) * q.qtf) / ({k3} + q.qtf))
+       AS FLOAT) AS contrib
+FROM tok t
+JOIN q ON q.term = t.term
+JOIN tdf ON tdf.term = t.term
+JOIN meta m ON m.doc_id = t.doc_id
+JOIN page p ON p.doc_id = t.doc_id
+CROSS JOIN stats s
+"""
 
 
 def _sql_fuzzy_topk(params: BM25Params = BM25Params()) -> str:
@@ -2898,6 +2956,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compacted_topk": q_bm25_compacted_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "explain_score": q_explain_score,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
         "ql_topk": q_ql_topk,
@@ -3018,6 +3077,7 @@ def duckdb_oracles() -> dict[str, str]:
         ),
         "tfidf_topk": _sql_tfidf(),
         "fuzzy_topk": _sql_fuzzy_topk(),
+        "explain_score": _sql_explain_score(),
         "ql_topk": _sql_ql(),
         "bm25f_topk": _sql_bm25f(),
         "hybrid_rrf_topk": _sql_hybrid_rrf(),

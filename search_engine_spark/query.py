@@ -400,6 +400,55 @@ def collapse_topk(
     )
 
 
+def explain_bm25(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Lucene-style scoring explanation: one row per matched
+    (topic_id, doc_id, term) with every BM25 factor broken out —
+    (tf, doc_len, df, idf, tf_component, qtf_component, contrib).
+
+    contrib is the same float32 value _contributions_bm25 feeds the
+    fold, so `sum-of-explain == score` is checkable; the factor columns
+    are doubles for inspection.  Same physical shape as scoring (the
+    dictionary-pruned semi-join), so explaining a query costs what
+    running it costs — use it on a result page's doc subset by
+    pre-filtering `tokens` or post-filtering on doc_id (Catalyst pushes
+    the doc_id predicate below the join)."""
+    params = params or BM25Params()
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    joined = matched.join(F.broadcast(qterms), "term", "inner").join(
+        F.broadcast(term_df), "term", "inner"
+    )
+    k1, k3, b = params.k1, params.k3, params.b
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    knorm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("doc_len") / F.lit(float(avgdl))
+    )
+    tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
+    qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
+    return joined.select(
+        "topic_id",
+        "doc_id",
+        "term",
+        "tf",
+        "doc_len",
+        "df",
+        idf.alias("idf"),
+        tfp.alias("tf_component"),
+        qtfp.alias("qtf_component"),
+        (idf * tfp * qtfp).cast("float").alias("contrib"),
+    )
+
+
 def fuzzy_expand(
     term_df: DataFrame, qterms: DataFrame, max_dist: int = 1
 ) -> DataFrame:

@@ -1,0 +1,61 @@
+"""Scoring explanation (query.explain_bm25): factors reconstruct scores."""
+
+import math
+
+import pytest
+
+from search_engine_spark import build as B, query as Q
+from search_engine_spark.config import AnalyzerConfig, BM25Params
+
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(corpus)],
+        schema="doc_id long, text string",
+    )
+    tokens = B.analyze_tokens(docs, CFG, "doc_id", "text").cache()
+    meta = B.build_doc_meta(docs, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    return tokens, n, avgdl
+
+
+def test_contribs_reconstruct_scores(spark, engine):
+    tokens, n, avgdl = engine
+    qdf = Q.queries_to_df(spark, [(1, "parse token merge rank")], CFG)
+    scores = {
+        r.doc_id: r.score
+        for r in Q.score_bm25(tokens, n, avgdl, qdf, k=1000).collect()
+    }
+    exp = Q.explain_bm25(tokens, n, avgdl, qdf).collect()
+    by_doc: dict[int, list] = {}
+    for r in exp:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(scores)
+    for doc_id, rows in by_doc.items():
+        total = sum(r.contrib for r in rows)
+        assert math.isclose(total, scores[doc_id], rel_tol=1e-5), doc_id
+        for r in rows:
+            # each row's factors multiply to its contrib (float32 cast)
+            want = r.idf * r.tf_component * r.qtf_component
+            assert math.isclose(r.contrib, want, rel_tol=1e-6)
+
+
+def test_explain_factor_definitions(spark, engine):
+    tokens, n, avgdl = engine
+    p = BM25Params()
+    qdf = Q.queries_to_df(spark, [(1, "parse")], CFG)
+    rows = Q.explain_bm25(tokens, n, avgdl, qdf, p).collect()
+    assert rows
+    r = rows[0]
+    assert math.isclose(
+        r.idf, math.log((n - r.df + 0.5) / (r.df + 0.5)), rel_tol=1e-12
+    )
+    knorm = 1 - p.b + p.b * (r.doc_len / avgdl)
+    assert math.isclose(
+        r.tf_component, r.tf * (p.k1 + 1) / (r.tf + p.k1 * knorm),
+        rel_tol=1e-12,
+    )

@@ -255,6 +255,28 @@ def main() -> int:
     check("heavy hitters: broadcast candidate recount, no row-Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p)
 
+    # --- decontamination / facets / fuzzy ---
+    print("== decontam / facets / fuzzy ==")
+    from search_engine_spark.ops.decontam import contamination_pairs
+    from search_engine_spark.ops.facets import facet_counts
+
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("text"))
+    p = plan_of(contamination_pairs(docs, bench))
+    check("contamination: benchmark shingles broadcast (corpus never self-joined)",
+          p.count("BroadcastHashJoin") >= 2 and "CartesianProduct" not in p)
+    p = plan_of(facet_counts(tokens.limit(50), docs, ["lang", "source"]))
+    check("facets: match set broadcast, metadata scan never shuffled pre-join",
+          "BroadcastHashJoin" in p)
+    check("facets: one aggregate exchange for k facets",
+          p.count("hashpartitioning(facet") <= 1)
+    fz = Q.score_bm25_fuzzy(tokens, 1000, 100.0, qdf, max_dist=1, k=10)
+    p = plan_of(fz)
+    check("fuzzy: expansion + df joins all broadcast, no cartesian",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p)
+    check("fuzzy: no row-Python in scoring", "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
