@@ -129,6 +129,8 @@ _EXPORTS = {
     "kmv_distinct": "ops.sketch:kmv_distinct",
     "heavy_hitters": "ops.sketch:heavy_hitters",
     "regex_count": "ops.textstats:regex_count",
+    "unigram_lm": "ops.textstats:unigram_lm",
+    "with_unigram_ce": "ops.textstats:with_unigram_ce",
     "suggest_terms": "ops.suggest:suggest_terms",
     "related_terms": "ops.suggest:related_terms",
     "synthesize_media": "ops.multimodal:synthesize_media",

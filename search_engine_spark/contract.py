@@ -916,6 +916,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal (ops/textstats.py): per-doc unigram
+    cross-entropy + perplexity against the corpus LM (add-0.5
+    smoothing)."""
+    out = TS.with_unigram_ce(_tokens(spark, sf_dir), alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = TS.with_quality_score(docs, "text")
@@ -2155,6 +2168,31 @@ WHERE CAST(h.n_overlap AS DOUBLE) * 1.0 >= {threshold} * z.n_bench
 """
 
 
+def _sql_unigram_ce(alpha: float = 0.5) -> str:
+    """Restates ops.textstats.with_unigram_ce: add-alpha corpus unigram
+    LM, per-doc tf-weighted mean negative log2-likelihood.  The smoothed
+    denominator is T + alpha*V in doubles — identical IEEE ops to the
+    Python-computed literal Spark inlines."""
+    return f"""
+WITH {_sql_tokens_cte()},
+lm AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tfc FROM tok GROUP BY term),
+tv AS (SELECT CAST(SUM(tfc) AS DOUBLE) AS T, CAST(COUNT(*) AS DOUBLE) AS V FROM lm),
+lp AS (
+  SELECT term, log2((tfc + {alpha}) / (T + {alpha} * V)) AS logp
+  FROM lm CROSS JOIN tv
+),
+ce AS (
+  SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+         -SUM(t.tf * lp.logp) / SUM(t.tf) AS ce
+  FROM tok t JOIN lp USING (term) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(ce, 6) AS cross_entropy,
+       round(power(2.0, ce), 6) AS perplexity
+FROM ce
+"""
+
+
 def _sql_quality_cte() -> str:
     """CTEs base+m ending in `q` = per-doc quality metrics with the
     composite score UNROUNDED (for downstream filters/aggregations that
@@ -2981,6 +3019,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "contamination": q_contamination,
         "quality_scores": q_quality_scores,
+        "unigram_ce": q_unigram_ce,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
@@ -3106,6 +3145,7 @@ FROM tok GROUP BY term
         "ngram_jaccard": _sql_ngram_jaccard(),
         "contamination": _sql_contamination(),
         "quality_scores": _sql_quality_scores(),
+        "unigram_ce": _sql_unigram_ce(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),

@@ -327,3 +327,64 @@ def regex_count(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def unigram_lm(
+    tokens: DataFrame, alpha: float = 0.5
+) -> tuple[DataFrame, int, int]:
+    """Corpus unigram language model from the analyzed token stream:
+    ((term, tf_corpus, logp), total_tokens, vocab_size) with add-alpha
+    smoothing — logp = log2((tf + alpha) / (T + alpha * V)).
+
+    One dictionary-sized aggregation (map-side combinable); T and V are
+    two scalars from the same pass.  Persist the returned frame when
+    scoring many batches — at 100 TB the LM is built once from a
+    reference corpus and reused (the CCNet shape, Wenzek et al. 2020)."""
+    stats = tokens.groupBy("term").agg(F.sum("tf").alias("tf_corpus"))
+    row = stats.agg(
+        F.sum("tf_corpus").alias("T"), F.count("*").alias("V")
+    ).collect()[0]
+    total, vocab = int(row["T"] or 0), int(row["V"])
+    denom = float(total) + alpha * float(vocab)
+    lm = stats.withColumn(
+        "logp",
+        F.log2((F.col("tf_corpus") + F.lit(alpha)) / F.lit(denom)),
+    )
+    return lm, total, vocab
+
+
+def with_unigram_ce(
+    tokens: DataFrame,
+    alpha: float = 0.5,
+    lm: DataFrame | None = None,
+    total_tokens: int | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, perplexity) — per-document
+    unigram cross-entropy against the corpus language model, the
+    CCNet-style quality signal (low CE = statistically typical text;
+    boilerplate and gibberish sit at the two extremes).
+
+    CE(d) = -(1/|d|) * sum_t tf_d(t) * logp(t);  perplexity = 2^CE.
+
+    Physical shape: a term-keyed equi-join of the token stream against
+    the dictionary-sized LM, then one doc-keyed aggregation — the same
+    two shuffles as the index build's wide stage, no Python anywhere.
+    Pass a persisted `lm` (+ its total/vocab) to score new batches
+    against a FIXED reference model — the join is then map-side when
+    the LM is broadcastable, and the expensive side never re-aggregates."""
+    if lm is None:
+        lm, total_tokens, vocab_size = unigram_lm(tokens, alpha)
+    joined = tokens.select("doc_id", "term", "tf").join(
+        lm.select("term", "logp"), "term", "inner"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")).alias(
+                "cross_entropy"
+            ),
+        )
+        .withColumn("perplexity", F.pow(F.lit(2.0), F.col("cross_entropy")))
+    )

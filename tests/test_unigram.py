@@ -1,0 +1,48 @@
+"""Unigram LM cross-entropy (ops/textstats.py): hand-computed identity
+and fixed-reference-LM reuse."""
+
+import math
+
+import pytest
+
+from search_engine_spark import build as B
+from search_engine_spark.config import AnalyzerConfig
+from search_engine_spark.ops.textstats import unigram_lm, with_unigram_ce
+
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+
+def _tokens(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return B.analyze_tokens(docs, CFG, "doc_id", "text")
+
+
+def test_hand_computed_cross_entropy(spark):
+    toks = _tokens(spark, [(1, "xx xx yy"), (2, "yy zz")])
+    got = {r.doc_id: r for r in with_unigram_ce(toks, alpha=0.5).collect()}
+    # LM: tf xx=2 yy=2 zz=1, T=5 V=3, denom=6.5
+    lp = {
+        "xx": math.log2(2.5 / 6.5),
+        "yy": math.log2(2.5 / 6.5),
+        "zz": math.log2(1.5 / 6.5),
+    }
+    ce1 = -(2 * lp["xx"] + 1 * lp["yy"]) / 3
+    ce2 = -(lp["yy"] + lp["zz"]) / 2
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    assert got[1].cross_entropy == pytest.approx(ce1, rel=1e-12)
+    assert got[2].cross_entropy == pytest.approx(ce2, rel=1e-12)
+    assert got[2].perplexity == pytest.approx(2 ** ce2, rel=1e-12)
+
+
+def test_fixed_reference_lm_scores_new_batch(spark):
+    ref = _tokens(spark, [(1, "xx xx yy"), (2, "yy zz")])
+    lm, total, vocab = unigram_lm(ref, alpha=0.5)
+    # a new batch scored against the FIXED reference model: 'qq' is OOV
+    # and simply doesn't contribute (inner join) — typical text scores
+    # lower CE than rare text
+    new = _tokens(spark, [(10, "xx yy xx yy"), (11, "zz zz zz")])
+    got = {r.doc_id: r.cross_entropy for r in
+           with_unigram_ce(new, lm=lm, total_tokens=total,
+                           vocab_size=vocab).collect()}
+    assert got[10] < got[11]  # common terms -> lower cross-entropy
