@@ -131,6 +131,8 @@ _EXPORTS = {
     "regex_count": "ops.textstats:regex_count",
     "unigram_lm": "ops.textstats:unigram_lm",
     "with_unigram_ce": "ops.textstats:with_unigram_ce",
+    "gopher_repetition": "ops.textstats:gopher_repetition",
+    "dup_line_stats": "ops.textstats:dup_line_stats",
     "suggest_terms": "ops.suggest:suggest_terms",
     "related_terms": "ops.suggest:related_terms",
     "synthesize_media": "ops.multimodal:synthesize_media",

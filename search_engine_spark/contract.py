@@ -916,6 +916,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality rules (ops/textstats.py): top-2-gram /
+    duplicated-3-gram character fractions + most-repeated-word fraction."""
+    out = TS.gopher_repetition(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "top_2gram",
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("dup_3gram_char_frac", 6).alias("dup_3gram_char_frac"),
+        F.round("max_word_rep_frac", 6).alias("max_word_rep_frac"),
+    )
+
+
 def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal (ops/textstats.py): per-doc unigram
     cross-entropy + perplexity against the corpus LM (add-0.5
@@ -2168,6 +2182,58 @@ WHERE CAST(h.n_overlap AS DOUBLE) * 1.0 >= {threshold} * z.n_bench
 """
 
 
+def _sql_gopher_repetition() -> str:
+    """Restates ops.textstats.gopher_repetition: NON-distinct raw-token
+    grams (occurrence counts, unlike the dedup CTE's DISTINCT), three
+    widths aggregated doc-locally, ties on the top 2-gram broken
+    lexicographically."""
+    gram = """
+g{w} AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {w}
+              THEN array_to_string(list_slice(toks, i, i + {w} - 1), ' ')
+              ELSE text END AS shingle
+  FROM rdt, unnest(CASE WHEN len(toks) >= {w}
+                        THEN range(1, len(toks) - {w} + 2)
+                        ELSE [1] END) u(i)
+),
+c{w} AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM g{w} GROUP BY doc_id, shingle)"""
+    grams = ",".join(gram.format(w=w) for w in (1, 2, 3))
+    return f"""
+WITH rdt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{DOC_SPLIT_SQL_REGEX}'), t -> t <> '') AS toks,
+         coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents
+),{grams},
+top2 AS (
+  SELECT doc_id, shingle AS top_2gram, cnt * length(shingle) AS top2_chars
+  FROM (SELECT doc_id, shingle, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, shingle ASC) AS rn
+        FROM c2)
+  WHERE rn = 1
+),
+dup3 AS (
+  SELECT doc_id, SUM((cnt - 1) * length(shingle)) AS dup3_chars
+  FROM c3 WHERE cnt > 1 GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, MAX(cnt) AS max_word, SUM(cnt) AS n_words FROM c1 GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(r.n_chars AS BIGINT) AS n_chars,
+       t.top_2gram,
+       round(CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1), 6) AS top_2gram_char_frac,
+       round(CAST(COALESCE(d.dup3_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1), 6) AS dup_3gram_char_frac,
+       round(CAST(COALESCE(w.max_word, 0) AS DOUBLE) / greatest(w.n_words, 1), 6) AS max_word_rep_frac
+FROM rdt r
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN dup3 d USING (doc_id)
+LEFT JOIN words w USING (doc_id)
+"""
+
+
 def _sql_unigram_ce(alpha: float = 0.5) -> str:
     """Restates ops.textstats.with_unigram_ce: add-alpha corpus unigram
     LM, per-doc tf-weighted mean negative log2-likelihood.  The smoothed
@@ -3020,6 +3086,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "quality_scores": q_quality_scores,
         "unigram_ce": q_unigram_ce,
+        "gopher_repetition": q_gopher_repetition,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
@@ -3146,6 +3213,7 @@ FROM tok GROUP BY term
         "contamination": _sql_contamination(),
         "quality_scores": _sql_quality_scores(),
         "unigram_ce": _sql_unigram_ce(),
+        "gopher_repetition": _sql_gopher_repetition(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),

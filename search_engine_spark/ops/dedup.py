@@ -108,7 +108,11 @@ def _perm_coeffs(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def shingles_arrow(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """Arrow twin of shingles_df — identical output rows (pytest-gated,
     tests/test_dedup_guards.py), computed in C++/numpy kernels instead
@@ -121,7 +125,12 @@ def shingles_arrow(
     Per batch: regex-split (RE2) → drop '' tokens → width-grams via
     offset arithmetic + one binary_join_element_wise — no per-row
     Python.  Docs with fewer than `width` tokens fall back to the raw
-    text as their single shingle, exactly like shingles_df."""
+    text as their single shingle, exactly like shingles_df.
+
+    distinct=True (default) dedupes shingles per doc (array_distinct
+    parity — what every set-semantics consumer wants); distinct=False
+    keeps one row per OCCURRENCE for repetition/count consumers
+    (ops.textstats.gopher_repetition)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -160,14 +169,18 @@ def shingles_arrow(
                 parts = [vals.take(pa.array(first + s)) for s in range(width)]
                 grams = pc.binary_join_element_wise(*parts, " ")
                 gram_doc = np.repeat(np.arange(len(counts)), n_sh)
-                # per-doc distinct (array_distinct parity)
-                import pandas as pd
+                if distinct:
+                    # per-doc distinct (array_distinct parity)
+                    import pandas as pd
 
-                dd = pd.DataFrame(
-                    {"d": gram_doc, "s": grams.to_pandas()}
-                ).drop_duplicates()
-                out_ids.append(ids[dd["d"].to_numpy()])
-                out_sh.append(pa.array(dd["s"], type=pa.string()))
+                    dd = pd.DataFrame(
+                        {"d": gram_doc, "s": grams.to_pandas()}
+                    ).drop_duplicates()
+                    out_ids.append(ids[dd["d"].to_numpy()])
+                    out_sh.append(pa.array(dd["s"], type=pa.string()))
+                else:
+                    out_ids.append(ids[gram_doc])
+                    out_sh.append(grams)
             # docs with < width tokens: raw text is the single shingle
             small = counts < width
             if small.any():

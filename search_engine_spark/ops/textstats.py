@@ -388,3 +388,131 @@ def with_unigram_ce(
         )
         .withColumn("perplexity", F.pow(F.lit(2.0), F.col("cross_entropy")))
     )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, A1.1 — the
+    public quality-filter rule set for LLM training corpora), simplified
+    to deterministic, cross-engine-checkable forms:
+
+      top_2gram_char_frac  (count × chars of the most frequent word
+                            2-gram) / doc chars; ties break to the
+                            lexicographically smallest 2-gram
+      dup_3gram_char_frac  Σ over 3-grams seen more than once of
+                            (count − 1) × chars, / doc chars
+                            (overlap-unaware, unlike the paper's
+                            character-coverage accounting — documented
+                            simplification)
+      max_word_rep_frac    occurrences of the most repeated raw token
+                            / total tokens
+
+    Raw-token grams (engine split set, no folding/stopwords/stemming) —
+    repetition is a surface property.  Docs with fewer tokens than the
+    gram width fall back to the raw text as one gram (shingles_arrow
+    semantics): count 1, so they contribute 0 to the dup fractions.
+
+    Physical shape: every aggregation is keyed (doc_id, gram) then
+    doc_id — doc-local, map-side combinable, no joins across documents;
+    the three gram widths are three independent narrow pipelines joined
+    back on doc_id at the end (page-sized per doc).  At 100 TB this is
+    the same cost class as tokenization itself."""
+    from pyspark.sql.window import Window
+
+    from .dedup import shingles_arrow
+
+    doc_ids = F.col(id_col).alias("doc_id")
+    chars = df.select(
+        doc_ids,
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+    )
+
+    def _counts(width: int) -> DataFrame:
+        return (
+            shingles_arrow(df, text_col, id_col, width, distinct=False)
+            .groupBy("doc_id", "shingle")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("shingle")
+    )
+    top2 = (
+        _counts(2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("shingle").alias("top_2gram"),
+            (F.col("cnt") * F.length("shingle")).alias("top2_chars"),
+        )
+    )
+    dup3 = (
+        _counts(3)
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("cnt") - 1) * F.length("shingle")).alias(
+                "dup3_chars"
+            )
+        )
+    )
+    words = _counts(1).groupBy("doc_id").agg(
+        F.max("cnt").alias("max_word"), F.sum("cnt").alias("n_words")
+    )
+    return (
+        chars.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .join(words, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "top_2gram",
+            (
+                F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("top_2gram_char_frac"),
+            (
+                F.coalesce(F.col("dup3_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("dup_3gram_char_frac"),
+            (
+                F.coalesce(F.col("max_word"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ).alias("max_word_rep_frac"),
+        )
+    )
+
+
+def dup_line_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac) — the
+    line-level Gopher rules: fraction of line OCCURRENCES beyond each
+    line's first (count−1 accounting), and the character mass of those
+    repeats over total line characters.  Lines split on newline; blank
+    lines dropped (whitespace-only repetition is not a content signal).
+    Doc-local aggs only, like gopher_repetition."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                lambda s: s != "",
+            )
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("cnt")
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        (
+            F.sum(F.col("cnt") - 1).cast("double") / F.sum("cnt")
+        ).alias("dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.length("line")).cast("double")
+            / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )

@@ -1,0 +1,47 @@
+"""Gopher repetition signals (ops/textstats.py): planted-repetition
+identities and the occurrence-mode shingler."""
+
+import pytest
+
+from search_engine_spark.ops.dedup import shingles_arrow
+from search_engine_spark.ops.textstats import dup_line_stats, gopher_repetition
+
+
+def test_occurrence_mode_keeps_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd")], "doc_id long, text string"
+    )
+    dist = shingles_arrow(docs, width=2).collect()
+    occ = shingles_arrow(docs, width=2, distinct=False).collect()
+    assert sorted(r.shingle for r in dist) == ["ab ab", "ab cd"]
+    assert sorted(r.shingle for r in occ) == ["ab ab", "ab ab", "ab cd"]
+
+
+def test_repetition_fractions_hand_computed(spark):
+    # "xy xy xy xy" (11 chars): 2-grams = 3 x "xy xy" (5 chars);
+    # 3-grams = 2 x "xy xy xy" (8 chars); words = 4 x "xy"
+    docs = spark.createDataFrame(
+        [(1, "xy xy xy xy"), (2, "aa bb cc dd")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+    r1 = got[1]
+    assert r1.top_2gram == "xy xy"
+    assert r1.top_2gram_char_frac == pytest.approx(3 * 5 / 11)
+    assert r1.dup_3gram_char_frac == pytest.approx((2 - 1) * 8 / 11)
+    assert r1.max_word_rep_frac == pytest.approx(1.0)
+    r2 = got[2]
+    # no repetition: every 2-gram count 1 -> smallest 2-gram wins the tie
+    assert r2.top_2gram == "aa bb"
+    assert r2.dup_3gram_char_frac == 0.0
+    assert r2.max_word_rep_frac == pytest.approx(0.25)
+
+
+def test_dup_line_stats(spark):
+    text = "same line\nother\nsame line\nsame line\n\n"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = dup_line_stats(docs).collect()[0]
+    # 4 non-blank lines; "same line" (9 chars) repeats 2x beyond first
+    assert r.n_lines == 4
+    assert r.dup_line_frac == pytest.approx(2 / 4)
+    assert r.dup_line_char_frac == pytest.approx(2 * 9 / (3 * 9 + 5))
