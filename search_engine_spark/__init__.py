@@ -133,6 +133,8 @@ _EXPORTS = {
     "with_unigram_ce": "ops.textstats:with_unigram_ce",
     "gopher_repetition": "ops.textstats:gopher_repetition",
     "dup_line_stats": "ops.textstats:dup_line_stats",
+    # pipeline ops: PII / secret redaction
+    "redact_pii": "ops.redact:redact_pii",
     "suggest_terms": "ops.suggest:suggest_terms",
     "related_terms": "ops.suggest:related_terms",
     "synthesize_media": "ops.multimodal:synthesize_media",

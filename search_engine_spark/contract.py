@@ -916,6 +916,40 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Every 13th doc gets a deterministic email + IP + hex token
+    appended (built identically in the SQL oracle) so the redaction
+    counts and the redacted-text md5 are non-vacuous."""
+    ds = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), ds, F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 key "),
+        F.md5(ds),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, planted).otherwise(F.col("text")),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub (ops/redact.py): per-rule hit counts + md5 of
+    the redacted text (replacement semantics checked byte-for-byte)."""
+    from .ops import redact as R
+
+    docs = _plant_pii(_docs(spark, sf_dir))
+    out = R.redact_pii(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_aws_key",
+        "n_hex_secret",
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality rules (ops/textstats.py): top-2-gram /
     duplicated-3-gram character fractions + most-repeated-word fraction."""
@@ -2182,6 +2216,35 @@ WHERE CAST(h.n_overlap AS DOUBLE) * 1.0 >= {threshold} * z.n_bench
 """
 
 
+def _sql_pii_redaction() -> str:
+    """Restates ops.redact.redact_pii over the planted corpus: counts on
+    the original text, sequential regexp_replace with the 'g' flag
+    (DuckDB defaults to first-match-only; Spark replaces all), md5 of
+    the final bytes."""
+    from .ops.redact import DEFAULT_RULES
+
+    red = "text"
+    counts = []
+    for name, pattern, token in DEFAULT_RULES:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 key ' || md5(CAST(doc_id AS VARCHAR))
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {", ".join(counts)}, md5({red}) AS redacted_md5
+FROM planted
+"""
+
+
 def _sql_gopher_repetition() -> str:
     """Restates ops.textstats.gopher_repetition: NON-distinct raw-token
     grams (occurrence counts, unlike the dedup CTE's DISTINCT), three
@@ -3087,6 +3150,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "unigram_ce": q_unigram_ce,
         "gopher_repetition": q_gopher_repetition,
+        "pii_redaction": q_pii_redaction,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
@@ -3214,6 +3278,7 @@ FROM tok GROUP BY term
         "quality_scores": _sql_quality_scores(),
         "unigram_ce": _sql_unigram_ce(),
         "gopher_repetition": _sql_gopher_repetition(),
+        "pii_redaction": _sql_pii_redaction(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),
