@@ -135,6 +135,8 @@ _EXPORTS = {
     "dup_line_stats": "ops.textstats:dup_line_stats",
     # pipeline ops: PII / secret redaction
     "redact_pii": "ops.redact:redact_pii",
+    # search UX: collated query correction
+    "did_you_mean": "ops.suggest:did_you_mean",
     "suggest_terms": "ops.suggest:suggest_terms",
     "related_terms": "ops.suggest:related_terms",
     "synthesize_media": "ops.multimodal:synthesize_media",

@@ -1405,6 +1405,24 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms(tdf, SUGGEST_SEED, max_dist=SUGGEST_MAX_DIST, k=SUGGEST_K)
 
 
+DYM_QUERY_TEXT = "sparkk mergee window zzzzqq"
+
+
+def q_did_you_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated query correction (ops.suggest.did_you_mean): best
+    dictionary fix per analyzed query term — in-dictionary terms
+    self-suggest at dist 0, hopeless terms keep a NULL suggestion."""
+    from .ops.suggest import did_you_mean
+
+    tdf = B.term_document_frequency(_tokens(spark, sf_dir))
+    qdf = Q.queries_to_df(spark, [(1, DYM_QUERY_TEXT)], SQL_CFG)
+    out = did_you_mean(tdf, qdf, max_dist=2)
+    return out.select(
+        F.col("term_pos").cast("long").alias("term_pos"),
+        "qterm", "suggestion", "dist", "df", "corrected",
+    )
+
+
 def q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-term discovery (ops.suggest.related_terms): terms
     co-occurring with a seed, ranked by lift — candidate-restricted to
@@ -2213,6 +2231,34 @@ SELECT h.doc_id, h.bench_id, h.n_overlap, z.n_bench,
        round(CAST(h.n_overlap AS DOUBLE) / z.n_bench, 6) AS overlap
 FROM hits h JOIN bsizes z ON z.bench_id = h.bench_id
 WHERE CAST(h.n_overlap AS DOUBLE) * 1.0 >= {threshold} * z.n_bench
+"""
+
+
+def _sql_did_you_mean(max_dist: int = 2) -> str:
+    """Restates ops.suggest.did_you_mean: one dictionary scan against
+    the query-term list, best fix per term_pos via the same
+    (dist, df desc, term) window."""
+    return f"""
+WITH {_sql_tokens_cte()},
+{_query_values_sql(DYM_QUERY_TEXT)},
+tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+cand AS (
+  SELECT q.term_pos, q.term AS qterm, t.term, t.df,
+         CAST(levenshtein(t.term, q.term) AS BIGINT) AS dist
+  FROM tdf t JOIN q ON abs(length(t.term) - length(q.term)) <= {max_dist}
+  WHERE levenshtein(t.term, q.term) <= {max_dist}
+),
+best AS (
+  SELECT term_pos, term AS suggestion, dist, df
+  FROM (SELECT term_pos, term, dist, df,
+               row_number() OVER (PARTITION BY term_pos ORDER BY dist ASC, df DESC, term ASC) AS rn
+        FROM cand)
+  WHERE rn = 1
+)
+SELECT CAST(q.term_pos AS BIGINT) AS term_pos, q.term AS qterm,
+       b.suggestion, b.dist, b.df,
+       COALESCE(b.suggestion, q.term) AS corrected
+FROM q LEFT JOIN best b USING (term_pos)
 """
 
 
@@ -3151,6 +3197,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ce": q_unigram_ce,
         "gopher_repetition": q_gopher_repetition,
         "pii_redaction": q_pii_redaction,
+        "did_you_mean": q_did_you_mean,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
@@ -3279,6 +3326,7 @@ FROM tok GROUP BY term
         "unigram_ce": _sql_unigram_ce(),
         "gopher_repetition": _sql_gopher_repetition(),
         "pii_redaction": _sql_pii_redaction(),
+        "did_you_mean": _sql_did_you_mean(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),

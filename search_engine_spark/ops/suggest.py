@@ -133,3 +133,68 @@ def prefix_search(tokens: DataFrame, prefix: str) -> DataFrame:
             F.sum("tf").cast("long").alias("sum_tf"),
         )
     )
+
+
+def did_you_mean(
+    term_df: DataFrame,
+    qterms: DataFrame,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Collated query correction (the Lucene spellchecker shape): one row
+    per analyzed query term — (term_pos, qterm, suggestion, dist, df,
+    corrected) — where `suggestion` is the best dictionary term within
+    `max_dist` edits (dist asc, df desc, term asc; an in-dictionary term
+    suggests itself at dist 0) or NULL when nothing is close enough.
+    `corrected` = COALESCE(suggestion, qterm), so collecting corrected
+    by term_pos rebuilds the full corrected query.
+
+    qterms = (topic_id, term, qtf, term_pos) from query.queries_to_df.
+    Physical shape: ONE dictionary scan serves every query term (the
+    broadcast qterm list rides the scan; a |len| <= max_dist band prunes
+    before levenshtein), then a term_pos-partitioned window picks each
+    winner — all JVM expressions, oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    qd = qterms.select(
+        "topic_id", F.col("term").alias("qterm"), "term_pos"
+    )
+    cand = (
+        term_df.select("term", "df")
+        .join(
+            F.broadcast(qd),
+            F.abs(F.length("term") - F.length("qterm")) <= F.lit(max_dist),
+            "inner",
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("qterm")).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("topic_id", "term_pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "topic_id",
+            "term_pos",
+            F.col("term").alias("suggestion"),
+            "dist",
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+    return (
+        qd.join(best, ["topic_id", "term_pos"], "left")
+        .select(
+            "topic_id",
+            "term_pos",
+            "qterm",
+            "suggestion",
+            "dist",
+            "df",
+            F.coalesce(F.col("suggestion"), F.col("qterm")).alias(
+                "corrected"
+            ),
+        )
+    )

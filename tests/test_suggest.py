@@ -68,3 +68,24 @@ def test_prefix_search_and_terms(spark):
     )
     top = [r["term"] for r in prefix_terms(vocab, "s", k=2).collect()]
     assert top == ["sort", "stream"]  # df desc, term asc tiebreak
+
+
+def test_did_you_mean_collated(spark):
+    from search_engine_spark import query as Q
+    from search_engine_spark.config import AnalyzerConfig
+    from search_engine_spark.ops.suggest import did_you_mean
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    term_df = spark.createDataFrame(
+        [("spark", 10), ("sparse", 3), ("merge", 7), ("window", 5)],
+        ["term", "df"],
+    )
+    qdf = Q.queries_to_df(spark, [(1, "sparkk merge zzzzzzzz")], cfg)
+    got = {r.term_pos: r for r in did_you_mean(term_df, qdf, 2).collect()}
+    # typo -> best fix (dist 1 beats dist 2; spark df 10)
+    assert got[0].suggestion == "spark" and got[0].dist == 1
+    assert got[0].corrected == "spark"
+    # in-dictionary term self-suggests at dist 0
+    assert got[1].suggestion == "merge" and got[1].dist == 0
+    # hopeless term: NULL suggestion, corrected keeps the original
+    assert got[2].suggestion is None and got[2].corrected == "zzzzzzzz"
