@@ -950,6 +950,50 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_KEEP_FRAC = 0.12  # drops ~10% of the contract corpus — non-vacuous
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed training-data pipeline, one lazy plan end-to-end:
+    raw corpus → PII redaction → Gopher repetition filter
+    (top_2gram_char_frac <= 0.12, unrounded) → exact dedup (keep-first on
+    the REDACTED bytes) → deterministic train/val/test split → per-split
+    counts, char mass, and an exact membership md5.  Every stage is also
+    oracle-checked standalone (pii_redaction / gopher_repetition /
+    dedup_exact / hash_split); this row proves the COMPOSITION."""
+    from .ops import redact as R
+    from .ops.dedup import dedup_exact_keep_first
+    from .ops.sampling import with_split
+
+    planted = _plant_pii(_docs(spark, sf_dir)).select("doc_id", "text")
+    # deterministic clones so the dedup stage is non-vacuous (the driver
+    # corpus has no byte-identical docs at sf0.01): every 97th doc is
+    # duplicated under doc_id+1000000 AFTER planting, so clone text ==
+    # source text and keep-first drops exactly the clones
+    clones = planted.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = planted.unionByName(clones)
+    red = R.redact_pii(docs, "text")
+    base = red.select("doc_id", F.col("text_redacted").alias("text"))
+    keep = (
+        TS.gopher_repetition(base, "text", "doc_id")
+        .filter(F.col("top_2gram_char_frac") <= GOPHER_KEEP_FRAC)
+        .select("doc_id")
+    )
+    kept = base.join(keep, "doc_id", "inner")
+    surv = dedup_exact_keep_first(kept, "text", "doc_id", algo="md5")
+    clean = kept.join(surv, "doc_id", "inner")
+    lab = with_split(clean, SPLIT_WEIGHTS, ("train", "val", "test"))
+    return lab.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("ids_md5"),
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality rules (ops/textstats.py): top-2-gram /
     duplicated-3-gram character fractions + most-repeated-word fraction."""
@@ -2291,6 +2335,81 @@ FROM planted
 """
 
 
+def _sql_training_shards() -> str:
+    """Restates q_training_shards stage by stage: the planted corpus,
+    the chained redaction, the non-distinct 2-gram top fraction, the
+    UNROUNDED keep filter, md5 keep-first dedup, and the hash split."""
+    from .ops.redact import DEFAULT_RULES
+    from .ops.sampling import split_thresholds
+
+    red = "text"
+    for _, pattern, token in DEFAULT_RULES:
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    t1, t2 = split_thresholds(SPLIT_WEIGHTS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 key ' || md5(CAST(doc_id AS VARCHAR))
+              ELSE text END AS text
+  FROM documents
+),
+withdups AS (
+  SELECT doc_id, text FROM planted
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM planted WHERE doc_id % 97 = 0
+),
+red AS (SELECT doc_id, {red} AS text FROM withdups),
+rdt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{DOC_SPLIT_SQL_REGEX}'), t -> t <> '') AS toks,
+         coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n_chars
+  FROM red
+),
+g2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN array_to_string(list_slice(toks, i, i + 1), ' ')
+              ELSE text END AS shingle
+  FROM rdt, unnest(CASE WHEN len(toks) >= 2
+                        THEN range(1, len(toks))
+                        ELSE [1] END) u(i)
+),
+c2 AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, shingle),
+top2 AS (
+  SELECT doc_id, cnt * length(shingle) AS top2_chars
+  FROM (SELECT doc_id, shingle, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, shingle ASC) AS rn
+        FROM c2)
+  WHERE rn = 1
+),
+keep AS (
+  SELECT r.doc_id, r.text, r.n_chars
+  FROM rdt r LEFT JOIN top2 t USING (doc_id)
+  WHERE CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1) <= {GOPHER_KEEP_FRAC}
+),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
+clean AS (SELECT k.doc_id, k.n_chars FROM keep k JOIN surv USING (doc_id)),
+lab AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN f < {t1} THEN 'train'
+              WHEN f < {t2} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5('split:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')), 1, 15))
+                    AS BIGINT) AS f
+        FROM clean)
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM lab GROUP BY split
+"""
+
+
 def _sql_gopher_repetition() -> str:
     """Restates ops.textstats.gopher_repetition: NON-distinct raw-token
     grams (occurrence counts, unlike the dedup CTE's DISTINCT), three
@@ -3198,6 +3317,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "pii_redaction": q_pii_redaction,
         "did_you_mean": q_did_you_mean,
+        "training_shards": q_training_shards,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
@@ -3327,6 +3447,7 @@ FROM tok GROUP BY term
         "gopher_repetition": _sql_gopher_repetition(),
         "pii_redaction": _sql_pii_redaction(),
         "did_you_mean": _sql_did_you_mean(),
+        "training_shards": _sql_training_shards(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),

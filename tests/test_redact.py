@@ -36,3 +36,39 @@ def test_counts_taken_on_original_text(spark):
     r = redact_pii(docs, "text").collect()[0]
     assert r.n_email == 1 and r.n_hex_secret == 1
     assert r.text_redacted == "<EMAIL> <HEX>"
+
+
+def test_training_shards_each_stage_non_vacuous(spark):
+    """The composed contract pipeline must actually exercise every stage
+    on the contract corpus: redaction fires, the repetition filter drops
+    docs, dedup drops docs, and every split is populated."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.contract import (
+        GOPHER_KEEP_FRAC, _docs, _plant_pii, q_training_shards,
+    )
+    from search_engine_spark.ops import textstats as TS
+    from search_engine_spark.ops.dedup import dedup_exact_keep_first
+    from search_engine_spark.ops.redact import redact_pii
+
+    sf = "/root/testdata/sf0.01"
+    planted = _plant_pii(_docs(spark, sf)).select("doc_id", "text")
+    clones = planted.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    docs = planted.unionByName(clones)
+    n_total = docs.count()
+    red = redact_pii(docs, "text")
+    assert red.filter(F.col("n_email") > 0).count() > 0
+    base = red.select("doc_id", F.col("text_redacted").alias("text"))
+    keep = TS.gopher_repetition(base).filter(
+        F.col("top_2gram_char_frac") <= GOPHER_KEEP_FRAC
+    )
+    n_keep = keep.count()
+    assert 0 < n_keep < n_total  # the repetition filter drops something
+    kept = base.join(keep.select("doc_id"), "doc_id")
+    n_surv = dedup_exact_keep_first(kept, "text", "doc_id", "md5").count()
+    assert n_surv < n_keep  # dedup drops the corpus's planted dups
+    shards = {r.split: r.n_docs for r in q_training_shards(spark, sf).collect()}
+    assert set(shards) == {"train", "val", "test"}
+    assert sum(shards.values()) == n_surv
