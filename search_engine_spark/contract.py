@@ -2313,6 +2313,8 @@ def _sql_pii_redaction() -> str:
     the final bytes."""
     from .ops.redact import DEFAULT_RULES
 
+    # redact_pii coalesces NULL text to '' — mirror AFTER planting (a
+    # NULL planted text must stay NULL through the concat, like Spark's)
     red = "text"
     counts = []
     for name, pattern, token in DEFAULT_RULES:
@@ -2323,11 +2325,11 @@ def _sql_pii_redaction() -> str:
     return f"""
 WITH planted AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 13 = 0
+         COALESCE(CASE WHEN doc_id % 13 = 0
               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
                    || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                    || '.7 key ' || md5(CAST(doc_id AS VARCHAR))
-              ELSE text END AS text
+              ELSE text END, '') AS text
   FROM documents
 )
 SELECT doc_id, {", ".join(counts)}, md5({red}) AS redacted_md5
@@ -2389,7 +2391,9 @@ top2 AS (
 keep AS (
   SELECT r.doc_id, r.text, r.n_chars
   FROM rdt r LEFT JOIN top2 t USING (doc_id)
-  WHERE CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1) <= {GOPHER_KEEP_FRAC}
+  WHERE CASE WHEN len(r.toks) >= 2
+             THEN CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1)
+             ELSE 0.0 END <= {GOPHER_KEEP_FRAC}
 ),
 surv AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
 clean AS (SELECT k.doc_id, k.n_chars FROM keep k JOIN surv USING (doc_id)),
@@ -2451,10 +2455,16 @@ words AS (
 )
 SELECT r.doc_id,
        CAST(r.n_chars AS BIGINT) AS n_chars,
-       t.top_2gram,
-       round(CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1), 6) AS top_2gram_char_frac,
-       round(CAST(COALESCE(d.dup3_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1), 6) AS dup_3gram_char_frac,
-       round(CAST(COALESCE(w.max_word, 0) AS DOUBLE) / greatest(w.n_words, 1), 6) AS max_word_rep_frac
+       CASE WHEN len(r.toks) >= 2 THEN t.top_2gram ELSE NULL END AS top_2gram,
+       CASE WHEN len(r.toks) >= 2
+            THEN round(CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1), 6)
+            ELSE 0.0 END AS top_2gram_char_frac,
+       CASE WHEN len(r.toks) >= 3
+            THEN round(CAST(COALESCE(d.dup3_chars, 0) AS DOUBLE) / greatest(r.n_chars, 1), 6)
+            ELSE 0.0 END AS dup_3gram_char_frac,
+       CASE WHEN len(r.toks) >= 1
+            THEN round(CAST(COALESCE(w.max_word, 0) AS DOUBLE) / greatest(w.n_words, 1), 6)
+            ELSE 0.0 END AS max_word_rep_frac
 FROM rdt r
 LEFT JOIN top2 t USING (doc_id)
 LEFT JOIN dup3 d USING (doc_id)

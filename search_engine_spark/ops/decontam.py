@@ -48,20 +48,19 @@ def contamination_pairs(
     text (shingles_arrow semantics), so exact short-string matches
     still flag.
     """
-    corpus_sh = shingles_arrow(corpus, text_col, id_col, width).distinct()
-    bench_sh = (
-        shingles_arrow(
-            benchmark.select(
-                F.col(bench_id_col).alias("doc_id"),
-                F.col(bench_text_col).alias("text"),
-            ),
-            "text",
-            "doc_id",
-            width,
-        )
-        .distinct()
-        .select(F.col("doc_id").alias("bench_id"), "shingle")
-    )
+    # shingles_arrow already emits DISTINCT shingles per doc (set
+    # semantics) — no extra corpus-wide distinct, which would shuffle
+    # O(corpus shingles) before the broadcast prune
+    corpus_sh = shingles_arrow(corpus, text_col, id_col, width)
+    bench_sh = shingles_arrow(
+        benchmark.select(
+            F.col(bench_id_col).alias("doc_id"),
+            F.col(bench_text_col).alias("text"),
+        ),
+        "text",
+        "doc_id",
+        width,
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
     bench_sizes = bench_sh.groupBy("bench_id").agg(
         F.count("*").alias("n_bench")
     )

@@ -149,26 +149,19 @@ def did_you_mean(
     by term_pos rebuilds the full corrected query.
 
     qterms = (topic_id, term, qtf, term_pos) from query.queries_to_df.
-    Physical shape: ONE dictionary scan serves every query term (the
-    broadcast qterm list rides the scan; a |len| <= max_dist band prunes
-    before levenshtein), then a term_pos-partitioned window picks each
-    winner — all JVM expressions, oracle-checkable."""
+    Physical shape: the shared query.fuzzy_candidates stage (one
+    dictionary scan serves every query term, length band before
+    levenshtein), then a term_pos-partitioned window picks each winner —
+    all JVM expressions, oracle-checkable."""
     from pyspark.sql.window import Window
+
+    from ..query import fuzzy_candidates
 
     qd = qterms.select(
         "topic_id", F.col("term").alias("qterm"), "term_pos"
     )
-    cand = (
-        term_df.select("term", "df")
-        .join(
-            F.broadcast(qd),
-            F.abs(F.length("term") - F.length("qterm")) <= F.lit(max_dist),
-            "inner",
-        )
-        .withColumn(
-            "dist", F.levenshtein(F.col("term"), F.col("qterm")).cast("long")
-        )
-        .filter(F.col("dist") <= max_dist)
+    cand = fuzzy_candidates(term_df, qterms, max_dist).withColumn(
+        "dist", F.col("dist").cast("long")
     )
     w = Window.partitionBy("topic_id", "term_pos").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")

@@ -372,11 +372,27 @@ def with_unigram_ce(
     two shuffles as the index build's wide stage, no Python anywhere.
     Pass a persisted `lm` (+ its total/vocab) to score new batches
     against a FIXED reference model — the join is then map-side when
-    the LM is broadcastable, and the expensive side never re-aggregates."""
+    the LM is broadcastable, and the expensive side never re-aggregates.
+
+    Out-of-vocabulary terms of a new batch score at the smoothed floor
+    logp = log2(alpha / (T + alpha·V)) — an unseen term is maximally
+    surprising, it is NOT dropped (dropping would let pure gibberish
+    score better than typical text — review finding)."""
+    import math
+
     if lm is None:
         lm, total_tokens, vocab_size = unigram_lm(tokens, alpha)
-    joined = tokens.select("doc_id", "term", "tf").join(
-        lm.select("term", "logp"), "term", "inner"
+    if total_tokens is None or vocab_size is None:
+        raise ValueError(
+            "pass total_tokens and vocab_size alongside a precomputed lm "
+            "(unigram_lm returns all three)"
+        )
+    denom = float(total_tokens) + alpha * float(vocab_size)
+    floor = math.log2(alpha / denom) if denom > 0 else 0.0
+    joined = (
+        tokens.select("doc_id", "term", "tf")
+        .join(lm.select("term", "logp"), "term", "left")
+        .withColumn("logp", F.coalesce(F.col("logp"), F.lit(floor)))
     )
     return (
         joined.groupBy("doc_id")
@@ -409,9 +425,11 @@ def gopher_repetition(
                             / total tokens
 
     Raw-token grams (engine split set, no folding/stopwords/stemming) —
-    repetition is a surface property.  Docs with fewer tokens than the
-    gram width fall back to the raw text as one gram (shingles_arrow
-    semantics): count 1, so they contribute 0 to the dup fractions.
+    repetition is a surface property.  A doc with fewer tokens than a
+    gram's width carries NO signal at that width: its stat is pinned to
+    the no-repetition value (top_2gram NULL / fractions 0.0) rather than
+    letting shingles_arrow's raw-text fallback report frac ~1.0 for a
+    one-word doc (review finding: short docs are not "repetitive").
 
     Physical shape: every aggregation is keyed (doc_id, gram) then
     doc_id — doc-local, map-side combinable, no joins across documents;
@@ -426,6 +444,7 @@ def gopher_repetition(
     chars = df.select(
         doc_ids,
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
     )
 
     def _counts(width: int) -> DataFrame:
@@ -461,6 +480,7 @@ def gopher_repetition(
     words = _counts(1).groupBy("doc_id").agg(
         F.max("cnt").alias("max_word"), F.sum("cnt").alias("n_words")
     )
+    zero = F.lit(0.0)
     return (
         chars.join(top2, "doc_id", "left")
         .join(dup3, "doc_id", "left")
@@ -468,19 +488,24 @@ def gopher_repetition(
         .select(
             "doc_id",
             "n_chars",
-            "top_2gram",
-            (
+            F.when(F.col("n_tokens") >= 2, F.col("top_2gram")).alias(
+                "top_2gram"
+            ),
+            F.when(
+                F.col("n_tokens") >= 2,
                 F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_chars"), F.lit(1))
-            ).alias("top_2gram_char_frac"),
-            (
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+            ).otherwise(zero).alias("top_2gram_char_frac"),
+            F.when(
+                F.col("n_tokens") >= 3,
                 F.coalesce(F.col("dup3_chars"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_chars"), F.lit(1))
-            ).alias("dup_3gram_char_frac"),
-            (
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+            ).otherwise(zero).alias("dup_3gram_char_frac"),
+            F.when(
+                F.col("n_tokens") >= 1,
                 F.coalesce(F.col("max_word"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_words"), F.lit(1))
-            ).alias("max_word_rep_frac"),
+                / F.greatest(F.col("n_words"), F.lit(1)),
+            ).otherwise(zero).alias("max_word_rep_frac"),
         )
     )
 
@@ -491,22 +516,24 @@ def dup_line_stats(
     """(doc_id, n_lines, dup_line_frac, dup_line_char_frac) — the
     line-level Gopher rules: fraction of line OCCURRENCES beyond each
     line's first (count−1 accounting), and the character mass of those
-    repeats over total line characters.  Lines split on newline; blank
-    lines dropped (whitespace-only repetition is not a content signal).
+    repeats over total line characters.  Lines split on newline;
+    whitespace-only lines dropped (trimmed-empty — whitespace repetition
+    is not a content signal).  Every input doc gets a row: docs with no
+    qualifying lines report (0, 0.0, 0.0) rather than vanishing.
     Doc-local aggs only, like gopher_repetition."""
     lines = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(
                 F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-                lambda s: s != "",
+                lambda s: F.trim(s) != "",
             )
         ).alias("line"),
     )
     per_line = lines.groupBy("doc_id", "line").agg(
         F.count("*").alias("cnt")
     )
-    return per_line.groupBy("doc_id").agg(
+    stats = per_line.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_lines"),
         (
             F.sum(F.col("cnt") - 1).cast("double") / F.sum("cnt")
@@ -515,4 +542,18 @@ def dup_line_stats(
             F.sum((F.col("cnt") - 1) * F.length("line")).cast("double")
             / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1))
         ).alias("dup_line_char_frac"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias(
+                "dup_line_frac"
+            ),
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+        )
     )

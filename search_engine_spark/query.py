@@ -449,49 +449,64 @@ def explain_bm25(
     )
 
 
-def fuzzy_expand(
+def fuzzy_candidates(
     term_df: DataFrame, qterms: DataFrame, max_dist: int = 1
 ) -> DataFrame:
-    """Expand analyzed query terms to dictionary terms within `max_dist`
-    edits: (topic_id, term, qtf, term_pos, boost).
+    """The shared edit-distance candidate stage behind fuzzy search and
+    whole-query correction: dictionary terms within `max_dist` edits of
+    each analyzed query term — (topic_id, term, df, qterm, qtf,
+    term_pos, dist).
 
-    boost = 1 − dist / max(len(term), len(qterm)) — the Lucene
-    FuzzyQuery degrade (farther edits score less; the exact term keeps
-    boost 1.0).  Physical shape: the DICTIONARY (vocab-sized, not
-    corpus-sized) is scanned once against the broadcast query-term list;
-    a |len(term) − len(qterm)| <= max_dist band prunes before the JVM
+    Physical shape: the DICTIONARY (vocab-sized, not corpus-sized) is
+    scanned once against the broadcast query-term list; a
+    |len(term) − len(qterm)| <= max_dist band prunes before the JVM
     levenshtein runs (an automaton-free stand-in for Lucene's LevFSA —
     at 10^9-term dictionaries add a length/prefix bucketing on top).
     Spark and DuckDB both implement classic Levenshtein, so the
-    expansion is oracle-checkable."""
+    expansion is oracle-checkable.  term_df = (term, df) as from
+    build.term_document_frequency."""
     qd = qterms.select(
         "topic_id",
         F.col("term").alias("qterm"),
         "qtf",
         "term_pos",
     )
-    dist = F.levenshtein(F.col("term"), F.col("qterm"))
-    joined = term_df.select("term").join(
-        F.broadcast(qd),
-        F.abs(F.length("term") - F.length("qterm")) <= F.lit(max_dist),
-        "inner",
-    )
     return (
-        joined.withColumn("dist", dist)
-        .filter(F.col("dist") <= max_dist)
-        .select(
-            "topic_id",
-            "term",
-            "qtf",
-            "term_pos",
-            (
-                F.lit(1.0)
-                - F.col("dist")
-                / F.greatest(F.length("term"), F.length("qterm")).cast(
-                    "double"
-                )
-            ).alias("boost"),
+        term_df.select("term", "df")
+        .join(
+            F.broadcast(qd),
+            F.abs(F.length("term") - F.length("qterm")) <= F.lit(max_dist),
+            "inner",
         )
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("qterm"))
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_expand(
+    term_df: DataFrame, qterms: DataFrame, max_dist: int = 1
+) -> DataFrame:
+    """Expand analyzed query terms to dictionary terms within `max_dist`
+    edits: (topic_id, term, df, qtf, term_pos, boost).
+
+    boost = 1 − dist / max(len(term), len(qterm)) — the Lucene
+    FuzzyQuery degrade (farther edits score less; the exact term keeps
+    boost 1.0).  Candidate generation in fuzzy_candidates."""
+    return fuzzy_candidates(term_df, qterms, max_dist).select(
+        "topic_id",
+        "term",
+        "df",
+        "qtf",
+        "term_pos",
+        (
+            F.lit(1.0)
+            - F.col("dist")
+            / F.greatest(F.length("term"), F.length("qterm")).cast(
+                "double"
+            )
+        ).alias("boost"),
     )
 
 
@@ -520,17 +535,14 @@ def score_bm25_fuzzy(
     params = params or BM25Params()
     if term_df is None:
         term_df = term_document_frequency(tokens)
-    exp = fuzzy_expand(term_df, qterms, max_dist)
     # df rides in from term_df (one row per (doc,term) in tokens, so
     # term_df's count IS df) — no second dictionary aggregation over the
     # matched slice
-    exp_df = exp.join(
-        F.broadcast(term_df.select("term", "df")), "term", "inner"
-    )
+    exp = fuzzy_expand(term_df, qterms, max_dist)
     matched = tokens.join(
         F.broadcast(exp.select("term").distinct()), "term", "inner"
     )
-    joined = matched.join(F.broadcast(exp_df), "term", "inner")
+    joined = matched.join(F.broadcast(exp), "term", "inner")
     k1, k3, b = params.k1, params.k3, params.b
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -45,3 +45,32 @@ def test_dup_line_stats(spark):
     assert r.n_lines == 4
     assert r.dup_line_frac == pytest.approx(2 / 4)
     assert r.dup_line_char_frac == pytest.approx(2 * 9 / (3 * 9 + 5))
+
+
+def test_short_docs_pin_no_repetition(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, "xy xy")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+    # 1 token: no 2-gram signal — NOT "100% repetitive"
+    assert got[1].top_2gram is None
+    assert got[1].top_2gram_char_frac == 0.0
+    assert got[1].max_word_rep_frac == 1.0  # the one word IS every word
+    for d in (2, 3):  # empty and NULL text: all stats at the floor
+        assert got[d].top_2gram is None
+        assert got[d].top_2gram_char_frac == 0.0
+        assert got[d].dup_3gram_char_frac == 0.0
+        assert got[d].max_word_rep_frac == 0.0
+    assert got[4].top_2gram == "xy xy"  # 2 tokens: real 2-gram signal
+
+
+def test_dup_line_whitespace_and_missing_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "   \n   \n   "), (2, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dup_line_stats(docs).collect()}
+    # whitespace-only lines are not content repetition
+    assert got[1].n_lines == 0 and got[1].dup_line_frac == 0.0
+    # docs with no qualifying lines still get a row
+    assert got[2].n_lines == 0

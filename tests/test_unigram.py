@@ -38,11 +38,19 @@ def test_hand_computed_cross_entropy(spark):
 def test_fixed_reference_lm_scores_new_batch(spark):
     ref = _tokens(spark, [(1, "xx xx yy"), (2, "yy zz")])
     lm, total, vocab = unigram_lm(ref, alpha=0.5)
-    # a new batch scored against the FIXED reference model: 'qq' is OOV
-    # and simply doesn't contribute (inner join) — typical text scores
-    # lower CE than rare text
-    new = _tokens(spark, [(10, "xx yy xx yy"), (11, "zz zz zz")])
-    got = {r.doc_id: r.cross_entropy for r in
+    # a new batch scored against the FIXED reference model: OOV terms
+    # score at the smoothed floor log2(alpha/(T+alpha*V)) — maximally
+    # surprising, never dropped
+    new = _tokens(
+        spark, [(10, "xx yy xx yy"), (11, "zz zz zz"), (12, "qqa qqb qqc")]
+    )
+    got = {r.doc_id: r for r in
            with_unigram_ce(new, lm=lm, total_tokens=total,
                            vocab_size=vocab).collect()}
-    assert got[10] < got[11]  # common terms -> lower cross-entropy
+    assert got[10].cross_entropy < got[11].cross_entropy
+    # pure-OOV gibberish must be WORSE than anything in-vocab
+    assert got[12].cross_entropy > got[11].cross_entropy
+    assert got[12].n_tokens == 3  # OOV tokens still counted
+    import math
+    floor = math.log2(0.5 / (total + 0.5 * vocab))
+    assert got[12].cross_entropy == pytest.approx(-floor, rel=1e-12)
