@@ -63,6 +63,9 @@ _EXPORTS = {
     "score_bm25_prf": "query:score_bm25_prf",
     "score_bm25_fuzzy": "query:score_bm25_fuzzy",
     "fuzzy_expand": "query:fuzzy_expand",
+    "fuzzy_candidates": "query:fuzzy_candidates",
+    "score_bm25_syn": "query:score_bm25_syn",
+    "synonym_expand": "query:synonym_expand",
     "explain_bm25": "query:explain_bm25",
     "more_like_this": "query:more_like_this",
     "expand_query_prf": "query:expand_query_prf",

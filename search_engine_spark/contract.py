@@ -779,6 +779,28 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SYNONYMS = (("merge", "fold"), ("batch", "stream"), ("stream", "batch"))
+SYN_WEIGHT = 0.5  # exactly representable — no decimal-parse skew risk
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with query-time synonym expansion (query.score_bm25_syn):
+    merge→fold and batch↔stream at half weight, each synonym scored
+    with its own df/idf; float32-bit-exact like fuzzy."""
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n_docs, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25_syn(
+        tokens, n_docs, avgdl, qdf, list(SYNONYMS), weight=SYN_WEIGHT,
+        k=TOPK,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 FUZZY_QUERY_TEXT = "sparkk mergee window"
 
 
@@ -1855,6 +1877,56 @@ JOIN tdf ON tdf.term = t.term
 JOIN meta m ON m.doc_id = t.doc_id
 JOIN page p ON p.doc_id = t.doc_id
 CROSS JOIN stats s
+"""
+
+
+def _sql_synonym_topk(params: BM25Params = BM25Params()) -> str:
+    """Restates query.score_bm25_syn: identity terms at boost 1.0 UNION
+    synonym rows at SYN_WEIGHT, max-boost dedup per (term, term_pos),
+    df from the dictionary, then the shared expanded-BM25 fold
+    (ORDER BY term_pos, c — same tie rule as fuzzy)."""
+    k1, k3, b = params.k1, params.k3, params.b
+    syn_rows = ", ".join(f"('{a}', '{s}')" for a, s in SYNONYMS)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+syn(qterm, syn) AS (SELECT * FROM (VALUES {syn_rows}) v(a, b)),
+exp0 AS (
+  SELECT term, qtf, term_pos, 1.0 AS boost FROM q
+  UNION ALL
+  SELECT s.syn AS term, q.qtf, q.term_pos, {SYN_WEIGHT} AS boost
+  FROM q JOIN syn s ON s.qterm = q.term
+),
+expd AS (
+  SELECT term, qtf, term_pos, MAX(boost) AS boost
+  FROM exp0 GROUP BY term, qtf, term_pos
+),
+tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+exp AS (SELECT e.term, e.qtf, e.term_pos, e.boost, tdf.df FROM expd e JOIN tdf USING (term)),
+contrib AS (
+  SELECT t.doc_id, e.term_pos,
+         CAST(
+           ln((s.n_docs - e.df + 0.5) / (e.df + 0.5))
+           * ((t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl))))
+           * ((({k3} + 1.0) * e.qtf) / ({k3} + e.qtf))
+           * e.boost
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN exp e ON e.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id,
+         list_reduce(list(c ORDER BY term_pos, c), (acc, x) -> CAST(acc + x AS FLOAT)) AS score
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
@@ -3298,6 +3370,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compacted_topk": q_bm25_compacted_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "fuzzy_topk": q_fuzzy_topk,
+        "synonym_topk": q_synonym_topk,
         "explain_score": q_explain_score,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
@@ -3424,6 +3497,7 @@ def duckdb_oracles() -> dict[str, str]:
         ),
         "tfidf_topk": _sql_tfidf(),
         "fuzzy_topk": _sql_fuzzy_topk(),
+        "synonym_topk": _sql_synonym_topk(),
         "explain_score": _sql_explain_score(),
         "ql_topk": _sql_ql(),
         "bm25f_topk": _sql_bm25f(),

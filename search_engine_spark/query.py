@@ -539,6 +539,21 @@ def score_bm25_fuzzy(
     # term_df's count IS df) — no second dictionary aggregation over the
     # matched slice
     exp = fuzzy_expand(term_df, qterms, max_dist)
+    return _score_expanded(tokens, exp, n_docs, avgdl, params, k)
+
+
+def _score_expanded(
+    tokens: DataFrame,
+    exp: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    k: int,
+) -> DataFrame:
+    """BM25 over a pre-expanded weighted term set — the shared scoring
+    body behind fuzzy and synonym search.  exp = (topic_id, term, df,
+    qtf, term_pos, boost); each expanded term contributes with ITS OWN
+    df/idf × boost, folded float32 sorted by (term_pos, contrib)."""
     matched = tokens.join(
         F.broadcast(exp.select("term").distinct()), "term", "inner"
     )
@@ -559,6 +574,74 @@ def score_bm25_fuzzy(
         (idf * tfp * qtfp * F.col("boost")).cast("float").alias("contrib"),
     )
     return topk(_accumulate(contrib, exact_float32=True), k)
+
+
+def synonym_expand(
+    term_df: DataFrame,
+    qterms: DataFrame,
+    synonyms: Sequence[tuple[str, str]],
+    weight: float = 1.0,
+) -> DataFrame:
+    """Query-time synonym expansion (the Lucene SynonymGraphFilter
+    query-side shape): each analyzed query term contributes itself
+    (boost 1.0) plus every mapped synonym at `weight`, each scored with
+    its own df/idf downstream.  `synonyms` is a DIRECTED pair list
+    (qterm → synonym) — pass both directions for symmetric vocabularies;
+    pairs whose synonym never occurs in the corpus drop out via the
+    dictionary join (absent terms can't contribute, like Lucene).
+
+    Output matches fuzzy_expand: (topic_id, term, df, qtf, term_pos,
+    boost).  The synonym table is query-sized → broadcast; the
+    dictionary join gives df without touching the corpus."""
+    spark = term_df.sparkSession
+    qd = qterms.select(
+        "topic_id", F.col("term").alias("qterm"), "qtf", "term_pos"
+    )
+    if synonyms:
+        syn = spark.createDataFrame(
+            list(synonyms), "qterm string, syn string"
+        )
+    else:
+        syn = spark.createDataFrame([], "qterm string, syn string")
+    expanded = qd.select(
+        "topic_id", F.col("qterm").alias("term"), "qtf", "term_pos",
+        F.lit(1.0).alias("boost"),
+    ).unionByName(
+        qd.join(F.broadcast(syn), "qterm", "inner").select(
+            "topic_id", F.col("syn").alias("term"), "qtf", "term_pos",
+            F.lit(float(weight)).alias("boost"),
+        )
+    )
+    # a term reachable twice for one term_pos (its own + a synonym of
+    # itself) keeps the max boost — deterministic, no double counting
+    expanded = expanded.groupBy(
+        "topic_id", "term", "qtf", "term_pos"
+    ).agg(F.max("boost").alias("boost"))
+    return expanded.join(
+        F.broadcast(term_df.select("term", "df")), "term", "inner"
+    )
+
+
+def score_bm25_syn(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    synonyms: Sequence[tuple[str, str]],
+    weight: float = 1.0,
+    params: BM25Params | None = None,
+    k: int = 1000,
+    term_df: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 with query-time synonym expansion — same scoring body as
+    fuzzy search (_score_expanded), so synonym hits fold bit-exactly."""
+    from .build import term_document_frequency
+
+    params = params or BM25Params()
+    if term_df is None:
+        term_df = term_document_frequency(tokens)
+    exp = synonym_expand(term_df, qterms, synonyms, weight)
+    return _score_expanded(tokens, exp, n_docs, avgdl, params, k)
 
 
 def boolean_and(tokens: DataFrame, terms: Sequence[str]) -> DataFrame:

@@ -57,3 +57,34 @@ def test_boost_degrades_farther_edits(spark):
     assert exp["spark"] == 1.0
     assert exp["sparks"] == pytest.approx(1 - 1 / 6)
     assert exp["spork"] == pytest.approx(1 - 1 / 5)
+
+
+def test_synonyms_empty_is_plain_bm25(spark, engine):
+    tokens, n, avgdl = engine
+    qdf = Q.queries_to_df(spark, [(1, "parse token merge")], CFG)
+    plain = Q.score_bm25(tokens, n, avgdl, qdf, BM25Params(), k=50)
+    syn = Q.score_bm25_syn(tokens, n, avgdl, qdf, [], k=50)
+    assert [tuple(r) for r in plain.collect()] == [
+        tuple(r) for r in syn.collect()
+    ]
+
+
+def test_synonyms_recall_and_self_mapping(spark, engine):
+    tokens, n, avgdl = engine
+    qdf = Q.queries_to_df(spark, [(1, "parse")], CFG)
+    base = {r.doc_id for r in Q.score_bm25(tokens, n, avgdl, qdf, k=1000).collect()}
+    syn = Q.score_bm25_syn(
+        tokens, n, avgdl, qdf, [("parse", "token"), ("parse", "parse")], k=1000
+    )
+    got = {r.doc_id for r in syn.collect()}
+    # expansion can only ADD matching docs; self-mapping keeps boost 1.0
+    # (max-dedup), so base docs keep their base contribution
+    assert base <= got
+    only_token = {
+        r.doc_id
+        for r in Q.score_bm25(
+            tokens, n, avgdl,
+            Q.queries_to_df(spark, [(1, "token")], CFG), k=1000,
+        ).collect()
+    }
+    assert got == base | only_token
