@@ -123,6 +123,7 @@ _EXPORTS = {
     "with_fingerprint": "ops.textstats:with_fingerprint",
     # pipeline ops: sampling / splitting / packing
     "hash_sample": "ops.sampling:hash_sample",
+    "stratified_sample": "ops.sampling:stratified_sample",
     "with_split": "ops.sampling:with_split",
     "pack_by_budget": "ops.sampling:pack_by_budget",
     # pipeline ops: profiling

@@ -1285,6 +1285,26 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_FRACS = {"en": 0.5, "de": 1.0, "fr": 0.25}  # es/zh dropped
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling to a target mix
+    (ops.sampling.stratified_sample): en halved, de kept, fr quartered,
+    unlisted languages dropped — membership md5-fingerprinted so the
+    EXACT per-row decisions are value-checked."""
+    from .ops.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(docs, "lang", STRATA_FRACS, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("ids_md5"),
+    )
+
+
 def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget packing (ops.sampling.pack_by_budget): order-contiguous
     ~50k-char bins per language — the training-shard prep shape.  The
@@ -2350,6 +2370,33 @@ WHERE CAST(h.n_overlap AS DOUBLE) * 1.0 >= {threshold} * z.n_bench
 """
 
 
+def _sql_stratified_sample() -> str:
+    """Restates ops.sampling.stratified_sample over lang: the same
+    md5('strata:'||key) 2^60-scale integer thresholds, strata outside
+    the map dropped."""
+    from .ops.sampling import _FRAC_ONE
+
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN f < {int(f_ * _FRAC_ONE)}"
+        for s, f_ in sorted(STRATA_FRACS.items())
+    )
+    return f"""
+WITH fr AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('strata:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')), 1, 15))
+              AS BIGINT) AS f
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang FROM fr
+  WHERE CASE {cases} ELSE FALSE END
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM kept GROUP BY lang
+"""
+
+
 def _sql_did_you_mean(max_dist: int = 2) -> str:
     """Restates ops.suggest.did_you_mean: one dictionary scan against
     the query-term list, best fix per term_pos via the same
@@ -3401,6 +3448,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "did_you_mean": q_did_you_mean,
         "training_shards": q_training_shards,
+        "stratified_sample": q_stratified_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_stats": q_media_stats,
@@ -3532,6 +3580,7 @@ FROM tok GROUP BY term
         "pii_redaction": _sql_pii_redaction(),
         "did_you_mean": _sql_did_you_mean(),
         "training_shards": _sql_training_shards(),
+        "stratified_sample": _sql_stratified_sample(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "media_stats": _sql_media_stats(),
         "clean_corpus": _sql_clean_corpus(),

@@ -121,3 +121,36 @@ def pack_by_budget(
     return df.withColumn(
         bin_col, F.floor(prefix_excl / F.lit(budget)).cast("long")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum hash-deterministic sampling (the sampleBy shape, made
+    reproducible): keep a row iff md5(salt:key) < fractions[stratum] on
+    the 2^60 integer scale.  Strata absent from `fractions` are DROPPED
+    — an explicit contract (pass 1.0 to keep a stratum whole), mirroring
+    Spark's sampleBy.  NULL strata match the None key if provided.
+
+    One narrow filter: the per-stratum threshold is a when() chain
+    (a handful of strata — languages, sources — so no join), the key
+    hash is computed once.  Downsampling a skewed-language corpus to a
+    target mix at 100 TB is exactly this filter, run scan-side."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {f}")
+    frac = _key_fraction(key_col, salt)
+    strata = F.col(strata_col)
+    expr = None
+    for s, f in sorted(
+        fractions.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+    ):
+        thresh = F.lit(int(f * _FRAC_ONE))
+        cond = strata.isNull() if s is None else (strata == F.lit(s))
+        branch = frac < thresh
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return df.filter(expr.otherwise(F.lit(False)))

@@ -102,3 +102,39 @@ def test_null_keys_get_one_deterministic_membership(spark):
     lab = SP.with_split(df).collect()
     null_splits = {r["split"] for r in lab if r["lang"] in ("x", "y")}
     assert len(null_splits) == 1  # all null-key rows land together
+
+
+def test_stratified_sample_semantics(spark):
+    import pytest as _pt
+
+    from search_engine_spark.ops.sampling import hash_sample, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    ).unionByName(
+        spark.createDataFrame([(900, None)], "doc_id long, lang string")
+    )
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0}, "doc_id", salt="strata"
+    )
+    rows = kept.collect()
+    langs = {r.lang for r in rows}
+    assert langs <= {"en", "de"}  # unlisted strata (xx, NULL) dropped
+    assert sum(1 for r in rows if r.lang == "de") == 100  # 1.0 keeps all
+    n_en = sum(1 for r in rows if r.lang == "en")
+    assert 30 <= n_en <= 70  # ~half of 100, hash-deterministic
+    # per-stratum keep decision == global hash_sample at the same frac:
+    # the same (key, salt) fraction drives both
+    en_docs = docs.filter(docs.lang == "en")
+    same = hash_sample(en_docs, 0.5, "doc_id", salt="strata")
+    assert sorted(r.doc_id for r in rows if r.lang == "en") == sorted(
+        r.doc_id for r in same.collect()
+    )
+    # NULL stratum kept only when explicitly mapped
+    with_null = stratified_sample(
+        docs, "lang", {None: 1.0}, "doc_id", salt="strata"
+    )
+    assert [r.doc_id for r in with_null.collect()] == [900]
+    with _pt.raises(ValueError):
+        stratified_sample(docs, "lang", {"en": 1.5})
