@@ -276,6 +276,19 @@ def main() -> int:
     check("fuzzy: expansion + df joins all broadcast, no cartesian",
           "BroadcastHashJoin" in p and "CartesianProduct" not in p)
     check("fuzzy: no row-Python in scoring", "BatchEvalPython" not in p)
+    sy = Q.score_bm25_syn(tokens, 1000, 100.0, qdf,
+                          [("merge", "fold")], k=10)
+    p = plan_of(sy)
+    check("synonyms: expansion broadcast, no cartesian, no row-Python",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p)
+    from search_engine_spark.contract import q_training_shards
+
+    p = plan_of(q_training_shards(spark, sf_dir))
+    check("training pipeline: Arrow-only (shingler), no row-Python",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+    check("training pipeline: no cartesian anywhere in the composition",
+          "CartesianProduct" not in p)
 
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
