@@ -751,6 +751,55 @@ def q_global_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIZE_SEG_WIDTH = 128  # deterministic doc-range segments — restatable in SQL
+SIZE_BLOCK = 32  # small blocks so multi-block terms exist at sf0.01
+
+
+def q_index_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical index-size report (postings.index_size_stats) with the
+    delta+varint BYTE LAYOUT itself under the oracle: documents are
+    packed into posting blocks over deterministic doc-range segments
+    (doc_id // 128 — spark_partition_id is not SQL-restatable), and
+    DuckDB independently restates the per-value LEB128 widths
+    (floor(floor(log2 v)/7)+1), the 32-entry block tiling (a block's
+    first doc id lives in metadata, so n-1 gaps per block), and the
+    per-segment rollup.  A codec or tiling change that alters a single
+    byte flips the value hash.  The reference reports only logical
+    index stats (Program.cs:117-130); the compressed layout mirrors its
+    on-disk width discipline (PostingEntry.cs:6 uint16 tf)."""
+    from .postings import index_size_stats, pack_postings
+
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n_docs, avgdl, _ = B.collect_stats(meta)
+    term_df = B.term_document_frequency(tokens)
+    frags = (
+        tokens
+        .withColumn(
+            "segment_id",
+            F.floor(F.col("doc_id") / F.lit(SIZE_SEG_WIDTH)).cast("long"),
+        )
+        .groupBy("segment_id", "term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len"))
+            ).alias("ps")
+        )
+        .select(
+            "segment_id",
+            "term",
+            F.col("ps.doc_id").cast("array<long>").alias("doc_ids"),
+            F.col("ps.tf").cast("array<int>").alias("tfs"),
+            F.col("ps.doc_len").cast("array<int>").alias("doc_lens"),
+        )
+    )
+    packed = pack_postings(
+        frags, term_df, n_docs, avgdl, block_size=SIZE_BLOCK
+    )
+    return index_size_stats(packed)
+
+
 def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style scoring explanation (query.explain_bm25) for the
     BM25 query's top-10 page: every factor of every matched term,
@@ -1897,6 +1946,62 @@ JOIN tdf ON tdf.term = t.term
 JOIN meta m ON m.doc_id = t.doc_id
 JOIN page p ON p.doc_id = t.doc_id
 CROSS JOIN stats s
+"""
+
+
+def _varint_len_sql(col: str) -> str:
+    """LEB128 byte width of a positive integer column, as SQL:
+    floor(floor(log2(v)) / 7) + 1.  v >= 1 for every stream this
+    restates (doc gaps are between distinct ascending ids, tf >= 1,
+    doc_len >= 1 for any doc that has a posting); doubles are exact for
+    v < 2^53 and log2 of exact powers of two is exact in IEEE."""
+    return (
+        f"CAST(floor(floor(log2(CAST({col} AS DOUBLE))) / 7) AS BIGINT) + 1"
+    )
+
+
+def _sql_index_size_stats(
+    seg_width: int = SIZE_SEG_WIDTH, bs: int = SIZE_BLOCK
+) -> str:
+    """Restates postings.pack_postings' physical layout byte-for-byte:
+    doc-range segments, per-(segment, term) doc-ascending runs tiled
+    into `bs`-entry blocks, a block's first doc id in metadata (so each
+    block encodes n-1 varint gaps), one varint per tf and doc_len."""
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+base AS (
+  SELECT t.doc_id, t.term, t.tf, m.doc_len,
+         CAST(floor(t.doc_id / {seg_width}.0) AS BIGINT) AS segment_id
+  FROM tok t JOIN meta m USING (doc_id)
+),
+ordered AS (
+  SELECT segment_id, term, tf, doc_len,
+         row_number() OVER w AS rn,
+         doc_id - lag(doc_id) OVER w AS gap
+  FROM base
+  WINDOW w AS (PARTITION BY segment_id, term ORDER BY doc_id)
+),
+sized AS (
+  SELECT segment_id, term,
+         CASE WHEN (rn - 1) % {bs} = 0 THEN 0
+              ELSE {_varint_len_sql('gap')} END AS gap_b,
+         {_varint_len_sql('tf')} AS tf_b,
+         {_varint_len_sql('doc_len')} AS len_b
+  FROM ordered
+),
+per_term AS (
+  SELECT segment_id, term, COUNT(*) AS cnt,
+         SUM(gap_b) AS gap_b, SUM(tf_b) AS tf_b, SUM(len_b) AS len_b
+  FROM sized GROUP BY segment_id, term
+)
+SELECT segment_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CAST(ceil(cnt / {bs}.0) AS BIGINT)) AS BIGINT) AS n_blocks,
+       CAST(SUM(cnt) AS BIGINT) AS n_postings,
+       CAST(SUM(gap_b) AS BIGINT) AS gap_bytes,
+       CAST(SUM(tf_b) AS BIGINT) AS tf_bytes,
+       CAST(SUM(len_b) AS BIGINT) AS len_bytes
+FROM per_term GROUP BY segment_id
 """
 
 
@@ -3418,6 +3523,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "synonym_topk": q_synonym_topk,
+        "index_size_stats": q_index_size_stats,
         "explain_score": q_explain_score,
         "trec_eval_metrics": q_trec_eval_metrics,
         "tfidf_topk": _tfidf_spark,
@@ -3546,6 +3652,7 @@ def duckdb_oracles() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf(),
         "fuzzy_topk": _sql_fuzzy_topk(),
         "synonym_topk": _sql_synonym_topk(),
+        "index_size_stats": _sql_index_size_stats(),
         "explain_score": _sql_explain_score(),
         "ql_topk": _sql_ql(),
         "bm25f_topk": _sql_bm25f(),

@@ -347,6 +347,38 @@ def pack_postings(
     return frags.mapInArrow(_pack_stream, schema=POSTINGS_SCHEMA)
 
 
+def index_size_stats(postings: DataFrame) -> DataFrame:
+    """Per-segment physical-size report over packed posting blocks —
+    the compression side of the reference's index statistics report
+    (Program.cs writes only logical counts; here the byte-level layout
+    is itself a queryable table).
+
+    Everything is a JVM-side length()/sum over the already-packed
+    blocks: no decode, no Python.  Columns (all BIGINT so the DuckDB
+    oracle can restate them exactly):
+      n_terms     distinct terms in the segment
+      n_blocks    posting blocks (ceil(df_seg / block_size) per term)
+      n_postings  total (term, doc) entries
+      gap_bytes   delta+varint doc-id stream (block-first docs live in
+                  metadata, so each block encodes n-1 gaps)
+      tf_bytes    varint tf stream (n values per block)
+      len_bytes   varint doc-length stream (n values per block)
+    raw-width comparison: a posting is 16 bytes unpacked (8B doc id +
+    4B tf + 4B doc len) — readers derive the ratio from the integer
+    columns rather than shipping a float across engines."""
+    return (
+        postings.groupBy("segment_id")
+        .agg(
+            F.count_distinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("n").cast("long").alias("n_postings"),
+            F.sum(F.length("doc_ids_enc")).cast("long").alias("gap_bytes"),
+            F.sum(F.length("tfs_enc")).cast("long").alias("tf_bytes"),
+            F.sum(F.length("doc_lens_enc")).cast("long").alias("len_bytes"),
+        )
+    )
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Driver-side twin of term_bucket_col — md5-derived so Python and
     Spark agree without a JVM round trip."""

@@ -617,9 +617,13 @@ def synonym_expand(
     expanded = expanded.groupBy(
         "topic_id", "term", "qtf", "term_pos"
     ).agg(F.max("boost").alias("boost"))
-    return expanded.join(
-        F.broadcast(term_df.select("term", "df")), "term", "inner"
-    )
+    # dictionary scan × broadcast QUERY side (same shape as
+    # fuzzy_candidates): term_df is vocab-sized — at 10^9-term
+    # dictionaries broadcasting it would OOM the driver, while the
+    # expanded set is query-sized by construction
+    return term_df.select("term", "df").join(
+        F.broadcast(expanded), "term", "inner"
+    ).select("topic_id", "term", "df", "qtf", "term_pos", "boost")
 
 
 def score_bm25_syn(

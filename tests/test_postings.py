@@ -187,3 +187,49 @@ def test_load_index_manifest(index):
     assert index["analyzer"] == CFG
     assert index["params"] == BM25Params()
     assert index["manifest"]["block_size"] == 16
+
+
+def test_index_size_stats_matches_decode_recount(spark, docs_df):
+    """index_size_stats (JVM length() sums) == a pure-Python recount that
+    decodes every block and re-encodes each stream value-by-value —
+    ties the stats op to the decode path and pins varint canonicality
+    (encode(decode(bytes)) must reproduce the stored byte count)."""
+    from collections import defaultdict
+
+    from search_engine_spark.codec import varint_encode
+
+    frags = P.posting_fragments(docs_df.repartition(4), CFG, "doc_id", "content")
+    term_df = P.fragment_term_df(frags)
+    meta = B.build_doc_meta(docs_df, CFG, "doc_id", "content")
+    n_docs, avgdl, _ = B.collect_stats(meta)
+    packed = P.pack_postings(frags, term_df, n_docs, avgdl, block_size=16)
+    packed = packed.cache()
+    try:
+        stats = {
+            r["segment_id"]: r.asDict()
+            for r in P.index_size_stats(packed).collect()
+        }
+        want = defaultdict(lambda: {"terms": set(), "blocks": 0, "posts": 0,
+                                    "gap": 0, "tf": 0, "len": 0})
+        n_rows = 0
+        for r in packed.collect():
+            n_rows += 1
+            d, t, ln = P.decode_block(r)
+            a = want[r["segment_id"]]
+            a["terms"].add(r["term"])
+            a["blocks"] += 1
+            a["posts"] += int(r["n"])
+            a["gap"] += len(varint_encode(np.diff(d.astype(np.int64)).astype(np.uint64)))
+            a["tf"] += len(varint_encode(t.astype(np.uint64)))
+            a["len"] += len(varint_encode(ln.astype(np.uint64)))
+        assert n_rows > 0 and set(stats) == set(want)
+        for seg, a in want.items():
+            s = stats[seg]
+            assert s["n_terms"] == len(a["terms"])
+            assert s["n_blocks"] == a["blocks"]
+            assert s["n_postings"] == a["posts"]
+            assert s["gap_bytes"] == a["gap"]
+            assert s["tf_bytes"] == a["tf"]
+            assert s["len_bytes"] == a["len"]
+    finally:
+        packed.unpersist()

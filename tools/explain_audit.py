@@ -290,6 +290,14 @@ def main() -> int:
     check("training pipeline: no cartesian anywhere in the composition",
           "CartesianProduct" not in p)
 
+    from search_engine_spark.contract import q_index_size_stats
+
+    p = plan_of(q_index_size_stats(spark, sf_dir))
+    check("index_size_stats: Arrow pack only, byte sums JVM-side",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+    check("index_size_stats: partial agg before the segment shuffle",
+          "partial_count" in p or "HashAggregate" in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
