@@ -210,7 +210,7 @@ def main() -> None:
                  "fuzzy_topk", "facet_counts", "contamination",
                  "explain_score", "unigram_ce", "gopher_repetition",
                  "pii_redaction", "did_you_mean", "training_shards",
-                 "synonym_topk"):
+                 "synonym_topk", "stratified_sample", "index_size_stats"):
         t_r3.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r3"] = {"medians": t_r3.medians,
                                   "spread": t_r3.spread}

@@ -296,7 +296,7 @@ def main() -> int:
     check("index_size_stats: Arrow pack only, byte sums JVM-side",
           "MapInArrow" in p and "BatchEvalPython" not in p)
     check("index_size_stats: partial agg before the segment shuffle",
-          "partial_count" in p or "HashAggregate" in p)
+          "partial_count" in p and "partial_sum" in p)
 
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
