@@ -52,6 +52,7 @@ _EXPORTS = {
     "collect_stats": "build:collect_stats",
     "build_index": "postings:build_index",
     "load_index": "postings:load_index",
+    "index_size_stats": "postings:index_size_stats",
     "search_bm25": "wand:search_bm25",
     "score_bm25": "query:score_bm25",
     "score_tfidf": "query:score_tfidf",

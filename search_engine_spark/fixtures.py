@@ -142,3 +142,39 @@ def generate_queries(seed: int = 42) -> list[dict]:
     for _ in range(6):  # punctuation in query (query-side split set)
         add(f"{rng.choice(vocab)}, {rng.choice(vocab)}. ({rng.choice(vocab)})")
     return queries
+
+
+def realistic_docs_df(spark, n_docs: int, vocab: int = 200_000,
+                      tail_tokens: int = 40, n_partitions: int = 256):
+    """Spark-generated corpus with a REALISTIC dictionary shape: each doc
+    is 10 hot terms (df ≈ n_docs — the stop-word-like head) + `tail_tokens`
+    xxhash64-derived draws from a `vocab`-term long tail, so per-(segment,
+    term) posting groups are TINY and NUMEROUS — the regime where
+    per-group dispatch overhead dominates and which the ~30-term contract
+    corpora can never exercise (BASELINE.md round-3: this corpus caught a
+    220s zero-scaling pack defect).  Deterministic (hash-derived, no RNG
+    state), generated distributed — nothing collects to the driver."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0, n_docs, numPartitions=n_partitions).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("hot"), ((F.col("id") + F.lit(j)) % 10).cast("string")
+                )
+                for j in range(10)
+            ],
+            *[
+                F.concat(
+                    F.lit("t"),
+                    F.abs(
+                        F.xxhash64((F.col("id") * tail_tokens + F.lit(j)).cast("string"))
+                        % vocab
+                    ).cast("string"),
+                )
+                for j in range(tail_tokens)
+            ],
+        ).alias("text"),
+    )

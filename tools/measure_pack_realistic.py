@@ -27,38 +27,18 @@ CORES = (4, 16)
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     from search_engine_spark.session import get_spark
 
     tmp = tempfile.mkdtemp(prefix="pack_real_")
     docs_path = f"{tmp}/docs.parquet"
     frags_path = f"{tmp}/frags.parquet"
 
+    from search_engine_spark.fixtures import realistic_docs_df
+
     s = get_spark("pack_real_prep", master="local[16]", shuffle_partitions=32)
-    d = s.range(0, N_DOCS, numPartitions=256).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(
-            " ",
-            *[
-                F.concat(
-                    F.lit("hot"), ((F.col("id") + F.lit(j)) % 10).cast("string")
-                )
-                for j in range(10)
-            ],
-            *[
-                F.concat(
-                    F.lit("t"),
-                    F.abs(
-                        F.xxhash64((F.col("id") * 40 + F.lit(j)).cast("string"))
-                        % VOCAB
-                    ).cast("string"),
-                )
-                for j in range(40)
-            ],
-        ).alias("text"),
-    )
-    d.write.mode("overwrite").parquet(docs_path)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
     from search_engine_spark.postings import posting_fragments
 
     posting_fragments(
