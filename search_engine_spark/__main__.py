@@ -95,6 +95,53 @@ def cmd_index(args: argparse.Namespace) -> None:
     print(json.dumps(metrics))
 
 
+def cmd_stats(args: argparse.Namespace) -> None:
+    """Index statistics report: the reference prints logical counts
+    (Program.cs index-stats block); ours adds the physical compressed
+    layout (index_size_stats) and the hot head of the dictionary.
+    Everything is agg-side — nothing corpus-sized reaches the driver."""
+    from .postings import index_size_stats, load_index
+
+    spark = _get_spark("se-spark-stats")
+    index = load_index(spark, args.index_dir)
+    postings = index["postings"]
+    phys = index_size_stats(postings).collect()
+    agg = {
+        "n_segments": len(phys),
+        "n_blocks": int(sum(r["n_blocks"] for r in phys)),
+        "n_postings": int(sum(r["n_postings"] for r in phys)),
+        "gap_bytes": int(sum(r["gap_bytes"] for r in phys)),
+        "tf_bytes": int(sum(r["tf_bytes"] for r in phys)),
+        "len_bytes": int(sum(r["len_bytes"] for r in phys)),
+    }
+    # df is the GLOBAL document frequency baked per row at pack time, so
+    # one dictionary-sized agg serves both the term count and the head
+    by_term = postings.groupBy("term").agg(F.max("df").alias("df"))
+    n_terms = by_term.count()
+    top = [
+        {"term": r["term"], "df": int(r["df"])}
+        for r in by_term.orderBy(F.desc("df"), "term").limit(args.top).collect()
+    ]
+    payload = agg["gap_bytes"] + agg["tf_bytes"] + agg["len_bytes"]
+    raw = agg["n_postings"] * 16  # 8B doc id + 4B tf + 4B doc len unpacked
+    print(
+        json.dumps(
+            {
+                "n_docs": index["n_docs"],
+                "avg_doc_len": round(index["avg_doc_len"], 4),
+                "total_terms": index["total_terms"],
+                "n_terms": n_terms,
+                **agg,
+                "payload_bytes": payload,
+                "raw_bytes": raw,
+                "compression_ratio": round(raw / payload, 3) if payload else None,
+                "block_size": index["manifest"]["block_size"],
+                "top_terms": top,
+            }
+        )
+    )
+
+
 def cmd_search(args: argparse.Namespace) -> None:
     from .postings import load_index, postings_to_tokens
     from .query import queries_to_df, score_bm25, score_tfidf
@@ -208,6 +255,14 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--key-cols", default="",
                     help="comma list forming doc_key (e.g. repo,path,commit)")
     ix.set_defaults(fn=cmd_index)
+
+    st = sub.add_parser(
+        "stats", help="index statistics report (logical + physical layout)"
+    )
+    st.add_argument("index_dir")
+    st.add_argument("--top", type=int, default=10,
+                    help="highest-df terms to list")
+    st.set_defaults(fn=cmd_stats)
 
     se = sub.add_parser("search", help="run topics against an index")
     se.add_argument("run_name")

@@ -306,6 +306,25 @@ def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
         tag = f"r3-{o['scorer']}"
         assert all(l.split()[5] == tag for l in open(o["out"]).read().splitlines())
 
+    # stats report: logical counts pinned against an independent
+    # recomputation, physical payload smaller than the 16B/posting raw
+    from search_engine_spark import build as B
+    from search_engine_spark.config import AnalyzerConfig
+
+    main(["stats", index_dir, "--top", "3"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs_keyed = docs_df
+    assert st["n_docs"] == docs_df.count()
+    toks = B.analyze_tokens(docs_keyed, AnalyzerConfig(), "doc_id", "content")
+    assert st["n_postings"] == toks.count()
+    assert st["n_terms"] == toks.select("term").distinct().count()
+    assert 0 < st["payload_bytes"] < st["raw_bytes"]
+    assert st["compression_ratio"] > 1
+    assert len(st["top_terms"]) == 3
+    top_df = (toks.groupBy("term").count()
+              .orderBy("count", ascending=False).first()["count"])
+    assert st["top_terms"][0]["df"] == top_df
+
 
 def test_read_ledger_file_scheme_fast_path(spark, tmp_path):
     """Explicit file:// paths take the provably-local fast path: a missing
