@@ -434,23 +434,23 @@ def main() -> None:
         import tempfile
 
         from search_engine_spark.config import BM25Params
-        from search_engine_spark.fixtures import realistic_docs_df
+        from search_engine_spark.fixtures import realistic_fragments_parquet
         from search_engine_spark.postings import (
             fragment_term_df,
             pack_postings,
-            posting_fragments,
         )
 
         n_real = int(os.environ.get("SPARK_GRAFT_REALISTIC_DOCS", "200000"))
+        real_vocab = int(
+            os.environ.get("SPARK_GRAFT_REALISTIC_VOCAB", "200000")
+        )
         tmp5 = tempfile.mkdtemp(prefix="bench_real_")
         sp = get_spark("bench-real-prep", master=f"local[{CPUS}]",
                        shuffle_partitions=CPUS)
-        realistic_docs_df(sp, n_real).write.mode("overwrite").parquet(
-            f"{tmp5}/docs.parquet")
-        posting_fragments(
-            sp.read.parquet(f"{tmp5}/docs.parquet"),
-            doc_id_col="doc_id", content_col="text",
-        ).write.mode("overwrite").parquet(f"{tmp5}/frags.parquet")
+        realistic_fragments_parquet(
+            sp, n_real, f"{tmp5}/docs.parquet", f"{tmp5}/frags.parquet",
+            vocab=real_vocab,
+        )
         sp.stop()
 
         # the FLOOR: the identical plan shape (df agg + join + term-major
@@ -507,7 +507,7 @@ def main() -> None:
         reff = (rres[hi_k]["docs_per_sec"] / (4.0 * rres[lo_k]["docs_per_sec"]))
         feff = (rres[lo_k]["floor_sec"] / rres[hi_k]["floor_sec"]) / 4.0
         extras["scaling_realistic_pack"] = {
-            "n_docs": n_real, "vocab": 200_000, "cores": [lo, lo * 4],
+            "n_docs": n_real, "vocab": real_vocab, "cores": [lo, lo * 4],
             **rres,
             "efficiency_n_to_4n": round(reff, 3),
             "floor_efficiency_n_to_4n": round(feff, 3),

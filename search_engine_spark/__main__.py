@@ -100,10 +100,35 @@ def cmd_stats(args: argparse.Namespace) -> None:
     (Program.cs index-stats block); ours adds the physical compressed
     layout (index_size_stats) and the hot head of the dictionary.
     Everything is agg-side — nothing corpus-sized reaches the driver."""
+    import os
+
     from .postings import index_size_stats, load_index
 
     spark = _get_spark("se-spark-stats")
-    index = load_index(spark, args.index_dir)
+    deltas_dir = os.path.join(args.index_dir, "deltas")
+    maintained = (
+        os.path.isdir(deltas_dir) and len(os.listdir(deltas_dir)) > 0
+    ) or os.path.isdir(os.path.join(args.index_dir, "tombstones"))
+    extra: dict = {}
+    if args.live:
+        from .maintenance import live_index
+
+        index = live_index(spark, args.index_dir)
+        tomb = index.get("tombstones_arr")
+        extra = {
+            "live": True,
+            "n_deltas": index["n_deltas"],
+            "n_tombstones": int(len(tomb[0])) if tomb is not None else 0,
+            # physical rollups below still count tombstoned postings —
+            # the bytes exist on disk until compact_index purges them
+        }
+    else:
+        index = load_index(spark, args.index_dir)
+        if maintained:
+            extra = {
+                "note": "base snapshot only — deltas/tombstones exist; "
+                        "pass --live for the maintained view"
+            }
     postings = index["postings"]
     phys = index_size_stats(postings).collect()
     agg = {
@@ -114,14 +139,20 @@ def cmd_stats(args: argparse.Namespace) -> None:
         "tf_bytes": int(sum(r["tf_bytes"] for r in phys)),
         "len_bytes": int(sum(r["len_bytes"] for r in phys)),
     }
-    # df is the GLOBAL document frequency baked per row at pack time, so
-    # one dictionary-sized agg serves both the term count and the head
-    by_term = postings.groupBy("term").agg(F.max("df").alias("df"))
-    n_terms = by_term.count()
-    top = [
-        {"term": r["term"], "df": int(r["df"])}
-        for r in by_term.orderBy(F.desc("df"), "term").limit(args.top).collect()
-    ]
+    # df is the GLOBAL document frequency baked per row at pack time; the
+    # dictionary-sized agg is persisted so the term count and the head
+    # run it once (it is the heaviest job in this command at scale)
+    by_term = postings.groupBy("term").agg(F.max("df").alias("df")).persist()
+    try:
+        n_terms = by_term.count()
+        top = [
+            {"term": r["term"], "df": int(r["df"])}
+            for r in by_term.orderBy(
+                F.desc("df"), "term"
+            ).limit(args.top).collect()
+        ]
+    finally:
+        by_term.unpersist()
     payload = agg["gap_bytes"] + agg["tf_bytes"] + agg["len_bytes"]
     raw = agg["n_postings"] * 16  # 8B doc id + 4B tf + 4B doc len unpacked
     print(
@@ -137,6 +168,7 @@ def cmd_stats(args: argparse.Namespace) -> None:
                 "compression_ratio": round(raw / payload, 3) if payload else None,
                 "block_size": index["manifest"]["block_size"],
                 "top_terms": top,
+                **extra,
             }
         )
     )
@@ -262,6 +294,10 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("index_dir")
     st.add_argument("--top", type=int, default=10,
                     help="highest-df terms to list")
+    st.add_argument("--live", action="store_true",
+                    help="report over base + deltas with live doc counts "
+                         "(physical bytes still include tombstoned "
+                         "postings until compaction)")
     st.set_defaults(fn=cmd_stats)
 
     se = sub.add_parser("search", help="run topics against an index")

@@ -178,3 +178,21 @@ def realistic_docs_df(spark, n_docs: int, vocab: int = 200_000,
             ],
         ).alias("text"),
     )
+
+
+def realistic_fragments_parquet(spark, n_docs: int, docs_path: str,
+                                frags_path: str, vocab: int = 200_000) -> None:
+    """Shared prep for the realistic-dictionary probes: write the corpus
+    and its posting fragments to parquet.  bench.py's
+    scaling_realistic_pack and tools/measure_pack_realistic.py both call
+    this so they measure the SAME plan — keep any partitioning change
+    here, not in the probes."""
+    from .postings import posting_fragments
+
+    realistic_docs_df(spark, n_docs, vocab=vocab).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    posting_fragments(
+        spark.read.parquet(docs_path), doc_id_col="doc_id",
+        content_col="text",
+    ).write.mode("overwrite").parquet(frags_path)

@@ -308,14 +308,10 @@ def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
 
     # stats report: logical counts pinned against an independent
     # recomputation, physical payload smaller than the 16B/posting raw
-    from search_engine_spark import build as B
-    from search_engine_spark.config import AnalyzerConfig
-
     main(["stats", index_dir, "--top", "3"])
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    docs_keyed = docs_df
     assert st["n_docs"] == docs_df.count()
-    toks = B.analyze_tokens(docs_keyed, AnalyzerConfig(), "doc_id", "content")
+    toks = B.analyze_tokens(docs_df, AnalyzerConfig(), "doc_id", "content")
     assert st["n_postings"] == toks.count()
     assert st["n_terms"] == toks.select("term").distinct().count()
     assert 0 < st["payload_bytes"] < st["raw_bytes"]
@@ -388,3 +384,18 @@ def test_cli_live_and_as_of_search(spark, docs_df, tmp_path, capsys):
     with _pt.raises(SystemExit):
         main(["search", "r3", topics_path, index_dir,
               str(tmp_path / "x.trec"), "--live", "--scorer", "tfidf"])
+
+    # stats on a maintained index: the base view must SAY it is partial;
+    # --live must count base + delta docs and the tombstone set
+    main(["stats", index_dir])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_docs"] == half.count()
+    assert "base snapshot only" in st.get("note", "")
+    main(["stats", index_dir, "--live"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["live"] is True and st["n_deltas"] == 1
+    assert st["n_tombstones"] == len(deleted)
+    # Lucene delete semantics: tombstoned docs stay in n_docs/df/avgdl
+    # until compaction — the report carries the tombstone count instead
+    assert st["n_docs"] == docs_df.count()
+    assert st["n_segments"] >= 2  # base + delta segments in the rollup

@@ -33,17 +33,10 @@ def main() -> None:
     docs_path = f"{tmp}/docs.parquet"
     frags_path = f"{tmp}/frags.parquet"
 
-    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.fixtures import realistic_fragments_parquet
 
     s = get_spark("pack_real_prep", master="local[16]", shuffle_partitions=32)
-    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode(
-        "overwrite"
-    ).parquet(docs_path)
-    from search_engine_spark.postings import posting_fragments
-
-    posting_fragments(
-        s.read.parquet(docs_path), doc_id_col="doc_id", content_col="text"
-    ).write.mode("overwrite").parquet(frags_path)
+    realistic_fragments_parquet(s, N_DOCS, docs_path, frags_path, vocab=VOCAB)
     s.stop()
 
     results = {}
