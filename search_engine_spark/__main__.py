@@ -96,9 +96,10 @@ def cmd_index(args: argparse.Namespace) -> None:
 
 
 def cmd_stats(args: argparse.Namespace) -> None:
-    """Index statistics report: the reference prints logical counts
-    (Program.cs index-stats block); ours adds the physical compressed
-    layout (index_size_stats) and the hot head of the dictionary.
+    """Index statistics report: the reference prints logical counts in
+    WriteableIndex.PrintStats() (WriteableIndex.cs:102; its invocation
+    is commented out at Program.cs:54); ours adds the physical
+    compressed layout (index_size_stats) and the hot dictionary head.
     Everything is agg-side — nothing corpus-sized reaches the driver."""
     import os
 
@@ -139,10 +140,17 @@ def cmd_stats(args: argparse.Namespace) -> None:
         "tf_bytes": int(sum(r["tf_bytes"] for r in phys)),
         "len_bytes": int(sum(r["len_bytes"] for r in phys)),
     }
-    # df is the GLOBAL document frequency baked per row at pack time; the
-    # dictionary-sized agg is persisted so the term count and the head
-    # run it once (it is the heaviest job in this command at scale)
-    by_term = postings.groupBy("term").agg(F.max("df").alias("df")).persist()
+    # Base snapshot: df is the GLOBAL document frequency baked per row at
+    # pack time, identical on every row of a term — max() just picks it.
+    # Live view: delta segments bake DELTA-LOCAL df, so max() would report
+    # only the largest single segment's df.  Match live search semantics
+    # (wand.py df_live): df = Σ block posting counts across all epochs —
+    # each posting is one unique (doc, term).  Like df_live, this counts
+    # tombstoned docs until compact_index purges them (documented there).
+    # The dictionary-sized agg is persisted so the term count and the head
+    # run it once (it is the heaviest job in this command at scale).
+    df_expr = F.sum("n") if args.live else F.max("df")
+    by_term = postings.groupBy("term").agg(df_expr.alias("df")).persist()
     try:
         n_terms = by_term.count()
         top = [

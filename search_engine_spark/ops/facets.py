@@ -13,8 +13,8 @@ Scale design (100 TB corpus, 10^12 docs):
     against the metadata table, so the corpus-sized side is never
     shuffled; Catalyst prunes the metadata scan to id + facet columns.
   * ALL requested facets are counted in ONE aggregation: the facet
-    columns are unpivoted with stack() (a narrow map), so k facets cost
-    one shuffle, not k.
+    columns are unpivoted with explode(array(struct(...))) (a narrow
+    map), so k facets cost one shuffle, not k.
   * NULL facet values are kept as an explicit "(missing)" bucket —
     silently dropping them would misreport coverage.
 """
@@ -42,6 +42,9 @@ def facet_counts(
     Set broadcast_matches=False when the match set is known to be
     corpus-sized (a match-all query) — Spark then picks a shuffle join.
     """
+    missing = [c for c in facet_cols if c not in docs.columns]
+    if missing:
+        raise ValueError(f"facet columns not in docs: {missing}")
     ids = matches.select(id_col).distinct()
     if broadcast_matches:
         ids = F.broadcast(ids)
@@ -52,14 +55,23 @@ def facet_counts(
             for c in facet_cols
         ],
     ).join(ids, id_col, "inner")
-    stack_expr = "stack({n}, {args}) as (facet, value)".format(
-        n=len(facet_cols),
-        args=", ".join(f"'{c}', `{c}`" for c in facet_cols),
-    )
-    return (
-        meta.select(F.expr(stack_expr))
-        .groupBy("facet", "value")
-        .agg(F.count("*").alias("n_docs"))
+    # Unpivot with column expressions (not a string-formatted stack():
+    # a facet name containing a backtick/quote must fail the df.columns
+    # check above, never silently alter the parsed expression).
+    unpivoted = meta.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("facet"), F.col(c).alias("value")
+                    )
+                    for c in facet_cols
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.facet", "fv.value")
+    return unpivoted.groupBy("facet", "value").agg(
+        F.count("*").alias("n_docs")
     )
 
 

@@ -406,6 +406,7 @@ def explain_bm25(
     avgdl: float,
     qterms: DataFrame,
     params: BM25Params | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene-style scoring explanation: one row per matched
     (topic_id, doc_id, term) with every BM25 factor broken out —
@@ -415,14 +416,21 @@ def explain_bm25(
     fold, so `sum-of-explain == score` is checkable; the factor columns
     are doubles for inspection.  Same physical shape as scoring (the
     dictionary-pruned semi-join), so explaining a query costs what
-    running it costs — use it on a result page's doc subset by
-    pre-filtering `tokens` or post-filtering on doc_id (Catalyst pushes
-    the doc_id predicate below the join)."""
+    running it costs.  To explain only a result page's docs, POST-filter
+    the output on doc_id (safe: Catalyst cannot push that predicate
+    below the df aggregate) — do NOT pre-filter `tokens`, which would
+    silently shrink df/idf so contribs no longer sum to the real score.
+    Alternatively pass a precomputed full-corpus `term_df` (term, df) —
+    as score_bm25_fuzzy does — and then pre-filtering `tokens` is safe
+    too."""
     params = params or BM25Params()
     matched = tokens.join(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"
     )
-    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    if term_df is None:
+        term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        term_df = term_df.select("term", "df")
     joined = matched.join(F.broadcast(qterms), "term", "inner").join(
         F.broadcast(term_df), "term", "inner"
     )

@@ -391,7 +391,7 @@ def test_cli_live_and_as_of_search(spark, docs_df, tmp_path, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["n_docs"] == half.count()
     assert "base snapshot only" in st.get("note", "")
-    main(["stats", index_dir, "--live"])
+    main(["stats", index_dir, "--live", "--top", "3"])
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["live"] is True and st["n_deltas"] == 1
     assert st["n_tombstones"] == len(deleted)
@@ -399,3 +399,14 @@ def test_cli_live_and_as_of_search(spark, docs_df, tmp_path, capsys):
     # until compaction — the report carries the tombstone count instead
     assert st["n_docs"] == docs_df.count()
     assert st["n_segments"] >= 2  # base + delta segments in the rollup
+    # live df must match live SEARCH semantics (wand.py df_live): a term
+    # spanning base+delta reports the SUM across segments, not the
+    # largest single segment's baked delta-local df
+    toks_all = B.analyze_tokens(docs_df, AnalyzerConfig(), "doc_id", "content")
+    exp = (
+        toks_all.groupBy("term").count()
+        .orderBy(F.desc("count"), "term").limit(3).collect()
+    )
+    assert [(t["term"], t["df"]) for t in st["top_terms"]] == [
+        (r["term"], r["count"]) for r in exp
+    ]
