@@ -216,6 +216,13 @@ def main() -> None:
     extras["query_surface_r3"] = {"medians": t_r3.medians,
                                   "spread": t_r3.spread}
 
+    # --- round-4 additions (extras-only, same rationale) ---
+    t_r4 = Timer(REPS)
+    for name in ("dup_line_stats", "embedding_near_dup_lsh"):
+        t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_r4"] = {"medians": t_r4.medians,
+                                  "spread": t_r4.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

@@ -1086,6 +1086,25 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level Gopher duplicate rules (ops/textstats.dup_line_stats):
+    fraction of line occurrences beyond each distinct line's first, and
+    the character mass of those repeats.  The synthetic documents carry
+    no newlines, so the query derives a lined corpus IN-PLAN — every
+    token becomes a line (translate ' '→'\\n', same expression both
+    engines) — giving real within-doc duplicate lines to account for."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.translate("text", " ", "\n")
+    )
+    out = TS.dup_line_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+    )
+
+
 def q_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal (ops/textstats.py): per-doc unigram
     cross-entropy + perplexity against the corpus LM (add-0.5
@@ -1154,8 +1173,24 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare (quadratic) form — the documented small-slice/verify
+    path; embedding_near_dup_lsh below carries the scale shape."""
     embs = _embs(spark, sf_dir)
     pairs = S.cosine_near_dup_pairs(embs, threshold=0.3)
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE shape of embedding near-dup: srp_candidate_pairs (one
+    bucket hash + one equi-join on bucket — expected n²/2^planes pairs,
+    never the n²/2 self-join) feeding cosine_near_dup_pairs via
+    candidates=.  Approximate by design (same-bucket pairs only); the
+    oracle restates the identical bucketed restriction, so the check is
+    exact.  explain_audit asserts the plan joins on bucket with no
+    cartesian."""
+    embs = _embs(spark, sf_dir)
+    cands = S.srp_candidate_pairs(embs, _srp_planes())
+    pairs = S.cosine_near_dup_pairs(embs, threshold=0.3, candidates=cands)
     return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -2703,6 +2738,38 @@ LEFT JOIN words w USING (doc_id)
 """
 
 
+def _sql_dup_line_stats() -> str:
+    """Restates ops.textstats.dup_line_stats over the same in-plan lined
+    corpus (every token a line): count-minus-one occurrence accounting
+    per distinct (doc, line), whitespace-only lines dropped, every doc
+    kept with (0, 0.0, 0.0) defaults."""
+    return """
+WITH lined AS (
+  SELECT doc_id, translate(coalesce(text, ''), ' ', chr(10)) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, l AS line
+  FROM lined, unnest(regexp_split_to_array(text, '\\n')) u(l)
+  WHERE trim(l) <> ''
+),
+per AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line),
+st AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt) AS dup_line_frac,
+         CAST(SUM((cnt - 1) * length(line)) AS DOUBLE)
+           / greatest(SUM(cnt * length(line)), 1) AS dup_line_char_frac
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(st.n_lines, 0) AS n_lines,
+       round(COALESCE(st.dup_line_frac, 0.0), 6) AS dup_line_frac,
+       round(COALESCE(st.dup_line_char_frac, 0.0), 6) AS dup_line_char_frac
+FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+
 def _sql_unigram_ce(alpha: float = 0.5) -> str:
     """Restates ops.textstats.with_unigram_ce: add-alpha corpus unigram
     LM, per-doc tf-weighted mean negative log2-likelihood.  The smoothed
@@ -2957,10 +3024,25 @@ WHERE {cos} >= {threshold}
 """
 
 
-def _sql_srp_ann_topk(k: int = 10) -> str:
-    from .ops.similarity import deterministic_planes
+def _sql_embedding_near_dup_lsh(threshold: float = 0.3) -> str:
+    """Restates the SRP-bucketed near-dup: identical bucket ids (shared
+    plane literals), pairs restricted to the same bucket, then the same
+    cosine threshold as the bare form."""
+    bucket = _sql_srp_bucket_expr()
+    cos = _SQL_COS.format(a="l.embedding", b="r.embedding")
+    return f"""
+WITH bkt AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS cosine
+FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {cos} >= {threshold}
+"""
 
-    planes = deterministic_planes(dim=64, n_planes=6, seed=42)
+
+def _sql_srp_bucket_expr() -> str:
+    """The SRP bucket id (bit i = sign(embedding · plane_i)) as one
+    DuckDB expression over the same deterministic planes the Spark side
+    uses — shared by the SRP ANN and LSH near-dup oracles."""
+    planes = _srp_planes()
     terms = []
     for i, p in enumerate(planes):
         lit = "[" + ", ".join(repr(x) for x in p) + "]"
@@ -2969,7 +3051,11 @@ def _sql_srp_ann_topk(k: int = 10) -> str:
             f" i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
         )
         terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})")
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _sql_srp_ann_topk(k: int = 10) -> str:
+    bucket = _sql_srp_bucket_expr()
     cos = _SQL_COS.format(a="q.qvec", b="e.embedding")
     return f"""
 WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
@@ -3522,7 +3608,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     index-lifecycle builds land last.  Per-query costs measured with
     tools/verify_contract.py on this host, 2026-08-18."""
     return {
-        # --- never driver-sampled in round 3: run these first ---
+        # --- new in round 4 / never driver-sampled in round 3: first ---
+        "dup_line_stats": q_dup_line_stats,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "doc_len_quantiles": q_doc_len_quantiles,
         "hash_split": q_hash_split,
         "media_stats": q_media_stats,
@@ -3701,6 +3789,7 @@ FROM tok GROUP BY term
         "quality_scores": _sql_quality_scores(),
         "unigram_ce": _sql_unigram_ce(),
         "gopher_repetition": _sql_gopher_repetition(),
+        "dup_line_stats": _sql_dup_line_stats(),
         "pii_redaction": _sql_pii_redaction(),
         "did_you_mean": _sql_did_you_mean(),
         "training_shards": _sql_training_shards(),
@@ -3724,6 +3813,7 @@ FROM per p JOIN cnt c USING (lang)
         "lang_id": _sql_lang_id(),
         "doc_stats": _sql_doc_stats(),
         "embedding_near_dup": _sql_embedding_near_dup(),
+        "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
         "srp_ann_topk": _sql_srp_ann_topk(),
         "events_hourly": _sql_events_hourly(),
         "sessions": _sql_sessions(),

@@ -130,6 +130,31 @@ def cosine_topk_srp(
     )
 
 
+def srp_candidate_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b) — unordered same-SRP-bucket candidate pairs, the scale-shape
+    candidate generator for cosine_near_dup_pairs.
+
+    One narrow bucket-hash pass + one equi-join on bucket: expected
+    n²/2^planes pairs instead of the bare self-join's n²/2 — never an
+    all-pairs product.  At 10^9+ rows, band multiple independent plane
+    sets (union the pair streams) for recall, and cap giant buckets the
+    way ops/dedup's LSH does; the single-bucket form here is the
+    skeleton both extensions share."""
+    b = srp_buckets(embeddings, planes, id_col, vec_col)
+    left = b.select("bucket", F.col("vec_id").alias("a"))
+    right = b.select("bucket", F.col("vec_id").alias("b"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

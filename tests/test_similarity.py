@@ -104,14 +104,17 @@ def test_near_dup_via_srp_candidates(spark, embs):
     cosine verification; every returned pair must also appear in the
     exhaustive near-dup set at the same threshold."""
     planes = S.deterministic_planes(DIM, 4, seed=1)
+    cands = S.srp_candidate_pairs(embs, planes)
+    # the library helper must equal the hand-rolled same-bucket join
     buckets = S.srp_buckets(embs, planes)
-    l = buckets.alias("l")
-    r = buckets.alias("r")
-    cands = (
+    l, r = buckets.alias("l"), buckets.alias("r")
+    manual = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                & (F.col("l.vec_id") < F.col("r.vec_id")))
         .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
     )
+    c_set = {(x["a"], x["b"]) for x in cands.collect()}
+    assert c_set == {(x["a"], x["b"]) for x in manual.collect()}
     approx = S.cosine_near_dup_pairs(embs, threshold=0.9, candidates=cands)
     exact = S.cosine_near_dup_pairs(embs, threshold=0.9)
     a_set = {(r["a"], r["b"]) for r in approx.collect()}

@@ -298,6 +298,27 @@ def main() -> int:
     check("index_size_stats: partial agg before the segment shuffle",
           "partial_count" in p and "partial_sum" in p)
 
+    # --- embedding near-dup, scale shape: SRP bucket join, never a
+    # cartesian / bare self-join (the quadratic form is verify-only) ---
+    from search_engine_spark.contract import q_embedding_near_dup_lsh
+
+    p = plan_of(q_embedding_near_dup_lsh(spark, sf_dir))
+    check("lsh near-dup: candidates via bucket equi-join",
+          "Left keys [1]: [bucket" in p or "hashpartitioning(bucket" in p)
+    check("lsh near-dup: no cartesian / nested-loop pair product",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    check("lsh near-dup: cosine JVM-side (no row-Python)",
+          "BatchEvalPython" not in p)
+
+    # --- dup_line_stats: doc-local aggs, line explode narrow ---
+    from search_engine_spark.contract import q_dup_line_stats
+
+    p = plan_of(q_dup_line_stats(spark, sf_dir))
+    check("dup_line_stats: no row-Python", "BatchEvalPython" not in p)
+    check("dup_line_stats: doc-keyed aggs only (no extra wide exchange)",
+          p.count("hashpartitioning(doc_id") <= 3)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
