@@ -408,8 +408,16 @@ def _read_tombstones(spark: SparkSession, tomb_dir: str) -> DataFrame:
         return out
 
 
+TOMBSTONE_WARN = 10_000_000  # ~160 MB driver-side as two int64 arrays
+TOMBSTONE_LIMIT = 200_000_000  # ~3.2 GB — refuse beyond; compact instead
+
+
 def live_index(
-    spark: SparkSession, index_dir: str, as_of: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    as_of: int | None = None,
+    tombstone_warn: int = TOMBSTONE_WARN,
+    tombstone_limit: int = TOMBSTONE_LIMIT,
 ) -> dict:
     """load_index()-shaped dict over base + deltas, with exact combined
     stats and the tombstone set attached.  Pass straight to
@@ -500,19 +508,43 @@ def live_index(
     tomb_arr = None
     if tombstones is not None:
         # collected ONCE here, reused by every search on this view (the
-        # query path must not pay a Spark job per call); a set too large
-        # to hold on the driver is the signal to compact_index, which
-        # physically removes it (module docstring scale notes).
+        # query path must not pay a Spark job per call); wand ships the
+        # pair to executors as a broadcast above 4096 ids.
         # Per doc: the WIDEST mask (max before_epoch) — a later plain
         # delete beats an earlier upsert's partial mask.
-        rows = (
-            tombstones.groupBy("doc_id")
-            .agg(F.max("before_epoch").alias("before_epoch"))
-            .collect()
+        agg = tombstones.groupBy("doc_id").agg(
+            F.max("before_epoch").alias("before_epoch")
         )
-        if rows:
-            ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-            eps = np.asarray([r[1] for r in rows], dtype=np.int64)
+        # GUARDED driver materialization: a deletion wave between
+        # compactions must not silently grow driver memory.  The count
+        # runs BEFORE anything is pulled; above the hard limit we refuse
+        # with the designed remedy (compact_index physically removes the
+        # set), between warn and limit we proceed loudly.  The pull
+        # itself rides Arrow (~16 B/doc as two int64 arrays) — never
+        # Row objects (~100+ B/doc).
+        n_tomb = agg.count()
+        if n_tomb > tombstone_limit:
+            raise RuntimeError(
+                f"{n_tomb} tombstoned docs exceed tombstone_limit="
+                f"{tombstone_limit} — run compact_index(spark, "
+                f"'{index_dir}') to fold deletes into a fresh base "
+                "before serving a live view (or raise the limit if the "
+                "driver really has the memory)"
+            )
+        if n_tomb > tombstone_warn:
+            import warnings
+
+            warnings.warn(
+                f"live view holds {n_tomb} tombstoned docs on the "
+                f"driver (~{16 * n_tomb >> 20} MB); compact_index "
+                "removes them",
+                ResourceWarning,
+                stacklevel=2,
+            )
+        if n_tomb:
+            pdf = agg.toPandas()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            eps = pdf["before_epoch"].to_numpy(dtype=np.int64)
             order = np.argsort(ids)
             tomb_arr = (ids[order], eps[order])
     return {
@@ -549,60 +581,138 @@ def _postings_to_fragments(
     seg_renumber maps original segment ids to the dense post-compaction
     namespace — applied to the OUTPUT rows, after masking.  A large
     tombstone set should arrive as tomb_bc (a SparkContext broadcast)
-    so it ships once per executor, not in every task closure."""
-    from .codec import delta_decode, varint_decode
+    so it ships once per executor, not in every task closure.
+
+    GLOBAL VECTORIZED decode (the same discipline as pack_postings'
+    encode side): per-block numpy dispatch is the measured scale-killer
+    at realistic dictionaries (~3M tiny blocks), so each Arrow batch is
+    decoded in ONE pass — the varint byte stream of a concatenation
+    equals the concatenation of byte streams, so all blocks' tf/len/gap
+    streams decode with one varint_decode call each, doc ids rebuild
+    with a prefix-corrected global cumsum, and the epoch-aware tombstone
+    mask runs once over the flat doc array with per-element epochs."""
+    from .codec import varint_decode
 
     tomb_outer = (
         tombstones
         if tombstones is not None and len(tombstones[0])
         else None
     )
+    renum_keys = renum_vals = None
+    if seg_renumber is not None:
+        renum_keys = np.array(sorted(seg_renumber), dtype=np.int64)
+        renum_vals = np.array(
+            [seg_renumber[int(k)] for k in renum_keys], dtype=np.int64
+        )
 
     def _frag(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from search_engine_spark.wand import _tomb_mask
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
         tomb = tomb_bc.value if tomb_bc is not None else tomb_outer
+
+        def _flat_bytes(arr):
+            """Concatenated value bytes of an Arrow binary array —
+            zero-copy: binary values sit back-to-back in offset order,
+            so the concatenation IS a slice of the data buffer."""
+            if arr.null_count:
+                raise ValueError("null encoded block")
+            width = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            offs = np.frombuffer(arr.buffers()[1], dtype=width)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            return data[int(offs[0]) : int(offs[-1])]
+
         for batch in batches:
-            if batch.num_rows == 0:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
-            seg_a = batch.column("segment_id").to_numpy(zero_copy_only=False)
-            terms = batch.column("term").to_pylist()
-            n_a = batch.column("n").to_numpy(zero_copy_only=False)
-            f_a = batch.column("first_doc_id").to_numpy(zero_copy_only=False)
-            d_enc = batch.column("doc_ids_enc")
-            t_enc = batch.column("tfs_enc")
-            l_enc = batch.column("doc_lens_enc")
-            segs, out_t, dl, tl, ll = [], [], [], [], []
-            for i in range(batch.num_rows):
-                n = int(n_a[i])
-                seg = int(seg_a[i])
-                d = delta_decode(int(f_a[i]), d_enc[i].as_py(), n).astype(np.int64)
-                t = varint_decode(t_enc[i].as_py(), n).astype(np.int32)
-                l = varint_decode(l_enc[i].as_py(), n).astype(np.int32)
-                if tomb is not None:
-                    keep = ~_tomb_mask(tomb, seg // DELTA_SEG_STRIDE, d)
-                    if not keep.all():
-                        d, t, l = d[keep], t[keep], l[keep]
-                if len(d) == 0:
-                    continue  # fully-tombstoned block vanishes
-                segs.append(seg_renumber[seg] if seg_renumber is not None else seg)
-                out_t.append(terms[i])
-                dl.append(d)
-                tl.append(t)
-                ll.append(l)
-            if not segs:
+            seg = batch.column("segment_id").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            n = batch.column("n").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            first = batch.column("first_doc_id").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            if (n < 1).any():
+                raise ValueError("packed block with n < 1 posting")
+            total = int(n.sum())
+            starts = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(n, out=starts[1:])
+            pos0 = starts[:-1]
+
+            # one decode per COLUMN, not per block
+            tfs_all = varint_decode(
+                _flat_bytes(batch.column("tfs_enc")).tobytes(), total
+            ).astype(np.int32)
+            lens_all = varint_decode(
+                _flat_bytes(batch.column("doc_lens_enc")).tobytes(), total
+            ).astype(np.int32)
+            gaps_all = varint_decode(
+                _flat_bytes(batch.column("doc_ids_enc")).tobytes(),
+                int((n - 1).sum()),
+            ).astype(np.int64)
+
+            # doc ids: firsts at run starts, gaps elsewhere, global
+            # cumsum, then subtract each run's prefix
+            arr = np.empty(total, dtype=np.int64)
+            is_start = np.zeros(total, dtype=bool)
+            is_start[pos0] = True
+            arr[pos0] = first
+            arr[~is_start] = gaps_all
+            cum = np.cumsum(arr)
+            prefix = cum[pos0] - first
+            docs_all = cum - np.repeat(prefix, n)
+
+            if tomb is not None:
+                epochs = np.repeat(seg // DELTA_SEG_STRIDE, n)
+                keep = ~_tomb_mask(tomb, epochs, docs_all)
+                if keep.all():
+                    n_new = n
+                else:
+                    n_new = np.add.reduceat(keep, pos0).astype(np.int64)
+                    docs_all = docs_all[keep]
+                    tfs_all = tfs_all[keep]
+                    lens_all = lens_all[keep]
+            else:
+                n_new = n
+
+            row_keep = n_new > 0  # fully-tombstoned block vanishes
+            terms_arr = batch.column("term")
+            if not row_keep.all():
+                terms_arr = pc.filter(terms_arr, pa.array(row_keep))
+                seg = seg[row_keep]
+                n_new = n_new[row_keep]
+            if n_new.size == 0:
                 continue
+            if renum_keys is not None:
+                seg = renum_vals[np.searchsorted(renum_keys, seg)]
+
+            new_offs = np.zeros(n_new.size + 1, dtype=np.int64)
+            np.cumsum(n_new, out=new_offs[1:])
+            off_arr = pa.array(new_offs.astype(np.int32), pa.int32())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(segs, pa.int64()),
-                    pa.array(out_t, pa.string()),
-                    pa.array([x.tolist() for x in dl], pa.list_(pa.int64())),
-                    pa.array([x.tolist() for x in tl], pa.list_(pa.int32())),
-                    pa.array([x.tolist() for x in ll], pa.list_(pa.int32())),
+                    pa.array(seg, pa.int64()),
+                    terms_arr,
+                    pa.ListArray.from_arrays(
+                        off_arr, pa.array(docs_all, pa.int64())
+                    ),
+                    pa.ListArray.from_arrays(
+                        off_arr, pa.array(tfs_all, pa.int32())
+                    ),
+                    pa.ListArray.from_arrays(
+                        off_arr, pa.array(lens_all, pa.int32())
+                    ),
                 ],
                 names=["segment_id", "term", "doc_ids", "tfs", "doc_lens"],
             )

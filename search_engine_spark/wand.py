@@ -74,7 +74,9 @@ def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
 def _tomb_mask(
     tomb: tuple[np.ndarray, np.ndarray], seg_epoch: int, vals: np.ndarray
 ) -> np.ndarray:
-    """True where vals' doc is DEAD in a segment of epoch seg_epoch.
+    """True where vals' doc is DEAD in a segment of epoch seg_epoch
+    (an int, or an int64 array aligned with vals for multi-segment
+    flat batches — the comparison broadcasts elementwise).
 
     tomb = live_index's (sorted int64 ids, aligned before_epoch).  A
     tombstone kills postings in epochs STRICTLY BELOW its before_epoch:
@@ -403,7 +405,9 @@ def search_bm25(
     # executor, not once per task; reclaimed like the topic broadcast
     tomb_bc = None
     tomb_closure = tomb_arr
-    if tomb_arr is not None and len(tomb_arr) > 4096:
+    # tomb_arr is an (ids, epochs) PAIR — size by the id array, not the
+    # 2-tuple (len(tomb_arr) is always 2 and would pin the closure path)
+    if tomb_arr is not None and len(tomb_arr[0]) > 4096:
         tomb_bc = matched.sparkSession.sparkContext.broadcast(tomb_arr)
         tomb_closure = None
 

@@ -118,6 +118,36 @@ def test_tombstones_excluded_stats_unchanged(spark, idx_dirs, tmp_path_factory):
     assert all(d % DEL_MOD != 0 for _, _, d, _ in got)
 
 
+def test_large_tombstone_set_guard_and_broadcast(
+    spark, idx_dirs, tmp_path_factory
+):
+    """The driver-held tombstone set is GUARDED: identical rankings on
+    both sides of the warn threshold AND of wand's 4096-id
+    closure→broadcast switch (forced with synthetic never-indexed ids —
+    a semantic no-op mask), a ResourceWarning between warn and limit,
+    and a hard refusal above tombstone_limit naming compact_index."""
+    c = _copy_inc(idx_dirs, tmp_path_factory, "maint_tomb_big")
+    docs = _docs(spark)
+    MN.delete_docs(
+        spark, c, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    q = [(1, BM25_QUERY_TEXT)]
+    small = _rows(W.search_bm25(MN.live_index(spark, c), q, k=TOPK))
+
+    fake = spark.range(8192).select((F.col("id") + 10_000_000).alias("doc_id"))
+    MN.delete_docs(spark, c, fake)
+    with pytest.warns(ResourceWarning, match="compact_index"):
+        live_warn = MN.live_index(spark, c, tombstone_warn=100)
+    assert len(live_warn["tombstones_arr"][0]) > 4096  # broadcast side
+    assert _rows(W.search_bm25(live_warn, q, k=TOPK)) == small
+
+    # default thresholds: quiet, same answer
+    assert _rows(W.search_bm25(MN.live_index(spark, c), q, k=TOPK)) == small
+
+    with pytest.raises(RuntimeError, match="compact_index"):
+        MN.live_index(spark, c, tombstone_limit=100)
+
+
 def test_live_pruning_fires_and_stays_sound(spark, tmp_path_factory):
     """The rare-term pruned corpus split across base+delta: interval
     pruning must still FIRE with the stats-free live bounds AND the

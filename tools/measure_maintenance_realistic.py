@@ -1,0 +1,135 @@
+"""Scale-rehearse the index-maintenance lifecycle on a REALISTIC
+dictionary (round-4 brief #3): the build path got the 1M-doc x 200k-term
+treatment in round 3; this probe gives append_delta / delete_docs /
+upsert_docs / live search / compact_index the same treatment at two
+parallelism levels.  Compaction decodes and re-packs EVERY posting, so
+it is exactly where per-group dispatch overhead would resurface —
+maintenance._postings_to_fragments runs the same global-vectorized
+decode discipline as pack_postings' encode side, and this probe is the
+evidence.
+
+Usage: python tools/measure_maintenance_realistic.py [n_docs]
+Prints one JSON line (per-op seconds at local[4] / local[16] +
+throughput scaling efficiency).  Run ALONE — host noise notes in
+BASELINE.md apply.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+VOCAB = 200_000
+CORES = (4, 16)
+DEL_MOD = 13
+UPS_MOD = 31
+QUERY = "hot1 t17 t9431 t120007"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="maint_real_")
+    docs_path = f"{tmp}/docs.parquet"
+
+    from search_engine_spark.fixtures import realistic_docs_df
+
+    s = get_spark("maint_real_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    results: dict[str, dict] = {}
+    for cores in CORES:
+        sp = get_spark(
+            f"maint_real_{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        from search_engine_spark import maintenance as MN, postings as P
+        from search_engine_spark import wand as W
+        from search_engine_spark.config import BM25Params, IndexBuildConfig
+
+        docs = sp.read.parquet(docs_path)
+        idx = f"{tmp}/idx_{cores}"
+        shutil.rmtree(idx, ignore_errors=True)
+        t: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        P.build_index(
+            docs.filter(F.col("doc_id") % 5 != 0), idx,
+            IndexBuildConfig(), BM25Params(), content_col="text",
+        )
+        t["build_base"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        MN.append_delta(
+            docs.filter(F.col("doc_id") % 5 == 0), idx, content_col="text"
+        )
+        t["append_delta"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        MN.delete_docs(
+            sp, idx, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+        )
+        t["delete_docs"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        upd = docs.filter(F.col("doc_id") % UPS_MOD == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" upserted marker"))
+        )
+        MN.upsert_docs(upd, idx, content_col="text")
+        t["upsert_docs"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        live = MN.live_index(sp, idx)
+        t["live_index_open"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_hits = W.search_bm25(live, [(1, QUERY)], k=10).count()
+        t["live_search"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        metrics = MN.compact_index(sp, idx)
+        t["compact_index"] = time.perf_counter() - t0
+
+        results[f"local{cores}"] = {
+            "sec": {k: round(v, 2) for k, v in t.items()},
+            "live_hits": int(n_hits),
+            "compact_metrics": {
+                k: v for k, v in metrics.items()
+                if isinstance(v, (int, float))
+            },
+        }
+        sp.stop()
+
+    lo, hi = (f"local{CORES[0]}", f"local{CORES[1]}")
+    eff = {
+        op: round(
+            results[lo]["sec"][op]
+            / (results[hi]["sec"][op] * (CORES[1] / CORES[0])),
+            3,
+        )
+        for op in results[lo]["sec"]
+        if results[hi]["sec"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "maintenance_lifecycle_realistic",
+        "n_docs": N_DOCS,
+        "vocab": VOCAB,
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
