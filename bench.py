@@ -218,7 +218,9 @@ def main() -> None:
 
     # --- round-4 additions (extras-only, same rationale) ---
     t_r4 = Timer(REPS)
-    for name in ("dup_line_stats", "embedding_near_dup_lsh"):
+    for name in ("dup_line_stats", "embedding_near_dup_lsh",
+                 "trigram_literal_search", "trigram_literal_pruned",
+                 "subtoken_tf", "subtoken_search"):
         t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}

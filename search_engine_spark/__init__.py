@@ -140,6 +140,13 @@ _EXPORTS = {
     "dup_line_stats": "ops.textstats:dup_line_stats",
     # pipeline ops: PII / secret redaction
     "redact_pii": "ops.redact:redact_pii",
+    # code search: trigram literal index + identifier subtokens
+    "trigram_postings": "ops.codesearch:trigram_postings",
+    "literal_search": "ops.codesearch:literal_search",
+    "split_identifier_expr": "ops.codesearch:split_identifier_expr",
+    "split_identifier_py": "ops.codesearch:split_identifier_py",
+    "subtoken_tf": "ops.codesearch:subtoken_tf",
+    "subtoken_search": "ops.codesearch:subtoken_search",
     # search UX: collated query correction
     "did_you_mean": "ops.suggest:did_you_mean",
     "suggest_terms": "ops.suggest:suggest_terms",

@@ -3595,6 +3595,182 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Code search: trigram literal search + identifier subtokens
+# ---------------------------------------------------------------------------
+
+# "window table" spans a word boundary — a word-level index cannot see it
+# at all; at sf0.01 it matches 39 docs. The pruned variant uses a 28-doc
+# needle with only its 2 rarest trigrams intersected (the candidate set
+# widens, the verified answer must not).
+LITERAL_NEEDLE = "window table"
+LITERAL_NEEDLE_PRUNED = "merge batch"
+LITERAL_PRUNE_K = 2
+SUBTOKEN_QUERY_IDENT = "keyAggRow_scanValue"
+SUBTOKEN_TOPK = 15
+# deterministic code-shaped identifier built from each doc's first four
+# words: mixed camelCase + UPPER + '_' + digit boundaries, so every
+# splitter rule fires on corpus data (doc texts themselves are
+# lowercase). Restated verbatim in the oracle.
+_IDENT_MIN_WORDS = 4
+
+
+def q_trigram_literal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal substring search through the char-trigram posting index
+    (ops.codesearch — the Google-Code-Search/Zoekt structure): candidate
+    docs = intersection of ALL the needle's trigram postings (one
+    partial+final agg over an isin-pushed scan), verified with a
+    broadcast join back to the corpus. The oracle is a brute contains()
+    scan — index pruning must not change the answer. The reference's
+    word-level index (Tokenizer.cs byte-class splits) cannot answer
+    substring/multi-word-literal queries at all; this is the code-search
+    surface for the (repo, path, commit, lang, content) corpus shape."""
+    from .ops import codesearch as CS
+
+    return CS.literal_search(_docs(spark, sf_dir), LITERAL_NEEDLE)
+
+
+def q_trigram_literal_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarest-k pruned trigram search (ops.codesearch.literal_search
+    prune_k): df of the needle's trigrams is probed from the index (a
+    <= len(needle)-2 row agg), only the 2 rarest are intersected — a
+    guaranteed SUPERSET candidate set — and contains() verification
+    restores exactness. Same brute-scan oracle shape as the unpruned
+    query: the prune must be invisible in the answer."""
+    from .ops import codesearch as CS
+
+    return CS.literal_search(
+        _docs(spark, sf_dir), LITERAL_NEEDLE_PRUNED, prune_k=LITERAL_PRUNE_K
+    )
+
+
+def _ident_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ident): code-shaped identifiers synthesized from each
+    doc's first four words — w1 + InitCap(w2) + '_' + UPPER(w3) + '7' +
+    w4 — so camelCase, acronym-run, underscore and digit boundaries all
+    fire. Docs with fewer than four words are excluded on BOTH sides."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.filter(F.size(w) >= _IDENT_MIN_WORDS)
+        .select(
+            "doc_id",
+            F.concat(
+                F.element_at(w, 1),
+                F.initcap(F.element_at(w, 2)),
+                F.lit("_"),
+                F.upper(F.element_at(w, 3)),
+                F.lit("7"),
+                F.element_at(w, 4),
+            ).alias("ident"),
+        )
+    )
+
+
+def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier subtoken analysis (ops.codesearch.split_identifier_expr
+    + subtoken_tf): camelCase/PascalCase/ACRONYM/snake_case/digit
+    boundary splitting — the standard code-search analyzer step — over
+    deterministic code-shaped identifiers, rolled up to (subtoken,
+    n_docs, total_tf). The oracle restates the 4-rule regex boundary
+    chain verbatim in DuckDB, so the splitter's semantics are pinned
+    cross-engine on corpus data (pytest additionally fuzzes the JVM
+    expression against the pure-Python query-side twin)."""
+    from .ops import codesearch as CS
+
+    tf = CS.subtoken_tf(_ident_docs(spark, sf_dir), "ident", "doc_id")
+    return tf.groupBy("subtoken").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
+def q_subtoken_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtoken identifier search (ops.codesearch.subtoken_search): the
+    query identifier splits with the pure-Python twin, docs score by
+    summed tf of the DISTINCT query subtokens over the whole content
+    (split_identifier_expr at document scale), top-k with doc_id
+    tie-break. Finds `keyAggRow_scanValue` in docs that mention key/agg/
+    row/scan/value — the reason code search subtokenizes identifiers."""
+    from .ops import codesearch as CS
+
+    docs = _docs(spark, sf_dir)
+    tf = CS.subtoken_tf(docs, "text", "doc_id")
+    return CS.subtoken_search(tf, SUBTOKEN_QUERY_IDENT, k=SUBTOKEN_TOPK)
+
+
+def _sql_literal(needle: str) -> str:
+    """Brute contains() scan with the same length-difference occurrence
+    count — the ground truth both trigram paths must reproduce."""
+    esc = needle.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{esc}', '')))
+            // {len(needle)} AS BIGINT) AS n_occurrences
+FROM documents
+WHERE contains(text, '{esc}')
+"""
+
+
+# the 4-rule boundary chain of ops/codesearch.py restated in DuckDB
+# (\\1 backrefs, explicit 'g' — DuckDB replaces first-match by default)
+_SQL_SPLIT_IDENT = r"""
+list_filter(regexp_split_to_array(lower(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace({col},
+    '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+    '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+    '([A-Za-z])([0-9])', '\1 \2', 'g'),
+    '([0-9])([A-Za-z])', '\1 \2', 'g')
+), '[^a-z0-9]+'), t -> t <> '')
+"""
+
+
+def _sql_subtoken_tf() -> str:
+    split = _SQL_SPLIT_IDENT.format(col="ident")
+    return f"""
+WITH ident_docs AS (
+  SELECT doc_id,
+         split_part(text, ' ', 1)
+         || upper(substr(split_part(text, ' ', 2), 1, 1))
+         || substr(split_part(text, ' ', 2), 2)
+         || '_' || upper(split_part(text, ' ', 3))
+         || '7' || split_part(text, ' ', 4) AS ident
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_IDENT_MIN_WORDS}
+),
+sub AS (
+  SELECT doc_id, unnest({split}) AS subtoken FROM ident_docs
+)
+SELECT subtoken,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_tf
+FROM sub GROUP BY subtoken
+"""
+
+
+def _sql_subtoken_search() -> str:
+    from .ops.codesearch import split_identifier_py
+
+    split = _SQL_SPLIT_IDENT.format(col="text")
+    want = sorted(set(split_identifier_py(SUBTOKEN_QUERY_IDENT)))
+    in_list = ", ".join(f"'{t}'" for t in want)
+    return f"""
+WITH sub AS (
+  SELECT doc_id, unnest({split}) AS subtoken FROM documents
+),
+tf AS (
+  SELECT doc_id, subtoken, COUNT(*) AS tf FROM sub
+  WHERE subtoken IN ({in_list})
+  GROUP BY doc_id, subtoken
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM tf GROUP BY doc_id
+ORDER BY score DESC, n_matched DESC, doc_id ASC
+LIMIT {SUBTOKEN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
 
@@ -3609,6 +3785,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_contract.py on this host, 2026-08-18."""
     return {
         # --- new in round 4 / never driver-sampled in round 3: first ---
+        "trigram_literal_search": q_trigram_literal_search,
+        "trigram_literal_pruned": q_trigram_literal_pruned,
+        "subtoken_tf": q_subtoken_tf,
+        "subtoken_search": q_subtoken_search,
         "dup_line_stats": q_dup_line_stats,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -3790,6 +3970,10 @@ FROM tok GROUP BY term
         "unigram_ce": _sql_unigram_ce(),
         "gopher_repetition": _sql_gopher_repetition(),
         "dup_line_stats": _sql_dup_line_stats(),
+        "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
+        "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),
+        "subtoken_tf": _sql_subtoken_tf(),
+        "subtoken_search": _sql_subtoken_search(),
         "pii_redaction": _sql_pii_redaction(),
         "did_you_mean": _sql_did_you_mean(),
         "training_shards": _sql_training_shards(),

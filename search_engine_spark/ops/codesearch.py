@@ -1,0 +1,302 @@
+"""Trigram-accelerated literal code search + identifier subtokens.
+
+The classic source-code search structures (beyond the reference's
+word-level inverted index, which cannot answer substring queries):
+
+* **Char-trigram posting index** — the Google-Code-Search / Zoekt
+  design: index every distinct 3-byte substring of each document.  A
+  literal needle matches a doc only if ALL of the needle's trigrams
+  appear in it, so intersecting the needle's trigram postings yields a
+  guaranteed-superset candidate set; only candidates are verified
+  against raw content.  At 10^12 files the verification scan is the
+  expensive part — the trigram intersection typically prunes it by
+  orders of magnitude, and mid-token/multi-word needles (which a word
+  index cannot see at all) become exact.
+
+* **Identifier subtoken splitting** — camelCase / PascalCase /
+  snake_case / ACRONYMRuns / digit boundaries, so `parseHTMLResponse42`
+  is findable via `parse`, `html`, `response`.  The standard code-search
+  analyzer step (Sourcegraph, OpenGrok).
+
+Scale design (100 TB corpus, 10^12 docs):
+  * Trigram extraction is one JVM expression chain (``sequence`` →
+    ``transform`` → ``array_distinct`` → ``explode``) — whole-stage
+    codegen, zero Python.  The index is ~|corpus| rows of (trigram,
+    doc_id), the accepted cost of this structure; build it once,
+    persist term-bucketed like the word index.
+  * Candidate selection filters postings with a tiny driver-side
+    trigram list (``isin`` — pushed to the scan) and runs ONE
+    partial+final count aggregation keyed by doc_id; the corpus itself
+    is never shuffled.
+  * Rarest-k pruning intersects only the k least-frequent trigrams of
+    the needle (df probed from the index first): a superset of the
+    exact candidate set, so verification keeps the answer identical
+    while the aggregation touches far fewer postings — the standard
+    trick when a needle contains stop-trigrams like ``' th'``.
+  * Verification broadcasts the candidate ids against the corpus scan:
+    the corpus-sized side is never shuffled and content bytes move only
+    for candidates.
+
+Identifier splitting is expressed twice with pinned-equal semantics:
+a JVM column expression (``split_identifier_expr``) for corpus-side
+analysis and a pure-Python twin (``split_identifier_py``) for
+query-side needles — tests fuzz them against each other.
+
+The reference engine has no substring or subtoken search (its tokenizer
+is a byte-class word splitter, Tokenizer.cs); this module is part of
+the beyond-reference code-search surface sized for the source-code
+corpus shape (repo, path, commit, lang, content).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "char_trigrams_expr",
+    "trigram_postings",
+    "trigram_df",
+    "needle_trigrams",
+    "literal_candidates",
+    "count_occurrences_expr",
+    "literal_search",
+    "split_identifier_expr",
+    "split_identifier_py",
+    "subtoken_tf",
+    "subtoken_search",
+]
+
+
+# ---------------------------------------------------------------------------
+# Trigram index
+# ---------------------------------------------------------------------------
+
+
+def char_trigrams_expr(col: Column) -> Column:
+    """Array of the DISTINCT character trigrams of a string column.
+
+    Pure JVM: sequence over start offsets + substr + array_distinct.
+    Strings shorter than 3 chars yield an empty array (sequence() must
+    not see a descending range — Spark would count DOWN).  Unicode:
+    Spark substr is codepoint-based; trigram identity only needs both
+    sides of the index to agree, which they do (build and query share
+    this expression / its Python twin below).
+    """
+    starts = F.sequence(F.lit(1), F.length(col) - F.lit(2))
+    grams = F.transform(starts, lambda i: col.substr(i, F.lit(3)))
+    return F.when(F.length(col) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def trigram_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(trigram, doc_id) — one row per DISTINCT trigram per doc.
+
+    array_distinct dedupes inside the doc before the explode, so no
+    distinct-shuffle is needed; the output is already set-semantics.
+    Persist this bucketed by trigram for repeated queries (same
+    layout discipline as the word index, postings.py)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_trigrams_expr(F.col(text_col))).alias("trigram"),
+    ).select("trigram", "doc_id")
+
+
+def trigram_df(postings: DataFrame) -> DataFrame:
+    """(trigram, df) document frequencies — postings are per-doc
+    distinct, so df is a plain count. One partial+final agg."""
+    return postings.groupBy("trigram").agg(F.count("*").alias("df"))
+
+
+def needle_trigrams(needle: str) -> list[str]:
+    """Sorted distinct trigrams of a query needle (driver-side twin of
+    char_trigrams_expr). Raises on needles too short to have one — the
+    caller should fall back to a plain scan for 1-2 char needles rather
+    than silently returning the whole corpus."""
+    if len(needle) < 3:
+        raise ValueError(
+            f"needle {needle!r} shorter than 3 chars has no trigrams; "
+            "use a direct contains() scan for it"
+        )
+    return sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+
+
+def literal_candidates(
+    postings: DataFrame, needle: str, trigrams: list[str] | None = None
+) -> DataFrame:
+    """Candidate doc ids: docs containing ALL the given trigrams
+    (default: every trigram of the needle — the exact trigram-index
+    candidate set, a guaranteed superset of true matches).
+
+    Pass a subset of the needle's trigrams (e.g. the k rarest) for
+    pruned search: still a superset, cheaper aggregation. The isin
+    filter is pushed into the postings scan; the HAVING count runs as
+    one partial+final agg — nothing corpus-sized shuffles."""
+    want = trigrams if trigrams is not None else needle_trigrams(needle)
+    if not want:
+        raise ValueError("empty trigram list selects the whole corpus")
+    return (
+        postings.filter(F.col("trigram").isin(want))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+        .filter(F.col("n_grams") == len(want))
+        .select("doc_id")
+    )
+
+
+def count_occurrences_expr(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal needle — the
+    length-difference-over-replace identity, restatable verbatim in any
+    SQL engine (no regex, so no escaping hazards)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def literal_search(
+    docs: DataFrame,
+    needle: str,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_k: int | None = None,
+) -> DataFrame:
+    """Verified literal substring search: (doc_id, n_occurrences) for
+    every doc whose content contains `needle`, answered through the
+    trigram index.
+
+    postings: a prebuilt trigram_postings() index (reused across
+    queries); built one-shot from `docs` when None.
+    prune_k: intersect only the k rarest of the needle's trigrams
+    (df probed from the index — one tiny agg whose result is at most
+    len(needle)-2 rows). The candidate set grows but stays a superset;
+    the contains() verification keeps the final answer identical.
+
+    Candidates are BROADCAST against the corpus scan — content bytes
+    move only for candidate rows, and the corpus is never shuffled."""
+    if postings is None:
+        postings = trigram_postings(docs, text_col, id_col)
+    grams = needle_trigrams(needle)
+    if prune_k is not None and 0 < prune_k < len(grams):
+        dfs = (
+            postings.filter(F.col("trigram").isin(grams))
+            .groupBy("trigram")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )  # <= len(needle)-2 rows — driver-safe by construction
+        by_df = {r["trigram"]: r["df"] for r in dfs}
+        if len(by_df) < len(grams):
+            # a trigram with no postings ⇒ no doc can contain the needle
+            return docs.sparkSession.createDataFrame(
+                [], "doc_id long, n_occurrences long"
+            )
+        grams = sorted(sorted(by_df), key=lambda t: (by_df[t], t))[:prune_k]
+    cand = literal_candidates(postings, needle, grams)
+    verified = docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])
+    return (
+        verified.filter(F.contains(F.col(text_col), F.lit(needle)))
+        .select(
+            docs[id_col].cast("long").alias("doc_id"),
+            count_occurrences_expr(F.col(text_col), needle).alias(
+                "n_occurrences"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Identifier subtokens
+# ---------------------------------------------------------------------------
+
+# Boundary rules, applied in order (each inserts a space):
+#   1. lower-or-digit → Upper        parseHTML   → parse HTML
+#   2. ACRONYM run → TitleCase tail  HTMLParser  → HTML Parser
+#   3. letter → digit                utf8 stays; sha256 stays? NO —
+#      split, so `response42` → response 42 (digit runs are their own
+#      subtoken; code search treats them as separators-with-content)
+#   4. digit → letter                42beta → 42 beta
+# then lowercase and split on any non-alphanumeric run ( _ , - , space).
+_BOUNDARIES: tuple[tuple[str, str], ...] = (
+    (r"([a-z0-9])([A-Z])", r"$1 $2"),
+    (r"([A-Z]+)([A-Z][a-z])", r"$1 $2"),
+    (r"([A-Za-z])([0-9])", r"$1 $2"),
+    (r"([0-9])([A-Za-z])", r"$1 $2"),
+)
+_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def split_identifier_expr(col: Column) -> Column:
+    """Array of lowercase subtokens of an identifier column — JVM
+    regexp chain (4 global regexp_replace + lower + split), no Python.
+    Empty strings from leading/trailing separators are filtered."""
+    out = col
+    for pat, rep in _BOUNDARIES:
+        out = F.regexp_replace(out, pat, rep)
+    parts = F.split(F.lower(out), _SPLIT_RE)
+    return F.filter(parts, lambda t: t != "")
+
+
+_PY_BOUNDARIES = tuple(
+    (re.compile(pat), rep.replace("$1", r"\1").replace("$2", r"\2"))
+    for pat, rep in _BOUNDARIES
+)
+
+
+def split_identifier_py(ident: str) -> list[str]:
+    """Pure-Python twin of split_identifier_expr for query-side needles
+    (tests pin the two equal on fuzzed identifiers)."""
+    out = ident
+    for pat, rep in _PY_BOUNDARIES:
+        out = pat.sub(rep, out)
+    return [t for t in re.split(_SPLIT_RE, out.lower()) if t]
+
+
+def subtoken_tf(
+    df: DataFrame, ident_col: str = "ident", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, subtoken, tf) — per-doc subtoken term frequencies over
+    an identifier column. One explode + one agg; dup identifier rows
+    accumulate (posexplode not needed — order is not part of tf)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(split_identifier_expr(F.col(ident_col))).alias(
+                "subtoken"
+            ),
+        )
+        .groupBy("doc_id", "subtoken")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def subtoken_search(
+    tf: DataFrame, query_ident: str, k: int = 10
+) -> DataFrame:
+    """Rank docs for a query identifier by summed subtoken tf (each
+    DISTINCT query subtoken counted once — a camelCase query like
+    `mergeMergeBatch` does not double-weight `merge`). Deterministic
+    tie-break: doc_id ascending. Input is subtoken_tf() output; the
+    query's subtoken list is tiny and rides an isin pushed to the
+    scan."""
+    want = sorted(set(split_identifier_py(query_ident)))
+    if not want:
+        raise ValueError(f"query identifier {query_ident!r} has no subtokens")
+    scored = (
+        tf.filter(F.col("subtoken").isin(want))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.desc("n_matched"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.col("score").cast("long").alias("score"),
+                F.col("n_matched").cast("long").alias("n_matched"))
+    )

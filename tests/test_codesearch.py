@@ -1,0 +1,202 @@
+"""Gates for ops/codesearch.py — trigram literal search + subtokens.
+
+The contract queries (trigram_literal_search / trigram_literal_pruned /
+subtoken_tf / subtoken_search) carry the cross-engine DuckDB checks;
+these tests pin the module-level invariants the oracle can't see:
+
+  * JVM splitter expression == pure-Python twin on fuzzed identifiers
+  * trigram candidates are a SUPERSET of true matches; pruning widens
+    the candidate set but never the verified answer
+  * short-needle / missing-trigram edge behavior
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import codesearch as CS
+
+
+# ---------------------------------------------------------------------------
+# identifier splitting
+# ---------------------------------------------------------------------------
+
+KNOWN_SPLITS = [
+    ("parseHTMLResponse42", ["parse", "html", "response", "42"]),
+    ("HTMLParser", ["html", "parser"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("kebab-case-name", ["kebab", "case", "name"]),
+    ("XMLHttpRequest", ["xml", "http", "request"]),
+    ("utf8Decode", ["utf", "8", "decode"]),
+    ("v2", ["v", "2"]),
+    ("__dunder__", ["dunder"]),
+    ("ALLCAPS", ["allcaps"]),
+    ("a", ["a"]),
+    ("", []),
+    ("_-_", []),
+    ("keyAggRow_scanValue", ["key", "agg", "row", "scan", "value"]),
+]
+
+
+@pytest.mark.parametrize("ident,want", KNOWN_SPLITS)
+def test_split_py_known(ident, want):
+    assert CS.split_identifier_py(ident) == want
+
+
+IDENT_ALPHABET = st.sampled_from(
+    list("abcdefgXYZHTML0123456789_- .") + ["Response", "parse", "HTTPx"]
+)
+idents = st.lists(IDENT_ALPHABET, min_size=0, max_size=12).map("".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(idents, min_size=1, max_size=20))
+def test_split_expr_matches_py_twin(spark, batch):
+    rows = [(i, s) for i, s in enumerate(batch)]
+    df = spark.createDataFrame(rows, "i long, ident string")
+    got = {
+        r["i"]: list(r["toks"])
+        for r in df.select(
+            "i", CS.split_identifier_expr(F.col("ident")).alias("toks")
+        ).collect()
+    }
+    for i, s in rows:
+        assert got[i] == CS.split_identifier_py(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# trigram search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    texts = [
+        "def merge(a, b): return a + b",
+        "window table scan over the merge batch",
+        "the window  table is wide",  # double space: no match for needle
+        "select * from window_table",
+        "xx",  # shorter than a trigram
+        "window table window table window table",
+        "",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def brute(docs, needle):
+    return {
+        (r["doc_id"], r["n"])
+        for r in docs.filter(F.contains("text", F.lit(needle)))
+        .select(
+            "doc_id",
+            CS.count_occurrences_expr(F.col("text"), needle).alias("n"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("needle", ["window table", "merge", "a + b", "zzz"])
+def test_literal_search_matches_brute_scan(code_docs, needle):
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in CS.literal_search(code_docs, needle).collect()
+    }
+    assert got == brute(code_docs, needle)
+
+
+def test_pruned_search_same_answer_wider_candidates(code_docs):
+    needle = "window table"
+    postings = CS.trigram_postings(code_docs)
+    full = CS.literal_candidates(postings, needle).count()
+    pruned = CS.literal_candidates(
+        postings, needle, CS.needle_trigrams(needle)[:2]
+    ).count()
+    assert pruned >= full  # superset candidates
+    exact = {
+        tuple(r) for r in CS.literal_search(code_docs, needle).collect()
+    }
+    via_prune = {
+        tuple(r)
+        for r in CS.literal_search(code_docs, needle, prune_k=2).collect()
+    }
+    assert via_prune == exact
+
+
+def test_candidates_are_superset_of_matches(code_docs):
+    needle = "window table"
+    cand = {
+        r["doc_id"]
+        for r in CS.literal_candidates(
+            CS.trigram_postings(code_docs), needle
+        ).collect()
+    }
+    true = {d for d, _ in brute(code_docs, needle)}
+    assert true <= cand
+
+
+def test_missing_trigram_short_circuits(code_docs):
+    # pruned path probes df first; a needle with an absent trigram must
+    # return empty WITHOUT scanning the corpus
+    out = CS.literal_search(code_docs, "qqqxyzqq", prune_k=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_occurrences"]
+
+
+def test_short_needle_raises():
+    with pytest.raises(ValueError):
+        CS.needle_trigrams("ab")
+
+
+def test_occurrence_count_non_overlapping(spark):
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    [r] = df.select(
+        CS.count_occurrences_expr(F.col("text"), "aa").alias("n")
+    ).collect()
+    assert r["n"] == 2  # len-diff identity counts non-overlapping
+
+
+def test_trigram_expr_matches_py(spark):
+    texts = ["abcd", "ab", "", "aaaa", "héllo wörld", "a b"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: sorted(r["g"])
+        for r in df.select(
+            "t", CS.char_trigrams_expr(F.col("t")).alias("g")
+        ).collect()
+    }
+    for t in texts:
+        want = CS.needle_trigrams(t) if len(t) >= 3 else []
+        assert got[t] == want, repr(t)
+
+
+# ---------------------------------------------------------------------------
+# subtoken search
+# ---------------------------------------------------------------------------
+
+
+def test_subtoken_search_distinct_query_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "merge merge batch"), (2, "merge scan"), (3, "other")],
+        "doc_id long, text string",
+    )
+    tf = CS.subtoken_tf(docs, "text", "doc_id")
+    # duplicated query subtoken must not double-weight: mergeMergeBatch
+    # scores doc 1 as tf(merge)=2 + tf(batch)=1 = 3, not 5
+    got = {
+        r["doc_id"]: (r["score"], r["n_matched"])
+        for r in CS.subtoken_search(tf, "mergeMergeBatch", k=10).collect()
+    }
+    assert got[1] == (3, 2)
+    assert got[2] == (1, 1)
+    assert 3 not in got
+
+
+def test_subtoken_search_empty_query_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    tf = CS.subtoken_tf(docs, "text", "doc_id")
+    with pytest.raises(ValueError):
+        CS.subtoken_search(tf, "__--__")

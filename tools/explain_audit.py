@@ -319,6 +319,26 @@ def main() -> int:
     check("dup_line_stats: doc-keyed aggs only (no extra wide exchange)",
           p.count("hashpartitioning(doc_id") <= 3)
 
+    # --- trigram code search: candidate set broadcast against the
+    # corpus scan (content bytes never shuffle), all-JVM expressions ---
+    from search_engine_spark.contract import (
+        q_subtoken_search, q_trigram_literal_search,
+    )
+
+    p = plan_of(q_trigram_literal_search(spark, sf_dir))
+    check("trigram search: verified candidates ride a broadcast join",
+          "BroadcastHashJoin" in p)
+    check("trigram search: no cartesian, no row-Python",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p)
+    check("trigram search: ONE wide exchange (candidate agg by doc_id)",
+          p.count("hashpartitioning(") <= 1,
+          f"found {p.count('hashpartitioning(')}")
+
+    p = plan_of(q_subtoken_search(spark, sf_dir))
+    check("subtoken search: isin prunes before the doc agg, no row-Python",
+          "BatchEvalPython" not in p and "subtoken" in p)
+    check("subtoken search: no cartesian", "CartesianProduct" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
