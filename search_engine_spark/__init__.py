@@ -147,6 +147,9 @@ _EXPORTS = {
     "split_identifier_py": "ops.codesearch:split_identifier_py",
     "subtoken_tf": "ops.codesearch:subtoken_tf",
     "subtoken_search": "ops.codesearch:subtoken_search",
+    "extract_symbols": "ops.codesearch:extract_symbols",
+    "trigram_query": "ops.regexsearch:trigram_query",
+    "regex_search_indexed": "ops.regexsearch:regex_search",
     # search UX: collated query correction
     "did_you_mean": "ops.suggest:did_you_mean",
     "suggest_terms": "ops.suggest:suggest_terms",

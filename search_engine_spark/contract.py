@@ -3770,6 +3770,95 @@ LIMIT {SUBTOKEN_TOPK}
 """
 
 
+# grep with alternation + class: the Cox trigram derivation yields a
+# real CNF (24 clauses at the cap) — the plan must show the pruned path.
+REGEX_TRI_PATTERN = "(merge|stream)[a-z]* (batch|window)"
+
+
+def q_trigram_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex grep through the trigram index (ops.regexsearch — Cox's
+    Google-Code-Search query derivation): the pattern's AND-of-OR
+    trigram CNF selects candidates with one countDistinct(clause) agg
+    over a broadcast trigram→clause map, then candidates are verified
+    with the real regex engine (regexp_like + regexp_count, both JVM).
+    The oracle is a brute regexp scan — the index path must give the
+    byte-identical answer. Pattern restricted to the Java/RE2/DuckDB-
+    common subset (ops/redact.py discipline)."""
+    from .ops import regexsearch as RS
+
+    return RS.regex_search(_docs(spark, sf_dir), REGEX_TRI_PATTERN)
+
+
+def _sql_trigram_regex() -> str:
+    pat = REGEX_TRI_PATTERN
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{pat}')
+"""
+
+
+def _planted_code(docs: DataFrame) -> DataFrame:
+    """Prepend three deterministic definition lines (python def / class /
+    go func) to every doc so extraction is non-vacuous on corpus data;
+    the doc's own text is line 4+ and flows through the same rules.
+    Restated verbatim in the oracle."""
+    nl = F.lit("\n")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("def fn_"), F.col("doc_id"), F.lit("(x):"), nl,
+            F.lit("class Cls"), F.col("doc_id"), F.lit("(Base):"), nl,
+            F.lit("func go_"), F.col("doc_id"), F.lit("(ctx) {"), nl,
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def q_extract_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-site extraction (ops.codesearch.extract_symbols — the
+    ctags/jump-to-definition index): per-line anchored regexp rules for
+    def/class/func/function evaluated in ONE narrow array<struct>
+    projection (empty extractions filtered before the explode, no
+    shuffle). The oracle restates the line split (LATERAL unnest with
+    ordinality) and all four rules verbatim in DuckDB."""
+    from .ops import codesearch as CS
+
+    return CS.extract_symbols(_planted_code(_docs(spark, sf_dir)))
+
+
+def _sql_extract_symbols() -> str:
+    from .ops.codesearch import SYMBOL_RULES
+
+    structs = ", ".join(
+        f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
+        for kind, pat in SYMBOL_RULES
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         'def fn_' || doc_id || '(x):' || chr(10) ||
+         'class Cls' || doc_id || '(Base):' || chr(10) ||
+         'func go_' || doc_id || '(ctx) {{' || chr(10) || text AS content
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(content, chr(10)) AS ls
+        FROM planted),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+),
+sym AS (
+  SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, s.kind AS kind,
+         s.symbol AS symbol
+  FROM lines,
+  LATERAL (SELECT unnest(list_filter([{structs}], x -> x.symbol <> '')) AS s)
+)
+SELECT doc_id, line_no, kind, symbol FROM sym
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
@@ -3785,6 +3874,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/verify_contract.py on this host, 2026-08-18."""
     return {
         # --- new in round 4 / never driver-sampled in round 3: first ---
+        "trigram_regex_search": q_trigram_regex_search,
+        "extract_symbols": q_extract_symbols,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_literal_pruned": q_trigram_literal_pruned,
         "subtoken_tf": q_subtoken_tf,
@@ -3970,6 +4061,8 @@ FROM tok GROUP BY term
         "unigram_ce": _sql_unigram_ce(),
         "gopher_repetition": _sql_gopher_repetition(),
         "dup_line_stats": _sql_dup_line_stats(),
+        "trigram_regex_search": _sql_trigram_regex(),
+        "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),
         "subtoken_tf": _sql_subtoken_tf(),

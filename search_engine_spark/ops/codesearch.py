@@ -62,6 +62,8 @@ __all__ = [
     "literal_candidates",
     "count_occurrences_expr",
     "literal_search",
+    "SYMBOL_RULES",
+    "extract_symbols",
     "split_identifier_expr",
     "split_identifier_py",
     "subtoken_tf",
@@ -254,6 +256,64 @@ def split_identifier_py(ident: str) -> list[str]:
     for pat, rep in _PY_BOUNDARIES:
         out = pat.sub(rep, out)
     return [t for t in re.split(_SPLIT_RE, out.lower()) if t]
+
+
+# ---------------------------------------------------------------------------
+# Symbol extraction (definitions index)
+# ---------------------------------------------------------------------------
+
+# (kind, line-anchored pattern with the name as group 1) — the ctags-style
+# definition rules for the corpus's languages.  Java-regex / RE2 / DuckDB
+# identical constructs only (same discipline as ops/redact.py) so the
+# extraction itself is oracle-checkable cross-engine.
+SYMBOL_RULES: tuple[tuple[str, str], ...] = (
+    ("function", r"^\s*def\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("class", r"^\s*class\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("func", r"^\s*func\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("jsfunction", r"^\s*function\s+([A-Za-z_$][A-Za-z0-9_$]*)"),
+)
+
+
+def extract_symbols(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str], ...] = SYMBOL_RULES,
+) -> DataFrame:
+    """(doc_id, line_no, kind, symbol): definition sites extracted from
+    source content — the jump-to-definition index.
+
+    One posexplode over the line split, then every rule evaluated as a
+    JVM regexp_extract inside a single array<struct> projection whose
+    empty extractions are filtered BEFORE the explode — per input line
+    the explode emits only actual definitions, so the operator stays a
+    narrow map (no shuffle) and whole-stage codegen end to end.  Because
+    lines are split first, ^ anchors per-line identically in every
+    engine (no multiline-flag divergence)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("idx", "line"),
+    )
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract(F.col("line"), pat, 1).alias("symbol"),
+            )
+            for kind, pat in rules
+        ]
+    )
+    return (
+        lines.select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("line_no"),
+            F.explode(F.filter(per_rule, lambda s: s["symbol"] != "")).alias(
+                "s"
+            ),
+        )
+        .select("doc_id", "line_no", F.col("s.kind").alias("kind"),
+                F.col("s.symbol").alias("symbol"))
+    )
 
 
 def subtoken_tf(

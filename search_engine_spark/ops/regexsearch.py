@@ -1,0 +1,440 @@
+"""Regex search through the char-trigram index.
+
+The candidate-derivation algorithm is Russ Cox's "Regular Expression
+Matching with a Trigram Index" (swtch.com/~rsc/regexp/regexp4.html, the
+public Google-Code-Search design): analyze the regex into a boolean
+query over trigrams that is a NECESSARY condition for a match — every
+string the regex matches satisfies the trigram query — then intersect
+trigram postings to get a candidate superset and verify candidates with
+the real regex engine.  Soundness (never excluding a true match) is the
+invariant; precision only buys speed, because verification restores
+exactness either way.
+
+Representation: the query is CNF — ``tuple[frozenset[str], ...]``, an
+AND of OR-sets of trigrams; ``ANY = ()`` means "no constraint" (full
+scan).  All degradations are in the sound direction: dropping a clause,
+widening an OR-set, or falling back to ANY only ever ADMITS more
+candidates.
+
+Per-node analysis info mirrors Cox: ``emptyable`` (can match ""),
+``exact`` (the full finite match set, when small), prefix/suffix sets
+(every match starts/ends with SOME member), and the running ``match``
+CNF.  Concatenation adds cross-boundary trigrams from suffix x prefix
+pairs; alternation distributes OR over the CNFs (capped — dropped
+clauses are sound); star/quest contribute no constraints.
+
+Supported syntax (the Java-regex/RE2/DuckDB-common subset): literals,
+escapes (\\. \\\\ …), ``.``, ``|``, groups ``( )`` (incl. ``(?:``),
+char classes ``[a-z0-9_]`` with ranges and negation, ``* + ?``,
+``\\d \\w \\s \\D \\W \\S`` (analyzed as any-char), anchors/word
+boundaries (analyzed as empty — position constraints carry no trigram
+information).  Bounded repeats ``{m,n}``, backreferences and lookaround
+raise in strict mode and degrade to ANY (full-scan verify — still
+exact) otherwise.
+
+Scale shape (100 TB): the CNF is tiny and driver-side; candidate
+selection maps each trigram to its clause ids through a broadcast join
+and runs ONE partial+final countDistinct(clause) agg keyed by doc_id —
+the corpus never shuffles — and verification broadcasts candidate ids
+against the corpus scan exactly like ops/codesearch.literal_search.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "trigram_query",
+    "cnf_satisfied",
+    "regex_candidates",
+    "regex_search",
+]
+
+# caps — every overflow degrades soundly (toward ANY)
+_MAX_SET = 12  # strings kept in an exact/prefix/suffix set
+_MAX_STR = 10  # chars kept per set string (prefixes trim right, suffixes left)
+_MAX_CLAUSES = 24  # CNF clauses kept
+_MAX_OR = 24  # trigrams per OR-set
+_MAX_CLASS = 16  # char-class members expanded exactly
+
+Query = tuple  # tuple[frozenset[str], ...]; () = ANY (no constraint)
+ANY: Query = ()
+
+
+# ---------------------------------------------------------------------------
+# CNF algebra (all sound under the "necessary condition" reading)
+# ---------------------------------------------------------------------------
+
+
+def _q_and(q1: Query, q2: Query) -> Query:
+    seen: list[frozenset] = []
+    for c in (*q1, *q2):
+        if c not in seen and not any(s <= c for s in seen if s is not c):
+            seen.append(c)
+    # dropping clauses beyond the cap keeps the query necessary
+    return tuple(seen[:_MAX_CLAUSES])
+
+
+def _q_or(q1: Query, q2: Query) -> Query:
+    if not q1 or not q2:  # OR with ANY is ANY
+        return ANY
+    out: list[frozenset] = []
+    for c1 in q1:
+        for c2 in q2:
+            u = c1 | c2
+            if len(u) <= _MAX_OR and u not in out:
+                out.append(u)  # oversized unions are dropped — sound
+    return tuple(out[:_MAX_CLAUSES])
+
+
+def _q_string(s: str) -> Query:
+    """AND of the string's trigrams; <3 chars constrains nothing."""
+    grams = {s[i : i + 3] for i in range(len(s) - 2)}
+    return tuple(frozenset({g}) for g in sorted(grams))
+
+
+def _q_string_set(strings) -> Query:
+    """OR over the set: each matched string contributes ALL its trigrams;
+    any member shorter than 3 chars makes the whole constraint vacuous."""
+    q: Query | None = None
+    for s in strings:
+        alt = _q_string(s)
+        if not alt:
+            return ANY
+        q = alt if q is None else _q_or(q, alt)
+    return q if q is not None else ANY
+
+
+def cnf_satisfied(text: str, query: Query) -> bool:
+    """Does `text` satisfy the CNF? (testing/fallback helper — the Spark
+    path evaluates this with one aggregation over trigram postings)."""
+    grams = {text[i : i + 3] for i in range(len(text) - 2)}
+    return all(clause & grams for clause in query)
+
+
+# ---------------------------------------------------------------------------
+# regex analysis (Cox's info lattice)
+# ---------------------------------------------------------------------------
+
+
+def _trim(strings, keep_front: bool) -> frozenset:
+    out = {
+        s[:_MAX_STR] if keep_front else s[-_MAX_STR:] for s in strings
+    }
+    # an unknown-prefix marker "" generates only vacuous boundary pairs
+    return frozenset(out) if len(out) <= _MAX_SET else frozenset({""})
+
+
+@dataclass(frozen=True)
+class _Info:
+    emptyable: bool
+    exact: frozenset | None  # full finite match set when known
+    pre: frozenset  # meaningful when exact is None
+    suf: frozenset
+    match: Query
+
+
+_ANYCHAR = _Info(False, None, frozenset({""}), frozenset({""}), ANY)
+_EMPTY = _Info(True, frozenset({""}), frozenset({""}), frozenset({""}), ANY)
+
+
+def _lit(s: str) -> _Info:
+    return _Info(s == "", frozenset({s}), frozenset({s}), frozenset({s}), ANY)
+
+
+def _degrade(i: _Info) -> _Info:
+    """Fold a known exact set into prefix/suffix sets + match CNF
+    (Cox's information-saving step)."""
+    if i.exact is None:
+        return i
+    return _Info(
+        "" in i.exact,
+        None,
+        _trim(i.exact, True),
+        _trim(i.exact, False),
+        _q_and(i.match, _q_string_set(i.exact)),
+    )
+
+
+def _concat(a: _Info, b: _Info) -> _Info:
+    if a.exact is not None and b.exact is not None:
+        cross = {s + t for s in a.exact for t in b.exact}
+        if len(cross) <= _MAX_SET and all(len(x) <= 2 * _MAX_STR for x in cross):
+            return _Info(
+                "" in cross,
+                frozenset(cross),
+                frozenset(cross),
+                frozenset(cross),
+                _q_and(a.match, b.match),
+            )
+    ad, bd = _degrade(a), _degrade(b)
+    match = _q_and(ad.match, bd.match)
+    # cross-boundary trigrams: every match contains s+p for SOME pair
+    if len(ad.suf) * len(bd.pre) <= _MAX_SET * _MAX_SET:
+        match = _q_and(
+            match, _q_string_set({s + p for s in ad.suf for p in bd.pre})
+        )
+    pre = ad.pre if not ad.emptyable else _trim(ad.pre | bd.pre, True)
+    suf = bd.suf if not bd.emptyable else _trim(ad.suf | bd.suf, False)
+    return _Info(ad.emptyable and bd.emptyable, None, pre, suf, match)
+
+
+def _alternate(a: _Info, b: _Info) -> _Info:
+    if a.exact is not None and b.exact is not None:
+        union = a.exact | b.exact
+        if len(union) <= _MAX_SET:
+            return _Info(
+                "" in union, union, union, union, _q_and(a.match, b.match)
+            )
+    ad, bd = _degrade(a), _degrade(b)
+    return _Info(
+        ad.emptyable or bd.emptyable,
+        None,
+        _trim(ad.pre | bd.pre, True),
+        _trim(ad.suf | bd.suf, False),
+        _q_or(ad.match, bd.match),
+    )
+
+
+def _star(_: _Info) -> _Info:
+    return _Info(True, None, frozenset({""}), frozenset({""}), ANY)
+
+
+def _plus(a: _Info) -> _Info:
+    ad = _degrade(a)
+    return _Info(ad.emptyable, None, ad.pre, ad.suf, ad.match)
+
+
+def _quest(a: _Info) -> _Info:
+    if a.exact is not None and len(a.exact) < _MAX_SET:
+        e = a.exact | {""}
+        return _Info(True, e, e, e, a.match)
+    return _Info(True, None, frozenset({""}), frozenset({""}), ANY)
+
+
+class _Unsupported(ValueError):
+    pass
+
+
+class _Parser:
+    """Recursive-descent parser over the RE2/Java-common subset,
+    producing _Info directly (no AST needed)."""
+
+    def __init__(self, pattern: str):
+        self.p = pattern
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.p[self.i] if self.i < len(self.p) else None
+
+    def take(self) -> str:
+        c = self.p[self.i]
+        self.i += 1
+        return c
+
+    def parse(self) -> _Info:
+        info = self.alternation()
+        if self.i != len(self.p):
+            raise _Unsupported(f"unexpected {self.p[self.i]!r} at {self.i}")
+        return info
+
+    def alternation(self) -> _Info:
+        info = self.concatenation()
+        while self.peek() == "|":
+            self.take()
+            info = _alternate(info, self.concatenation())
+        return info
+
+    def concatenation(self) -> _Info:
+        info = _EMPTY
+        while self.peek() is not None and self.peek() not in "|)":
+            info = _concat(info, self.repeat())
+        return info
+
+    def repeat(self) -> _Info:
+        info = self.atom()
+        while self.peek() in ("*", "+", "?", "{"):
+            c = self.take()
+            if c == "*":
+                info = _star(info)
+            elif c == "+":
+                info = _plus(info)
+            elif c == "?":
+                info = _quest(info)
+            else:
+                raise _Unsupported("bounded repeat {m,n}")
+        return info
+
+    def atom(self) -> _Info:
+        c = self.take()
+        if c == "(":
+            if self.peek() == "?":
+                self.take()
+                nxt = self.peek()
+                if nxt == ":":
+                    self.take()
+                else:
+                    raise _Unsupported(f"(?{nxt} group")
+            info = self.alternation()
+            if self.peek() != ")":
+                raise _Unsupported("unterminated group")
+            self.take()
+            return info
+        if c == "[":
+            return self.char_class()
+        if c == ".":
+            return _ANYCHAR
+        if c in "^$":
+            return _EMPTY  # position-only: no trigram information
+        if c == "\\":
+            return self.escape()
+        if c in "*+?{":
+            raise _Unsupported(f"dangling {c!r}")
+        return _lit(c)
+
+    def escape(self) -> _Info:
+        if self.peek() is None:
+            raise _Unsupported("trailing backslash")
+        c = self.take()
+        if c in "dwsDWS":
+            return _ANYCHAR
+        if c in "bB":
+            return _EMPTY
+        if c.isalnum():
+            raise _Unsupported(f"escape \\{c}")
+        return _lit(c)
+
+    def char_class(self) -> _Info:
+        negated = False
+        if self.peek() == "^":
+            self.take()
+            negated = True
+        members: set[str] = set()
+        exact = True
+        first = True
+        while True:
+            c = self.peek()
+            if c is None:
+                raise _Unsupported("unterminated char class")
+            if c == "]" and not first:
+                self.take()
+                break
+            first = False
+            c = self.take()
+            if c == "\\":
+                nxt = self.take()
+                if nxt in "dwsDWS":
+                    exact = False
+                    continue
+                c = nxt
+            if self.peek() == "-" and self.p[self.i + 1 : self.i + 2] not in (
+                "]",
+                "",
+            ):
+                self.take()
+                hi = self.take()
+                if hi == "\\":
+                    hi = self.take()
+                if ord(hi) < ord(c):
+                    raise _Unsupported(f"bad range {c}-{hi}")
+                if ord(hi) - ord(c) + 1 > _MAX_CLASS:
+                    exact = False
+                    continue
+                members.update(chr(x) for x in range(ord(c), ord(hi) + 1))
+            else:
+                members.add(c)
+        if negated or not exact or len(members) > _MAX_CLASS:
+            return _ANYCHAR
+        if not members:
+            raise _Unsupported("empty char class")
+        return _Info(
+            False,
+            frozenset(members),
+            frozenset(members),
+            frozenset(members),
+            ANY,
+        )
+
+
+def trigram_query(pattern: str, strict: bool = False) -> Query:
+    """CNF of trigram OR-sets every regex match must satisfy; ANY (an
+    empty tuple) when the pattern carries no trigram information.
+
+    strict=True raises on syntax outside the analyzed subset; default
+    degrades to ANY — regex_search then does a full-scan verify, which
+    is still exact, just unpruned."""
+    try:
+        info = _Parser(pattern).parse()
+    except _Unsupported:
+        if strict:
+            raise
+        return ANY
+    if info.emptyable:
+        # an emptyable pattern re-matches inside EVERY document
+        return ANY
+    return _degrade(info).match
+
+
+# ---------------------------------------------------------------------------
+# Spark evaluation
+# ---------------------------------------------------------------------------
+
+
+def regex_candidates(postings: DataFrame, query: Query) -> DataFrame:
+    """Doc ids satisfying the CNF: trigram -> clause ids through a
+    broadcast map, then ONE countDistinct(clause) agg == n_clauses.
+    Postings are per-doc distinct, but one doc can satisfy a clause via
+    several of its trigrams — hence countDistinct, not count."""
+    if not query:
+        raise ValueError("ANY query selects the whole corpus — skip pruning")
+    rows = [
+        (t, cid) for cid, clause in enumerate(query) for t in sorted(clause)
+    ]
+    spark = postings.sparkSession
+    tri = spark.createDataFrame(rows, "trigram string, clause int")
+    return (
+        postings.join(F.broadcast(tri), "trigram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("clause").alias("n_clauses"))
+        .filter(F.col("n_clauses") == len(query))
+        .select("doc_id")
+    )
+
+
+def regex_search(
+    docs: DataFrame,
+    pattern: str,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_matches) for every doc whose content matches `pattern`
+    (non-overlapping count), answered through the trigram index when the
+    pattern yields a usable CNF and by a plain scan otherwise — the
+    answer is identical either way, because every candidate is verified
+    with the real regex engine.
+
+    The pattern should stay in the Java/RE2-common subset if the result
+    is compared cross-engine (same discipline as ops/redact.py)."""
+    query = trigram_query(pattern)
+    scope = docs
+    if query:
+        if postings is None:
+            from .codesearch import trigram_postings
+
+            postings = trigram_postings(docs, text_col, id_col)
+        cand = regex_candidates(postings, query)
+        scope = docs.join(
+            F.broadcast(cand), docs[id_col] == cand["doc_id"]
+        ).drop(cand["doc_id"])
+    return (
+        scope.filter(F.regexp_like(F.col(text_col), F.lit(pattern)))
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.regexp_count(F.col(text_col), F.lit(pattern))
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )

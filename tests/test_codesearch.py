@@ -195,6 +195,40 @@ def test_subtoken_search_distinct_query_tokens(spark):
     assert 3 not in got
 
 
+def test_extract_symbols_known_lines(spark):
+    content = "\n".join(
+        [
+            "def top(x):",
+            "  def inner(y):",  # indented: ^\s* admits it
+            "class Shape(Base):",
+            "func Handler(w, r) {",  # go-style; only the name group kept
+            "function render$view(el) {",
+            "not a def line",
+            "undef ghost(z):",  # 'undef' must NOT match ^\s*def
+            "",
+        ]
+    )
+    docs = spark.createDataFrame([(7, content)], "doc_id long, text string")
+    got = {
+        (r["line_no"], r["kind"], r["symbol"])
+        for r in CS.extract_symbols(docs).collect()
+    }
+    assert got == {
+        (1, "function", "top"),
+        (2, "function", "inner"),
+        (3, "class", "Shape"),
+        (4, "func", "Handler"),
+        (5, "jsfunction", "render$view"),
+    }
+
+
+def test_extract_symbols_empty_on_plain_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "just words here"), (2, "")], "doc_id long, text string"
+    )
+    assert CS.extract_symbols(docs).count() == 0
+
+
 def test_subtoken_search_empty_query_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     tf = CS.subtoken_tf(docs, "text", "doc_id")

@@ -1,0 +1,179 @@
+"""Gates for ops/regexsearch.py — the Cox trigram-query derivation.
+
+The load-bearing property is SOUNDNESS: for every string a pattern
+matches, the derived CNF must be satisfied by the string's trigrams —
+the trigram index may only ever prune docs that cannot match.  The
+fuzz below generates random regexes in the supported subset, random
+texts biased to match, and checks the implication against Python's
+`re` engine.  (Exactness of regex_search itself is restored by
+verification and pinned by the Spark tests + the contract oracle.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import regexsearch as RS
+
+
+# ---------------------------------------------------------------------------
+# random regex generator (supported subset, small alphabet so matches
+# actually happen)
+# ---------------------------------------------------------------------------
+
+_CHARS = "abc d"
+
+_leaf = st.one_of(
+    st.sampled_from([c for c in _CHARS if c != " "]).map(str),
+    st.just("."),
+    st.just("[ab]"),
+    st.just("[a-c]"),
+    st.just("[^b]"),
+    st.just("\\d"),
+    st.just("\\."),
+)
+
+
+def _wrap(inner: st.SearchStrategy) -> st.SearchStrategy:
+    return st.one_of(
+        st.tuples(inner, inner).map(lambda t: t[0] + t[1]),
+        st.tuples(inner, inner).map(lambda t: f"(?:{t[0]}|{t[1]})"),
+        inner.map(lambda p: f"(?:{p})*"),
+        inner.map(lambda p: f"(?:{p})+"),
+        inner.map(lambda p: f"(?:{p})?"),
+    )
+
+
+_patterns = st.recursive(_leaf, _wrap, max_leaves=8)
+_texts = st.text(alphabet=_CHARS + "e", min_size=0, max_size=24)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_patterns, _texts)
+def test_trigram_query_is_sound(pattern, text):
+    query = RS.trigram_query(pattern)
+    if re.search(pattern, text):
+        assert RS.cnf_satisfied(text, query), (pattern, text, query)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_patterns, st.lists(_texts, min_size=1, max_size=4))
+def test_soundness_on_concatenated_matches(pattern, parts):
+    # longer texts built by splicing — exercises boundary-trigram logic
+    text = pattern.replace("\\", "").replace("(?:", "").replace(")", "")
+    text = "".join(parts[:2]) + text + "".join(parts[2:])
+    query = RS.trigram_query(pattern)
+    if re.search(pattern, text):
+        assert RS.cnf_satisfied(text, query), (pattern, text, query)
+
+
+# ---------------------------------------------------------------------------
+# analysis shape on known patterns
+# ---------------------------------------------------------------------------
+
+
+def test_literal_gets_full_trigram_chain():
+    q = RS.trigram_query("window table")
+    assert q  # not ANY
+    grams = {t for clause in q for t in clause}
+    assert {"win", "ind", "tab", "ble"} <= grams
+    assert all(len(c) == 1 for c in q)  # pure AND for a literal
+
+
+def test_alternation_distributes():
+    q = RS.trigram_query("(merge|stream) batch")
+    assert q
+    assert RS.cnf_satisfied("a merge batch z", q)
+    assert RS.cnf_satisfied("stream batch", q)
+    assert not RS.cnf_satisfied("merge stream", q)  # no ' ba'/'tch'
+
+
+def test_star_and_emptyable_give_any():
+    assert RS.trigram_query("(abc)*") == RS.ANY
+    assert RS.trigram_query("(abc)?") == RS.ANY
+    assert RS.trigram_query("x?y?") == RS.ANY
+    assert RS.trigram_query(".*") == RS.ANY
+
+
+def test_plus_keeps_inner_constraints():
+    q = RS.trigram_query("(abc)+")
+    assert q and RS.cnf_satisfied("xxabcxx", q)
+    assert not RS.cnf_satisfied("ababab", q)
+
+
+def test_class_expansion_bounded():
+    # [a-z] is 26 > cap -> any-char; surrounding literals still constrain
+    q = RS.trigram_query("st[a-z]*m")
+    assert q == RS.ANY  # "st" and "m" are sub-trigram fragments
+    q2 = RS.trigram_query("stre[a-z]m")
+    assert q2 and RS.cnf_satisfied("stream", q2)
+
+
+def test_unsupported_degrades_or_raises():
+    assert RS.trigram_query("a{2,3}bcd") == RS.ANY
+    with pytest.raises(ValueError):
+        RS.trigram_query("a{2,3}bcd", strict=True)
+    with pytest.raises(ValueError):
+        RS.trigram_query("(?=look)ahead", strict=True)
+
+
+def test_anchors_carry_no_position_but_keep_content():
+    q = RS.trigram_query("^merge batch$")
+    assert q and RS.cnf_satisfied("merge batch", q)
+
+
+# ---------------------------------------------------------------------------
+# Spark: index-pruned search == brute regexp scan
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    texts = [
+        "def merge(a, b): return a + b",
+        "stream batch window table",
+        "merge batch merge batch",
+        "streaX batch",
+        "xyz",
+        "",
+        "stream  batch",  # double space — must NOT match '(merge|stream) batch'
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "(merge|stream) batch",
+        "mer.e",
+        "st(?:rea|REA)[mx] b",
+        "(abc)*",  # ANY -> full-scan fallback path
+        "zzz+",
+    ],
+)
+def test_regex_search_matches_brute(code_docs, pattern):
+    got = {
+        (r["doc_id"], r["n_matches"])
+        for r in RS.regex_search(code_docs, pattern).collect()
+    }
+    want = {
+        (r["doc_id"], r["n"])
+        for r in code_docs.filter(F.regexp_like("text", F.lit(pattern)))
+        .select(
+            "doc_id",
+            F.regexp_count("text", F.lit(pattern)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_regex_candidates_rejects_any():
+    with pytest.raises(ValueError):
+        RS.regex_candidates(None, RS.ANY)

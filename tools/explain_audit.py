@@ -339,6 +339,21 @@ def main() -> int:
           "BatchEvalPython" not in p and "subtoken" in p)
     check("subtoken search: no cartesian", "CartesianProduct" not in p)
 
+    # --- regex grep via trigram CNF + symbol extraction ---
+    from search_engine_spark.contract import (
+        q_extract_symbols, q_trigram_regex_search,
+    )
+
+    p = plan_of(q_trigram_regex_search(spark, sf_dir))
+    check("regex search: clause map + candidates both broadcast",
+          p.count("BroadcastHashJoin") >= 2)
+    check("regex search: no cartesian, no row-Python",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_extract_symbols(spark, sf_dir))
+    check("extract_symbols: narrow map — NO shuffle, no row-Python",
+          "Exchange" not in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
