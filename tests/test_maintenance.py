@@ -265,6 +265,38 @@ def test_compact_equals_rebuild_on_survivors(spark, idx_dirs, compacted_idx):
     )
 
 
+def test_compact_segment_coalescing(spark, idx_dirs, tmp_path_factory):
+    """Size-based segment coalescing: a tiny target folds every old
+    segment into few new ids; search results and the decoded token
+    stream are bit-identical to the 1:1 renumber, only the layout
+    (segment count) changes.  At cluster scale this is what keeps the
+    compacted segment count a function of DATA SIZE, not of the build's
+    partition count plus delta-append frequency."""
+    one2one = _copy_inc(idx_dirs, tmp_path_factory, "maint_c_11")
+    folded = _copy_inc(idx_dirs, tmp_path_factory, "maint_c_fold")
+    docs = _docs(spark)
+    tomb = docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    MN.delete_docs(spark, one2one, tomb)
+    MN.delete_docs(spark, folded, tomb)
+    m1 = MN.compact_index(spark, one2one,
+                          target_postings_per_segment=None)
+    m2 = MN.compact_index(spark, folded,
+                          target_postings_per_segment=10**12)
+    assert m2["n_segments"] == 1 < m1["n_segments"]
+    assert m2["n_postings"] == m1["n_postings"]
+    i1 = P.load_index(spark, one2one)
+    i2 = P.load_index(spark, folded)
+    qs = [(1, BM25_QUERY_TEXT), (2, "spark batch")]
+    assert _rows(W.search_bm25(i2, qs, k=TOPK)) == _rows(
+        W.search_bm25(i1, qs, k=TOPK)
+    )
+    assert _rows(
+        P.postings_to_tokens(i2["postings"]).select("doc_id", "term", "tf")
+    ) == _rows(
+        P.postings_to_tokens(i1["postings"]).select("doc_id", "term", "tf")
+    )
+
+
 def test_compact_structure_and_token_roundtrip(spark, compacted_idx):
     """Deltas/tombstones gone, manifest bumped, segment ids dense again
     (< DELTA_SEG_STRIDE — the namespace is reclaimed), and decoding

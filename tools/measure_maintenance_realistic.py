@@ -8,10 +8,17 @@ maintenance._postings_to_fragments runs the same global-vectorized
 decode discipline as pack_postings' encode side, and this probe is the
 evidence.
 
-Usage: python tools/measure_maintenance_realistic.py [n_docs]
-Prints one JSON line (per-op seconds at local[4] / local[16] +
-throughput scaling efficiency).  Run ALONE — host noise notes in
-BASELINE.md apply.
+Measurement method (BASELINE.md host-noise notes): the host's
+contention noise is ONE-SIDED and hits high-core configs hardest — a
+single draw of the full lifecycle at local[16] has been observed 2.4x
+slower than an interleaved retry minutes apart.  So the probe runs an
+INTERLEAVED draw schedule (default 4,16,16,4,16 — the high-core config
+gets one extra attempt) and reports the per-op MIN across draws, with
+the per-draw raw table kept for spread inspection.
+
+Usage: python tools/measure_maintenance_realistic.py [n_docs] [draws]
+  draws: comma-separated core counts, default "4,16,16,4,16"
+Prints one JSON line.  Run ALONE.
 """
 
 from __future__ import annotations
@@ -25,22 +32,71 @@ import time
 sys.path.insert(0, ".")
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4,16").split(",")
+]
 VOCAB = 200_000
-CORES = (4, 16)
 DEL_MOD = 13
 UPS_MOD = 31
 QUERY = "hot1 t17 t9431 t120007"
 
 
-def main() -> None:
+def one_draw(sp, docs_path: str, idx: str) -> tuple[dict, int, dict]:
     from pyspark.sql import functions as F
 
+    from search_engine_spark import maintenance as MN, postings as P
+    from search_engine_spark import wand as W
+    from search_engine_spark.config import BM25Params, IndexBuildConfig
+
+    docs = sp.read.parquet(docs_path)
+    shutil.rmtree(idx, ignore_errors=True)
+    t: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    P.build_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx,
+        IndexBuildConfig(), BM25Params(), content_col="text",
+    )
+    t["build_base"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    MN.append_delta(
+        docs.filter(F.col("doc_id") % 5 == 0), idx, content_col="text"
+    )
+    t["append_delta"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    MN.delete_docs(
+        sp, idx, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    t["delete_docs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    upd = docs.filter(F.col("doc_id") % UPS_MOD == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" upserted marker"))
+    )
+    MN.upsert_docs(upd, idx, content_col="text")
+    t["upsert_docs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    live = MN.live_index(sp, idx)
+    t["live_index_open"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_hits = W.search_bm25(live, [(1, QUERY)], k=10).count()
+    t["live_search"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    metrics = MN.compact_index(sp, idx)
+    t["compact_index"] = time.perf_counter() - t0
+    return t, int(n_hits), metrics
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
     from search_engine_spark.session import get_spark
 
     tmp = tempfile.mkdtemp(prefix="maint_real_")
     docs_path = f"{tmp}/docs.parquet"
-
-    from search_engine_spark.fixtures import realistic_docs_df
 
     s = get_spark("maint_real_prep", master="local[16]", shuffle_partitions=32)
     realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
@@ -48,83 +104,50 @@ def main() -> None:
     )
     s.stop()
 
-    results: dict[str, dict] = {}
-    for cores in CORES:
+    raw: dict[str, list[dict]] = {}
+    hits: dict[str, int] = {}
+    compact_metrics: dict[str, dict] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        key = f"local{cores}"
         sp = get_spark(
-            f"maint_real_{cores}",
+            f"maint_real_{cores}_{draw_no}",
             master=f"local[{cores}]",
             shuffle_partitions=cores * 2,
         )
-        from search_engine_spark import maintenance as MN, postings as P
-        from search_engine_spark import wand as W
-        from search_engine_spark.config import BM25Params, IndexBuildConfig
-
-        docs = sp.read.parquet(docs_path)
-        idx = f"{tmp}/idx_{cores}"
-        shutil.rmtree(idx, ignore_errors=True)
-        t: dict[str, float] = {}
-
-        t0 = time.perf_counter()
-        P.build_index(
-            docs.filter(F.col("doc_id") % 5 != 0), idx,
-            IndexBuildConfig(), BM25Params(), content_col="text",
-        )
-        t["build_base"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        MN.append_delta(
-            docs.filter(F.col("doc_id") % 5 == 0), idx, content_col="text"
-        )
-        t["append_delta"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        MN.delete_docs(
-            sp, idx, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
-        )
-        t["delete_docs"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        upd = docs.filter(F.col("doc_id") % UPS_MOD == 0).withColumn(
-            "text", F.concat(F.col("text"), F.lit(" upserted marker"))
-        )
-        MN.upsert_docs(upd, idx, content_col="text")
-        t["upsert_docs"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        live = MN.live_index(sp, idx)
-        t["live_index_open"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n_hits = W.search_bm25(live, [(1, QUERY)], k=10).count()
-        t["live_search"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        metrics = MN.compact_index(sp, idx)
-        t["compact_index"] = time.perf_counter() - t0
-
-        results[f"local{cores}"] = {
-            "sec": {k: round(v, 2) for k, v in t.items()},
-            "live_hits": int(n_hits),
-            "compact_metrics": {
-                k: v for k, v in metrics.items()
-                if isinstance(v, (int, float))
-            },
-        }
+        t, n_hits, metrics = one_draw(sp, docs_path, f"{tmp}/idx_{cores}")
         sp.stop()
+        raw.setdefault(key, []).append({k: round(v, 2) for k, v in t.items()})
+        hits[key] = n_hits
+        compact_metrics[key] = {
+            k: v for k, v in metrics.items() if isinstance(v, (int, float))
+        }
 
-    lo, hi = (f"local{CORES[0]}", f"local{CORES[1]}")
+    results: dict[str, dict] = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {
+                op: min(d[op] for d in draws) for op in draws[0]
+            },
+            "draws": draws,
+            "live_hits": hits[key],
+            "compact_metrics": compact_metrics[key],
+        }
+
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
     eff = {
         op: round(
-            results[lo]["sec"][op]
-            / (results[hi]["sec"][op] * (CORES[1] / CORES[0])),
-            3,
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
         )
-        for op in results[lo]["sec"]
-        if results[hi]["sec"][op] > 0
+        for op in results[lo]["sec_min"]
+        if results[hi]["sec_min"][op] > 0
     }
     print(json.dumps({
         "probe": "maintenance_lifecycle_realistic",
         "n_docs": N_DOCS,
         "vocab": VOCAB,
+        "estimator": f"min over draws {DRAWS}",
         **results,
         "efficiency_n_to_4n": eff,
     }))
