@@ -221,7 +221,8 @@ def main() -> None:
     for name in ("dup_line_stats", "embedding_near_dup_lsh",
                  "trigram_literal_search", "trigram_literal_pruned",
                  "subtoken_tf", "subtoken_search",
-                 "trigram_regex_search", "extract_symbols"):
+                 "trigram_regex_search", "extract_symbols",
+                 "trigram_search_nocase"):
         t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}

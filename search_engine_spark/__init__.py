@@ -142,6 +142,8 @@ _EXPORTS = {
     "redact_pii": "ops.redact:redact_pii",
     # code search: trigram literal index + identifier subtokens
     "trigram_postings": "ops.codesearch:trigram_postings",
+    "write_trigram_index": "ops.codesearch:write_trigram_index",
+    "load_trigram_index": "ops.codesearch:load_trigram_index",
     "literal_search": "ops.codesearch:literal_search",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",
     "split_identifier_py": "ops.codesearch:split_identifier_py",

@@ -277,6 +277,71 @@ def cmd_search(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_trigram_index(args: argparse.Namespace) -> None:
+    """Persist the char-trigram posting index (the grep artifact).
+
+    Beyond-reference code-search surface: the reference's word-level
+    index (Tokenizer.cs byte-class splits) cannot answer substring or
+    regex queries; this layout serves them at corpus scale."""
+    from .ops.codesearch import write_trigram_index
+
+    spark = _get_spark("se-spark-trigram-index")
+    t0 = time.time()
+    docs = spark.read.parquet(args.documents)
+    write_trigram_index(
+        docs, args.index_dir, text_col=args.content_col,
+        id_col=args.doc_id_col,
+    )
+    n = spark.read.parquet(args.index_dir).count()
+    print(json.dumps({
+        "index_dir": args.index_dir,
+        "postings": n,
+        "sec": round(time.time() - t0, 3),
+    }))
+
+
+def cmd_grep(args: argparse.Namespace) -> None:
+    """Literal / regex search over the corpus through the trigram index
+    (built on the fly when --index is not given)."""
+    from .ops.codesearch import literal_search, load_trigram_index
+    from .ops.regexsearch import regex_search, trigram_query
+
+    spark = _get_spark("se-spark-grep")
+    t0 = time.time()
+    docs = spark.read.parquet(args.documents)
+    postings = (
+        load_trigram_index(spark, args.index) if args.index else None
+    )
+    if args.regex:
+        res = regex_search(
+            docs, args.pattern, postings=postings,
+            text_col=args.content_col, id_col=args.doc_id_col,
+        )
+        n_clauses = len(trigram_query(args.pattern))
+    else:
+        res = literal_search(
+            docs, args.pattern, postings=postings,
+            text_col=args.content_col, id_col=args.doc_id_col,
+            prune_k=args.prune_k,
+        )
+        n_clauses = None
+    count_col = "n_matches" if args.regex else "n_occurrences"
+    rows = res.orderBy(F.desc(count_col), F.asc("doc_id")).limit(
+        args.limit
+    ).collect()
+    n_total = res.count()
+    print(json.dumps({
+        "pattern": args.pattern,
+        "regex": bool(args.regex),
+        "index_pruned": (not args.regex) or n_clauses > 0,
+        "cnf_clauses": n_clauses,
+        "matching_docs": n_total,
+        "top": [{"doc_id": r["doc_id"], count_col: r[count_col]}
+                for r in rows],
+        "sec": round(time.time() - t0, 3),
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="search_engine_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -329,6 +394,36 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("--desc", action="store_true")
     se.add_argument("--narr", action="store_true")
     se.set_defaults(fn=cmd_search)
+
+    ti = sub.add_parser(
+        "trigram-index",
+        help="persist the char-trigram posting index (grep artifact)",
+    )
+    ti.add_argument("documents", help="parquet path of the documents table")
+    ti.add_argument("index_dir")
+    ti.add_argument("--doc-id-col", default="doc_id")
+    ti.add_argument("--content-col", default="content")
+    ti.set_defaults(fn=cmd_trigram_index)
+
+    gr = sub.add_parser(
+        "grep", help="literal/regex substring search via the trigram index"
+    )
+    gr.add_argument("documents", help="parquet path of the documents table")
+    gr.add_argument("pattern")
+    gr.add_argument("--regex", action="store_true",
+                    help="treat pattern as a regex (Java/RE2-common "
+                         "subset analyzed for trigram pruning; anything "
+                         "else falls back to a verified full scan)")
+    gr.add_argument("--index", default=None,
+                    help="persisted trigram-index dir (trigram-index "
+                         "subcommand); built on the fly when omitted")
+    gr.add_argument("--prune-k", type=int, default=None, dest="prune_k",
+                    help="intersect only the k rarest needle trigrams "
+                         "(literal mode)")
+    gr.add_argument("--limit", type=int, default=20)
+    gr.add_argument("--doc-id-col", default="doc_id")
+    gr.add_argument("--content-col", default="content")
+    gr.set_defaults(fn=cmd_grep)
 
     args = ap.parse_args(argv)
     args.fn(args)

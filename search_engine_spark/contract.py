@@ -3666,6 +3666,33 @@ def _ident_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LITERAL_NEEDLE_NOCASE = "WINdow TABle"
+
+
+def q_trigram_search_nocase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive literal search (ops.codesearch.literal_search
+    ignore_case — the Zoekt folded-index form): trigram postings are
+    extracted from lower(content), the needle folds before trigram
+    derivation, and verification compares lower vs lower in the JVM.
+    Oracle: brute contains(lower(text), lower(needle)) scan."""
+    from .ops import codesearch as CS
+
+    return CS.literal_search(
+        _docs(spark, sf_dir), LITERAL_NEEDLE_NOCASE, ignore_case=True
+    )
+
+
+def _sql_literal_nocase(needle: str) -> str:
+    esc = needle.lower().replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST((length(lower(text)) - length(replace(lower(text), '{esc}', '')))
+            // {len(needle)} AS BIGINT) AS n_occurrences
+FROM documents
+WHERE contains(lower(text), '{esc}')
+"""
+
+
 def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier subtoken analysis (ops.codesearch.split_identifier_expr
     + subtoken_tf): camelCase/PascalCase/ACRONYM/snake_case/digit
@@ -3873,13 +3900,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     index-lifecycle builds land last.  Per-query costs measured with
     tools/verify_contract.py on this host, 2026-08-18."""
     return {
-        # --- new in round 4 / never driver-sampled in round 3: first ---
-        "trigram_regex_search": q_trigram_regex_search,
+        # --- new in round 4 / never driver-sampled in round 3: first
+        # (cheapest-first within the block; regex CNF pays plan compile) ---
         "extract_symbols": q_extract_symbols,
-        "trigram_literal_search": q_trigram_literal_search,
+        "subtoken_search": q_subtoken_search,
         "trigram_literal_pruned": q_trigram_literal_pruned,
         "subtoken_tf": q_subtoken_tf,
-        "subtoken_search": q_subtoken_search,
+        "trigram_search_nocase": q_trigram_search_nocase,
+        "trigram_literal_search": q_trigram_literal_search,
+        "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -4062,6 +4091,7 @@ FROM tok GROUP BY term
         "gopher_repetition": _sql_gopher_repetition(),
         "dup_line_stats": _sql_dup_line_stats(),
         "trigram_regex_search": _sql_trigram_regex(),
+        "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

@@ -57,6 +57,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "char_trigrams_expr",
     "trigram_postings",
+    "write_trigram_index",
+    "load_trigram_index",
+    "tg_bucket_py",
     "trigram_df",
     "needle_trigrams",
     "literal_candidates",
@@ -94,18 +97,77 @@ def char_trigrams_expr(col: Column) -> Column:
 
 
 def trigram_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_case: bool = False,
 ) -> DataFrame:
     """(trigram, doc_id) — one row per DISTINCT trigram per doc.
 
     array_distinct dedupes inside the doc before the explode, so no
     distinct-shuffle is needed; the output is already set-semantics.
     Persist this bucketed by trigram for repeated queries (same
-    layout discipline as the word index, postings.py)."""
+    layout discipline as the word index, postings.py).
+
+    fold_case=True lowercases content before trigram extraction (the
+    Zoekt case-folded index): case-insensitive literal_search queries
+    need postings built this way."""
+    col = F.lower(F.col(text_col)) if fold_case else F.col(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_trigrams_expr(F.col(text_col))).alias("trigram"),
+        F.explode(char_trigrams_expr(col)).alias("trigram"),
     ).select("trigram", "doc_id")
+
+
+def _tg_bucket_expr(col: Column) -> Column:
+    """Partition bucket of a trigram: hex of its first character's UTF-8
+    bytes — derivable from the trigram alone on BOTH the write side (a
+    JVM expression) and the query side (tg_bucket_py), so bucket pruning
+    needs no stored bucket-count metadata, and hex keeps partition
+    directory names filesystem-safe for arbitrary bytes."""
+    return F.hex(F.substring(col, 1, 1))
+
+
+def tg_bucket_py(trigram: str) -> str:
+    """Driver-side twin of _tg_bucket_expr (pinned equal in pytest)."""
+    return trigram[0].encode("utf-8").hex().upper()
+
+
+def write_trigram_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the trigram posting index partitioned by leading-char
+    bucket, so literal/regex queries prune to only the directories
+    holding their needle's trigrams (PartitionFilters at the scan —
+    same layout discipline as the word index's term buckets).  Build
+    once, serve many queries; at corpus scale this is the artifact a
+    grep service reads."""
+    p = trigram_postings(docs, text_col, id_col)
+    (
+        p.withColumn("tg_bucket", _tg_bucket_expr(F.col("trigram")))
+        .write.mode("overwrite")
+        .partitionBy("tg_bucket")
+        .parquet(path)
+    )
+
+
+def load_trigram_index(spark, path: str) -> DataFrame:
+    """Read a write_trigram_index() layout; literal_candidates /
+    regex_candidates recognize the tg_bucket column and add the
+    partition-pruning filter automatically."""
+    return spark.read.parquet(path)
+
+
+def _bucket_pruned(postings: DataFrame, trigrams) -> DataFrame:
+    """Add the partition filter when the postings carry the persisted
+    layout's bucket column (no-op for in-memory postings)."""
+    if "tg_bucket" in postings.columns:
+        buckets = sorted({tg_bucket_py(t) for t in trigrams})
+        postings = postings.filter(F.col("tg_bucket").isin(buckets))
+    return postings
 
 
 def trigram_df(postings: DataFrame) -> DataFrame:
@@ -142,7 +204,8 @@ def literal_candidates(
     if not want:
         raise ValueError("empty trigram list selects the whole corpus")
     return (
-        postings.filter(F.col("trigram").isin(want))
+        _bucket_pruned(postings, want)
+        .filter(F.col("trigram").isin(want))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_grams"))
         .filter(F.col("n_grams") == len(want))
@@ -167,26 +230,37 @@ def literal_search(
     text_col: str = "text",
     id_col: str = "doc_id",
     prune_k: int | None = None,
+    ignore_case: bool = False,
 ) -> DataFrame:
     """Verified literal substring search: (doc_id, n_occurrences) for
     every doc whose content contains `needle`, answered through the
     trigram index.
 
     postings: a prebuilt trigram_postings() index (reused across
-    queries); built one-shot from `docs` when None.
+    queries); built one-shot from `docs` when None.  With
+    ignore_case=True the index must have been built with
+    fold_case=True (it is, when built here).
     prune_k: intersect only the k rarest of the needle's trigrams
     (df probed from the index — one tiny agg whose result is at most
     len(needle)-2 rows). The candidate set grows but stays a superset;
     the contains() verification keeps the final answer identical.
+    ignore_case: Zoekt-style case-insensitive search — needle and
+    content both lowercase (verification folds BOTH sides in the JVM,
+    so engine semantics decide; the driver-side needle fold only steers
+    candidate pruning and assumes ASCII-compatible case mapping).
 
     Candidates are BROADCAST against the corpus scan — content bytes
     move only for candidate rows, and the corpus is never shuffled."""
     if postings is None:
-        postings = trigram_postings(docs, text_col, id_col)
+        postings = trigram_postings(docs, text_col, id_col,
+                                    fold_case=ignore_case)
+    if ignore_case:
+        needle = needle.lower()
     grams = needle_trigrams(needle)
     if prune_k is not None and 0 < prune_k < len(grams):
         dfs = (
-            postings.filter(F.col("trigram").isin(grams))
+            _bucket_pruned(postings, grams)
+            .filter(F.col("trigram").isin(grams))
             .groupBy("trigram")
             .agg(F.count("*").alias("df"))
             .collect()
@@ -200,13 +274,12 @@ def literal_search(
         grams = sorted(sorted(by_df), key=lambda t: (by_df[t], t))[:prune_k]
     cand = literal_candidates(postings, needle, grams)
     verified = docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])
+    tcol = F.lower(F.col(text_col)) if ignore_case else F.col(text_col)
     return (
-        verified.filter(F.contains(F.col(text_col), F.lit(needle)))
+        verified.filter(F.contains(tcol, F.lit(needle)))
         .select(
             docs[id_col].cast("long").alias("doc_id"),
-            count_occurrences_expr(F.col(text_col), needle).alias(
-                "n_occurrences"
-            ),
+            count_occurrences_expr(tcol, needle).alias("n_occurrences"),
         )
     )
 

@@ -394,6 +394,9 @@ def regex_candidates(postings: DataFrame, query: Query) -> DataFrame:
     ]
     spark = postings.sparkSession
     tri = spark.createDataFrame(rows, "trigram string, clause int")
+    from .codesearch import _bucket_pruned
+
+    postings = _bucket_pruned(postings, {t for t, _ in rows})
     return (
         postings.join(F.broadcast(tri), "trigram")
         .groupBy("doc_id")

@@ -146,6 +146,32 @@ def test_missing_trigram_short_circuits(code_docs):
     assert [f.name for f in out.schema.fields] == ["doc_id", "n_occurrences"]
 
 
+def test_ignore_case_search(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Window Table scan"),
+            (2, "WINDOW TABLE"),
+            (3, "window table window table"),
+            (4, "windowtable"),
+            (5, "wind ow table"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in CS.literal_search(
+            docs, "wInDoW tAbLe", ignore_case=True
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 2)}
+    # case-sensitive form on the same docs: only the lowercase doc
+    got_cs = {
+        r["doc_id"]
+        for r in CS.literal_search(docs, "window table").collect()
+    }
+    assert got_cs == {3}
+
+
 def test_short_needle_raises():
     with pytest.raises(ValueError):
         CS.needle_trigrams("ab")
@@ -171,6 +197,103 @@ def test_trigram_expr_matches_py(spark):
     for t in texts:
         want = CS.needle_trigrams(t) if len(t) >= 3 else []
         assert got[t] == want, repr(t)
+
+
+# ---------------------------------------------------------------------------
+# persisted trigram index (bucket-pruned layout)
+# ---------------------------------------------------------------------------
+
+
+def test_tg_bucket_twins(spark):
+    texts = ["abc", " xy", "héllo", "0z9", "\twin"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: r["b"]
+        for r in df.select("t", CS._tg_bucket_expr(F.col("t")).alias("b"))
+        .collect()
+    }
+    for t in texts:
+        assert got[t] == CS.tg_bucket_py(t), repr(t)
+
+
+def test_persisted_index_identical_and_pruned(code_docs, tmp_path):
+    from search_engine_spark.ops import regexsearch as RS
+
+    path = str(tmp_path / "tgidx")
+    CS.write_trigram_index(code_docs, path)
+    spark = code_docs.sparkSession
+    idx = CS.load_trigram_index(spark, path)
+
+    needle = "window table"
+    mem = {tuple(r) for r in CS.literal_search(code_docs, needle).collect()}
+    disk = {
+        tuple(r)
+        for r in CS.literal_search(code_docs, needle, postings=idx).collect()
+    }
+    assert disk == mem
+    pruned = {
+        tuple(r)
+        for r in CS.literal_search(
+            code_docs, needle, postings=idx, prune_k=2
+        ).collect()
+    }
+    assert pruned == mem
+
+    pattern = "win(dow|ter) table"
+    mem_re = {
+        tuple(r) for r in RS.regex_search(code_docs, pattern).collect()
+    }
+    disk_re = {
+        tuple(r)
+        for r in RS.regex_search(code_docs, pattern, postings=idx).collect()
+    }
+    assert disk_re == mem_re
+
+    # the persisted layout must partition-prune on tg_bucket
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CS.literal_search(
+            code_docs, needle, postings=idx
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "tg_bucket" in plan
+
+
+def test_cli_grep_and_trigram_index(spark, tmp_path):
+    import json as _json
+
+    from search_engine_spark.__main__ import main as cli_main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha window table beta"), (2, "gamma delta"),
+         (3, "window table window table")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    idx_path = str(tmp_path / "tgidx")
+
+    import contextlib
+    import io
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        cli_main(["trigram-index", docs_path, idx_path,
+                  "--content-col", "text"])
+        cli_main(["grep", docs_path, "window table",
+                  "--index", idx_path, "--content-col", "text"])
+        cli_main(["grep", docs_path, "window (table|seat)", "--regex",
+                  "--index", idx_path, "--content-col", "text"])
+    lines = [_json.loads(ln) for ln in out.getvalue().strip().splitlines()]
+    assert lines[0]["postings"] > 0
+    assert lines[1]["matching_docs"] == 2
+    assert {d["doc_id"]: d["n_occurrences"] for d in lines[1]["top"]} == {
+        1: 1, 3: 2,
+    }
+    assert lines[2]["matching_docs"] == 2
+    assert lines[2]["cnf_clauses"] > 0
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,9 @@ N_PROC = int(os.environ.get("AB_BENCH_PROCS", "3"))  # processes per variant
 REPS = int(os.environ.get("AB_BENCH_REPS", "3"))  # in-process reps per probe
 
 # round tips (git history is append-only across rounds)
-VARIANTS = {"r1": "83ed06f", "r2": "ac3ec3f", "r3": None}  # None = this tree
+# round tips: r2/r3 as judged; r4 = this tree.  (r1 83ed06f dropped from
+# the default set in round 4 — the open question is r3-vs-r2 tfidf.)
+VARIANTS = {"r2": "ac3ec3f", "r3": "d6b7328", "r4": None}  # None = this tree
 
 RUNNER = r'''
 import json, os, sys, time

@@ -1,0 +1,133 @@
+"""Two-parallelism scaling probe for the code-search surface
+(round 4): trigram index build (write_trigram_index) + literal grep +
+regex grep over a realistic corpus, at local[4] vs local[16].
+
+The trigram index is ~#chars posting rows — the heaviest artifact in
+the repo relative to its input — so its build is the interesting
+scaling subject; query latency should stay flat with corpus size
+thanks to bucket pruning + candidate broadcast.
+
+Method per BASELINE.md host-noise notes: interleaved draw schedule,
+per-op MIN across draws (one-sided contention noise), high-core config
+gets the extra draw.  Run ALONE.
+
+Usage: python tools/measure_trigram_scaling.py [n_docs] [draws]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4,16").split(",")
+]
+VOCAB = 200_000
+# rare needle: a long-tail term (df ~ tail_tokens/vocab * n_docs ~ 40)
+NEEDLE = "t9431"
+# common needle crossing a word boundary (word indexes can't see it):
+# present in ~90% of docs — measures verification throughput
+NEEDLE_COMMON = "hot3 hot4"
+PATTERN = "(t943|t887)[0-9]"
+
+
+def one_draw(sp, docs_path: str, idx: str) -> dict:
+    from search_engine_spark.ops.codesearch import (
+        literal_search, load_trigram_index, write_trigram_index,
+    )
+    from search_engine_spark.ops.regexsearch import regex_search
+
+    docs = sp.read.parquet(docs_path)
+    shutil.rmtree(idx, ignore_errors=True)
+    t: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    write_trigram_index(docs, idx)
+    t["trigram_index_build"] = time.perf_counter() - t0
+
+    postings = load_trigram_index(sp, idx)
+    t0 = time.perf_counter()
+    t["grep_rare_hits"] = literal_search(
+        docs, NEEDLE, postings=postings
+    ).count()
+    t["grep_rare"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    t["grep_common_hits"] = literal_search(
+        docs, NEEDLE_COMMON, postings=postings, prune_k=2
+    ).count()
+    t["grep_common_pruned"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    t["regex_hits"] = regex_search(docs, PATTERN, postings=postings).count()
+    t["grep_regex"] = time.perf_counter() - t0
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="tg_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+
+    s = get_spark("tg_scale_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"tg_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        t = one_draw(sp, docs_path, f"{tmp}/tgidx_{cores}")
+        sp.stop()
+        raw.setdefault(f"local{cores}", []).append(
+            {k: (round(v, 2) if isinstance(v, float) else v)
+             for k, v in t.items()}
+        )
+
+    ops = [k for k in next(iter(raw.values()))[0] if not k.endswith("_hits")]
+    results = {
+        key: {
+            "sec_min": {op: min(d[op] for d in draws) for op in ops},
+            "draws": draws,
+        }
+        for key, draws in raw.items()
+    }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio),
+            3,
+        )
+        for op in ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "trigram_codesearch_scaling",
+        "n_docs": N_DOCS,
+        "vocab": VOCAB,
+        "needle": NEEDLE,
+        "pattern": PATTERN,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
