@@ -143,8 +143,11 @@ _EXPORTS = {
     # code search: trigram literal index + identifier subtokens
     "trigram_postings": "ops.codesearch:trigram_postings",
     "write_trigram_index": "ops.codesearch:write_trigram_index",
+    "append_trigram_index": "ops.codesearch:append_trigram_index",
+    "resumable_trigram_build": "ops.codesearch:resumable_trigram_build",
     "load_trigram_index": "ops.codesearch:load_trigram_index",
     "literal_search": "ops.codesearch:literal_search",
+    "grep_lines": "ops.codesearch:grep_lines",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",
     "split_identifier_py": "ops.codesearch:split_identifier_py",
     "subtoken_tf": "ops.codesearch:subtoken_tf",

@@ -300,10 +300,33 @@ def cmd_trigram_index(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_trigram_append(args: argparse.Namespace) -> None:
+    """Delta-append new/updated docs into a persisted trigram index —
+    cost ∝ the delta; search through the unioned generations stays
+    exact (soundness argument in ops.codesearch.append_trigram_index)."""
+    from .ops.codesearch import append_trigram_index
+
+    spark = _get_spark("se-spark-trigram-append")
+    t0 = time.time()
+    docs = spark.read.parquet(args.documents)
+    append_trigram_index(
+        docs, args.index_dir, text_col=args.content_col,
+        id_col=args.doc_id_col,
+    )
+    print(json.dumps({
+        "index_dir": args.index_dir,
+        "sec": round(time.time() - t0, 3),
+    }))
+
+
 def cmd_grep(args: argparse.Namespace) -> None:
     """Literal / regex search over the corpus through the trigram index
     (built on the fly when --index is not given)."""
-    from .ops.codesearch import literal_search, load_trigram_index
+    from .ops.codesearch import (
+        grep_lines,
+        literal_search,
+        load_trigram_index,
+    )
     from .ops.regexsearch import regex_search, trigram_query
 
     spark = _get_spark("se-spark-grep")
@@ -312,6 +335,23 @@ def cmd_grep(args: argparse.Namespace) -> None:
     postings = (
         load_trigram_index(spark, args.index) if args.index else None
     )
+    if args.lines:
+        if args.regex:
+            raise SystemExit("--lines is literal-mode only (no --regex)")
+        res = grep_lines(
+            docs, args.pattern, postings=postings,
+            text_col=args.content_col, id_col=args.doc_id_col,
+            prune_k=args.prune_k,
+        )
+        rows = res.orderBy("doc_id", "line_no").limit(args.limit).collect()
+        print(json.dumps({
+            "pattern": args.pattern,
+            "matching_lines": res.count(),
+            "top": [{"doc_id": r["doc_id"], "line_no": r["line_no"],
+                     "line": r["line"]} for r in rows],
+            "sec": round(time.time() - t0, 3),
+        }))
+        return
     if args.regex:
         res = regex_search(
             docs, args.pattern, postings=postings,
@@ -405,6 +445,16 @@ def main(argv: list[str] | None = None) -> None:
     ti.add_argument("--content-col", default="content")
     ti.set_defaults(fn=cmd_trigram_index)
 
+    ta = sub.add_parser(
+        "trigram-append",
+        help="delta-append new/updated docs into a trigram index",
+    )
+    ta.add_argument("documents", help="parquet path of the DELTA docs")
+    ta.add_argument("index_dir")
+    ta.add_argument("--doc-id-col", default="doc_id")
+    ta.add_argument("--content-col", default="content")
+    ta.set_defaults(fn=cmd_trigram_append)
+
     gr = sub.add_parser(
         "grep", help="literal/regex substring search via the trigram index"
     )
@@ -420,6 +470,9 @@ def main(argv: list[str] | None = None) -> None:
     gr.add_argument("--prune-k", type=int, default=None, dest="prune_k",
                     help="intersect only the k rarest needle trigrams "
                          "(literal mode)")
+    gr.add_argument("--lines", action="store_true",
+                    help="report per-line matches (doc_id, line_no, "
+                         "line) instead of per-doc counts")
     gr.add_argument("--limit", type=int, default=20)
     gr.add_argument("--doc-id-col", default="doc_id")
     gr.add_argument("--content-col", default="content")

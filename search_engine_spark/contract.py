@@ -3693,6 +3693,48 @@ WHERE contains(lower(text), '{esc}')
 """
 
 
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus texts are single-line; re-line them deterministically
+    (every ' sort ' literal becomes a newline) so grep line numbers are
+    non-trivial and multi-match lines occur.  Restated verbatim in the
+    oracle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" sort "), F.lit("\n")).alias("text"),
+    )
+
+
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level grep output (ops.codesearch.grep_lines): (doc_id,
+    line_no, line, n_occurrences) for every line containing the needle.
+    The line split runs AFTER the trigram-candidate broadcast join, so
+    only matching docs' content is ever exploded.  Oracle: the same
+    re-lining + LATERAL unnest-with-ordinality line split + contains
+    filter, brute over all docs."""
+    from .ops import codesearch as CS
+
+    return CS.grep_lines(_multiline_docs(spark, sf_dir), LITERAL_NEEDLE)
+
+
+def _sql_grep_lines(needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"""
+WITH ml AS (
+  SELECT doc_id, replace(text, ' sort ', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM ml),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
+       CAST((length(line) - length(replace(line, '{esc}', '')))
+            // {len(needle)} AS BIGINT) AS n_occurrences
+FROM l
+WHERE contains(line, '{esc}')
+"""
+
+
 def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier subtoken analysis (ops.codesearch.split_identifier_expr
     + subtoken_tf): camelCase/PascalCase/ACRONYM/snake_case/digit
@@ -3907,6 +3949,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_literal_pruned": q_trigram_literal_pruned,
         "subtoken_tf": q_subtoken_tf,
         "trigram_search_nocase": q_trigram_search_nocase,
+        "grep_lines": q_grep_lines,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4092,6 +4135,7 @@ FROM tok GROUP BY term
         "dup_line_stats": _sql_dup_line_stats(),
         "trigram_regex_search": _sql_trigram_regex(),
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
+        "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

@@ -58,6 +58,8 @@ __all__ = [
     "char_trigrams_expr",
     "trigram_postings",
     "write_trigram_index",
+    "append_trigram_index",
+    "resumable_trigram_build",
     "load_trigram_index",
     "tg_bucket_py",
     "trigram_df",
@@ -65,6 +67,7 @@ __all__ = [
     "literal_candidates",
     "count_occurrences_expr",
     "literal_search",
+    "grep_lines",
     "SYMBOL_RULES",
     "extract_symbols",
     "split_identifier_expr",
@@ -154,6 +157,119 @@ def write_trigram_index(
     )
 
 
+def append_trigram_index(
+    docs_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Delta-append postings for NEW or UPDATED docs into an existing
+    write_trigram_index layout (parquet mode=append into the same
+    bucket directories) — cost ∝ the delta, never the corpus, and NO
+    read-side merge bookkeeping, because search stays exact over the
+    unioned generations by construction:
+
+    * new docs: their postings land; intersections see them.
+    * upserted docs: the new version's postings UNION the stale ones —
+      the union contains every new-content trigram, so the candidate
+      intersection stays a superset of true matches (stale extra
+      trigrams only ADD candidates), and every candidate is re-verified
+      against CURRENT content.
+    * deleted docs: stale postings survive, but verification joins
+      candidates against the CURRENT corpus, so they drop out.
+    * duplicate (trigram, doc_id) rows across generations cannot break
+      the intersection count — literal_candidates uses an idempotent
+      bit_or mask and regex_candidates counts DISTINCT clauses.
+
+    The only cost of never compacting is a larger candidate superset
+    for upsert-heavy corpora; rebuild with write_trigram_index to shed
+    stale generations."""
+    p = trigram_postings(docs_new, text_col, id_col)
+    (
+        p.withColumn("tg_bucket", _tg_bucket_expr(F.col("trigram")))
+        .write.mode("append")
+        .partitionBy("tg_bucket")
+        .parquet(path)
+    )
+
+
+def resumable_trigram_build(
+    docs: DataFrame,
+    path: str,
+    n_chunks: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_expr: str | None = None,
+    fail_after_chunks: int | None = None,
+) -> dict:
+    """Checkpoint-resumable trigram index build (north-rule discipline,
+    same shape as resume.resumable_build for the word index): docs
+    split into n_chunks deterministic hash chunks, each chunk's
+    postings appended into the bucket-partitioned layout and recorded
+    in the same idempotent (phase, chunk) ledger — kept under an
+    underscore-prefixed dir so the postings reader never sees it.
+
+    Resume needs only AT-LEAST-ONCE chunk semantics, not exactly-once:
+    a crash between a chunk's parquet commit and its ledger row makes
+    the rerun re-append that chunk, producing duplicate (trigram,
+    doc_id) rows — which search tolerates by construction (bit_or /
+    countDistinct candidate counting).  No two-phase commit, no
+    staging-then-finalize move.
+
+    fail_after_chunks: test hook — raise after that many NEW chunks."""
+    import json as _json
+    import os
+    import time as _time
+
+    from ..resume import _append_ledger, completed_chunks
+
+    spark = docs.sparkSession
+    cexpr = chunk_expr or f"pmod(xxhash64(cast({id_col} as long)), {n_chunks})"
+    ledger_root = os.path.join(path, "_ledger_root")
+
+    plan_path = os.path.join(ledger_root, "staging_plan.json")
+    plan = {"n_chunks": n_chunks, "chunk_expr": cexpr}
+    if os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            prev = _json.load(fh)
+        if prev != plan:
+            raise ValueError(
+                f"resume chunking mismatch: index was staged with {prev}, "
+                f"this invocation uses {plan}"
+            )
+    else:
+        os.makedirs(ledger_root, exist_ok=True)
+        with open(plan_path, "w") as fh:
+            _json.dump(plan, fh)
+
+    done = completed_chunks(spark, ledger_root)
+    t0 = _time.perf_counter()
+    built = 0
+    for c in range(n_chunks):
+        if c in done:
+            continue
+        if fail_after_chunks is not None and built >= fail_after_chunks:
+            raise RuntimeError(
+                f"injected failure after {built} chunks (test hook)"
+            )
+        tc = _time.perf_counter()
+        chunk = docs.filter(F.expr(f"({cexpr}) = {c}"))
+        n_docs = chunk.count()
+        append_trigram_index(chunk, path, text_col=text_col, id_col=id_col)
+        _append_ledger(
+            spark, ledger_root,
+            ("chunk", c, f"({cexpr}) = {c}", n_docs, -1, -1, "",
+             round(_time.perf_counter() - tc, 3), _time.time()),
+        )
+        built += 1
+    return {
+        "chunks_total": n_chunks,
+        "chunks_skipped": len(done),
+        "chunks_built": built,
+        "sec_total": round(_time.perf_counter() - t0, 3),
+    }
+
+
 def load_trigram_index(spark, path: str) -> DataFrame:
     """Read a write_trigram_index() layout; literal_candidates /
     regex_candidates recognize the tg_bucket column and add the
@@ -198,16 +314,42 @@ def literal_candidates(
 
     Pass a subset of the needle's trigrams (e.g. the k rarest) for
     pruned search: still a superset, cheaper aggregation. The isin
-    filter is pushed into the postings scan; the HAVING count runs as
-    one partial+final agg — nothing corpus-sized shuffles."""
+    filter is pushed into the postings scan; the intersection runs as
+    one partial+final agg — nothing corpus-sized shuffles.
+
+    The intersection test is an idempotent bit_or over driver-assigned
+    per-trigram bits, so duplicate (trigram, doc_id) rows — which
+    append_trigram_index delta generations legitimately produce — can
+    never inflate the count, at the cost of zero extra exchanges
+    (count DISTINCT would plan a second shuffle; bit_or keeps map-side
+    combine on the single doc_id exchange).  Needles with more than 63
+    distinct trigrams (bits would overflow a long) fall back to
+    countDistinct — at that needle length the candidate set is tiny
+    anyway."""
     want = trigrams if trigrams is not None else needle_trigrams(needle)
     if not want:
         raise ValueError("empty trigram list selects the whole corpus")
+    pruned = _bucket_pruned(postings, want).filter(
+        F.col("trigram").isin(want)
+    )
+    if len(want) <= 63:
+        bits = F.create_map(
+            *[
+                lit
+                for i, t in enumerate(sorted(want))
+                for lit in (F.lit(t), F.lit(1 << i))
+            ]
+        )
+        full = (1 << len(want)) - 1
+        return (
+            pruned.groupBy("doc_id")
+            .agg(F.bit_or(F.element_at(bits, F.col("trigram"))).alias("m"))
+            .filter(F.col("m") == full)
+            .select("doc_id")
+        )
     return (
-        _bucket_pruned(postings, want)
-        .filter(F.col("trigram").isin(want))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"))
+        pruned.groupBy("doc_id")
+        .agg(F.count_distinct("trigram").alias("n_grams"))
         .filter(F.col("n_grams") == len(want))
         .select("doc_id")
     )
@@ -221,6 +363,47 @@ def count_occurrences_expr(col: Column, needle: str) -> Column:
         (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
         / F.lit(len(needle))
     ).cast("long")
+
+
+def _candidate_rows(
+    docs: DataFrame,
+    needle: str,
+    postings: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    prune_k: int | None,
+    ignore_case: bool,
+) -> tuple[DataFrame | None, str]:
+    """Shared candidate machinery of literal_search / grep_lines:
+    returns (candidate rows of `docs` broadcast-semi-joined against the
+    trigram intersection — a guaranteed superset of true matches — and
+    the case-folded needle).  (None, needle) means a needle trigram has
+    no postings at all, so the answer is provably empty without
+    touching the corpus."""
+    if postings is None:
+        postings = trigram_postings(docs, text_col, id_col,
+                                    fold_case=ignore_case)
+    if ignore_case:
+        needle = needle.lower()
+    grams = needle_trigrams(needle)
+    if prune_k is not None and 0 < prune_k < len(grams):
+        dfs = (
+            _bucket_pruned(postings, grams)
+            .filter(F.col("trigram").isin(grams))
+            .groupBy("trigram")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )  # <= len(needle)-2 rows — driver-safe by construction
+        by_df = {r["trigram"]: r["df"] for r in dfs}
+        if len(by_df) < len(grams):
+            # a trigram with no postings ⇒ no doc can contain the needle
+            return None, needle
+        grams = sorted(sorted(by_df), key=lambda t: (by_df[t], t))[:prune_k]
+    cand = literal_candidates(postings, needle, grams)
+    return (
+        docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"]),
+        needle,
+    )
 
 
 def literal_search(
@@ -251,35 +434,60 @@ def literal_search(
 
     Candidates are BROADCAST against the corpus scan — content bytes
     move only for candidate rows, and the corpus is never shuffled."""
-    if postings is None:
-        postings = trigram_postings(docs, text_col, id_col,
-                                    fold_case=ignore_case)
-    if ignore_case:
-        needle = needle.lower()
-    grams = needle_trigrams(needle)
-    if prune_k is not None and 0 < prune_k < len(grams):
-        dfs = (
-            _bucket_pruned(postings, grams)
-            .filter(F.col("trigram").isin(grams))
-            .groupBy("trigram")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        )  # <= len(needle)-2 rows — driver-safe by construction
-        by_df = {r["trigram"]: r["df"] for r in dfs}
-        if len(by_df) < len(grams):
-            # a trigram with no postings ⇒ no doc can contain the needle
-            return docs.sparkSession.createDataFrame(
-                [], "doc_id long, n_occurrences long"
-            )
-        grams = sorted(sorted(by_df), key=lambda t: (by_df[t], t))[:prune_k]
-    cand = literal_candidates(postings, needle, grams)
-    verified = docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])
+    verified, needle = _candidate_rows(
+        docs, needle, postings, text_col, id_col, prune_k, ignore_case
+    )
+    if verified is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_occurrences long"
+        )
     tcol = F.lower(F.col(text_col)) if ignore_case else F.col(text_col)
     return (
         verified.filter(F.contains(tcol, F.lit(needle)))
         .select(
             docs[id_col].cast("long").alias("doc_id"),
             count_occurrences_expr(tcol, needle).alias("n_occurrences"),
+        )
+    )
+
+
+def grep_lines(
+    docs: DataFrame,
+    needle: str,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_k: int | None = None,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """grep's actual output shape: (doc_id, line_no, line,
+    n_occurrences) — one row per LINE containing the needle.
+
+    Same trigram candidate machinery as literal_search; the line split
+    (posexplode over split-by-newline) runs AFTER the broadcast
+    candidate join, so the explode touches only candidate docs' content
+    — at corpus scale the per-line work is proportional to the match
+    set, never to the corpus.  line_no is 1-based; n_occurrences counts
+    non-overlapping needle hits within the line."""
+    verified, needle = _candidate_rows(
+        docs, needle, postings, text_col, id_col, prune_k, ignore_case
+    )
+    if verified is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, line_no long, line string, n_occurrences long"
+        )
+    lines = verified.select(
+        docs[id_col].cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    lcol = F.lower(F.col("line")) if ignore_case else F.col("line")
+    return (
+        lines.filter(F.contains(lcol, F.lit(needle)))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("line_no"),
+            "line",
+            count_occurrences_expr(lcol, needle).alias("n_occurrences"),
         )
     )
 

@@ -172,6 +172,43 @@ def test_ignore_case_search(spark):
     assert got_cs == {3}
 
 
+def test_grep_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha window table\nbeta\nwindow table window table"),
+            (2, "nothing here"),
+            (3, "window table"),
+            (4, "WINDOW TABLE\nlower window table"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["line_no"], r["line"], r["n_occurrences"])
+        for r in CS.grep_lines(docs, "window table").collect()
+    }
+    assert got == {
+        (1, 1, "alpha window table", 1),
+        (1, 3, "window table window table", 2),
+        (3, 1, "window table", 1),
+        (4, 2, "lower window table", 1),
+    }
+    # ignore_case: folded match, original line text preserved in output
+    ic = {
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in CS.grep_lines(
+            docs, "Window Table", ignore_case=True
+        ).collect()
+    }
+    # the 4 case-sensitive lines plus doc 4's upper-case line 1
+    assert (4, 1, "WINDOW TABLE") in ic and len(ic) == 5
+    # missing-trigram early exit keeps the 4-col schema
+    empty = CS.grep_lines(docs, "zzzqqq", prune_k=1)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "line_no", "line", "n_occurrences",
+    ]
+
+
 def test_short_needle_raises():
     with pytest.raises(ValueError):
         CS.needle_trigrams("ab")
@@ -260,6 +297,121 @@ def test_persisted_index_identical_and_pruned(code_docs, tmp_path):
         ).explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "tg_bucket" in plan
+
+
+def test_append_delta_soundness(spark, tmp_path):
+    """Append-only delta maintenance: add/upsert/delete, then search
+    through the stale-unioned index over the CURRENT corpus — results
+    must equal a fresh rebuild.  The upserted doc's generations share
+    trigrams, so duplicate (trigram, doc_id) rows exist and must not
+    break the intersection count (bit_or idempotence)."""
+    from search_engine_spark.ops import regexsearch as RS
+
+    v1 = spark.createDataFrame(
+        [
+            (1, "alpha window table"),
+            (2, "stale needle content"),
+            (3, "deleted doc window table"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tg")
+    CS.write_trigram_index(v1, path)
+    # current corpus: doc 2 upserted (now matches; shares 'content'
+    # trigrams with its stale generation), doc 3 deleted, doc 4 new
+    cur = spark.createDataFrame(
+        [
+            (1, "alpha window table"),
+            (2, "fresh window table content"),
+            (4, "window table window table"),
+        ],
+        "doc_id long, text string",
+    )
+    CS.append_trigram_index(cur.filter("doc_id in (2, 4)"), path)
+    idx = CS.load_trigram_index(spark, path)
+    dups = (
+        idx.groupBy("trigram", "doc_id").count().filter("count > 1").count()
+    )
+    assert dups > 0  # the hazard is actually present
+    for needle in ("window table", "table content"):
+        fresh = {tuple(r) for r in CS.literal_search(cur, needle).collect()}
+        via = {
+            tuple(r)
+            for r in CS.literal_search(cur, needle, postings=idx).collect()
+        }
+        assert via == fresh, needle
+    gl_fresh = {tuple(r) for r in CS.grep_lines(cur, "window table").collect()}
+    gl_via = {
+        tuple(r)
+        for r in CS.grep_lines(cur, "window table", postings=idx).collect()
+    }
+    assert gl_via == gl_fresh
+    re_fresh = {
+        tuple(r) for r in RS.regex_search(cur, "win(dow|ter) table").collect()
+    }
+    re_via = {
+        tuple(r)
+        for r in RS.regex_search(
+            cur, "win(dow|ter) table", postings=idx
+        ).collect()
+    }
+    assert re_via == re_fresh
+    # deleted doc never surfaces even though its postings persist
+    assert 3 not in {t[0] for t in gl_via}
+
+
+def test_resumable_trigram_build(spark, tmp_path):
+    """Crash after 1 of 3 chunks, resume, and the index answers every
+    query identically to a one-shot build; the ledger skips completed
+    chunks; a mismatched chunking plan refuses to resume."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} window table w{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    one_shot = str(tmp_path / "tg_oneshot")
+    CS.write_trigram_index(docs, one_shot)
+    resumed = str(tmp_path / "tg_resumed")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        CS.resumable_trigram_build(
+            docs, resumed, n_chunks=3, fail_after_chunks=1
+        )
+    m = CS.resumable_trigram_build(docs, resumed, n_chunks=3)
+    assert m["chunks_skipped"] == 1 and m["chunks_built"] == 2
+    # idempotent re-run: nothing left to build
+    m2 = CS.resumable_trigram_build(docs, resumed, n_chunks=3)
+    assert m2["chunks_built"] == 0 and m2["chunks_skipped"] == 3
+    with _pytest.raises(ValueError, match="chunking mismatch"):
+        CS.resumable_trigram_build(docs, resumed, n_chunks=4)
+    a = CS.load_trigram_index(spark, one_shot)
+    b = CS.load_trigram_index(spark, resumed)
+    got_a = {tuple(r) for r in CS.literal_search(docs, "window table",
+                                                 postings=a).collect()}
+    got_b = {tuple(r) for r in CS.literal_search(docs, "window table",
+                                                 postings=b).collect()}
+    assert got_a == got_b and len(got_b) == 40
+    # the ledger dir must be invisible to the postings reader
+    assert set(a.columns) == set(b.columns)
+
+
+def test_long_needle_countdistinct_fallback(spark):
+    """>63 distinct trigrams overflows the bit mask — the fallback
+    countDistinct path must give the same (exact) answer."""
+    long_needle = (
+        "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ@#$%"
+    )
+    assert len(CS.needle_trigrams(long_needle)) > 63
+    docs = spark.createDataFrame(
+        [(1, f"prefix {long_needle} suffix"), (2, long_needle[1:]),
+         (3, long_needle + " " + long_needle)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in CS.literal_search(docs, long_needle).collect()
+    }
+    assert got == {(1, 1), (3, 2)}
 
 
 def test_cli_grep_and_trigram_index(spark, tmp_path):

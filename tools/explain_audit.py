@@ -334,6 +334,17 @@ def main() -> int:
           p.count("hashpartitioning(") <= 1,
           f"found {p.count('hashpartitioning(')}")
 
+    from search_engine_spark.contract import q_grep_lines
+
+    p = plan_of(q_grep_lines(spark, sf_dir))
+    check("grep_lines: line explode sits above the candidate broadcast "
+          "(only candidate content is split)",
+          "BroadcastHashJoin" in p and "Generate" in p
+          and p.index("Generate") < p.index("BroadcastHashJoin"))
+    check("grep_lines: ONE wide exchange (candidate agg), no row-Python",
+          p.count("hashpartitioning(") <= 1
+          and "BatchEvalPython" not in p)
+
     p = plan_of(q_subtoken_search(spark, sf_dir))
     check("subtoken search: isin prunes before the doc agg, no row-Python",
           "BatchEvalPython" not in p and "subtoken" in p)

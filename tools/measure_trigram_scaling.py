@@ -67,6 +67,21 @@ def one_draw(sp, docs_path: str, idx: str) -> dict:
     t0 = time.perf_counter()
     t["regex_hits"] = regex_search(docs, PATTERN, postings=postings).count()
     t["grep_regex"] = time.perf_counter() - t0
+
+    # incremental maintenance: delta-append 10% of the corpus (upsert
+    # shape — duplicate postings for every re-appended doc) and grep
+    # again through the unioned generations
+    from search_engine_spark.ops.codesearch import append_trigram_index
+
+    t0 = time.perf_counter()
+    append_trigram_index(docs.filter("doc_id % 10 = 0"), idx)
+    t["trigram_append_10pct"] = time.perf_counter() - t0
+    post2 = load_trigram_index(sp, idx)
+    t0 = time.perf_counter()
+    t["grep_after_append_hits"] = literal_search(
+        docs, NEEDLE, postings=post2
+    ).count()
+    t["grep_after_append"] = time.perf_counter() - t0
     return t
 
 
