@@ -146,6 +146,8 @@ _EXPORTS = {
     "append_trigram_index": "ops.codesearch:append_trigram_index",
     "resumable_trigram_build": "ops.codesearch:resumable_trigram_build",
     "load_trigram_index": "ops.codesearch:load_trigram_index",
+    "trigram_index_properties": "ops.codesearch:trigram_index_properties",
+    "compact_trigram_index": "ops.codesearch:compact_trigram_index",
     "literal_search": "ops.codesearch:literal_search",
     "grep_lines": "ops.codesearch:grep_lines",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",

@@ -290,7 +290,7 @@ def cmd_trigram_index(args: argparse.Namespace) -> None:
     docs = spark.read.parquet(args.documents)
     write_trigram_index(
         docs, args.index_dir, text_col=args.content_col,
-        id_col=args.doc_id_col,
+        id_col=args.doc_id_col, fold_case=args.fold_case,
     )
     n = spark.read.parquet(args.index_dir).count()
     print(json.dumps({
@@ -326,6 +326,7 @@ def cmd_grep(args: argparse.Namespace) -> None:
         grep_lines,
         literal_search,
         load_trigram_index,
+        trigram_index_properties,
     )
     from .ops.regexsearch import regex_search, trigram_query
 
@@ -335,13 +336,24 @@ def cmd_grep(args: argparse.Namespace) -> None:
     postings = (
         load_trigram_index(spark, args.index) if args.index else None
     )
+    if args.ignore_case:
+        if args.regex:
+            raise SystemExit("--ignore-case is literal-mode only")
+        if args.index and not trigram_index_properties(args.index).get(
+            "fold_case"
+        ):
+            raise SystemExit(
+                f"index {args.index} was not built with --fold-case; "
+                "a case-insensitive query through it would silently "
+                "miss matches — rebuild with trigram-index --fold-case"
+            )
     if args.lines:
         if args.regex:
             raise SystemExit("--lines is literal-mode only (no --regex)")
         res = grep_lines(
             docs, args.pattern, postings=postings,
             text_col=args.content_col, id_col=args.doc_id_col,
-            prune_k=args.prune_k,
+            prune_k=args.prune_k, ignore_case=args.ignore_case,
         )
         rows = res.orderBy("doc_id", "line_no").limit(args.limit).collect()
         print(json.dumps({
@@ -362,7 +374,7 @@ def cmd_grep(args: argparse.Namespace) -> None:
         res = literal_search(
             docs, args.pattern, postings=postings,
             text_col=args.content_col, id_col=args.doc_id_col,
-            prune_k=args.prune_k,
+            prune_k=args.prune_k, ignore_case=args.ignore_case,
         )
         n_clauses = None
     count_col = "n_matches" if args.regex else "n_occurrences"
@@ -443,6 +455,9 @@ def main(argv: list[str] | None = None) -> None:
     ti.add_argument("index_dir")
     ti.add_argument("--doc-id-col", default="doc_id")
     ti.add_argument("--content-col", default="content")
+    ti.add_argument("--fold-case", action="store_true", dest="fold_case",
+                    help="build the case-folded (Zoekt) form so grep "
+                         "--ignore-case can use this index")
     ti.set_defaults(fn=cmd_trigram_index)
 
     ta = sub.add_parser(
@@ -470,6 +485,10 @@ def main(argv: list[str] | None = None) -> None:
     gr.add_argument("--prune-k", type=int, default=None, dest="prune_k",
                     help="intersect only the k rarest needle trigrams "
                          "(literal mode)")
+    gr.add_argument("--ignore-case", action="store_true",
+                    dest="ignore_case",
+                    help="case-insensitive literal search (a persisted "
+                         "--index must have been built --fold-case)")
     gr.add_argument("--lines", action="store_true",
                     help="report per-line matches (doc_id, line_no, "
                          "line) instead of per-doc counts")

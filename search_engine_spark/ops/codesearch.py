@@ -61,6 +61,8 @@ __all__ = [
     "append_trigram_index",
     "resumable_trigram_build",
     "load_trigram_index",
+    "trigram_index_properties",
+    "compact_trigram_index",
     "tg_bucket_py",
     "trigram_df",
     "needle_trigrams",
@@ -136,25 +138,56 @@ def tg_bucket_py(trigram: str) -> str:
     return trigram[0].encode("utf-8").hex().upper()
 
 
+def _write_index_properties(path: str, fold_case: bool) -> None:
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_properties.json"), "w") as fh:
+        _json.dump({"fold_case": fold_case}, fh)
+
+
+def trigram_index_properties(path: str) -> dict:
+    """Sidecar metadata of a persisted trigram index (underscore file —
+    invisible to the parquet reader).  Pre-sidecar layouts read as the
+    defaults they were written with."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, "_properties.json")
+    if not _os.path.exists(p):
+        return {"fold_case": False}
+    with open(p) as fh:
+        return _json.load(fh)
+
+
 def write_trigram_index(
     docs: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_case: bool = False,
 ) -> None:
     """Persist the trigram posting index partitioned by leading-char
     bucket, so literal/regex queries prune to only the directories
     holding their needle's trigrams (PartitionFilters at the scan —
     same layout discipline as the word index's term buckets).  Build
     once, serve many queries; at corpus scale this is the artifact a
-    grep service reads."""
-    p = trigram_postings(docs, text_col, id_col)
+    grep service reads.
+
+    fold_case=True builds the Zoekt case-folded form (required for
+    ignore_case queries) and records it in the _properties.json
+    sidecar; appends inherit it and ignore_case callers can check it
+    (a folded query against an unfolded index would be silently
+    wrong)."""
+    p = trigram_postings(docs, text_col, id_col, fold_case=fold_case)
     (
         p.withColumn("tg_bucket", _tg_bucket_expr(F.col("trigram")))
         .write.mode("overwrite")
         .partitionBy("tg_bucket")
         .parquet(path)
     )
+    _write_index_properties(path, fold_case)
 
 
 def append_trigram_index(
@@ -183,8 +216,13 @@ def append_trigram_index(
 
     The only cost of never compacting is a larger candidate superset
     for upsert-heavy corpora; rebuild with write_trigram_index to shed
-    stale generations."""
-    p = trigram_postings(docs_new, text_col, id_col)
+    stale generations.
+
+    Case folding is inherited from the index's _properties.json —
+    mixing folded and unfolded generations would break ignore_case
+    soundness, so the delta always matches the base."""
+    fold_case = bool(trigram_index_properties(path).get("fold_case"))
+    p = trigram_postings(docs_new, text_col, id_col, fold_case=fold_case)
     (
         p.withColumn("tg_bucket", _tg_bucket_expr(F.col("trigram")))
         .write.mode("append")
@@ -200,6 +238,7 @@ def resumable_trigram_build(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_expr: str | None = None,
+    fold_case: bool = False,
     fail_after_chunks: int | None = None,
 ) -> dict:
     """Checkpoint-resumable trigram index build (north-rule discipline,
@@ -228,7 +267,8 @@ def resumable_trigram_build(
     ledger_root = os.path.join(path, "_ledger_root")
 
     plan_path = os.path.join(ledger_root, "staging_plan.json")
-    plan = {"n_chunks": n_chunks, "chunk_expr": cexpr}
+    plan = {"n_chunks": n_chunks, "chunk_expr": cexpr,
+            "fold_case": fold_case}
     if os.path.exists(plan_path):
         with open(plan_path) as fh:
             prev = _json.load(fh)
@@ -241,6 +281,9 @@ def resumable_trigram_build(
         os.makedirs(ledger_root, exist_ok=True)
         with open(plan_path, "w") as fh:
             _json.dump(plan, fh)
+    # properties first, so every chunk append (and later deltas)
+    # inherits the folding
+    _write_index_properties(path, fold_case)
 
     done = completed_chunks(spark, ledger_root)
     t0 = _time.perf_counter()
@@ -268,6 +311,35 @@ def resumable_trigram_build(
         "chunks_built": built,
         "sec_total": round(_time.perf_counter() - t0, 3),
     }
+
+
+def compact_trigram_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Shed stale delta generations: rebuild the index from the CURRENT
+    corpus into a sibling tmp dir, then atomically swap directories
+    (os.replace of the old dir only after the new one is complete — a
+    crash mid-compact leaves the old index intact and readable).
+    Folding is preserved from _properties.json.  This is the only
+    lifecycle op whose cost is ∝ corpus; everything the deltas
+    accumulated (stale postings of upserted/deleted docs, duplicate
+    rows, the resumable build's ledger) is gone afterwards."""
+    import os as _os
+    import shutil as _shutil
+
+    fold_case = bool(trigram_index_properties(path).get("fold_case"))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    write_trigram_index(docs, tmp, text_col=text_col, id_col=id_col,
+                        fold_case=fold_case)
+    old = path.rstrip("/") + "._compact_old"
+    _shutil.rmtree(old, ignore_errors=True)
+    _os.replace(path, old)
+    _os.replace(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)
 
 
 def load_trigram_index(spark, path: str) -> DataFrame:

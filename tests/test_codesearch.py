@@ -360,6 +360,108 @@ def test_append_delta_soundness(spark, tmp_path):
     assert 3 not in {t[0] for t in gl_via}
 
 
+def test_compact_trigram_index(spark, tmp_path):
+    """Compaction sheds stale generations: duplicates gone, deleted
+    docs' postings gone, folding preserved, search unchanged."""
+    v1 = spark.createDataFrame(
+        [(1, "alpha Window Table"), (2, "stale content"),
+         (3, "doomed window table")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tg_c")
+    CS.write_trigram_index(v1, path, fold_case=True)
+    cur = spark.createDataFrame(
+        [(1, "alpha Window Table"), (2, "fresh window table content")],
+        "doc_id long, text string",
+    )
+    CS.append_trigram_index(cur.filter("doc_id = 2"), path)
+    CS.compact_trigram_index(cur, path)
+    assert CS.trigram_index_properties(path) == {"fold_case": True}
+    idx = CS.load_trigram_index(spark, path)
+    assert idx.filter("doc_id = 3").count() == 0
+    assert (
+        idx.groupBy("trigram", "doc_id").count().filter("count > 1").count()
+        == 0
+    )
+    got = {
+        tuple(r)
+        for r in CS.literal_search(
+            cur, "WINDOW table", ignore_case=True, postings=idx
+        ).collect()
+    }
+    assert {t[0] for t in got} == {1, 2}
+
+
+def test_folded_persisted_index(spark, tmp_path):
+    """A --fold-case index serves ignore_case queries identically to an
+    on-the-fly build; deltas inherit the folding from _properties.json;
+    properties round-trip."""
+    docs = spark.createDataFrame(
+        [(1, "Window Table here"), (2, "plain text")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tg_folded")
+    CS.write_trigram_index(docs, path, fold_case=True)
+    assert CS.trigram_index_properties(path) == {"fold_case": True}
+    # delta with a NEW mixed-case match must inherit the folding
+    cur = spark.createDataFrame(
+        [(1, "Window Table here"), (2, "plain text"),
+         (3, "WINDOW table added later")],
+        "doc_id long, text string",
+    )
+    CS.append_trigram_index(cur.filter("doc_id = 3"), path)
+    idx = CS.load_trigram_index(spark, path)
+    mem = {
+        tuple(r)
+        for r in CS.literal_search(
+            cur, "wIndow tablE", ignore_case=True
+        ).collect()
+    }
+    via = {
+        tuple(r)
+        for r in CS.literal_search(
+            cur, "wIndow tablE", ignore_case=True, postings=idx
+        ).collect()
+    }
+    assert via == mem and {t[0] for t in via} == {1, 3}
+    # unfolded layouts read as fold_case=False (incl. pre-sidecar dirs)
+    plain = str(tmp_path / "tg_plain")
+    CS.write_trigram_index(docs, plain)
+    assert CS.trigram_index_properties(plain) == {"fold_case": False}
+
+
+def test_cli_grep_ignore_case_guard(spark, tmp_path):
+    import contextlib
+    import io
+    import json as _json
+
+    import pytest as _pytest
+
+    from search_engine_spark.__main__ import main as cli_main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "Window Table"), (2, "window table")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    folded = str(tmp_path / "idx_folded")
+    plain = str(tmp_path / "idx_plain")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        cli_main(["trigram-index", docs_path, folded, "--content-col",
+                  "text", "--fold-case"])
+        cli_main(["trigram-index", docs_path, plain, "--content-col",
+                  "text"])
+        cli_main(["grep", docs_path, "WINDOW TABLE", "--ignore-case",
+                  "--index", folded, "--content-col", "text"])
+    lines = [_json.loads(ln) for ln in out.getvalue().strip().splitlines()]
+    assert lines[2]["matching_docs"] == 2
+    # unfolded index refuses the case-insensitive query loudly
+    with _pytest.raises(SystemExit, match="fold-case"):
+        cli_main(["grep", docs_path, "WINDOW TABLE", "--ignore-case",
+                  "--index", plain, "--content-col", "text"])
+
+
 def test_resumable_trigram_build(spark, tmp_path):
     """Crash after 1 of 3 chunks, resume, and the index answers every
     query identically to a one-shot build; the ledger skips completed
