@@ -549,6 +549,27 @@ def test_cli_grep_and_trigram_index(spark, tmp_path):
     assert lines[2]["matching_docs"] == 2
     assert lines[2]["cnf_clauses"] > 0
 
+    # delta-append a new doc through the CLI, grep again (per-line)
+    delta_path = str(tmp_path / "delta.parquet")
+    spark.createDataFrame(
+        [(4, "intro\nwindow table closing")], "doc_id long, text string"
+    ).write.parquet(delta_path)
+    all_path = str(tmp_path / "all.parquet")
+    spark.read.parquet(docs_path).union(
+        spark.read.parquet(delta_path)
+    ).write.parquet(all_path)
+    out2 = io.StringIO()
+    with contextlib.redirect_stdout(out2):
+        cli_main(["trigram-append", delta_path, idx_path,
+                  "--content-col", "text"])
+        cli_main(["grep", all_path, "window table", "--lines",
+                  "--index", idx_path, "--content-col", "text"])
+    lines2 = [_json.loads(ln) for ln in out2.getvalue().strip().splitlines()]
+    assert lines2[1]["matching_lines"] == 3
+    assert {(d["doc_id"], d["line_no"]) for d in lines2[1]["top"]} == {
+        (1, 1), (3, 1), (4, 2),
+    }
+
 
 # ---------------------------------------------------------------------------
 # subtoken search

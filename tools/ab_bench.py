@@ -215,8 +215,9 @@ def main() -> None:
             if q in vb and va[q]["median"] > 0
         }
 
-    summary["median_ratio_r2_over_r1"] = ratios("r1", "r2")
-    summary["median_ratio_r3_over_r2"] = ratios("r2", "r3")
+    names = list(VARIANTS)
+    for a, b in zip(names, names[1:]):
+        summary[f"median_ratio_{b}_over_{a}"] = ratios(a, b)
     print(json.dumps(summary, indent=2))
     if save:
         with open(save, "w") as fh:
