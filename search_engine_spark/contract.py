@@ -3735,6 +3735,84 @@ WHERE contains(line, '{esc}')
 """
 
 
+SUBTOKEN_BM25_IDENT = "sparkMerge_windowBatchBatch"
+
+
+def q_subtoken_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-RANKED code search (ops.codesearch.subtoken_bm25): the
+    reference's scorer semantics — no-clamp idf, k1/b/k3, EXACT float32
+    left fold in term_pos order, doc_id tie-break (BM25Scorer.cs:24-73)
+    — over the subtoken analyzer instead of the byte-class word
+    tokenizer.  The camelCase query splits to spark/merge/window/batch
+    with qtf(batch)=2, exercising the k3 term.  Oracle: the WHOLE
+    pipeline restated in DuckDB — the 4-rule subtoken split, in-engine
+    df/avgdl/n, per-term FLOAT contributions, list_reduce REAL fold —
+    sharing the contribution formula text with _sql_bm25_ctes."""
+    from .ops import codesearch as CS
+
+    return CS.subtoken_bm25(
+        _docs(spark, sf_dir), SUBTOKEN_BM25_IDENT, k=TOPK
+    )
+
+
+def _sql_subtoken_bm25(params: BM25Params = BM25Params()) -> str:
+    from .ops.codesearch import query_ident_terms
+
+    k1, k3, b = params.k1, params.k3, params.b
+    split = _SQL_SPLIT_IDENT.format(col="text")
+    rows = ", ".join(
+        f"('{t}', {q}, {p})"
+        for t, q, p in query_ident_terms(SUBTOKEN_BM25_IDENT)
+    )
+    return f"""
+WITH sub AS (
+  SELECT doc_id, unnest({split}) AS term FROM documents
+),
+tok AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM sub GROUP BY doc_id, term
+),
+meta AS (
+  SELECT d.doc_id, CAST(COALESCE(s.doc_len, 0) AS BIGINT) AS doc_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, SUM(tf) AS doc_len FROM tok GROUP BY doc_id) s
+    USING (doc_id)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(doc_len) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM meta
+),
+q(term, qtf, term_pos) AS (SELECT * FROM (VALUES {rows}) v(a,b,c)),
+tdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+contrib AS (
+  SELECT t.doc_id, q.term_pos,
+         CAST(
+           ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
+           * (({k3} + 1.0) * q.qtf) / ({k3} + q.qtf)
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN q ON q.term = t.term
+  JOIN tdf ON tdf.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier subtoken analysis (ops.codesearch.split_identifier_expr
     + subtoken_tf): camelCase/PascalCase/ACRONYM/snake_case/digit
@@ -3950,6 +4028,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtoken_tf": q_subtoken_tf,
         "trigram_search_nocase": q_trigram_search_nocase,
         "grep_lines": q_grep_lines,
+        "subtoken_bm25_topk": q_subtoken_bm25_topk,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4136,6 +4215,7 @@ FROM tok GROUP BY term
         "trigram_regex_search": _sql_trigram_regex(),
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
+        "subtoken_bm25_topk": _sql_subtoken_bm25(),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

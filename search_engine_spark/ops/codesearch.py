@@ -76,6 +76,9 @@ __all__ = [
     "split_identifier_py",
     "subtoken_tf",
     "subtoken_search",
+    "subtoken_tokens",
+    "query_ident_terms",
+    "subtoken_bm25",
 ]
 
 
@@ -684,6 +687,91 @@ def subtoken_tf(
         )
         .groupBy("doc_id", "subtoken")
         .agg(F.count("*").alias("tf"))
+    )
+
+
+def subtoken_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, doc_len) over identifier SUBTOKENS — the code
+    analyzer's token stream in exactly the shape query.score_bm25 /
+    score_tfidf consume.  doc_len (total subtokens, duplicates counted)
+    rides in-batch via size() BEFORE the explode, so no doc-keyed join
+    is ever needed — ONE exchange (the tf agg), same discipline as the
+    word analyzer (build.analyze_tokens)."""
+    subs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_identifier_expr(F.col(text_col)).alias("subs"),
+    )
+    return (
+        subs.select(
+            "doc_id",
+            F.size("subs").cast("long").alias("doc_len"),
+            F.explode("subs").alias("term"),
+        )
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def query_ident_terms(query_ident: str) -> list[tuple[str, int, int]]:
+    """(term, qtf, term_pos) rows for a query identifier: subtokens via
+    the Python twin, qtf accumulating repeats (the BM25 k3 term),
+    term_pos by first occurrence — the float32 fold order, so BOTH
+    engines must derive it identically (they do: this one function
+    feeds the Spark qdf and the oracle's VALUES list)."""
+    subs = split_identifier_py(query_ident)
+    if not subs:
+        raise ValueError(f"query identifier {query_ident!r} has no subtokens")
+    order: list[str] = []
+    qtf: dict[str, int] = {}
+    for s in subs:
+        if s not in qtf:
+            order.append(s)
+        qtf[s] = qtf.get(s, 0) + 1
+    return [(t, qtf[t], pos) for pos, t in enumerate(order)]
+
+
+def subtoken_bm25(
+    docs: DataFrame,
+    query_ident: str,
+    k: int = 20,
+    params=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranked code search: the reference's BM25 semantics (no-clamp idf,
+    k1/b/k3, EXACT float32 left fold in term_pos order, doc_id
+    tie-break — BM25Scorer.cs:24-73) over the subtoken analyzer instead
+    of the byte-class word tokenizer.  A camelCase/snake_case query
+    identifier finds and RANKS docs mentioning its parts — the
+    Zoekt/Sourcegraph analysis step under a classical scorer, which is
+    what ranked code search actually runs.
+
+    n_docs counts ALL docs (empty-subtoken docs included — they only
+    dilute avgdl, exactly like empty docs in the word path)."""
+    from ..config import BM25Params
+    from .. import query as Q
+
+    params = params or BM25Params()
+    toks = subtoken_tokens(docs, text_col, id_col)
+    # n and Σdoc_len in ONE scan (size-of-split == Σtf per doc, so this
+    # is the same avgdl the oracle computes from its meta CTE)
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(split_identifier_expr(F.col(text_col)))).alias("tot"),
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["tot"] or 0)
+    avgdl = total / n_docs if n_docs else 0.0
+    qdf = docs.sparkSession.createDataFrame(
+        [(1, t, q, p) for t, q, p in query_ident_terms(query_ident)],
+        "topic_id int, term string, qtf int, term_pos int",
+    )
+    res = Q.score_bm25(
+        toks, n_docs, avgdl, qdf, params, k=k, exact_float32=True
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
 
 

@@ -360,6 +360,42 @@ def test_append_delta_soundness(spark, tmp_path):
     assert 3 not in {t[0] for t in gl_via}
 
 
+def test_subtoken_bm25(spark):
+    """Ranked code search: camelCase query terms rank docs by the real
+    BM25 — the doc matching MORE distinct query subtokens with a rarer
+    term outranks a one-term doc; repeated query subtokens accumulate
+    qtf; scores are float32; tie-break doc_id asc."""
+    import math
+    import struct
+
+    # n=8, df(merge)=3, df(window)=2 — both idfs strictly positive
+    # (the no-clamp idf would flip the qtf assertion's sign otherwise)
+    docs = spark.createDataFrame(
+        [
+            (1, "merge window merge filler filler"),
+            (2, "merge filler filler filler filler"),
+            (4, "merge window merge filler filler"),  # doc 1's twin
+        ]
+        + [(i, "nothing relevant here at all") for i in (3, 5, 6, 7, 8)],
+        "doc_id long, text string",
+    )
+    res = CS.subtoken_bm25(docs, "mergeWindow", k=10).collect()
+    ranked = [(r["rank"], r["doc_id"]) for r in res]
+    assert [d for _, d in ranked[:2]] == [1, 4]  # twins, doc_id tie-break
+    assert {d for _, d in ranked} == {1, 2, 4}
+    assert all(isinstance(r["score"], float) for r in res)
+    # float32 exactness: score round-trips through a 4-byte float
+    for r in res:
+        assert struct.unpack("f", struct.pack("f", r["score"]))[0] == r["score"]
+        assert math.isfinite(r["score"])
+    # qtf accumulation: repeated subtoken changes the k3 weighting
+    one = {r["doc_id"]: r["score"]
+           for r in CS.subtoken_bm25(docs, "mergeWindow", k=10).collect()}
+    two = {r["doc_id"]: r["score"]
+           for r in CS.subtoken_bm25(docs, "mergeMergeWindow", k=10).collect()}
+    assert two[2] > one[2]  # merge-only doc gains from qtf(merge)=2
+
+
 def test_compact_trigram_index(spark, tmp_path):
     """Compaction sheds stale generations: duplicates gone, deleted
     docs' postings gone, folding preserved, search unchanged."""

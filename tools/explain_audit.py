@@ -345,6 +345,15 @@ def main() -> int:
           p.count("hashpartitioning(") <= 1
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_subtoken_bm25_topk
+
+    p = plan_of(q_subtoken_bm25_topk(spark, sf_dir))
+    check("subtoken BM25: query/df sides broadcast, no doc-keyed "
+          "doc_len join (rides in-batch), no row-Python",
+          p.count("BroadcastHashJoin") >= 3
+          and "BatchEvalPython" not in p
+          and "CartesianProduct" not in p)
+
     p = plan_of(q_subtoken_search(spark, sf_dir))
     check("subtoken search: isin prunes before the doc agg, no row-Python",
           "BatchEvalPython" not in p and "subtoken" in p)
