@@ -3813,6 +3813,43 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_grep_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search + facet composition over the corpus's metadata columns:
+    trigram literal search joined back to (lang, source), rolled up to
+    per-facet match and occurrence counts — the grep-service result
+    header ('N hits in M files: K in python, …').  The search side is
+    the verified trigram path (candidates broadcast); the facet rollup
+    is one partial+final agg over the match set, never the corpus."""
+    from .ops import codesearch as CS
+
+    docs = _docs(spark, sf_dir)
+    hits = CS.literal_search(
+        docs.select("doc_id", "text"), LITERAL_NEEDLE
+    )
+    return (
+        docs.join(hits.withColumnRenamed("doc_id", "hid"),
+                  F.col("doc_id") == F.col("hid"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def _sql_grep_facets(needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((length(text) - length(replace(text, '{esc}', '')))
+                // {len(needle)}) AS BIGINT) AS n_occurrences
+FROM documents
+WHERE contains(text, '{esc}')
+GROUP BY lang, source
+"""
+
+
 def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier subtoken analysis (ops.codesearch.split_identifier_expr
     + subtoken_tf): camelCase/PascalCase/ACRONYM/snake_case/digit
@@ -4029,6 +4066,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search_nocase": q_trigram_search_nocase,
         "grep_lines": q_grep_lines,
         "subtoken_bm25_topk": q_subtoken_bm25_topk,
+        "grep_facets": q_grep_facets,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4216,6 +4254,7 @@ FROM tok GROUP BY term
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
         "subtoken_bm25_topk": _sql_subtoken_bm25(),
+        "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

@@ -360,6 +360,31 @@ def test_append_delta_soundness(spark, tmp_path):
     assert 3 not in {t[0] for t in gl_via}
 
 
+def test_grep_facets_composition(spark):
+    """Search+facet rollup equals the brute per-facet recount."""
+    docs = spark.createDataFrame(
+        [
+            (1, "window table once", "py"),
+            (2, "window table window table", "py"),
+            (3, "window table", "go"),
+            (4, "nothing", "go"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    hits = CS.literal_search(docs.select("doc_id", "text"), "window table")
+    got = {
+        (r["lang"], r["n"], r["occ"])
+        for r in docs.join(
+            hits.withColumnRenamed("doc_id", "hid"),
+            F.col("doc_id") == F.col("hid"),
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_occurrences").alias("occ"))
+        .collect()
+    }
+    assert got == {("py", 2, 3), ("go", 1, 1)}
+
+
 def test_subtoken_bm25(spark):
     """Ranked code search: camelCase query terms rank docs by the real
     BM25 — the doc matching MORE distinct query subtokens with a rarer

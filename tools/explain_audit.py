@@ -345,6 +345,14 @@ def main() -> int:
           p.count("hashpartitioning(") <= 1
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_grep_facets
+
+    p = plan_of(q_grep_facets(spark, sf_dir))
+    check("grep_facets: hits broadcast back to metadata, facet agg "
+          "partial+final, no row-Python",
+          "BroadcastHashJoin" in p and "BatchEvalPython" not in p
+          and "CartesianProduct" not in p)
+
     from search_engine_spark.contract import q_subtoken_bm25_topk
 
     p = plan_of(q_subtoken_bm25_topk(spark, sf_dir))
