@@ -223,7 +223,8 @@ def main() -> None:
                  "subtoken_tf", "subtoken_search",
                  "trigram_regex_search", "extract_symbols",
                  "trigram_search_nocase", "grep_lines",
-                 "subtoken_bm25_topk", "grep_facets"):
+                 "subtoken_bm25_topk", "grep_facets",
+                 "trigram_regex_pruned"):
         t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}

@@ -3973,6 +3973,22 @@ def q_trigram_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RS.regex_search(_docs(spark, sf_dir), REGEX_TRI_PATTERN)
 
 
+def q_trigram_regex_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-pruned regex grep (regex_search prune_clauses=3): the
+    pattern's CNF has 24 clauses; per-clause mass (Σ df over its OR-set)
+    is probed from the index first (≤ 24·24 rows to the driver) and only
+    the 3 most selective clauses are intersected — the CNF derivation's
+    own sound degradation move, so the candidate set stays a superset
+    and regexp verification keeps the answer byte-identical to the
+    unpruned query.  Same brute-scan oracle: the prune must be invisible
+    in the answer."""
+    from .ops import regexsearch as RS
+
+    return RS.regex_search(
+        _docs(spark, sf_dir), REGEX_TRI_PATTERN, prune_clauses=3
+    )
+
+
 def _sql_trigram_regex() -> str:
     pat = REGEX_TRI_PATTERN
     return f"""
@@ -4067,6 +4083,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_lines": q_grep_lines,
         "subtoken_bm25_topk": q_subtoken_bm25_topk,
         "grep_facets": q_grep_facets,
+        "trigram_regex_pruned": q_trigram_regex_pruned,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4255,6 +4272,7 @@ FROM tok GROUP BY term
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
         "subtoken_bm25_topk": _sql_subtoken_bm25(),
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
+        "trigram_regex_pruned": _sql_trigram_regex(),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

@@ -382,26 +382,58 @@ def trigram_query(pattern: str, strict: bool = False) -> Query:
 # ---------------------------------------------------------------------------
 
 
-def regex_candidates(postings: DataFrame, query: Query) -> DataFrame:
+def regex_candidates(
+    postings: DataFrame, query: Query, prune_clauses: int | None = None
+) -> DataFrame:
     """Doc ids satisfying the CNF: trigram -> clause ids through a
     broadcast map, then ONE countDistinct(clause) agg == n_clauses.
     Postings are per-doc distinct, but one doc can satisfy a clause via
-    several of its trigrams — hence countDistinct, not count."""
+    several of its trigrams — hence countDistinct, not count.
+
+    prune_clauses: intersect only the k most SELECTIVE clauses — clause
+    mass = Σ df over its OR-set, probed from the index first (an agg of
+    at most _MAX_CLAUSES·_MAX_OR rows, driver-safe by construction).
+    Dropping clauses is the CNF derivation's own degradation move, so
+    the candidate set stays a guaranteed superset and regexp
+    verification keeps the answer identical; a clause whose entire
+    OR-set has zero postings proves NO doc can match (the clause is a
+    necessary condition) — returns an empty frame without touching the
+    corpus."""
     if not query:
         raise ValueError("ANY query selects the whole corpus — skip pruning")
     rows = [
         (t, cid) for cid, clause in enumerate(query) for t in sorted(clause)
     ]
     spark = postings.sparkSession
-    tri = spark.createDataFrame(rows, "trigram string, clause int")
     from .codesearch import _bucket_pruned
 
+    if prune_clauses is not None and 0 < prune_clauses < len(query):
+        dfs = (
+            _bucket_pruned(postings, {t for t, _ in rows})
+            .filter(F.col("trigram").isin([t for t, _ in rows]))
+            .groupBy("trigram")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )
+        by_df = {r["trigram"]: r["df"] for r in dfs}
+        mass = [
+            (sum(by_df.get(t, 0) for t in clause), cid)
+            for cid, clause in enumerate(query)
+        ]
+        if min(mass)[0] == 0:
+            return spark.createDataFrame([], "doc_id long")
+        keep = {cid for _, cid in sorted(mass)[:prune_clauses]}
+        rows = [(t, cid) for t, cid in rows if cid in keep]
+        n_clauses = len(keep)
+    else:
+        n_clauses = len(query)
+    tri = spark.createDataFrame(rows, "trigram string, clause int")
     postings = _bucket_pruned(postings, {t for t, _ in rows})
     return (
         postings.join(F.broadcast(tri), "trigram")
         .groupBy("doc_id")
         .agg(F.countDistinct("clause").alias("n_clauses"))
-        .filter(F.col("n_clauses") == len(query))
+        .filter(F.col("n_clauses") == n_clauses)
         .select("doc_id")
     )
 
@@ -412,12 +444,18 @@ def regex_search(
     postings: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune_clauses: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_matches) for every doc whose content matches `pattern`
     (non-overlapping count), answered through the trigram index when the
     pattern yields a usable CNF and by a plain scan otherwise — the
     answer is identical either way, because every candidate is verified
     with the real regex engine.
+
+    prune_clauses: intersect only the k most selective CNF clauses
+    (see regex_candidates) — a superset candidate set, identical final
+    answer, far fewer posting rows aggregated when the pattern contains
+    stop-trigram-heavy clauses.
 
     The pattern should stay in the Java/RE2-common subset if the result
     is compared cross-engine (same discipline as ops/redact.py)."""
@@ -428,7 +466,7 @@ def regex_search(
             from .codesearch import trigram_postings
 
             postings = trigram_postings(docs, text_col, id_col)
-        cand = regex_candidates(postings, query)
+        cand = regex_candidates(postings, query, prune_clauses)
         scope = docs.join(
             F.broadcast(cand), docs[id_col] == cand["doc_id"]
         ).drop(cand["doc_id"])

@@ -177,3 +177,27 @@ def test_regex_search_matches_brute(code_docs, pattern):
 def test_regex_candidates_rejects_any():
     with pytest.raises(ValueError):
         RS.regex_candidates(None, RS.ANY)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_clause_pruned_identical(code_docs, k):
+    """prune_clauses must be invisible in the answer for every k."""
+    pattern = "(merge|stream)[a-z]* (batch|window)"
+    full = {
+        tuple(r) for r in RS.regex_search(code_docs, pattern).collect()
+    }
+    pruned = {
+        tuple(r)
+        for r in RS.regex_search(
+            code_docs, pattern, prune_clauses=k
+        ).collect()
+    }
+    assert pruned == full and full  # non-vacuous
+
+
+def test_zero_mass_clause_short_circuits(code_docs):
+    """A clause whose whole OR-set has no postings proves emptiness —
+    the result is empty without a corpus regexp scan."""
+    out = RS.regex_search(code_docs, "(qqq|zzz9)merge", prune_clauses=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_matches"]
