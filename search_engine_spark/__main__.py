@@ -368,6 +368,7 @@ def cmd_grep(args: argparse.Namespace) -> None:
         res = regex_search(
             docs, args.pattern, postings=postings,
             text_col=args.content_col, id_col=args.doc_id_col,
+            prune_clauses=args.prune_clauses,
         )
         n_clauses = len(trigram_query(args.pattern))
     else:
@@ -485,6 +486,10 @@ def main(argv: list[str] | None = None) -> None:
     gr.add_argument("--prune-k", type=int, default=None, dest="prune_k",
                     help="intersect only the k rarest needle trigrams "
                          "(literal mode)")
+    gr.add_argument("--prune-clauses", type=int, default=None,
+                    dest="prune_clauses",
+                    help="intersect only the k most selective CNF "
+                         "clauses (regex mode)")
     gr.add_argument("--ignore-case", action="store_true",
                     dest="ignore_case",
                     help="case-insensitive literal search (a persisted "
