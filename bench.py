@@ -224,7 +224,7 @@ def main() -> None:
                  "trigram_regex_search", "extract_symbols",
                  "trigram_search_nocase", "grep_lines",
                  "subtoken_bm25_topk", "grep_facets",
-                 "trigram_regex_pruned"):
+                 "trigram_regex_pruned", "grep_batch"):
         t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}

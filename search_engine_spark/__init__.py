@@ -150,6 +150,7 @@ _EXPORTS = {
     "compact_trigram_index": "ops.codesearch:compact_trigram_index",
     "literal_search": "ops.codesearch:literal_search",
     "grep_lines": "ops.codesearch:grep_lines",
+    "literal_search_batch": "ops.codesearch:literal_search_batch",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",
     "subtoken_bm25": "ops.codesearch:subtoken_bm25",
     "split_identifier_py": "ops.codesearch:split_identifier_py",

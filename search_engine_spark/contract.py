@@ -3813,6 +3813,41 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+BATCH_NEEDLES = {
+    "q1": "window table",
+    "q2": "merge batch",
+    "q3": "customer query",
+}
+
+
+def q_grep_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched literal grep (ops.codesearch.literal_search_batch): three
+    needles answered in ONE posting pass — a broadcast (trigram,
+    query_id, bit) map, one (query_id, doc_id) bit_or agg, one
+    verification join with contains/occurrences computed
+    column-on-column.  The word index batches all topics into one job
+    (§2 #25); this is the same discipline on the grep surface.  Oracle:
+    UNION ALL of the three brute contains() scans."""
+    from .ops import codesearch as CS
+
+    return CS.literal_search_batch(
+        _docs(spark, sf_dir).select("doc_id", "text"), BATCH_NEEDLES
+    )
+
+
+def _sql_grep_batch(needles: dict) -> str:
+    parts = []
+    for qid, needle in needles.items():
+        esc = needle.replace("'", "''")
+        parts.append(f"""
+SELECT '{qid}' AS query_id, doc_id,
+       CAST((length(text) - length(replace(text, '{esc}', '')))
+            // {len(needle)} AS BIGINT) AS n_occurrences
+FROM documents
+WHERE contains(text, '{esc}')""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_grep_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search + facet composition over the corpus's metadata columns:
     trigram literal search joined back to (lang, source), rolled up to
@@ -4084,6 +4119,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtoken_bm25_topk": q_subtoken_bm25_topk,
         "grep_facets": q_grep_facets,
         "trigram_regex_pruned": q_trigram_regex_pruned,
+        "grep_batch": q_grep_batch,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4273,6 +4309,7 @@ FROM tok GROUP BY term
         "subtoken_bm25_topk": _sql_subtoken_bm25(),
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "trigram_regex_pruned": _sql_trigram_regex(),
+        "grep_batch": _sql_grep_batch(BATCH_NEEDLES),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

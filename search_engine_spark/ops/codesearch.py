@@ -69,6 +69,7 @@ __all__ = [
     "literal_candidates",
     "count_occurrences_expr",
     "literal_search",
+    "literal_search_batch",
     "grep_lines",
     "SYMBOL_RULES",
     "extract_symbols",
@@ -563,6 +564,90 @@ def grep_lines(
             (F.col("idx") + 1).cast("long").alias("line_no"),
             "line",
             count_occurrences_expr(lcol, needle).alias("n_occurrences"),
+        )
+    )
+
+
+def literal_search_batch(
+    docs: DataFrame,
+    needles: dict,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ignore_case: bool = False,
+) -> DataFrame:
+    """MANY literal needles in ONE pass: (query_id, doc_id,
+    n_occurrences) — the parallel-query-execution discipline of the
+    word index (wand.search_bm25 batches all topics into one job,
+    SURVEY §2 #25) applied to the grep surface.  A grep service never
+    runs needles one job at a time.
+
+    One broadcast (trigram, query_id, bit) map joins the postings ONCE
+    — posting rows shared by several needles' trigram sets are read
+    once, not per needle; one agg per (query_id, doc_id) folds
+    idempotent per-query bit_or masks (duplicate-tolerant, same as
+    literal_candidates); ONE verification join against the corpus
+    computes contains/occurrences column-on-column, so content bytes
+    move once for the union of all candidate sets.
+
+    needles: {query_id: needle}.  Needles must each have ≤63 distinct
+    trigrams (bit-mask form; longer needles: call literal_search).
+    ignore_case folds every needle and the content (the postings must
+    be fold_case-built, as literal_search documents)."""
+    if not needles:
+        raise ValueError("empty needle batch")
+    if postings is None:
+        postings = trigram_postings(docs, text_col, id_col,
+                                    fold_case=ignore_case)
+    folded = {
+        qid: (n.lower() if ignore_case else n) for qid, n in needles.items()
+    }
+    per_q: dict = {}
+    for qid, n in folded.items():
+        grams = needle_trigrams(n)  # raises on <3 chars
+        if len(grams) > 63:
+            raise ValueError(
+                f"needle for query {qid!r} has {len(grams)} trigrams "
+                "(>63); use literal_search for it"
+            )
+        per_q[qid] = grams
+    spark = docs.sparkSession
+    tri_rows = [
+        (t, str(qid), 1 << i)
+        for qid, grams in per_q.items()
+        for i, t in enumerate(grams)
+    ]
+    tri = spark.createDataFrame(
+        tri_rows, "trigram string, query_id string, bit long"
+    )
+    full = spark.createDataFrame(
+        [(str(qid), (1 << len(g)) - 1, folded[qid], len(folded[qid]))
+         for qid, g in per_q.items()],
+        "query_id string, full_mask long, needle string, nlen int",
+    )
+    cand = (
+        _bucket_pruned(postings, {t for t, _, _ in tri_rows})
+        .join(F.broadcast(tri), "trigram")
+        .groupBy("query_id", "doc_id")
+        .agg(F.bit_or("bit").alias("m"))
+        .join(F.broadcast(full), "query_id")
+        .filter(F.col("m") == F.col("full_mask"))
+        .select("query_id", "doc_id", "needle", "nlen")
+    )
+    tcol = F.lower(F.col(text_col)) if ignore_case else F.col(text_col)
+    verified = docs.join(
+        F.broadcast(cand), docs[id_col] == cand["doc_id"]
+    )
+    return (
+        verified.filter(F.contains(tcol, F.col("needle")))
+        .select(
+            "query_id",
+            docs[id_col].cast("long").alias("doc_id"),
+            (
+                (F.length(tcol)
+                 - F.length(F.replace(tcol, F.col("needle"), F.lit(""))))
+                / F.col("nlen")
+            ).cast("long").alias("n_occurrences"),
         )
     )
 

@@ -360,6 +360,61 @@ def test_append_delta_soundness(spark, tmp_path):
     assert 3 not in {t[0] for t in gl_via}
 
 
+def test_literal_search_batch(spark, tmp_path):
+    """Batch == per-needle scalar results, keyed by query_id; works
+    through a persisted delta'd index (duplicate postings) and in
+    ignore_case mode; rejects >63-trigram and empty batches."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha window table beta"),
+            (2, "merge batch merge batch"),
+            (3, "window table merge batch"),
+            (4, "Window Table only upper"),
+            (5, "none of them"),
+        ],
+        "doc_id long, text string",
+    )
+    needles = {"a": "window table", "b": "merge batch"}
+    batch = {
+        (r["query_id"], r["doc_id"], r["n_occurrences"])
+        for r in CS.literal_search_batch(docs, needles).collect()
+    }
+    scalar = {
+        (qid, r["doc_id"], r["n_occurrences"])
+        for qid, n in needles.items()
+        for r in CS.literal_search(docs, n).collect()
+    }
+    assert batch == scalar and batch
+    # through a persisted + delta'd index (duplicates present)
+    path = str(tmp_path / "tg_batch")
+    CS.write_trigram_index(docs, path)
+    CS.append_trigram_index(docs.filter("doc_id = 3"), path)
+    idx = CS.load_trigram_index(spark, path)
+    via = {
+        (r["query_id"], r["doc_id"], r["n_occurrences"])
+        for r in CS.literal_search_batch(docs, needles,
+                                         postings=idx).collect()
+    }
+    assert via == scalar
+    # ignore_case picks up doc 4 for needle a
+    ic = {
+        (r["query_id"], r["doc_id"])
+        for r in CS.literal_search_batch(
+            docs, needles, ignore_case=True
+        ).collect()
+    }
+    assert ("a", 4) in ic
+    with _pytest.raises(ValueError, match="empty"):
+        CS.literal_search_batch(docs, {})
+    long_needle = (
+        "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ@#$%"
+    )
+    with _pytest.raises(ValueError, match=">63"):
+        CS.literal_search_batch(docs, {"x": long_needle})
+
+
 def test_grep_facets_composition(spark):
     """Search+facet rollup equals the brute per-facet recount."""
     docs = spark.createDataFrame(

@@ -345,6 +345,18 @@ def main() -> int:
           p.count("hashpartitioning(") <= 1
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_grep_batch
+
+    p = plan_of(q_grep_batch(spark, sf_dir))
+    check("grep_batch: one posting pass for all needles (query map + "
+          "mask table + candidates all broadcast), no row-Python",
+          p.count("BroadcastHashJoin") >= 3
+          and "BatchEvalPython" not in p
+          and "CartesianProduct" not in p)
+    check("grep_batch: ONE wide exchange (the (query,doc) mask agg)",
+          p.count("hashpartitioning(") <= 1,
+          f"found {p.count('hashpartitioning(')}")
+
     from search_engine_spark.contract import q_grep_facets
 
     p = plan_of(q_grep_facets(spark, sf_dir))
