@@ -1,9 +1,15 @@
-"""spark-submit entry point: `index` / `search` CLI.
+"""spark-submit entry point: `index` / `search` / `stats` / grep CLI.
 
-Mirrors the reference's Program.cs dispatch (/root/reference/src/Program.cs:25-31):
+Mirrors the reference's Program.cs dispatch (/root/reference/src/Program.cs:25-31),
+plus the beyond-reference code-search surface:
 
   index  <documents_parquet> <index_dir> [--options ...] [--chunks N] ...
   search <run_name> <topics_file> <index_dir> <out_run_file> [--scorer ...]
+  stats  <index_dir> [--live]
+  trigram-index  <documents_parquet> <index_dir> [--fold-case]
+  trigram-append <delta_parquet> <index_dir>
+  grep   <documents_parquet> <pattern> [--regex] [--lines] [--ignore-case]
+         [--index DIR] [--prune-k K] [--prune-clauses K]
 
 Usage on a cluster (north_rule: "run via spark-submit --py-files"):
 
