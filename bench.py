@@ -224,7 +224,8 @@ def main() -> None:
                  "trigram_regex_search", "extract_symbols",
                  "trigram_search_nocase", "grep_lines",
                  "subtoken_bm25_topk", "grep_facets",
-                 "trigram_regex_pruned", "grep_batch"):
+                 "trigram_regex_pruned", "grep_batch",
+                 "grep_lines_regex"):
         t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}

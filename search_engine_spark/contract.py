@@ -3885,6 +3885,38 @@ GROUP BY lang, source
 """
 
 
+def q_grep_lines_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line REGEX grep (ops.regexsearch.grep_lines_regex): grep's
+    real semantics — the pattern anchors per line, n_matches counts
+    within the line.  Candidates come from the DOC-level trigram CNF
+    (sound: a matching line's match substring is a substring of the
+    doc, and anchors carry content only), the line split runs only on
+    candidates.  Oracle: the same re-lining + LATERAL line split +
+    per-line regexp filter, brute over all docs."""
+    from .ops import regexsearch as RS
+
+    return RS.grep_lines_regex(
+        _multiline_docs(spark, sf_dir), REGEX_TRI_PATTERN
+    )
+
+
+def _sql_grep_lines_regex(pattern: str) -> str:
+    return f"""
+WITH ml AS (
+  SELECT doc_id, replace(text, ' sort ', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM ml),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
+       CAST(len(regexp_extract_all(line, '{pattern}')) AS BIGINT) AS n_matches
+FROM l
+WHERE regexp_matches(line, '{pattern}')
+"""
+
+
 def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier subtoken analysis (ops.codesearch.split_identifier_expr
     + subtoken_tf): camelCase/PascalCase/ACRONYM/snake_case/digit
@@ -4120,6 +4152,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_facets": q_grep_facets,
         "trigram_regex_pruned": q_trigram_regex_pruned,
         "grep_batch": q_grep_batch,
+        "grep_lines_regex": q_grep_lines_regex,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4310,6 +4343,7 @@ FROM tok GROUP BY term
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "trigram_regex_pruned": _sql_trigram_regex(),
         "grep_batch": _sql_grep_batch(BATCH_NEEDLES),
+        "grep_lines_regex": _sql_grep_lines_regex(REGEX_TRI_PATTERN),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

@@ -50,6 +50,7 @@ __all__ = [
     "cnf_satisfied",
     "regex_candidates",
     "regex_search",
+    "grep_lines_regex",
 ]
 
 # caps — every overflow degrades soundly (toward ANY)
@@ -435,6 +436,53 @@ def regex_candidates(
         .agg(F.countDistinct("clause").alias("n_clauses"))
         .filter(F.col("n_clauses") == n_clauses)
         .select("doc_id")
+    )
+
+
+def grep_lines_regex(
+    docs: DataFrame,
+    pattern: str,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_clauses: int | None = None,
+) -> DataFrame:
+    """Per-LINE regex grep — grep's actual semantics: (doc_id, line_no,
+    line, n_matches) for every line matching `pattern`, with ^/$
+    anchoring per line (the verification regexp runs on the split
+    line, so no multiline-flag divergence is possible).
+
+    Candidates come from the DOC-level trigram CNF, which is sound for
+    the per-line query: a matching line's match substring is a
+    substring of the doc, and the CNF derivation treats anchors as
+    content-only (no position constraint), so every doc containing a
+    matching line satisfies the doc-level CNF.  The line split runs
+    only on broadcast-joined candidates — never the corpus."""
+    query = trigram_query(pattern)
+    scope = docs
+    if query:
+        if postings is None:
+            from .codesearch import trigram_postings
+
+            postings = trigram_postings(docs, text_col, id_col)
+        cand = regex_candidates(postings, query, prune_clauses)
+        scope = docs.join(
+            F.broadcast(cand), docs[id_col] == cand["doc_id"]
+        ).drop(cand["doc_id"])
+    lines = scope.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    return (
+        lines.filter(F.regexp_like(F.col("line"), F.lit(pattern)))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("line_no"),
+            "line",
+            F.regexp_count(F.col("line"), F.lit(pattern))
+            .cast("long")
+            .alias("n_matches"),
+        )
     )
 
 

@@ -195,6 +195,49 @@ def test_clause_pruned_identical(code_docs, k):
     assert pruned == full and full  # non-vacuous
 
 
+def test_grep_lines_regex(spark):
+    """Per-line semantics: ^ anchors at LINE start (not doc start),
+    n_matches counts within the line, non-matching lines absent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha merge batch\n^nope\nmerge batch merge batch"),
+            (2, "no hits here"),
+            (3, "merge batch"),
+            (4, "prefix then\nmerge batch tail"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["line_no"], r["n_matches"])
+        for r in RS.grep_lines_regex(docs, "(merge|stream) batch").collect()
+    }
+    assert got == {(1, 1, 1), (1, 3, 2), (3, 1, 1), (4, 2, 1)}
+    # line-anchored ^: matches only where the LINE starts with the
+    # pattern — doc 4's line 2 matches even though it is mid-doc
+    anchored = {
+        (r["doc_id"], r["line_no"])
+        for r in RS.grep_lines_regex(docs, "^merge batch").collect()
+    }
+    assert anchored == {(1, 3), (3, 1), (4, 2)}
+    # brute equivalence on the unanchored pattern
+    from pyspark.sql import functions as F
+
+    brute = {
+        (r["doc_id"], r["i"] + 1, r["n"])
+        for r in docs.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("i", "line")
+        )
+        .filter(F.regexp_like("line", F.lit("(merge|stream) batch")))
+        .select(
+            "doc_id", "i",
+            F.regexp_count("line", F.lit("(merge|stream) batch"))
+            .cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert got == brute
+
+
 def test_zero_mass_clause_short_circuits(code_docs):
     """A clause whose whole OR-set has no postings proves emptiness —
     the result is empty without a corpus regexp scan."""
