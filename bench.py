@@ -225,7 +225,7 @@ def main() -> None:
                  "trigram_search_nocase", "grep_lines",
                  "subtoken_bm25_topk", "grep_facets",
                  "trigram_regex_pruned", "grep_batch",
-                 "grep_lines_regex"):
+                 "grep_lines_regex", "symbol_lookup"):
         t_r4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}

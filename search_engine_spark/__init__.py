@@ -152,6 +152,7 @@ _EXPORTS = {
     "grep_lines": "ops.codesearch:grep_lines",
     "literal_search_batch": "ops.codesearch:literal_search_batch",
     "grep_lines_regex": "ops.regexsearch:grep_lines_regex",
+    "symbol_search": "ops.codesearch:symbol_search",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",
     "subtoken_bm25": "ops.codesearch:subtoken_bm25",
     "split_identifier_py": "ops.codesearch:split_identifier_py",

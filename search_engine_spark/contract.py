@@ -3885,6 +3885,38 @@ GROUP BY lang, source
 """
 
 
+SYMBOL_QUERY_IDENT = "go"
+
+
+def q_symbol_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-to-definition lookup (ops.codesearch.symbol_search): the
+    definitions index filtered to symbols sharing ALL the query's
+    subtokens (or matching exactly) — `go` finds every `go_<id>`
+    planted definition.  Narrow filter over the extract_symbols pass.
+    Oracle: the extract_symbols SQL as a base CTE + the subtoken
+    list_has_all condition restated on the symbol column."""
+    from .ops import codesearch as CS
+
+    return CS.symbol_search(
+        _planted_code(_docs(spark, sf_dir)), SYMBOL_QUERY_IDENT
+    ).withColumn("exact", F.col("exact").cast("long"))
+
+
+def _sql_symbol_lookup(query_ident: str) -> str:
+    from .ops.codesearch import split_identifier_py
+
+    want = sorted(set(split_identifier_py(query_ident)))
+    arr = ", ".join(f"'{t}'" for t in want)
+    split = _SQL_SPLIT_IDENT.format(col="symbol")
+    return f"""
+WITH base AS ({_sql_extract_symbols()})
+SELECT doc_id, line_no, kind, symbol,
+       CAST(symbol = '{query_ident}' AS BIGINT) AS exact
+FROM base
+WHERE list_has_all({split}, [{arr}]) OR symbol = '{query_ident}'
+"""
+
+
 def q_grep_lines_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-line REGEX grep (ops.regexsearch.grep_lines_regex): grep's
     real semantics — the pattern anchors per line, n_matches counts
@@ -4153,6 +4185,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regex_pruned": q_trigram_regex_pruned,
         "grep_batch": q_grep_batch,
         "grep_lines_regex": q_grep_lines_regex,
+        "symbol_lookup": q_symbol_lookup,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -4344,6 +4377,7 @@ FROM tok GROUP BY term
         "trigram_regex_pruned": _sql_trigram_regex(),
         "grep_batch": _sql_grep_batch(BATCH_NEEDLES),
         "grep_lines_regex": _sql_grep_lines_regex(REGEX_TRI_PATTERN),
+        "symbol_lookup": _sql_symbol_lookup(SYMBOL_QUERY_IDENT),
         "extract_symbols": _sql_extract_symbols(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),

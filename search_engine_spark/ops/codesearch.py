@@ -73,6 +73,7 @@ __all__ = [
     "grep_lines",
     "SYMBOL_RULES",
     "extract_symbols",
+    "symbol_search",
     "split_identifier_expr",
     "split_identifier_py",
     "subtoken_tf",
@@ -754,6 +755,40 @@ def extract_symbols(
         )
         .select("doc_id", "line_no", F.col("s.kind").alias("kind"),
                 F.col("s.symbol").alias("symbol"))
+    )
+
+
+def symbol_search(
+    docs: DataFrame,
+    query_ident: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str], ...] = SYMBOL_RULES,
+) -> DataFrame:
+    """Jump-to-definition lookup: definition sites whose symbol matches
+    the query identifier EXACTLY or shares ALL the query's subtokens
+    (so `parseHtml` finds `parse_html`, `ParseHTML`, …).  (doc_id,
+    line_no, kind, symbol, exact) — exact=true rows are the literal
+    name hits.
+
+    Built on extract_symbols (one narrow no-shuffle pass); the match
+    test is a JVM forall over the query's tiny subtoken list — no
+    shuffle beyond what the caller does with the result."""
+    want = sorted(set(split_identifier_py(query_ident)))
+    if not want:
+        raise ValueError(f"query identifier {query_ident!r} has no subtokens")
+    syms = extract_symbols(docs, content_col, id_col, rules)
+    subs = split_identifier_expr(F.col("symbol"))
+    all_subs = F.forall(
+        F.array(*[F.lit(t) for t in want]),
+        lambda t: F.array_contains(subs, t),
+    )
+    return (
+        syms.filter(all_subs | (F.col("symbol") == query_ident))
+        .select(
+            "doc_id", "line_no", "kind", "symbol",
+            (F.col("symbol") == query_ident).alias("exact"),
+        )
     )
 
 

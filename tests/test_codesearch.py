@@ -360,6 +360,31 @@ def test_append_delta_soundness(spark, tmp_path):
     assert 3 not in {t[0] for t in gl_via}
 
 
+def test_symbol_search(spark):
+    """Subtoken-matched definitions plus exact hits, flagged apart."""
+    docs = spark.createDataFrame(
+        [
+            (1, "def parse_html(x):\ndef parseHtml(y):\ndef parse(z):"),
+            (2, "class ParseHTML(Base):\nfunc other(ctx) {"),
+            (3, "function parseHtml(a) {"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["line_no"], r["symbol"], r["exact"])
+        for r in CS.symbol_search(docs, "parseHtml").collect()
+    }
+    assert got == {
+        (1, 1, "parse_html", False),
+        (1, 2, "parseHtml", True),
+        (2, 1, "ParseHTML", False),
+        (3, 1, "parseHtml", True),
+    }
+    # plain `parse` matches every definition containing the subtoken
+    names = {r["symbol"] for r in CS.symbol_search(docs, "parse").collect()}
+    assert names == {"parse_html", "parseHtml", "parse", "ParseHTML"}
+
+
 def test_literal_search_batch(spark, tmp_path):
     """Batch == per-needle scalar results, keyed by query_id; works
     through a persisted delta'd index (duplicate postings) and in
