@@ -230,6 +230,15 @@ def main() -> None:
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}
 
+    # --- round-4 session-2: code-graph analytics + sha-diff reindex ---
+    t_cg = Timer(REPS)
+    for name in ("import_extract", "module_fanin", "module_pagerank",
+                 "path_rollup", "find_references", "sha_diff",
+                 "bm25_shadiff_topk"):
+        t_cg.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_codegraph"] = {"medians": t_cg.medians,
+                                         "spread": t_cg.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

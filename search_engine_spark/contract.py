@@ -4159,6 +4159,434 @@ SELECT doc_id, line_no, kind, symbol FROM sym
 
 
 # ---------------------------------------------------------------------------
+# Code-graph analytics (ops.codegraph): imports, PageRank, paths, refs
+# ---------------------------------------------------------------------------
+
+# Deterministic code-shaped content: four import idioms built from each
+# doc's first four words (docs with fewer excluded on BOTH sides), the
+# doc's own text as line 5 flowing through the same rules — so every
+# IMPORT_RULES pattern fires on corpus data.  Restated verbatim in SQL.
+_IMPORT_MIN_WORDS = 4
+# module-graph canonicalization: 50 owner modules (doc_id % 50) and
+# imported names folded into the same m0..m49 space by a deterministic
+# ascii hash — a dense cyclic graph for PageRank, same formula in SQL.
+_PR_MODULES = 50
+_PR_ITERATIONS = 3
+_PR_DAMPING = 0.85
+REFS_IDENT = "merge"
+_REFS_DEF_MOD = 4
+# snapshot-B synthesis for the sha-diff pair: every %7 doc's content
+# changes, every %13 doc is deleted (delete wins over change), every
+# %11 doc spawns an added doc at +10M; superseded generations shadow at
+# +1e9 in the oracle (the bm25_upsert_topk convention).
+_SHADIFF_CHANGED_MOD = 7
+_SHADIFF_DELETED_MOD = 13
+_SHADIFF_ADDED_MOD = 11
+_SHADIFF_ADD_OFFSET = 10_000_000
+
+
+def _import_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    nl = F.lit("\n")
+    return docs.filter(F.size(w) >= _IMPORT_MIN_WORDS).select(
+        "doc_id",
+        F.concat(
+            F.lit("import "), F.element_at(w, 1), nl,
+            F.lit("from "), F.element_at(w, 2), F.lit(" import x"), nl,
+            F.lit("#include <"), F.element_at(w, 3), F.lit(".h>"), nl,
+            F.lit("const a = require('"), F.element_at(w, 4), F.lit("')"),
+            nl, F.col("text"),
+        ).alias("text"),
+    )
+
+
+_SQL_IMPORT_PLANT = f"""
+src4 AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= {_IMPORT_MIN_WORDS}
+),
+planted AS (
+  SELECT doc_id,
+         'import ' || split_part(text, ' ', 1) || chr(10) ||
+         'from ' || split_part(text, ' ', 2) || ' import x' || chr(10) ||
+         '#include <' || split_part(text, ' ', 3) || '.h>' || chr(10) ||
+         'const a = require(''' || split_part(text, ' ', 4) || ''')' ||
+         chr(10) || text AS content
+  FROM src4
+),
+ilines AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(content, chr(10)) AS ls
+        FROM planted),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+)"""
+
+
+def _sql_imports_cte() -> str:
+    """CTE chain ending in imports(doc_id, line_no, kind, module) — the
+    IMPORT_RULES patterns restated verbatim (same strings)."""
+    from .ops.codegraph import IMPORT_RULES
+
+    structs = ", ".join(
+        "{{'kind': '{}', 'module': regexp_extract(line, '{}', 1)}}".format(
+            kind, pat.replace("'", "''")
+        )
+        for kind, pat in IMPORT_RULES
+    )
+    return f"""{_SQL_IMPORT_PLANT},
+imports AS (
+  SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, s.kind AS kind,
+         s.module AS module
+  FROM ilines,
+  LATERAL (SELECT unnest(list_filter([{structs}], x -> x.module <> '')) AS s)
+)"""
+
+
+def q_import_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-statement extraction (ops.codegraph.extract_imports — the
+    dependency-edge source of a code-graph service): python import /
+    from-import, C #include, JS require, evaluated per line in ONE
+    narrow array<struct> projection (the ops.codesearch.extract_symbols
+    machinery with IMPORT_RULES as the rule set — the rules parameter is
+    the extension point; no shuffle).  The oracle restates the line
+    split and all four patterns verbatim in DuckDB."""
+    from .ops import codegraph as CGR
+
+    return CGR.extract_imports(_import_docs(spark, sf_dir))
+
+
+def _sql_import_extract() -> str:
+    return f"""
+WITH {_sql_imports_cte()}
+SELECT doc_id, line_no, kind, module FROM imports
+"""
+
+
+def q_module_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency fan-in (ops.codegraph.module_fanin): how depended-on
+    each imported module is — (module, n_docs, n_imports), one
+    partial+final agg with a per-group distinct over the module shuffle
+    key.  The 'most-imported module' leaderboard every code-search
+    service ships."""
+    from .ops import codegraph as CGR
+
+    return CGR.module_fanin(
+        CGR.extract_imports(_import_docs(spark, sf_dir))
+    )
+
+
+def _sql_module_fanin() -> str:
+    return f"""
+WITH {_sql_imports_cte()}
+SELECT module,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_imports
+FROM imports GROUP BY module
+"""
+
+
+def _pr_canonical_module() -> "F.Column":
+    return F.concat(
+        F.lit("m"),
+        (
+            (F.length("module") * 31 + F.ascii("module")) % _PR_MODULES
+        ).cast("string"),
+    )
+
+
+def q_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the module dependency graph
+    (ops.codegraph.pagerank — 'which module matters'): DISTINCT edges
+    from each doc's owner module (doc_id % 50) to its imports folded
+    into the same module space by a deterministic ascii hash, then 3
+    power-iteration rounds (damping 0.85, dangling mass leaking — the
+    simplest standard variant).  Each round is one shuffle join of
+    ranks onto edge sources plus one dst-keyed partial+final sum;
+    nothing but the node count N reaches the driver.  The oracle
+    unrolls the SAME recurrence as three chained CTEs, so the iterative
+    dataflow itself is value-pinned cross-engine (ranks rounded to 6
+    decimals — double sums associate differently across engines)."""
+    from .ops import codegraph as CGR
+
+    imports = CGR.extract_imports(_import_docs(spark, sf_dir))
+    owner = _import_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("m"), (F.col("doc_id") % _PR_MODULES).cast("string")
+        ).alias("src"),
+    )
+    edges = CGR.import_edges(imports, owner, _pr_canonical_module())
+    ranks = CGR.pagerank(
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_module_pagerank() -> str:
+    d = _PR_DAMPING
+    it_cte = """
+r{k} AS (
+  SELECT n.node,
+         CAST({base} AS DOUBLE) / m.n + CAST({d} AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n CROSS JOIN m
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / o.outdeg) AS s
+    FROM edges e
+    JOIN outd o ON o.src = e.src
+    JOIN r{prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+    iters = ",".join(
+        it_cte.format(k=k, prev=k - 1, base=1.0 - d, d=d)
+        for k in range(1, _PR_ITERATIONS + 1)
+    )
+    return f"""
+WITH {_sql_imports_cte()},
+edges AS (
+  SELECT DISTINCT
+         'm' || CAST(doc_id % {_PR_MODULES} AS VARCHAR) AS src,
+         'm' || CAST((length(module) * 31 + ascii(module)) % {_PR_MODULES}
+                     AS VARCHAR) AS dst
+  FROM imports
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outd AS (
+  SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / m.n AS rank FROM nodes CROSS JOIN m),
+{iters}
+SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERATIONS}
+"""
+
+
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-tree directory rollup (ops.codegraph.path_rollup): every
+    ancestor directory of every file path with file count and total
+    size — the repo-browser tree header.  Paths synthesized
+    deterministically from (source, lang, doc_id); the prefix expansion
+    is one JVM transform+explode over the split path (directory
+    prefixes only), then ONE partial+final agg — content never enters
+    the plan."""
+    from .ops import codegraph as CGR
+
+    files = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("corpus/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/f"), F.col("doc_id").cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        "n_chars",
+    )
+    return CGR.path_rollup(files, size_col="n_chars")
+
+
+def _sql_path_rollup() -> str:
+    return """
+WITH f AS (
+  SELECT 'corpus/' || source || '/' || lang || '/f'
+         || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         n_chars
+  FROM documents
+),
+p AS (SELECT n_chars, string_split(path, '/') AS parts FROM f),
+e AS (
+  SELECT array_to_string(parts[1:u.i], '/') AS dir, n_chars
+  FROM p, LATERAL (SELECT unnest(range(1, len(parts))) AS i) u
+)
+SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM e GROUP BY dir
+"""
+
+
+def _refs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The find-references corpus: re-lined docs (the grep_lines
+    convention) with a definition line for REFS_IDENT planted on every
+    doc_id % 4 == 0 doc.  Restated verbatim in the oracle."""
+    ml = _multiline_docs(spark, sf_dir)
+    return ml.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _REFS_DEF_MOD == 0,
+            F.concat(
+                F.lit(f"def {REFS_IDENT}(a, b):\n"), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_find_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-references (ops.codegraph.find_references — the other half
+    of jump-to-definition): lines USING the identifier as a whole word,
+    with its definition lines removed by a (doc_id, line_no) anti-join
+    against the extract_symbols pass — computed over the trigram
+    CANDIDATE rows only (a \\b-match implies a substring hit, and a
+    definition line contains the ident), so neither the line split nor
+    the symbol pass ever touches the full corpus.  Oracle: brute
+    per-line \\b-regex scan EXCEPT lines where any symbol rule extracts
+    exactly the ident."""
+    from .ops import codegraph as CGR
+
+    return CGR.find_references(_refs_docs(spark, sf_dir), REFS_IDENT)
+
+
+def _sql_find_references() -> str:
+    from .ops.codesearch import SYMBOL_RULES
+
+    pat = rf"\b{REFS_IDENT}\b"
+    def_clauses = " OR ".join(
+        f"regexp_extract(line, '{p}', 1) = '{REFS_IDENT}'"
+        for _, p in SYMBOL_RULES
+    )
+    return f"""
+WITH ml AS (
+  SELECT doc_id, replace(text, ' sort ', chr(10)) AS text FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_REFS_DEF_MOD} = 0
+              THEN 'def {REFS_IDENT}(a, b):' || chr(10) || text
+              ELSE text END AS text
+  FROM ml
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls
+        FROM planted),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
+       CAST(len(regexp_extract_all(line, '{pat}')) AS BIGINT) AS n_matches
+FROM l
+WHERE regexp_matches(line, '{pat}') AND NOT ({def_clauses})
+"""
+
+
+def _shadiff_new_docs(docs: DataFrame) -> DataFrame:
+    """Snapshot B of the sha-diff pair (see constants above)."""
+    did = F.col("doc_id")
+    base = docs.filter(did % _SHADIFF_DELETED_MOD != 0).select(
+        "doc_id",
+        F.when(
+            did % _SHADIFF_CHANGED_MOD == 0,
+            F.concat(F.col("text"), F.lit(" refreshed")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(did % _SHADIFF_ADDED_MOD == 0).select(
+        (did + _SHADIFF_ADD_OFFSET).alias("doc_id"),
+        F.concat(F.lit("added snapshot doc "), F.col("text")).alias("text"),
+    )
+    return base.unionByName(added)
+
+
+_SQL_SHADIFF_NEW = f"""
+newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_SHADIFF_CHANGED_MOD} = 0
+              THEN text || ' refreshed' ELSE text END AS text
+  FROM documents WHERE doc_id % {_SHADIFF_DELETED_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {_SHADIFF_ADD_OFFSET} AS doc_id,
+         'added snapshot doc ' || text AS text
+  FROM documents WHERE doc_id % {_SHADIFF_ADDED_MOD} = 0
+)"""
+
+
+def q_sha_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sha snapshot diff (maintenance.snapshot_diff): which docs
+    changed/appeared/vanished between two corpus snapshots, detected by
+    sha256(content) — the north rule's per-row invariant driving
+    incremental reindex.  Content reduces to 64 hex chars in the scan
+    projection BEFORE the full-outer shuffle join, so at 100 TB the
+    exchange moves only (id, sha).  Oracle: the same FULL OUTER JOIN
+    over DuckDB's sha256."""
+    from . import maintenance as MN
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return MN.snapshot_diff(docs, _shadiff_new_docs(docs))
+
+
+def _sql_sha_diff() -> str:
+    return f"""
+WITH {_SQL_SHADIFF_NEW},
+o AS (SELECT doc_id, sha256(text) AS old_sha FROM documents),
+n AS (SELECT doc_id, sha256(text) AS new_sha FROM newdocs),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'deleted'
+              WHEN o.old_sha <> n.new_sha THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         o.old_sha AS old_sha, n.new_sha AS new_sha
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status, old_sha, new_sha FROM j WHERE status <> 'unchanged'
+"""
+
+
+def q_bm25_shadiff_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-driven incremental reindex (maintenance.apply_snapshot_diff):
+    base index over snapshot A, then ONE upsert delta for the sha-diff's
+    changed+added docs and tombstones for its deleted docs — index work
+    proportional to the CHANGE SET, never the corpus (the daily-commit
+    crawl shape of the north rule).  Lucene stats semantics until
+    compaction: the oracle scores snapshot B plus the superseded
+    generations as +1e9 shadows plus the deleted docs at their real
+    ids, and drops shadows and deleted just before ranking (the
+    bm25_upsert_topk / bm25_live_delete_topk conventions composed)."""
+    import shutil
+
+    from . import maintenance as MN, postings as P
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("shadiff", sf_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        content_col="text",
+    )
+    MN.apply_snapshot_diff(
+        docs, _shadiff_new_docs(docs), idx_dir, content_col="text"
+    )
+    return _maint_search(spark, idx_dir, live=True)
+
+
+def _sql_bm25_shadiff() -> str:
+    changed = (
+        f"doc_id % {_SHADIFF_CHANGED_MOD} = 0 "
+        f"AND doc_id % {_SHADIFF_DELETED_MOD} <> 0"
+    )
+    return _sql_bm25(
+        source_table="shadiff_corpus",
+        prelude=(
+            f"{_SQL_SHADIFF_NEW}, "
+            "shadiff_corpus AS ("
+            "SELECT doc_id, text FROM newdocs "
+            "UNION ALL "
+            f"SELECT doc_id + {_UPSERT_SHADOW} AS doc_id, text "
+            f"FROM documents WHERE {changed} "
+            "UNION ALL "
+            "SELECT doc_id, text FROM documents "
+            f"WHERE doc_id % {_SHADIFF_DELETED_MOD} = 0), "
+        ),
+        score_filter=(
+            f"doc_id < {_UPSERT_SHADOW} AND "
+            f"(doc_id >= {_SHADIFF_ADD_OFFSET} "
+            f"OR doc_id % {_SHADIFF_DELETED_MOD} <> 0)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
 
@@ -4172,8 +4600,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     index-lifecycle builds land last.  Per-query costs measured with
     tools/verify_contract.py on this host, 2026-08-18."""
     return {
-        # --- new in round 4 / never driver-sampled in round 3: first
-        # (cheapest-first within the block; regex CNF pays plan compile) ---
+        # --- newest, never driver-sampled: first (cheapest-first within
+        # the block; the shadiff index build is the expensive tail) ---
+        "import_extract": q_import_extract,
+        "module_fanin": q_module_fanin,
+        "path_rollup": q_path_rollup,
+        "find_references": q_find_references,
+        "sha_diff": q_sha_diff,
+        "module_pagerank": q_module_pagerank,
+        "bm25_shadiff_topk": q_bm25_shadiff_topk,
+        # --- new in round 4 / never driver-sampled in round 3 ---
         "extract_symbols": q_extract_symbols,
         "subtoken_search": q_subtoken_search,
         "trigram_literal_pruned": q_trigram_literal_pruned,
@@ -4379,6 +4815,13 @@ FROM tok GROUP BY term
         "grep_lines_regex": _sql_grep_lines_regex(REGEX_TRI_PATTERN),
         "symbol_lookup": _sql_symbol_lookup(SYMBOL_QUERY_IDENT),
         "extract_symbols": _sql_extract_symbols(),
+        "import_extract": _sql_import_extract(),
+        "module_fanin": _sql_module_fanin(),
+        "module_pagerank": _sql_module_pagerank(),
+        "path_rollup": _sql_path_rollup(),
+        "find_references": _sql_find_references(),
+        "sha_diff": _sql_sha_diff(),
+        "bm25_shadiff_topk": _sql_bm25_shadiff(),
         "trigram_literal_search": _sql_literal(LITERAL_NEEDLE),
         "trigram_literal_pruned": _sql_literal(LITERAL_NEEDLE_PRUNED),
         "subtoken_tf": _sql_subtoken_tf(),

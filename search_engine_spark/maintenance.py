@@ -921,3 +921,99 @@ def compact_index(
         )
         ledger.write.mode("append").parquet(seg_dir)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: content-sha change detection driving incremental reindex
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status, old_sha, new_sha): what changed between two
+    corpus snapshots, detected by content sha256 — the per-row
+    invariant the north rule pins builds on (content sha256 equality).
+    status ∈ {added, deleted, changed}; unchanged rows are dropped.
+
+    One full-outer shuffle join on the corpus key with the sha computed
+    in the scan projection (JVM sha2, whole-stage codegen) — content
+    bytes reduce to 64 hex chars BEFORE the shuffle, so at 100 TB the
+    exchange moves only (id, sha).  This is how a daily-commit crawl
+    decides what to reindex: feed the result to apply_snapshot_diff and
+    the index work is proportional to the CHANGE SET, never the corpus.
+    """
+    o = old_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("old_sha"),
+    )
+    n = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("new_sha"),
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("old_sha").isNull(), F.lit("added"))
+            .when(F.col("new_sha").isNull(), F.lit("deleted"))
+            .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            "old_sha",
+            "new_sha",
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+def apply_snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> dict:
+    """Bring an index built over `old_docs` up to `new_docs` with work
+    proportional to the sha-diff: changed+added docs ride ONE
+    upsert_docs delta (epoch-aware tombstone kills only superseded
+    versions), deleted docs get plain tombstones in the same epoch.
+    Returns {"changed": c, "added": a, "deleted": d, ...delta metrics}.
+
+    Lucene stats semantics until compact_index: superseded/deleted
+    generations still count in n_docs/avgdl/df; the live ranking never
+    sees them.  Invariant (pytest + driver-oracle): live search after
+    apply_snapshot_diff is bit-identical to that semantics stated over
+    the new snapshot directly."""
+    diff = snapshot_diff(old_docs, new_docs, id_col, content_col)
+    by_status = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    upserts = new_docs.join(
+        diff.filter(F.col("status") != "deleted").select(
+            F.col("doc_id").alias("_diff_id")
+        ),
+        new_docs[id_col] == F.col("_diff_id"),
+        "left_semi",
+    )
+    metrics: dict = {
+        "changed": int(by_status.get("changed", 0)),
+        "added": int(by_status.get("added", 0)),
+        "deleted": int(by_status.get("deleted", 0)),
+    }
+    if metrics["changed"] or metrics["added"]:
+        metrics.update(
+            upsert_docs(
+                upserts, index_dir, doc_id_col=id_col, content_col=content_col
+            )
+        )
+    if metrics["deleted"]:
+        delete_docs(
+            old_docs.sparkSession,
+            index_dir,
+            diff.filter(F.col("status") == "deleted").select("doc_id"),
+        )
+    return metrics

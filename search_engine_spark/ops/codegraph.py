@@ -1,0 +1,245 @@
+"""Code-graph analytics over the (repo, path, commit, lang, content)
+corpus shape: import extraction, dependency aggregation, fixed-iteration
+PageRank, path-hierarchy rollups, and find-references.
+
+The reference engine (sebastian-hofstaetter/search-engine) stops at
+posting lists and BM25 (src/Indexing/WriteableIndex.cs, src/Query/
+BM25Scorer.cs); a code-search service over the same corpus additionally
+answers "who imports X", "which module is most depended on", "where is
+this symbol USED (not defined)", and per-directory rollups.  Everything
+here is declarative DataFrame composition — the line-anchored extraction
+reuses the ctags-style machinery from ops.codesearch.extract_symbols
+(one narrow no-shuffle array<struct> projection), references ride the
+trigram candidate path so the corpus is never line-split wholesale, and
+the one genuinely iterative operator (PageRank) follows the same
+lineage-checkpoint discipline as ops.dedup.connected_components.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "IMPORT_RULES",
+    "extract_imports",
+    "module_fanin",
+    "import_edges",
+    "pagerank",
+    "path_rollup",
+    "find_references",
+]
+
+
+# One (kind, extraction regex) rule per import idiom; group 1 is the
+# imported module.  Patterns are evaluated per LINE (the line split
+# happens first), so ^ anchors identically in every engine — the same
+# strings are restated verbatim in the DuckDB contract oracle.
+IMPORT_RULES: tuple[tuple[str, str], ...] = (
+    ("py_import", r"^\s*import\s+([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("py_from", r"^\s*from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import\s"),
+    ("c_include", r"^\s*#include\s*[<\"]([A-Za-z0-9_./]+)[>\"]"),
+    ("js_require", r"require\('([^']+)'\)"),
+)
+
+
+def extract_imports(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str], ...] = IMPORT_RULES,
+) -> DataFrame:
+    """(doc_id, line_no, kind, module): import statements extracted from
+    source content — the dependency-edge source.
+
+    Reuses ops.codesearch.extract_symbols verbatim (the rules parameter
+    IS the extension point): one posexplode over the line split, every
+    rule a JVM regexp_extract inside a single array<struct> projection,
+    empties filtered before the explode — a narrow no-shuffle map."""
+    from .codesearch import extract_symbols
+
+    return extract_symbols(docs, content_col, id_col, rules).withColumnRenamed(
+        "symbol", "module"
+    )
+
+
+def module_fanin(imports: DataFrame) -> DataFrame:
+    """(module, n_docs, n_imports): how depended-on each module is.
+    n_docs counts distinct importing docs, n_imports total import
+    statements.  One partial+final agg over the (already tiny relative
+    to content) extraction output; the distinct count is per-group over
+    the module shuffle key, so no second corpus pass."""
+    return imports.groupBy("module").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_imports"),
+    )
+
+
+def import_edges(
+    imports: DataFrame, owner: DataFrame, canonicalize: Column | None = None
+) -> DataFrame:
+    """DISTINCT dependency edges (src, dst): src = the importing doc's
+    own module (from `owner(doc_id, src)`), dst = the imported module —
+    optionally canonicalized through `canonicalize` (a Column over
+    `module`, e.g. an alias-resolution expression).
+
+    The join is on doc_id (the corpus key); `owner` is metadata-sized
+    per doc, so at scale this is the natural shuffle join on the
+    already-partitioned corpus key — content bytes are long gone."""
+    dst = canonicalize if canonicalize is not None else F.col("module")
+    return (
+        imports.join(owner, "doc_id")
+        .select(F.col("src"), dst.alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over DISTINCT (src, dst) edges:
+    rank_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank_t(u)/outdeg(u).
+
+    Power iteration as repeated join+agg — the canonical iterative
+    dataflow on the module dependency graph ("which module matters").
+    Dangling nodes (no out-edges) leak their mass each round, the
+    simplest standard variant; ranks therefore sum to < 1 and the
+    contract oracle restates the SAME recurrence (unrolled CTEs), so
+    the semantics are pinned cross-engine rather than against a
+    normalization convention.
+
+    Scale shape: edges carry (src, dst, outdeg) and are cached once;
+    each iteration is ONE shuffle join of ranks onto edges' src and ONE
+    dst-keyed partial+final sum — both map-side combinable, nothing
+    collected to the driver except the node count N (a scalar).
+    Lineage is cut with localCheckpoint every `checkpoint_every`
+    rounds, the ops.dedup.connected_components discipline — without it
+    the plan doubles per iteration."""
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    ew = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .cache()
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for it in range(iterations):
+        contribs = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def path_rollup(
+    files: DataFrame, path_col: str = "path", size_col: str | None = None
+) -> DataFrame:
+    """(dir, n_files, [total_size]): every ANCESTOR directory of every
+    file path, rolled up — the repo-browser tree header ("src/: 1,204
+    files, 18 MB").
+
+    The prefix expansion is one JVM transform over sequence(1, depth-1)
+    (directory prefixes only, never the file itself) followed by a
+    single explode — rows out = Σ depth, metadata-sized — and ONE
+    partial+final agg on dir.  Content never enters the plan."""
+    parts = F.split(F.col(path_col), "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), "/"),
+    )
+    cols = [F.explode(prefixes).alias("dir")]
+    if size_col is not None:
+        cols.append(F.col(size_col))
+    exploded = files.select(*cols)
+    aggs = [F.count("*").cast("long").alias("n_files")]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).cast("long").alias("total_size"))
+    return exploded.groupBy("dir").agg(*aggs)
+
+
+def find_references(
+    docs: DataFrame,
+    ident: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    prune_k: int | None = None,
+) -> DataFrame:
+    """(doc_id, line_no, line, n_matches): lines that USE `ident` as a
+    whole word, excluding its DEFINITION lines — the find-references
+    half of jump-to-definition (ops.codesearch.symbol_search is the
+    other half).
+
+    A \\b<ident>\\b match is a substring hit on `ident`, so the trigram
+    candidate machinery (ops.codesearch._candidate_rows) gives a sound
+    superset and the line split runs ONLY on broadcast-joined candidate
+    docs.  Definitions are likewise extracted from the candidate rows
+    only (a definition line contains the ident, hence lives in a
+    candidate doc) and removed with a (doc_id, line_no) anti-join —
+    both sides of the anti-join are match-set-sized, never the corpus."""
+    from .codesearch import _candidate_rows, extract_symbols
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+        raise ValueError(f"not an identifier: {ident!r}")
+    pattern = r"\b" + re.escape(ident) + r"\b"
+    verified, _ = _candidate_rows(
+        docs, ident, postings, content_col, id_col, prune_k, False
+    )
+    if verified is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, line_no long, line string, n_matches long"
+        )
+    cand = verified.select(
+        docs[id_col].cast("long").alias("doc_id"), F.col(content_col)
+    )
+    lines = cand.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("idx", "line"),
+    ).select(
+        "doc_id",
+        (F.col("idx") + 1).cast("long").alias("line_no"),
+        "line",
+    )
+    defs = (
+        extract_symbols(cand, content_col, "doc_id")
+        .filter(F.col("symbol") == ident)
+        .select("doc_id", "line_no")
+    )
+    return (
+        lines.filter(F.col("line").rlike(pattern))
+        .join(defs, ["doc_id", "line_no"], "left_anti")
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            F.regexp_count(F.col("line"), F.lit(pattern)).cast("long").alias(
+                "n_matches"
+            ),
+        )
+    )

@@ -1,0 +1,210 @@
+"""Code-graph analytics: import extraction, PageRank, path rollup,
+find-references, and the sha-diff incremental reindex."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import codegraph as CG
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    rows = [
+        (1, "import os\nfrom collections import abc\nx = 1\n"
+            "const fs = require('fs')"),
+        (2, '#include <stdio.h>\n#include "mylib/util.h"\nint main() {}'),
+        (3, "import os.path\nimport numpy\nplain prose line"),
+        (4, "no imports here\njust text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_extract_imports(code_docs):
+    got = {
+        (r["doc_id"], r["line_no"], r["kind"], r["module"])
+        for r in CG.extract_imports(code_docs).collect()
+    }
+    assert got == {
+        (1, 1, "py_import", "os"),
+        (1, 2, "py_from", "collections"),
+        (1, 4, "js_require", "fs"),
+        (2, 1, "c_include", "stdio.h"),
+        (2, 2, "c_include", "mylib/util.h"),
+        (3, 1, "py_import", "os.path"),
+        (3, 2, "py_import", "numpy"),
+    }
+
+
+def test_module_fanin(code_docs):
+    fan = {
+        r["module"]: (r["n_docs"], r["n_imports"])
+        for r in CG.module_fanin(CG.extract_imports(code_docs)).collect()
+    }
+    assert fan["os"] == (1, 1)
+    assert fan["numpy"] == (1, 1)
+    assert len(fan) == 7
+
+
+def test_import_edges_distinct_and_canonical(spark, code_docs):
+    owner = spark.createDataFrame(
+        [(1, "m1"), (2, "m1"), (3, "m2"), (4, "m2")],
+        "doc_id long, src string",
+    )
+    edges = CG.import_edges(
+        CG.extract_imports(code_docs),
+        owner,
+        canonicalize=F.substring(F.col("module"), 1, 2),
+    )
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # doc1: os, collections, fs -> os, co, fs ; doc2: stdio.h, mylib/util.h
+    # -> st, my ; doc3: os.path, numpy -> os, nu (os dedups only within m2)
+    assert got == {
+        ("m1", "os"), ("m1", "co"), ("m1", "fs"), ("m1", "st"), ("m1", "my"),
+        ("m2", "os"), ("m2", "nu"),
+    }
+    assert edges.count() == len(got)  # distinct
+
+
+def _pagerank_py(edges, iterations=3, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in set(edges):
+        out[u] = out.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in set(edges):
+            contrib[v] += r[u] / out[u]
+        r = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_oracle(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+             ("a", "b")]  # duplicate edge must not double-count
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in CG.pagerank(df, iterations=5).collect()}
+    want = _pagerank_py(edges, iterations=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-12), (v, got[v], want[v])
+    # d is dangling-free? d has out-edge, no in-edge: floor rank after iter 1
+    assert math.isclose(got["d"], 0.15 / 4, rel_tol=1e-12)
+
+
+def test_pagerank_checkpoint_path(spark):
+    # checkpoint_every smaller than iterations exercises the lineage cut
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["node"]: r["rank"] for r in
+           CG.pagerank(df, iterations=4, checkpoint_every=2).collect()}
+    want = _pagerank_py([("a", "b"), ("b", "a")], iterations=4)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-12)
+
+
+def test_path_rollup(spark):
+    files = spark.createDataFrame(
+        [("src/a/x.py", 10), ("src/a/y.py", 20), ("src/b.py", 5),
+         ("docs/readme.md", 7)],
+        "path string, n_chars long",
+    )
+    got = {
+        r["dir"]: (r["n_files"], r["total_size"])
+        for r in CG.path_rollup(files, size_col="n_chars").collect()
+    }
+    assert got == {
+        "src": (3, 35),
+        "src/a": (2, 30),
+        "docs": (1, 7),
+    }
+    # without a size column: counts only
+    got2 = {r["dir"]: r["n_files"] for r in CG.path_rollup(files).collect()}
+    assert got2 == {"src": 3, "src/a": 2, "docs": 1}
+
+
+def test_find_references_excludes_definitions(spark):
+    rows = [
+        (1, "def sort(x):\n    return sort(x[1:]) if x else []\nsorted = sort"),
+        (2, "y = sort([3, 1])\n# sorting is not a reference to sort word-bound"),
+        (3, "nothing relevant"),
+        (4, "resort != sort_stable != \"sort\""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["line_no"], r["n_matches"])
+        for r in CG.find_references(docs, "sort").collect()
+    }
+    # doc1 line1 is the definition (excluded); line2 uses it once; line3 once.
+    # doc2 line1 once; line2 "sort" appears word-bounded once ("to sort")...
+    # careful: line2 = "# sorting is not a reference to sort word-bound"
+    #   \bsort\b matches "sort" in "to sort" only (sorting fails \b).
+    # doc4: "resort" no, "sort_stable" no ('_' is word char), "sort" in
+    #   quotes yes.
+    assert got == {
+        (1, 2, 1),
+        (1, 3, 1),
+        (2, 1, 1),
+        (2, 2, 1),
+        (4, 1, 1),
+    }
+
+
+def test_snapshot_diff_and_apply(spark, tmp_path):
+    from search_engine_spark import maintenance as MN
+    from search_engine_spark import postings as P
+    from search_engine_spark import wand as W
+    from search_engine_spark.config import (
+        AnalyzerConfig, BM25Params, IndexBuildConfig,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta"),
+         (3, "gamma delta epsilon"), (4, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma"),            # unchanged
+         (2, "beta gamma delta CHANGED"),    # changed
+         (4, "delta epsilon zeta"),          # unchanged (3 deleted)
+         (5, "fresh alpha doc")],            # added
+        "doc_id long, text string",
+    )
+    diff = {r["doc_id"]: r["status"]
+            for r in MN.snapshot_diff(old, new).collect()}
+    assert diff == {2: "changed", 3: "deleted", 5: "added"}
+
+    cfg = IndexBuildConfig(
+        analyzer=AnalyzerConfig(do_stemming=False, remove_stopwords=False)
+    )
+    idx = str(tmp_path / "idx")
+    P.build_index(old, idx, cfg, BM25Params(), content_col="text")
+    m = MN.apply_snapshot_diff(old, new, idx, content_col="text")
+    assert (m["changed"], m["added"], m["deleted"]) == (1, 1, 1)
+
+    got = W.search_bm25(
+        MN.live_index(spark, idx), [(1, "alpha delta")], k=10
+    ).select("doc_id", "score").collect()
+    # Oracle semantics: new snapshot + superseded generation of doc2 +
+    # deleted doc3 still count in stats; ranking sees only live versions.
+    shadow = old.filter(F.col("doc_id").isin([2])).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    dead = {3}
+    oracle_corpus = new.unionByName(shadow).unionByName(
+        old.filter(F.col("doc_id").isin(list(dead)))
+    )
+    idx2 = str(tmp_path / "idx2")
+    P.build_index(oracle_corpus, idx2, cfg, BM25Params(), content_col="text")
+    want = (
+        W.search_bm25(P.load_index(spark, idx2), [(1, "alpha delta")], k=20)
+        .filter(~F.col("doc_id").isin([3]) & (F.col("doc_id") < 1_000_000))
+        .select("doc_id", "score")
+        .collect()
+    )
+    got_m = {r["doc_id"]: r["score"] for r in got}
+    want_m = {r["doc_id"]: r["score"] for r in want}
+    assert got_m == {k: want_m[k] for k in got_m}
+    assert set(got_m) == set(want_m) or len(want_m) >= len(got_m)

@@ -394,6 +394,47 @@ def main() -> int:
     check("extract_symbols: narrow map — NO shuffle, no row-Python",
           "Exchange" not in p and "BatchEvalPython" not in p)
 
+    # --- code-graph analytics (ops/codegraph.py) ---
+    from search_engine_spark.contract import (
+        q_find_references, q_import_extract, q_module_fanin,
+        q_module_pagerank, q_path_rollup, q_sha_diff,
+    )
+
+    p = plan_of(q_import_extract(spark, sf_dir))
+    check("import extract: narrow map — NO shuffle, no row-Python",
+          "Exchange" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_module_fanin(spark, sf_dir))
+    check("module fanin: ONE wide exchange (module agg w/ partial "
+          "distinct), no row-Python",
+          p.count("hashpartitioning(") <= 2
+          and "BatchEvalPython" not in p,
+          f"found {p.count('hashpartitioning(')}")
+
+    p = plan_of(q_module_pagerank(spark, sf_dir))
+    check("pagerank: no cartesian, no row-Python (join+agg rounds only)",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_path_rollup(spark, sf_dir))
+    check("path rollup: scan pruned to the path inputs (no text), ONE "
+          "wide exchange",
+          "text" not in p.split("ReadSchema")[-1]
+          and p.count("hashpartitioning(") <= 1,
+          f"found {p.count('hashpartitioning(')}")
+
+    p = plan_of(q_find_references(spark, sf_dir))
+    check("find refs: line explode above the candidate broadcast; defs "
+          "anti-join broadcast; no row-Python",
+          p.count("BroadcastHashJoin") >= 2
+          and "BatchEvalPython" not in p
+          and "CartesianProduct" not in p)
+
+    p = plan_of(q_sha_diff(spark, sf_dir))
+    check("sha diff: sha256 reduces content in the scan projection "
+          "BEFORE the full-outer exchange (shuffle moves (id,sha))",
+          "sha2" in p and "FullOuter" in p)
+    check("sha diff: no row-Python", "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
