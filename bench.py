@@ -234,6 +234,7 @@ def main() -> None:
     t_cg = Timer(REPS)
     for name in ("import_extract", "module_fanin", "module_pagerank",
                  "path_rollup", "find_references", "sha_diff",
+                 "repo_clones", "symbol_refs",
                  "bm25_shadiff_topk"):
         t_cg.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_codegraph"] = {"medians": t_cg.medians,

@@ -4586,6 +4586,150 @@ def _sql_bm25_shadiff() -> str:
     )
 
 
+# cross-repo clone detection: fingerprint = sha256 of the first-2-words
+# prefix (the boilerplate-header analog — full-content sha finds only
+# exact clones on this all-distinct corpus); keys held by more than 3
+# repos are dropped (the hot-boilerplate guard actually fires: sf0.01
+# has prefix keys shared by 4 repos).
+_CLONE_KEY_WORDS = 2
+_CLONE_MAX_DF = 3
+_SYMREFS_DEF_MOD = 4
+
+
+def q_repo_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo clone/fork detection (ops.codegraph.repo_clone_pairs):
+    repos ranked by shared content fingerprints — keyed on a prefix sha
+    (boilerplate-tolerant), repos meeting ONLY through an equi-join on
+    the key (the LSH-bucket discipline, never all-pairs), with keys held
+    by more than 3 repos dropped before pairing (the skew guard — empty
+    files / license headers at corpus scale).  Per-repo key counts ride
+    a broadcast; jaccard over the same filtered key set.  Oracle: the
+    identical key synthesis, HAVING-cap, self-join and jaccard in
+    DuckDB."""
+    from .ops import codegraph as CGR
+
+    files = _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.col("text"), " "), 1, _CLONE_KEY_WORDS),
+            ),
+            256,
+        ).alias("content_key"),
+    )
+    return CGR.repo_clone_pairs(files, max_key_df=_CLONE_MAX_DF)
+
+
+def _sql_repo_clones() -> str:
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT source AS repo,
+         sha256(array_to_string(
+             string_split(text, ' ')[1:{_CLONE_KEY_WORDS}], ' ')) AS key
+  FROM documents
+),
+eligible AS (
+  SELECT key FROM keys GROUP BY key HAVING COUNT(*) <= {_CLONE_MAX_DF}
+),
+k2 AS (SELECT repo, key FROM keys WHERE key IN (SELECT key FROM eligible)),
+per_repo AS (SELECT repo, COUNT(*) AS n_keys FROM k2 GROUP BY repo),
+pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, COUNT(*) AS shared
+  FROM k2 a JOIN k2 b ON a.key = b.key AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT p.repo_a, p.repo_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST(na.n_keys AS BIGINT) AS n_a, CAST(nb.n_keys AS BIGINT) AS n_b,
+       round(CAST(p.shared AS DOUBLE)
+             / (na.n_keys + nb.n_keys - p.shared), 6) AS jaccard
+FROM pairs p
+JOIN per_repo na ON na.repo = p.repo_a
+JOIN per_repo nb ON nb.repo = p.repo_b
+"""
+
+
+def _symrefs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-references corpus: every doc_id % 4 == 0 doc defines its
+    own first word ('def <w1>(a):' planted as line 1), so defined
+    symbols are common corpus words and the reference counts are dense.
+    Restated verbatim in the oracle."""
+    docs = _docs(spark, sf_dir)
+    w1 = F.element_at(F.split(F.col("text"), " "), 1)
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _SYMREFS_DEF_MOD == 0,
+            F.concat(F.lit("def "), w1, F.lit("(a):\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_symbol_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-referenced-symbols leaderboard (ops.codegraph.
+    symbol_references): for every defined symbol, identifier occurrences
+    outside its definition lines — find_references generalized to ALL
+    symbols at once, fully relationally: ONE regexp_extract_all+explode
+    identifier pass, semi-join to the defined-symbol dictionary FIRST,
+    then a (doc_id, line_no, symbol) anti-join against definition sites
+    and one symbol-keyed agg.  Oracle: same identifier split, an IN
+    filter plus NOT EXISTS (exact anti-join semantics), same rollup."""
+    from .ops import codegraph as CGR
+
+    return CGR.symbol_references(_symrefs_docs(spark, sf_dir))
+
+
+def _sql_symbol_refs() -> str:
+    from .ops.codegraph import IDENT_PATTERN
+    from .ops.codesearch import SYMBOL_RULES
+
+    structs = ", ".join(
+        f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
+        for kind, pat in SYMBOL_RULES
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_SYMREFS_DEF_MOD} = 0
+              THEN 'def ' || split_part(text, ' ', 1) || '(a):'
+                   || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls
+        FROM planted),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+),
+defs AS (
+  SELECT doc_id, line_no, s.symbol AS symbol
+  FROM l,
+  LATERAL (SELECT unnest(list_filter([{structs}], x -> x.symbol <> '')) AS s)
+),
+idents AS (
+  SELECT doc_id, line_no,
+         unnest(regexp_extract_all(line, '{IDENT_PATTERN}')) AS symbol
+  FROM l
+),
+refs AS (
+  SELECT i.symbol, COUNT(*) AS n_refs
+  FROM idents i
+  WHERE i.symbol IN (SELECT symbol FROM defs)
+    AND NOT EXISTS (SELECT 1 FROM defs d
+                    WHERE d.doc_id = i.doc_id AND d.line_no = i.line_no
+                      AND d.symbol = i.symbol)
+  GROUP BY i.symbol
+),
+nd AS (SELECT symbol, COUNT(*) AS n_defs FROM defs GROUP BY symbol)
+SELECT nd.symbol, CAST(nd.n_defs AS BIGINT) AS n_defs,
+       CAST(COALESCE(r.n_refs, 0) AS BIGINT) AS n_refs
+FROM nd LEFT JOIN refs r ON r.symbol = nd.symbol
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
@@ -4603,6 +4747,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
         "import_extract": q_import_extract,
+        "repo_clones": q_repo_clones,
+        "symbol_refs": q_symbol_refs,
         "module_fanin": q_module_fanin,
         "path_rollup": q_path_rollup,
         "find_references": q_find_references,
@@ -4816,6 +4962,8 @@ FROM tok GROUP BY term
         "symbol_lookup": _sql_symbol_lookup(SYMBOL_QUERY_IDENT),
         "extract_symbols": _sql_extract_symbols(),
         "import_extract": _sql_import_extract(),
+        "repo_clones": _sql_repo_clones(),
+        "symbol_refs": _sql_symbol_refs(),
         "module_fanin": _sql_module_fanin(),
         "module_pagerank": _sql_module_pagerank(),
         "path_rollup": _sql_path_rollup(),

@@ -29,6 +29,9 @@ __all__ = [
     "pagerank",
     "path_rollup",
     "find_references",
+    "repo_clone_pairs",
+    "symbol_references",
+    "IDENT_PATTERN",
 ]
 
 
@@ -242,4 +245,134 @@ def find_references(
                 "n_matches"
             ),
         )
+    )
+
+
+def repo_clone_pairs(
+    files: DataFrame,
+    repo_col: str = "repo",
+    key_col: str = "content_key",
+    max_key_df: int = 1000,
+) -> DataFrame:
+    """(repo_a, repo_b, shared, n_a, n_b, jaccard): cross-repo clone /
+    fork detection — repos ranked by how much content they share, where
+    sharing is keyed on a caller-supplied content fingerprint (full
+    content sha256 for exact file clones, a header/prefix sha for
+    boilerplate-tolerant matching).
+
+    Never all-pairs: repos meet ONLY through an equi-join on the
+    fingerprint key, the ops.dedup LSH-bucket discipline.  Keys held by
+    more than `max_key_df` repos (empty files, license headers,
+    generated boilerplate — the skew killers at corpus scale) are
+    dropped BEFORE pairing, bounding any key's pair fan-out at
+    max_key_df²; per-repo key counts (and therefore jaccard) are
+    computed over the same filtered key set so the measure stays
+    self-consistent.  The final per-pair rollup is one partial+final
+    agg; repo key-count sides are broadcast (repo-cardinality rows)."""
+    keys = files.select(
+        F.col(repo_col).alias("repo"), F.col(key_col).alias("key")
+    ).distinct()
+    eligible = (
+        keys.groupBy("key")
+        .agg(F.count("*").alias("kdf"))
+        .filter(F.col("kdf") <= max_key_df)
+        .select("key")
+    )
+    keys = keys.join(eligible, "key", "left_semi")
+    per_repo = keys.groupBy("repo").agg(F.count("*").alias("n_keys"))
+    a = keys.select(F.col("repo").alias("repo_a"), "key")
+    b = keys.select(F.col("repo").alias("repo_b"), "key")
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    na = F.broadcast(
+        per_repo.select(
+            F.col("repo").alias("repo_a"), F.col("n_keys").alias("n_a")
+        )
+    )
+    nb = F.broadcast(
+        per_repo.select(
+            F.col("repo").alias("repo_b"), F.col("n_keys").alias("n_b")
+        )
+    )
+    return (
+        pairs.join(na, "repo_a")
+        .join(nb, "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+IDENT_PATTERN = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def symbol_references(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules=None,
+) -> DataFrame:
+    """(symbol, n_defs, n_refs): the most-referenced-symbols leaderboard
+    — for every DEFINED symbol, how many identifier occurrences
+    reference it outside its own definition lines.
+
+    Fully relational (no per-symbol regex scans): identifiers come from
+    ONE per-line regexp_extract_all + explode over the corpus, are
+    semi-joined to the (much smaller) defined-symbol set FIRST — so the
+    expensive anti-join and the final agg see only identifiers that
+    resolve to a definition — and definition lines drop out with a
+    (doc_id, line_no, symbol) anti-join, the find_references semantics
+    generalized to every symbol at once.  One wide agg keyed on symbol;
+    at 10^12 files the defined-symbol set is a dictionary, not a
+    corpus, and both joins shuffle idents only after the semi-join
+    prune."""
+    from .codesearch import SYMBOL_RULES, extract_symbols
+
+    if rules is None:
+        rules = SYMBOL_RULES
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("idx", "line"),
+    ).select(
+        "doc_id", (F.col("idx") + 1).cast("long").alias("line_no"), "line"
+    )
+    defs = extract_symbols(docs, content_col, id_col, rules)
+    def_symbols = defs.select("symbol").distinct()
+    idents = lines.select(
+        "doc_id",
+        "line_no",
+        F.explode(
+            F.regexp_extract_all(F.col("line"), F.lit(IDENT_PATTERN), 0)
+        ).alias("symbol"),
+    )
+    refs = (
+        idents.join(def_symbols, "symbol", "left_semi")
+        .join(
+            defs.select("doc_id", "line_no", "symbol"),
+            ["doc_id", "line_no", "symbol"],
+            "left_anti",
+        )
+        .groupBy("symbol")
+        .agg(F.count("*").cast("long").alias("n_refs"))
+    )
+    n_defs = defs.groupBy("symbol").agg(
+        F.count("*").cast("long").alias("n_defs")
+    )
+    return n_defs.join(refs, "symbol", "left").select(
+        "symbol",
+        "n_defs",
+        F.coalesce("n_refs", F.lit(0)).cast("long").alias("n_refs"),
     )

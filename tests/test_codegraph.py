@@ -208,3 +208,42 @@ def test_snapshot_diff_and_apply(spark, tmp_path):
     want_m = {r["doc_id"]: r["score"] for r in want}
     assert got_m == {k: want_m[k] for k in got_m}
     assert set(got_m) == set(want_m) or len(want_m) >= len(got_m)
+
+
+def test_repo_clone_pairs(spark):
+    files = spark.createDataFrame(
+        [("r1", "k1"), ("r1", "k2"), ("r1", "k3"),
+         ("r2", "k1"), ("r2", "k2"), ("r2", "k9"),
+         ("r3", "k3"), ("r3", "k9"), ("r3", "k9"),  # dup (repo,key) row
+         ("r1", "hot"), ("r2", "hot"), ("r3", "hot")],  # dropped at df cap 2
+        "repo string, content_key string",
+    )
+    got = {
+        (r["repo_a"], r["repo_b"]): (r["shared"], r["n_a"], r["n_b"],
+                                     r["jaccard"])
+        for r in CG.repo_clone_pairs(files, max_key_df=2).collect()
+    }
+    # after dropping 'hot' (df 3 > 2): r1={k1,k2,k3} r2={k1,k2,k9} r3={k3,k9}
+    assert got == {
+        ("r1", "r2"): (2, 3, 3, 0.5),
+        ("r1", "r3"): (1, 3, 2, 0.25),
+        ("r2", "r3"): (1, 3, 2, 0.25),
+    }
+
+
+def test_symbol_references(spark):
+    rows = [
+        (1, "def alpha(x):\n    return alpha(x - 1) + beta\nalpha = alpha"),
+        (2, "y = alpha + alphabet\nclass beta(Base):\n    pass"),
+        (3, "no symbols used here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["symbol"]: (r["n_defs"], r["n_refs"])
+        for r in CG.symbol_references(docs).collect()
+    }
+    # alpha: defined once (d1 l1); refs = d1 l2 (1) + d1 l3 (2) + d2 l1 (1)
+    #   — 'alphabet' is a different identifier token.
+    # beta: defined once (d2 l2); refs = d1 l2 (1); its own def line excluded
+    #   even though 'beta' and 'Base' tokens appear there.
+    assert got == {"alpha": (1, 4), "beta": (1, 1)}

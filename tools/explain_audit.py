@@ -435,6 +435,22 @@ def main() -> int:
           "sha2" in p and "FullOuter" in p)
     check("sha diff: no row-Python", "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_repo_clones, q_symbol_refs
+
+    p = plan_of(q_repo_clones(spark, sf_dir))
+    check("repo clones: repos meet ONLY via the key equi-join (no "
+          "cartesian); per-repo counts broadcast",
+          "CartesianProduct" not in p
+          and "BroadcastHashJoin" in p
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_symbol_refs(spark, sf_dir))
+    check("symbol refs: semi+anti joins hash/broadcast (no cartesian, "
+          "no row-Python)",
+          "CartesianProduct" not in p
+          and ("LeftSemi" in p and "LeftAnti" in p)
+          and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
