@@ -5,6 +5,7 @@ plus the beyond-reference code-search surface:
 
   index  <documents_parquet> <index_dir> [--options ...] [--chunks N] ...
   search <run_name> <topics_file> <index_dir> <out_run_file> [--scorer ...]
+  refresh <old_parquet> <new_parquet> <index_dir> [--compact]
   stats  <index_dir> [--live]
   trigram-index  <documents_parquet> <index_dir> [--fold-case]
   trigram-append <delta_parquet> <index_dir>
@@ -98,6 +99,49 @@ def cmd_index(args: argparse.Namespace) -> None:
     wall = time.time() - t0
     # files/sec mirrors the reference's throughput print (Program.cs:52)
     metrics["docs_per_sec"] = round(metrics["n_docs"] / wall, 2) if wall else None
+    print(json.dumps(metrics))
+
+
+def cmd_refresh(args: argparse.Namespace) -> None:
+    """Bring an index up to a new corpus snapshot: sha256 diff between
+    the old and new snapshots (maintenance.snapshot_diff — the shuffle
+    moves (id, sha), never content), then ONE upsert delta for
+    changed+added docs and tombstones for deleted docs
+    (apply_snapshot_diff) — the daily-commit crawl: index work scales
+    with the change set, not the corpus.  --compact folds the result
+    back into a fresh base afterwards."""
+    from . import maintenance as MN
+
+    spark = _get_spark("se-spark-refresh")
+    key_cols = tuple(c for c in (args.key_cols or "").split(",") if c)
+
+    derived_keys = key_cols
+
+    def _load(path: str):
+        nonlocal derived_keys
+        df = spark.read.parquet(path)
+        if args.doc_id_col not in df.columns:
+            kc = key_cols or ("repo", "path", "commit")
+            derived_keys = kc
+            df = df.withColumn(
+                args.doc_id_col, F.xxhash64(*[F.col(c) for c in kc])
+            )
+        return df
+
+    t0 = time.time()
+    old_df, new_df = _load(args.old_documents), _load(args.new_documents)
+    metrics = MN.apply_snapshot_diff(
+        old_df,
+        new_df,
+        args.index_dir,
+        id_col=args.doc_id_col,
+        content_col=args.content_col,
+        key_cols=derived_keys,
+    )
+    if args.compact:
+        MN.compact_index(spark, args.index_dir)
+        metrics["compacted"] = True
+    metrics["sec"] = round(time.time() - t0, 3)
     print(json.dumps(metrics))
 
 
@@ -419,6 +463,23 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--key-cols", default="",
                     help="comma list forming doc_key (e.g. repo,path,commit)")
     ix.set_defaults(fn=cmd_index)
+
+    rf = sub.add_parser(
+        "refresh",
+        help="sha-diff a new snapshot against an old one and reindex "
+             "only the change set (upsert delta + tombstones)",
+    )
+    rf.add_argument("old_documents", help="parquet of the indexed snapshot")
+    rf.add_argument("new_documents", help="parquet of the new snapshot")
+    rf.add_argument("index_dir")
+    rf.add_argument("--doc-id-col", default="doc_id")
+    rf.add_argument("--content-col", default="content")
+    rf.add_argument("--key-cols", default="",
+                    help="comma list forming the id when doc-id-col is "
+                         "absent (default repo,path,commit)")
+    rf.add_argument("--compact", action="store_true",
+                    help="fold deltas+tombstones into a fresh base after")
+    rf.set_defaults(fn=cmd_refresh)
 
     st = sub.add_parser(
         "stats", help="index statistics report (logical + physical layout)"

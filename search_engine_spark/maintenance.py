@@ -975,6 +975,7 @@ def apply_snapshot_diff(
     index_dir: str,
     id_col: str = "doc_id",
     content_col: str = "text",
+    key_cols: tuple[str, ...] = (),
 ) -> dict:
     """Bring an index built over `old_docs` up to `new_docs` with work
     proportional to the sha-diff: changed+added docs ride ONE
@@ -1007,7 +1008,8 @@ def apply_snapshot_diff(
     if metrics["changed"] or metrics["added"]:
         metrics.update(
             upsert_docs(
-                upserts, index_dir, doc_id_col=id_col, content_col=content_col
+                upserts, index_dir, doc_id_col=id_col,
+                content_col=content_col, key_cols=key_cols,
             )
         )
     if metrics["deleted"]:

@@ -247,3 +247,63 @@ def test_symbol_references(spark):
     # beta: defined once (d2 l2); refs = d1 l2 (1); its own def line excluded
     #   even though 'beta' and 'Base' tokens appear there.
     assert got == {"alpha": (1, 4), "beta": (1, 1)}
+
+
+def test_cli_refresh(spark, tmp_path, capsys):
+    """spark-submit surface: index snapshot A -> refresh to snapshot B
+    (sha diff: changed content, deleted path, added path) -> live search
+    reflects B; --compact rebases the index on B's survivors."""
+    import json
+
+    from search_engine_spark.__main__ import main
+
+    rows_a = [
+        ("r1", "a.py", "c1", "py", "alpha beta gamma"),
+        ("r1", "b.py", "c1", "py", "beta gamma delta"),
+        ("r1", "c.py", "c1", "py", "gamma delta epsilon"),
+        ("r2", "d.py", "c1", "py", "delta epsilon zeta"),
+    ]
+    rows_b = [
+        ("r1", "a.py", "c1", "py", "alpha beta gamma"),      # unchanged
+        ("r1", "b.py", "c1", "py", "beta quux nova"),        # changed
+        # c.py deleted
+        ("r2", "d.py", "c1", "py", "delta epsilon zeta"),    # unchanged
+        ("r2", "e.py", "c1", "py", "nova omicron alpha"),    # added
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    pa, pb = str(tmp_path / "snapA"), str(tmp_path / "snapB")
+    spark.createDataFrame(rows_a, schema).write.parquet(pa)
+    spark.createDataFrame(rows_b, schema).write.parquet(pb)
+
+    idx = str(tmp_path / "idx")
+    main(["index", pa, idx, "--chunks", "1", "--options", "none"])
+    capsys.readouterr()
+
+    main(["refresh", pa, pb, idx])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (m["changed"], m["added"], m["deleted"]) == (1, 1, 1)
+
+    topics = str(tmp_path / "topics.tsv")
+    with open(topics, "w") as fh:
+        fh.write("1\tnova\n2\tepsilon\n")
+    run = str(tmp_path / "run.trec")
+    main(["search", "rr", topics, idx, run, "--live", "--k", "10"])
+    capsys.readouterr()
+    lines = [l.split() for l in open(run).read().splitlines()]
+    by_topic = {}
+    for l in lines:
+        by_topic.setdefault(l[0], set()).add(l[2])
+    # 'nova' appears only in B's changed b.py and added e.py
+    assert by_topic["1"] == {"r1/b.py@c1", "r2/e.py@c1"}
+    # 'epsilon' lived in deleted c.py and unchanged d.py: only d.py now
+    assert by_topic["2"] == {"r2/d.py@c1"}
+
+    # refresh --compact on an already-refreshed index: no-op diff, then
+    # compaction folds deltas+tombstones into a fresh base
+    main(["refresh", pb, pb, idx, "--compact"])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (m["changed"], m["added"], m["deleted"]) == (0, 0, 0)
+    assert m["compacted"] is True
+    main(["stats", idx])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_docs"] == len(rows_b)
