@@ -988,7 +988,10 @@ def apply_snapshot_diff(
     sees them.  Invariant (pytest + driver-oracle): live search after
     apply_snapshot_diff is bit-identical to that semantics stated over
     the new snapshot directly."""
-    diff = snapshot_diff(old_docs, new_docs, id_col, content_col)
+    # the diff is consumed three times (status counts, upsert semi-join,
+    # delete filter) — persist the change-set-sized result so the
+    # corpus-wide sha join runs ONCE, not per consumer
+    diff = snapshot_diff(old_docs, new_docs, id_col, content_col).persist()
     by_status = {
         r["status"]: r["n"]
         for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
@@ -1018,4 +1021,5 @@ def apply_snapshot_diff(
             index_dir,
             diff.filter(F.col("status") == "deleted").select("doc_id"),
         )
+    diff.unpersist()
     return metrics

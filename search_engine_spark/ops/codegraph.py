@@ -157,6 +157,13 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # the iteration caches (nodes, edges+outdeg) must outlive the loop but
+    # not the session: drop executor copies once the caller releases the
+    # result (wand.py discipline — a re-evaluated plan just recomputes)
+    import weakref
+
+    weakref.finalize(ranks, nodes.unpersist)
+    weakref.finalize(ranks, ew.unpersist)
     return ranks
 
 

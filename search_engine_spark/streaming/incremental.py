@@ -415,3 +415,56 @@ def stream_index_build(
     if finalize:
         metrics.update(finalize_index(spark, index_dir, build_cfg, params))
     return metrics
+
+
+def stream_append_trigrams(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    schema: T.StructType | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Streaming ingest for the TRIGRAM (grep) index: each micro-batch
+    of new/updated docs appends one posting generation via
+    ops.codesearch.append_trigram_index.
+
+    Deliberately NO intent/done ledger (contrast stream_append_deltas,
+    whose delta ordinals must be exactly-once): the trigram artifact is
+    duplicate-TOLERANT by construction — candidate counting is an
+    idempotent bit_or mask (or countDistinct), upserted docs' stale
+    postings only widen the verified-away candidate superset — so
+    Structured Streaming's own checkpoint (at-least-once foreachBatch)
+    is already sound.  A batch replayed after a crash re-appends the
+    same rows and changes no query answer; pytest pins a
+    replayed-append index grep-identical to a one-shot build.
+
+    Case folding is inherited from the index properties sidecar, like
+    every append.  Returns {"stream_batches", "appends"}.
+    """
+    from ..ops.codesearch import append_trigram_index
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    counters = {"stream_batches": 0, "appends": 0}
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        counters["stream_batches"] += 1
+        if batch_df.isEmpty():
+            return
+        append_trigram_index(
+            batch_df, index_path, text_col=text_col, id_col=id_col
+        )
+        counters["appends"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{index_path}/_trigram_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dict(counters)

@@ -307,3 +307,83 @@ def test_cli_refresh(spark, tmp_path, capsys):
     main(["stats", idx])
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["n_docs"] == len(rows_b)
+
+
+def test_stream_append_trigrams(spark, tmp_path):
+    """Streaming grep-index ingest: base trigram index over a third of
+    the docs, two single-file arrivals drained as micro-batches, then
+    literal + nocase searches over the streamed index must equal a
+    brute contains() scan of the full corpus; a REPLAYED append (the
+    at-least-once case) must change no answer."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops import codesearch as CS
+    from search_engine_spark.streaming import stream_append_trigrams
+
+    docs = spark.createDataFrame(
+        [(i, f"window table doc{i} " + ("merge batch " * (i % 3)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    root = tmp_path / "tg_stream"
+    idx = str(root / "idx")
+    src = str(root / "incoming")
+    (root / "incoming").mkdir(parents=True)
+
+    CS.write_trigram_index(
+        docs.filter(F.col("doc_id") % 3 == 0), idx, fold_case=True
+    )
+    for mod in (1, 2):
+        stage = str(root / f"stage_{mod}")
+        docs.filter(F.col("doc_id") % 3 == mod).coalesce(1).write.parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{src}/arrival_{mod}.parquet",
+        )
+    m = stream_append_trigrams(
+        spark, src, idx, schema=docs.schema, max_files_per_trigger=1
+    )
+    assert m["appends"] == 2
+
+    postings = CS.load_trigram_index(spark, idx)
+
+    def _grep(needle, **kw):
+        return sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in CS.literal_search(
+                docs, needle, postings=postings, **kw
+            ).collect()
+        )
+
+    def _brute(needle, fold=False):
+        t = F.lower(F.col("text")) if fold else F.col("text")
+        n = needle.lower() if fold else needle
+        return sorted(
+            (r["doc_id"], r["n"])
+            for r in docs.filter(F.contains(t, F.lit(n)))
+            .select("doc_id",
+                    CS.count_occurrences_expr(t, n).alias("n"))
+            .collect()
+        )
+
+    assert _grep("merge batch") == _brute("merge batch")
+    assert _grep("WINdow TABle", ignore_case=True) == _brute(
+        "WINdow TABle", fold=True
+    )
+
+    # at-least-once replay: append one arrival AGAIN directly — answers
+    # must not change (duplicate postings are idempotent in counting)
+    CS.append_trigram_index(
+        docs.filter(F.col("doc_id") % 3 == 1), idx
+    )
+    postings2 = CS.load_trigram_index(spark, idx)
+    got = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in CS.literal_search(
+            docs, "merge batch", postings=postings2
+        ).collect()
+    )
+    assert got == _brute("merge batch")

@@ -1,0 +1,172 @@
+"""Scale probe for the code-graph analytics layer (ops/codegraph.py) on
+the realistic 1M-doc corpus: import extraction (narrow regexp map),
+symbol_references (identifier explosion + semi/anti joins + agg),
+3-iteration PageRank over a multi-million-edge module graph, and
+repo_clone_pairs over 2,000 repos — each at two parallelism levels with
+the interleaved-draw MIN estimator (BASELINE.md host-noise method).
+
+The graph inputs are synthesized from the corpus exactly like the
+contract queries do (import lines planted from the doc's TAIL-token
+words — the hot head would collapse the module space; owner module =
+doc_id % n_modules; imported names folded into the module space by the
+ascii hash) so edge counts track the corpus: 1M docs -> 3M import rows
+-> millions of distinct canonical edges in a 50k-module space.  repo
+keys: a tail-word sha over 2,000 repos with the hot-key cap live.
+
+Usage: python tools/measure_codegraph_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+N_MODULES = 50_000
+N_REPOS = 2_000
+CLONE_MAX_DF = 50
+
+
+def _planted(docs):
+    from pyspark.sql import functions as F
+
+    # words 11+ are the 200k-term Zipf TAIL (1-10 are the hot head, which
+    # would collapse the module space and trip every hot-key cap)
+    w = F.split(F.col("text"), " ")
+    nl = F.lit("\n")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("import "), F.element_at(w, 11), nl,
+            F.lit("from "), F.element_at(w, 12), F.lit(" import x"), nl,
+            F.lit("#include <"), F.element_at(w, 13), F.lit(".h>"), nl,
+            F.lit("def "), F.element_at(w, 14), F.lit("(a):"), nl,
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def one_draw(sp, docs_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.ops import codegraph as CG
+
+    docs = sp.read.parquet(docs_path)
+    planted = _planted(docs)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    imports = CG.extract_imports(planted)
+    n_imports = imports.count()
+    t["extract_imports"] = round(time.perf_counter() - t0, 2)
+    t["n_imports"] = n_imports
+
+    t0 = time.perf_counter()
+    t["n_symbols"] = CG.symbol_references(planted).count()
+    t["symbol_references"] = round(time.perf_counter() - t0, 2)
+
+    owner = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("m"), (F.col("doc_id") % N_MODULES).cast("string")
+        ).alias("src"),
+    )
+    # xxhash64 canonicalization (not the contract's DuckDB-parity ascii
+    # hash, which degenerates on the tail vocabulary's 't'-prefixed
+    # tokens): dst spreads over the full module space, so the graph has
+    # millions of DISTINCT edges and PageRank does real shuffle work
+    canon = F.concat(
+        F.lit("m"),
+        F.pmod(F.xxhash64("module"), F.lit(N_MODULES)).cast("string"),
+    )
+    t0 = time.perf_counter()
+    edges = CG.import_edges(CG.extract_imports(planted), owner, canon)
+    n_edges = edges.count()
+    t["build_edges"] = round(time.perf_counter() - t0, 2)
+    t["n_edges"] = n_edges
+
+    t0 = time.perf_counter()
+    ranks = CG.pagerank(edges, iterations=3)
+    t["n_nodes"] = ranks.count()
+    t["pagerank_3it"] = round(time.perf_counter() - t0, 2)
+
+    files = docs.select(
+        F.concat(
+            F.lit("r"), (F.col("doc_id") % N_REPOS).cast("string")
+        ).alias("repo"),
+        F.sha2(
+            F.element_at(F.split(F.col("text"), " "), 11), 256
+        ).alias("content_key"),
+    )
+    t0 = time.perf_counter()
+    t["n_clone_pairs"] = CG.repo_clone_pairs(
+        files, max_key_df=CLONE_MAX_DF
+    ).count()
+    t["repo_clones"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="codegraph_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+    s = get_spark("cg_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"cg_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(one_draw(sp, docs_path))
+        sp.stop()
+
+    timing_ops = ("extract_imports", "symbol_references", "build_edges",
+                  "pagerank_3it", "repo_clones")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "codegraph_scaling",
+        "n_docs": N_DOCS,
+        "n_modules": N_MODULES,
+        "n_repos": N_REPOS,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

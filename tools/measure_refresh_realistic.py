@@ -1,0 +1,176 @@
+"""Scale-rehearse the sha-diff incremental reindex (maintenance.
+snapshot_diff / apply_snapshot_diff, CLI `refresh`) on the realistic
+1M-doc x 200k-term corpus: the north-rule daily-crawl claim is that
+refresh cost tracks the CHANGE SET, not the corpus — this probe is the
+evidence, at three change rates against the full-rebuild baseline.
+
+Per draw (one per core count in the interleaved schedule):
+  * full_rebuild: build_index over snapshot B — the cost refresh avoids
+  * per change rate r in {0.1%, 1%, 10%}:
+      - sha_diff: snapshot_diff(A, B_r).count() — the (id, sha) join
+      - refresh:  apply_snapshot_diff onto a COPY of the base index
+      - live_search: one WAND query over the refreshed live view
+
+Measurement method (BASELINE.md host-noise notes): one-sided contention
+noise, interleaved draws, MIN estimator, high-core config gets the
+extra attempt.  Run ALONE (tmux), never concurrent with another Spark
+job.
+
+Usage: python tools/measure_refresh_realistic.py [n_docs] [draws]
+  draws: comma-separated core counts, default "4,16,16,4"
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+# change rates: (label, changed_mod) — deleted/added ride at 1/10 the
+# changed volume so the upsert delta dominates, like a commit crawl
+RATES = (("0.1pct", 1000), ("1pct", 100), ("10pct", 10))
+QUERY = "hot1 t17 t9431 t120007 refreshed"
+
+
+def _snapshot_b(docs, changed_mod: int):
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    del_mod = changed_mod * 10
+    base = docs.filter(did % del_mod != 1).select(
+        "doc_id",
+        F.when(
+            did % changed_mod == 0,
+            F.concat(F.col("text"), F.lit(" refreshed marker")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(did % del_mod == 2).select(
+        (did + 100_000_000).alias("doc_id"),
+        F.concat(F.lit("added snapshot doc "), F.col("text")).alias("text"),
+    )
+    return base.unionByName(added)
+
+
+def one_draw(sp, docs_path: str, work: str) -> dict:
+    from search_engine_spark import maintenance as MN, postings as P
+    from search_engine_spark import wand as W
+    from search_engine_spark.config import BM25Params, IndexBuildConfig
+
+    docs = sp.read.parquet(docs_path)
+    t: dict[str, object] = {}
+
+    base_idx = f"{work}/base"
+    shutil.rmtree(base_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    P.build_index(
+        docs, base_idx, IndexBuildConfig(), BM25Params(), content_col="text"
+    )
+    t["build_base"] = round(time.perf_counter() - t0, 2)
+
+    # full-rebuild baseline over snapshot B (1% variant)
+    b1 = _snapshot_b(docs, 100)
+    rebuild_idx = f"{work}/rebuild"
+    shutil.rmtree(rebuild_idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    P.build_index(
+        b1, rebuild_idx, IndexBuildConfig(), BM25Params(), content_col="text"
+    )
+    t["full_rebuild_1pct"] = round(time.perf_counter() - t0, 2)
+
+    for label, mod in RATES:
+        new_docs = _snapshot_b(docs, mod)
+        idx = f"{work}/idx_{label}"
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(base_idx, idx)
+
+        t0 = time.perf_counter()
+        n_diff = MN.snapshot_diff(docs, new_docs).count()
+        t[f"sha_diff_{label}"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        m = MN.apply_snapshot_diff(docs, new_docs, idx, content_col="text")
+        t[f"refresh_{label}"] = round(time.perf_counter() - t0, 2)
+        t[f"change_set_{label}"] = n_diff
+        assert m["changed"] + m["added"] + m["deleted"] == n_diff
+
+        t0 = time.perf_counter()
+        n_hits = W.search_bm25(
+            MN.live_index(sp, idx), [(1, QUERY)], k=10
+        ).count()
+        t[f"live_search_{label}"] = round(time.perf_counter() - t0, 2)
+        t[f"live_hits_{label}"] = n_hits
+        shutil.rmtree(idx, ignore_errors=True)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="refresh_real_")
+    docs_path = f"{tmp}/docs.parquet"
+    s = get_spark("refresh_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"refresh_real_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, docs_path, f"{tmp}/w{cores}")
+        )
+        sp.stop()
+
+    timing_ops = [
+        k for k in next(iter(raw.values()))[0]
+        if not k.startswith(("change_set", "live_hits"))
+    ]
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    best = results[hi]["sec_min"]
+    print(json.dumps({
+        "probe": "sha_diff_refresh_realistic",
+        "n_docs": N_DOCS,
+        "vocab": VOCAB,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+        "refresh_over_rebuild_1pct": round(
+            best["refresh_1pct"] / best["full_rebuild_1pct"], 3
+        ),
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
