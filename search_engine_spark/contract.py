@@ -3755,18 +3755,23 @@ def q_subtoken_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_subtoken_bm25(params: BM25Params = BM25Params()) -> str:
+def _sql_subtoken_bm25(
+    params: BM25Params = BM25Params(),
+    source_table: str = "documents",
+    prelude: str = "",
+    ident: str | None = None,
+) -> str:
     from .ops.codesearch import query_ident_terms
 
     k1, k3, b = params.k1, params.k3, params.b
     split = _SQL_SPLIT_IDENT.format(col="text")
     rows = ", ".join(
         f"('{t}', {q}, {p})"
-        for t, q, p in query_ident_terms(SUBTOKEN_BM25_IDENT)
+        for t, q, p in query_ident_terms(ident or SUBTOKEN_BM25_IDENT)
     )
     return f"""
-WITH sub AS (
-  SELECT doc_id, unnest({split}) AS term FROM documents
+WITH {prelude}sub AS (
+  SELECT doc_id, unnest({split}) AS term FROM {source_table}
 ),
 tok AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -3774,7 +3779,7 @@ tok AS (
 ),
 meta AS (
   SELECT d.doc_id, CAST(COALESCE(s.doc_len, 0) AS BIGINT) AS doc_len
-  FROM documents d
+  FROM {source_table} d
   LEFT JOIN (SELECT doc_id, SUM(tf) AS doc_len FROM tok GROUP BY doc_id) s
     USING (doc_id)
 ),
@@ -4730,6 +4735,69 @@ FROM nd LEFT JOIN refs r ON r.symbol = nd.symbol
 """
 
 
+RANKED_GREP_IDENT = "windowTable_merge"
+SYMBOL_COMPLETE_PREFIX = "s"
+SYMBOL_COMPLETE_K = 10
+
+
+def q_ranked_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zoekt composition as one operator (ops.codesearch.
+    ranked_grep): docs FILTERED to a verified literal match through the
+    trigram index, RANKED by subtoken BM25 for a query identifier —
+    'files containing this snippet, by relevance to this symbol'.
+    Stats over the match set (the bm25_filtered_topk restricted-corpus
+    convention); float32-exact like every BM25 contract row.  Oracle:
+    a contains() CTE restricting the corpus + the subtoken-BM25 SQL
+    over it."""
+    from .ops import codesearch as CS
+
+    return CS.ranked_grep(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        LITERAL_NEEDLE,
+        RANKED_GREP_IDENT,
+        k=TOPK,
+    )
+
+
+def _sql_ranked_grep() -> str:
+    esc = LITERAL_NEEDLE.replace("'", "''")
+    return _sql_subtoken_bm25(
+        source_table="grepped",
+        prelude=(
+            "grepped AS (SELECT doc_id, text FROM documents "
+            f"WHERE contains(text, '{esc}')), "
+        ),
+        ident=RANKED_GREP_IDENT,
+    )
+
+
+def q_symbol_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDE-style completion (ops.codegraph.symbol_complete): defined
+    symbols with the query prefix, ranked by reference popularity
+    (symbol_references), then definition count, then name — over the
+    same planted-definition corpus as symbol_refs.  Oracle: the
+    symbol_refs SQL + starts_with + the same deterministic ORDER BY /
+    LIMIT."""
+    from .ops import codegraph as CGR
+
+    return CGR.symbol_complete(
+        _symrefs_docs(spark, sf_dir),
+        SYMBOL_COMPLETE_PREFIX,
+        k=SYMBOL_COMPLETE_K,
+    )
+
+
+def _sql_symbol_complete() -> str:
+    base = _sql_symbol_refs().strip()
+    esc = SYMBOL_COMPLETE_PREFIX.replace("'", "''")
+    return f"""
+SELECT * FROM ({base}) s
+WHERE starts_with(symbol, '{esc}')
+ORDER BY n_refs DESC, n_defs DESC, symbol ASC
+LIMIT {SYMBOL_COMPLETE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
@@ -4748,6 +4816,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the block; the shadiff index build is the expensive tail) ---
         "import_extract": q_import_extract,
         "repo_clones": q_repo_clones,
+        "symbol_complete": q_symbol_complete,
+        "ranked_grep": q_ranked_grep,
         "symbol_refs": q_symbol_refs,
         "module_fanin": q_module_fanin,
         "path_rollup": q_path_rollup,
@@ -4963,6 +5033,8 @@ FROM tok GROUP BY term
         "extract_symbols": _sql_extract_symbols(),
         "import_extract": _sql_import_extract(),
         "repo_clones": _sql_repo_clones(),
+        "symbol_complete": _sql_symbol_complete(),
+        "ranked_grep": _sql_ranked_grep(),
         "symbol_refs": _sql_symbol_refs(),
         "module_fanin": _sql_module_fanin(),
         "module_pagerank": _sql_module_pagerank(),

@@ -31,6 +31,7 @@ __all__ = [
     "find_references",
     "repo_clone_pairs",
     "symbol_references",
+    "symbol_complete",
     "IDENT_PATTERN",
 ]
 
@@ -382,4 +383,24 @@ def symbol_references(
         "symbol",
         "n_defs",
         F.coalesce("n_refs", F.lit(0)).cast("long").alias("n_refs"),
+    )
+
+
+def symbol_complete(
+    docs: DataFrame,
+    prefix: str,
+    k: int = 10,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IDE-style symbol completion: defined symbols starting with
+    `prefix`, ranked by how referenced they are (symbol_references —
+    the popularity signal completion engines actually use), then by
+    definition count, then name.  Deterministic; the prefix filter
+    sits directly on the symbol-keyed rollup."""
+    refs = symbol_references(docs, content_col, id_col)
+    return (
+        refs.filter(F.col("symbol").startswith(prefix))
+        .orderBy(F.desc("n_refs"), F.desc("n_defs"), F.asc("symbol"))
+        .limit(k)
     )

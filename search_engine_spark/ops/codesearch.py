@@ -81,6 +81,7 @@ __all__ = [
     "subtoken_tokens",
     "query_ident_terms",
     "subtoken_bm25",
+    "ranked_grep",
 ]
 
 
@@ -920,4 +921,39 @@ def subtoken_search(
         .limit(k)
         .select("doc_id", F.col("score").cast("long").alias("score"),
                 F.col("n_matched").cast("long").alias("n_matched"))
+    )
+
+
+def ranked_grep(
+    docs: DataFrame,
+    needle: str,
+    query_ident: str,
+    k: int = 20,
+    params=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    prune_k: int | None = None,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """Zoekt-shaped code search, the two halves composed: FILTER by a
+    verified literal match through the trigram index, then RANK the
+    match set by subtoken BM25 for a query identifier — 'files
+    containing this exact snippet, ordered by relevance to this
+    symbol'.  Collection statistics (n/avgdl/df) are computed over the
+    MATCH SET, the restricted-corpus convention bm25_filtered_topk
+    pins for faceted search.
+
+    The match set rides a broadcast semi-join back to the corpus
+    (result-page-shaped, like literal_search's own candidate join), so
+    the scorer's scans touch only matching docs."""
+    hits = literal_search(
+        docs, needle, postings, text_col, id_col, prune_k, ignore_case
+    ).select(F.col("doc_id").alias("_hit_id"))
+    matched = docs.join(
+        F.broadcast(hits), docs[id_col] == F.col("_hit_id"), "left_semi"
+    )
+    return subtoken_bm25(
+        matched, query_ident, k=k, params=params,
+        text_col=text_col, id_col=id_col,
     )

@@ -387,3 +387,39 @@ def test_stream_append_trigrams(spark, tmp_path):
         ).collect()
     )
     assert got == _brute("merge batch")
+
+
+def test_ranked_grep_filter_and_rank(spark):
+    from search_engine_spark.ops import codesearch as CS
+
+    docs = spark.createDataFrame(
+        [(1, "needle here window table window"),
+         (2, "needle here window"),
+         (3, "window table window window no match term"),  # no needle
+         (4, "needle here nothing relevant")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["rank"], r["doc_id"])
+        for r in CS.ranked_grep(
+            docs, "needle here", "windowTable", k=10
+        ).collect()
+    ]
+    # doc3 matches the ident best but lacks the needle: filtered out.
+    # Among needle matchers, doc1 (window x2 + table) > doc2 (window) >
+    # doc4 (no subtoken hit -> no contribution row -> absent).
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_symbol_complete_ordering(spark):
+    docs = spark.createDataFrame(
+        [(1, "def stream(a):\nstream stream other"),
+         (2, "def stack(a):\nstack used stream stream"),
+         (3, "def other(a):\nstream"),],
+        "doc_id long, text string",
+    )
+    got = [(r["symbol"], r["n_refs"]) for r in
+           CG.symbol_complete(docs, "st", k=5).collect()]
+    # stream: refs = d1 line2 (2) + d2 line2 (2) + d3 line2 (1) = 5
+    # stack: refs = d2 line2 (1)
+    assert got == [("stream", 5), ("stack", 1)]

@@ -451,6 +451,19 @@ def main() -> int:
           and ("LeftSemi" in p and "LeftAnti" in p)
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_ranked_grep, q_symbol_complete
+
+    p = plan_of(q_ranked_grep(spark, sf_dir))
+    check("ranked grep: match set broadcast-semi-joined back to the "
+          "corpus before scoring, no cartesian, no row-Python",
+          "BroadcastHashJoin" in p and "LeftSemi" in p
+          and "CartesianProduct" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_symbol_complete(spark, sf_dir))
+    check("symbol complete: TakeOrderedAndProject (global sort never "
+          "materializes), no row-Python",
+          "TakeOrderedAndProject" in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
