@@ -40,6 +40,11 @@ REPS = int(os.environ.get("AB_BENCH_REPS", "3"))  # in-process reps per probe
 # round tips: r2/r3 as judged; r4 = this tree.  (r1 83ed06f dropped from
 # the default set in round 4 — the open question is r3-vs-r2 tfidf.)
 VARIANTS = {"r2": "ac3ec3f", "r3": "d6b7328", "r4": None}  # None = this tree
+# override via AB_BENCH_VARIANTS='{"name": "sha-or-null", ...}'
+if os.environ.get("AB_BENCH_VARIANTS"):
+    VARIANTS = {
+        k: v for k, v in json.loads(os.environ["AB_BENCH_VARIANTS"]).items()
+    }
 
 RUNNER = r'''
 import json, os, sys, time
