@@ -245,6 +245,15 @@ def main() -> None:
     extras["query_surface_codegraph"] = {"medians": t_cg.medians,
                                          "spread": t_cg.spread}
 
+    # --- round-4 session-3: context/conjunctive grep, fuzzy symbols,
+    # code-quality curation ---
+    t_s3 = Timer(REPS)
+    for name in ("grep_context", "grep_all", "symbol_fuzzy",
+                 "code_quality"):
+        t_s3.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_r4s3"] = {"medians": t_s3.medians,
+                                    "spread": t_s3.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

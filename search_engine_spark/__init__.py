@@ -150,7 +150,11 @@ _EXPORTS = {
     "compact_trigram_index": "ops.codesearch:compact_trigram_index",
     "literal_search": "ops.codesearch:literal_search",
     "grep_lines": "ops.codesearch:grep_lines",
+    "grep_context": "ops.codesearch:grep_context",
+    "grep_all": "ops.codesearch:grep_all",
     "literal_search_batch": "ops.codesearch:literal_search_batch",
+    "symbol_fuzzy": "ops.codesearch:symbol_fuzzy",
+    "code_quality": "ops.codequality:code_quality",
     "grep_lines_regex": "ops.regexsearch:grep_lines_regex",
     "symbol_search": "ops.codesearch:symbol_search",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",

@@ -3853,6 +3853,83 @@ WHERE contains(text, '{esc}')""")
     return "\nUNION ALL\n".join(parts)
 
 
+GREP_CONTEXT_N = 2
+GREP_ALL_NEEDLES = ["window table", "merge batch"]  # co-occur in 2 docs
+
+
+def q_grep_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -C output (ops.codesearch.grep_context): matching lines plus
+    ±2 context lines, overlapping blocks merged — the expansion is ONE
+    sliding max-over-window per candidate doc's line split (no self-join
+    of the line set), so the window shuffle moves only candidate docs'
+    lines.  Oracle: the same reline + line split + the identical
+    ROWS-BETWEEN window, brute over all docs (non-candidates keep no
+    rows, so index pruning is invisible in the answer)."""
+    from .ops import codesearch as CS
+
+    return CS.grep_context(
+        _multiline_docs(spark, sf_dir), LITERAL_NEEDLE, GREP_CONTEXT_N
+    )
+
+
+def _sql_grep_context(needle: str, n_context: int) -> str:
+    esc = needle.replace("'", "''")
+    return f"""
+WITH ml AS (
+  SELECT doc_id, replace(text, ' sort ', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM ml),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+),
+m AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN contains(line, '{esc}') THEN 1 ELSE 0 END AS is_match
+  FROM l
+),
+k AS (
+  SELECT doc_id, line_no, line, is_match,
+         MAX(is_match) OVER (
+           PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN {n_context} PRECEDING AND {n_context} FOLLOWING
+         ) AS keep
+  FROM m
+)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line,
+       CAST(is_match AS BIGINT) AS is_match
+FROM k WHERE keep = 1
+"""
+
+
+def q_grep_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive grep (ops.codesearch.grep_all): docs containing EVERY
+    needle, answered in ONE trigram posting pass (the batch machinery)
+    plus one match-set-sized agg requiring all needles verified.
+    Oracle: brute contains() AND contains() scan with the summed
+    occurrence arithmetic inline."""
+    from .ops import codesearch as CS
+
+    return CS.grep_all(
+        _docs(spark, sf_dir).select("doc_id", "text"), GREP_ALL_NEEDLES
+    )
+
+
+def _sql_grep_all(needles: list) -> str:
+    occ = " + ".join(
+        f"(length(text) - length(replace(text, '{n.replace(chr(39), chr(39) * 2)}', ''))) // {len(n)}"
+        for n in needles
+    )
+    where = " AND ".join(
+        f"contains(text, '{n.replace(chr(39), chr(39) * 2)}')" for n in needles
+    )
+    return f"""
+SELECT doc_id, CAST({occ} AS BIGINT) AS total_occurrences
+FROM documents
+WHERE {where}
+"""
+
+
 def q_grep_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search + facet composition over the corpus's metadata columns:
     trigram literal search joined back to (lang, source), rolled up to
@@ -3919,6 +3996,149 @@ SELECT doc_id, line_no, kind, symbol,
        CAST(symbol = '{query_ident}' AS BIGINT) AS exact
 FROM base
 WHERE list_has_all({split}, [{arr}]) OR symbol = '{query_ident}'
+"""
+
+
+SYMBOL_FUZZY_QUERY = "fn_42x"  # dist<=1 hits fn_42 (del) + fn_420..fn_429
+SYMBOL_FUZZY_DIST = 1
+
+
+def q_symbol_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant symbol lookup (ops.codesearch.symbol_fuzzy): the
+    IDE "Open Symbol" path — definitions within Levenshtein distance 1
+    of the query, the dictionary scan pruned to the |len±1| length band
+    (valid because one edit changes length by at most 1) before the JVM
+    levenshtein runs.  Oracle: DuckDB's levenshtein over the same
+    extracted-definitions CTE, brute (the band prune must be invisible
+    in the answer)."""
+    from .ops import codesearch as CS
+
+    return CS.symbol_fuzzy(
+        _planted_code(_docs(spark, sf_dir)),
+        SYMBOL_FUZZY_QUERY,
+        SYMBOL_FUZZY_DIST,
+    )
+
+
+def _sql_symbol_fuzzy(query: str, max_dist: int) -> str:
+    esc = query.replace("'", "''")
+    return f"""
+WITH base AS ({_sql_extract_symbols()})
+SELECT doc_id, line_no, kind, symbol,
+       CAST(levenshtein(symbol, '{esc}') AS BIGINT) AS dist
+FROM base
+WHERE levenshtein(symbol, '{esc}') <= {max_dist}
+"""
+
+
+# code_quality fixture mods: %17 → autogen marker line, %5 → a comment
+# header line, %23 → an appended 1200-char minified line.  Thresholds
+# (max_line_len=1000, max_avg_line_len=160, min_alnum_frac=0.82) are
+# corpus-calibrated so every flag AND keep=1 occur at sf0.01 (avg-line
+# median ~111, p95 ~262; alnum_frac spans 0.811-0.835).
+_CQ_AUTOGEN_MOD = 17
+_CQ_COMMENT_MOD = 5
+_CQ_LONGLINE_MOD = 23
+_CQ_MAX_LINE = 1000
+_CQ_MAX_AVG_LINE = 160
+_CQ_MIN_ALNUM = 0.82
+_CQ_AUTOGEN_LINE = "// DO NOT EDIT - codegen\n"
+_CQ_COMMENT_LINE = "# header comment\n"
+
+
+def _quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-shaped quality fixture: reline (' sort ' → newline), then
+    deterministically plant an autogenerated marker, a comment header,
+    and a minified 1200-char line on disjoint doc_id residues.
+    Restated verbatim in the oracle."""
+    docs = _docs(spark, sf_dir)
+    relined = F.replace(F.col("text"), F.lit(" sort "), F.lit("\n"))
+    pre_auto = F.when(
+        F.col("doc_id") % _CQ_AUTOGEN_MOD == 0, F.lit(_CQ_AUTOGEN_LINE)
+    ).otherwise(F.lit(""))
+    pre_comment = F.when(
+        F.col("doc_id") % _CQ_COMMENT_MOD == 0, F.lit(_CQ_COMMENT_LINE)
+    ).otherwise(F.lit(""))
+    suf_long = F.when(
+        F.col("doc_id") % _CQ_LONGLINE_MOD == 0,
+        F.lit("\n" + "x" * 1200),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(pre_auto, pre_comment, relined, suf_long).alias("text"),
+    )
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-file quality filter for LLM training-data curation
+    (ops.codequality.code_quality): Stack/StarCoder-style line-shape +
+    alphanumeric-fraction rules plus autogenerated-file detection, one
+    narrow shuffle-free JVM projection per file.  Oracle: every metric,
+    flag, and the keep verdict restated in DuckDB over the identical
+    planted fixture."""
+    from .ops import codequality as CQ
+
+    return CQ.code_quality(
+        _quality_docs(spark, sf_dir),
+        max_line_len=_CQ_MAX_LINE,
+        max_avg_line_len=_CQ_MAX_AVG_LINE,
+        min_alnum_frac=_CQ_MIN_ALNUM,
+    )
+
+
+def _sql_code_quality() -> str:
+    from .ops.codequality import AUTOGEN_MARKERS
+
+    autogen = " OR ".join(
+        f"contains(lower(text), '{m}')" for m in AUTOGEN_MARKERS
+    )
+    auto_line = _CQ_AUTOGEN_LINE.replace("\n", "' || chr(10) || '")
+    comment_line = _CQ_COMMENT_LINE.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH cq AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % {_CQ_AUTOGEN_MOD} = 0
+          THEN '{auto_line}' ELSE '' END)
+    || (CASE WHEN doc_id % {_CQ_COMMENT_MOD} = 0
+             THEN '{comment_line}' ELSE '' END)
+    || replace(text, ' sort ', chr(10))
+    || (CASE WHEN doc_id % {_CQ_LONGLINE_MOD} = 0
+             THEN chr(10) || repeat('x', 1200) ELSE '' END) AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, regexp_split_to_array(text, chr(10)) AS ls FROM cq
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(list_max(list_transform(ls, l -> length(l))) AS BIGINT)
+      AS max_line_len,
+    round((length(text) - (len(ls) - 1))::DOUBLE / len(ls), 4)
+      AS avg_line_len,
+    round(CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                    / length(text)
+               ELSE 0 END, 4) AS alnum_frac,
+    round(len(list_filter(ls, l -> regexp_matches(l, '^\\s*(#|//|;)')))::DOUBLE
+          / len(ls), 4) AS comment_frac,
+    CASE WHEN {autogen} THEN 1 ELSE 0 END AS f_auto
+  FROM s
+),
+f AS (
+  SELECT *,
+    CASE WHEN max_line_len > {_CQ_MAX_LINE}
+              OR avg_line_len > {_CQ_MAX_AVG_LINE} THEN 1 ELSE 0 END AS f_long,
+    CASE WHEN alnum_frac < {_CQ_MIN_ALNUM} THEN 1 ELSE 0 END AS f_alnum
+  FROM m
+)
+SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, comment_frac,
+       CAST(f_auto AS BIGINT) AS flag_autogen,
+       CAST(f_long AS BIGINT) AS flag_long_lines,
+       CAST(f_alnum AS BIGINT) AS flag_low_alnum,
+       CAST(CASE WHEN f_auto + f_long + f_alnum = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM f
 """
 
 
@@ -4836,8 +5056,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_facets": q_grep_facets,
         "trigram_regex_pruned": q_trigram_regex_pruned,
         "grep_batch": q_grep_batch,
+        "grep_context": q_grep_context,
+        "grep_all": q_grep_all,
         "grep_lines_regex": q_grep_lines_regex,
         "symbol_lookup": q_symbol_lookup,
+        "symbol_fuzzy": q_symbol_fuzzy,
+        "code_quality": q_code_quality,
         "trigram_literal_search": q_trigram_literal_search,
         "trigram_regex_search": q_trigram_regex_search,
         "dup_line_stats": q_dup_line_stats,
@@ -5028,8 +5252,13 @@ FROM tok GROUP BY term
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "trigram_regex_pruned": _sql_trigram_regex(),
         "grep_batch": _sql_grep_batch(BATCH_NEEDLES),
+        "grep_context": _sql_grep_context(LITERAL_NEEDLE, GREP_CONTEXT_N),
+        "grep_all": _sql_grep_all(GREP_ALL_NEEDLES),
         "grep_lines_regex": _sql_grep_lines_regex(REGEX_TRI_PATTERN),
         "symbol_lookup": _sql_symbol_lookup(SYMBOL_QUERY_IDENT),
+        "symbol_fuzzy": _sql_symbol_fuzzy(SYMBOL_FUZZY_QUERY,
+                                          SYMBOL_FUZZY_DIST),
+        "code_quality": _sql_code_quality(),
         "extract_symbols": _sql_extract_symbols(),
         "import_extract": _sql_import_extract(),
         "repo_clones": _sql_repo_clones(),

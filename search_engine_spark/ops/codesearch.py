@@ -71,6 +71,9 @@ __all__ = [
     "literal_search",
     "literal_search_batch",
     "grep_lines",
+    "grep_context",
+    "grep_all",
+    "symbol_fuzzy",
     "SYMBOL_RULES",
     "extract_symbols",
     "symbol_search",
@@ -654,6 +657,104 @@ def literal_search_batch(
     )
 
 
+def grep_context(
+    docs: DataFrame,
+    needle: str,
+    n_context: int = 2,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_k: int | None = None,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """grep -C semantics: (doc_id, line_no, line, is_match) — every
+    matching line plus up to ``n_context`` lines above and below, with
+    overlapping context blocks merged (each line emitted once), exactly
+    as grep merges adjacent -C windows.
+
+    Same trigram candidate machinery as grep_lines; the context
+    expansion is ONE sliding window over the candidate docs' line split
+    (``max(is_match) OVER (PARTITION BY doc ORDER BY line ROWS BETWEEN
+    n PRECEDING AND n FOLLOWING)``) — no self-join of the line set, no
+    second pass over content.  The window shuffle moves only candidate
+    docs' lines, so at corpus scale the cost tracks the match set, not
+    the corpus.  is_match is 0/1 (BIGINT) so downstream aggs and the
+    cross-engine hash treat it identically."""
+    from pyspark.sql import Window
+
+    if n_context < 0:
+        raise ValueError("n_context must be >= 0")
+    verified, needle = _candidate_rows(
+        docs, needle, postings, text_col, id_col, prune_k, ignore_case
+    )
+    if verified is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, line_no long, line string, is_match long"
+        )
+    lines = verified.select(
+        docs[id_col].cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    lcol = F.lower(F.col("line")) if ignore_case else F.col("line")
+    hit = F.contains(lcol, F.lit(needle)).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("line_no")
+        .rowsBetween(-n_context, n_context)
+    )
+    return (
+        lines.select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("line_no"),
+            "line",
+            hit.alias("is_match"),
+        )
+        .withColumn("__keep", F.max("is_match").over(w))
+        .filter(F.col("__keep") == 1)
+        .drop("__keep")
+    )
+
+
+def grep_all(
+    docs: DataFrame,
+    needles: list,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ignore_case: bool = False,
+) -> DataFrame:
+    """Conjunctive grep: (doc_id, total_occurrences) for docs containing
+    EVERY needle — ``grep -l a | xargs grep -l b | …`` collapsed into
+    ONE trigram posting pass.
+
+    Rides literal_search_batch (one broadcast trigram→bit map, one
+    bit_or agg, one verification join), then keeps only docs where all
+    ``len(needles)`` queries verified.  The post-filter agg runs over
+    the per-needle match sets (already candidate-sized); the corpus is
+    scanned once and never shuffled.  Needles follow the batch limits
+    (≥3 chars, ≤63 distinct trigrams each)."""
+    if not needles:
+        raise ValueError("empty needle list")
+    uniq = list(dict.fromkeys(needles))
+    hits = literal_search_batch(
+        docs,
+        {f"n{i}": n for i, n in enumerate(uniq)},
+        postings,
+        text_col,
+        id_col,
+        ignore_case,
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__k"),
+            F.sum("n_occurrences").cast("long").alias("total_occurrences"),
+        )
+        .filter(F.col("__k") == len(uniq))
+        .select("doc_id", "total_occurrences")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Identifier subtokens
 # ---------------------------------------------------------------------------
@@ -790,6 +891,43 @@ def symbol_search(
             "doc_id", "line_no", "kind", "symbol",
             (F.col("symbol") == query_ident).alias("exact"),
         )
+    )
+
+
+def symbol_fuzzy(
+    docs: DataFrame,
+    query: str,
+    max_dist: int = 1,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str], ...] = SYMBOL_RULES,
+) -> DataFrame:
+    """Typo-tolerant symbol lookup: definition sites whose symbol is
+    within Levenshtein distance ``max_dist`` of the query — the IDE
+    "Open Symbol" typo path, complementing symbol_search (subtoken
+    match) and symbol_complete (prefix match).
+
+    Scale shape: the definitions index (extract_symbols — symbol-
+    dictionary-sized, never corpus-sized) is first pruned by the length
+    band ``|len(symbol) - len(query)| <= max_dist`` — valid because one
+    edit changes length by at most 1 — and exact ``F.levenshtein`` runs
+    JVM-side on the banded rows only.  This is the same length-band
+    discipline as the word index's fuzzy_topk dictionary scan
+    (query.py), applied to the code-symbol dictionary.  No shuffle
+    beyond what the caller does with the result."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if not query:
+        raise ValueError("empty query")
+    syms = extract_symbols(docs, content_col, id_col, rules)
+    band = F.abs(F.length(F.col("symbol")) - F.lit(len(query))) <= max_dist
+    return (
+        syms.filter(band)
+        .withColumn(
+            "dist", F.levenshtein(F.col("symbol"), F.lit(query)).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_id", "line_no", "kind", "symbol", "dist")
     )
 
 

@@ -773,3 +773,105 @@ def test_subtoken_search_empty_query_raises(spark):
     tf = CS.subtoken_tf(docs, "text", "doc_id")
     with pytest.raises(ValueError):
         CS.subtoken_search(tf, "__--__")
+
+
+# ---------------------------------------------------------------------------
+# grep -C context, conjunctive grep, fuzzy symbols
+# ---------------------------------------------------------------------------
+
+
+def test_grep_context_merges_windows(spark):
+    """±1 context: adjacent match windows merge (each line once), file
+    edges truncate, non-matching docs emit nothing, and n_context=0
+    reproduces grep_lines' line set."""
+    content = "\n".join(
+        ["l1", "hit A", "l3", "hit B", "l5", "l6", "l7", "hit C"]
+    )
+    docs = spark.createDataFrame(
+        [(1, content), (2, "no needle here\nat all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["line_no"], r["is_match"])
+        for r in CS.grep_context(docs, "hit", n_context=1).collect()
+    }
+    # lines 1-5 (two merged windows around 2 and 4), then 7-8
+    assert got == {
+        (1, 1, 0), (1, 2, 1), (1, 3, 0), (1, 4, 1), (1, 5, 0),
+        (1, 7, 0), (1, 8, 1),
+    }
+    zero = CS.grep_context(docs, "hit", n_context=0)
+    lines = CS.grep_lines(docs, "hit")
+    assert {(r["doc_id"], r["line_no"]) for r in zero.collect()} == {
+        (r["doc_id"], r["line_no"]) for r in lines.collect()
+    }
+    with pytest.raises(ValueError):
+        CS.grep_context(docs, "hit", n_context=-1)
+
+
+def test_grep_all_conjunction(spark, tmp_path):
+    """grep_all == intersection of per-needle searches with summed
+    occurrences; duplicate needles collapse; empty batch raises; works
+    through a persisted index."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha window table beta merge batch"),
+            (2, "merge batch merge batch"),
+            (3, "window table window table merge batch"),
+            (4, "window table only"),
+        ],
+        "doc_id long, text string",
+    )
+    needles = ["window table", "merge batch"]
+    got = {
+        (r["doc_id"], r["total_occurrences"])
+        for r in CS.grep_all(docs, needles).collect()
+    }
+    assert got == {(1, 2), (3, 3)}
+    # duplicate needles must not double-count or change the AND arity
+    dup = {
+        (r["doc_id"], r["total_occurrences"])
+        for r in CS.grep_all(docs, needles + ["window table"]).collect()
+    }
+    assert dup == got
+    with pytest.raises(ValueError):
+        CS.grep_all(docs, [])
+    # via a persisted trigram index
+    idx_dir = str(tmp_path / "tg")
+    CS.write_trigram_index(docs, idx_dir)
+    loaded = CS.load_trigram_index(spark, idx_dir)
+    via_idx = {
+        (r["doc_id"], r["total_occurrences"])
+        for r in CS.grep_all(docs, needles, postings=loaded).collect()
+    }
+    assert via_idx == got
+
+
+def test_symbol_fuzzy(spark):
+    """Levenshtein-banded symbol lookup: dist values exact, band prune
+    invisible, max_dist=0 == exact lookup, empty query raises."""
+    docs = spark.createDataFrame(
+        [
+            (1, "def parse_html(x):\ndef parse_xml(y):"),
+            (2, "def parse_hml(z):\nclass Parser(Base):"),
+            (3, "def totally_other(a):"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["symbol"], r["dist"])
+        for r in CS.symbol_fuzzy(docs, "parse_html", max_dist=2).collect()
+    }
+    assert got == {
+        (1, "parse_html", 0),
+        (1, "parse_xml", 2),
+        (2, "parse_hml", 1),
+    }
+    exact = CS.symbol_fuzzy(docs, "parse_html", max_dist=0).collect()
+    assert [(r["doc_id"], r["symbol"], r["dist"]) for r in exact] == [
+        (1, "parse_html", 0)
+    ]
+    with pytest.raises(ValueError):
+        CS.symbol_fuzzy(docs, "", max_dist=1)
+    with pytest.raises(ValueError):
+        CS.symbol_fuzzy(docs, "x", max_dist=-1)

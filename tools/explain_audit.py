@@ -464,6 +464,35 @@ def main() -> int:
           "materializes), no row-Python",
           "TakeOrderedAndProject" in p and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import (
+        q_code_quality, q_grep_all, q_grep_context, q_symbol_fuzzy,
+    )
+
+    p = plan_of(q_grep_context(spark, sf_dir))
+    check("grep context: candidates broadcast before the line explode; "
+          "ONE window (no line-set self-join), no row-Python",
+          "BroadcastHashJoin" in p and p.count("Window (") == 1
+          and "CartesianProduct" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_grep_all(spark, sf_dir))
+    check("grep all: one posting pass (trigram map + needle table both "
+          "broadcast), corpus never shuffled, no row-Python",
+          p.count("BroadcastHashJoin") >= 3
+          and "CartesianProduct" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_symbol_fuzzy(spark, sf_dir))
+    check("symbol fuzzy: shuffle-free narrow scan of the definitions "
+          "index (band filter + levenshtein in the projection)",
+          "Exchange" not in p and "levenshtein" in p
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_code_quality(spark, sf_dir))
+    check("code quality: ONE narrow shuffle-free projection, scan "
+          "pruned to doc_id,text, no row-Python",
+          "Exchange" not in p
+          and "ReadSchema: struct<doc_id:bigint,text:string>" in p
+          and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
