@@ -254,6 +254,15 @@ def main() -> None:
     extras["query_surface_r4s3"] = {"medians": t_s3.medians,
                                     "spread": t_s3.spread}
 
+    # --- round-4 session-4: code-corpus curation layer ---
+    t_s4 = Timer(REPS)
+    for name in ("license_detect", "vendored_paths", "secret_scan",
+                 "indent_style", "todo_scan", "repo_license",
+                 "repo_profile", "code_chunks", "boilerplate_chunks"):
+        t_s4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_curation"] = {"medians": t_s4.medians,
+                                        "spread": t_s4.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

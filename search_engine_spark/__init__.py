@@ -155,6 +155,15 @@ _EXPORTS = {
     "literal_search_batch": "ops.codesearch:literal_search_batch",
     "symbol_fuzzy": "ops.codesearch:symbol_fuzzy",
     "code_quality": "ops.codequality:code_quality",
+    "detect_license": "ops.codecurate:detect_license",
+    "repo_license": "ops.codecurate:repo_license",
+    "classify_paths": "ops.codecurate:classify_paths",
+    "secret_scan": "ops.codecurate:secret_scan",
+    "indent_style": "ops.codecurate:indent_style",
+    "todo_scan": "ops.codecurate:todo_scan",
+    "chunk_lines": "ops.codecurate:chunk_lines",
+    "boilerplate_chunks": "ops.codecurate:boilerplate_chunks",
+    "repo_profile": "ops.codecurate:repo_profile",
     "grep_lines_regex": "ops.regexsearch:grep_lines_regex",
     "symbol_search": "ops.codesearch:symbol_search",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",

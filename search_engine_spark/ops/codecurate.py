@@ -1,0 +1,487 @@
+"""Code-corpus curation operators for LLM training-data pipelines.
+
+The reference engine (sebastian-hofstaetter/search-engine, C#) stops at
+index + query; this module adds the curation passes every published
+source-code pretraining pipeline runs before the corpus reaches the
+tokenizer (The-Stack / StarCoder / CodeParrot preprocessing): license
+classification, vendored/generated-path filtering, secret scanning,
+indentation profiling, TODO/FIXME surfacing, training-window chunking,
+and a per-repository profile rollup.
+
+Scale design (100 TB corpus): every per-file operator here is ONE
+narrow whole-stage-codegen projection of JVM expressions (contains /
+regexp over the content column, higher-order functions over the line
+split) — content bytes never leave the scan stage and nothing
+shuffles.  The two rollups (`repo_license`, `repo_profile`) are single
+partial-aggregated groupBys on the repo key.  `chunk_lines` is a
+doc-local explode whose output rows carry only the chunk text (the
+training sample), never the whole file.  Every column is exact SQL
+arithmetic / string logic, so each operator is oracle-checkable
+cross-engine (see contract.q_license_detect etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "LICENSE_MARKERS",
+    "LICENSE_FAMILY",
+    "PATH_RULES",
+    "SECRET_RULES",
+    "TODO_TAG_RE",
+    "detect_license",
+    "repo_license",
+    "classify_paths",
+    "secret_scan",
+    "indent_style",
+    "todo_scan",
+    "chunk_lines",
+    "boilerplate_chunks",
+    "repo_profile",
+]
+
+# ---------------------------------------------------------------------------
+# License detection
+# ---------------------------------------------------------------------------
+
+# SPDX short-identifier tag — the modern, machine-readable form; wins
+# over phrase heuristics when present.  Shared Java-regex / RE2 subset.
+SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+# (license, case-folded marker phrase) checked over lower(content), in
+# priority order — AGPL/LGPL before GPL because their preambles contain
+# the GPL phrase.  Phrases are the canonical first-line/grant wording
+# of each license text, stable across copyright-holder edits.
+LICENSE_MARKERS: tuple[tuple[str, str], ...] = (
+    ("agpl-3.0", "gnu affero general public license"),
+    ("lgpl-2.1", "gnu lesser general public license"),
+    ("gpl-2.0", "gnu general public license"),
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "apache license"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+    ("mpl-2.0", "mozilla public license"),
+    ("unlicense", "free and unencumbered software released into the public domain"),
+)
+
+# license-id prefix -> family.  Checked in order; first prefix match.
+LICENSE_FAMILY: tuple[tuple[str, str], ...] = (
+    ("agpl", "copyleft"),
+    ("lgpl", "weak-copyleft"),
+    ("gpl", "copyleft"),
+    ("mpl", "weak-copyleft"),
+    ("mit", "permissive"),
+    ("apache", "permissive"),
+    ("bsd", "permissive"),
+    ("isc", "permissive"),
+    ("unlicense", "permissive"),
+)
+
+
+def _license_col(text: Column) -> Column:
+    """CASE chain: SPDX tag first, then the phrase markers in order."""
+    spdx = F.lower(F.regexp_extract(text, SPDX_RE, 1))
+    folded = F.lower(text)
+    out = F.when(spdx != "", spdx)
+    for lic, phrase in LICENSE_MARKERS:
+        out = out.when(F.contains(folded, F.lit(phrase)), F.lit(lic))
+    return out.otherwise(F.lit("unknown"))
+
+
+def _family_col(lic: Column) -> Column:
+    out = None
+    for prefix, fam in LICENSE_FAMILY:
+        hit = F.startswith(lic, F.lit(prefix))
+        out = F.when(hit, F.lit(fam)) if out is None else out.when(hit, F.lit(fam))
+    return out.otherwise(F.lit("unknown"))
+
+
+def detect_license(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(doc_id[, extra_cols...], license, family): per-file license
+    classification.
+
+    SPDX ``SPDX-License-Identifier:`` tags win (lower-cased verbatim);
+    otherwise the first matching LICENSE_MARKERS phrase over the
+    case-folded content; ``unknown`` if neither.  Family maps the id
+    prefix through LICENSE_FAMILY (permissive / copyleft /
+    weak-copyleft / unknown).  ``extra_cols`` pass through (e.g. the
+    repo key for repo_license) so rollups need no join back.
+
+    One narrow projection — a handful of `contains` + one
+    regexp_extract per file, no shuffle; at 100 TB this rides the scan.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lic = _license_col(text)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        lic.alias("license"),
+        _family_col(lic).alias("family"),
+    )
+
+
+def repo_license(
+    files: DataFrame, repo_col: str = "repo", license_col: str = "license"
+) -> DataFrame:
+    """(repo, license, n_files, n_total): majority license per repo.
+
+    ``unknown`` files don't vote (a repo is MIT because its LICENSE and
+    headers say so, not because most files carry no header) but are
+    counted in ``n_total``; repos where every file is unknown report
+    license='unknown' with n_files=0.  Ties break on license asc for
+    determinism.
+
+    One partial-aggregated groupBy on (repo, license) then a size-1
+    window per repo — the per-repo row count after the first agg is
+    O(#licenses) ~ 10, so the window state is trivial at any corpus
+    size.
+    """
+    per = (
+        files.groupBy(repo_col, license_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy(repo_col)))
+    )
+    voted = per.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(repo_col).orderBy(
+                F.when(F.col(license_col) == "unknown", 1).otherwise(0),
+                F.desc("n"),
+                F.col(license_col),
+            )
+        ),
+    )
+    return voted.filter(F.col("rank") == 1).select(
+        F.col(repo_col).alias("repo"),
+        F.when(F.col(license_col) == "unknown", F.lit("unknown"))
+        .otherwise(F.col(license_col))
+        .alias("license"),
+        F.when(F.col(license_col) == "unknown", F.lit(0))
+        .otherwise(F.col("n"))
+        .cast("long")
+        .alias("n_files"),
+        F.col("total").cast("long").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vendored / generated path classification (linguist-style)
+# ---------------------------------------------------------------------------
+
+# (rule, kind, needle) in priority order; kind 'dir' matches a path
+# segment (needle includes both slashes, also anchored at path start),
+# kind 'suffix' matches the path tail.  github/linguist's vendor.yml is
+# the public model for this list.
+PATH_RULES: tuple[tuple[str, str, str], ...] = (
+    ("node_modules", "dir", "/node_modules/"),
+    ("vendor", "dir", "/vendor/"),
+    ("third_party", "dir", "/third_party/"),
+    ("site_packages", "dir", "/site-packages/"),
+    ("dist", "dir", "/dist/"),
+    ("minified", "suffix", ".min.js"),
+    ("minified", "suffix", ".min.css"),
+    ("lockfile", "suffix", "package-lock.json"),
+    ("lockfile", "suffix", "yarn.lock"),
+    ("lockfile", "suffix", "Cargo.lock"),
+    ("codegen", "suffix", ".pb.go"),
+    ("codegen", "suffix", "_pb2.py"),
+    ("codegen", "suffix", ".g.cs"),
+)
+
+
+def classify_paths(
+    files: DataFrame, path_col: str = "path", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, path, vendored, rule): linguist-style vendored/generated
+    path detection.  First PATH_RULES match wins; rule='' and
+    vendored=0 when clean.  Pure path-string logic — runs in the scan
+    projection without touching content bytes at all (at 100 TB the
+    parquet reader never materializes the content column for this op).
+    """
+    path = F.coalesce(F.col(path_col), F.lit(""))
+    rule = None
+    for name, kind, needle in PATH_RULES:
+        if kind == "dir":
+            hit = F.contains(path, F.lit(needle)) | F.startswith(
+                path, F.lit(needle[1:])
+            )
+        else:
+            hit = F.endswith(path, F.lit(needle))
+        rule = F.when(hit, F.lit(name)) if rule is None else rule.when(hit, F.lit(name))
+    rule = rule.otherwise(F.lit(""))
+    return files.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        path.alias("path"),
+        (rule != "").cast("long").alias("vendored"),
+        rule.alias("rule"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Secret scanning
+# ---------------------------------------------------------------------------
+
+# (kind, pattern) — shared Java-regex / RE2 subset (no backreferences,
+# no lookaround).  Counts are per occurrence via regexp_extract_all.
+SECRET_RULES: tuple[tuple[str, str], ...] = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("github_token", r"ghp_[A-Za-z0-9]{36}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("slack_token", r"xox[baprs]-[0-9A-Za-z-]{10,48}"),
+    ("password_assign", r"(?i)password\s*=\s*\"[^\"]{4,}\""),
+)
+
+
+def secret_scan(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_<kind>..., n_secrets, any_secret): per-file credential
+    scan over SECRET_RULES — the pre-release gate every code-corpus
+    pipeline runs (a training set that memorizes one live AWS key is a
+    shipped incident).
+
+    One narrow projection of regexp_extract_all counts; no shuffle, no
+    Python.  Compose with ops.redact.pii_redaction for removal — this
+    op is the detector/reporter.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{kind}")
+        for kind, pat in SECRET_RULES
+    ]
+    out = docs.select(F.col(id_col).cast("long").alias("doc_id"), *counts)
+    total = None
+    for kind, _ in SECRET_RULES:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.select(
+        "*",
+        total.alias("n_secrets"),
+        (total > 0).cast("long").alias("any_secret"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Indentation profiling
+# ---------------------------------------------------------------------------
+
+
+def indent_style(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, tab_lines, space_lines, indent_unit, style): per-file
+    indentation profile.
+
+    ``style`` is the majority vote between tab-indented and
+    space-indented lines ('tabs' / 'spaces' / 'mixed' on a nonzero tie /
+    'none').  ``indent_unit`` is the smallest leading-space run among
+    space-indented lines (the indent width a formatter would infer), 0
+    when no space-indented lines exist.  All higher-order functions
+    over the line split — doc-local, shuffle-free.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    tab_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\t"))).cast("long")
+    space_idents = F.filter(lines, lambda l: l.rlike(r"^ +\S"))
+    space_lines = F.size(space_idents).cast("long")
+    unit = F.coalesce(
+        F.array_min(
+            F.transform(
+                space_idents, lambda l: F.length(F.regexp_extract(l, r"^( +)", 1))
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    style = (
+        F.when((tab_lines == 0) & (space_lines == 0), F.lit("none"))
+        .when(tab_lines > space_lines, F.lit("tabs"))
+        .when(space_lines > tab_lines, F.lit("spaces"))
+        .otherwise(F.lit("mixed"))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tab_lines.alias("tab_lines"),
+        space_lines.alias("space_lines"),
+        unit.alias("indent_unit"),
+        style.alias("style"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TODO / FIXME surfacing
+# ---------------------------------------------------------------------------
+
+TODO_TAG_RE = r"\b(TODO|FIXME|HACK|XXX)\b"
+
+
+def todo_scan(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, line_no, tag, line): every TODO/FIXME/HACK/XXX line with
+    its 1-based line number and first tag — the tech-debt index a code
+    search UI surfaces per repo.
+
+    Doc-local: line split -> posexplode -> rlike filter.  Output is
+    proportional to tag hits, not corpus size; the filter runs before
+    any exchange so at 100 TB only the hit lines leave the scan stage.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(text, "\n")).alias("pos", "line"),
+    )
+    return exploded.filter(F.col("line").rlike(TODO_TAG_RE)).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("line_no"),
+        F.regexp_extract("line", TODO_TAG_RE, 1).alias("tag"),
+        "line",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_lines(
+    docs: DataFrame,
+    chunk: int = 100,
+    stride: int = 80,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    with_text: bool = False,
+) -> DataFrame:
+    """(doc_id, chunk_no, start_line, end_line, n_chunk_lines,
+    chunk_sha[, chunk_text]): overlapping line-window chunks — the
+    context-window packing step that turns whole source files into
+    training samples.
+
+    Windows start at lines 1, 1+stride, 1+2*stride, ...; the number of
+    windows is 1 + ceil(max(0, n_lines - chunk) / stride), so every
+    line is covered and the final window may be short.  ``stride`` must
+    be <= ``chunk`` (otherwise lines between windows would be dropped).
+    ``chunk_sha`` is sha256 of the newline-joined window — the
+    dedup/lineage key for downstream exact-dedup over chunks.
+
+    Doc-local sequence -> explode -> slice; content bytes are read
+    once in the scan and each output row carries only its window.
+    """
+    if stride > chunk or stride <= 0:
+        raise ValueError(f"stride must be in [1, chunk]; got {stride} > {chunk}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.lit(0), n - F.lit(chunk)).cast("double") / F.lit(stride))
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        lines.alias("_ls"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i"),
+    )
+    start = F.lit(1) + F.col("_i") * F.lit(stride)
+    window = F.slice(F.col("_ls"), start, F.lit(chunk))
+    chunk_text = F.array_join(window, "\n")
+    cols = [
+        F.col("doc_id"),
+        (F.col("_i") + 1).cast("long").alias("chunk_no"),
+        start.cast("long").alias("start_line"),
+        (start + F.size(window) - 1).cast("long").alias("end_line"),
+        F.size(window).cast("long").alias("n_chunk_lines"),
+        F.sha2(chunk_text, 256).alias("chunk_sha"),
+    ]
+    if with_text:
+        cols.append(chunk_text.alias("chunk_text"))
+    return base.select(*cols)
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    chunk: int = 100,
+    stride: int = 80,
+    min_docs: int = 2,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(chunk_sha, n_docs, n_occurrences, min_doc_id): chunk-granular
+    boilerplate detection — line windows (chunk_lines) whose sha256
+    recurs across >= ``min_docs`` distinct files.  Catches what
+    file-level dedup can't: shared license headers, generated
+    preambles, and copy-pasted blocks embedded in otherwise-distinct
+    files.
+
+    One partial-aggregated groupBy on chunk_sha after the doc-local
+    chunker; at 100 TB the shuffle carries only (sha, doc_id) pairs —
+    64 hex + 8 bytes per window — never chunk text.
+    """
+    chunks = chunk_lines(
+        docs, chunk=chunk, stride=stride, text_col=text_col, id_col=id_col
+    )
+    return (
+        chunks.groupBy("chunk_sha")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-repository profile
+# ---------------------------------------------------------------------------
+
+
+def repo_profile(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    text_col: str = "content",
+) -> DataFrame:
+    """(repo, n_files, n_langs, total_bytes, total_lines, n_vendored,
+    vendored_frac): one-groupBy repository profile — the corpus-ops
+    dashboard row (what share of each repo is vendored noise, how big,
+    how polyglot).
+
+    Per-file signals (bytes, line count, vendored flag via PATH_RULES)
+    are computed in the scan projection; the only exchange is the
+    single partial-aggregated groupBy on repo.
+    """
+    path = F.coalesce(F.col(path_col), F.lit(""))
+    vend = None
+    for _, kind, needle in PATH_RULES:
+        if kind == "dir":
+            hit = F.contains(path, F.lit(needle)) | F.startswith(
+                path, F.lit(needle[1:])
+            )
+        else:
+            hit = F.endswith(path, F.lit(needle))
+        vend = hit if vend is None else (vend | hit)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    per = files.select(
+        F.col(repo_col).alias("repo"),
+        F.col(lang_col).alias("lang"),
+        vend.cast("long").alias("_v"),
+        F.length(text).cast("long").alias("_b"),
+        F.size(F.split(text, "\n")).cast("long").alias("_l"),
+    )
+    return per.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("_b").alias("total_bytes"),
+        F.sum("_l").alias("total_lines"),
+        F.sum("_v").alias("n_vendored"),
+        F.round(F.sum("_v").cast("double") / F.count(F.lit(1)), 4).alias(
+            "vendored_frac"
+        ),
+    )

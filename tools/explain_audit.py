@@ -493,6 +493,60 @@ def main() -> int:
           and "ReadSchema: struct<doc_id:bigint,text:string>" in p
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import (
+        q_code_chunks, q_license_detect, q_repo_license, q_repo_profile,
+        q_secret_scan, q_todo_scan, q_vendored_paths,
+    )
+
+    p = plan_of(q_license_detect(spark, sf_dir))
+    check("license detect: shuffle-free narrow projection over the scan, "
+          "no row-Python",
+          "Exchange" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_secret_scan(spark, sf_dir))
+    check("secret scan: shuffle-free narrow regexp projection, no "
+          "row-Python",
+          "Exchange" not in p and "BatchEvalPython" not in p)
+
+    p = plan_of(q_vendored_paths(spark, sf_dir))
+    check("vendored paths: shuffle-free; scan pruned to doc_id,source "
+          "(content column never read)",
+          "Exchange" not in p and "text" not in p.split("ReadSchema:")[1]
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_todo_scan(spark, sf_dir))
+    check("todo scan: doc-local explode, shuffle-free, hit filter "
+          "before any exchange, no row-Python",
+          "Exchange" not in p and "Generate" in p
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_code_chunks(spark, sf_dir))
+    check("code chunks: doc-local sequence/explode, shuffle-free, no "
+          "row-Python",
+          "Exchange" not in p and "Generate" in p
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_repo_license(spark, sf_dir))
+    check("repo license: ONE shuffle (partial-aggregated groupBy on "
+          "repo,license feeding the per-repo window), no row-Python",
+          p.count(") Exchange") <= 2 and "partial_count" in p.lower()
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_repo_profile(spark, sf_dir))
+    check("repo profile: single partial-aggregated groupBy on repo, "
+          "per-file signals in the scan projection, no row-Python",
+          "HashAggregate" in p and "BatchEvalPython" not in p
+          and "CartesianProduct" not in p)
+
+    from search_engine_spark.contract import q_boilerplate_chunks
+
+    p = plan_of(q_boilerplate_chunks(spark, sf_dir))
+    check("boilerplate chunks: doc-local chunker then the standard "
+          "2-exchange distinct-agg rewrite, both partial-aggregated "
+          "and sha-keyed; chunk text never shuffles",
+          p.count(") Exchange") == 2 and "partial_count" in p
+          and "chunk_text" not in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
