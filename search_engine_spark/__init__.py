@@ -164,6 +164,8 @@ _EXPORTS = {
     "chunk_lines": "ops.codecurate:chunk_lines",
     "boilerplate_chunks": "ops.codecurate:boilerplate_chunks",
     "repo_profile": "ops.codecurate:repo_profile",
+    "curate_corpus": "ops.codecurate:curate_corpus",
+    "quality_columns": "ops.codequality:quality_columns",
     "grep_lines_regex": "ops.regexsearch:grep_lines_regex",
     "symbol_search": "ops.codesearch:symbol_search",
     "split_identifier_expr": "ops.codesearch:split_identifier_expr",

@@ -11,6 +11,8 @@ plus the beyond-reference code-search surface:
   trigram-append <delta_parquet> <index_dir>
   grep   <documents_parquet> <pattern> [--regex] [--lines] [--ignore-case]
          [--index DIR] [--prune-k K] [--prune-clauses K]
+  curate <documents_parquet> [--report license,secrets,vendored,indent,
+         todos,profile] [--write-clean DIR --allow-families permissive,...]
 
 Usage on a cluster (north_rule: "run via spark-submit --py-files"):
 
@@ -445,6 +447,111 @@ def cmd_grep(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Corpus curation reports + optional cleaned-corpus write.
+
+    Reports are one JSON object on stdout; --write-clean runs the
+    ONE-PASS curate_corpus verdict (license allowlist / secrets /
+    vendored paths / quality) and writes kept files as parquet with a
+    per-reason drop histogram.
+    """
+    from .ops import codecurate as CC
+
+    spark = _get_spark("se-spark-curate")
+    t0 = time.time()
+    docs = spark.read.parquet(args.documents)
+    id_col, text_col = args.doc_id_col, args.content_col
+    if id_col not in docs.columns:
+        key_cols = [c for c in ("repo", "path", "commit") if c in docs.columns]
+        docs = docs.withColumn(
+            id_col,
+            F.xxhash64(*[F.col(c) for c in (key_cols or [text_col])]),
+        )
+    has_path = args.path_col in docs.columns
+    has_repo = args.repo_col in docs.columns
+    wanted = (
+        ["license", "secrets", "vendored", "indent", "todos", "profile"]
+        if args.report == "all"
+        else [r.strip() for r in args.report.split(",") if r.strip()]
+    )
+    out: dict = {}
+    if "license" in wanted:
+        lic = CC.detect_license(docs, text_col, id_col)
+        out["license_families"] = {
+            r["family"]: r["n"]
+            for r in lic.groupBy("family").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+    if "secrets" in wanted:
+        sc = CC.secret_scan(docs, text_col, id_col)
+        row = sc.agg(
+            F.sum("n_secrets").alias("n_secrets"),
+            F.sum("any_secret").alias("files_with_secrets"),
+        ).collect()[0]
+        out["secrets"] = {
+            "n_secrets": row["n_secrets"],
+            "files_with_secrets": row["files_with_secrets"],
+        }
+    if "vendored" in wanted and has_path:
+        vp = CC.classify_paths(docs, args.path_col, id_col)
+        out["vendored_rules"] = {
+            r["rule"] or "(clean)": r["n"]
+            for r in vp.groupBy("rule").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+    if "indent" in wanted:
+        ind = CC.indent_style(docs, text_col, id_col)
+        out["indent_styles"] = {
+            r["style"]: r["n"]
+            for r in ind.groupBy("style").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+    if "todos" in wanted:
+        td = CC.todo_scan(docs, text_col, id_col)
+        out["todo_tags"] = {
+            r["tag"]: r["n"]
+            for r in td.groupBy("tag").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+    if "profile" in wanted and has_repo and has_path:
+        prof = CC.repo_profile(
+            docs, args.repo_col, args.path_col,
+            args.lang_col if args.lang_col in docs.columns else args.repo_col,
+            text_col,
+        )
+        row = prof.agg(
+            F.count(F.lit(1)).alias("n_repos"),
+            F.sum("n_files").alias("n_files"),
+            F.sum("total_bytes").alias("total_bytes"),
+            F.sum("n_vendored").alias("n_vendored"),
+        ).collect()[0]
+        out["profile"] = {k: row[k] for k in
+                          ("n_repos", "n_files", "total_bytes", "n_vendored")}
+    if args.write_clean:
+        allow = (
+            tuple(f.strip() for f in args.allow_families.split(","))
+            if args.allow_families else None
+        )
+        verdict = CC.curate_corpus(
+            docs, text_col, id_col,
+            path_col=args.path_col if has_path else None,
+            allow_families=allow,
+        )
+        kept = verdict.filter(F.col("keep") == 1).select(
+            F.col("doc_id").alias(id_col)
+        )
+        cleaned = docs.join(kept, [id_col], "semi")
+        cleaned.write.mode("overwrite").parquet(args.write_clean)
+        drops = {
+            r["drop_reason"] or "(kept)": r["n"]
+            for r in verdict.groupBy("drop_reason").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        out["write_clean"] = {"path": args.write_clean, "drops": drops}
+    out["sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="search_engine_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -568,6 +675,29 @@ def main(argv: list[str] | None = None) -> None:
     gr.add_argument("--doc-id-col", default="doc_id")
     gr.add_argument("--content-col", default="content")
     gr.set_defaults(fn=cmd_grep)
+
+    cu = sub.add_parser(
+        "curate",
+        help="code-corpus curation reports + optional cleaned-corpus "
+             "write (license / secrets / vendored / indent / todos / "
+             "profile)",
+    )
+    cu.add_argument("documents", help="parquet path of the corpus")
+    cu.add_argument("--report", default="all",
+                    help="comma list of license,secrets,vendored,indent,"
+                         "todos,profile (default: all)")
+    cu.add_argument("--write-clean", default=None, dest="write_clean",
+                    help="write kept files (one-pass curate_corpus "
+                         "verdict) as parquet to this dir")
+    cu.add_argument("--allow-families", default=None, dest="allow_families",
+                    help="license families allowed through --write-clean "
+                         "(comma list; omit to skip the license gate)")
+    cu.add_argument("--doc-id-col", default="doc_id")
+    cu.add_argument("--content-col", default="content")
+    cu.add_argument("--path-col", default="path")
+    cu.add_argument("--repo-col", default="repo")
+    cu.add_argument("--lang-col", default="lang")
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -5103,36 +5103,54 @@ lsrc AS (
 )"""
 
 
-def _sql_license_cte() -> str:
-    """CTE chain ending in lic(doc_id, repo, license, family) — SPDX_RE
-    + LICENSE_MARKERS + LICENSE_FAMILY restated verbatim."""
-    from .ops.codecurate import LICENSE_FAMILY, LICENSE_MARKERS, SPDX_RE
+def _sql_license_case() -> str:
+    """CASE over (spdx, folded) columns -> license id, restating
+    SPDX-first + LICENSE_MARKERS priority."""
+    from .ops.codecurate import LICENSE_MARKERS
 
     marker_whens = " ".join(
         f"WHEN contains(folded, '{phrase}') THEN '{lic}'"
         for lic, phrase in LICENSE_MARKERS
     )
+    return f"CASE WHEN spdx <> '' THEN spdx {marker_whens} ELSE 'unknown' END"
+
+
+def _sql_family_case(col: str = "license") -> str:
+    from .ops.codecurate import LICENSE_FAMILY
+
     family_whens = " ".join(
-        f"WHEN starts_with(license, '{prefix}') THEN '{fam}'"
+        f"WHEN starts_with({col}, '{prefix}') THEN '{fam}'"
         for prefix, fam in LICENSE_FAMILY
     )
-    spdx_sql = SPDX_RE.replace("'", "''")
+    return f"CASE {family_whens} ELSE 'unknown' END"
+
+
+def _sql_spdx_extract() -> str:
+    from .ops.codecurate import SPDX_RE
+
+    return (
+        "lower(regexp_extract(content, '"
+        + SPDX_RE.replace("'", "''")
+        + "', 1))"
+    )
+
+
+def _sql_license_cte() -> str:
+    """CTE chain ending in lic(doc_id, repo, license, family) — SPDX_RE
+    + LICENSE_MARKERS + LICENSE_FAMILY restated verbatim."""
     return f"""{_SQL_LICENSE_PLANT},
 lext AS (
   SELECT doc_id, repo,
-         lower(regexp_extract(content, '{spdx_sql}', 1)) AS spdx,
+         {_sql_spdx_extract()} AS spdx,
          lower(content) AS folded
   FROM lsrc
 ),
 lic0 AS (
-  SELECT doc_id, repo,
-         CASE WHEN spdx <> '' THEN spdx {marker_whens}
-              ELSE 'unknown' END AS license
+  SELECT doc_id, repo, {_sql_license_case()} AS license
   FROM lext
 ),
 lic AS (
-  SELECT doc_id, repo, license,
-         CASE {family_whens} ELSE 'unknown' END AS family
+  SELECT doc_id, repo, license, {_sql_family_case()} AS family
   FROM lic0
 )"""
 
@@ -5576,6 +5594,113 @@ FROM bw GROUP BY chunk_sha HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+_CURATE_AUTOGEN_MOD = 31
+_CURATE_FAMILIES = ("permissive", "unknown")
+
+
+def _curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-verdict fixture: the planted-path files with license
+    headers, secrets, and an autogen marker stacked on residues so
+    every gate (license / secret / vendored / quality) trips somewhere
+    and precedence is exercised on the overlaps."""
+    plants = F.concat(
+        _plant(_CUR_SPDX_MOD, _CUR_SPDX_LINE),
+        _plant(_CUR_MIT_MOD, _CUR_MIT_LINE),
+        _plant(_CUR_LGPL_MOD, _CUR_LGPL_LINE),
+        _plant(_CUR_GPL_MOD, _CUR_GPL_LINE),
+        *[_plant(mod, line + "\n") for mod, line in _SEC_PLANTS],
+        _plant(_CURATE_AUTOGEN_MOD, "// do not edit\n"),
+    )
+    base = _pathed_files(spark, sf_dir)
+    return base.withColumn("content", F.concat(plants, F.col("content")))
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass curation verdict (ops.codecurate.curate_corpus):
+    license-family allowlist, secret gate, vendored-path gate, quality
+    gate — ALL as expressions over the same scan row (no per-signal
+    joins; k gates would otherwise cost k corpus-sized shuffles), first
+    tripped gate recorded as drop_reason.  Oracle: every gate restated
+    in one DuckDB CTE chain over the identical stacked fixture."""
+    from .ops import codecurate as CC
+
+    return CC.curate_corpus(
+        _curate_docs(spark, sf_dir), allow_families=_CURATE_FAMILIES
+    )
+
+
+def _sql_curate_corpus() -> str:
+    from .ops.codecurate import SECRET_RULES
+    from .ops.codequality import AUTOGEN_MARKERS
+
+    plant = " || ".join(
+        [
+            _sql_plant(_CUR_SPDX_MOD, _CUR_SPDX_LINE),
+            _sql_plant(_CUR_MIT_MOD, _CUR_MIT_LINE),
+            _sql_plant(_CUR_LGPL_MOD, _CUR_LGPL_LINE),
+            _sql_plant(_CUR_GPL_MOD, _CUR_GPL_LINE),
+        ]
+        + [_sql_plant(mod, line + "\n") for mod, line in _SEC_PLANTS]
+        + [_sql_plant(_CURATE_AUTOGEN_MOD, "// do not edit\n")]
+    )
+    secrets = " + ".join(
+        "len(regexp_extract_all(content, " + _sql_lit_ws(pat) + "))"
+        for _, pat in SECRET_RULES
+    )
+    autogen = " OR ".join(
+        f"contains(folded, '{m}')" for m in AUTOGEN_MARKERS
+    )
+    fams = ", ".join(f"'{f}'" for f in _CURATE_FAMILIES)
+    return f"""
+WITH {_SQL_PATHED_FILES},
+ccsrc AS (
+  SELECT doc_id, path, {plant} || content AS content FROM pfiles
+),
+ccx AS (
+  SELECT doc_id, path, content,
+         {_sql_spdx_extract()} AS spdx,
+         lower(content) AS folded,
+         regexp_split_to_array(content, chr(10)) AS ls
+  FROM ccsrc
+),
+ccm AS (
+  SELECT doc_id,
+    {_sql_license_case()} AS license,
+    CAST({secrets} AS BIGINT) AS n_secrets,
+    CAST(CASE WHEN ({_sql_path_rule_case()}) <> '' THEN 1 ELSE 0 END
+         AS BIGINT) AS vendored,
+    CAST(CASE
+      WHEN list_max(list_transform(ls, l -> length(l))) > 1000
+           OR round((length(content) - (len(ls) - 1))::DOUBLE / len(ls), 4)
+              > 100 THEN 0
+      WHEN round(CASE WHEN length(content) > 0
+                 THEN length(regexp_replace(content, '[^A-Za-z0-9]', '',
+                                            'g'))::DOUBLE / length(content)
+                 ELSE 0 END, 4) < 0.25 THEN 0
+      WHEN {autogen} THEN 0
+      ELSE 1 END AS BIGINT) AS quality_keep
+  FROM ccx
+),
+ccf AS (
+  SELECT doc_id, {_sql_family_case()} AS family,
+         n_secrets, vendored, quality_keep
+  FROM ccm
+),
+ccv AS (
+  SELECT *,
+    CASE WHEN family NOT IN ({fams}) THEN 'license'
+         WHEN n_secrets > 0 THEN 'secret'
+         WHEN vendored = 1 THEN 'vendored'
+         WHEN quality_keep = 0 THEN 'quality'
+         ELSE '' END AS drop_reason
+  FROM ccf
+)
+SELECT doc_id, family, n_secrets, vendored, quality_keep, drop_reason,
+       CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM ccv
+"""
+
+
 def q_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-repository profile (ops.codecurate.repo_profile): file /
     language / byte / line counts and the vendored fraction in ONE
@@ -5628,6 +5753,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_profile": q_repo_profile,
         "code_chunks": q_code_chunks,
         "boilerplate_chunks": q_boilerplate_chunks,
+        "curate_corpus": q_curate_corpus,
         "import_extract": q_import_extract,
         "repo_clones": q_repo_clones,
         "symbol_complete": q_symbol_complete,
@@ -5863,6 +5989,7 @@ FROM tok GROUP BY term
         "repo_profile": _sql_repo_profile(),
         "code_chunks": _sql_code_chunks(),
         "boilerplate_chunks": _sql_boilerplate_chunks(),
+        "curate_corpus": _sql_curate_corpus(),
         "import_extract": _sql_import_extract(),
         "repo_clones": _sql_repo_clones(),
         "symbol_complete": _sql_symbol_complete(),

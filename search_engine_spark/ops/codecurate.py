@@ -38,6 +38,8 @@ __all__ = [
     "todo_scan",
     "chunk_lines",
     "boilerplate_chunks",
+    "curate_corpus",
+    "DROP_REASONS",
     "repo_profile",
 ]
 
@@ -433,6 +435,94 @@ def boilerplate_chunks(
             F.min("doc_id").alias("min_doc_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass corpus curation verdict
+# ---------------------------------------------------------------------------
+
+# drop_reason precedence (first tripped wins) — license gates are policy
+# (hard stop), secrets are safety, vendored is noise, quality is last.
+DROP_REASONS: tuple[str, ...] = ("license", "secret", "vendored", "quality")
+
+
+def curate_corpus(
+    files: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    path_col: str | None = "path",
+    allow_families: tuple[str, ...] | None = None,
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """(doc_id, family, n_secrets, vendored, quality_keep, drop_reason,
+    keep): the full curation verdict in ONE narrow projection — license
+    family gate (when ``allow_families`` is given), secret gate,
+    vendored-path gate (when ``path_col`` exists), Stack-style quality
+    gate — with the first tripped gate recorded as ``drop_reason``
+    ('' when kept).
+
+    This is the composition shape that matters at 100 TB: every signal
+    is an expression over the same scan row, so the whole verdict
+    pipeline is a single whole-stage-codegen pass with NO per-signal
+    frames joined back on doc_id (k gates would otherwise cost k
+    corpus-sized shuffles).
+    """
+    from .codequality import quality_columns
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lic = _license_col(text)
+    family = _family_col(lic)
+
+    n_secrets = None
+    for kind, pat in SECRET_RULES:
+        c = F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        n_secrets = c if n_secrets is None else n_secrets + c
+    n_secrets = n_secrets.cast("long")
+
+    if path_col is not None and path_col in files.columns:
+        path = F.coalesce(F.col(path_col), F.lit(""))
+        vend = None
+        for _, kind, needle in PATH_RULES:
+            if kind == "dir":
+                hit = F.contains(path, F.lit(needle)) | F.startswith(
+                    path, F.lit(needle[1:])
+                )
+            else:
+                hit = F.endswith(path, F.lit(needle))
+            vend = hit if vend is None else (vend | hit)
+        vendored = vend.cast("long")
+    else:
+        vendored = F.lit(0).cast("long")
+
+    quality_keep = quality_columns(
+        text,
+        max_line_len=max_line_len,
+        max_avg_line_len=max_avg_line_len,
+        min_alnum_frac=min_alnum_frac,
+    )["keep"]
+
+    if allow_families:
+        lic_bad = ~family.isin(*allow_families)
+    else:
+        lic_bad = F.lit(False)
+    drop_reason = (
+        F.when(lic_bad, F.lit("license"))
+        .when(n_secrets > 0, F.lit("secret"))
+        .when(vendored == 1, F.lit("vendored"))
+        .when(quality_keep == 0, F.lit("quality"))
+        .otherwise(F.lit(""))
+    )
+    return files.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        family.alias("family"),
+        n_secrets.alias("n_secrets"),
+        vendored.alias("vendored"),
+        quality_keep.alias("quality_keep"),
+        drop_reason.alias("drop_reason"),
+        (drop_reason == "").cast("long").alias("keep"),
     )
 
 

@@ -538,7 +538,15 @@ def main() -> int:
           "HashAggregate" in p and "BatchEvalPython" not in p
           and "CartesianProduct" not in p)
 
-    from search_engine_spark.contract import q_boilerplate_chunks
+    from search_engine_spark.contract import (
+        q_boilerplate_chunks, q_curate_corpus,
+    )
+
+    p = plan_of(q_curate_corpus(spark, sf_dir))
+    check("curate corpus: ALL four gates in one shuffle-free narrow "
+          "projection — no per-signal joins back on doc_id",
+          "Exchange" not in p and "Join" not in p
+          and "BatchEvalPython" not in p)
 
     p = plan_of(q_boilerplate_chunks(spark, sf_dir))
     check("boilerplate chunks: doc-local chunker then the standard "

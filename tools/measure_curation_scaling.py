@@ -9,12 +9,18 @@ All per-file ops are narrow scan-side projections, so the expected
 profile is the host's pure-CPU multiprocess ceiling (~0.88 when quiet);
 the rollups add one partial-agg exchange.
 
-Usage: python tools/measure_curation_scaling.py [out.json]
+Sub-2s local[16] jobs are fixed-cost-dominated on this host (documented
+in BASELINE.md); rerun the heavy ops at CUR_SCALE_REP=800 (4M files) for
+a clean N->4N signal.
+
+Usage: [CUR_SCALE_REP=200] [CUR_SCALE_OPS=a,b] \
+    python tools/measure_curation_scaling.py [out.json]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -29,7 +35,7 @@ def main() -> None:
     from search_engine_spark.ops import codecurate as CC
     from search_engine_spark.session import get_spark
 
-    rep = 200  # 5000 docs * 200 = 1M files
+    rep = int(os.environ.get("CUR_SCALE_REP", "200"))  # 200 -> 1M files
     tmp = tempfile.mkdtemp(prefix="cur_scale_")
     s = get_spark("cur-prep", master="local[16]", shuffle_partitions=16)
     d = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -89,6 +95,11 @@ def main() -> None:
         "repo_profile": lambda df: CC.repo_profile(df)
         .agg(F.sum("n_files"), F.sum("n_vendored")),
     }
+
+    only = os.environ.get("CUR_SCALE_OPS")
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        OPS = {n: f for n, f in OPS.items() if n in keep}
 
     results: dict[str, dict] = {name: {} for name in OPS}
     # interleave 4,16,16,4 so a host-noise window can't bias one config
