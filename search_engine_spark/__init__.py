@@ -165,6 +165,7 @@ _EXPORTS = {
     "boilerplate_chunks": "ops.codecurate:boilerplate_chunks",
     "repo_profile": "ops.codecurate:repo_profile",
     "curate_corpus": "ops.codecurate:curate_corpus",
+    "infer_lang": "ops.codecurate:infer_lang",
     "quality_columns": "ops.codequality:quality_columns",
     "grep_lines_regex": "ops.regexsearch:grep_lines_regex",
     "symbol_search": "ops.codesearch:symbol_search",

@@ -5594,6 +5594,80 @@ FROM bw GROUP BY chunk_sha HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+_SHEBANG_MOD = 23
+_SHEBANG_LINE = "#!/usr/bin/env python3\n"
+_SHEBANG_MOD2 = 41
+_SHEBANG_LINE2 = "#!/bin/bash\n"
+
+
+def _langinf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-inference fixture: the planted-path files (suffixes .py,
+    .min.js, _pb2.py, /yarn.lock) with shebang first lines planted on
+    residues — yarn.lock files get 'lock' (unknown ext) so the shebang
+    fallback path is exercised."""
+    base = _pathed_files(spark, sf_dir)
+    sb = (
+        F.when(F.col("doc_id") % _SHEBANG_MOD == 0, F.lit(_SHEBANG_LINE))
+        .when(F.col("doc_id") % _SHEBANG_MOD2 == 0, F.lit(_SHEBANG_LINE2))
+        .otherwise(F.lit(""))
+    )
+    return base.withColumn("content", F.concat(sb, F.col("content")))
+
+
+def q_infer_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linguist-style language inference (ops.codecurate.infer_lang):
+    extension mapping first, shebang interpreter fallback (env
+    indirection handled), 'unknown' otherwise — one narrow projection.
+    Oracle: the identical regexes + CASE chains in DuckDB."""
+    from .ops import codecurate as CC
+
+    return CC.infer_lang(_langinf_docs(spark, sf_dir))
+
+
+def _sql_infer_lang() -> str:
+    from .ops.codecurate import (
+        EXT_LANGS, SHEBANG_LANGS, SHEBANG_RE, _EXT_RE,
+    )
+
+    ext_whens = " ".join(
+        f"WHEN ext = '{e}' THEN '{lang}'" for e, lang in EXT_LANGS
+    )
+    sb_whens = " ".join(
+        f"WHEN prog = '{p}' THEN '{lang}'" for p, lang in SHEBANG_LANGS
+    )
+    sb_re = SHEBANG_RE.replace("'", "''")
+    ext_re = _EXT_RE.replace("'", "''")
+    return f"""
+WITH {_SQL_PATHED_FILES},
+lsb AS (
+  SELECT doc_id, path,
+    (CASE WHEN doc_id % {_SHEBANG_MOD} = 0
+          THEN {_sql_lit_ws(_SHEBANG_LINE)}
+          WHEN doc_id % {_SHEBANG_MOD2} = 0
+          THEN {_sql_lit_ws(_SHEBANG_LINE2)}
+          ELSE '' END) || content AS content
+  FROM pfiles
+),
+lx AS (
+  SELECT doc_id,
+    lower(regexp_extract(path, '{ext_re}', 1)) AS ext,
+    regexp_extract(string_split(content, chr(10))[1], '{sb_re}', 1) AS prog
+  FROM lsb
+),
+lm AS (
+  SELECT doc_id, ext, prog,
+    CASE {ext_whens} ELSE '' END AS ext_lang,
+    CASE {sb_whens} ELSE '' END AS sb_lang
+  FROM lx
+)
+SELECT doc_id, ext, prog AS shebang_prog,
+       CASE WHEN ext_lang <> '' THEN ext_lang
+            WHEN sb_lang <> '' THEN sb_lang
+            ELSE 'unknown' END AS lang
+FROM lm
+"""
+
+
 _CURATE_AUTOGEN_MOD = 31
 _CURATE_FAMILIES = ("permissive", "unknown")
 
@@ -5754,6 +5828,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_chunks": q_code_chunks,
         "boilerplate_chunks": q_boilerplate_chunks,
         "curate_corpus": q_curate_corpus,
+        "infer_lang": q_infer_lang,
         "import_extract": q_import_extract,
         "repo_clones": q_repo_clones,
         "symbol_complete": q_symbol_complete,
@@ -5990,6 +6065,7 @@ FROM tok GROUP BY term
         "code_chunks": _sql_code_chunks(),
         "boilerplate_chunks": _sql_boilerplate_chunks(),
         "curate_corpus": _sql_curate_corpus(),
+        "infer_lang": _sql_infer_lang(),
         "import_extract": _sql_import_extract(),
         "repo_clones": _sql_repo_clones(),
         "symbol_complete": _sql_symbol_complete(),

@@ -40,6 +40,9 @@ __all__ = [
     "boilerplate_chunks",
     "curate_corpus",
     "DROP_REASONS",
+    "EXT_LANGS",
+    "SHEBANG_LANGS",
+    "infer_lang",
     "repo_profile",
 ]
 
@@ -435,6 +438,84 @@ def boilerplate_chunks(
             F.min("doc_id").alias("min_doc_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language inference (linguist-style: extension first, shebang fallback)
+# ---------------------------------------------------------------------------
+
+EXT_LANGS: tuple[tuple[str, str], ...] = (
+    ("py", "python"), ("js", "javascript"), ("ts", "typescript"),
+    ("go", "go"), ("rs", "rust"), ("java", "java"),
+    ("c", "c"), ("h", "c"), ("cpp", "cpp"), ("cc", "cpp"), ("hpp", "cpp"),
+    ("cs", "csharp"), ("rb", "ruby"), ("php", "php"),
+    ("sh", "shell"), ("bash", "shell"),
+    ("md", "markdown"), ("json", "json"), ("yaml", "yaml"), ("yml", "yaml"),
+    ("sql", "sql"), ("scala", "scala"), ("kt", "kotlin"), ("swift", "swift"),
+)
+
+SHEBANG_LANGS: tuple[tuple[str, str], ...] = (
+    ("python", "python"), ("python2", "python"), ("python3", "python"),
+    ("sh", "shell"), ("bash", "shell"), ("zsh", "shell"),
+    ("node", "javascript"), ("perl", "perl"), ("ruby", "ruby"),
+)
+
+# greedy .*/ eats the interpreter dir; optional `env ` indirection
+SHEBANG_RE = r"^#!.*/(?:env +)?([A-Za-z0-9_.+-]+)"
+_EXT_RE = r"\.([A-Za-z0-9_]+)$"
+
+
+def infer_lang(
+    files: DataFrame,
+    path_col: str = "path",
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, ext, shebang_prog, lang): linguist-style language
+    inference — the path extension decides when its EXT_LANGS mapping
+    is known, otherwise the shebang interpreter (``#!...`` first line,
+    ``env`` indirection handled); 'unknown' when neither.  Useful both
+    to fill a missing lang column and to audit a declared one.
+
+    One narrow projection: two regexp_extracts + two CASE chains; the
+    content read touches only the first line's prefix (the regexp is
+    ^-anchored, but the column still scans — pass a pre-projected
+    first-line column at 100 TB if content pruning matters upstream).
+    """
+    path = F.coalesce(F.col(path_col), F.lit(""))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ext = F.lower(F.regexp_extract(path, _EXT_RE, 1))
+    first = F.element_at(F.split(text, "\n"), 1)
+    prog = F.regexp_extract(first, SHEBANG_RE, 1)
+    ext_lang = None
+    for e, lang in EXT_LANGS:
+        hit = ext == e
+        ext_lang = (
+            F.when(hit, F.lit(lang))
+            if ext_lang is None
+            else ext_lang.when(hit, F.lit(lang))
+        )
+    ext_lang = ext_lang.otherwise(F.lit(""))
+    sb_lang = None
+    for p, lang in SHEBANG_LANGS:
+        hit = prog == p
+        sb_lang = (
+            F.when(hit, F.lit(lang))
+            if sb_lang is None
+            else sb_lang.when(hit, F.lit(lang))
+        )
+    sb_lang = sb_lang.otherwise(F.lit(""))
+    lang = (
+        F.when(ext_lang != "", ext_lang)
+        .when(sb_lang != "", sb_lang)
+        .otherwise(F.lit("unknown"))
+    )
+    return files.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        ext.alias("ext"),
+        prog.alias("shebang_prog"),
+        lang.alias("lang"),
     )
 
 

@@ -249,6 +249,34 @@ def test_boilerplate_chunks_detects_shared_headers(spark):
     assert got[0]["min_doc_id"] == 1
 
 
+def test_infer_lang_ext_and_shebang(spark):
+    from search_engine_spark.ops.codecurate import infer_lang
+
+    rows = [
+        (1, "src/a.py", "print(1)"),
+        (2, "web/app.min.js", "var x"),
+        (3, "bin/run", "#!/usr/bin/env python3\nimport os"),
+        (4, "bin/go.sh", "#!/bin/bash\necho"),       # ext wins anyway
+        (5, "tool", "#!/bin/bash\necho"),              # shebang fallback
+        (6, "README", "no markers at all"),
+        (7, "x.unknownext", "#!/usr/bin/env node\n"),  # unknown ext -> shebang
+        (8, "noext", "#!/opt/weird/frobnicator\n"),    # unknown interpreter
+    ]
+    files = spark.createDataFrame(
+        rows, "doc_id long, path string, content string"
+    )
+    got = _by_id(infer_lang(files))
+    assert got[1]["lang"] == "python" and got[1]["ext"] == "py"
+    assert got[2]["lang"] == "javascript"
+    assert got[3]["lang"] == "python" and got[3]["shebang_prog"] == "python3"
+    assert got[4]["lang"] == "shell"
+    assert got[5]["lang"] == "shell" and got[5]["ext"] == ""
+    assert got[6]["lang"] == "unknown"
+    assert got[7]["lang"] == "javascript"
+    assert got[8]["lang"] == "unknown"
+    assert got[8]["shebang_prog"] == "frobnicator"
+
+
 def test_curate_corpus_one_pass_verdict(spark):
     from search_engine_spark.ops.codecurate import curate_corpus
 

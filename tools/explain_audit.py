@@ -539,8 +539,12 @@ def main() -> int:
           and "CartesianProduct" not in p)
 
     from search_engine_spark.contract import (
-        q_boilerplate_chunks, q_curate_corpus,
+        q_boilerplate_chunks, q_curate_corpus, q_infer_lang,
     )
+
+    p = plan_of(q_infer_lang(spark, sf_dir))
+    check("infer lang: shuffle-free narrow projection, no row-Python",
+          "Exchange" not in p and "BatchEvalPython" not in p)
 
     p = plan_of(q_curate_corpus(spark, sf_dir))
     check("curate corpus: ALL four gates in one shuffle-free narrow "
