@@ -259,7 +259,8 @@ def main() -> None:
     for name in ("license_detect", "vendored_paths", "secret_scan",
                  "indent_style", "todo_scan", "repo_license",
                  "repo_profile", "code_chunks", "boilerplate_chunks",
-                 "curate_corpus", "infer_lang"):
+                 "curate_corpus", "infer_lang", "winnow_fingerprints",
+                 "winnow_pairs"):
         t_s4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_curation"] = {"medians": t_s4.medians,
                                         "spread": t_s4.spread}

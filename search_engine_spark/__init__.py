@@ -166,6 +166,8 @@ _EXPORTS = {
     "repo_profile": "ops.codecurate:repo_profile",
     "curate_corpus": "ops.codecurate:curate_corpus",
     "infer_lang": "ops.codecurate:infer_lang",
+    "winnow_fingerprints": "ops.codecurate:winnow_fingerprints",
+    "winnow_clone_pairs": "ops.codecurate:winnow_clone_pairs",
     "quality_columns": "ops.codequality:quality_columns",
     "grep_lines_regex": "ops.regexsearch:grep_lines_regex",
     "symbol_search": "ops.codesearch:symbol_search",

@@ -5668,6 +5668,105 @@ FROM lm
 """
 
 
+_WINNOW_K, _WINNOW_W = 8, 5
+_WINNOW_PAIR_MOD = 25
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing fingerprints (ops.codecurate.
+    winnow_fingerprints — the MOSS algorithm, Schleimer et al.
+    SIGMOD'03): per-window minimum k-gram md5s, rightmost on ties,
+    entirely doc-local HOFs with no shuffle and no text amplification.
+    Oracle: the identical normalize / k-gram / window-min / distinct
+    pipeline via DuckDB list functions.  (Java \\s and RE2 \\s differ
+    only on VT, absent from the corpus.)"""
+    from .ops import codecurate as CC
+
+    return CC.winnow_fingerprints(
+        _multiline_docs(spark, sf_dir),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        text_col="text",
+    )
+
+
+def _sql_winnow_cte(extra_filter: str = "") -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+wsrc AS (
+  SELECT doc_id,
+    lower(regexp_replace(replace(text, ' sort ', chr(10)),
+                         '\\s', '', 'g')) AS t
+  FROM documents {extra_filter}
+),
+wst AS (
+  SELECT doc_id, greatest(0, length(t) - {k} + 1) AS ng,
+    list_transform(range(1, greatest(0, length(t) - {k} + 1) + 1),
+      i -> substr(md5(substr(t, i, {k})), 1, 16)
+           || lpad(CAST(999999999 - i AS VARCHAR), 9, '0')) AS encs
+  FROM wsrc
+),
+wsel AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      CASE WHEN ng < 1 THEN range(1, 1)
+           ELSE range(1, greatest(1, ng - {w} + 1) + 1) END,
+      s -> list_min(encs[s : s + {w} - 1])))) AS m
+  FROM wst
+),
+wfp AS (
+  SELECT doc_id,
+    CAST(999999999 - CAST(substr(m, 17, 9) AS INT) AS BIGINT) AS pos,
+    substr(m, 1, 16) AS fp
+  FROM wsel
+)"""
+
+
+def _sql_winnow_fingerprints() -> str:
+    return f"""
+WITH {_sql_winnow_cte()}
+SELECT doc_id, pos, fp FROM wfp
+"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style similarity pairs (ops.codecurate.winnow_clone_pairs)
+    over the winnowing fingerprints of a doc subset: files meet only
+    through the fp equi-join with a hot-fingerprint cap.  Oracle: the
+    fingerprint CTE + the capped self-join + jaccard in DuckDB."""
+    from .ops import codecurate as CC
+
+    docs = _multiline_docs(spark, sf_dir).filter(
+        F.col("doc_id") % _WINNOW_PAIR_MOD == 0
+    )
+    fps = CC.winnow_fingerprints(
+        docs, k=_WINNOW_K, w=_WINNOW_W, text_col="text"
+    )
+    return CC.winnow_clone_pairs(fps)
+
+
+def _sql_winnow_pairs() -> str:
+    return f"""
+WITH {_sql_winnow_cte(
+    f"WHERE doc_id % {_WINNOW_PAIR_MOD} = 0")},
+wkeys AS (SELECT DISTINCT doc_id, fp FROM wfp),
+welig AS (SELECT fp FROM wkeys GROUP BY fp HAVING count(*) <= 1000),
+wk2 AS (SELECT wkeys.doc_id, wkeys.fp FROM wkeys
+        JOIN welig ON wkeys.fp = welig.fp),
+wpr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM wk2 a JOIN wk2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+wcnt AS (SELECT doc_id, count(*) AS nk FROM wk2 GROUP BY doc_id)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       CAST(ca.nk AS BIGINT) AS n_a, CAST(cb.nk AS BIGINT) AS n_b,
+       round(shared::DOUBLE / (ca.nk + cb.nk - shared), 6) AS jaccard
+FROM wpr JOIN wcnt ca ON wpr.doc_a = ca.doc_id
+         JOIN wcnt cb ON wpr.doc_b = cb.doc_id
+"""
+
+
 _CURATE_AUTOGEN_MOD = 31
 _CURATE_FAMILIES = ("permissive", "unknown")
 
@@ -5829,6 +5928,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": q_boilerplate_chunks,
         "curate_corpus": q_curate_corpus,
         "infer_lang": q_infer_lang,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "import_extract": q_import_extract,
         "repo_clones": q_repo_clones,
         "symbol_complete": q_symbol_complete,
@@ -6066,6 +6167,8 @@ FROM tok GROUP BY term
         "boilerplate_chunks": _sql_boilerplate_chunks(),
         "curate_corpus": _sql_curate_corpus(),
         "infer_lang": _sql_infer_lang(),
+        "winnow_fingerprints": _sql_winnow_fingerprints(),
+        "winnow_pairs": _sql_winnow_pairs(),
         "import_extract": _sql_import_extract(),
         "repo_clones": _sql_repo_clones(),
         "symbol_complete": _sql_symbol_complete(),

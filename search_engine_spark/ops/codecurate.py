@@ -43,6 +43,8 @@ __all__ = [
     "EXT_LANGS",
     "SHEBANG_LANGS",
     "infer_lang",
+    "winnow_fingerprints",
+    "winnow_clone_pairs",
     "repo_profile",
 ]
 
@@ -438,6 +440,113 @@ def boilerplate_chunks(
             F.min("doc_id").alias("min_doc_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03; MOSS)
+# ---------------------------------------------------------------------------
+
+# pos is encoded as (POS_ENC - pos) zero-padded and appended to the hash
+# so one string min implements (hash asc, pos desc) — robust winnowing's
+# rightmost-on-tie rule — identically in both engines.
+_WINNOW_POS_ENC = 999_999_999
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, fp): robust-winnowing document fingerprints — the
+    MOSS code-plagiarism algorithm (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03).  Character k-gram hashes over the (optionally
+    whitespace-stripped, case-folded) content; each window of w
+    consecutive hashes selects its minimum, rightmost on ties; the
+    distinct selected (pos, hash) set is the fingerprint.  Guarantee:
+    two files sharing any run of >= w + k - 1 normalized characters
+    share at least one fingerprint.
+
+    Scale shape: ENTIRELY doc-local higher-order functions — the k-gram
+    hash array and the per-window minima are computed inside one narrow
+    projection (the hash array is materialized as a column first so the
+    window pass reuses it instead of recomputing O(n) md5s per window),
+    then only the ~2n/w selected fingerprints explode into rows.  No
+    shuffle, no text amplification through a Generate.  Pair files
+    downstream with winnow_clone_pairs (equi-join on fp, hot-key cap).
+
+    The hash is the first 16 hex chars of md5 over the k-gram —
+    cross-engine-exact (DuckDB md5 produces the identical string).
+    """
+    if w < 1 or k < 1:
+        raise ValueError(f"k and w must be >= 1; got k={k} w={w}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if normalize:
+        text = F.lower(F.regexp_replace(text, r"\s", ""))
+    n_grams = F.greatest(F.lit(0), F.length(text) - F.lit(k) + 1)
+    seq = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    enc = F.transform(
+        seq,
+        lambda i: F.concat(
+            F.substring(F.md5(F.substring(text, i, F.lit(k))), 1, 16),
+            F.lpad((F.lit(_WINNOW_POS_ENC) - i).cast("string"), 9, "0"),
+        ),
+    )
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_grams.alias("_ng"),
+        enc.alias("_enc"),
+    )
+    starts = F.when(
+        F.col("_ng") >= 1,
+        F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.col("_ng") - F.lit(w) + F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.array_distinct(
+        F.transform(
+            starts, lambda s: F.array_min(F.slice(F.col("_enc"), s, w))
+        )
+    )
+    sel = staged.select("doc_id", F.explode(fps).alias("_m"))
+    return sel.select(
+        "doc_id",
+        (
+            F.lit(_WINNOW_POS_ENC) - F.substring("_m", 17, 9).cast("int")
+        ).cast("long").alias("pos"),
+        F.substring("_m", 1, 16).alias("fp"),
+    )
+
+
+def winnow_clone_pairs(
+    fps: DataFrame, max_fp_df: int = 1000, min_shared: int = 1
+) -> DataFrame:
+    """(doc_a, doc_b, shared, n_a, n_b, jaccard): MOSS-style similarity
+    pairs over winnow_fingerprints output — files meet ONLY through an
+    equi-join on fp (the LSH-bucket discipline), fingerprints held by
+    more than ``max_fp_df`` files dropped before pairing (ubiquitous
+    boilerplate k-grams are the skew killers).  Delegates to the
+    codegraph.repo_clone_pairs machinery."""
+    from .codegraph import repo_clone_pairs
+
+    pairs = repo_clone_pairs(
+        fps.select("doc_id", "fp"),
+        repo_col="doc_id",
+        key_col="fp",
+        max_key_df=max_fp_df,
+    )
+    return pairs.filter(F.col("shared") >= min_shared).select(
+        F.col("repo_a").cast("long").alias("doc_a"),
+        F.col("repo_b").cast("long").alias("doc_b"),
+        "shared",
+        "n_a",
+        "n_b",
+        "jaccard",
     )
 
 

@@ -349,6 +349,90 @@ def test_cli_curate_reports_and_write_clean(spark, tmp_path):
     assert [r["doc_id"] for r in kept] == [1]
 
 
+# -- winnowing ---------------------------------------------------------------
+
+
+def _winnow_py(text, k, w):
+    """Literal robust winnowing (Schleimer et al. fig. 6 semantics) as a
+    pure-Python oracle: min hash per window, rightmost on ties."""
+    import hashlib
+
+    t = "".join(text.lower().split())
+    grams = [t[i:i + k] for i in range(len(t) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    if not hs:
+        return set()
+    out = set()
+    n_starts = max(1, len(hs) - w + 1)
+    for s in range(n_starts):
+        win = hs[s:s + w]
+        m = min(win)
+        # rightmost occurrence of the min in this window
+        j = max(i for i, h in enumerate(win) if h == m)
+        out.add((s + j + 1, m))
+    return out
+
+
+def test_winnow_matches_pure_python_oracle(spark):
+    from search_engine_spark.ops.codecurate import winnow_fingerprints
+
+    texts = [
+        "A do run run run, a do run run",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaa",          # all-equal hashes: rightmost tie-break
+        "ab",                      # shorter than k: no fingerprints
+        "abcdef",                  # exactly one gram (k=5 -> 2 grams)
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, content string"
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_py(t, 5, 4), f"doc {i}"
+
+
+def test_winnow_guarantee_shared_substring_shares_fp(spark):
+    """The SIGMOD'03 guarantee: a shared run of >= w + k - 1 chars
+    yields at least one shared fingerprint."""
+    from search_engine_spark.ops.codecurate import (
+        winnow_clone_pairs, winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+    shared = "XCOMMONSEGMENTX"  # 15 >= w + k - 1 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " tail alpha"),
+            (2, "other stuff " + shared + " different end"),
+            (3, "no overlap with anything here q"),
+        ],
+        "doc_id long, content string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in winnow_clone_pairs(fps).collect()}
+    assert (1, 2) in pairs
+
+
+def test_winnow_hot_fp_cap(spark):
+    from search_engine_spark.ops.codecurate import (
+        winnow_clone_pairs, winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical content everywhere") for i in range(5)],
+        "doc_id long, content string",
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    # cap below the 5-doc df: every fingerprint dropped, no pairs
+    assert winnow_clone_pairs(fps, max_fp_df=4).count() == 0
+    # cap admits them: all 10 pairs, jaccard 1.0
+    rows = winnow_clone_pairs(fps, max_fp_df=5).collect()
+    assert len(rows) == 10 and all(r["jaccard"] == 1.0 for r in rows)
+
+
 # -- repo profile ------------------------------------------------------------
 
 

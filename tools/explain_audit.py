@@ -546,6 +546,22 @@ def main() -> int:
     check("infer lang: shuffle-free narrow projection, no row-Python",
           "Exchange" not in p and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import (
+        q_winnow_fingerprints, q_winnow_pairs,
+    )
+
+    p = plan_of(q_winnow_fingerprints(spark, sf_dir))
+    check("winnow fingerprints: doc-local HOFs, shuffle-free, only the "
+          "selected fingerprints explode, no row-Python",
+          "Exchange" not in p and "Generate" in p
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_winnow_pairs(spark, sf_dir))
+    check("winnow pairs: fp equi-join (no cartesian), per-doc counts "
+          "broadcast, no row-Python",
+          "CartesianProduct" not in p and "BroadcastHashJoin" in p
+          and "BatchEvalPython" not in p)
+
     p = plan_of(q_curate_corpus(spark, sf_dir))
     check("curate corpus: ALL four gates in one shuffle-free narrow "
           "projection — no per-signal joins back on doc_id",
