@@ -260,7 +260,7 @@ def main() -> None:
                  "indent_style", "todo_scan", "repo_license",
                  "repo_profile", "code_chunks", "boilerplate_chunks",
                  "curate_corpus", "infer_lang", "winnow_fingerprints",
-                 "winnow_pairs"):
+                 "winnow_pairs", "subtoken_wand_topk"):
         t_s4.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_curation"] = {"medians": t_s4.medians,
                                         "spread": t_s4.spread}

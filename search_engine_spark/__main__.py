@@ -84,8 +84,15 @@ def cmd_index(args: argparse.Namespace) -> None:
         docs = docs.withColumn(
             args.doc_id_col, F.xxhash64(*[F.col(c) for c in key_cols])
         )
+    analyzer = _parse_options(args.options)
+    if getattr(args, "analyzer", "word") == "subtoken":
+        # the code analyzer: camelCase/snake_case identifier subtokens;
+        # fold/stop/stem flags don't apply (AnalyzerConfig.mode docs)
+        from .config import AnalyzerConfig as _AC
+
+        analyzer = _AC(mode="subtoken")
     cfg = IndexBuildConfig(
-        analyzer=_parse_options(args.options), block_size=args.block_size
+        analyzer=analyzer, block_size=args.block_size
     )
     t0 = time.time()
     metrics = resumable_build(
@@ -569,6 +576,12 @@ def main(argv: list[str] | None = None) -> None:
     ix.add_argument("--content-col", default="content")
     ix.add_argument("--key-cols", default="",
                     help="comma list forming doc_key (e.g. repo,path,commit)")
+    ix.add_argument("--analyzer", choices=["word", "subtoken"],
+                    default="word",
+                    help="subtoken = the code analyzer (identifier "
+                         "camelCase/snake_case splitting); persists in "
+                         "the manifest so search tokenizes queries the "
+                         "same way")
     ix.set_defaults(fn=cmd_index)
 
     rf = sub.add_parser(

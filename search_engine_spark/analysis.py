@@ -76,6 +76,10 @@ def tokenize_doc(content: str, cfg: AnalyzerConfig) -> list[str]:
     Pure-Python building block; Spark-side vectorization happens in
     analyze_frame below (which processes whole pandas batches).
     """
+    if cfg.mode == "subtoken":
+        from .ops.codesearch import split_identifier_py
+
+        return split_identifier_py(content)
     out: list[str] = []
     for tok in DOC_SPLIT_RE.split(content):
         if not tok:
@@ -99,7 +103,22 @@ def tokenize_query(text: str, cfg: AnalyzerConfig) -> list[tuple[str, int]]:
 
     Mirrors TopicParser.ParseLine/ProcessWord (TopicParser.cs:75-125):
     different split set, leading-'<' filter only, culture ToLower.
+
+    In subtoken mode the query is a code identifier: the same
+    split_identifier analysis as the document side, qtf accumulating
+    repeats, first-seen order (ops.codesearch.query_ident_terms
+    semantics — the float32 fold order both engines share).
     """
+    if cfg.mode == "subtoken":
+        from .ops.codesearch import split_identifier_py
+
+        sterms: list[str] = []
+        scounts: Counter[str] = Counter()
+        for s in split_identifier_py(text):
+            if s not in scounts:
+                sterms.append(s)
+            scounts[s] += 1
+        return [(t, scounts[t]) for t in sterms]
     terms: list[str] = []
     counts: Counter[str] = Counter()
     for word in QUERY_SPLIT_RE.split(text):
@@ -142,6 +161,91 @@ _TOKENS_ARROW_SCHEMA = pa.schema(
 )
 
 
+# The code analyzer's boundary rules in Arrow/RE2 form — same patterns
+# as ops.codesearch._BOUNDARIES (Java $1$2 → RE2 \1\2 replacement);
+# tests pin the three implementations (JVM expr, pure-Python, Arrow)
+# equal on fuzzed identifiers.
+_SUBTOKEN_BOUNDARIES_RE2: tuple[tuple[str, str], ...] = (
+    (r"([a-z0-9])([A-Z])", r"\1 \2"),
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+)
+_SUBTOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def _subtoken_flat(content):
+    """(flat subtokens, parent indices) of a content array — the code
+    analyzer's split as pyarrow C++ kernels."""
+    out = content
+    for pat, rep in _SUBTOKEN_BOUNDARIES_RE2:
+        out = pc.replace_substring_regex(out, pat, rep)
+    out = pc.utf8_lower(out)
+    token_lists = pc.split_pattern_regex(out, _SUBTOKEN_SPLIT_RE)
+    flat = pc.list_flatten(token_lists)
+    parent = pc.list_parent_indices(token_lists)
+    mask = pc.not_equal(flat, "")
+    return pc.filter(flat, mask), pc.filter(parent, mask)
+
+
+def _subtoken_analyze_arrow(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Subtoken-mode analyze_arrow: (doc_id, content) → (doc_id, term,
+    tf, doc_len) with term = identifier subtoken, doc_len = total
+    subtokens — exactly ops.codesearch.subtoken_tokens' semantics, so
+    the persisted-index WAND path inherits the same DuckDB oracle."""
+    empty = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+            pa.array([], pa.int32()),
+            pa.array([], pa.int32()),
+        ],
+        schema=_TOKENS_ARROW_SCHEMA,
+    )
+    if batch.num_rows == 0:
+        return empty
+    content = pc.fill_null(pc.cast(batch.column("content"), pa.string()), "")
+    ids = pc.cast(batch.column("doc_id"), pa.int64())
+    flat, parent = _subtoken_flat(content)
+    if len(flat) == 0:
+        return empty
+    ids = pc.take(ids, parent)
+    grouped = (
+        pa.table({"doc_id": ids, "term": flat})
+        .group_by(["doc_id", "term"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    tf = pc.cast(
+        pc.min_element_wise(grouped.column("count_all"), 2**31 - 1),
+        pa.int32(),
+    )
+    lens = (
+        pa.table({"doc_id": ids})
+        .group_by(["doc_id"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    pos = pc.index_in(
+        grouped.column("doc_id"), lens.column("doc_id").combine_chunks()
+    )
+    doc_len = pc.cast(
+        pc.min_element_wise(pc.take(lens.column("count_all"), pos), 2**31 - 1),
+        pa.int32(),
+    )
+
+    def _chunked(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    return pa.RecordBatch.from_arrays(
+        [
+            _chunked(grouped.column("doc_id")),
+            _chunked(grouped.column("term")),
+            _chunked(tf),
+            _chunked(doc_len),
+        ],
+        schema=_TOKENS_ARROW_SCHEMA,
+    )
+
+
 def analyze_arrow(
     batch: pa.RecordBatch, cfg: AnalyzerConfig
 ) -> pa.RecordBatch:
@@ -171,6 +275,8 @@ def analyze_arrow(
     )
     if batch.num_rows == 0:
         return empty
+    if cfg.mode == "subtoken":
+        return _subtoken_analyze_arrow(batch)
     content = pc.fill_null(pc.cast(batch.column("content"), pa.string()), "")
     ids = pc.cast(batch.column("doc_id"), pa.int64())
     # 1. split (byte-exact: all split bytes are ASCII, see module docstring)
@@ -339,22 +445,25 @@ def doc_stats_arrow(batch: pa.RecordBatch, cfg: AnalyzerConfig) -> pa.RecordBatc
     n = batch.num_rows
     raw = batch.column("content")
     content = pc.fill_null(pc.cast(raw, pa.string()), "")
-    token_lists = pc.split_pattern_regex(content, DOC_SPLIT_SQL_REGEX)
-    flat = pc.list_flatten(token_lists)
-    parent = pc.list_parent_indices(token_lists)
-    mask = pc.and_(
-        pc.not_equal(flat, ""),
-        pc.and_(
-            pc.invert(pc.starts_with(flat, "<")),
-            pc.invert(pc.ends_with(flat, ">")),
-        ),
-    )
-    flat, parent = pc.filter(flat, mask), pc.filter(parent, mask)
-    if cfg.remove_stopwords and len(flat) > 0:
-        capped = pc.utf8_slice_codeunits(flat, 0, cfg.max_token_chars)
-        folded = pc.ascii_lower(capped) if cfg.case_folding else capped
-        keep = pc.invert(pc.is_in(folded, value_set=pa.array(STOPWORDS)))
-        parent = pc.filter(parent, keep)
+    if cfg.mode == "subtoken":
+        _, parent = _subtoken_flat(content)
+    else:
+        token_lists = pc.split_pattern_regex(content, DOC_SPLIT_SQL_REGEX)
+        flat = pc.list_flatten(token_lists)
+        parent = pc.list_parent_indices(token_lists)
+        mask = pc.and_(
+            pc.not_equal(flat, ""),
+            pc.and_(
+                pc.invert(pc.starts_with(flat, "<")),
+                pc.invert(pc.ends_with(flat, ">")),
+            ),
+        )
+        flat, parent = pc.filter(flat, mask), pc.filter(parent, mask)
+        if cfg.remove_stopwords and len(flat) > 0:
+            capped = pc.utf8_slice_codeunits(flat, 0, cfg.max_token_chars)
+            folded = pc.ascii_lower(capped) if cfg.case_folding else capped
+            keep = pc.invert(pc.is_in(folded, value_set=pa.array(STOPWORDS)))
+            parent = pc.filter(parent, keep)
     counts = np.zeros(n, dtype=np.int64)
     if len(parent) > 0:
         np.add.at(counts, parent.to_numpy(zero_copy_only=False), 1)

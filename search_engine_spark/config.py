@@ -24,6 +24,12 @@ class AnalyzerConfig:
     # (Indexer.cs:123,146 — a >100-char token would overflow the stackalloc
     # buffer; we define the behavior as truncation to the first 100 chars).
     max_token_chars: int = 100
+    # "word" = the reference's byte-class tokenizer pipeline above;
+    # "subtoken" = the code analyzer (ops.codesearch camelCase/snake_case
+    # identifier splitting, lowercase alnum runs) — fold/stop/stem/cap
+    # flags do not apply in subtoken mode.  The mode persists in the
+    # index manifest, so a subtoken index tokenizes queries the same way.
+    mode: str = "word"
 
     def to_dict(self) -> dict:
         return asdict(self)

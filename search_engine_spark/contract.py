@@ -5767,6 +5767,36 @@ FROM wpr JOIN wcnt ca ON wpr.doc_a = ca.doc_id
 """
 
 
+def q_subtoken_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CODE analyzer on the at-scale fast path: build the persisted
+    delta+varint index with AnalyzerConfig(mode='subtoken') — the
+    camelCase/snake_case identifier splitter runs as Arrow C++ kernels
+    inside the same posting_fragments pass as the word analyzer — and
+    answer the SAME ranked query as subtoken_bm25_topk via block-max
+    WAND.  Must reproduce the ad-hoc DataFrame path's ranking and
+    float32 scores exactly, so the DuckDB SQL is SHARED with
+    subtoken_bm25_topk: one oracle pins three implementations (ad-hoc
+    Spark, persisted WAND, DuckDB)."""
+    from . import postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("subwand", sf_dir)
+    docs = _docs(spark, sf_dir)
+    P.build_index(
+        docs,
+        idx_dir,
+        IndexBuildConfig(analyzer=AnalyzerConfig(mode="subtoken")),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="text",
+    )
+    idx = P.load_index(spark, idx_dir)
+    res = W.search_bm25(idx, [(1, SUBTOKEN_BM25_IDENT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 _CURATE_AUTOGEN_MOD = 31
 _CURATE_FAMILIES = ("permissive", "unknown")
 
@@ -5928,6 +5958,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": q_boilerplate_chunks,
         "curate_corpus": q_curate_corpus,
         "infer_lang": q_infer_lang,
+        "subtoken_wand_topk": q_subtoken_wand_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "import_extract": q_import_extract,
@@ -6167,6 +6198,7 @@ FROM tok GROUP BY term
         "boilerplate_chunks": _sql_boilerplate_chunks(),
         "curate_corpus": _sql_curate_corpus(),
         "infer_lang": _sql_infer_lang(),
+        "subtoken_wand_topk": _sql_subtoken_bm25(),
         "winnow_fingerprints": _sql_winnow_fingerprints(),
         "winnow_pairs": _sql_winnow_pairs(),
         "import_extract": _sql_import_extract(),

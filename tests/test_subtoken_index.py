@@ -1,0 +1,121 @@
+"""Gates for AnalyzerConfig(mode='subtoken') — the code analyzer on the
+persisted-index WAND fast path.
+
+The contract query subtoken_wand_topk pins the WAND path float32-exact
+against the SAME DuckDB oracle as the ad-hoc subtoken_bm25_topk; these
+tests pin the three analyzer implementations equal (Arrow kernels, JVM
+expression, pure Python), the query-side tokenizer, and the end-to-end
+spark-submit surface (index --analyzer subtoken -> search).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from search_engine_spark.config import AnalyzerConfig
+
+
+IDENTS = [
+    "parseHTMLDocument2x", "snake_case_name", "ABCDef", "x", "",
+    "MiXeD_case99Numbers", "__dunder__", "a1B2c3", "HTTPServer",
+    "camelCase snake_case; HTTPResponse2 -> toJSON()",
+]
+
+
+def test_subtoken_arrow_matches_python_twin():
+    from search_engine_spark.analysis import _subtoken_flat
+    from search_engine_spark.ops.codesearch import split_identifier_py
+
+    flat, parent = _subtoken_flat(pa.array(IDENTS))
+    got: dict[int, list[str]] = {}
+    for t, p in zip(flat.to_pylist(), parent.to_pylist()):
+        got.setdefault(p, []).append(t)
+    for i, s in enumerate(IDENTS):
+        assert got.get(i, []) == split_identifier_py(s), s
+
+
+def test_subtoken_analyze_arrow_matches_subtoken_tokens(spark):
+    from search_engine_spark.build import analyze_tokens
+    from search_engine_spark.ops.codesearch import subtoken_tokens
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(IDENTS)],
+        "doc_id long, text string",
+    )
+    via_analyzer = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in analyze_tokens(
+            docs, AnalyzerConfig(mode="subtoken"), "doc_id", "text"
+        ).collect()
+    }
+    via_ops = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in subtoken_tokens(docs, "text", "doc_id").collect()
+    }
+    assert via_analyzer == via_ops and via_analyzer
+
+
+def test_tokenize_query_subtoken_matches_query_ident_terms():
+    from search_engine_spark.analysis import tokenize_query
+    from search_engine_spark.ops.codesearch import query_ident_terms
+
+    cfg = AnalyzerConfig(mode="subtoken")
+    for q in ["keyAggRow_scanValue", "mergeMergeBatch", "XxYyXx2"]:
+        got = [
+            (t, qtf, pos)
+            for pos, (t, qtf) in enumerate(tokenize_query(q, cfg))
+        ]
+        assert got == query_ident_terms(q), q
+
+
+def test_subtoken_wand_matches_dataframe_path(spark, tmp_path):
+    from search_engine_spark.config import IndexBuildConfig
+    from search_engine_spark.ops.codesearch import subtoken_bm25
+    from search_engine_spark.postings import build_index, load_index
+    from search_engine_spark.wand import search_bm25
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    query = "mergeBatch_sortKey"
+    idx = str(tmp_path / "subidx")
+    build_index(
+        docs, idx, IndexBuildConfig(analyzer=AnalyzerConfig(mode="subtoken")),
+        doc_id_col="doc_id", content_col="text",
+    )
+    via_wand = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in search_bm25(load_index(spark, idx), [(1, query)], k=30)
+        .orderBy("rank").collect()
+    ]
+    via_df = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in subtoken_bm25(docs, query, k=30, text_col="text")
+        .orderBy("rank").collect()
+    ]
+    assert via_wand == via_df and len(via_wand) == 30
+
+
+def test_cli_index_subtoken_then_search(spark, tmp_path, capsys):
+    from search_engine_spark.__main__ import main
+
+    rows = [
+        (1, "def parseHtml(): mergeBatch(sortKey)"),
+        (2, "class SortKeyMerger: pass"),
+        (3, "unrelated contents entirely"),
+    ]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_path
+    )
+    idx = str(tmp_path / "idx")
+    main(["index", docs_path, idx, "--chunks", "1", "--analyzer",
+          "subtoken", "--content-col", "text"])
+    capsys.readouterr()
+    topics = str(tmp_path / "topics.tsv")
+    with open(topics, "w") as fh:
+        fh.write("1\tsortKey\n")
+    run = str(tmp_path / "run.trec")
+    main(["search", "rr", topics, idx, run, "--k", "5"])
+    capsys.readouterr()
+    hit_docs = {line.split()[2] for line in open(run).read().splitlines()}
+    # 'sortKey' -> subtokens sort,key: docs 1 and 2 only
+    assert hit_docs == {"1", "2"}

@@ -556,6 +556,14 @@ def main() -> int:
           "Exchange" not in p and "Generate" in p
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_subtoken_wand_topk
+
+    p = plan_of(q_subtoken_wand_topk(spark, sf_dir))
+    check("subtoken wand: query-term IN-filter pushed to the subtoken "
+          "index scan, bucket partition pruning live",
+          "PushedFilters: [In(term" in p and "PartitionFilters: [" in p
+          and "term_bucket" in p.split("PartitionFilters")[1][:200])
+
     p = plan_of(q_winnow_pairs(spark, sf_dir))
     check("winnow pairs: fp equi-join (no cartesian), per-doc counts "
           "broadcast, no row-Python",

@@ -94,6 +94,14 @@ def main() -> None:
         ).agg(F.count("repo"), F.sum("n_files")),
         "repo_profile": lambda df: CC.repo_profile(df)
         .agg(F.sum("n_files"), F.sum("n_vendored")),
+        "winnow_fingerprints": lambda df: CC.winnow_fingerprints(
+            df, k=8, w=5
+        ).agg(F.count("fp"), F.min("fp")),
+        "infer_lang": lambda df: CC.infer_lang(df)
+        .groupBy("lang").count(),
+        "curate_corpus": lambda df: CC.curate_corpus(
+            df, allow_families=("permissive", "unknown")
+        ).groupBy("drop_reason").count(),
     }
 
     only = os.environ.get("CUR_SCALE_OPS")
