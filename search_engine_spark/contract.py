@@ -5932,6 +5932,394 @@ FROM pfiles GROUP BY repo
 
 
 # ---------------------------------------------------------------------------
+# Commit-history layer (history.py) — version-aware operators over the
+# north rule's (repo, path, commit, lang, content) change-event table
+# ---------------------------------------------------------------------------
+#
+# The synthetic history derives deterministically from `documents` with
+# mod arithmetic (the sha_diff convention) so Spark and DuckDB consume
+# byte-identical inputs.  3 commits:
+#   seq 0: every doc added at src/f{id}.py in repo org{id%7}
+#   seq 1: id%3==0 modified (text+' v1'); id%17==0 ∧ id%3≠0 deleted;
+#          id%11==0 spawns a NEW file (doc_id+9e6) at src/new/f{id}.py
+#   seq 2: id%5==0 (∧ live ∧ not renamed) modified again (+' v2');
+#          id%19==0 ∧ live RENAMED to src/moved/f{id}.py (delete@old +
+#          add@new in the same commit, same doc_id — the git shape)
+# In production the history IS the stored Iceberg table; this synthesis
+# exists only so the oracle can restate it.
+
+_H_MOD1, _H_DEL, _H_ADD, _H_MOD2, _H_REN = 3, 17, 11, 5, 19
+_H_ADD_OFFSET = 9_000_000
+_H_ASOF = 1          # the as-of point the snapshot/search queries pin
+_H_BLAME_REPO = "org1"
+
+
+def _history_events(docs: DataFrame) -> DataFrame:
+    """Spark half of the synthetic change-event table (see block comment)."""
+    d = F.col("doc_id")
+    repo = F.concat(F.lit("org"), (d % 7).cast("string"))
+    path0 = F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py"))
+    newp = F.concat(F.lit("src/new/f"), d.cast("string"), F.lit(".py"))
+    movedp = F.concat(F.lit("src/moved/f"), d.cast("string"), F.lit(".py"))
+    t1 = F.when(
+        d % _H_MOD1 == 0, F.concat(F.col("text"), F.lit(" v1"))
+    ).otherwise(F.col("text"))
+    del1 = (d % _H_DEL == 0) & (d % _H_MOD1 != 0)
+    ren = (d % _H_REN == 0) & ~del1
+    mod2 = (d % _H_MOD2 == 0) & ~del1 & ~ren
+    nulls = F.lit(None).cast("string")
+
+    def ev(frame, path, seq, doc, text, deleted):
+        return frame.select(
+            repo.alias("repo"),
+            path.alias("path"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            doc.alias("doc_id"),
+            text.alias("text"),
+            F.lit(deleted).alias("deleted"),
+        )
+
+    return (
+        ev(docs, path0, 0, d, F.col("text"), False)
+        .unionByName(ev(docs.filter(d % _H_MOD1 == 0), path0, 1, d, t1, False))
+        .unionByName(ev(docs.filter(del1), path0, 1, d, nulls, True))
+        .unionByName(
+            ev(
+                docs.filter(d % _H_ADD == 0), newp, 1,
+                (d + _H_ADD_OFFSET).alias("doc_id"),
+                F.concat(F.lit("new file "), F.col("text")), False,
+            )
+        )
+        .unionByName(
+            ev(docs.filter(mod2), path0, 2, d, F.concat(t1, F.lit(" v2")), False)
+        )
+        .unionByName(ev(docs.filter(ren), path0, 2, d, nulls, True))
+        .unionByName(ev(docs.filter(ren), movedp, 2, d, t1, False))
+    )
+
+
+_SQL_HIST = f"""
+hbase AS (
+  SELECT doc_id, text,
+         'org' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         CASE WHEN doc_id % {_H_MOD1} = 0 THEN text || ' v1' ELSE text END AS t1,
+         (doc_id % {_H_DEL} = 0 AND doc_id % {_H_MOD1} <> 0) AS del1,
+         (doc_id % {_H_REN} = 0
+          AND NOT (doc_id % {_H_DEL} = 0 AND doc_id % {_H_MOD1} <> 0)) AS ren
+  FROM documents
+),
+hist AS (
+  SELECT repo, path, CAST(0 AS BIGINT) AS commit_seq, doc_id, text,
+         FALSE AS deleted FROM hbase
+  UNION ALL
+  SELECT repo, path, 1, doc_id, t1, FALSE FROM hbase
+  WHERE doc_id % {_H_MOD1} = 0
+  UNION ALL
+  SELECT repo, path, 1, doc_id, CAST(NULL AS VARCHAR), TRUE FROM hbase
+  WHERE del1
+  UNION ALL
+  SELECT repo, 'src/new/f' || CAST(doc_id AS VARCHAR) || '.py', 1,
+         doc_id + {_H_ADD_OFFSET}, 'new file ' || text, FALSE FROM hbase
+  WHERE doc_id % {_H_ADD} = 0
+  UNION ALL
+  SELECT repo, path, 2, doc_id, t1 || ' v2', FALSE FROM hbase
+  WHERE doc_id % {_H_MOD2} = 0 AND NOT del1 AND NOT ren
+  UNION ALL
+  SELECT repo, path, 2, doc_id, CAST(NULL AS VARCHAR), TRUE FROM hbase
+  WHERE ren
+  UNION ALL
+  SELECT repo, 'src/moved/f' || CAST(doc_id AS VARCHAR) || '.py', 2,
+         doc_id, t1, FALSE FROM hbase
+  WHERE ren
+)"""
+
+
+def _sql_hist_snap(name: str, as_of: int | None) -> str:
+    """CTE `{name}` = live files as of `as_of` (None = latest):
+    (repo, path, commit_seq, doc_id, sha, text)."""
+    where = "" if as_of is None else f"WHERE commit_seq <= {as_of}"
+    return f"""
+{name} AS (
+  SELECT repo, path, commit_seq, doc_id, sha, text FROM (
+    SELECT h.*,
+           CASE WHEN deleted THEN NULL ELSE sha256(text) END AS sha,
+           row_number() OVER (PARTITION BY repo, path
+                              ORDER BY commit_seq DESC) AS rn
+    FROM hist h {where}
+  ) WHERE rn = 1 AND NOT deleted
+)"""
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live file set of the change-event table (history.latest_snapshot):
+    one max_by(struct, commit_seq) groupBy — a single hash exchange with
+    map-side partial aggregation, so k same-split versions of a file
+    pre-combine to ONE shuffled row (a window would shuffle+sort all k
+    with their content).  Renames resolve to the new path; deletes
+    vanish.  Oracle: row_number() DESC window."""
+    from . import history as H
+
+    return H.latest_snapshot(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_latest_snapshot() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_sql_hist_snap('snap', None)}
+SELECT repo, path, commit_seq, doc_id, sha FROM snap
+"""
+
+
+def q_snapshot_at_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel: the file set as of commit_seq <= {_H_ASOF}
+    (history.snapshot_at) — the as-of filter sits BEFORE the reduce so
+    partition pruning on a commit-partitioned table applies; same
+    single-exchange max_by shape as latest_snapshot."""
+    from . import history as H
+
+    return H.snapshot_at(_history_events(_docs(spark, sf_dir)), _H_ASOF)
+
+
+def _sql_snapshot_at_commit() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_sql_hist_snap('snap', _H_ASOF)}
+SELECT repo, path, commit_seq, doc_id, sha FROM snap
+"""
+
+
+def q_file_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log classification (history.file_history): every event
+    tagged added/modified/deleted via ONE lag window over (repo, path)
+    that carries only 5 narrow columns — file content is pruned in the
+    scan and never shuffled.  Re-adds after a delete classify as
+    'added' (the git semantics)."""
+    from . import history as H
+
+    return H.file_history(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_file_history() -> str:
+    return f"""
+WITH {_SQL_HIST}
+SELECT repo, path, commit_seq, doc_id,
+       CASE WHEN deleted THEN 'deleted'
+            WHEN lag(deleted) OVER w IS NULL OR lag(deleted) OVER w
+              THEN 'added'
+            ELSE 'modified' END AS kind
+FROM hist
+WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+"""
+
+
+def q_commit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit churn (history.commit_churn): added/modified/deleted
+    counts per commit ordinal — output cardinality is the number of
+    commits, never files; the count agg partial-aggregates behind the
+    content-free classification window."""
+    from . import history as H
+
+    return H.commit_churn(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_commit_churn() -> str:
+    return f"""
+WITH {_SQL_HIST},
+fh AS (
+  SELECT commit_seq,
+         CASE WHEN deleted THEN 'deleted'
+              WHEN lag(deleted) OVER w IS NULL OR lag(deleted) OVER w
+                THEN 'added'
+              ELSE 'modified' END AS kind
+  FROM hist
+  WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+)
+SELECT commit_seq,
+       CAST(SUM(CASE WHEN kind = 'added'    THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN kind = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+       CAST(SUM(CASE WHEN kind = 'deleted'  THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(COUNT(*) AS BIGINT) AS n_files
+FROM fh GROUP BY commit_seq
+"""
+
+
+def q_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rename detection, git diff -M100% (history.rename_detect):
+    deletes recover their pre-delete sha via lag over the path's own
+    events, then equi-join adds on (repo, commit_seq, sha) — 3 narrow
+    key columns, no content in the exchange, never a history
+    self-join.  The synthetic renames are the id%{_H_REN} set."""
+    from . import history as H
+
+    return H.rename_detect(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_rename_detect() -> str:
+    return f"""
+WITH {_SQL_HIST},
+shas AS (
+  SELECT repo, path, commit_seq, deleted,
+         CASE WHEN deleted THEN NULL ELSE sha256(text) END AS sha
+  FROM hist
+),
+lagged AS (
+  SELECT *, lag(sha) OVER w AS prev_sha, lag(deleted) OVER w AS prev_del
+  FROM shas WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+),
+dels AS (
+  SELECT repo, path AS old_path, commit_seq, prev_sha AS sha
+  FROM lagged WHERE deleted AND prev_sha IS NOT NULL
+),
+adds AS (
+  SELECT repo, path AS new_path, commit_seq, sha
+  FROM lagged WHERE NOT deleted AND (prev_del IS NULL OR prev_del)
+)
+SELECT d.repo, d.old_path, a.new_path, d.commit_seq, d.sha
+FROM dels d JOIN adds a
+  ON a.repo = d.repo AND a.commit_seq = d.commit_seq AND a.sha = d.sha
+"""
+
+
+def q_hot_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn leaderboard (history.hot_files): top-{TOPK} most-modified
+    live paths with a full deterministic tie-break (n_modified DESC,
+    repo, path).  The count agg partial-aggregates; only the k winners
+    leave the final sort."""
+    from . import history as H
+    from pyspark.sql import Window as W
+
+    hf = H.hot_files(_history_events(_docs(spark, sf_dir)), k=TOPK)
+    wr = W.orderBy(F.col("n_modified").desc(), F.col("repo"), F.col("path"))
+    return hf.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).select("rank", "repo", "path", "n_events", "n_modified")
+
+
+def _sql_hot_files() -> str:
+    return f"""
+WITH {_SQL_HIST},
+fh AS (
+  SELECT repo, path,
+         CASE WHEN deleted THEN 'deleted'
+              WHEN lag(deleted) OVER w IS NULL OR lag(deleted) OVER w
+                THEN 'added'
+              ELSE 'modified' END AS kind
+  FROM hist
+  WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+),
+counts AS (
+  SELECT repo, path, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN kind = 'modified' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_modified
+  FROM fh GROUP BY repo, path
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_modified DESC, repo, path)
+              AS BIGINT) AS rank, *
+  FROM counts
+)
+SELECT rank, repo, path, n_events, n_modified FROM ranked
+WHERE rank <= {TOPK}
+"""
+
+
+def q_commit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff between two as-of points (history.snapshot_diff_commits,
+    seq 0 → 2): both sides reduce to sha-only snapshots BEFORE the
+    full-outer join, so the exchange moves 64-hex-char rows — the
+    commit-indexed generalization of sha_diff."""
+    from . import history as H
+
+    return H.snapshot_diff_commits(
+        _history_events(_docs(spark, sf_dir)), 0, 2
+    )
+
+
+def _sql_commit_diff() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_sql_hist_snap('snap_a', 0)},
+{_sql_hist_snap('snap_b', 2)},
+j AS (
+  SELECT COALESCE(a.repo, b.repo) AS repo,
+         COALESCE(a.path, b.path) AS path,
+         a.sha AS sha_a, b.sha AS sha_b,
+         CASE WHEN a.sha IS NULL THEN 'added'
+              WHEN b.sha IS NULL THEN 'deleted'
+              WHEN a.sha <> b.sha THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b
+    ON a.repo = b.repo AND a.path = b.path
+)
+SELECT repo, path, status, sha_a, sha_b FROM j WHERE status <> 'unchanged'
+"""
+
+
+def q_line_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based line attribution, blame-lite (history.
+    line_first_seen, the documented `git log -S` simplification): for
+    each distinct line surviving into the latest version of a
+    {_H_BLAME_REPO} file, the earliest commit of that path containing
+    the exact line.  Explodes are doc-local (narrow); the min-agg
+    partial-aggregates; the repo pre-filter prunes both scan branches."""
+    from . import history as H
+
+    return H.line_first_seen(
+        _history_events(_docs(spark, sf_dir)), repo=_H_BLAME_REPO
+    )
+
+
+def _sql_line_first_seen() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_sql_hist_snap('snap', None)},
+ver_lines AS (
+  SELECT DISTINCT repo, path, commit_seq, u.l AS line
+  FROM (SELECT repo, path, commit_seq,
+               regexp_split_to_array(text, chr(10)) AS ls
+        FROM hist WHERE NOT deleted AND repo = '{_H_BLAME_REPO}'),
+  LATERAL (SELECT unnest(ls) AS l) u
+),
+first AS (
+  SELECT repo, path, line, MIN(commit_seq) AS first_seq
+  FROM ver_lines GROUP BY repo, path, line
+),
+latest_lines AS (
+  SELECT DISTINCT repo, path, u.l AS line
+  FROM (SELECT repo, path, regexp_split_to_array(text, chr(10)) AS ls
+        FROM snap WHERE repo = '{_H_BLAME_REPO}'),
+  LATERAL (SELECT unnest(ls) AS l) u
+)
+SELECT f.repo, f.path, f.line, f.first_seq
+FROM latest_lines ll
+JOIN first f ON f.repo = ll.repo AND f.path = ll.path AND f.line = ll.line
+"""
+
+
+def q_bm25_at_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the corpus AS OF commit {_H_ASOF} (history.snapshot_at →
+    the standard exact-float32 BM25): time-travel search over the
+    change-event table, rank-identical to scoring the materialized
+    snapshot — deletions absent, ' v1' modifications and seq-1 adds
+    visible.  Stats (N, avgdl, df) are the snapshot's own."""
+    from . import history as H
+
+    snap = H.snapshot_at(
+        _history_events(_docs(spark, sf_dir)), _H_ASOF, keep_text=True
+    ).select("doc_id", "text")
+    return _bm25_over(spark, snap)
+
+
+def _sql_bm25_at_commit() -> str:
+    prelude = (
+        f"{_SQL_HIST},\n{_sql_hist_snap('snap', _H_ASOF)},\n"
+        "hsnap AS (SELECT doc_id, text FROM snap),\n"
+    )
+    return _sql_bm25(source_table="hsnap", prelude=prelude)
+
+
+# ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
 
@@ -5947,6 +6335,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "latest_snapshot": q_latest_snapshot,
+        "snapshot_at_commit": q_snapshot_at_commit,
+        "file_history": q_file_history,
+        "commit_churn": q_commit_churn,
+        "rename_detect": q_rename_detect,
+        "hot_files": q_hot_files,
+        "commit_diff": q_commit_diff,
+        "line_first_seen": q_line_first_seen,
+        "bm25_at_commit": q_bm25_at_commit,
         "license_detect": q_license_detect,
         "vendored_paths": q_vendored_paths,
         "secret_scan": q_secret_scan,
@@ -6187,6 +6584,15 @@ FROM tok GROUP BY term
                                           SYMBOL_FUZZY_DIST),
         "code_quality": _sql_code_quality(),
         "extract_symbols": _sql_extract_symbols(),
+        "latest_snapshot": _sql_latest_snapshot(),
+        "snapshot_at_commit": _sql_snapshot_at_commit(),
+        "file_history": _sql_file_history(),
+        "commit_churn": _sql_commit_churn(),
+        "rename_detect": _sql_rename_detect(),
+        "hot_files": _sql_hot_files(),
+        "commit_diff": _sql_commit_diff(),
+        "line_first_seen": _sql_line_first_seen(),
+        "bm25_at_commit": _sql_bm25_at_commit(),
         "license_detect": _sql_license_detect(),
         "vendored_paths": _sql_vendored_paths(),
         "secret_scan": _sql_secret_scan(),

@@ -1,0 +1,290 @@
+"""Commit-history layer: version-aware operators over the north rule's
+(repo, path, commit, lang, content) source-code table.
+
+The input is a CHANGE-EVENT table — one row per (repo, path, commit_seq)
+at which the file changed — the shape a daily commit crawl lands in an
+Iceberg table (the reference engine indexes one frozen snapshot,
+Program.cs:24-41; everything here is new surface the snapshot engine
+cannot express).  Columns:
+
+    repo        string   repository id
+    path        string   file path within the repo
+    commit_seq  long     monotonically increasing commit ordinal
+                         (a commit timestamp or a lakehouse snapshot id
+                         works the same way — only ordering is used)
+    doc_id      long     stable document id (survives renames)
+    text        string   file content at this commit (NULL when deleted)
+    deleted     boolean  true = the file was removed at this commit
+
+Invariant assumed throughout (and asserted by history_integrity):
+at most ONE event per (repo, path, commit_seq) — a commit touches a
+path once.  A git rename is two events in the same commit: a delete at
+the old path and an add at the new path with the same doc_id.
+
+Scale design (10^12 files, ~10^13 events):
+
+* ``latest_snapshot`` / ``snapshot_at`` reduce with ``max_by(struct,
+  commit_seq)`` under a groupBy — ONE hash exchange with a map-side
+  partial aggregate, so a file touched k times inside one input split
+  ships ONE pre-combined row into the shuffle, not k.  A window
+  (row_number over commit_seq DESC) would shuffle every version's full
+  content and sort it; the agg form never materializes losers.
+* ``file_history`` / ``commit_churn`` classify events BEFORE touching
+  content: the window runs over (repo, path, commit_seq, deleted, sha)
+  only — file bodies never enter the exchange.
+* ``rename_detect`` joins delete-events to add-events on
+  (commit_seq, repo, sha) — narrow 3-column keys, never content, and
+  never a self-join of the whole history: both sides are pre-filtered
+  to single-kind event subsets.
+* ``snapshot_diff_commits`` projects content to sha256 in the scan
+  before its full-outer join (the sha_diff discipline,
+  maintenance.snapshot_diff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_sha",
+    "latest_snapshot",
+    "snapshot_at",
+    "file_history",
+    "commit_churn",
+    "rename_detect",
+    "hot_files",
+    "snapshot_diff_commits",
+    "line_first_seen",
+    "history_integrity",
+]
+
+_EVENT_COLS = ("repo", "path", "commit_seq", "doc_id", "text", "deleted")
+
+
+def with_sha(events: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``sha`` = sha256(text) (hex, lowercase — the north rule's
+    per-row invariant) for live rows; NULL for delete events.  Every
+    downstream operator keys on this 64-char column instead of the
+    content, so content never rides a shuffle it doesn't have to."""
+    return events.withColumn(
+        "sha",
+        F.when(F.col("deleted"), F.lit(None).cast("string")).otherwise(
+            F.sha2(F.col(text_col), 256)
+        ),
+    )
+
+
+def snapshot_at(
+    events: DataFrame, as_of: int | None = None, keep_text: bool = False
+) -> DataFrame:
+    """State of every live file as of ``commit_seq <= as_of`` (None =
+    latest): (repo, path, commit_seq, doc_id, sha[, text]).
+
+    Physical shape: optional as-of filter (pushed into the scan) →
+    groupBy(repo, path).agg(max_by(struct(payload), commit_seq)) → one
+    hash exchange with partial aggregation.  Delete events win the
+    max_by like any other event and are dropped AFTER the reduce, so a
+    deleted file is absent, and a rename (delete@old + add@new, same
+    commit) yields exactly the new path."""
+    ev = with_sha(events)
+    if as_of is not None:
+        ev = ev.filter(F.col("commit_seq") <= F.lit(as_of))
+    payload = ["commit_seq", "doc_id", "deleted", "sha"] + (
+        ["text"] if keep_text else []
+    )
+    latest = ev.groupBy("repo", "path").agg(
+        F.max_by(F.struct(*payload), F.col("commit_seq")).alias("v")
+    )
+    out = ["repo", "path", "v.commit_seq", "v.doc_id", "v.sha"] + (
+        ["v.text"] if keep_text else []
+    )
+    return latest.filter(~F.col("v.deleted")).select(*out)
+
+
+def latest_snapshot(events: DataFrame, keep_text: bool = False) -> DataFrame:
+    """Current live file set — ``snapshot_at(None)``."""
+    return snapshot_at(events, None, keep_text=keep_text)
+
+
+def file_history(events: DataFrame) -> DataFrame:
+    """Per-event change classification: (repo, path, commit_seq, doc_id,
+    kind) with kind ∈ added | modified | deleted.
+
+    'added' = first event for the path OR the previous event was a
+    delete (re-add); 'deleted' = the event's deleted flag; everything
+    else 'modified'.  The lag window runs over (repo, path, commit_seq,
+    doc_id, deleted) ONLY — content is pruned in the scan and never
+    shuffled."""
+    w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    slim = events.select("repo", "path", "commit_seq", "doc_id", "deleted")
+    prev = F.lag("deleted").over(w)
+    return slim.withColumn(
+        "kind",
+        F.when(F.col("deleted"), F.lit("deleted"))
+        .when(prev.isNull() | prev, F.lit("added"))
+        .otherwise(F.lit("modified")),
+    ).select("repo", "path", "commit_seq", "doc_id", "kind")
+
+
+def commit_churn(events: DataFrame) -> DataFrame:
+    """Per-commit churn report: (commit_seq, n_added, n_modified,
+    n_deleted, n_files).  One window (content-free, see file_history)
+    then one partial-aggregated groupBy on the commit ordinal — output
+    cardinality is the number of commits, never the number of files."""
+    k = F.col("kind")
+    return (
+        file_history(events)
+        .groupBy("commit_seq")
+        .agg(
+            F.sum(F.when(k == "added", 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(k == "modified", 1).otherwise(0)).alias("n_modified"),
+            F.sum(F.when(k == "deleted", 1).otherwise(0)).alias("n_deleted"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+
+
+def rename_detect(events: DataFrame) -> DataFrame:
+    """Git-style exact rename detection (``git diff -M100%``): a delete
+    whose pre-delete content sha matches an add's sha in the SAME
+    commit and repo is reported as a rename (repo, old_path, new_path,
+    commit_seq, sha).
+
+    The delete side recovers its pre-delete sha with lag(sha) over the
+    path's own event stream (a delete row carries NULL content); the
+    add side is file_history's 'added' class.  The join keys are
+    (commit_seq, repo, sha) — 3 narrow columns.  Content-identical
+    files produce one row per matching (old, new) pair, exactly like
+    git's -M with multiple candidates; callers needing 1:1 matching
+    can post-rank.  Never a history self-join: both inputs are
+    single-kind event slices."""
+    ev = with_sha(events)
+    w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    slim = ev.select("repo", "path", "commit_seq", "deleted", "sha")
+    dels = (
+        slim.withColumn("prev_sha", F.lag("sha").over(w))
+        .filter(F.col("deleted") & F.col("prev_sha").isNotNull())
+        .select(
+            "repo",
+            F.col("path").alias("old_path"),
+            "commit_seq",
+            F.col("prev_sha").alias("sha"),
+        )
+    )
+    w2 = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    adds = (
+        slim.withColumn("prev_del", F.lag("deleted").over(w2))
+        .filter(
+            ~F.col("deleted")
+            & (F.col("prev_del").isNull() | F.col("prev_del"))
+        )
+        .select(
+            "repo", F.col("path").alias("new_path"), "commit_seq", "sha"
+        )
+    )
+    return dels.join(adds, ["repo", "commit_seq", "sha"]).select(
+        "repo", "old_path", "new_path", "commit_seq", "sha"
+    )
+
+
+def hot_files(events: DataFrame, k: int = 20) -> DataFrame:
+    """Churn ranking: the k most-modified live paths — (repo, path,
+    n_events, n_modified), ordered by n_modified DESC with a full
+    (repo, path) tie-break so the ranking is deterministic.  Count agg
+    is partial-aggregated; the final order-by moves only k rows to the
+    driver side of the limit."""
+    hist = file_history(events)
+    counts = hist.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("kind") == "modified", 1).otherwise(0)).alias(
+            "n_modified"
+        ),
+    )
+    return counts.orderBy(
+        F.col("n_modified").desc(), F.col("repo").asc(), F.col("path").asc()
+    ).limit(k)
+
+
+def snapshot_diff_commits(
+    events: DataFrame, seq_a: int, seq_b: int
+) -> DataFrame:
+    """What changed between two as-of points: (repo, path, status,
+    sha_a, sha_b) with status ∈ added | deleted | changed (unchanged
+    rows are dropped).  Both sides are snapshot_at reductions (sha-only
+    payload), so the full-outer join exchanges 64-hex-char rows — the
+    commit-indexed generalization of maintenance.snapshot_diff."""
+    a = snapshot_at(events, seq_a).select(
+        "repo", "path", F.col("sha").alias("sha_a")
+    )
+    b = snapshot_at(events, seq_b).select(
+        "repo", "path", F.col("sha").alias("sha_b")
+    )
+    j = a.join(b, ["repo", "path"], "full_outer")
+    status = (
+        F.when(F.col("sha_a").isNull(), F.lit("added"))
+        .when(F.col("sha_b").isNull(), F.lit("deleted"))
+        .when(F.col("sha_a") != F.col("sha_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select("repo", "path", "status", "sha_a", "sha_b")
+    )
+
+
+def line_first_seen(
+    events: DataFrame, repo: str | None = None
+) -> DataFrame:
+    """Content-based line attribution ("blame-lite", the `git log -S`
+    simplification, documented — NOT positional git blame): for every
+    distinct line in the LATEST version of each live file, the earliest
+    commit_seq of that path whose content contains the exact line.
+
+    Plan: explode versions to (repo, path, commit_seq, line) —
+    doc-local, narrow — take min(commit_seq) per (repo, path, line)
+    [partial-aggregated], then semi-join onto the latest snapshot's
+    exploded lines so only surviving lines are attributed.  Optional
+    ``repo`` pre-filter prunes the scan on both branches."""
+    ev = events.filter(~F.col("deleted"))
+    if repo is not None:
+        ev = ev.filter(F.col("repo") == repo)
+    lines = ev.select(
+        "repo",
+        "path",
+        "commit_seq",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).distinct()
+    first = lines.groupBy("repo", "path", "line").agg(
+        F.min("commit_seq").alias("first_seq")
+    )
+    latest = snapshot_at(
+        events if repo is None
+        else events.filter(F.col("repo") == repo),
+        None,
+        keep_text=True,
+    ).select(
+        "repo", "path", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).distinct()
+    return latest.join(first, ["repo", "path", "line"]).select(
+        "repo", "path", "line", "first_seq"
+    )
+
+
+def history_integrity(events: DataFrame) -> DataFrame:
+    """Audit the one-event-per-(repo, path, commit) invariant plus the
+    delete contract (deleted rows carry NULL text): returns the
+    violating keys (empty = healthy).  Run it on ingest, not per
+    query."""
+    dupes = (
+        events.groupBy("repo", "path", "commit_seq")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("repo", "path", "commit_seq", F.lit("duplicate_event").alias("violation"))
+    )
+    bad_del = (
+        events.filter(F.col("deleted") & F.col("text").isNotNull())
+        .select("repo", "path", "commit_seq", F.lit("deleted_with_text").alias("violation"))
+    )
+    return dupes.unionByName(bad_del)

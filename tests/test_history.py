@@ -1,0 +1,193 @@
+"""Commit-history layer (history.py): snapshots, classification, rename
+detection, churn, diffs, blame-lite — hand-computable fixture plus
+contract-corpus property gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import history as H
+
+_SCHEMA = (
+    "repo string, path string, commit_seq long, doc_id long, "
+    "text string, deleted boolean"
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        ("r1", "a.py", 0, 1, "alpha\nbeta", False),
+        ("r1", "a.py", 1, 1, "alpha\nbeta\ngamma", False),   # modified
+        ("r1", "b.py", 0, 2, "bee", False),
+        ("r1", "b.py", 1, 2, None, True),                    # deleted
+        ("r1", "b.py", 2, 5, "bee2", False),                 # re-added
+        ("r1", "c.py", 0, 3, "sea", False),
+        ("r1", "c.py", 2, 3, None, True),                    # rename: del old
+        ("r1", "d.py", 2, 3, "sea", False),                  # rename: add new
+        ("r2", "x.py", 1, 4, "ex", False),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _snap_paths(df):
+    return {(r["repo"], r["path"]): r["commit_seq"] for r in df.collect()}
+
+
+def test_latest_snapshot(events):
+    snap = H.latest_snapshot(events)
+    assert _snap_paths(snap) == {
+        ("r1", "a.py"): 1,
+        ("r1", "b.py"): 2,
+        ("r1", "d.py"): 2,
+        ("r2", "x.py"): 1,
+    }
+    # sha matches content sha256 (the north rule's per-row invariant)
+    row = snap.filter(F.col("path") == "a.py").collect()[0]
+    import hashlib
+
+    assert row["sha"] == hashlib.sha256(b"alpha\nbeta\ngamma").hexdigest()
+
+
+def test_snapshot_at(events):
+    assert _snap_paths(H.snapshot_at(events, 0)) == {
+        ("r1", "a.py"): 0, ("r1", "b.py"): 0, ("r1", "c.py"): 0,
+    }
+    assert _snap_paths(H.snapshot_at(events, 1)) == {
+        ("r1", "a.py"): 1, ("r1", "c.py"): 0, ("r2", "x.py"): 1,
+    }
+
+
+def test_file_history_kinds(events):
+    got = {
+        (r["path"], r["commit_seq"]): r["kind"]
+        for r in H.file_history(events).collect()
+    }
+    assert got == {
+        ("a.py", 0): "added", ("a.py", 1): "modified",
+        ("b.py", 0): "added", ("b.py", 1): "deleted",
+        ("b.py", 2): "added",                       # re-add after delete
+        ("c.py", 0): "added", ("c.py", 2): "deleted",
+        ("d.py", 2): "added", ("x.py", 1): "added",
+    }
+
+
+def test_commit_churn(events):
+    got = {
+        r["commit_seq"]: (r["n_added"], r["n_modified"], r["n_deleted"], r["n_files"])
+        for r in H.commit_churn(events).collect()
+    }
+    assert got == {0: (3, 0, 0, 3), 1: (1, 1, 1, 3), 2: (2, 0, 1, 3)}
+
+
+def test_rename_detect(events):
+    import hashlib
+
+    got = [
+        (r["repo"], r["old_path"], r["new_path"], r["commit_seq"], r["sha"])
+        for r in H.rename_detect(events).collect()
+    ]
+    assert got == [
+        ("r1", "c.py", "d.py", 2, hashlib.sha256(b"sea").hexdigest())
+    ]
+
+
+def test_hot_files(events):
+    top = H.hot_files(events, k=2).collect()
+    # a.py is the only modified path; ties broken (repo, path) asc
+    assert (top[0]["repo"], top[0]["path"], top[0]["n_modified"]) == ("r1", "a.py", 1)
+    assert top[1]["n_modified"] == 0 and top[1]["path"] == "b.py"
+
+
+def test_snapshot_diff_commits(events):
+    got = {
+        (r["repo"], r["path"]): r["status"]
+        for r in H.snapshot_diff_commits(events, 0, 2).collect()
+    }
+    assert got == {
+        ("r1", "a.py"): "changed",
+        ("r1", "b.py"): "changed",   # bee -> (deleted) -> bee2
+        ("r1", "c.py"): "deleted",
+        ("r1", "d.py"): "added",
+        ("r2", "x.py"): "added",
+    }
+
+
+def test_line_first_seen(events):
+    got = {
+        (r["path"], r["line"]): r["first_seq"]
+        for r in H.line_first_seen(events, repo="r1").collect()
+    }
+    # attribution is path-scoped: d.py's 'sea' dates from its own add,
+    # not from the pre-rename c.py history (documented simplification)
+    assert got == {
+        ("a.py", "alpha"): 0, ("a.py", "beta"): 0, ("a.py", "gamma"): 1,
+        ("b.py", "bee2"): 2, ("d.py", "sea"): 2,
+    }
+
+
+def test_history_integrity(spark, events):
+    assert H.history_integrity(events).count() == 0
+    bad = events.unionByName(
+        spark.createDataFrame(
+            [
+                ("r1", "a.py", 0, 9, "dupe", False),      # duplicate event
+                ("r1", "z.py", 0, 10, "ghost", True),     # deleted w/ text
+            ],
+            _SCHEMA,
+        )
+    )
+    got = {r["violation"] for r in H.history_integrity(bad).collect()}
+    assert got == {"duplicate_event", "deleted_with_text"}
+
+
+# --- contract-corpus property gates -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def contract_events(spark, corpus):
+    from search_engine_spark.contract import _history_events
+
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    return _history_events(docs).cache()
+
+
+def test_contract_history_is_healthy(contract_events):
+    assert H.history_integrity(contract_events).count() == 0
+
+
+def test_snapshot_at_max_equals_latest(contract_events):
+    max_seq = contract_events.agg(F.max("commit_seq")).collect()[0][0]
+    latest = H.latest_snapshot(contract_events)
+    at_max = H.snapshot_at(contract_events, max_seq)
+    assert latest.exceptAll(at_max).count() == 0
+    assert at_max.exceptAll(latest).count() == 0
+
+
+def test_snapshot_doc_ids_unique(contract_events):
+    for as_of in (0, 1, 2, None):
+        snap = H.snapshot_at(contract_events, as_of)
+        assert snap.count() == snap.select("doc_id").distinct().count()
+
+
+def test_churn_totals_match_event_count(contract_events):
+    churn = H.commit_churn(contract_events)
+    total = churn.agg(
+        F.sum(F.col("n_added") + F.col("n_modified") + F.col("n_deleted"))
+    ).collect()[0][0]
+    assert total == contract_events.count()
+
+
+def test_renames_preserve_doc_ids(contract_events):
+    """Every detected rename's sha exists at the new path in the latest
+    snapshot, and the renamed set is exactly the synthetic %19 plan."""
+    from search_engine_spark.contract import _H_REN
+
+    renames = H.rename_detect(contract_events).collect()
+    assert renames, "synthetic corpus must contain renames"
+    for r in renames:
+        old_id = int(r["old_path"].removeprefix("src/f").removesuffix(".py"))
+        assert old_id % _H_REN == 0
+        assert r["new_path"] == f"src/moved/f{old_id}.py"

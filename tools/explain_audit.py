@@ -583,6 +583,66 @@ def main() -> int:
           p.count(") Exchange") == 2 and "partial_count" in p
           and "chunk_text" not in p and "BatchEvalPython" not in p)
 
+    # --- commit-history layer (history.py): physical shapes over a
+    # REAL parquet event table so scan-pruning assertions are honest ---
+    import tempfile
+
+    from search_engine_spark import history as HI
+    from search_engine_spark.contract import _history_events
+
+    hist_dir = tempfile.mkdtemp(prefix="audit_hist_") + "/events.parquet"
+    _history_events(docs.select("doc_id", "text")).write.mode(
+        "overwrite"
+    ).parquet(hist_dir)
+    ev = spark.read.parquet(hist_dir)
+
+    def exchange_blocks(plan: str) -> list[str]:
+        return [
+            b for b in plan.split("\n\n")
+            if b.lstrip().startswith("(") and ") Exchange" in b.split("\n")[0]
+        ]
+
+    p = plan_of(HI.latest_snapshot(ev))
+    check("history snapshot: ONE exchange, max_by partial-aggregated "
+          "(k same-split versions pre-combine to one shuffled row), "
+          "no window sort of full rows",
+          p.count("hashpartitioning(") == 1 and "partial_max_by" in p
+          and "Window" not in p)
+    check("history snapshot: content reduced to sha BELOW the exchange "
+          "— file bodies never shuffle",
+          all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.file_history(ev))
+    check("file history: classification window is content-free — the "
+          "event scan prunes text out entirely",
+          "ReadSchema: struct<repo:string,path:string,commit_seq:bigint,"
+          "doc_id:bigint,deleted:boolean>" in p)
+
+    p = plan_of(HI.commit_churn(ev))
+    check("commit churn: content-free scan + partial-aggregated count "
+          "per commit ordinal",
+          "text" not in p.split("ReadSchema")[1][:200]
+          and "partial_sum" in p)
+
+    p = plan_of(HI.rename_detect(ev))
+    check("rename detect: narrow-key equi-join (repo, commit, sha) — "
+          "no cartesian, no history self-scan of content through the join",
+          "CartesianProduct" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.snapshot_diff_commits(ev, 0, 2))
+    check("commit diff: both sides reduce to sha snapshots before the "
+          "full-outer join; no content in any exchange",
+          "FullOuter" in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    from search_engine_spark.contract import q_bm25_at_commit
+
+    p = plan_of(q_bm25_at_commit(spark, sf_dir))
+    check("bm25 at commit: time-travel snapshot feeds the standard "
+          "Arrow analyzer — no row-Python, no cartesian",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
