@@ -4323,6 +4323,91 @@ WHERE regexp_matches(text, '{pat}')
 """
 
 
+# Code query language (ops/codequery): Zoekt/GitHub-style atoms over the
+# north-rule (repo, path, lang, content) shape.  Three shapes: mixed
+# literal+negation+metadata, case-folded regex (the fold_query_case
+# soundness path), and metadata-only (the scan-predicate-pushdown path,
+# no content atom — index never consulted).
+CODE_QUERY_MIXED = '"window table" -"merge batch" repo:src1 -path:node_modules/'
+CODE_QUERY_REGEX_NOCASE = "re:WIN[a-z]*dow case:no lang:en"
+CODE_QUERY_FILTERS = "path:src/m1/ -path:.min.js"
+
+
+def q_code_query_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code query language (ops.codequery.search_code — the Zoekt atom
+    grammar the reference's TREC topic parser is the word-index analogue
+    of): literal + negated literal + repo: substring + negated path:.
+    Every positive content atom fuses into ONE trigram CNF (literals as
+    singleton AND-clauses) answered by a single regex_candidates pass;
+    metadata atoms are scan predicates; negations verify scan-side (an
+    index of present trigrams cannot witness absence).  Oracle: the
+    whole query restated as one brute WHERE clause."""
+    from .ops import codequery as CQ
+
+    return CQ.search_code(
+        _pathed_files(spark, sf_dir), CODE_QUERY_MIXED
+    )
+
+
+def q_code_query_regex_nocase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive regex atom (codequery fold_query_case): the CNF
+    derives from the pattern AS WRITTEN, then every trigram lower()s —
+    a necessary literal of the case-sensitive language holds up to case
+    under (?i), so its lowered form is necessary in lower(content),
+    which is what the fold_case postings store.  Verification rlikes
+    the ORIGINAL pattern under (?i), so the regex engine decides.
+    Oracle: regexp_matches(content, '(?i)…') brute scan + the lang
+    filter."""
+    from .ops import codequery as CQ
+
+    return CQ.search_code(
+        _pathed_files(spark, sf_dir), CODE_QUERY_REGEX_NOCASE
+    )
+
+
+def q_code_query_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query (no content atom): the plan is the filtered
+    corpus scan itself — path:/repo:/lang: predicates are contains()/
+    equality expressions Catalyst pushes toward the scan (repo/path/lang
+    are the table's layout columns at 10^12-file scale, so these prune
+    partitions).  The trigram index is never consulted.  Oracle: the
+    same two path predicates."""
+    from .ops import codequery as CQ
+
+    return CQ.search_code(
+        _pathed_files(spark, sf_dir), CODE_QUERY_FILTERS
+    )
+
+
+def _sql_code_query_mixed() -> str:
+    return f"""
+WITH {_SQL_PATHED_FILES}
+SELECT doc_id, repo, path, lang FROM pfiles
+WHERE contains(content, 'window table')
+  AND NOT contains(content, 'merge batch')
+  AND contains(repo, 'src1')
+  AND NOT contains(path, 'node_modules/')
+"""
+
+
+def _sql_code_query_regex_nocase() -> str:
+    return f"""
+WITH {_SQL_PATHED_FILES}
+SELECT doc_id, repo, path, lang FROM pfiles
+WHERE regexp_matches(content, '(?i)WIN[a-z]*dow')
+  AND lower(lang) = 'en'
+"""
+
+
+def _sql_code_query_filters() -> str:
+    return f"""
+WITH {_SQL_PATHED_FILES}
+SELECT doc_id, repo, path, lang FROM pfiles
+WHERE contains(path, 'src/m1/')
+  AND NOT contains(path, '.min.js')
+"""
+
+
 def _planted_code(docs: DataFrame) -> DataFrame:
     """Prepend three deterministic definition lines (python def / class /
     go func) to every doc so extraction is non-vacuous on corpus data;
@@ -6335,6 +6420,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "code_query_mixed": q_code_query_mixed,
+        "code_query_regex_nocase": q_code_query_regex_nocase,
+        "code_query_filters": q_code_query_filters,
         "latest_snapshot": q_latest_snapshot,
         "snapshot_at_commit": q_snapshot_at_commit,
         "file_history": q_file_history,
@@ -6475,6 +6563,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def duckdb_oracles() -> dict[str, str]:
     return {
+        "code_query_mixed": _sql_code_query_mixed(),
+        "code_query_regex_nocase": _sql_code_query_regex_nocase(),
+        "code_query_filters": _sql_code_query_filters(),
         "tokenize_tf": _sql_tokenize_tf(),
         "doc_lengths": _sql_doc_lengths(),
         "term_df": _sql_term_df(),

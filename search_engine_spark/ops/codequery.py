@@ -1,0 +1,260 @@
+"""Zoekt/GitHub-style code-search query language over the trigram index.
+
+The reference engine's only query surface is TREC topics fed to a word
+index (Program.cs:96-130 topic loop; QueryOptions.cs gates the parse) —
+a code-search service instead puts a small query LANGUAGE in front of
+its trigram index (Zoekt's ``repo:``/``file:``/``lang:``/``case:``
+atoms, Google Code Search's ``file:``/``-`` negation).  This module is
+that surface for the north-rule (repo, path, commit, lang, content)
+corpus: a parser from query strings to typed atoms, and ONE composed
+DataFrame plan per query.
+
+Syntax (whitespace-separated atoms, AND semantics):
+
+* ``needle`` / ``"two words"`` — literal substring of content
+  (trigram-index candidates, ``contains()`` verification)
+* ``re:PATTERN`` (aliases ``regex:``, ``r:``) — regex over content
+  (Cox CNF candidates from ops/regexsearch, ``rlike`` verification)
+* ``repo:FRAG`` / ``path:FRAG`` (aliases ``file:``, ``f:``) —
+  substring filters on the metadata columns
+* ``lang:NAME`` (alias ``l:``) — case-insensitive exact language match
+* ``case:yes|no|auto`` — case sensitivity; ``auto`` is Zoekt's
+  smart-case (insensitive unless some content atom contains an
+  uppercase letter)
+* ``-atom`` — negation (any atom except ``case:``)
+
+Scale shape (100 TB): metadata atoms become plain scan predicates the
+optimizer pushes into the parquet/Iceberg scan (repo/path/lang are
+exactly the table's partition-friendly columns).  ALL positive content
+atoms fuse into ONE CNF — literals contribute their trigrams as
+singleton AND-clauses, regexes contribute their Cox-derived clauses —
+so candidate selection is a single ``regex_candidates`` pass over the
+postings (one broadcast clause map + one partial+final agg), never one
+job per atom.  Candidates are then BROADCAST against the filtered
+corpus scan and every content atom (including negations, which an
+index over present trigrams can never answer) is verified scan-side in
+one whole-stage-codegen filter.  Content bytes never shuffle.
+
+Case-insensitive queries run against a ``fold_case=True`` postings
+build (the properties sidecar records which one is on disk —
+ops/codesearch.trigram_index_properties).  For regex atoms the CNF is
+derived from the pattern as written and each trigram is then
+lower()ed (``fold_query_case``): a necessary literal of the
+case-sensitive language holds up to case under ``(?i)``, so its
+lowered form is a necessary substring of lower(content) — which is
+exactly what a fold_case index stores.  Verification prepends ``(?i)``
+to the original pattern, so the regex engine — not the fold — decides
+matches.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .codesearch import needle_trigrams, trigram_postings
+from .regexsearch import ANY, Query, _q_and, regex_candidates, trigram_query
+
+__all__ = [
+    "Atom",
+    "CodeQuery",
+    "parse_query",
+    "fold_query_case",
+    "search_code",
+]
+
+_KINDS = ("literal", "regex", "repo", "path", "lang")
+_KEY_ALIAS = {
+    "re": "regex", "regex": "regex", "r": "regex",
+    "repo": "repo",
+    "path": "path", "file": "path", "f": "path",
+    "lang": "lang", "l": "lang",
+    "case": "case",
+}
+_KEYS = "|".join(sorted(_KEY_ALIAS, key=len, reverse=True))
+# one atom: optional '-', optional known 'key:', then "quoted" or bare value
+_TOKEN_RE = re.compile(
+    rf'\s*(-?)(?:({_KEYS}):)?(?:"([^"]*)"|(\S+))'
+)
+
+
+@dataclass(frozen=True)
+class Atom:
+    kind: str  # one of _KINDS
+    value: str
+    negated: bool = False
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown atom kind {self.kind!r}")
+        if self.value == "":
+            raise ValueError(f"empty {self.kind}: atom")
+
+
+@dataclass(frozen=True)
+class CodeQuery:
+    atoms: tuple[Atom, ...] = field(default_factory=tuple)
+    case: str = "yes"  # yes | no | auto
+
+    def ignore_case(self) -> bool:
+        if self.case == "yes":
+            return False
+        if self.case == "no":
+            return True
+        # auto = smart-case: any uppercase in a content atom opts in
+        return not any(
+            ch.isupper()
+            for a in self.atoms
+            if a.kind in ("literal", "regex")
+            for ch in a.value
+        )
+
+
+def parse_query(q: str) -> CodeQuery:
+    """Parse a query string into a CodeQuery.  Unknown ``key:`` prefixes
+    stay part of a literal (quote a literal to protect a known key, e.g.
+    ``"re:raw"``); the last ``case:`` atom wins; a negated or
+    non-yes/no/auto ``case:`` raises."""
+    atoms: list[Atom] = []
+    case = "yes"
+    pos, n = 0, len(q)
+    while pos < n:
+        m = _TOKEN_RE.match(q, pos)
+        if m is None:
+            if q[pos:].strip() == "":
+                break
+            raise ValueError(f"unparseable query tail: {q[pos:]!r}")
+        pos = m.end()
+        neg, key, quoted, bare = m.groups()
+        value = quoted if quoted is not None else bare
+        kind = _KEY_ALIAS.get(key) if key else "literal"
+        if kind == "case":
+            if neg:
+                raise ValueError("case: cannot be negated")
+            if value not in ("yes", "no", "auto"):
+                raise ValueError(f"case:{value!r} (want yes|no|auto)")
+            case = value
+            continue
+        atoms.append(Atom(kind or "literal", value, negated=bool(neg)))
+    if not atoms:
+        raise ValueError("empty query")
+    return CodeQuery(tuple(atoms), case)
+
+
+def fold_query_case(q: Query) -> Query:
+    """Lower every trigram of a CNF — the (?i) form of the necessary
+    condition (see module docstring for the soundness argument).  OR-set
+    members may collide after folding (frozenset dedupes — a smaller
+    OR-set only narrows, and the lowered set is still necessary)."""
+    return tuple(frozenset(t.lower() for t in clause) for clause in q)
+
+
+def _literal_cnf(needle: str) -> Query:
+    """A literal's trigram set as an AND of singleton clauses — the
+    degenerate CNF, so literals and regexes fuse in one query."""
+    return tuple(frozenset([t]) for t in sorted(needle_trigrams(needle)))
+
+
+def query_cnf(cq: CodeQuery, ignore_case: bool | None = None) -> Query:
+    """The fused CNF of every POSITIVE content atom (negations carry no
+    index information — absence of a trigram proves nothing about a doc
+    the index saw).  ANY (= ()) means no indexable constraint."""
+    ic = cq.ignore_case() if ignore_case is None else ignore_case
+    combined: Query = ANY
+    for a in cq.atoms:
+        if a.negated:
+            continue
+        if a.kind == "literal":
+            part = _literal_cnf(a.value.lower() if ic else a.value)
+        elif a.kind == "regex":
+            part = trigram_query(a.value)
+            if ic:
+                part = fold_query_case(part)
+        else:
+            continue
+        combined = part if not combined else _q_and(combined, part)
+    return combined
+
+
+def _meta_condition(cq: CodeQuery):
+    cond = None
+    for a in cq.atoms:
+        if a.kind == "repo":
+            c = F.contains(F.col("repo"), F.lit(a.value))
+        elif a.kind == "path":
+            c = F.contains(F.col("path"), F.lit(a.value))
+        elif a.kind == "lang":
+            c = F.lower(F.col("lang")) == a.value.lower()
+        else:
+            continue
+        c = ~c if a.negated else c
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _content_condition(cq: CodeQuery, text_col: str, ignore_case: bool):
+    tcol = F.lower(F.col(text_col)) if ignore_case else F.col(text_col)
+    cond = None
+    for a in cq.atoms:
+        if a.kind == "literal":
+            needle = a.value.lower() if ignore_case else a.value
+            c = F.contains(tcol, F.lit(needle))
+        elif a.kind == "regex":
+            pat = ("(?i)" if ignore_case else "") + a.value
+            c = F.col(text_col).rlike(pat)
+        else:
+            continue
+        c = ~c if a.negated else c
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def search_code(
+    files: DataFrame,
+    query: str | CodeQuery,
+    postings: DataFrame | None = None,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    meta_cols: tuple[str, ...] = ("repo", "path", "lang"),
+    prune_clauses: int | None = None,
+) -> DataFrame:
+    """Answer a code query: (doc_id, *meta_cols) of every matching file.
+
+    files: the (repo, path, lang, content) corpus (north-rule shape).
+    postings: a prebuilt trigram_postings() index reused across queries
+    — its fold_case build MUST match the query's effective case mode
+    (check the on-disk properties sidecar); built one-shot from `files`
+    when None.  prune_clauses: forwarded to regex_candidates — keep
+    only the k most selective CNF clauses (answer-invisible, the
+    verification filter restores exactness).
+
+    A query with no positive content atom is answered by the filtered
+    scan alone — fine when the metadata atoms prune partitions
+    (repo/path/lang are the table's layout columns), a documented full
+    scan otherwise."""
+    cq = parse_query(query) if isinstance(query, str) else query
+    ic = cq.ignore_case()
+
+    meta = _meta_condition(cq)
+    filtered = files.filter(meta) if meta is not None else files
+
+    cnf = query_cnf(cq, ic)
+    if cnf:
+        if postings is None:
+            postings = trigram_postings(files, text_col, id_col,
+                                        fold_case=ic)
+        cand = regex_candidates(postings, cnf, prune_clauses)
+        base = filtered.join(
+            F.broadcast(cand), filtered[id_col] == cand["doc_id"]
+        ).drop(cand["doc_id"])
+    else:
+        base = filtered
+
+    content = _content_condition(cq, text_col, ic)
+    if content is not None:
+        base = base.filter(content)
+    return base.select(
+        F.col(id_col).cast("long").alias("doc_id"), *meta_cols
+    )

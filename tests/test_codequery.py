@@ -1,0 +1,195 @@
+"""Gates for ops/codequery.py — the Zoekt-style code query language.
+
+Three layers: the parser (pure Python — grammar corners and error
+cases), the case-fold soundness property (fold_query_case must stay a
+necessary condition under (?i) matching — hypothesis fuzz against
+Python's re engine), and plan identity (search_code through the trigram
+index vs a brute-force filter over the same corpus, for every atom
+combination incl. negations, smart-case, and a prebuilt shared index).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import codequery as CQ
+from search_engine_spark.ops.codesearch import trigram_postings
+from search_engine_spark.ops.regexsearch import cnf_satisfied
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_atoms_and_aliases():
+    q = CQ.parse_query(
+        '"two words" -bad re:a[bc]+ f:src/ -repo:vendor lang:Python case:no'
+    )
+    assert q.case == "no"
+    assert q.atoms == (
+        CQ.Atom("literal", "two words"),
+        CQ.Atom("literal", "bad", negated=True),
+        CQ.Atom("regex", "a[bc]+"),
+        CQ.Atom("path", "src/"),
+        CQ.Atom("repo", "vendor", negated=True),
+        CQ.Atom("lang", "Python"),
+    )
+
+
+def test_parse_quoted_protects_keys_and_unknown_keys_stay_literal():
+    q = CQ.parse_query('"re:raw" foo:bar')
+    assert q.atoms == (
+        CQ.Atom("literal", "re:raw"),
+        CQ.Atom("literal", "foo:bar"),
+    )
+
+
+def test_parse_quoted_value_after_key():
+    q = CQ.parse_query('path:"a b" re:"x y"')
+    assert q.atoms == (CQ.Atom("path", "a b"), CQ.Atom("regex", "x y"))
+
+
+def test_parse_last_case_wins_and_errors():
+    assert CQ.parse_query("x case:no case:yes").case == "yes"
+    with pytest.raises(ValueError):
+        CQ.parse_query("x -case:no")
+    with pytest.raises(ValueError):
+        CQ.parse_query("x case:maybe")
+    with pytest.raises(ValueError):
+        CQ.parse_query("   ")
+    with pytest.raises(ValueError):
+        CQ.parse_query("case:no")  # no atoms left
+
+
+def test_smart_case():
+    assert CQ.parse_query("Foo case:auto").ignore_case() is False
+    assert CQ.parse_query("foo case:auto").ignore_case() is True
+    # metadata atoms don't opt in: uppercase in lang: is not content
+    assert CQ.parse_query("foo lang:Python case:auto").ignore_case() is True
+    assert CQ.parse_query("foo").ignore_case() is False  # default yes
+
+
+# ---------------------------------------------------------------------------
+# fold_query_case soundness: if lower(text) contains a match of
+# (?i)pattern, the folded CNF must be satisfied by lower(text)'s trigrams
+# ---------------------------------------------------------------------------
+
+_CHARS = "aAbBc d"
+
+_leaf = st.one_of(
+    st.sampled_from([c for c in _CHARS if c != " "]).map(str),
+    st.just("."),
+    st.just("[aB]"),
+    st.just("[A-c]"),
+    st.just("\\d"),
+)
+
+
+def _wrap(inner):
+    return st.one_of(
+        st.tuples(inner, inner).map(lambda t: t[0] + t[1]),
+        st.tuples(inner, inner).map(lambda t: f"(?:{t[0]}|{t[1]})"),
+        inner.map(lambda p: f"(?:{p})*"),
+        inner.map(lambda p: f"(?:{p})?"),
+    )
+
+
+_patterns = st.recursive(_leaf, _wrap, max_leaves=8)
+_texts = st.text(alphabet=_CHARS + "E", min_size=0, max_size=24)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_patterns, _texts)
+def test_fold_query_case_sound_under_case_insensitive_match(pattern, text):
+    from search_engine_spark.ops.regexsearch import trigram_query
+
+    folded = CQ.fold_query_case(trigram_query(pattern))
+    if re.search(pattern, text, re.IGNORECASE):
+        assert cnf_satisfied(text.lower(), folded), (pattern, text, folded)
+
+
+# ---------------------------------------------------------------------------
+# plan identity vs brute force on a corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = []
+    for i in range(300):
+        words = ["alpha", "beta", "GammaRay", "delta window", "TABLE scan"]
+        content = " ".join(words[(i + j) % len(words)] for j in range(6))
+        if i % 9 == 0:
+            content += "\nWINDOW table merge"
+        rows.append(
+            (
+                i,
+                f"org{i % 5}",
+                ("vendor/" if i % 7 == 0 else "src/") + f"m{i % 4}/f{i}.py",
+                ["python", "go", "js"][i % 3],
+                content,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, lang string, content string"
+    ).cache()
+
+
+def _brute(files, q: CQ.CodeQuery):
+    ic = q.ignore_case()
+    cond = F.lit(True)
+    for a in q.atoms:
+        if a.kind == "literal":
+            tcol = F.lower(F.col("content")) if ic else F.col("content")
+            c = F.contains(tcol, F.lit(a.value.lower() if ic else a.value))
+        elif a.kind == "regex":
+            c = F.col("content").rlike(("(?i)" if ic else "") + a.value)
+        elif a.kind == "repo":
+            c = F.contains(F.col("repo"), F.lit(a.value))
+        elif a.kind == "path":
+            c = F.contains(F.col("path"), F.lit(a.value))
+        else:
+            c = F.lower(F.col("lang")) == a.value.lower()
+        cond = cond & (~c if a.negated else c)
+    return files.filter(cond).select("doc_id", "repo", "path", "lang")
+
+
+QUERIES = [
+    '"delta window" -path:vendor/ lang:python',
+    'window re:TAB[A-Z]+ case:no',
+    '"GammaRay" repo:org1',
+    're:win[a-z]*dow -"merge" case:no',
+    "path:src/m2/ -lang:go",  # metadata-only: no index consulted
+    '"WINDOW table" case:auto',  # smart-case stays sensitive (uppercase)
+    '"window table" case:auto',  # smart-case folds
+]
+
+
+@pytest.mark.parametrize("qs", QUERIES)
+def test_search_code_matches_brute_force(spark, files, qs):
+    q = CQ.parse_query(qs)
+    got = {tuple(r) for r in CQ.search_code(files, qs).collect()}
+    want = {tuple(r) for r in _brute(files, q).collect()}
+    assert got == want, qs
+    if any(not a.negated and a.kind in ("literal", "regex")
+           for a in q.atoms):
+        assert want, f"vacuous fixture for {qs}"
+
+
+def test_search_code_prebuilt_postings_and_prune(spark, files):
+    qs = '"delta window" re:TAB[A-Z]+\\s+scan case:no -repo:org3'
+    q = CQ.parse_query(qs)
+    postings = trigram_postings(files, "content", "doc_id", fold_case=True)
+    got = {
+        tuple(r)
+        for r in CQ.search_code(
+            files, qs, postings=postings, prune_clauses=2
+        ).collect()
+    }
+    want = {tuple(r) for r in _brute(files, q).collect()}
+    assert got == want and want

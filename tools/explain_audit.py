@@ -394,6 +394,25 @@ def main() -> int:
     check("extract_symbols: narrow map — NO shuffle, no row-Python",
           "Exchange" not in p and "BatchEvalPython" not in p)
 
+    # --- code query language (ops/codequery.py) ---
+    from search_engine_spark.contract import (
+        q_code_query_filters, q_code_query_mixed,
+    )
+
+    p = plan_of(q_code_query_mixed(spark, sf_dir))
+    check("code query: fused-CNF candidates + clause map both broadcast",
+          p.count("BroadcastHashJoin") >= 2)
+    check("code query: ONE wide exchange (candidate agg), no cartesian, "
+          "no row-Python",
+          p.count("hashpartitioning(") <= 2
+          and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p)
+
+    p = plan_of(q_code_query_filters(spark, sf_dir))
+    check("code query metadata-only: pure filtered scan — NO shuffle, "
+          "NO join (index never consulted)",
+          "Exchange" not in p and "Join" not in p)
+
     # --- code-graph analytics (ops/codegraph.py) ---
     from search_engine_spark.contract import (
         q_find_references, q_import_extract, q_module_fanin,
