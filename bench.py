@@ -265,6 +265,19 @@ def main() -> None:
     extras["query_surface_curation"] = {"medians": t_s4.medians,
                                         "spread": t_s4.spread}
 
+    # --- round-4 session-5: commit-history layer, code query language,
+    # per-occurrence highlighting, symbol timeline ---
+    t_s5 = Timer(REPS)
+    for name in ("latest_snapshot", "snapshot_at_commit", "file_history",
+                 "commit_churn", "rename_detect", "hot_files",
+                 "commit_diff", "line_first_seen", "bm25_at_commit",
+                 "code_query_mixed", "code_query_regex_nocase",
+                 "code_query_filters", "grep_highlight",
+                 "symbol_timeline"):
+        t_s5.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_history"] = {"medians": t_s5.medians,
+                                       "spread": t_s5.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

@@ -3735,6 +3735,40 @@ WHERE contains(line, '{esc}')
 """
 
 
+def q_grep_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-occurrence match offsets (ops.codesearch.grep_highlight —
+    ripgrep --column / the editor highlighter shape): (doc_id, line_no,
+    col, line), one row per occurrence INCLUDING overlaps, 1-based
+    column.  The position scan is a JVM higher-order filter over
+    sequence(1, len-n+1) evaluated only on lines that already passed
+    the contains() gate of trigram-candidate docs.  Oracle: the same
+    re-lining + line split, positions enumerated with a LATERAL
+    range() unnest + substr equality — brute over all docs."""
+    from .ops import codesearch as CS
+
+    return CS.grep_highlight(_multiline_docs(spark, sf_dir), LITERAL_NEEDLE)
+
+
+def _sql_grep_highlight(needle: str) -> str:
+    esc = needle.replace("'", "''")
+    n = len(needle)
+    return f"""
+WITH ml AS (
+  SELECT doc_id, replace(text, ' sort ', chr(10)) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM ml),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+),
+m AS (SELECT * FROM l WHERE contains(line, '{esc}'))
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+       CAST(p AS BIGINT) AS col, line
+FROM m, LATERAL (SELECT unnest(range(1, length(line) - {n} + 2)) AS p) u
+WHERE substr(line, p, {n}) = '{esc}'
+"""
+
+
 SUBTOKEN_BM25_IDENT = "sparkMerge_windowBatchBatch"
 
 
@@ -6404,6 +6438,62 @@ def _sql_bm25_at_commit() -> str:
     return _sql_bm25(source_table="hsnap", prelude=prelude)
 
 
+def q_symbol_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API evolution over the change-event table (history.
+    symbol_timeline): for every definition the ctags rules extract from
+    any LIVE file version, (kind, symbol, first_seen, last_seen,
+    n_sites, n_files).  Extraction is the same narrow no-shuffle
+    extract_symbols pass with commit_seq riding through; the rollup is
+    one partial agg over definition sites only.  The base docs get the
+    _planted_code definition lines BEFORE history synthesis, so
+    symbols appear, persist through ' v1'/' v2' modifications, die
+    with deletions, and the seq-1 'new file ' adds break the anchored
+    first rule — a non-trivial timeline.  Oracle: planted docs → the
+    same hist CTE → the extract_symbols rules verbatim → GROUP BY."""
+    from . import history as H
+
+    return H.symbol_timeline(
+        _history_events(_planted_code(_docs(spark, sf_dir)))
+    )
+
+
+def _sql_symbol_timeline() -> str:
+    from .ops.codesearch import SYMBOL_RULES
+
+    structs = ", ".join(
+        f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
+        for kind, pat in SYMBOL_RULES
+    )
+    hist_planted = _SQL_HIST.replace("FROM documents", "FROM pdocs")
+    return f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         'def fn_' || doc_id || '(x):' || chr(10) ||
+         'class Cls' || doc_id || '(Base):' || chr(10) ||
+         'func go_' || doc_id || '(ctx) {{' || chr(10) || text AS text
+  FROM documents
+),{hist_planted},
+hlines AS (
+  SELECT doc_id, commit_seq, u.l AS line
+  FROM (SELECT doc_id, commit_seq,
+               regexp_split_to_array(text, chr(10)) AS ls
+        FROM hist WHERE NOT deleted),
+  LATERAL (SELECT unnest(ls) AS l) u
+),
+sym AS (
+  SELECT doc_id, commit_seq, s.kind AS kind, s.symbol AS symbol
+  FROM hlines,
+  LATERAL (SELECT unnest(list_filter([{structs}], x -> x.symbol <> '')) AS s)
+)
+SELECT kind, symbol,
+       CAST(MIN(commit_seq) AS BIGINT) AS first_seen,
+       CAST(MAX(commit_seq) AS BIGINT) AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_sites,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_files
+FROM sym GROUP BY kind, symbol
+"""
+
+
 # ---------------------------------------------------------------------------
 # Public catalog
 # ---------------------------------------------------------------------------
@@ -6420,6 +6510,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "grep_highlight": q_grep_highlight,
+        "symbol_timeline": q_symbol_timeline,
         "code_query_mixed": q_code_query_mixed,
         "code_query_regex_nocase": q_code_query_regex_nocase,
         "code_query_filters": q_code_query_filters,
@@ -6663,6 +6755,8 @@ FROM tok GROUP BY term
         "trigram_regex_search": _sql_trigram_regex(),
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
+        "grep_highlight": _sql_grep_highlight(LITERAL_NEEDLE),
+        "symbol_timeline": _sql_symbol_timeline(),
         "subtoken_bm25_topk": _sql_subtoken_bm25(),
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "trigram_regex_pruned": _sql_trigram_regex(),

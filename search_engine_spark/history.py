@@ -56,6 +56,7 @@ __all__ = [
     "hot_files",
     "snapshot_diff_commits",
     "line_first_seen",
+    "symbol_timeline",
     "history_integrity",
 ]
 
@@ -269,6 +270,35 @@ def line_first_seen(
     ).distinct()
     return latest.join(first, ["repo", "path", "line"]).select(
         "repo", "path", "line", "first_seq"
+    )
+
+
+def symbol_timeline(events: DataFrame) -> DataFrame:
+    """API evolution: (kind, symbol, first_seen, last_seen, n_sites,
+    n_files) — when each definition entered the history, the last
+    commit whose version of some file still defines it, how many
+    definition sites and distinct files carry it.  The question a
+    code-intel service answers for "when did this API appear / how
+    spread is it" (the snapshot reference engine cannot: it has no
+    versions, Program.cs:24-41 loads one frozen corpus).
+
+    Extraction (ops/codesearch.extract_symbols, the ctags rules) runs
+    per LIVE file-version as a narrow no-shuffle map with commit_seq
+    riding through; the rollup is ONE partial agg keyed by
+    (kind, symbol) over definition lines only — file bodies never
+    shuffle.  At 10^13 events the agg input is proportional to
+    definition sites, not content bytes."""
+    from .ops.codesearch import extract_symbols
+
+    live = events.filter(~F.col("deleted"))
+    syms = extract_symbols(
+        live, content_col="text", extra_cols=("commit_seq",)
+    )
+    return syms.groupBy("kind", "symbol").agg(
+        F.min("commit_seq").cast("long").alias("first_seen"),
+        F.max("commit_seq").cast("long").alias("last_seen"),
+        F.count("*").cast("long").alias("n_sites"),
+        F.countDistinct("doc_id").cast("long").alias("n_files"),
     )
 
 

@@ -573,6 +573,59 @@ def grep_lines(
     )
 
 
+def grep_highlight(
+    docs: DataFrame,
+    needle: str,
+    postings: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune_k: int | None = None,
+    ignore_case: bool = False,
+) -> DataFrame:
+    """The editor/IDE result shape (ripgrep --column, Zoekt's per-line
+    match fragment offsets): (doc_id, line_no, col, line) — one row per
+    match OCCURRENCE with its 1-based column.  Overlapping occurrences
+    all report (a highlighter must paint every hit), unlike
+    grep_lines' non-overlapping n_occurrences count.
+
+    Same trigram candidate machinery as grep_lines; columns are found
+    by a JVM higher-order filter over the position sequence of lines
+    that ALREADY passed the contains() gate — so the O(line·needle)
+    position scan runs only on actual match lines of candidate docs,
+    never on the corpus.  No Python, no shuffle beyond the candidate
+    agg."""
+    verified, needle = _candidate_rows(
+        docs, needle, postings, text_col, id_col, prune_k, ignore_case
+    )
+    if verified is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, line_no long, col long, line string"
+        )
+    lines = verified.select(
+        docs[id_col].cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    lcol = F.lower(F.col("line")) if ignore_case else F.col("line")
+    n = len(needle)
+    # contains() gate first ⇒ length(line) >= n, so the sequence bound
+    # is >= 1 and never runs descending
+    cols = F.filter(
+        F.sequence(F.lit(1), F.length(lcol) - n + 1),
+        lambda p: lcol.substr(p, F.lit(n)) == F.lit(needle),
+    )
+    return (
+        lines.filter(F.contains(lcol, F.lit(needle)))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("line_no"),
+            F.explode(cols).alias("col"),
+            "line",
+        )
+        .withColumn("col", F.col("col").cast("long"))
+        .select("doc_id", "line_no", "col", "line")
+    )
+
+
 def literal_search_batch(
     docs: DataFrame,
     needles: dict,
@@ -823,9 +876,13 @@ def extract_symbols(
     content_col: str = "text",
     id_col: str = "doc_id",
     rules: tuple[tuple[str, str], ...] = SYMBOL_RULES,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, line_no, kind, symbol): definition sites extracted from
-    source content — the jump-to-definition index.
+    """(doc_id, *extra_cols, line_no, kind, symbol): definition sites
+    extracted from source content — the jump-to-definition index.
+    extra_cols ride through unchanged (e.g. commit_seq, so a
+    change-event table keeps each version's extraction distinct —
+    history.symbol_timeline).
 
     One posexplode over the line split, then every rule evaluated as a
     JVM regexp_extract inside a single array<struct> projection whose
@@ -836,6 +893,7 @@ def extract_symbols(
     engine (no multiline-flag divergence)."""
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
+        *extra_cols,
         F.posexplode(F.split(F.col(content_col), "\n")).alias("idx", "line"),
     )
     per_rule = F.array(
@@ -850,12 +908,14 @@ def extract_symbols(
     return (
         lines.select(
             "doc_id",
+            *extra_cols,
             (F.col("idx") + 1).cast("long").alias("line_no"),
             F.explode(F.filter(per_rule, lambda s: s["symbol"] != "")).alias(
                 "s"
             ),
         )
-        .select("doc_id", "line_no", F.col("s.kind").alias("kind"),
+        .select("doc_id", *extra_cols, "line_no",
+                F.col("s.kind").alias("kind"),
                 F.col("s.symbol").alias("symbol"))
     )
 

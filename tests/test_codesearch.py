@@ -209,6 +209,55 @@ def test_grep_lines(spark):
     ]
 
 
+def test_grep_highlight(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aba abab\nxx ab ab abab yy\nno hit"),
+            (2, "ababab\nzzz"),     # overlapping: cols 1 AND 3
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["line_no"], r["col"], r["line"])
+        for r in CS.grep_highlight(docs, "abab").collect()
+    }
+    assert got == {
+        (1, 1, 5, "aba abab"),
+        (1, 2, 10, "xx ab ab abab yy"),
+        (2, 1, 1, "ababab"),
+        (2, 1, 3, "ababab"),   # overlap reported — a highlighter must
+    }
+    # per-line occurrence rows agree with a python brute scan
+    brute = {
+        (did, ln + 1, p + 1)
+        for did, text in [(1, "aba abab\nxx ab ab abab yy\nno hit"),
+                          (2, "ababab\nzzz")]
+        for ln, line in enumerate(text.split("\n"))
+        for p in range(len(line) - 3)
+        if line[p:p + 4] == "abab"
+    }
+    assert {(d, l, c) for d, l, c, _ in got} == brute
+    # ignore_case folds both sides; column indexes the ORIGINAL line
+    ic = {
+        (r["doc_id"], r["line_no"], r["col"])
+        for r in CS.grep_highlight(
+            spark.createDataFrame(
+                [(9, "zABABz")], "doc_id long, text string"
+            ),
+            "aBaB",
+            ignore_case=True,
+        ).collect()
+    }
+    assert ic == {(9, 1, 2)}
+    # missing-trigram early exit keeps the 4-col schema
+    empty = CS.grep_highlight(docs, "zzzqqq")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "line_no", "col", "line",
+    ]
+
+
 def test_short_needle_raises():
     with pytest.raises(ValueError):
         CS.needle_trigrams("ab")

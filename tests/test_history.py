@@ -125,6 +125,30 @@ def test_line_first_seen(events):
     }
 
 
+def test_symbol_timeline(spark):
+    rows = [
+        ("r", "a.py", 0, 1, "def foo(x):\npass", False),
+        ("r", "a.py", 1, 1, "def foo(x):\ndef bar(y):", False),
+        ("r", "b.py", 0, 2, "class Baz(Base):\ndef foo(z):", False),
+        ("r", "b.py", 1, 2, None, True),   # deletion: no seq-1 sighting
+    ]
+    got = {
+        (r["kind"], r["symbol"]): (
+            r["first_seen"], r["last_seen"], r["n_sites"], r["n_files"]
+        )
+        for r in H.symbol_timeline(
+            spark.createDataFrame(rows, _SCHEMA)
+        ).collect()
+    }
+    assert got == {
+        # foo: 2 versions of a.py + 1 of b.py = 3 sites across 2 files;
+        # b.py's deletion caps nothing (a.py still defines it at seq 1)
+        ("function", "foo"): (0, 1, 3, 2),
+        ("function", "bar"): (1, 1, 1, 1),
+        ("class", "Baz"): (0, 0, 1, 1),
+    }
+
+
 def test_history_integrity(spark, events):
     assert H.history_integrity(events).count() == 0
     bad = events.unionByName(

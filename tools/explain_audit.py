@@ -345,6 +345,18 @@ def main() -> int:
           p.count("hashpartitioning(") <= 1
           and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_grep_highlight
+
+    p = plan_of(q_grep_highlight(spark, sf_dir))
+    check("grep_highlight: position scan above the candidate broadcast "
+          "(only match lines of candidate docs scanned), no row-Python",
+          "BroadcastHashJoin" in p and "Generate" in p
+          and p.index("Generate") < p.index("BroadcastHashJoin")
+          and "BatchEvalPython" not in p)
+    check("grep_highlight: ONE wide exchange (candidate agg)",
+          p.count("hashpartitioning(") <= 1,
+          f"found {p.count('hashpartitioning(')}")
+
     from search_engine_spark.contract import q_grep_batch
 
     p = plan_of(q_grep_batch(spark, sf_dir))
@@ -647,6 +659,15 @@ def main() -> int:
     check("rename detect: narrow-key equi-join (repo, commit, sha) — "
           "no cartesian, no history self-scan of content through the join",
           "CartesianProduct" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.symbol_timeline(ev))
+    check("symbol timeline: extraction is a narrow map — the only "
+          "exchanges are the (kind,symbol[,doc_id]) rollup's two "
+          "distinct-agg phases, partial-aggregated, and file bodies "
+          "never shuffle",
+          p.count("hashpartitioning(") == 2 and "partial_min" in p
+          and "BatchEvalPython" not in p
           and all("text#" not in b for b in exchange_blocks(p)))
 
     p = plan_of(HI.snapshot_diff_commits(ev, 0, 2))
