@@ -273,7 +273,8 @@ def main() -> None:
                  "commit_diff", "line_first_seen", "bm25_at_commit",
                  "code_query_mixed", "code_query_regex_nocase",
                  "code_query_filters", "grep_highlight",
-                 "symbol_timeline"):
+                 "symbol_timeline", "pickaxe_search", "dead_symbols",
+                 "symbol_boosted_bm25"):
         t_s5.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_history"] = {"medians": t_s5.medians,
                                        "spread": t_s5.spread}

@@ -3789,13 +3789,69 @@ def q_subtoken_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SYMBOL_BOOST = 10.0
+
+
+def _boost_docs(docs: DataFrame) -> DataFrame:
+    """Every doc_id % 13 == 0 doc gets a definition line for the
+    subtoken query identifier prepended, so the symbol boost has docs
+    to promote that OTHER docs outscore on plain BM25.  Restated
+    verbatim in the oracle prelude."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(f"def {SUBTOKEN_BM25_IDENT}(x):\n"), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_symbol_boosted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoekt's symbol-definition boost (ops.codesearch.
+    symbol_boosted_bm25): subtoken BM25 as above, plus an exact-f32
+    additive boost for docs whose extract_symbols output DEFINES the
+    query identifier (Zoekt eval.go adds scoreSymbol when the match
+    line is a ctags symbol), with `defined` riding out.  The boost
+    applies BEFORE top-k over ALL candidate docs, so defining docs
+    outside the unboosted page get promoted.  Oracle: the subtoken-BM25
+    CTE chain + the ctags rules as a defs CTE + a CASE add, all in one
+    generated SQL."""
+    from .ops import codesearch as CS
+
+    return CS.symbol_boosted_bm25(
+        _boost_docs(_docs(spark, sf_dir)),
+        SUBTOKEN_BM25_IDENT,
+        k=TOPK,
+        boost=SYMBOL_BOOST,
+    )
+
+
+def _sql_symbol_boosted_bm25() -> str:
+    prelude = f"""bdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN 'def {SUBTOKEN_BM25_IDENT}(x):' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+"""
+    return _sql_subtoken_bm25(
+        source_table="bdocs", prelude=prelude, boost=SYMBOL_BOOST
+    )
+
+
 def _sql_subtoken_bm25(
     params: BM25Params = BM25Params(),
     source_table: str = "documents",
     prelude: str = "",
     ident: str | None = None,
+    boost: float | None = None,
 ) -> str:
-    from .ops.codesearch import query_ident_terms
+    from .ops.codesearch import SYMBOL_RULES, query_ident_terms
 
     k1, k3, b = params.k1, params.k3, params.b
     split = _SQL_SPLIT_IDENT.format(col="text")
@@ -3803,6 +3859,44 @@ def _sql_subtoken_bm25(
         f"('{t}', {q}, {p})"
         for t, q, p in query_ident_terms(ident or SUBTOKEN_BM25_IDENT)
     )
+    if boost is not None:
+        # symbol_boosted_bm25: defs = docs whose extract_symbols rules
+        # yield the EXACT query identifier; their score gets the f32
+        # additive boost before ranking, and `defined` rides out.
+        structs = ", ".join(
+            f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
+            for kind, pat in SYMBOL_RULES
+        )
+        tail = f"""dlines AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, chr(10))) AS line
+  FROM {source_table}
+),
+defs AS (
+  SELECT DISTINCT doc_id FROM dlines
+  WHERE len(list_filter([{structs}],
+            x -> x.symbol = '{ident or SUBTOKEN_BM25_IDENT}')) > 0
+),
+boosted AS (
+  SELECT s.doc_id,
+         CASE WHEN d.doc_id IS NOT NULL
+              THEN CAST(s.score + CAST({boost} AS FLOAT) AS FLOAT)
+              ELSE s.score END AS score,
+         CAST(d.doc_id IS NOT NULL AS BIGINT) AS defined
+  FROM scores s LEFT JOIN defs d USING (doc_id)
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score, defined
+  FROM boosted
+)
+SELECT rank, doc_id, score, defined FROM ranked WHERE rank <= {TOPK}"""
+    else:
+        tail = f"""ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}"""
     return f"""
 WITH {prelude}sub AS (
   SELECT doc_id, unnest({split}) AS term FROM {source_table}
@@ -3843,12 +3937,7 @@ contrib AS (
 scores AS (
   SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
 ),
-ranked AS (
-  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-         doc_id, score
-  FROM scores
-)
-SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+{tail}
 """
 
 
@@ -6457,16 +6546,21 @@ def q_symbol_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_symbol_timeline() -> str:
+def _sql_sym_structs() -> str:
     from .ops.codesearch import SYMBOL_RULES
 
-    structs = ", ".join(
+    return ", ".join(
         f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
         for kind, pat in SYMBOL_RULES
     )
+
+
+def _sql_planted_hist_sym() -> str:
+    """CTE chain `pdocs → hist → hlines → sym`: the planted-code change
+    history with per-live-version symbol extraction — shared by the
+    symbol_timeline and dead_symbols oracles."""
     hist_planted = _SQL_HIST.replace("FROM documents", "FROM pdocs")
-    return f"""
-WITH pdocs AS (
+    return f"""pdocs AS (
   SELECT doc_id,
          'def fn_' || doc_id || '(x):' || chr(10) ||
          'class Cls' || doc_id || '(Base):' || chr(10) ||
@@ -6483,14 +6577,110 @@ hlines AS (
 sym AS (
   SELECT doc_id, commit_seq, s.kind AS kind, s.symbol AS symbol
   FROM hlines,
-  LATERAL (SELECT unnest(list_filter([{structs}], x -> x.symbol <> '')) AS s)
+  LATERAL (SELECT unnest(list_filter([{_sql_sym_structs()}],
+                                     x -> x.symbol <> '')) AS s)
+),
+tl AS (
+  SELECT kind, symbol,
+         CAST(MIN(commit_seq) AS BIGINT) AS first_seen,
+         CAST(MAX(commit_seq) AS BIGINT) AS last_seen,
+         CAST(COUNT(*) AS BIGINT) AS n_sites,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_files
+  FROM sym GROUP BY kind, symbol
+)"""
+
+
+def _sql_symbol_timeline() -> str:
+    return f"""
+WITH {_sql_planted_hist_sym()}
+SELECT kind, symbol, first_seen, last_seen, n_sites, n_files FROM tl
+"""
+
+
+PICKAXE_NEEDLE = " v"
+
+
+def q_pickaxe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`git log -S` (history.pickaxe_search): every commit at which a
+    path's occurrence count of the needle changed, classified
+    added / removed / changed.  The ' v' needle hits the synthetic
+    history's ' v1'/' v2' modification suffixes (count increments →
+    'changed' rows exist) plus organic corpus text; deletions and
+    renames produce 'removed'.  The lag window runs only over versions
+    of ever-matching paths (broadcast semi-join) and never sees
+    content.  Oracle: occurrence counts via the len-diff identity, a
+    window lag with 0 default, the same change CASE."""
+    from . import history as H
+
+    return H.pickaxe_search(
+        _history_events(_docs(spark, sf_dir)), PICKAXE_NEEDLE
+    )
+
+
+def _sql_pickaxe_search() -> str:
+    esc = PICKAXE_NEEDLE.replace("'", "''")
+    n = len(PICKAXE_NEEDLE)
+    return f"""
+WITH {_SQL_HIST},
+occ AS (
+  SELECT repo, path, commit_seq, doc_id,
+         CASE WHEN deleted OR text IS NULL THEN 0
+              ELSE (length(text) - length(replace(text, '{esc}', ''))) // {n}
+         END AS occ
+  FROM hist
+),
+hp AS (SELECT DISTINCT repo, path FROM occ WHERE occ > 0),
+scoped AS (SELECT o.* FROM occ o JOIN hp USING (repo, path)),
+lagd AS (
+  SELECT repo, path, commit_seq, doc_id, CAST(occ AS BIGINT) AS occ,
+         CAST(COALESCE(lag(occ) OVER (PARTITION BY repo, path
+                                      ORDER BY commit_seq), 0) AS BIGINT)
+           AS prev_occ
+  FROM scoped
 )
-SELECT kind, symbol,
-       CAST(MIN(commit_seq) AS BIGINT) AS first_seen,
-       CAST(MAX(commit_seq) AS BIGINT) AS last_seen,
-       CAST(COUNT(*) AS BIGINT) AS n_sites,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_files
-FROM sym GROUP BY kind, symbol
+SELECT repo, path, commit_seq, doc_id, occ, prev_occ,
+       CASE WHEN prev_occ = 0 THEN 'added'
+            WHEN occ = 0 THEN 'removed'
+            ELSE 'changed' END AS change
+FROM lagd WHERE occ <> prev_occ
+"""
+
+
+def q_dead_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-removal report (history.dead_symbols): symbols some live
+    historical version defined that no HEAD file still defines, with
+    the timeline rollup.  In the synthetic history the %17 deletions
+    kill their planted fn_/Cls/go_ symbols — except Cls/go of %11
+    parents, which survive in the seq-1 'new file ' copies (whose
+    broken first line also kills fn_ for those).  Oracle: the shared
+    timeline CTE anti-joined against extraction over the HEAD
+    snapshot."""
+    from . import history as H
+
+    return H.dead_symbols(
+        _history_events(_planted_code(_docs(spark, sf_dir)))
+    )
+
+
+def _sql_dead_symbols() -> str:
+    return f"""
+WITH {_sql_planted_hist_sym()},
+{_sql_hist_snap('snap', None)},
+slines AS (
+  SELECT u.l AS line
+  FROM (SELECT regexp_split_to_array(text, chr(10)) AS ls FROM snap),
+  LATERAL (SELECT unnest(ls) AS l) u
+),
+head_defs AS (
+  SELECT DISTINCT s.kind AS kind, s.symbol AS symbol
+  FROM slines,
+  LATERAL (SELECT unnest(list_filter([{_sql_sym_structs()}],
+                                     x -> x.symbol <> '')) AS s)
+)
+SELECT t.kind, t.symbol, t.first_seen, t.last_seen, t.n_sites, t.n_files
+FROM tl t LEFT JOIN head_defs h
+  ON t.kind = h.kind AND t.symbol = h.symbol
+WHERE h.kind IS NULL
 """
 
 
@@ -6512,6 +6702,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the block; the shadiff index build is the expensive tail) ---
         "grep_highlight": q_grep_highlight,
         "symbol_timeline": q_symbol_timeline,
+        "pickaxe_search": q_pickaxe_search,
+        "dead_symbols": q_dead_symbols,
+        "symbol_boosted_bm25": q_symbol_boosted_bm25,
         "code_query_mixed": q_code_query_mixed,
         "code_query_regex_nocase": q_code_query_regex_nocase,
         "code_query_filters": q_code_query_filters,
@@ -6757,6 +6950,9 @@ FROM tok GROUP BY term
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
         "grep_highlight": _sql_grep_highlight(LITERAL_NEEDLE),
         "symbol_timeline": _sql_symbol_timeline(),
+        "pickaxe_search": _sql_pickaxe_search(),
+        "dead_symbols": _sql_dead_symbols(),
+        "symbol_boosted_bm25": _sql_symbol_boosted_bm25(),
         "subtoken_bm25_topk": _sql_subtoken_bm25(),
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "trigram_regex_pruned": _sql_trigram_regex(),

@@ -57,6 +57,8 @@ __all__ = [
     "snapshot_diff_commits",
     "line_first_seen",
     "symbol_timeline",
+    "pickaxe_search",
+    "dead_symbols",
     "history_integrity",
 ]
 
@@ -299,6 +301,74 @@ def symbol_timeline(events: DataFrame) -> DataFrame:
         F.max("commit_seq").cast("long").alias("last_seen"),
         F.count("*").cast("long").alias("n_sites"),
         F.countDistinct("doc_id").cast("long").alias("n_files"),
+    )
+
+
+def pickaxe_search(events: DataFrame, needle: str) -> DataFrame:
+    """`git log -S needle` over the whole event table: (repo, path,
+    commit_seq, doc_id, occ, prev_occ, change) — every commit at which
+    a path's occurrence count of `needle` CHANGED, classified added
+    (0 → >0) / removed (>0 → 0) / changed (both nonzero).  Counts are
+    non-overlapping (the len-diff identity git itself uses when
+    diffing -S counts).  A deletion event counts as 0, so removing a
+    matching file reports 'removed' at the delete commit.
+
+    Scale: occ is computed in the scan (narrow, JVM); the lag window
+    then runs ONLY over versions of paths that ever matched — the
+    match-path key set is a broadcast semi-join, so the exchange is
+    proportional to matching paths' version count, never the corpus,
+    and file bodies never shuffle (the window input is 5 narrow
+    columns)."""
+    from .ops.codesearch import count_occurrences_expr
+
+    occ = (
+        F.when(
+            F.col("deleted") | F.col("text").isNull(), F.lit(0)
+        )
+        .otherwise(count_occurrences_expr(F.col("text"), needle))
+        .cast("long")
+    )
+    ev = events.select(
+        "repo", "path", "commit_seq", "doc_id", occ.alias("occ")
+    )
+    hit_paths = (
+        ev.filter(F.col("occ") > 0).select("repo", "path").distinct()
+    )
+    scoped = ev.join(F.broadcast(hit_paths), ["repo", "path"], "left_semi")
+    w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    return (
+        scoped.withColumn("prev_occ", F.lag("occ", 1, 0).over(w))
+        .filter(F.col("occ") != F.col("prev_occ"))
+        .withColumn(
+            "change",
+            F.when(F.col("prev_occ") == 0, F.lit("added"))
+            .when(F.col("occ") == 0, F.lit("removed"))
+            .otherwise(F.lit("changed")),
+        )
+    )
+
+
+def dead_symbols(events: DataFrame) -> DataFrame:
+    """API-removal report: every (kind, symbol) some LIVE historical
+    file version defined that NO file at HEAD still defines, with its
+    timeline rollup (first_seen, last_seen, n_sites, n_files) — the
+    deprecation-scanner question 'which APIs existed and are gone'.
+
+    symbol_timeline over all versions, anti-joined on (kind, symbol)
+    against the extraction of the latest snapshot.  Both join sides are
+    definition-site-sized (never content-sized); the anti-join keys are
+    two short strings."""
+    from .ops.codesearch import extract_symbols
+
+    head_defs = (
+        extract_symbols(
+            latest_snapshot(events, keep_text=True), content_col="text"
+        )
+        .select("kind", "symbol")
+        .distinct()
+    )
+    return symbol_timeline(events).join(
+        head_defs, ["kind", "symbol"], "left_anti"
     )
 
 

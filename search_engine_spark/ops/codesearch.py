@@ -52,7 +52,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "char_trigrams_expr",
@@ -71,6 +71,7 @@ __all__ = [
     "literal_search",
     "literal_search_batch",
     "grep_lines",
+    "grep_highlight",
     "grep_context",
     "grep_all",
     "symbol_fuzzy",
@@ -84,6 +85,7 @@ __all__ = [
     "subtoken_tokens",
     "query_ident_terms",
     "subtoken_bm25",
+    "symbol_boosted_bm25",
     "ranked_grep",
 ]
 
@@ -733,7 +735,6 @@ def grep_context(
     docs' lines, so at corpus scale the cost tracks the match set, not
     the corpus.  is_match is 0/1 (BIGINT) so downstream aggs and the
     cross-engine hash treat it identically."""
-    from pyspark.sql import Window
 
     if n_context < 0:
         raise ValueError("n_context must be >= 0")
@@ -1069,13 +1070,24 @@ def subtoken_bm25(
 
     n_docs counts ALL docs (empty-subtoken docs included — they only
     dilute avgdl, exactly like empty docs in the word path)."""
-    from ..config import BM25Params
     from .. import query as Q
 
-    params = params or BM25Params()
+    toks, n_docs, avgdl, qdf = _subtoken_query_inputs(
+        docs, query_ident, text_col, id_col
+    )
+    res = Q.score_bm25(
+        toks, n_docs, avgdl, qdf, params, k=k, exact_float32=True
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _subtoken_query_inputs(docs, query_ident, text_col, id_col):
+    """(tokens, n_docs, avgdl, query_df) for the subtoken scorers.
+    n and Σdoc_len come from ONE scan (size-of-split == Σtf per doc, so
+    this is the same avgdl the oracle computes from its meta CTE)."""
     toks = subtoken_tokens(docs, text_col, id_col)
-    # n and Σdoc_len in ONE scan (size-of-split == Σtf per doc, so this
-    # is the same avgdl the oracle computes from its meta CTE)
     stats = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.size(split_identifier_expr(F.col(text_col)))).alias("tot"),
@@ -1086,12 +1098,84 @@ def subtoken_bm25(
         [(1, t, q, p) for t, q, p in query_ident_terms(query_ident)],
         "topic_id int, term string, qtf int, term_pos int",
     )
-    res = Q.score_bm25(
-        toks, n_docs, avgdl, qdf, params, k=k, exact_float32=True
+    return toks, n_docs, avgdl, qdf
+
+
+def symbol_boosted_bm25(
+    docs: DataFrame,
+    query_ident: str,
+    k: int = 20,
+    boost: float = 10.0,
+    params=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zoekt's symbol-definition boost under the reference scorer:
+    subtoken BM25 as above, but a doc that DEFINES the query identifier
+    (extract_symbols exact match — Zoekt scores an atom higher when the
+    match line is a ctags symbol: eval.go adds scoreSymbol to the
+    atom's score) gets `boost` ADDED to its score BEFORE top-k, so
+    defining files outrank merely-mentioning files.  Additive like
+    Zoekt — a multiplicative boost would invert on the no-clamp idf's
+    negative scores (stop-word-like query subtokens).  Returns
+    (rank, doc_id, score, defined).
+
+    Bit-exactness: a single f32+f32 add computed in double and rounded
+    back to float32 equals the direct float32 add (double rounding is
+    safe when p ≥ 2q+2; 53 ≥ 50), so Spark and the DuckDB oracle agree
+    exactly however each engine evaluates it.
+
+    The definition set is definition-site-sized and rides a broadcast
+    left join against the accumulated scores; every defining doc
+    necessarily contains the identifier's subtokens, so the candidate
+    set (docs matching ≥1 query subtoken) already covers it — the
+    boost never needs to resurrect a zero-score doc."""
+    from .. import query as Q
+
+    toks, n_docs, avgdl, qdf = _subtoken_query_inputs(
+        docs, query_ident, text_col, id_col
     )
-    return res.select(
-        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    contrib = Q._contributions_bm25(
+        toks, qdf, n_docs, avgdl, params or _bm25_defaults()
     )
+    scores = Q._accumulate(contrib, exact_float32=True)
+    defs = (
+        extract_symbols(docs, content_col=text_col, id_col=id_col)
+        .filter(F.col("symbol") == query_ident)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_def", F.lit(1))
+    )
+    boosted = scores.join(F.broadcast(defs), "doc_id", "left").select(
+        "topic_id",
+        "doc_id",
+        F.when(
+            F.col("_def").isNotNull(),
+            (F.col("score") + F.lit(boost).cast("float")).cast("float"),
+        )
+        .otherwise(F.col("score"))
+        .alias("score"),
+        F.coalesce(F.col("_def"), F.lit(0)).cast("long").alias("defined"),
+    )
+    w = Window.partitionBy("topic_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        boosted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "score",
+            "defined",
+        )
+    )
+
+
+def _bm25_defaults():
+    from ..config import BM25Params
+
+    return BM25Params()
 
 
 def subtoken_search(

@@ -209,6 +209,37 @@ def test_grep_lines(spark):
     ]
 
 
+def test_symbol_boosted_bm25(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "def sparkMergeWindow(y):\nwindow table merge"),
+            (2, "window merge window spark"),
+            (3, "spark spark spark merge window"),
+            (4, "unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r["score"]
+            for r in CS.subtoken_bm25(docs, "sparkMergeWindow", k=5).collect()}
+    got = CS.symbol_boosted_bm25(
+        docs, "sparkMergeWindow", k=5, boost=10.0
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # doc 1 defines the ident: boosted to rank 1 with score+10 exactly
+    # (f32 add), defined=1; others keep their unboosted scores
+    assert got[0]["doc_id"] == 1 and got[0]["defined"] == 1
+    import numpy as np
+    assert by_id[1]["score"] == np.float32(np.float32(base[1]) + np.float32(10.0))
+    for d in (2, 3):
+        assert by_id[d]["score"] == base[d] and by_id[d]["defined"] == 0
+    # no definition anywhere -> identical ranking to subtoken_bm25
+    plain = CS.symbol_boosted_bm25(docs, "windowTableMerge", k=5).collect()
+    ref = CS.subtoken_bm25(docs, "windowTableMerge", k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in plain] == \
+           [(r["rank"], r["doc_id"], r["score"]) for r in ref]
+    assert all(r["defined"] == 0 for r in plain)
+
+
 def test_grep_highlight(spark):
     docs = spark.createDataFrame(
         [

@@ -149,6 +149,51 @@ def test_symbol_timeline(spark):
     }
 
 
+def test_pickaxe_search(spark):
+    rows = [
+        ("r", "a.py", 0, 1, "hit here", False),
+        ("r", "a.py", 1, 1, "hit hit", False),        # 1 -> 2: changed
+        ("r", "a.py", 2, 1, "none", False),           # 2 -> 0: removed
+        ("r", "b.py", 0, 2, "hit", False),
+        ("r", "b.py", 1, 2, None, True),              # delete: removed
+        ("r", "c.py", 0, 3, "quiet", False),          # never matches
+        ("r", "c.py", 1, 3, "still quiet", False),
+    ]
+    got = {
+        (r["path"], r["commit_seq"]): (r["occ"], r["prev_occ"], r["change"])
+        for r in H.pickaxe_search(
+            spark.createDataFrame(rows, _SCHEMA), "hit"
+        ).collect()
+    }
+    assert got == {
+        ("a.py", 0): (1, 0, "added"),
+        ("a.py", 1): (2, 1, "changed"),
+        ("a.py", 2): (0, 2, "removed"),
+        ("b.py", 0): (1, 0, "added"),
+        ("b.py", 1): (0, 1, "removed"),
+    }  # c.py never appears: the path pre-filter pruned it
+
+
+def test_dead_symbols(spark):
+    rows = [
+        ("r", "a.py", 0, 1, "def gone(x):\ndef kept(y):", False),
+        ("r", "a.py", 1, 1, "def kept(y):", False),    # gone removed
+        ("r", "b.py", 0, 2, "def gone(x):", False),
+        ("r", "b.py", 1, 2, None, True),               # file deleted
+        ("r", "c.py", 0, 3, "class Live(Base):", False),
+    ]
+    dead = {
+        (r["kind"], r["symbol"]): (r["first_seen"], r["last_seen"],
+                                   r["n_sites"], r["n_files"])
+        for r in H.dead_symbols(
+            spark.createDataFrame(rows, _SCHEMA)
+        ).collect()
+    }
+    # 'gone' was defined in 2 files across seq 0 only; both HEAD
+    # versions dropped it.  kept/Live survive at HEAD -> absent.
+    assert dead == {("function", "gone"): (0, 0, 2, 2)}
+
+
 def test_history_integrity(spark, events):
     assert H.history_integrity(events).count() == 0
     bad = events.unionByName(

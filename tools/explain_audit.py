@@ -386,6 +386,17 @@ def main() -> int:
           and "BatchEvalPython" not in p
           and "CartesianProduct" not in p)
 
+    from search_engine_spark.contract import q_symbol_boosted_bm25
+
+    p = plan_of(q_symbol_boosted_bm25(spark, sf_dir))
+    check("symbol-boosted BM25: definition set broadcast LEFT into the "
+          "accumulated scores (corpus side never shuffles for the "
+          "boost), no row-Python, no cartesian",
+          p.count("BroadcastHashJoin") >= 4
+          and "BuildRight" in p
+          and "BatchEvalPython" not in p
+          and "CartesianProduct" not in p)
+
     p = plan_of(q_subtoken_search(spark, sf_dir))
     check("subtoken search: isin prunes before the doc agg, no row-Python",
           "BatchEvalPython" not in p and "subtoken" in p)
@@ -674,6 +685,20 @@ def main() -> int:
     check("commit diff: both sides reduce to sha snapshots before the "
           "full-outer join; no content in any exchange",
           "FullOuter" in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.pickaxe_search(ev, "window table"))
+    check("pickaxe: occurrence counts computed in the scan, matching "
+          "paths broadcast semi-joined, window input content-free",
+          "BroadcastHashJoin" in p and "LeftSemi" in p
+          and "Window" in p and "BatchEvalPython" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.dead_symbols(ev))
+    check("dead symbols: timeline anti-joined on (kind,symbol) — no "
+          "cartesian, no row-Python, no content in exchanges",
+          "LeftAnti" in p and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p
           and all("text#" not in b for b in exchange_blocks(p)))
 
     from search_engine_spark.contract import q_bm25_at_commit
