@@ -274,7 +274,7 @@ def main() -> None:
                  "code_query_mixed", "code_query_regex_nocase",
                  "code_query_filters", "grep_highlight",
                  "symbol_timeline", "pickaxe_search", "dead_symbols",
-                 "symbol_boosted_bm25"):
+                 "symbol_boosted_bm25", "grep_offsets"):
         t_s5.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_history"] = {"medians": t_s5.medians,
                                        "spread": t_s5.spread}

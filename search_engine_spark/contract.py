@@ -3769,6 +3769,32 @@ WHERE substr(line, p, {n}) = '{esc}'
 """
 
 
+def q_grep_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-only literal search over the POSITIONAL trigram index
+    (ops.codesearch.trigram_positions + literal_positions — Zoekt's
+    offset-list payload): (doc_id, pos) for every occurrence, overlaps
+    included, computed WITHOUT reading content at query time — each
+    posting votes anchor = pos - needle_offset, a bit_or per
+    (doc_id, anchor) reaches the full constraint mask iff the needle
+    sits at anchor.  Oracle: brute position enumeration (LATERAL
+    range + substr) over raw content."""
+    from .ops import codesearch as CS
+
+    idx = CS.trigram_positions(_docs(spark, sf_dir))
+    return CS.literal_positions(idx, LITERAL_NEEDLE)
+
+
+def _sql_grep_offsets(needle: str) -> str:
+    esc = needle.replace("'", "''")
+    n = len(needle)
+    return f"""
+SELECT doc_id, CAST(p AS BIGINT) AS pos
+FROM documents,
+LATERAL (SELECT unnest(range(1, length(text) - {n} + 2)) AS p) u
+WHERE substr(text, p, {n}) = '{esc}'
+"""
+
+
 SUBTOKEN_BM25_IDENT = "sparkMerge_windowBatchBatch"
 
 
@@ -6705,6 +6731,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pickaxe_search": q_pickaxe_search,
         "dead_symbols": q_dead_symbols,
         "symbol_boosted_bm25": q_symbol_boosted_bm25,
+        "grep_offsets": q_grep_offsets,
         "code_query_mixed": q_code_query_mixed,
         "code_query_regex_nocase": q_code_query_regex_nocase,
         "code_query_filters": q_code_query_filters,
@@ -6953,6 +6980,7 @@ FROM tok GROUP BY term
         "pickaxe_search": _sql_pickaxe_search(),
         "dead_symbols": _sql_dead_symbols(),
         "symbol_boosted_bm25": _sql_symbol_boosted_bm25(),
+        "grep_offsets": _sql_grep_offsets(LITERAL_NEEDLE),
         "subtoken_bm25_topk": _sql_subtoken_bm25(),
         "grep_facets": _sql_grep_facets(LITERAL_NEEDLE),
         "trigram_regex_pruned": _sql_trigram_regex(),

@@ -57,6 +57,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "char_trigrams_expr",
     "trigram_postings",
+    "trigram_positions",
+    "literal_positions",
     "write_trigram_index",
     "append_trigram_index",
     "resumable_trigram_build",
@@ -135,6 +137,107 @@ def trigram_postings(
     ).select("trigram", "doc_id")
 
 
+def trigram_positions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_case: bool = False,
+) -> DataFrame:
+    """(trigram, doc_id, pos) — EVERY trigram occurrence with its
+    1-based codepoint offset.  This is Zoekt's actual index payload
+    (zoekt stores per-trigram OFFSET lists, not doc sets), and it buys
+    a qualitatively different query plan: literal_positions answers a
+    literal query ENTIRELY from the index — content bytes are never
+    read at query time, which at 10^12 files removes the verification
+    scan (the dominant cost of the doc-set trigram design) from the
+    hot path.
+
+    The price is index size ∝ content length (one row per character,
+    vs one per distinct trigram) — the accepted Zoekt trade.  Build is
+    one JVM expression chain (sequence → transform-to-struct →
+    explode), whole-stage codegen, zero Python, no shuffle."""
+    col = F.lower(F.col(text_col)) if fold_case else F.col(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(col) - F.lit(2)),
+        lambda p: F.struct(
+            col.substr(p, F.lit(3)).alias("trigram"),
+            p.cast("long").alias("pos"),
+        ),
+    )
+    safe = F.when(F.length(col) >= 3, pairs).otherwise(
+        F.array().cast("array<struct<trigram:string,pos:bigint>>")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(safe).alias("s")
+    ).select("s.trigram", "doc_id", "s.pos")
+
+
+def literal_positions(
+    postings: DataFrame, needle: str, ignore_case: bool = False
+) -> DataFrame:
+    """(doc_id, pos): every occurrence of `needle` (1-based, overlaps
+    included), answered ENTIRELY from a trigram_positions index — no
+    content access, no verification scan.
+
+    An occurrence at pos requires the needle's trigram at every needle
+    offset 0..len-3.  Each posting row joined to the broadcast
+    (trigram, off, bit) constraint map votes for anchor = pos - off;
+    a bit_or over the votes per (doc_id, anchor) equals the full mask
+    iff ALL constraints hold — which (trigrams covering every window)
+    is exactly `needle` at anchor.  Sound and complete, no superset.
+
+    bit_or (not count) makes the test idempotent under duplicate
+    (trigram, doc_id, pos) rows, so append-delta generations of a
+    positional index cannot create false matches — the same
+    discipline as literal_candidates.  Needles longer than 65 chars
+    (>63 constraints) fall back to countDistinct(off), one extra
+    exchange.  The isin filter + bucket pruning hit the index scan;
+    the single wide exchange is the (doc_id, anchor) agg, sized by
+    matching postings, never the corpus.
+
+    ignore_case requires a fold_case-built index (same sidecar
+    contract as literal_search)."""
+    if ignore_case:
+        needle = needle.lower()
+    if len(needle) < 3:
+        raise ValueError(
+            f"needle {needle!r} shorter than 3 chars has no trigrams; "
+            "use a direct contains() scan for it"
+        )
+    constraints = [(needle[i:i + 3], i) for i in range(len(needle) - 2)]
+    n = len(constraints)
+    spark = postings.sparkSession
+    tgs = sorted({t for t, _ in constraints})
+    scoped = _bucket_pruned(postings, tgs).filter(
+        F.col("trigram").isin(tgs)
+    )
+    if n <= 63:
+        qmap = spark.createDataFrame(
+            [(t, o, 1 << i) for i, (t, o) in enumerate(constraints)],
+            "trigram string, off long, bit long",
+        )
+        full = (1 << n) - 1
+        agg, ok = F.bit_or("bit").alias("m"), F.col("m") == full
+        payload = ["doc_id", "pos", "bit"]
+    else:
+        qmap = spark.createDataFrame(
+            [(t, o) for t, o in constraints], "trigram string, off long"
+        )
+        agg, ok = F.count_distinct("off").alias("m"), F.col("m") == n
+        payload = ["doc_id", "pos", "off"]
+    return (
+        scoped.join(F.broadcast(qmap), "trigram")
+        .select(
+            "doc_id", (F.col("pos") - F.col("off")).alias("anchor"),
+            payload[2],
+        )
+        .groupBy("doc_id", "anchor")
+        .agg(agg)
+        .filter(ok)
+        .select("doc_id", F.col("anchor").alias("pos"))
+    )
+
+
 def _tg_bucket_expr(col: Column) -> Column:
     """Partition bucket of a trigram: hex of its first character's UTF-8
     bytes — derivable from the trigram alone on BOTH the write side (a
@@ -149,13 +252,15 @@ def tg_bucket_py(trigram: str) -> str:
     return trigram[0].encode("utf-8").hex().upper()
 
 
-def _write_index_properties(path: str, fold_case: bool) -> None:
+def _write_index_properties(
+    path: str, fold_case: bool, positional: bool = False
+) -> None:
     import json as _json
     import os as _os
 
     _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, "_properties.json"), "w") as fh:
-        _json.dump({"fold_case": fold_case}, fh)
+        _json.dump({"fold_case": fold_case, "positional": positional}, fh)
 
 
 def trigram_index_properties(path: str) -> dict:
@@ -178,6 +283,7 @@ def write_trigram_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fold_case: bool = False,
+    positional: bool = False,
 ) -> None:
     """Persist the trigram posting index partitioned by leading-char
     bucket, so literal/regex queries prune to only the directories
@@ -190,15 +296,23 @@ def write_trigram_index(
     ignore_case queries) and records it in the _properties.json
     sidecar; appends inherit it and ignore_case callers can check it
     (a folded query against an unfolded index would be silently
-    wrong)."""
-    p = trigram_postings(docs, text_col, id_col, fold_case=fold_case)
+    wrong).
+
+    positional=True persists trigram_positions (the Zoekt offset-list
+    payload) instead of the doc-set postings, same bucket layout, so
+    literal_positions answers literal queries index-only.  A
+    positional index still serves literal_candidates/regex search —
+    duplicate (trigram, doc_id) rows from multiple positions are
+    absorbed by the idempotent bit_or / DISTINCT-clause counting."""
+    build = trigram_positions if positional else trigram_postings
+    p = build(docs, text_col, id_col, fold_case=fold_case)
     (
         p.withColumn("tg_bucket", _tg_bucket_expr(F.col("trigram")))
         .write.mode("overwrite")
         .partitionBy("tg_bucket")
         .parquet(path)
     )
-    _write_index_properties(path, fold_case)
+    _write_index_properties(path, fold_case, positional)
 
 
 def append_trigram_index(
@@ -231,9 +345,14 @@ def append_trigram_index(
 
     Case folding is inherited from the index's _properties.json —
     mixing folded and unfolded generations would break ignore_case
-    soundness, so the delta always matches the base."""
-    fold_case = bool(trigram_index_properties(path).get("fold_case"))
-    p = trigram_postings(docs_new, text_col, id_col, fold_case=fold_case)
+    soundness, so the delta always matches the base — and a positional
+    base gets positional deltas (literal_positions' bit_or absorbs the
+    duplicate rows upserts produce, but a PLAIN delta in a positional
+    index would silently blind index-only search to the new docs)."""
+    props = trigram_index_properties(path)
+    fold_case = bool(props.get("fold_case"))
+    build = trigram_positions if props.get("positional") else trigram_postings
+    p = build(docs_new, text_col, id_col, fold_case=fold_case)
     (
         p.withColumn("tg_bucket", _tg_bucket_expr(F.col("trigram")))
         .write.mode("append")

@@ -209,6 +209,96 @@ def test_grep_lines(spark):
     ]
 
 
+def test_literal_positions(spark):
+    texts = {1: "aba abab\nxx ab ab abab yy", 2: "ababab", 3: "no",
+             4: "ABAB mixed"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    brute = sorted(
+        (d, p + 1)
+        for d, t in texts.items()
+        for p in range(len(t) - 3)
+        if t[p:p + 4] == "abab"
+    )
+    idx = CS.trigram_positions(docs)
+    got = sorted(
+        (r["doc_id"], r["pos"])
+        for r in CS.literal_positions(idx, "abab").collect()
+    )
+    assert got == brute  # overlaps included: doc 2 at pos 1 AND 3
+    # fold_case index + ignore_case query
+    ic = sorted(
+        (r["doc_id"], r["pos"])
+        for r in CS.literal_positions(
+            CS.trigram_positions(docs, fold_case=True),
+            "AbAb", ignore_case=True,
+        ).collect()
+    )
+    assert ic == sorted(
+        (d, p + 1)
+        for d, t in texts.items()
+        for p in range(len(t) - 3)
+        if t.lower()[p:p + 4] == "abab"
+    )
+    # duplicate index generations cannot create false matches (bit_or)
+    assert sorted(
+        (r["doc_id"], r["pos"])
+        for r in CS.literal_positions(
+            idx.unionByName(idx), "abab"
+        ).collect()
+    ) == brute
+    # >63-constraint fallback (countDistinct path), 70-char needle
+    long_t = "x" * 30 + "needleneedleneedle" + "y" * 40
+    idx2 = CS.trigram_positions(
+        spark.createDataFrame(
+            [(9, "pad " + long_t + " pad")], "doc_id long, text string"
+        )
+    )
+    [r] = CS.literal_positions(idx2, long_t[:70]).collect()
+    assert (r["doc_id"], r["pos"]) == (9, 5)
+    # agreement with the verified doc-set path on match DOCS
+    lit = {r["doc_id"] for r in CS.literal_search(docs, "abab").collect()}
+    assert {d for d, _ in got} == lit
+    with pytest.raises(ValueError):
+        CS.literal_positions(idx, "ab")
+
+
+def test_positional_persisted_lifecycle(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "merge window table"), (2, "window table window table")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "posidx")
+    CS.write_trigram_index(docs, path, positional=True)
+    assert CS.trigram_index_properties(path)["positional"] is True
+    idx = CS.load_trigram_index(spark, path)
+    got = sorted(
+        (r["doc_id"], r["pos"])
+        for r in CS.literal_positions(idx, "window table").collect()
+    )
+    assert got == [(1, 7), (2, 1), (2, 14)]
+    # append inherits the positional layout: new doc searchable
+    CS.append_trigram_index(
+        spark.createDataFrame(
+            [(3, "a window table z")], "doc_id long, text string"
+        ),
+        path,
+    )
+    idx2 = CS.load_trigram_index(spark, path)
+    got2 = sorted(
+        (r["doc_id"], r["pos"])
+        for r in CS.literal_positions(idx2, "window table").collect()
+    )
+    assert got2 == [(1, 7), (2, 1), (2, 14), (3, 3)]
+    # the positional layout still serves the doc-set candidate path
+    cand = {
+        r["doc_id"]
+        for r in CS.literal_candidates(idx2, "window table").collect()
+    }
+    assert cand == {1, 2, 3}
+
+
 def test_symbol_boosted_bm25(spark):
     docs = spark.createDataFrame(
         [
@@ -597,7 +687,7 @@ def test_compact_trigram_index(spark, tmp_path):
     )
     CS.append_trigram_index(cur.filter("doc_id = 2"), path)
     CS.compact_trigram_index(cur, path)
-    assert CS.trigram_index_properties(path) == {"fold_case": True}
+    assert CS.trigram_index_properties(path)["fold_case"] is True
     idx = CS.load_trigram_index(spark, path)
     assert idx.filter("doc_id = 3").count() == 0
     assert (
@@ -623,7 +713,7 @@ def test_folded_persisted_index(spark, tmp_path):
     )
     path = str(tmp_path / "tg_folded")
     CS.write_trigram_index(docs, path, fold_case=True)
-    assert CS.trigram_index_properties(path) == {"fold_case": True}
+    assert CS.trigram_index_properties(path)["fold_case"] is True
     # delta with a NEW mixed-case match must inherit the folding
     cur = spark.createDataFrame(
         [(1, "Window Table here"), (2, "plain text"),
@@ -648,7 +738,7 @@ def test_folded_persisted_index(spark, tmp_path):
     # unfolded layouts read as fold_case=False (incl. pre-sidecar dirs)
     plain = str(tmp_path / "tg_plain")
     CS.write_trigram_index(docs, plain)
-    assert CS.trigram_index_properties(plain) == {"fold_case": False}
+    assert CS.trigram_index_properties(plain)["fold_case"] is False
 
 
 def test_cli_grep_ignore_case_guard(spark, tmp_path):

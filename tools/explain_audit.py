@@ -357,6 +357,19 @@ def main() -> int:
           p.count("hashpartitioning(") <= 1,
           f"found {p.count('hashpartitioning(')}")
 
+    from search_engine_spark.contract import q_grep_offsets
+
+    p = plan_of(q_grep_offsets(spark, sf_dir))
+    check("grep_offsets (positional index): content read ONCE to build "
+          "— query side is index-only (no verification join back to "
+          "the corpus), constraint map broadcast, ONE wide exchange "
+          "(the (doc,anchor) vote agg), no row-Python",
+          len(__import__("re").findall(r"\(\d+\) Scan parquet", p)) == 1
+          and "BroadcastHashJoin" in p
+          and p.count("hashpartitioning(") == 1
+          and "partial_bit_or" in p        # map-side combine on the votes
+          and "BatchEvalPython" not in p)
+
     from search_engine_spark.contract import q_grep_batch
 
     p = plan_of(q_grep_batch(spark, sf_dir))
