@@ -279,6 +279,14 @@ def main() -> None:
     extras["query_surface_history"] = {"medians": t_s5.medians,
                                        "spread": t_s5.spread}
 
+    # --- round-4 session-6: transitive import closure + repo-level
+    # ranked search ---
+    t_s6 = Timer(REPS)
+    for name in ("import_closure", "repo_topk"):
+        t_s6.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_r4s6"] = {"medians": t_s6.medians,
+                                    "spread": t_s6.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

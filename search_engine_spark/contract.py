@@ -4632,6 +4632,16 @@ _IMPORT_MIN_WORDS = 4
 _PR_MODULES = 50
 _PR_ITERATIONS = 3
 _PR_DAMPING = 0.85
+# transitive closure runs on a SPARSER module space (more modules →
+# fewer collisions → reachability actually takes hops instead of
+# saturating at depth 2) and a bounded hop count, same formula in SQL.
+_CL_MODULES = 200
+_CL_DEPTH = 4
+# repo-level ranking: repos synthesized as doc_id % 37 (same convention
+# as the module spaces above), top-3 file scores summed per repo.
+_REPO_GROUPS = 37
+_REPO_PER_GROUP = 3
+_REPO_TOPK = 10
 REFS_IDENT = "merge"
 _REFS_DEF_MOD = 4
 # snapshot-B synthesis for the sha-diff pair: every %7 doc's content
@@ -4745,11 +4755,11 @@ FROM imports GROUP BY module
 """
 
 
-def _pr_canonical_module() -> "F.Column":
+def _pr_canonical_module(n_modules: int = _PR_MODULES) -> "F.Column":
     return F.concat(
         F.lit("m"),
         (
-            (F.length("module") * 31 + F.ascii("module")) % _PR_MODULES
+            (F.length("module") * 31 + F.ascii("module")) % n_modules
         ).cast("string"),
     )
 
@@ -4820,6 +4830,134 @@ outd AS (
 r0 AS (SELECT node, CAST(1 AS DOUBLE) / m.n AS rank FROM nodes CROSS JOIN m),
 {iters}
 SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERATIONS}
+"""
+
+
+def _closure_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops import codegraph as CGR
+
+    imports = CGR.extract_imports(_import_docs(spark, sf_dir))
+    owner = _import_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("m"), (F.col("doc_id") % _CL_MODULES).cast("string")
+        ).alias("src"),
+    )
+    return CGR.import_edges(imports, owner, _pr_canonical_module(_CL_MODULES))
+
+
+def q_import_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dependency closure (ops.codegraph.import_closure):
+    min-hop reachability over the module graph up to {_CL_DEPTH} hops —
+    "everything X pulls in, directly or through intermediaries"; read
+    backwards (group by dst) it is the impact set a code-intelligence
+    service answers "what breaks if I change this" with.  Semi-naive
+    BFS: one frontier⋈edges shuffle join + one left_anti dedup per
+    round, localCheckpoint lineage cuts (connected_components
+    discipline), per-round emptiness check metadata-sized.  The oracle
+    restates it as a DuckDB WITH RECURSIVE walk capped at the same
+    depth with MIN(depth) grouping — the iterative dataflow itself is
+    value-pinned cross-engine.  Modules live in a 200-slot space (vs
+    PageRank's 50) so reachability genuinely takes hops instead of
+    saturating at depth 2."""
+    from .ops import codegraph as CGR
+
+    closure = CGR.import_closure(
+        _closure_edges(spark, sf_dir), max_depth=_CL_DEPTH
+    )
+    return closure.select(
+        "src", "dst", F.col("depth").cast("int").alias("depth")
+    )
+
+
+def _sql_import_closure() -> str:
+    return f"""
+WITH RECURSIVE {_sql_imports_cte()},
+edges AS (
+  SELECT DISTINCT
+         'm' || CAST(doc_id % {_CL_MODULES} AS VARCHAR) AS src,
+         'm' || CAST((length(module) * 31 + ascii(module)) % {_CL_MODULES}
+                     AS VARCHAR) AS dst
+  FROM imports
+),
+walk(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.dst
+  WHERE w.depth < {_CL_DEPTH}
+)
+SELECT src, dst, CAST(MIN(depth) AS INT) AS depth
+FROM walk GROUP BY src, dst
+"""
+
+
+def q_repo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level ranked search (query.grouped_topk over the standard
+    exact-float32 BM25 scorer): rank the REPOSITORIES a query matches —
+    repo_score = sum of the repo's top-{_REPO_PER_GROUP} file scores
+    (one giant repo with many weak matches cannot swamp a repo with a
+    few strong files), with n_matched and the best file riding along.
+    The GitHub-style repo results tab; the reference ranks only
+    documents (BM25Scorer.cs).  Plan shape: the per-doc scoring plan of
+    bm25_topk unchanged, then one (topic,repo)-partitioned window + one
+    partial+final agg + a per-topic top-k over the group-collapsed
+    rows.  The oracle restates the window/agg over the shared `ranked`
+    CTE chain; the ≤{_REPO_PER_GROUP}-double sum is rounded to 5
+    decimals on both sides (SUM order is engine-chosen)."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    scores = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=1 << 30, exact_float32=True
+    )
+    repo = F.concat(
+        F.lit("r"), (F.col("doc_id") % _REPO_GROUPS).cast("string")
+    )
+    g = Q.grouped_topk(
+        scores.withColumn("repo", repo),
+        "repo",
+        per_group=_REPO_PER_GROUP,
+        k=_REPO_TOPK,
+    )
+    return g.select(
+        F.col("rank").cast("long").alias("rank"),
+        "repo",
+        F.col("group_score").alias("repo_score"),
+        "n_matched",
+        "best_doc_id",
+    )
+
+
+def _sql_repo_topk() -> str:
+    ctes = _sql_bm25_ctes()
+    return f"""
+WITH {ctes},
+within AS (
+  SELECT 'r' || CAST(doc_id % {_REPO_GROUPS} AS VARCHAR) AS repo,
+         doc_id, CAST(score AS DOUBLE) AS dscore,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id % {_REPO_GROUPS}
+           ORDER BY score DESC, doc_id ASC
+         ) AS rn
+  FROM ranked
+),
+agg AS (
+  SELECT repo,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         round(SUM(CASE WHEN rn <= {_REPO_PER_GROUP} THEN dscore
+                        ELSE CAST(0 AS DOUBLE) END), 5) AS repo_score,
+         MAX(CASE WHEN rn = 1 THEN doc_id END) AS best_doc_id
+  FROM within GROUP BY repo
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY repo_score DESC, repo ASC)
+            AS BIGINT) AS rank,
+       repo, repo_score, n_matched, best_doc_id
+FROM agg
+ORDER BY repo_score DESC, repo ASC
+LIMIT {_REPO_TOPK}
 """
 
 
@@ -6726,6 +6864,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "import_closure": q_import_closure,
+        "repo_topk": q_repo_topk,
         "grep_highlight": q_grep_highlight,
         "symbol_timeline": q_symbol_timeline,
         "pickaxe_search": q_pickaxe_search,
@@ -6975,6 +7115,8 @@ FROM tok GROUP BY term
         "trigram_regex_search": _sql_trigram_regex(),
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
+        "import_closure": _sql_import_closure(),
+        "repo_topk": _sql_repo_topk(),
         "grep_highlight": _sql_grep_highlight(LITERAL_NEEDLE),
         "symbol_timeline": _sql_symbol_timeline(),
         "pickaxe_search": _sql_pickaxe_search(),

@@ -27,6 +27,7 @@ __all__ = [
     "module_fanin",
     "import_edges",
     "pagerank",
+    "import_closure",
     "path_rollup",
     "find_references",
     "repo_clone_pairs",
@@ -166,6 +167,60 @@ def pagerank(
     weakref.finalize(ranks, nodes.unpersist)
     weakref.finalize(ranks, ew.unpersist)
     return ranks
+
+
+def import_closure(
+    edges: DataFrame, max_depth: int = 4, checkpoint: bool = True
+) -> DataFrame:
+    """(src, dst, depth): the TRANSITIVE dependency closure of the
+    module graph up to `max_depth` hops, depth = minimum hop count —
+    "everything module X pulls in, directly or through intermediaries".
+    The reverse reading (group by dst) is the impact set: everything
+    that transitively depends on X, the "what breaks if I change this"
+    query of a code-intelligence service.
+
+    Classic semi-naive BFS as iterative dataflow: the frontier (pairs
+    first discovered last round — NOT the whole closure) is extended by
+    one edge join per round, new pairs are those not already known
+    (left_anti against the accumulated closure), and discovery round =
+    min-hop depth.  Extending only the frontier is sufficient for
+    min-depth reachability: any pair reachable in d hops extends a pair
+    first discovered at d-1.
+
+    Scale shape: rows are (module, module) pairs — the module graph is
+    ~10^5-10^6 nodes even for a 10^12-file corpus, so the closure is
+    metadata-sized relative to content.  Each round is ONE shuffle join
+    (frontier.dst = edges.src) plus ONE left_anti dedup join; the per-
+    round emptiness check is a metadata-sized count.  Lineage is cut
+    with localCheckpoint every round (connected_components discipline —
+    the accumulated union otherwise doubles the plan per iteration);
+    `checkpoint=False` keeps the full lineage so the plan auditor can
+    inspect the per-round join shape (never use it for deep graphs)."""
+    cut = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint
+        else (lambda df: df)
+    )
+    e = edges.select("src", "dst").distinct().cache()
+    closure = cut(e.withColumn("depth", F.lit(1)))
+    frontier = closure
+    for d in range(2, max_depth + 1):
+        nxt = cut(
+            frontier.alias("f")
+            .join(e.alias("g"), F.col("f.dst") == F.col("g.src"))
+            .select(F.col("f.src").alias("src"), F.col("g.dst").alias("dst"))
+            .distinct()
+            .join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        if nxt.isEmpty():
+            break
+        closure = cut(closure.unionByName(nxt))
+        frontier = nxt
+    import weakref
+
+    weakref.finalize(closure, e.unpersist)
+    return closure
 
 
 def path_rollup(

@@ -165,6 +165,62 @@ def topk(scores: DataFrame, k: int = 1000) -> DataFrame:
     )
 
 
+def grouped_topk(
+    scores: DataFrame,
+    group_col: str,
+    per_group: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Group-level (repo-level) ranking over per-doc scores: rank the
+    GROUPS a query matches, not the files — the "which repository should
+    I look at" result page of a code-search service (GitHub's repo
+    results tab; the reference ranks only documents, BM25Scorer.cs).
+
+    group_score = sum of the group's top-`per_group` doc scores (score
+    desc, doc_id asc within group — deterministic), so one giant repo
+    with many weak matches cannot swamp a repo with a few strong ones;
+    n_matched and the group's best doc ride along.  Output: per topic,
+    the top-`k` groups by (group_score desc, group asc).
+
+    Scale shape: one window over (topic, group) partitions — Spark sorts
+    within hash partitions, never globally — then ONE partial+final agg
+    on the same key, then a per-topic top-k window over the (already
+    group-collapsed, metadata-sized) agg output.  Content and postings
+    are long gone; rows here = matched docs, then matched groups.
+
+    The double-sum is rounded to 5 decimals: at most `per_group` doubles
+    are added per group and SQL SUM order is engine-chosen, so the
+    cross-engine difference is bounded by a few ulps — the round pins
+    the contract value (module_pagerank discipline)."""
+    w = Window.partitionBy("topic_id", group_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    within = scores.withColumn("rn", F.row_number().over(w))
+    agg = within.groupBy("topic_id", group_col).agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= per_group, F.col("score").cast("double")
+                ).otherwise(F.lit(0.0))
+            ),
+            5,
+        ).alias("group_score"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("best_doc_id"),
+    )
+    w2 = Window.partitionBy("topic_id").orderBy(
+        F.desc("group_score"), F.asc(group_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "topic_id", "rank", group_col, "group_score",
+            "n_matched", "best_doc_id",
+        )
+    )
+
+
 def score_bm25(
     tokens: DataFrame,
     n_docs: int,

@@ -423,3 +423,69 @@ def test_symbol_complete_ordering(spark):
     # stream: refs = d1 line2 (2) + d2 line2 (2) + d3 line2 (1) = 5
     # stack: refs = d2 line2 (1)
     assert got == [("stream", 5), ("stack", 1)]
+
+
+def _py_closure(edge_list, max_depth):
+    """Pure-Python min-hop BFS oracle for import_closure."""
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    for s in adj:
+        seen = {}
+        frontier = set(adj[s])
+        depth = 1
+        while frontier and depth <= max_depth:
+            new = {v for v in frontier if v not in seen}
+            for v in new:
+                seen[v] = depth
+            frontier = set()
+            for v in new:
+                frontier |= adj.get(v, set())
+            depth += 1
+        for v, dd in seen.items():
+            out[(s, v)] = dd
+    return out
+
+
+def _closure_df(spark, edge_list, max_depth):
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    rows = CG.import_closure(edges, max_depth=max_depth).collect()
+    got = {(r["src"], r["dst"]): r["depth"] for r in rows}
+    assert len(got) == len(rows), "duplicate (src, dst) pair in closure"
+    return got
+
+
+def test_import_closure_chain_and_depth_cap(spark):
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = _closure_df(spark, chain, 3)
+    assert got == _py_closure(chain, 3)
+    assert got[("a", "d")] == 3 and ("a", "e") not in got
+
+
+def test_import_closure_cycle_reaches_self(spark):
+    cyc = [("x", "y"), ("y", "z"), ("z", "x")]
+    got = _closure_df(spark, cyc, 4)
+    assert got == _py_closure(cyc, 4)
+    assert got[("x", "x")] == 3
+
+
+def test_import_closure_early_exit_matches_full_depth(spark):
+    # BFS exhausts at depth 2; a generous cap must not change the result
+    g = [("a", "b"), ("a", "c"), ("b", "c")]
+    assert _closure_df(spark, g, 10) == _py_closure(g, 10)
+
+
+def test_import_closure_random_graph_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(70)
+        }
+    )
+    got = _closure_df(spark, edges, 4)
+    assert got == _py_closure(edges, 4)

@@ -166,3 +166,43 @@ def test_collapse_topk(spark):
     res3 = Q.collapse_topk(rdf, gdf, "source", n_groups=10).collect()
     rows3 = sorted((r["group_rank"], r["source"], r["doc_id"]) for r in res3)
     assert rows3 == [(1, "a", 100), (2, "b", 102), (3, "c", 103)]
+
+
+def test_grouped_topk_matches_manual(spark):
+    # (topic, doc, score, repo): repo g1 has 4 matches (top-3 summed),
+    # g2 two strong ones, g3 a lone weak one; topic 2 checks isolation.
+    rows = [
+        (1, 1, 4.0, "g1"), (1, 2, 3.0, "g1"), (1, 3, 2.0, "g1"),
+        (1, 4, 1.0, "g1"),
+        (1, 5, 6.0, "g2"), (1, 6, 5.5, "g2"),
+        (1, 7, 0.5, "g3"),
+        (2, 8, 9.0, "g3"),
+    ]
+    scores = spark.createDataFrame(
+        rows, "topic_id long, doc_id long, score double, repo string"
+    )
+    got = {
+        (r["topic_id"], r["rank"]): (
+            r["repo"], r["group_score"], r["n_matched"], r["best_doc_id"]
+        )
+        for r in Q.grouped_topk(scores, "repo", per_group=3, k=10).collect()
+    }
+    assert got == {
+        (1, 1): ("g2", 11.5, 2, 5),   # 6.0 + 5.5
+        (1, 2): ("g1", 9.0, 4, 1),    # 4 + 3 + 2 (the 1.0 is cut)
+        (1, 3): ("g3", 0.5, 1, 7),
+        (2, 1): ("g3", 9.0, 1, 8),
+    }
+
+
+def test_grouped_topk_ties_and_k_cut(spark):
+    # equal group scores tie-break on group name asc; k cuts the tail
+    rows = [
+        (1, 1, 2.0, "b"), (1, 2, 2.0, "a"), (1, 3, 1.0, "c"),
+    ]
+    scores = spark.createDataFrame(
+        rows, "topic_id long, doc_id long, score double, repo string"
+    )
+    out = Q.grouped_topk(scores, "repo", per_group=3, k=2).collect()
+    ranked = sorted((r["rank"], r["repo"]) for r in out)
+    assert ranked == [(1, "a"), (2, "b")]

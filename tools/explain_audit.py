@@ -470,6 +470,29 @@ def main() -> int:
     check("pagerank: no cartesian, no row-Python (join+agg rounds only)",
           "CartesianProduct" not in p and "BatchEvalPython" not in p)
 
+    # full-lineage BFS round (checkpoint=False exposes the real plan:
+    # the contract query's localCheckpoint would truncate it to a scan)
+    from search_engine_spark.contract import _closure_edges
+    from search_engine_spark.ops.codegraph import import_closure
+
+    p = plan_of(
+        import_closure(_closure_edges(spark, sf_dir), 2, checkpoint=False)
+    )
+    check("import closure round: frontier extend join + left_anti dedup, "
+          "no cartesian, no row-Python",
+          "LeftAnti" in p
+          and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p)
+
+    from search_engine_spark.contract import q_repo_topk
+
+    p = plan_of(q_repo_topk(spark, sf_dir))
+    check("repo topk: per-group + per-topic windows above the standard "
+          "BM25 plan, no cartesian, no row-Python",
+          p.count("Window") >= 2
+          and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p)
+
     p = plan_of(q_path_rollup(spark, sf_dir))
     check("path rollup: scan pruned to the path inputs (no text), ONE "
           "wide exchange",

@@ -1,0 +1,169 @@
+"""Scale probe for the session-6 operators on the realistic corpus:
+
+* import_closure — semi-naive BFS transitive closure (depth 3) over a
+  module graph synthesized exactly like the codegraph probe (planted
+  tail-word imports, owner = doc_id % N_MODULES, xxhash64-canonical
+  dst), sized so the graph has ~4 out-edges per module: the closure
+  output is tens of millions of (src, dst, depth) pairs — the BFS
+  rounds do real shuffle work (extend join + left_anti dedup).
+* repo_topk — repo-level ranked search: the full exact-float32 BM25
+  scoring plan (no top-k cut) + grouped_topk over N_REPOS repos, vs the
+  plain doc-level top-k as the baseline increment.
+
+Each at two parallelism levels with the interleaved-draw MIN estimator
+(BASELINE.md host-noise method).
+
+Usage: python tools/measure_s6_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+N_MODULES = N_DOCS  # ~1 doc per module -> out-degree ~4 (the 4 planted imports)
+CLOSURE_DEPTH = 3
+N_REPOS = 2_000
+BENCH_QUERY = "spark merge window batch part the"
+
+
+def _planted(docs):
+    from pyspark.sql import functions as F
+
+    # words 11+ are the 200k-term Zipf TAIL (the hot head would collapse
+    # the module space) — same planting as measure_codegraph_scaling
+    w = F.split(F.col("text"), " ")
+    nl = F.lit("\n")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("import "), F.element_at(w, 11), nl,
+            F.lit("from "), F.element_at(w, 12), F.lit(" import x"), nl,
+            F.lit("#include <"), F.element_at(w, 13), F.lit(".h>"), nl,
+            F.lit("const a = require('"), F.element_at(w, 14), F.lit("')"),
+            nl, F.col("text"),
+        ).alias("text"),
+    )
+
+
+def one_draw(sp, docs_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import build as B, query as Q
+    from search_engine_spark.config import AnalyzerConfig, BM25Params
+    from search_engine_spark.ops import codegraph as CG
+
+    docs = sp.read.parquet(docs_path)
+    t: dict[str, object] = {}
+
+    owner = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("m"), (F.col("doc_id") % N_MODULES).cast("string")
+        ).alias("src"),
+    )
+    canon = F.concat(
+        F.lit("m"),
+        F.pmod(F.xxhash64("module"), F.lit(N_MODULES)).cast("string"),
+    )
+    t0 = time.perf_counter()
+    edges = CG.import_edges(
+        CG.extract_imports(_planted(docs)), owner, canon
+    ).localCheckpoint(eager=True)  # isolate closure timing from extraction
+    t["n_edges"] = edges.count()
+    t["build_edges"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    closure = CG.import_closure(edges, max_depth=CLOSURE_DEPTH)
+    t["n_pairs"] = closure.count()
+    t["import_closure_d3"] = round(time.perf_counter() - t0, 2)
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tokens = B.analyze_tokens(docs, cfg, "doc_id", "text")
+    meta = B.build_doc_meta(docs, cfg, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(sp, [(1, BENCH_QUERY)], cfg)
+
+    t0 = time.perf_counter()
+    t["n_doc_hits"] = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=20
+    ).count()
+    t["doc_topk"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    scores = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=1 << 30
+    ).withColumn(
+        "repo",
+        F.concat(F.lit("r"), (F.col("doc_id") % N_REPOS).cast("string")),
+    )
+    t["n_repo_hits"] = Q.grouped_topk(scores, "repo", per_group=3, k=20).count()
+    t["repo_topk"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="s6_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+    s = get_spark("s6_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"s6_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(one_draw(sp, docs_path))
+        sp.stop()
+
+    timing_ops = ("build_edges", "import_closure_d3", "doc_topk", "repo_topk")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "s6_scaling",
+        "n_docs": N_DOCS,
+        "n_modules": N_MODULES,
+        "closure_depth": CLOSURE_DEPTH,
+        "n_repos": N_REPOS,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
