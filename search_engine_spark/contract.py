@@ -4892,6 +4892,54 @@ FROM walk GROUP BY src, dst
 """
 
 
+def q_impact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact leaderboard — the closure read backwards: for every
+    module, how many modules TRANSITIVELY depend on it within
+    {_CL_DEPTH} hops (n_dependents) and how many directly (n_direct).
+    The "most load-bearing module" report a code-intelligence service
+    derives from the dependency closure; one partial+final agg over the
+    (already metadata-sized) closure pairs."""
+    from .ops import codegraph as CGR
+
+    closure = CGR.import_closure(
+        _closure_edges(spark, sf_dir), max_depth=_CL_DEPTH
+    )
+    return closure.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_dependents"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_direct"),
+    )
+
+
+def _sql_impact_count() -> str:
+    return f"""
+WITH RECURSIVE {_sql_imports_cte()},
+edges AS (
+  SELECT DISTINCT
+         'm' || CAST(doc_id % {_CL_MODULES} AS VARCHAR) AS src,
+         'm' || CAST((length(module) * 31 + ascii(module)) % {_CL_MODULES}
+                     AS VARCHAR) AS dst
+  FROM imports
+),
+walk(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT w.src, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.dst
+  WHERE w.depth < {_CL_DEPTH}
+),
+closure AS (
+  SELECT src, dst, MIN(depth) AS depth FROM walk GROUP BY src, dst
+)
+SELECT dst,
+       CAST(COUNT(*) AS BIGINT) AS n_dependents,
+       CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_direct
+FROM closure GROUP BY dst
+"""
+
+
 def q_repo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level ranked search (query.grouped_topk over the standard
     exact-float32 BM25 scorer): rank the REPOSITORIES a query matches —
@@ -6865,6 +6913,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
         "import_closure": q_import_closure,
+        "impact_count": q_impact_count,
         "repo_topk": q_repo_topk,
         "grep_highlight": q_grep_highlight,
         "symbol_timeline": q_symbol_timeline,
@@ -7116,6 +7165,7 @@ FROM tok GROUP BY term
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
         "import_closure": _sql_import_closure(),
+        "impact_count": _sql_impact_count(),
         "repo_topk": _sql_repo_topk(),
         "grep_highlight": _sql_grep_highlight(LITERAL_NEEDLE),
         "symbol_timeline": _sql_symbol_timeline(),

@@ -1,0 +1,187 @@
+"""Scale probe for the commit-history layer (history.py) on a realistic
+event table: 1M files x 5 versions = ~5M change events (plus planted
+renames, permanent deletes, and a pickaxe needle that appears at v=1
+and disappears at v=3 for every 100th file).
+
+Ops probed at two parallelism levels (interleaved draws, MIN estimator
+— BASELINE.md host-noise method):
+
+* latest_snapshot / snapshot_at(mid) — the max_by partial-agg reduction
+  (ONE exchange; losers never materialize)
+* file_history -> commit_churn — content-free lag window + commit agg
+* rename_detect — lag-sha recovery + (commit, repo, sha) equi-join
+* pickaxe_search — git log -S: occurrence counts in the scan, window
+  only over ever-matching paths (broadcast semi-join scope cut)
+
+Usage: python tools/measure_history_scaling.py [n_files] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VERSIONS = 5
+VOCAB = 200_000
+N_REPOS = 2_000
+TOKENS = 20
+NEEDLE = "pickaxe_needle("
+RENAME_MOD = 100  # doc_id % 100 == 7 renamed at the last version
+DELETE_MOD = 100  # doc_id % 100 == 13 deleted at the last version
+NEEDLE_MOD = 100  # doc_id % 100 == 0 carries the needle at v in {1, 2}
+COMMITS_PER_VERSION = 1_000  # each commit touches ~n_files/1000 paths
+
+
+def _content(doc, v):
+    """Deterministic ~130-byte body varying by (doc, v), tail-vocab
+    tokens like fixtures.realistic_docs_df; the needle rides versions
+    1-2 of every NEEDLE_MOD-th file."""
+    from pyspark.sql import functions as F
+
+    toks = [
+        F.concat(
+            F.lit("t"),
+            (
+                F.abs(F.xxhash64(((doc * 31 + v) * TOKENS + F.lit(j)).cast("string")))
+                % VOCAB
+            ).cast("string"),
+        )
+        for j in range(TOKENS)
+    ]
+    body = F.concat_ws(" ", *toks)
+    return F.when(
+        (doc % NEEDLE_MOD == 0) & v.isin(1, 2),
+        F.concat(body, F.lit(" " + NEEDLE)),
+    ).otherwise(body)
+
+
+def synth_events(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, N_FILES * VERSIONS, numPartitions=256).select(
+        (F.col("id") % N_FILES).alias("doc_id"),
+        (F.col("id") / N_FILES).cast("long").alias("v"),
+    )
+    doc, v = F.col("doc_id"), F.col("v")
+    commit_seq = v * COMMITS_PER_VERSION + doc % COMMITS_PER_VERSION
+    repo = F.concat(F.lit("r"), (doc % N_REPOS).cast("string"))
+    old_path = F.concat(
+        F.lit("d"), (doc % 1000).cast("string"),
+        F.lit("/f"), doc.cast("string"), F.lit(".py"),
+    )
+    last = VERSIONS - 1
+    is_ren = (doc % RENAME_MOD == 7) & (v == last)
+    is_del = (doc % DELETE_MOD == 13) & (v == last)
+
+    edits = base.filter(~is_ren & ~is_del).select(
+        repo.alias("repo"), old_path.alias("path"),
+        commit_seq.alias("commit_seq"), doc.alias("doc_id"),
+        _content(doc, v).alias("text"), F.lit(False).alias("deleted"),
+    )
+    dels = base.filter(is_del | is_ren).select(
+        repo.alias("repo"), old_path.alias("path"),
+        commit_seq.alias("commit_seq"), doc.alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(True).alias("deleted"),
+    )
+    # the renamed file reappears at a new path with its PREVIOUS content
+    # (sha-identical), in the same commit — git's -M100% shape
+    ren_adds = base.filter(is_ren).select(
+        repo.alias("repo"),
+        F.concat(F.lit("renamed/f"), doc.cast("string"), F.lit(".py")).alias("path"),
+        commit_seq.alias("commit_seq"), doc.alias("doc_id"),
+        _content(doc, v - 1).alias("text"), F.lit(False).alias("deleted"),
+    )
+    return edits.unionByName(dels).unionByName(ren_adds)
+
+
+def one_draw(sp, events_path: str) -> dict:
+    from search_engine_spark import history as H
+
+    events = sp.read.parquet(events_path)
+    mid = (VERSIONS // 2) * COMMITS_PER_VERSION  # as-of point between versions
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    t["n_live"] = H.latest_snapshot(events).count()
+    t["latest_snapshot"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_asof"] = H.snapshot_at(events, mid).count()
+    t["snapshot_at_mid"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_commits"] = H.commit_churn(events).count()
+    t["commit_churn"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_renames"] = H.rename_detect(events).count()
+    t["rename_detect"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_pickaxe"] = H.pickaxe_search(events, NEEDLE).count()
+    t["pickaxe_search"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="hist_scale_")
+    events_path = f"{tmp}/events.parquet"
+    s = get_spark("hist_prep", master="local[16]", shuffle_partitions=32)
+    synth_events(s).write.mode("overwrite").parquet(events_path)
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"hist_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(one_draw(sp, events_path))
+        sp.stop()
+
+    timing_ops = ("latest_snapshot", "snapshot_at_mid", "commit_churn",
+                  "rename_detect", "pickaxe_search")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "history_scaling",
+        "n_files": N_FILES,
+        "versions": VERSIONS,
+        "n_events": N_FILES * VERSIONS,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

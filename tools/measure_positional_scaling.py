@@ -1,0 +1,146 @@
+"""Scale probe for the POSITIONAL trigram index (round-4 session 6):
+build cost of the offset-list payload vs the doc-set index, and
+index-only literal query latency (literal_positions — content never
+read at query time) vs the verify-path literal_search, for a rare
+needle and a stop-word-like common needle.
+
+The positional index is the Zoekt trade: rows ∝ content characters
+(~6x the doc-set index here) bought so literal queries skip the
+verification scan entirely — at 10^12 files the verification scan IS
+the query cost, so this probe reports both sides of the trade.
+
+Method per BASELINE.md host-noise notes: interleaved draws, per-op MIN
+across draws.  Run ALONE.
+
+Usage: python tools/measure_positional_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+NEEDLE_RARE = "t9431"        # long-tail term, df ~ 40
+NEEDLE_COMMON = "hot3 hot4"  # word-boundary crossing, ~90% of docs
+
+
+def one_draw(sp, docs_path: str, tmp: str) -> dict:
+    from search_engine_spark.ops.codesearch import (
+        literal_positions, literal_search, load_trigram_index,
+        write_trigram_index,
+    )
+
+    docs = sp.read.parquet(docs_path)
+    t: dict[str, object] = {}
+
+    idx_doc = f"{tmp}/idx_docset"
+    idx_pos = f"{tmp}/idx_positional"
+    t0 = time.perf_counter()
+    write_trigram_index(docs, idx_doc)
+    t["build_docset"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    write_trigram_index(docs, idx_pos, positional=True)
+    t["build_positional"] = round(time.perf_counter() - t0, 2)
+
+    postings = load_trigram_index(sp, idx_doc)
+    positions = load_trigram_index(sp, idx_pos)
+
+    t0 = time.perf_counter()
+    t["n_rare_verify"] = literal_search(docs, NEEDLE_RARE, postings).count()
+    t["query_rare_verify"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_rare_indexonly"] = (
+        literal_positions(positions, NEEDLE_RARE)
+        .select("doc_id").distinct().count()
+    )
+    t["query_rare_indexonly"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_common_verify"] = literal_search(
+        docs, NEEDLE_COMMON, postings
+    ).count()
+    t["query_common_verify"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_common_indexonly"] = (
+        literal_positions(positions, NEEDLE_COMMON)
+        .select("doc_id").distinct().count()
+    )
+    t["query_common_indexonly"] = round(time.perf_counter() - t0, 2)
+
+    shutil.rmtree(idx_doc, ignore_errors=True)
+    shutil.rmtree(idx_pos, ignore_errors=True)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="pos_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+    s = get_spark("pos_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"pos_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, docs_path, tmp)
+        )
+        sp.stop()
+
+    timing_ops = (
+        "build_docset", "build_positional",
+        "query_rare_verify", "query_rare_indexonly",
+        "query_common_verify", "query_common_indexonly",
+    )
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "positional_scaling",
+        "n_docs": N_DOCS,
+        "needles": {"rare": NEEDLE_RARE, "common": NEEDLE_COMMON},
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,9 @@ VOCAB = 200_000
 N_MODULES = N_DOCS  # ~1 doc per module -> out-degree ~4 (the 4 planted imports)
 CLOSURE_DEPTH = 3
 N_REPOS = 2_000
-BENCH_QUERY = "spark merge window batch part the"
+# two hot (stop-word-like, df ~ n_docs) + three tail terms: every doc is
+# a scoring candidate, so repo_topk's window/agg sees the full match set
+BENCH_QUERY = "hot1 hot7 t17 t4242 t99001"
 
 
 def _planted(docs):
