@@ -55,6 +55,7 @@ _EXPORTS = {
     "index_size_stats": "postings:index_size_stats",
     "search_bm25": "wand:search_bm25",
     "score_bm25": "query:score_bm25",
+    "score_bm25_msm": "query:score_bm25_msm",
     "score_tfidf": "query:score_tfidf",
     "score_ql": "query:score_ql",
     "score_bm25f": "query:score_bm25f",

@@ -1854,12 +1854,16 @@ def _sql_bm25_ctes(
     prelude: str = "",
     query_text: str | None = None,
     score_filter: str = "",
+    min_match: int = 1,
 ) -> str:
     """The BM25 pipeline as a CTE chain ending in `ranked` (no top-k cut)
     — shared by _sql_bm25 and the composed oracles (RRF fusion, field
-    collapsing) that post-process the ranking."""
+    collapsing) that post-process the ranking.  min_match > 1 adds the
+    Lucene minimum_should_match HAVING gate on distinct matched terms
+    (query.score_bm25_msm) — survivor scores are untouched."""
     k1, k3, b = params.k1, params.k3, params.b
     where_scores = f"WHERE {score_filter}" if score_filter else ""
+    having = f"HAVING COUNT(*) >= {min_match}" if min_match > 1 else ""
     return f"""{prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
 {_query_values_sql(query_text or BM25_QUERY_TEXT)},
 tdf AS (
@@ -1880,7 +1884,7 @@ contrib AS (
   CROSS JOIN stats s
 ),
 scores AS (
-  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id {having}
 ),
 ranked AS (
   SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
@@ -1895,12 +1899,15 @@ def _sql_bm25(
     prelude: str = "",
     query_text: str | None = None,
     score_filter: str = "",
+    min_match: int = 1,
 ) -> str:
     """score_filter (a doc_id predicate) drops docs AFTER scoring but
     BEFORE ranking — tombstone semantics: stats/df still count the
     deleted docs (Lucene-style, maintenance.delete_docs), the ranking
     just never returns them."""
-    ctes = _sql_bm25_ctes(params, source_table, prelude, query_text, score_filter)
+    ctes = _sql_bm25_ctes(
+        params, source_table, prelude, query_text, score_filter, min_match
+    )
     return f"""
 WITH {ctes}
 SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
@@ -6900,6 +6907,278 @@ WHERE h.kind IS NULL
 # Public catalog
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-4 session 7: repository analytics + ranking breadth
+# ---------------------------------------------------------------------------
+
+_COCHANGE_MINSUP = 2
+_COCHANGE_CAP = 5000
+_COCHANGE_K = 50
+
+
+def q_co_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evolutionary coupling (history.co_change): top-{_COCHANGE_K} path
+    pairs co-changing in >= {_COCHANGE_MINSUP} commits of the same repo,
+    with commit-set sizes and an exact integer-percent Jaccard.  Giant
+    commits (> cap paths) are excluded BEFORE the pair join — the
+    MinHash-LSH giant-bucket discipline; the cap branch itself is
+    exercised by tests/test_history.py on a planted mass-refactor."""
+    from . import history as H
+
+    return H.co_change(
+        _history_events(_docs(spark, sf_dir)),
+        min_support=_COCHANGE_MINSUP,
+        max_commit_files=_COCHANGE_CAP,
+        k=_COCHANGE_K,
+    )
+
+
+def _sql_co_change() -> str:
+    return f"""
+WITH {_SQL_HIST},
+slim AS (SELECT DISTINCT repo, path, commit_seq FROM hist),
+capped AS (
+  SELECT repo, path, commit_seq FROM (
+    SELECT s.*, COUNT(*) OVER (PARTITION BY repo, commit_seq) AS csz
+    FROM slim s
+  ) WHERE csz <= {_COCHANGE_CAP}
+),
+pp AS (
+  SELECT repo, path, CAST(COUNT(*) AS BIGINT) AS n
+  FROM capped GROUP BY repo, path
+),
+pairs AS (
+  SELECT a.repo, a.path AS path_a, b.path AS path_b,
+         CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM capped a
+  JOIN capped b
+    ON a.repo = b.repo AND a.commit_seq = b.commit_seq AND a.path < b.path
+  GROUP BY a.repo, a.path, b.path
+  HAVING COUNT(*) >= {_COCHANGE_MINSUP}
+)
+SELECT repo, path_a, path_b, n_co, n_a, n_b, jaccard_pct FROM (
+  SELECT p.repo, p.path_a, p.path_b, p.n_co, pa.n AS n_a, pb.n AS n_b,
+         CAST((100 * p.n_co) // (pa.n + pb.n - p.n_co) AS BIGINT)
+           AS jaccard_pct
+  FROM pairs p
+  JOIN pp pa ON pa.repo = p.repo AND pa.path = p.path_a
+  JOIN pp pb ON pb.repo = p.repo AND pb.path = p.path_b
+)
+ORDER BY n_co DESC, jaccard_pct DESC, repo, path_a, path_b
+LIMIT {_COCHANGE_K}
+"""
+
+
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspot leaderboard (history.hotspots): churn x current size over
+    the live snapshot — n_modified * n_lines as an exact integer product
+    (no transcendental weighting, so the score itself value-hashes),
+    ranked with a full (repo, path) tie-break."""
+    from . import history as H
+    from pyspark.sql import Window as W
+
+    hs = H.hotspots(_history_events(_docs(spark, sf_dir)), k=TOPK)
+    wr = W.orderBy(
+        F.col("hotspot").desc(), F.col("repo").asc(), F.col("path").asc()
+    )
+    return hs.withColumn("rank", F.row_number().over(wr).cast("long")).select(
+        "rank", "repo", "path", "n_modified", "n_lines", "hotspot"
+    )
+
+
+def _sql_hotspots() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_sql_hist_snap("snap", None)},
+fh AS (
+  SELECT repo, path,
+         CASE WHEN deleted THEN 'deleted'
+              WHEN lag(deleted) OVER w IS NULL OR lag(deleted) OVER w
+                THEN 'added'
+              ELSE 'modified' END AS kind
+  FROM hist
+  WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+),
+churn AS (
+  SELECT repo, path,
+         CAST(SUM(CASE WHEN kind = 'modified' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_modified
+  FROM fh GROUP BY repo, path
+),
+live AS (
+  SELECT repo, path,
+         CAST(len(regexp_split_to_array(text, chr(10))) AS BIGINT) AS n_lines
+  FROM snap
+),
+scored AS (
+  SELECT l.repo, l.path, c.n_modified, l.n_lines,
+         CAST(c.n_modified * l.n_lines AS BIGINT) AS hotspot
+  FROM live l JOIN churn c ON c.repo = l.repo AND c.path = l.path
+)
+SELECT CAST(row_number() OVER (ORDER BY hotspot DESC, repo, path) AS BIGINT)
+         AS rank,
+       repo, path, n_modified, n_lines, hotspot
+FROM scored
+ORDER BY hotspot DESC, repo, path
+LIMIT {TOPK}
+"""
+
+
+_CALLGRAPH_DEF_MOD = 4
+_CALLGRAPH_CALL_MOD = 3
+_CALLGRAPH_K = 50
+
+
+def _callgraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-graph corpus: docs %{_CALLGRAPH_DEF_MOD}==0 define their
+    first word as a function (line 1); docs %{_CALLGRAPH_CALL_MOD}==0
+    append a call line `w2(w3())` — two nested call sites, attributed to
+    the planted def when the doc has one, else <toplevel>.  Word 2/3
+    fall back to '' on short docs exactly like DuckDB split_part
+    (F.get returns NULL out of range; coalesce matches)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    w1 = F.element_at(words, 1)
+    w2 = F.coalesce(F.get(words, 1), F.lit(""))
+    w3 = F.coalesce(F.get(words, 2), F.lit(""))
+    t1 = F.when(
+        F.col("doc_id") % _CALLGRAPH_DEF_MOD == 0,
+        F.concat(F.lit("def "), w1, F.lit("(a):\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    t2 = F.when(
+        F.col("doc_id") % _CALLGRAPH_CALL_MOD == 0,
+        F.concat(t1, F.lit("\n"), w2, F.lit("("), w3, F.lit("())")),
+    ).otherwise(t1)
+    return docs.select("doc_id", t2.alias("text"))
+
+
+def q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate call graph (ops.codegraph.call_graph): `ident(`
+    occurrences resolved against the defined-symbol dictionary and
+    attributed to the nearest preceding definition in the file
+    (<toplevel> when none) — the "callers of X" panel.  Top-
+    {_CALLGRAPH_K} edges by (n_sites, caller, callee).  Oracle: same
+    line split, same CALL_PATTERN extraction, IN + NOT EXISTS for the
+    def-line exclusion, and an IGNORE NULLS last_value window with the
+    identical (line_no, defs-first, ...) order."""
+    from .ops import codegraph as CGR
+    from pyspark.sql import Window as W
+
+    edges = CGR.call_graph(_callgraph_docs(spark, sf_dir))
+    wr = W.orderBy(
+        F.col("n_sites").desc(), F.col("caller").asc(), F.col("callee").asc()
+    )
+    return (
+        edges.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _CALLGRAPH_K)
+        .select("rank", "caller", "callee", "n_sites", "n_docs")
+    )
+
+
+def _sql_call_edges() -> str:
+    from .ops.codegraph import CALL_PATTERN
+    from .ops.codesearch import SYMBOL_RULES
+
+    structs = ", ".join(
+        f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
+        for kind, pat in SYMBOL_RULES
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_CALLGRAPH_DEF_MOD} = 0
+              THEN 'def ' || split_part(text, ' ', 1) || '(a):'
+                   || chr(10) || text
+              ELSE text END AS t1,
+         text AS orig
+  FROM documents
+),
+planted2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_CALLGRAPH_CALL_MOD} = 0
+              THEN t1 || chr(10) || split_part(orig, ' ', 2) || '('
+                   || split_part(orig, ' ', 3) || '())'
+              ELSE t1 END AS text
+  FROM planted
+),
+l AS (
+  SELECT doc_id, u.i AS line_no, u.l AS line
+  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls
+        FROM planted2),
+  LATERAL (SELECT unnest(ls) AS l, unnest(range(1, len(ls)+1)) AS i) u
+),
+defs AS (
+  SELECT doc_id, line_no, s.symbol AS symbol
+  FROM l,
+  LATERAL (SELECT unnest(list_filter([{structs}], x -> x.symbol <> '')) AS s)
+),
+raw_calls AS (
+  SELECT doc_id, line_no,
+         unnest(regexp_extract_all(line, '{CALL_PATTERN}', 1)) AS callee
+  FROM l
+),
+calls AS (
+  SELECT c.doc_id, c.line_no, c.callee
+  FROM raw_calls c
+  WHERE c.callee IN (SELECT symbol FROM defs)
+    AND NOT EXISTS (SELECT 1 FROM defs d
+                    WHERE d.doc_id = c.doc_id AND d.line_no = c.line_no
+                      AND d.symbol = c.callee)
+),
+u AS (
+  SELECT doc_id, line_no, 1 AS is_def, symbol AS def_sym,
+         CAST(NULL AS VARCHAR) AS callee
+  FROM defs
+  UNION ALL
+  SELECT doc_id, line_no, 0, CAST(NULL AS VARCHAR), callee FROM calls
+),
+attributed AS (
+  SELECT doc_id, is_def, callee,
+         last_value(def_sym IGNORE NULLS) OVER (
+           PARTITION BY doc_id
+           ORDER BY line_no ASC, is_def DESC,
+                    def_sym ASC NULLS FIRST, callee ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS enc
+  FROM u
+),
+sites AS (
+  SELECT doc_id, COALESCE(enc, '<toplevel>') AS caller, callee
+  FROM attributed WHERE is_def = 0
+),
+edges AS (
+  SELECT caller, callee,
+         CAST(COUNT(*) AS BIGINT) AS n_sites,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sites GROUP BY caller, callee
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_sites DESC, caller, callee)
+              AS BIGINT) AS rank,
+         caller, callee, n_sites, n_docs
+  FROM edges
+) WHERE rank <= {_CALLGRAPH_K}
+"""
+
+
+_MSM = 3
+
+
+def q_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match BM25 (query.score_bm25_msm): docs matching
+    fewer than {_MSM} distinct query terms are gated out; survivor
+    scores are the untouched float32 left fold — the oracle adds one
+    HAVING to the shared BM25 CTE chain and nothing else."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25_msm(tokens, n, avgdl, qdf, _MSM, BM25Params(), k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Iteration order IS the driver's check order, and the driver's
     correctness pass is time-budgeted (round 3 recorded only the first
@@ -6912,6 +7191,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "co_change": q_co_change,
+        "hotspots": q_hotspots,
+        "call_edges": q_call_edges,
+        "bm25_msm_topk": q_bm25_msm_topk,
         "import_closure": q_import_closure,
         "impact_count": q_impact_count,
         "repo_topk": q_repo_topk,
@@ -7064,6 +7347,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def duckdb_oracles() -> dict[str, str]:
     return {
+        "co_change": _sql_co_change(),
+        "hotspots": _sql_hotspots(),
+        "call_edges": _sql_call_edges(),
+        "bm25_msm_topk": _sql_bm25(min_match=_MSM),
         "code_query_mixed": _sql_code_query_mixed(),
         "code_query_regex_nocase": _sql_code_query_regex_nocase(),
         "code_query_filters": _sql_code_query_filters(),

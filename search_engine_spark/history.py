@@ -54,6 +54,8 @@ __all__ = [
     "commit_churn",
     "rename_detect",
     "hot_files",
+    "co_change",
+    "hotspots",
     "snapshot_diff_commits",
     "line_first_seen",
     "symbol_timeline",
@@ -207,6 +209,124 @@ def hot_files(events: DataFrame, k: int = 20) -> DataFrame:
     return counts.orderBy(
         F.col("n_modified").desc(), F.col("repo").asc(), F.col("path").asc()
     ).limit(k)
+
+
+def co_change(
+    events: DataFrame,
+    min_support: int = 2,
+    max_commit_files: int = 5000,
+    k: int | None = None,
+) -> DataFrame:
+    """Evolutionary coupling — pairs of paths that change TOGETHER
+    (Tornhill's change-coupling / CodeScene's temporal coupling; the
+    association-mining read of `git log`): (repo, path_a, path_b, n_co,
+    n_a, n_b, jaccard_pct) for path pairs co-appearing in at least
+    ``min_support`` commits of the same repo, path_a < path_b.
+    jaccard_pct = (100 * n_co) div (n_a + n_b − n_co) — the commit-set
+    Jaccard as an exact INTEGER percent (pure integer division: Spark
+    `div` ≡ DuckDB `//`; float `round` would diverge cross-engine on .5
+    boundaries), so the coupling strength itself is hashable.
+
+    Scale shape (10^13 events): pair generation is the hazard — a mass
+    refactor touching 10^5 files would emit 10^10 pairs from ONE commit.
+    The cap is the giant-bucket discipline from MinHash-LSH
+    (ops/dedup.py): commits touching more than ``max_commit_files``
+    paths within a repo are EXCLUDED from coupling entirely (standard in
+    coupling tools — a repo-wide reformat carries no pairwise signal),
+    enforced with one content-free count window BEFORE the self-join, so
+    the join's per-key fan-out is bounded by the cap.  Everything
+    shuffles (repo, commit_seq, path) — never content.  ``n_a``/``n_b``
+    count each path's commits within the SAME capped event set, keeping
+    jaccard internally consistent.  With ``k`` the result is the top-k
+    leaderboard by (n_co DESC, jaccard_pct DESC, repo, path_a, path_b).
+    """
+    slim = events.select("repo", "path", "commit_seq").distinct()
+    wsz = Window.partitionBy("repo", "commit_seq")
+    capped = (
+        slim.withColumn("csz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("csz") <= max_commit_files)
+        .drop("csz")
+    )
+    per_path = capped.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = capped.select("repo", "commit_seq", F.col("path").alias("path_a"))
+    b = capped.select("repo", "commit_seq", F.col("path").alias("path_b"))
+    pairs = (
+        a.join(b, ["repo", "commit_seq"])
+        .filter(F.col("path_a") < F.col("path_b"))
+        .groupBy("repo", "path_a", "path_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_support)
+    )
+    out = (
+        pairs.join(
+            per_path.select(
+                "repo", F.col("path").alias("path_a"), F.col("n").alias("n_a")
+            ),
+            ["repo", "path_a"],
+        )
+        .join(
+            per_path.select(
+                "repo", F.col("path").alias("path_b"), F.col("n").alias("n_b")
+            ),
+            ["repo", "path_b"],
+        )
+        .withColumn(
+            "jaccard_pct",
+            F.expr("(100 * n_co) div (n_a + n_b - n_co)").cast("long"),
+        )
+        .select("repo", "path_a", "path_b", "n_co", "n_a", "n_b", "jaccard_pct")
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.col("n_co").desc(),
+            F.col("jaccard_pct").desc(),
+            F.col("repo"),
+            F.col("path_a"),
+            F.col("path_b"),
+        ).limit(k)
+    return out
+
+
+def hotspots(events: DataFrame, k: int = 20) -> DataFrame:
+    """Hotspot analysis — churn × current size ("Your Code as a Crime
+    Scene": frequently-changed AND large files are where maintenance
+    cost concentrates): the k live files ranked by
+    ``hotspot = n_modified * n_lines`` (exact integer product — no
+    transcendental weighting, so the score itself is cross-engine
+    hashable), tie-broken (repo, path).
+
+    Physical shape: churn counts come from the content-free
+    file_history window + agg (file bodies never in that exchange);
+    line counts ride the latest_snapshot max_by reduce — the ONE place
+    content is touched, and it reduces to an int in the same projection.
+    The join keys are (repo, path); output is k rows."""
+    churn = (
+        file_history(events)
+        .groupBy("repo", "path")
+        .agg(
+            F.sum(
+                F.when(F.col("kind") == "modified", 1).otherwise(0)
+            ).cast("long").alias("n_modified")
+        )
+    )
+    live = latest_snapshot(events, keep_text=True).select(
+        "repo",
+        "path",
+        (F.size(F.split(F.col("text"), "\n"))).cast("long").alias("n_lines"),
+    )
+    return (
+        live.join(churn, ["repo", "path"])
+        .withColumn(
+            "hotspot", (F.col("n_modified") * F.col("n_lines")).cast("long")
+        )
+        .orderBy(
+            F.col("hotspot").desc(), F.col("repo").asc(), F.col("path").asc()
+        )
+        .limit(k)
+        .select("repo", "path", "n_modified", "n_lines", "hotspot")
+    )
 
 
 def snapshot_diff_commits(

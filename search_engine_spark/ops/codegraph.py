@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "IMPORT_RULES",
@@ -33,7 +33,10 @@ __all__ = [
     "repo_clone_pairs",
     "symbol_references",
     "symbol_complete",
+    "call_sites",
+    "call_graph",
     "IDENT_PATTERN",
+    "CALL_PATTERN",
 ]
 
 
@@ -458,4 +461,135 @@ def symbol_complete(
         refs.filter(F.col("symbol").startswith(prefix))
         .orderBy(F.desc("n_refs"), F.desc("n_defs"), F.asc("symbol"))
         .limit(k)
+    )
+
+
+# Group 1 = the invoked identifier.  Java-regex / RE2 / DuckDB-identical
+# constructs only (the ops/redact.py discipline) so call extraction is
+# oracle-checkable cross-engine; evaluated per LINE like IDENT_PATTERN.
+CALL_PATTERN = r"([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+
+def call_sites(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules=None,
+) -> DataFrame:
+    """(doc_id, line_no, caller, callee): the ctags-grade approximate
+    call graph — every `ident(` occurrence whose identifier resolves to
+    a DEFINED symbol (extract_symbols dictionary), attributed to its
+    enclosing function = the nearest preceding definition line in the
+    same file ('<toplevel>' when none).  The reference engine has no
+    notion of structure inside a document (postings are (doc, tf) only,
+    PostingList.cs); this is the "callers of X" panel a code-search
+    service layers on top.
+
+    Known approximation (documented, same as symbol_references): names
+    resolve by identifier equality, not language scoping — good enough
+    for cross-file call leaderboards, not for type-accurate IDE graphs.
+
+    Dataflow (one window exchange, content never shuffled wide):
+      1. defs: the no-shuffle extract_symbols projection.
+      2. call candidates: ONE per-line regexp_extract_all(CALL_PATTERN)
+         + explode, then (a) semi-join to the defined-symbol dictionary
+         FIRST (dictionary-sized, so the expensive steps see only
+         resolvable idents) and (b) a (doc_id, line_no, symbol)
+         anti-join dropping a definition's own name on its own line
+         (`def f(` is not a call of f — but `def f(x=g())` IS a call
+         of g inside f).
+      3. enclosing attribution: defs (as markers) ∪ calls, ONE window
+         per doc ordered (line_no, defs-first, def_sym, callee) with
+         last(def_sym, ignorenulls) over the unbounded-preceding frame
+         — the same-line order means a call on a def line attributes
+         to THAT def.  Per-doc row count is bounded by file length, so
+         the window partition never skews beyond the largest file.
+    """
+    from .codesearch import SYMBOL_RULES, extract_symbols
+
+    if rules is None:
+        rules = SYMBOL_RULES
+    defs = extract_symbols(docs, content_col, id_col, rules)
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("idx", "line"),
+    ).select(
+        "doc_id", (F.col("idx") + 1).cast("long").alias("line_no"), "line"
+    )
+    def_symbols = defs.select("symbol").distinct()
+    calls = (
+        lines.select(
+            "doc_id",
+            "line_no",
+            F.explode(
+                F.regexp_extract_all(F.col("line"), F.lit(CALL_PATTERN), 1)
+            ).alias("callee"),
+        )
+        .join(
+            def_symbols.withColumnRenamed("symbol", "callee"),
+            "callee",
+            "left_semi",
+        )
+        .join(
+            defs.select(
+                "doc_id", "line_no", F.col("symbol").alias("callee")
+            ),
+            ["doc_id", "line_no", "callee"],
+            "left_anti",
+        )
+    )
+    markers = defs.select(
+        "doc_id",
+        "line_no",
+        F.lit(1).alias("is_def"),
+        F.col("symbol").alias("def_sym"),
+        F.lit(None).cast("string").alias("callee"),
+    )
+    call_rows = calls.select(
+        "doc_id",
+        "line_no",
+        F.lit(0).alias("is_def"),
+        F.lit(None).cast("string").alias("def_sym"),
+        "callee",
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(
+            F.asc("line_no"),
+            F.desc("is_def"),
+            F.asc_nulls_first("def_sym"),
+            F.asc_nulls_first("callee"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        markers.unionByName(call_rows)
+        .withColumn("enc", F.last("def_sym", ignorenulls=True).over(w))
+        .filter(F.col("is_def") == 0)
+        .select(
+            "doc_id",
+            "line_no",
+            F.coalesce(F.col("enc"), F.lit("<toplevel>")).alias("caller"),
+            "callee",
+        )
+    )
+
+
+def call_graph(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    rules=None,
+) -> DataFrame:
+    """(caller, callee, n_sites, n_docs): call_sites aggregated to
+    graph edges — one partial+final agg keyed on the (dictionary x
+    dictionary)-bounded edge set; n_docs = distinct files the edge
+    occurs in."""
+    return (
+        call_sites(docs, content_col, id_col, rules)
+        .groupBy("caller", "callee")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sites"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
     )

@@ -235,6 +235,41 @@ def score_bm25(
     return topk(_accumulate(contrib, exact_float32), k)
 
 
+def score_bm25_msm(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    msm: int,
+    params: BM25Params | None = None,
+    k: int = 1000,
+) -> DataFrame:
+    """BM25 with Lucene's minimum_should_match: a document must match at
+    least ``msm`` DISTINCT query terms to be ranked at all
+    (BooleanQuery.setMinimumNumberShouldMatch — the precision knob long
+    queries need; the reference scores every doc matching ANY term,
+    BM25Scorer.cs:34-66, which is msm=1).
+
+    Scoring is byte-identical to score_bm25 for the survivors: the same
+    per-term float32 contributions folded in term_pos order — msm only
+    GATES, it never reweights.  Physically the gate is free: the
+    accumulate groupBy already collects one struct per matched term, so
+    ``size(parts) >= msm`` is a post-agg filter on the same exchange —
+    no extra pass, and at 10^12 docs it shrinks the ranking input
+    exactly where long queries explode (single-term matches)."""
+    params = params or BM25Params()
+    contrib = _contributions_bm25(tokens, qterms, n_docs, avgdl, params)
+    per_doc = contrib.groupBy("topic_id", "doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term_pos", "contrib"))).alias(
+            "parts"
+        )
+    )
+    scored = per_doc.filter(F.size("parts") >= msm).select(
+        "topic_id", "doc_id", F.expr(_FOLD_F32_EXPR).alias("score")
+    )
+    return topk(scored, k)
+
+
 def score_tfidf(
     tokens: DataFrame,
     n_docs: int,

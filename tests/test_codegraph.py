@@ -489,3 +489,61 @@ def test_import_closure_random_graph_vs_python_oracle(spark):
     )
     got = _closure_df(spark, edges, 4)
     assert got == _py_closure(edges, 4)
+
+
+# ---------------------------------------------------------------------------
+# call_sites / call_graph (approximate call graph)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def call_docs(spark):
+    doc1 = (
+        "def foo(a):\n"
+        "  bar()\n"
+        "def bar(b):\n"
+        "  foo()\n"
+        "def g(x=foo()):\n"
+        "  undefined_fn()\n"
+    )
+    doc2 = "foo()\nbar()"
+    return spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+
+
+def test_call_sites_attribution(call_docs):
+    from search_engine_spark.ops import codegraph as CG
+
+    sites = {
+        (r["doc_id"], r["line_no"], r["caller"], r["callee"])
+        for r in CG.call_sites(call_docs).collect()
+    }
+    assert sites == {
+        (1, 2, "foo", "bar"),        # nearest preceding def
+        (1, 4, "bar", "foo"),
+        (1, 5, "g", "foo"),          # default-arg call on the def line
+        (2, 1, "<toplevel>", "foo"),  # no enclosing def
+        (2, 2, "<toplevel>", "bar"),
+    }
+    # undefined_fn resolves to no definition -> dropped; and no def's
+    # own name appears as a call on its own definition line
+    callees = {s[3] for s in sites}
+    assert "undefined_fn" not in callees
+    assert (1, 1, "<toplevel>", "foo") not in sites
+
+
+def test_call_graph_agg(call_docs):
+    from search_engine_spark.ops import codegraph as CG
+
+    edges = {
+        (r["caller"], r["callee"]): (r["n_sites"], r["n_docs"])
+        for r in CG.call_graph(call_docs).collect()
+    }
+    assert edges == {
+        ("foo", "bar"): (1, 1),
+        ("bar", "foo"): (1, 1),
+        ("g", "foo"): (1, 1),
+        ("<toplevel>", "foo"): (1, 1),
+        ("<toplevel>", "bar"): (1, 1),
+    }

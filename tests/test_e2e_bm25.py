@@ -282,3 +282,62 @@ def test_more_like_this_identity(spark, built, oracle_index):
         assert all(d != seed for _, d, _ in have)
         for (rk, d, s), (od, _, os_) in zip(have, want):
             assert d == od and s == pytest.approx(os_, abs=0.0), (seed, rk)
+
+
+def test_bm25_msm_gates_without_reweighting(spark, built, oracle_index, queries_fixture):
+    """minimum_should_match: msm=1 is bit-identical to plain BM25; at
+    msm=2 the ranking is exactly the plain ranking with <2-term matches
+    removed (scores untouched), re-ranked."""
+    sample = [
+        q for q in queries_fixture if len(q["query_text"].split()) >= 3
+    ][:6]
+    qdf = Q.queries_to_df(
+        spark, [(q["topic_id"], q["query_text"]) for q in sample], CFG
+    )
+    n, avgdl, _ = B.collect_stats(built["doc_meta"])
+    plain = Q.score_bm25(
+        built["tokens"], n, avgdl, qdf, BM25Params(), k=K, exact_float32=True
+    ).collect()
+    msm1 = Q.score_bm25_msm(
+        built["tokens"], n, avgdl, qdf, 1, BM25Params(), k=K
+    ).collect()
+    key = lambda rows: sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(msm1) == key(plain)
+
+    # matched-term counts per (topic, doc) from the same token/query join
+    matched = (
+        built["tokens"]
+        .join(qdf.select("topic_id", "term").distinct(), "term")
+        .groupBy("topic_id", "doc_id")
+        .agg(F.count("*").alias("n_terms"))
+    )
+    nmap = {
+        (r["topic_id"], r["doc_id"]): r["n_terms"] for r in matched.collect()
+    }
+    msm2 = Q.score_bm25_msm(
+        built["tokens"], n, avgdl, qdf, 2, BM25Params(), k=K
+    ).collect()
+    # every survivor matches >= 2 terms, scores equal the plain run's
+    plain_scores = {
+        (r["topic_id"], r["doc_id"]): r["score"] for r in plain
+    }
+    assert msm2, "fixture queries must produce multi-term matches"
+    for r in msm2:
+        assert nmap[(r["topic_id"], r["doc_id"])] >= 2
+        assert r["score"] == plain_scores[(r["topic_id"], r["doc_id"])]
+    # and the gate drops exactly the <2-term docs from the plain ranking
+    expect = {
+        (t, d)
+        for (t, d) in plain_scores
+        if nmap[(t, d)] >= 2
+    }
+    got = {(r["topic_id"], r["doc_id"]) for r in msm2}
+    # plain is top-K-cut so compare only within topics where plain kept all
+    for t in {q["topic_id"] for q in sample}:
+        plain_t = [d for (tt, d) in plain_scores if tt == t]
+        if len(plain_t) < K:  # uncut -> the msm2 set must match exactly
+            assert {d for (tt, d) in got if tt == t} == {
+                d for (tt, d) in expect if tt == t
+            }

@@ -260,3 +260,56 @@ def test_renames_preserve_doc_ids(contract_events):
         old_id = int(r["old_path"].removeprefix("src/f").removesuffix(".py"))
         assert old_id % _H_REN == 0
         assert r["new_path"] == f"src/moved/f{old_id}.py"
+
+
+# ---------------------------------------------------------------------------
+# co_change (evolutionary coupling) + hotspots
+# ---------------------------------------------------------------------------
+
+
+def test_co_change_hand_computed(events):
+    """r1 commits: 0={a,b,c}, 1={a,b}, 2={b,c,d}.  Pairs >=2 co-commits:
+    (a,b) in {0,1} and (b,c) in {0,2}; (a,c) co-occurs once and drops."""
+    rows = {
+        (r["repo"], r["path_a"], r["path_b"]): (
+            r["n_co"], r["n_a"], r["n_b"], r["jaccard_pct"]
+        )
+        for r in H.co_change(events, min_support=2).collect()
+    }
+    assert rows == {
+        ("r1", "a.py", "b.py"): (2, 2, 3, 66),
+        ("r1", "b.py", "c.py"): (2, 3, 2, 66),
+    }
+
+
+def test_co_change_giant_commit_cap(events):
+    """max_commit_files=2 excludes r1 commits 0 and 2 (3 paths each)
+    from coupling entirely; only commit 1's (a,b) pair survives, with
+    per-path commit counts drawn from the SAME capped event set."""
+    rows = H.co_change(events, min_support=1, max_commit_files=2).collect()
+    assert {
+        (r["repo"], r["path_a"], r["path_b"], r["n_co"], r["jaccard_pct"])
+        for r in rows
+    } == {("r1", "a.py", "b.py", 1, 100)}
+
+
+def test_co_change_k_is_deterministic_leaderboard(events):
+    top1 = H.co_change(events, min_support=2, k=1).collect()
+    assert len(top1) == 1
+    # tie on (n_co, jaccard) broken by (repo, path_a, path_b)
+    assert (top1[0]["path_a"], top1[0]["path_b"]) == ("a.py", "b.py")
+
+
+def test_hotspots_hand_computed(events):
+    """Only a.py was ever 'modified' (commit 1) and its live text has 3
+    lines -> hotspot 3; every other live file has zero modifications."""
+    rows = H.hotspots(events, k=4).collect()
+    assert (rows[0]["repo"], rows[0]["path"]) == ("r1", "a.py")
+    assert (rows[0]["n_modified"], rows[0]["n_lines"], rows[0]["hotspot"]) == (
+        1, 3, 3
+    )
+    assert [r["hotspot"] for r in rows[1:]] == [0, 0, 0]
+    # zero ties ordered by (repo, path)
+    assert [(r["repo"], r["path"]) for r in rows[1:]] == [
+        ("r1", "b.py"), ("r1", "d.py"), ("r2", "x.py")
+    ]

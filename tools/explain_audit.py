@@ -744,6 +744,30 @@ def main() -> int:
           "Arrow analyzer — no row-Python, no cartesian",
           "BatchEvalPython" not in p and "CartesianProduct" not in p)
 
+    p = plan_of(HI.co_change(ev, min_support=2, max_commit_files=5000))
+    check("co-change: pair join is an equi-join on (repo, commit_seq) "
+          "over the capped slim projection — no cartesian, no content "
+          "in any exchange, no row-Python",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.hotspots(ev))
+    check("hotspots: churn window is content-free; the one content "
+          "touch reduces to n_lines inside the max_by snapshot agg "
+          "before the (repo, path) join",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p
+          and "max_by" in p)
+
+    from search_engine_spark.ops import codegraph as CGR2
+
+    docs_cg = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(CGR2.call_graph(docs_cg.selectExpr("doc_id", "text")))
+    check("call graph: ident explosion semi-joined to the defined-"
+          "symbol dictionary before the anti-join; one per-doc window; "
+          "no cartesian, no row-Python",
+          "LeftSemi" in p and "LeftAnti" in p and "Window" in p
+          and "CartesianProduct" not in p and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
