@@ -7075,7 +7075,10 @@ def q_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_call_edges() -> str:
+def _sql_callgraph_ctes() -> str:
+    """CTE chain ending in `edges(caller, callee, n_sites, n_docs)` —
+    shared by the call_edges leaderboard and the function_rank
+    composition."""
     from .ops.codegraph import CALL_PATTERN
     from .ops.codesearch import SYMBOL_RULES
 
@@ -7083,8 +7086,7 @@ def _sql_call_edges() -> str:
         f"{{'kind': '{kind}', 'symbol': regexp_extract(line, '{pat}', 1)}}"
         for kind, pat in SYMBOL_RULES
     )
-    return f"""
-WITH planted AS (
+    return f"""planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % {_CALLGRAPH_DEF_MOD} = 0
               THEN 'def ' || split_part(text, ' ', 1) || '(a):'
@@ -7150,13 +7152,187 @@ edges AS (
          CAST(COUNT(*) AS BIGINT) AS n_sites,
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM sites GROUP BY caller, callee
-)
+)"""
+
+
+def _sql_call_edges() -> str:
+    return f"""
+WITH {_sql_callgraph_ctes()}
 SELECT * FROM (
   SELECT CAST(row_number() OVER (ORDER BY n_sites DESC, caller, callee)
               AS BIGINT) AS rank,
          caller, callee, n_sites, n_docs
   FROM edges
 ) WHERE rank <= {_CALLGRAPH_K}
+"""
+
+
+def q_function_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the approximate CALL graph ('which function is most
+    central') — the call_edges extraction composed into the same
+    power-iteration operator (ops.codegraph.pagerank) that ranks
+    modules, over distinct (caller, callee) edges with the <toplevel>
+    pseudo-caller excluded.  The oracle rides the shared call-graph CTE
+    chain and unrolls the identical recurrence (module_pagerank
+    discipline: ranks rounded to 6 decimals — double sums associate
+    differently across engines)."""
+    from .ops import codegraph as CGR
+
+    edges = (
+        CGR.call_graph(_callgraph_docs(spark, sf_dir))
+        .filter(F.col("caller") != "<toplevel>")
+        .select(F.col("caller").alias("src"), F.col("callee").alias("dst"))
+    )
+    ranks = CGR.pagerank(
+        edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_function_rank() -> str:
+    d = _PR_DAMPING
+    it_cte = """
+r{k} AS (
+  SELECT n.node,
+         CAST({base} AS DOUBLE) / m.n + CAST({d} AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n CROSS JOIN m
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / o.outdeg) AS s
+    FROM cedges e
+    JOIN outd o ON o.src = e.src
+    JOIN r{prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+    iters = ",".join(
+        it_cte.format(k=k, prev=k - 1, base=1.0 - d, d=d)
+        for k in range(1, _PR_ITERATIONS + 1)
+    )
+    return f"""
+WITH {_sql_callgraph_ctes()},
+cedges AS (
+  SELECT DISTINCT caller AS src, callee AS dst
+  FROM edges WHERE caller <> '<toplevel>'
+),
+nodes AS (
+  SELECT src AS node FROM cedges UNION SELECT dst FROM cedges
+),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outd AS (
+  SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM cedges GROUP BY src
+),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / m.n AS rank FROM nodes CROSS JOIN m),
+{iters}
+SELECT node, round(rank, 6) AS rank FROM r{_PR_ITERATIONS}
+"""
+
+
+_OWNER_AUTHORS = 5
+_BUSFACTOR_PCT = 50
+
+
+def _authored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic change-event table with a deterministic author
+    column — 'dev' || ((doc_id + 3*commit_seq) % {_OWNER_AUTHORS}) — the
+    attribution data a commit crawl carries that the mod-arithmetic
+    history synthesis (deliberately) leaves out.  Restated verbatim in
+    the ownership oracles."""
+    ev = _history_events(_docs(spark, sf_dir))
+    return ev.withColumn(
+        "author",
+        F.concat(
+            F.lit("dev"),
+            ((F.col("doc_id") + 3 * F.col("commit_seq")) % _OWNER_AUTHORS)
+            .cast("string"),
+        ),
+    )
+
+
+_SQL_AUTHORED = f"""
+aev AS (
+  SELECT h.*,
+         'dev' || CAST((doc_id + 3 * commit_seq) % {_OWNER_AUTHORS}
+                       AS VARCHAR) AS author
+  FROM hist h
+)"""
+
+
+def q_code_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file ownership (history.code_ownership): the author with the
+    most change events per (repo, path), with an exact integer
+    ownership percent — the CODEOWNERS-inference / git-shortlog panel.
+    Deterministic tie-break (count DESC, author ASC) in both engines."""
+    from . import history as H
+
+    return H.code_ownership(_authored_events(spark, sf_dir))
+
+
+def _sql_code_ownership() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_SQL_AUTHORED},
+pa AS (
+  SELECT repo, path, author, CAST(COUNT(*) AS BIGINT) AS n_author
+  FROM aev GROUP BY repo, path, author
+),
+tot AS (
+  SELECT repo, path, CAST(SUM(n_author) AS BIGINT) AS n_total
+  FROM pa GROUP BY repo, path
+),
+win AS (
+  SELECT pa.*, row_number() OVER (
+    PARTITION BY repo, path ORDER BY n_author DESC, author ASC) AS rn
+  FROM pa
+)
+SELECT w.repo, w.path, w.author AS owner, w.n_author, t.n_total,
+       CAST((100 * w.n_author) // t.n_total AS BIGINT) AS own_pct
+FROM win w JOIN tot t ON t.repo = w.repo AND t.path = w.path
+WHERE w.rn = 1
+"""
+
+
+def q_bus_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge concentration per repo (history.bus_factor): the
+    smallest number of top authors whose events cover >=
+    {_BUSFACTOR_PCT}% of the repo's change events — all integer
+    arithmetic (100*cum >= pct*total), one author rollup + one
+    running-sum window per repo."""
+    from . import history as H
+
+    return H.bus_factor(_authored_events(spark, sf_dir), _BUSFACTOR_PCT)
+
+
+def _sql_bus_factor() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_SQL_AUTHORED},
+ra AS (
+  SELECT repo, author, CAST(COUNT(*) AS BIGINT) AS n
+  FROM aev GROUP BY repo, author
+),
+w AS (
+  SELECT repo, author, n,
+         SUM(n) OVER (PARTITION BY repo ORDER BY n DESC, author ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n) OVER (PARTITION BY repo) AS total,
+         row_number() OVER (PARTITION BY repo
+                            ORDER BY n DESC, author ASC) AS rn
+  FROM ra
+),
+na AS (
+  SELECT repo, CAST(COUNT(DISTINCT author) AS BIGINT) AS n_authors
+  FROM aev GROUP BY repo
+),
+bf AS (
+  SELECT repo, CAST(MIN(rn) AS BIGINT) AS bus_factor,
+         CAST(MAX(total) AS BIGINT) AS n_events
+  FROM w
+  WHERE 100 * cum >= {_BUSFACTOR_PCT} * total
+  GROUP BY repo
+)
+SELECT bf.repo, bf.bus_factor, bf.n_events, na.n_authors
+FROM bf JOIN na ON na.repo = bf.repo
 """
 
 
@@ -7195,6 +7371,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspots": q_hotspots,
         "call_edges": q_call_edges,
         "bm25_msm_topk": q_bm25_msm_topk,
+        "function_rank": q_function_rank,
+        "code_ownership": q_code_ownership,
+        "bus_factor": q_bus_factor,
         "import_closure": q_import_closure,
         "impact_count": q_impact_count,
         "repo_topk": q_repo_topk,
@@ -7351,6 +7530,9 @@ def duckdb_oracles() -> dict[str, str]:
         "hotspots": _sql_hotspots(),
         "call_edges": _sql_call_edges(),
         "bm25_msm_topk": _sql_bm25(min_match=_MSM),
+        "function_rank": _sql_function_rank(),
+        "code_ownership": _sql_code_ownership(),
+        "bus_factor": _sql_bus_factor(),
         "code_query_mixed": _sql_code_query_mixed(),
         "code_query_regex_nocase": _sql_code_query_regex_nocase(),
         "code_query_filters": _sql_code_query_filters(),

@@ -56,6 +56,8 @@ __all__ = [
     "hot_files",
     "co_change",
     "hotspots",
+    "code_ownership",
+    "bus_factor",
     "snapshot_diff_commits",
     "line_first_seen",
     "symbol_timeline",
@@ -326,6 +328,85 @@ def hotspots(events: DataFrame, k: int = 20) -> DataFrame:
         )
         .limit(k)
         .select("repo", "path", "n_modified", "n_lines", "hotspot")
+    )
+
+
+def code_ownership(events: DataFrame, author_col: str = "author") -> DataFrame:
+    """Per-file ownership (the CODEOWNERS-inference / `git shortlog -sn`
+    panel): for every (repo, path), the author with the most change
+    events — (repo, path, owner, n_author, n_total, own_pct) with
+    own_pct = (100 * n_author) div n_total, exact integer arithmetic.
+    Tie-break (n_author DESC, author ASC) is total, so the owner is
+    deterministic.
+
+    Requires an ``author_col`` on the event table (a commit crawl
+    carries it; the mod-arithmetic contract synthesis plants one).
+    Physical shape: one (repo, path, author) partial+final count agg —
+    content never read — then one window + one (repo, path) rollup over
+    the already author-collapsed rows; output is one row per file."""
+    pa = events.groupBy("repo", "path", F.col(author_col).alias("author")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_author")
+    )
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.col("n_author").desc(), F.col("author").asc()
+    )
+    wt = Window.partitionBy("repo", "path")
+    return (
+        pa.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.sum("n_author").over(wt).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "repo",
+            "path",
+            F.col("author").alias("owner"),
+            "n_author",
+            "n_total",
+            F.expr("(100 * n_author) div n_total").cast("long").alias(
+                "own_pct"
+            ),
+        )
+    )
+
+
+def bus_factor(events: DataFrame, threshold_pct: int = 50,
+               author_col: str = "author") -> DataFrame:
+    """Knowledge concentration per repo: the smallest number of top
+    authors whose change events cover >= ``threshold_pct`` percent of
+    the repo's events — (repo, bus_factor, n_events, n_authors).  The
+    coverage test is pure integer arithmetic (100*cum >= pct*total), so
+    the value hashes cross-engine.
+
+    One (repo, author) count agg, then a running-sum window over the
+    (dictionary-sized) author rollup — rows here are authors-per-repo,
+    never events, so the window input is tiny at any corpus scale."""
+    ra = events.groupBy("repo", F.col(author_col).alias("author")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("repo")
+        .orderBy(F.col("n").desc(), F.col("author").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("repo").orderBy(
+        F.col("n").desc(), F.col("author").asc()
+    )
+    wt = Window.partitionBy("repo")
+    stats = (
+        ra.withColumn("cum", F.sum("n").over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("total", F.sum("n").over(wt))
+        .withColumn("n_authors", F.count(F.lit(1)).over(wt))
+    )
+    return (
+        stats.filter(
+            F.lit(100) * F.col("cum") >= F.lit(threshold_pct) * F.col("total")
+        )
+        .groupBy("repo")
+        .agg(
+            F.min("rn").cast("long").alias("bus_factor"),
+            F.max("total").cast("long").alias("n_events"),
+            F.max("n_authors").cast("long").alias("n_authors"),
+        )
     )
 
 

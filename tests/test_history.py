@@ -313,3 +313,67 @@ def test_hotspots_hand_computed(events):
     assert [(r["repo"], r["path"]) for r in rows[1:]] == [
         ("r1", "b.py"), ("r1", "d.py"), ("r2", "x.py")
     ]
+
+
+# ---------------------------------------------------------------------------
+# code_ownership / bus_factor (authored events)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def authored(spark):
+    rows = [
+        ("r1", "a.py", 0, "alice"),
+        ("r1", "a.py", 1, "alice"),
+        ("r1", "a.py", 2, "bob"),
+        ("r1", "b.py", 0, "bob"),
+        ("r2", "x.py", 0, "carol"),
+        ("r2", "x.py", 1, "dave"),
+        ("r3", "p.py", 0, "e"),
+        ("r3", "q.py", 0, "f"),
+        ("r3", "r.py", 0, "g"),
+        ("r3", "s.py", 0, "h"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit_seq long, author string"
+    )
+
+
+def test_code_ownership_hand_computed(authored):
+    rows = {
+        (r["repo"], r["path"]): (
+            r["owner"], r["n_author"], r["n_total"], r["own_pct"]
+        )
+        for r in H.code_ownership(authored).collect()
+    }
+    assert rows == {
+        ("r1", "a.py"): ("alice", 2, 3, 66),
+        ("r1", "b.py"): ("bob", 1, 1, 100),
+        # 1-1 tie broken by author ASC
+        ("r2", "x.py"): ("carol", 1, 2, 50),
+        ("r3", "p.py"): ("e", 1, 1, 100),
+        ("r3", "q.py"): ("f", 1, 1, 100),
+        ("r3", "r.py"): ("g", 1, 1, 100),
+        ("r3", "s.py"): ("h", 1, 1, 100),
+    }
+
+
+def test_bus_factor_hand_computed(authored):
+    rows = {
+        r["repo"]: (r["bus_factor"], r["n_events"], r["n_authors"])
+        for r in H.bus_factor(authored, 50).collect()
+    }
+    # r1: alice(2)+bob(2): top author covers exactly 50% -> 1
+    # r2: carol(1)+dave(1): same -> 1
+    # r3: four 1-event authors: two needed for 50% of 4 -> 2
+    assert rows == {
+        "r1": (1, 4, 2),
+        "r2": (1, 2, 2),
+        "r3": (2, 4, 4),
+    }
+    # a stricter threshold needs more heads
+    strict = {
+        r["repo"]: r["bus_factor"]
+        for r in H.bus_factor(authored, 100).collect()
+    }
+    assert strict == {"r1": 2, "r2": 2, "r3": 4}
