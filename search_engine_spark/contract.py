@@ -3116,9 +3116,11 @@ FROM events GROUP BY event_type
 """
 
 
-def _sql_ptok_cte() -> str:
+def _sql_ptok_cte(source_table: str = "documents") -> str:
     """CTEs base+ptok = the analyzed positional token stream (doc_id,
-    term, pos) — shared by phrase matching and snippet extraction."""
+    term, pos) — shared by phrase matching and snippet extraction.
+    `source_table` lets a query analyze a planted/restricted corpus
+    CTE (same convention as _sql_tokens_cte)."""
     return f"""
 base AS (
   SELECT doc_id,
@@ -3128,7 +3130,7 @@ base AS (
                          t -> t <> '' AND NOT starts_with(t, '<') AND NOT ends_with(t, '>')),
              t -> translate(substr(t, 1, 100), '{_UPPER}', '{_LOWER}')),
            t -> NOT (length(t) <= 4 AND t IN ({_STOPLIST_SQL}))) AS s
-  FROM documents
+  FROM {source_table}
 ),
 ptok AS (
   SELECT doc_id, s[i] AS term, CAST(i - 1 AS BIGINT) AS pos
@@ -7336,6 +7338,111 @@ FROM bf JOIN na ON na.repo = bf.repo
 """
 
 
+_PROX_RANK_WINDOW = 8
+_PROX_RANK_ALPHA = 0.25  # binary-exact: the boost add reproduces
+_PROX_RANK_QUERY = "proxa proxb"
+_PROX_NEAR_MOD, _PROX_FAR_MOD = 6, 3  # %6==0 adjacent, %6==3 scattered
+
+
+def _prox_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-ranking corpus: docs %6==0 get ' proxa proxb' APPENDED
+    (adjacent — inside the window), docs %6==3 get 'proxa ' PREPENDED
+    and ' proxb' appended (the pair spans the whole doc — outside any
+    reasonable window).  Both classes match both query terms with tf=1,
+    so plain BM25 interleaves them; the proximity bonus must lift the
+    adjacent class — the compared page actually exercises reordering.
+    Restated verbatim in the oracle prelude."""
+    docs = _docs(spark, sf_dir)
+    six = F.col("doc_id") % _PROX_NEAR_MOD
+    t = (
+        F.when(six == 0, F.concat(F.col("text"), F.lit(" proxa proxb")))
+        .when(
+            six == _PROX_FAR_MOD,
+            F.concat(F.lit("proxa "), F.col("text"), F.lit(" proxb")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+_SQL_PROX_PRELUDE = f"""
+proxdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PROX_NEAR_MOD} = 0
+                THEN text || ' proxa proxb'
+              WHEN doc_id % {_PROX_NEAR_MOD} = {_PROX_FAR_MOD}
+                THEN 'proxa ' || text || ' proxb'
+              ELSE text END AS text
+  FROM documents
+),"""
+
+
+def q_bm25_prox_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted BM25 (query.score_bm25_prox): the exact-float32
+    ranking plus an additive {_PROX_RANK_ALPHA} * (distinct adjacent
+    query-term pairs co-occurring within {_PROX_RANK_WINDOW} positions)
+    bonus — the Zoekt/GitHub "terms near each other rank higher"
+    behavior, additive because no-clamp idf makes common-term scores
+    negative (a multiplicative boost would penalize matches).  One add
+    on the untouched fold; the oracle composes the shared BM25 CTE
+    chain with the positional-token CTE and the identical inlined pair
+    list, over a planted corpus where adjacent-pair and scattered-pair
+    docs interleave under plain BM25 — the boost provably reorders the
+    compared page (tests/test_fusion.py pins the class separation)."""
+    docs = _prox_docs(spark, sf_dir)
+    from .positional import positional_tokens
+
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    ptoks = positional_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, _PROX_RANK_QUERY)], SQL_CFG)
+    res = Q.score_bm25_prox(
+        tokens, ptoks, n, avgdl, qdf,
+        window=_PROX_RANK_WINDOW, alpha=_PROX_RANK_ALPHA,
+        params=BM25Params(), k=TOPK,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_bm25_prox_topk() -> str:
+    terms = [t for t, _ in tokenize_query(_PROX_RANK_QUERY, SQL_CFG)]
+    pair_vals = ", ".join(
+        f"({i}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(zip(terms, terms[1:]))
+    )
+    return f"""
+WITH {_sql_bm25_ctes(source_table="proxdocs", prelude=_SQL_PROX_PRELUDE,
+                     query_text=_PROX_RANK_QUERY)},
+{_sql_ptok_cte("proxdocs")},
+pairs AS (SELECT * FROM (VALUES {pair_vals}) v(pair_idx, ta, tb)),
+pm AS (
+  SELECT DISTINCT p.pair_idx, a.doc_id
+  FROM pairs p
+  JOIN ptok a ON a.term = p.ta
+  JOIN ptok b ON b.doc_id = a.doc_id AND b.term = p.tb
+  WHERE abs(b.pos - a.pos) BETWEEN 1 AND {_PROX_RANK_WINDOW}
+),
+np AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_prox FROM pm GROUP BY doc_id
+),
+boosted AS (
+  SELECT s.doc_id,
+         CAST(s.score + {_PROX_RANK_ALPHA} * COALESCE(np.n_prox, 0)
+              AS FLOAT) AS score
+  FROM scores s LEFT JOIN np USING (doc_id)
+)
+SELECT rank, doc_id, score FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+         doc_id, score
+  FROM boosted
+) WHERE rank <= {TOPK}
+"""
+
+
 _MSM = 3
 
 
@@ -7374,6 +7481,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_rank": q_function_rank,
         "code_ownership": q_code_ownership,
         "bus_factor": q_bus_factor,
+        "bm25_prox_topk": q_bm25_prox_topk,
         "import_closure": q_import_closure,
         "impact_count": q_impact_count,
         "repo_topk": q_repo_topk,
@@ -7533,6 +7641,7 @@ def duckdb_oracles() -> dict[str, str]:
         "function_rank": _sql_function_rank(),
         "code_ownership": _sql_code_ownership(),
         "bus_factor": _sql_bus_factor(),
+        "bm25_prox_topk": _sql_bm25_prox_topk(),
         "code_query_mixed": _sql_code_query_mixed(),
         "code_query_regex_nocase": _sql_code_query_regex_nocase(),
         "code_query_filters": _sql_code_query_filters(),

@@ -270,6 +270,104 @@ def score_bm25_msm(
     return topk(scored, k)
 
 
+def score_bm25_prox(
+    tokens: DataFrame,
+    ptokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    window: int = 8,
+    alpha: float = 0.25,
+    params: BM25Params | None = None,
+    k: int = 1000,
+) -> DataFrame:
+    """Proximity-boosted BM25 — the Zoekt/GitHub "terms near each other
+    rank higher" behavior the reference's bag-of-words scorer cannot
+    express (BM25Scorer.cs ignores positions entirely): the exact
+    float32 BM25 score gets an ADDITIVE bonus ``alpha * n_prox`` where
+    n_prox counts the DISTINCT adjacent query-term pairs co-occurring
+    within ``window`` positions in the doc (either order), then the sum
+    is cast back to float32 — one add on top of the untouched fold, so
+    the boost is bit-reproducible cross-engine (alpha must be
+    binary-exact; 0.25 is).
+
+    Additive, NOT multiplicative, deliberately: this engine reproduces
+    the reference's no-lower-clamp idf (BM25Scorer.cs:39-41), so scores
+    of common-term queries go NEGATIVE — a Lucene-style multiplicative
+    boost would then PENALIZE exactly the docs it means to reward.  An
+    additive bonus moves every matching doc up by the same margin
+    regardless of score sign.
+
+    Scale shape: each pair side is a single-term position stream (the
+    term predicate prunes at the scan / posting lookup), the pair join
+    is doc_id-keyed with fan-out tf_a x tf_b (the proximity_match
+    contract), and the boost itself is a per-doc LEFT join of a
+    metadata-sized (topic, doc, n_prox) rollup onto the score set —
+    corpus positions never meet the scoring exchange."""
+    params = params or BM25Params()
+    contrib = _contributions_bm25(tokens, qterms, n_docs, avgdl, params)
+    base = _accumulate(contrib, exact_float32=True)
+
+    # adjacent DISTINCT-term pairs per topic, from the (tiny, already
+    # driver-built) analyzed query frame
+    spark = qterms.sparkSession
+    seqs: dict[int, list[tuple[int, str]]] = {}
+    for r in qterms.select("topic_id", "term_pos", "term").collect():
+        seqs.setdefault(r["topic_id"], []).append((r["term_pos"], r["term"]))
+    pair_rows = []
+    for topic_id, terms in seqs.items():
+        ordered = [t for _, t in sorted(terms)]
+        for i in range(len(ordered) - 1):
+            pair_rows.append((topic_id, i, ordered[i], ordered[i + 1]))
+    if not pair_rows:
+        return topk(base, k)
+    pairs = spark.createDataFrame(
+        pair_rows, "topic_id int, pair_idx int, term_a string, term_b string"
+    )
+    pa = ptokens.join(
+        F.broadcast(pairs.select("topic_id", "pair_idx", F.col("term_a"))),
+        ptokens["term"] == F.col("term_a"),
+    ).select("topic_id", "pair_idx", "doc_id", F.col("pos").alias("pa"))
+    # rename every pb-side column BEFORE the join: pa and pb share the
+    # ptokens lineage, so joining on pa["doc_id"] == pb["doc_id"] would
+    # construct a trivially-true predicate (same attribute id)
+    pb = ptokens.join(
+        F.broadcast(pairs.select("topic_id", "pair_idx", F.col("term_b"))),
+        ptokens["term"] == F.col("term_b"),
+    ).select(
+        F.col("topic_id").alias("topic_id_b"),
+        F.col("pair_idx").alias("pair_idx_b"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pb"),
+    )
+    matched = (
+        pa.join(
+            pb,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("topic_id") == F.col("topic_id_b"))
+            & (F.col("pair_idx") == F.col("pair_idx_b")),
+        )
+        .filter(
+            (F.abs(F.col("pb") - F.col("pa")) >= 1)
+            & (F.abs(F.col("pb") - F.col("pa")) <= window)
+        )
+        .select("topic_id", "pair_idx", "doc_id")
+        .distinct()
+        .groupBy("topic_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_prox"))
+    )
+    boosted = base.join(matched, ["topic_id", "doc_id"], "left").select(
+        "topic_id",
+        "doc_id",
+        (
+            F.col("score")
+            + F.lit(float(alpha))
+            * F.coalesce(F.col("n_prox"), F.lit(0)).cast("double")
+        ).cast("float").alias("score"),
+    )
+    return topk(boosted, k)
+
+
 def score_tfidf(
     tokens: DataFrame,
     n_docs: int,

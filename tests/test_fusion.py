@@ -206,3 +206,67 @@ def test_grouped_topk_ties_and_k_cut(spark):
     out = Q.grouped_topk(scores, "repo", per_group=3, k=2).collect()
     ranked = sorted((r["rank"], r["repo"]) for r in out)
     assert ranked == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# Proximity-boosted BM25 (query.score_bm25_prox)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def prox_corpus(spark):
+    """6 docs, all containing 'alpha' and 'beta' once with identical
+    doc_len: 3 adjacent (dist 1), 3 scattered (dist 11 > window)."""
+    pad = " ".join(f"w{i}" for i in range(10))
+    rows = [(i, f"alpha beta {pad}") for i in range(3)] + [
+        (i, f"alpha {pad} beta") for i in range(3, 6)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prox_boost_lifts_adjacent_class(spark, prox_corpus):
+    from search_engine_spark.config import BM25Params
+    from search_engine_spark.positional import positional_tokens
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tokens = B.analyze_tokens(prox_corpus, cfg, "doc_id", "text")
+    ptoks = positional_tokens(prox_corpus, cfg, "doc_id", "text")
+    meta = B.build_doc_meta(prox_corpus, cfg, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, "alpha beta")], cfg)
+    res = Q.score_bm25_prox(
+        tokens, ptoks, n, avgdl, qdf, window=8, alpha=0.25,
+        params=BM25Params(), k=6,
+    ).collect()
+    ranked = [r["doc_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    # identical base scores -> boost alone separates the classes
+    assert set(ranked[:3]) == {0, 1, 2}
+    assert set(ranked[3:]) == {3, 4, 5}
+    scores = {r["doc_id"]: r["score"] for r in res}
+    # the bonus is exactly +0.25 on the float32 base
+    import numpy as np
+
+    assert scores[0] == np.float32(scores[3] + np.float64(0.25))
+
+
+def test_prox_alpha_zero_is_plain_bm25(spark, prox_corpus):
+    from search_engine_spark.config import BM25Params
+    from search_engine_spark.positional import positional_tokens
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tokens = B.analyze_tokens(prox_corpus, cfg, "doc_id", "text")
+    ptoks = positional_tokens(prox_corpus, cfg, "doc_id", "text")
+    meta = B.build_doc_meta(prox_corpus, cfg, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, "alpha beta")], cfg)
+    prox = Q.score_bm25_prox(
+        tokens, ptoks, n, avgdl, qdf, window=8, alpha=0.0,
+        params=BM25Params(), k=6,
+    ).collect()
+    plain = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=6, exact_float32=True
+    ).collect()
+    key = lambda rows: sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(prox) == key(plain)

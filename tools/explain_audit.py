@@ -768,6 +768,15 @@ def main() -> int:
           "LeftSemi" in p and "LeftAnti" in p and "Window" in p
           and "CartesianProduct" not in p and "BatchEvalPython" not in p)
 
+    from search_engine_spark.contract import q_bm25_prox_topk
+
+    p = plan_of(q_bm25_prox_topk(spark, sf_dir))
+    check("prox-boosted bm25: pair terms broadcast onto the positional "
+          "stream, doc-keyed pair join, boost is a per-doc left join — "
+          "no cartesian, no row-Python",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:

@@ -1,0 +1,173 @@
+"""Scale probe for the session-7 repository-analytics operators on the
+realistic corpus:
+
+* co_change — evolutionary coupling over a synthetic change-event table
+  shaped so commits are dense enough to couple (~15-20 paths per
+  (repo, commit) group): the pair join emits ~10M+ pairs at 500k docs,
+  so the giant-bucket-capped self-join does real shuffle work.
+* hotspots — content-free churn agg + latest-snapshot line count join.
+* call_graph — planted def + nested-call lines over every doc: ~n_docs
+  definitions, ~2*n_docs call idents resolved against a ~200k-symbol
+  dictionary, then the per-doc attribution window.
+* code_ownership + bus_factor — author rollups (the cheap tail).
+
+Each at two parallelism levels with the interleaved-draw MIN estimator
+(BASELINE.md host-noise method).
+
+Usage: python tools/measure_s7_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+N_REPOS = 2_000
+N_COMMITS = max(10, (3 * N_DOCS) // (N_REPOS * 18))  # ~18 paths/commit-group
+N_AUTHORS = 50
+EVENTS_PER_DOC = 3
+
+
+def _events_path_and_write(sp, docs_path: str, out: str) -> None:
+    """Change-event table: each doc yields EVENTS_PER_DOC events at
+    deterministic commit ordinals spread by a doc-keyed stride, repo =
+    doc_id % N_REPOS — the contract synthesis scaled up."""
+    from pyspark.sql import functions as F
+
+    docs = sp.read.parquet(docs_path)
+    j = F.explode(F.sequence(F.lit(0), F.lit(EVENTS_PER_DOC - 1))).alias("j")
+    ev = docs.select("doc_id", "text", j).select(
+        F.concat(
+            F.lit("r"), (F.col("doc_id") % N_REPOS).cast("string")
+        ).alias("repo"),
+        F.concat(
+            F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")
+        ).alias("path"),
+        (
+            (F.col("doc_id") * 7 + F.col("j") * 13) % N_COMMITS
+        ).cast("long").alias("commit_seq"),
+        "doc_id",
+        F.col("text"),
+        F.lit(False).alias("deleted"),
+        F.concat(
+            F.lit("dev"), ((F.col("doc_id") + F.col("j")) % N_AUTHORS)
+            .cast("string")
+        ).alias("author"),
+    )
+    # the history invariant: at most one event per (repo, path, commit)
+    ev = ev.dropDuplicates(["repo", "path", "commit_seq"])
+    ev.write.mode("overwrite").parquet(out)
+
+
+def _call_planted(docs):
+    from pyspark.sql import functions as F
+
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("def "), F.element_at(w, 11), F.lit("(a):\n"),
+            F.col("text"), F.lit("\n"),
+            F.element_at(w, 12), F.lit("("), F.element_at(w, 13),
+            F.lit("())"),
+        ).alias("text"),
+    )
+
+
+def one_draw(sp, docs_path: str, events_path: str) -> dict:
+    from search_engine_spark import history as H
+    from search_engine_spark.ops import codegraph as CG
+
+    docs = sp.read.parquet(docs_path)
+    events = sp.read.parquet(events_path)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    t["n_pairs"] = H.co_change(
+        events, min_support=2, max_commit_files=5000
+    ).count()
+    t["co_change"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_hot"] = H.hotspots(events, k=100).count()
+    t["hotspots"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_call_edges"] = CG.call_graph(_call_planted(docs)).count()
+    t["call_graph"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_owned"] = H.code_ownership(events).count()
+    t["n_repo_bus"] = H.bus_factor(events, 50).count()
+    t["ownership_bus"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="s7_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+    events_path = f"{tmp}/events.parquet"
+    s = get_spark("s7_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    _events_path_and_write(s, docs_path, events_path)
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"s7_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, docs_path, events_path)
+        )
+        sp.stop()
+
+    timing_ops = ("co_change", "hotspots", "call_graph", "ownership_bus")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "s7_scaling",
+        "n_docs": N_DOCS,
+        "n_repos": N_REPOS,
+        "n_commits": N_COMMITS,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
