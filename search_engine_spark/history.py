@@ -301,9 +301,11 @@ def hotspots(events: DataFrame, k: int = 20) -> DataFrame:
 
     Physical shape: churn counts come from the content-free
     file_history window + agg (file bodies never in that exchange);
-    line counts ride the latest_snapshot max_by reduce — the ONE place
-    content is touched, and it reduces to an int in the same projection.
-    The join keys are (repo, path); output is k rows."""
+    the line count is reduced to an int IN THE SCAN PROJECTION and only
+    that int rides the max_by snapshot reduce — content never enters
+    any exchange (keep_text=True latest_snapshot would ship every live
+    body through the shuffle just to count its newlines).  The join
+    keys are (repo, path); output is k rows."""
     churn = (
         file_history(events)
         .groupBy("repo", "path")
@@ -313,10 +315,25 @@ def hotspots(events: DataFrame, k: int = 20) -> DataFrame:
             ).cast("long").alias("n_modified")
         )
     )
-    live = latest_snapshot(events, keep_text=True).select(
+    slim = events.select(
         "repo",
         "path",
-        (F.size(F.split(F.col("text"), "\n"))).cast("long").alias("n_lines"),
+        "commit_seq",
+        "deleted",
+        F.when(
+            F.col("deleted"), F.lit(None).cast("long")
+        ).otherwise(F.size(F.split(F.col("text"), "\n")).cast("long"))
+        .alias("n_lines"),
+    )
+    live = (
+        slim.groupBy("repo", "path")
+        .agg(
+            F.max_by(
+                F.struct("deleted", "n_lines"), F.col("commit_seq")
+            ).alias("v")
+        )
+        .filter(~F.col("v.deleted"))
+        .select("repo", "path", F.col("v.n_lines").alias("n_lines"))
     )
     return (
         live.join(churn, ["repo", "path"])

@@ -547,3 +547,61 @@ def test_call_graph_agg(call_docs):
         ("<toplevel>", "foo"): (1, 1),
         ("<toplevel>", "bar"): (1, 1),
     }
+
+
+def test_call_sites_random_vs_brute(spark):
+    """Seeded random files vs a brute-force Python oracle for the
+    nearest-preceding-definition attribution, def-line exclusion, and
+    dictionary resolution."""
+    import random
+    import re as _re
+
+    pool = ["foo", "bar", "baz", "qux", "zap"]
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        docs = []
+        for doc_id in range(6):
+            lines = []
+            for _ in range(rng.randint(1, 10)):
+                kind = rng.random()
+                name = rng.choice(pool)
+                if kind < 0.3:
+                    lines.append(f"def {name}(a):")
+                elif kind < 0.8:
+                    lines.append(f"  {name}(1)")
+                else:
+                    lines.append("plain words here")
+            docs.append((doc_id, "\n".join(lines)))
+        from search_engine_spark.ops import codegraph as CG
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["line_no"], r["caller"], r["callee"])
+            for r in CG.call_sites(df).collect()
+        }
+        # brute force
+        defs = set()
+        def_sites = {}
+        for doc_id, text in docs:
+            for i, line in enumerate(text.split("\n"), 1):
+                m = _re.match(r"^\s*def\s+([A-Za-z_][A-Za-z0-9_]*)", line)
+                if m:
+                    defs.add(m.group(1))
+                    def_sites.setdefault(doc_id, []).append((i, m.group(1)))
+        want = set()
+        for doc_id, text in docs:
+            for i, line in enumerate(text.split("\n"), 1):
+                own_defs = {
+                    s for (ln, s) in def_sites.get(doc_id, []) if ln == i
+                }
+                enclosing = "<toplevel>"
+                for ln, s in def_sites.get(doc_id, []):
+                    if ln <= i:
+                        enclosing = s
+                for callee in _re.findall(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", line
+                ):
+                    if callee not in defs or callee in own_defs:
+                        continue
+                    want.add((doc_id, i, enclosing, callee))
+        assert got == want, f"seed {seed}"

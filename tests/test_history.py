@@ -377,3 +377,55 @@ def test_bus_factor_hand_computed(authored):
         for r in H.bus_factor(authored, 100).collect()
     }
     assert strict == {"r1": 2, "r2": 2, "r3": 4}
+
+
+def test_co_change_random_vs_brute(spark):
+    """3 seeded random event tables vs a brute-force Python oracle:
+    commit-set pairs, the giant-commit cap, and the jaccard integer
+    arithmetic all pinned."""
+    import itertools
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        for repo in ("ra", "rb"):
+            for commit in range(5):
+                paths = rng.sample(
+                    [f"p{i}" for i in range(7)], rng.randint(0, 6)
+                )
+                for p in paths:
+                    rows.append((repo, p, commit, 0, "x", False))
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, _SCHEMA)
+        cap = rng.choice((3, 5, 100))
+        got = {
+            (r["repo"], r["path_a"], r["path_b"]): (
+                r["n_co"], r["n_a"], r["n_b"], r["jaccard_pct"]
+            )
+            for r in H.co_change(
+                df, min_support=2, max_commit_files=cap
+            ).collect()
+        }
+        # brute force
+        by_commit: dict = {}
+        for repo, p, c, *_ in rows:
+            by_commit.setdefault((repo, c), set()).add(p)
+        capped = {k: v for k, v in by_commit.items() if len(v) <= cap}
+        n_path: dict = {}
+        for (repo, _c), v in capped.items():
+            for p in v:
+                n_path[(repo, p)] = n_path.get((repo, p), 0) + 1
+        want = {}
+        co: dict = {}
+        for (repo, _c), v in capped.items():
+            for a, b in itertools.combinations(sorted(v), 2):
+                co[(repo, a, b)] = co.get((repo, a, b), 0) + 1
+        for (repo, a, b), n_co in co.items():
+            if n_co >= 2:
+                na, nb = n_path[(repo, a)], n_path[(repo, b)]
+                want[(repo, a, b)] = (
+                    n_co, na, nb, (100 * n_co) // (na + nb - n_co)
+                )
+        assert got == want, f"seed {seed} cap {cap}"

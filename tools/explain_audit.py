@@ -752,11 +752,12 @@ def main() -> int:
           and all("text#" not in b for b in exchange_blocks(p)))
 
     p = plan_of(HI.hotspots(ev))
-    check("hotspots: churn window is content-free; the one content "
-          "touch reduces to n_lines inside the max_by snapshot agg "
-          "before the (repo, path) join",
+    check("hotspots: churn window is content-free; the line count "
+          "reduces to an int in the scan projection, so content never "
+          "enters ANY exchange",
           "CartesianProduct" not in p and "BatchEvalPython" not in p
-          and "max_by" in p)
+          and "max_by" in p
+          and all("text#" not in b for b in exchange_blocks(p)))
 
     from search_engine_spark.ops import codegraph as CGR2
 
