@@ -6726,6 +6726,171 @@ JOIN first f ON f.repo = ll.repo AND f.path = ll.path AND f.line = ll.line
 """
 
 
+def q_diff_numstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`git log --numstat` under documented multiset-line semantics
+    (history.diff_numstat): per change event, added/removed line counts
+    vs the path's previous version — per distinct line, added =
+    max(new_cnt − old_cnt, 0), removed symmetric; equals Myers numstat
+    for pure insert/delete edits.  ONE explode of content into single
+    lines (bodies never in an exchange), a content-free lead window
+    pairs versions with their successor, ±1 contributions fold in two
+    partial-aggregated groupBys.  New surface — the snapshot reference
+    engine (Program.cs:24-41) has no history axis at all."""
+    from . import history as H
+
+    return H.diff_numstat(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_diff_numstat() -> str:
+    return f"""
+WITH {_SQL_HIST},
+ver_lines AS (
+  SELECT repo, path, commit_seq, u.l AS line
+  FROM (SELECT repo, path, commit_seq,
+               regexp_split_to_array(text, chr(10)) AS ls
+        FROM hist WHERE NOT deleted),
+  LATERAL (SELECT unnest(ls) AS l) u
+),
+nxt AS (
+  SELECT repo, path, commit_seq,
+         lead(commit_seq) OVER (PARTITION BY repo, path
+                                ORDER BY commit_seq) AS next_seq
+  FROM hist
+),
+contrib AS (
+  SELECT repo, path, commit_seq, line, CAST(1 AS BIGINT) AS delta
+  FROM ver_lines
+  UNION ALL
+  SELECT v.repo, v.path, n.next_seq, v.line, CAST(-1 AS BIGINT)
+  FROM ver_lines v
+  JOIN nxt n ON n.repo = v.repo AND n.path = v.path
+            AND n.commit_seq = v.commit_seq
+  WHERE n.next_seq IS NOT NULL
+),
+per_line AS (
+  SELECT repo, path, commit_seq, line, SUM(delta) AS d
+  FROM contrib GROUP BY repo, path, commit_seq, line
+),
+nagg AS (
+  SELECT repo, path, commit_seq,
+         SUM(GREATEST(d, 0)) AS n_added,
+         SUM(GREATEST(-d, 0)) AS n_removed
+  FROM per_line GROUP BY repo, path, commit_seq
+)
+SELECT h.repo, h.path, h.commit_seq,
+       CAST(COALESCE(a.n_added, 0) AS BIGINT) AS n_added,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM hist h
+LEFT JOIN nagg a ON a.repo = h.repo AND a.path = h.path
+                AND a.commit_seq = h.commit_seq
+"""
+
+
+def q_code_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """git-of-theseus line survival (history.code_survival): per
+    (repo, commit), distinct (path, line) pairs introduced there and
+    how many survive into the latest snapshot, with an exact integer
+    survival percent.  Shares blame-lite's distinct-line attribution;
+    every exchange carries single lines or commit-grain counts."""
+    from . import history as H
+
+    return H.code_survival(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_code_survival() -> str:
+    return f"""
+WITH {_SQL_HIST},
+{_sql_hist_snap('snap', None)},
+ver_lines AS (
+  SELECT DISTINCT repo, path, commit_seq, u.l AS line
+  FROM (SELECT repo, path, commit_seq,
+               regexp_split_to_array(text, chr(10)) AS ls
+        FROM hist WHERE NOT deleted),
+  LATERAL (SELECT unnest(ls) AS l) u
+),
+firstl AS (
+  SELECT repo, path, line, MIN(commit_seq) AS first_seq
+  FROM ver_lines GROUP BY repo, path, line
+),
+intro AS (
+  SELECT repo, first_seq, COUNT(*) AS n_introduced
+  FROM firstl GROUP BY repo, first_seq
+),
+latest_lines AS (
+  SELECT DISTINCT repo, path, u.l AS line
+  FROM (SELECT repo, path, regexp_split_to_array(text, chr(10)) AS ls
+        FROM snap),
+  LATERAL (SELECT unnest(ls) AS l) u
+),
+surv AS (
+  SELECT f.repo, f.first_seq, COUNT(*) AS n_surviving
+  FROM latest_lines ll
+  JOIN firstl f ON f.repo = ll.repo AND f.path = ll.path
+               AND f.line = ll.line
+  GROUP BY f.repo, f.first_seq
+)
+SELECT i.repo, i.first_seq AS commit_seq,
+       CAST(i.n_introduced AS BIGINT) AS n_introduced,
+       CAST(COALESCE(s.n_surviving, 0) AS BIGINT) AS n_surviving,
+       (100 * CAST(COALESCE(s.n_surviving, 0) AS BIGINT))
+         // i.n_introduced AS survival_pct
+FROM intro i
+LEFT JOIN surv s ON s.repo = i.repo AND s.first_seq = i.first_seq
+"""
+
+
+def q_rename_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`git log --follow` name chains (history.rename_lineage): for
+    every live path ever renamed, its former names with the renaming
+    commit and chain depth — backward frontier BFS over rename_detect's
+    -M100% sha-match edges, one (repo, new_path) equi-join per step
+    with strictly decreasing commit_seq, localCheckpoint lineage cuts.
+    Oracle: a WITH RECURSIVE walk over the same edges."""
+    from . import history as H
+
+    return H.rename_lineage(_history_events(_docs(spark, sf_dir)))
+
+
+def _sql_rename_lineage() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_HIST},
+{_sql_hist_snap('snap', None)},
+shas AS (
+  SELECT repo, path, commit_seq, deleted,
+         CASE WHEN deleted THEN NULL ELSE sha256(text) END AS sha
+  FROM hist
+),
+lagged AS (
+  SELECT *, lag(sha) OVER w AS prev_sha, lag(deleted) OVER w AS prev_del
+  FROM shas WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq)
+),
+renames AS (
+  SELECT d.repo, d.old_path, a.new_path, d.commit_seq FROM
+    (SELECT repo, path AS old_path, commit_seq, prev_sha AS sha
+     FROM lagged WHERE deleted AND prev_sha IS NOT NULL) d
+  JOIN
+    (SELECT repo, path AS new_path, commit_seq, sha
+     FROM lagged WHERE NOT deleted AND (prev_del IS NULL OR prev_del)) a
+  ON a.repo = d.repo AND a.commit_seq = d.commit_seq AND a.sha = d.sha
+),
+chain AS (
+  SELECT repo, path AS live_path, path AS cur_path,
+         CAST(4611686018427387904 AS BIGINT) AS cur_seq,
+         CAST(0 AS BIGINT) AS depth
+  FROM snap
+  UNION ALL
+  SELECT c.repo, c.live_path, r.old_path, r.commit_seq, c.depth + 1
+  FROM chain c
+  JOIN renames r ON r.repo = c.repo AND r.new_path = c.cur_path
+                AND r.commit_seq < c.cur_seq
+  WHERE c.depth < 20
+)
+SELECT repo, live_path, cur_path AS ancestor_path,
+       cur_seq AS renamed_at, depth
+FROM chain WHERE depth >= 1
+"""
+
+
 def q_bm25_at_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search the corpus AS OF commit {_H_ASOF} (history.snapshot_at →
     the standard exact-float32 BM25): time-travel search over the
@@ -7474,6 +7639,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "diff_numstat": q_diff_numstat,
+        "code_survival": q_code_survival,
+        "rename_lineage": q_rename_lineage,
         "co_change": q_co_change,
         "hotspots": q_hotspots,
         "call_edges": q_call_edges,
@@ -7634,6 +7802,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def duckdb_oracles() -> dict[str, str]:
     return {
+        "diff_numstat": _sql_diff_numstat(),
+        "code_survival": _sql_code_survival(),
+        "rename_lineage": _sql_rename_lineage(),
         "co_change": _sql_co_change(),
         "hotspots": _sql_hotspots(),
         "call_edges": _sql_call_edges(),

@@ -60,6 +60,9 @@ __all__ = [
     "bus_factor",
     "snapshot_diff_commits",
     "line_first_seen",
+    "diff_numstat",
+    "code_survival",
+    "rename_lineage",
     "symbol_timeline",
     "pickaxe_search",
     "dead_symbols",
@@ -491,6 +494,231 @@ def line_first_seen(
     return latest.join(first, ["repo", "path", "line"]).select(
         "repo", "path", "line", "first_seq"
     )
+
+
+def diff_numstat(events: DataFrame) -> DataFrame:
+    """``git log --numstat`` under documented MULTISET-line semantics:
+    for every change event, ``n_added`` / ``n_removed`` line counts vs
+    the path's previous version — per distinct line, added =
+    max(new_occurrences − old_occurrences, 0) and removed is symmetric.
+    This equals git's Myers-diff numstat for pure insertions/deletions
+    and lower-bounds it when identical lines move (a moved line is not
+    churn here — arguably the saner analytic).  An add event diffs
+    against empty; a delete event removes every prior line.
+
+    Output: (repo, path, commit_seq, n_added, n_removed), one row per
+    input event.
+
+    Plan (content never rides an exchange as a whole body):
+      1. a content-free lag/lead window on the event keys pairs every
+         version with the commit that supersedes it;
+      2. ONE explode of text into single lines, joined line-grain to
+         that narrow successor map on (repo, path, commit_seq);
+      3. each line occurrence contributes +1 at its own commit and −1
+         at the successor commit (an in-row explode — no second scan);
+      4. per-(event, line) signed sums fold into per-event
+         added/removed totals via two partial-aggregated groupBys.
+    """
+    w = Window.partitionBy("repo", "path").orderBy("commit_seq")
+    nxt = (
+        events.select("repo", "path", "commit_seq")
+        .withColumn("next_seq", F.lead("commit_seq").over(w))
+    )
+    lines = events.filter(~F.col("deleted")).select(
+        "repo",
+        "path",
+        "commit_seq",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    )
+    one = F.struct(
+        F.col("commit_seq").alias("at_seq"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    minus = F.struct(
+        F.col("next_seq").alias("at_seq"),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    contrib = (
+        lines.join(nxt, ["repo", "path", "commit_seq"])
+        .select(
+            "repo",
+            "path",
+            "line",
+            F.explode(
+                F.when(F.col("next_seq").isNull(), F.array(one)).otherwise(
+                    F.array(one, minus)
+                )
+            ).alias("c"),
+        )
+        .select(
+            "repo", "path", F.col("c.at_seq").alias("commit_seq"),
+            "line", F.col("c.delta").alias("delta"),
+        )
+    )
+    per_line = contrib.groupBy("repo", "path", "commit_seq", "line").agg(
+        F.sum("delta").alias("d")
+    )
+    agg = per_line.groupBy("repo", "path", "commit_seq").agg(
+        F.sum(F.greatest(F.col("d"), F.lit(0).cast("long"))).alias("n_added"),
+        F.sum(F.greatest(-F.col("d"), F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+    )
+    # events whose diff is all-zero (or delete-after-delete) still get a
+    # row — join back to the full event list and zero-fill.
+    return (
+        events.select("repo", "path", "commit_seq")
+        .join(agg, ["repo", "path", "commit_seq"], "left")
+        .select(
+            "repo",
+            "path",
+            "commit_seq",
+            F.coalesce(F.col("n_added"), F.lit(0).cast("long")).alias(
+                "n_added"
+            ),
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("long")).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def code_survival(events: DataFrame) -> DataFrame:
+    """git-of-theseus-style line survival: for each (repo, commit_seq),
+    how many distinct (path, line) pairs were INTRODUCED at that commit
+    (their earliest appearance in that path's history) and how many of
+    those still exist in the path's latest live version.
+
+    Output: (repo, commit_seq, n_introduced, n_surviving, survival_pct)
+    with survival_pct = floor(100·surviving/introduced) — integer so
+    the cross-engine hash is exact.  Distinct-line semantics matches
+    line_first_seen (blame-lite), stated in both engines.
+
+    Plan: one explode→distinct→min(commit_seq) attribution pass (all
+    partial-aggregated, single-line rows only in exchanges), a
+    semi-join of the latest snapshot's lines onto it, two count aggs of
+    commit-grain cardinality, one commit-grain join."""
+    ev = events.filter(~F.col("deleted"))
+    lines = ev.select(
+        "repo",
+        "path",
+        "commit_seq",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).distinct()
+    first = lines.groupBy("repo", "path", "line").agg(
+        F.min("commit_seq").alias("first_seq")
+    )
+    introduced = first.groupBy("repo", "first_seq").agg(
+        F.count(F.lit(1)).alias("n_introduced")
+    )
+    latest = (
+        snapshot_at(events, None, keep_text=True)
+        .select(
+            "repo",
+            "path",
+            F.explode(F.split(F.col("text"), "\n")).alias("line"),
+        )
+        .distinct()
+    )
+    surviving = (
+        latest.join(first, ["repo", "path", "line"])
+        .groupBy("repo", "first_seq")
+        .agg(F.count(F.lit(1)).alias("n_surviving"))
+    )
+    return (
+        introduced.join(surviving, ["repo", "first_seq"], "left")
+        .select(
+            "repo",
+            F.col("first_seq").alias("commit_seq"),
+            "n_introduced",
+            F.coalesce(F.col("n_surviving"), F.lit(0).cast("long")).alias(
+                "n_surviving"
+            ),
+        )
+        .withColumn(
+            "survival_pct",
+            F.expr("(100 * n_surviving) div n_introduced"),
+        )
+    )
+
+
+def rename_lineage(events: DataFrame, max_depth: int = 20) -> DataFrame:
+    """``git log --follow`` name chains: for every LIVE path that was
+    ever renamed, the ordered list of its former names, reconstructed
+    purely from content (rename_detect's -M100% sha matching — doc_id
+    is deliberately NOT consulted, so tests can use it as ground
+    truth).
+
+    Output: (repo, live_path, ancestor_path, renamed_at, depth) — depth
+    1 is the name the file had immediately before becoming live_path,
+    renamed_at the commit that renamed it; self rows (depth 0) are
+    omitted so output size is the number of rename-lineage edges, not
+    the live-file count.
+
+    Walk: backward frontier BFS over rename edges (new_path → old_path)
+    starting at the latest snapshot, one equi-join per step on
+    (repo, new_path) with commit_seq strictly decreasing; among
+    multiple matching renames the LATEST one wins (then min old_path —
+    deterministic under -M100% many-to-many content ties).  Bounded by
+    ``max_depth``; each frontier is localCheckpoint-ed to cut lineage,
+    mirroring ops/codegraph.import_closure."""
+    # edge columns get e_-prefixed names: frontier and edges share the
+    # `events` lineage, and Spark's ambiguous-self-join check needs the
+    # join condition stated over disjoint column sets.
+    edges = rename_detect(events).select(
+        F.col("repo").alias("e_repo"),
+        F.col("old_path").alias("e_old"),
+        F.col("new_path").alias("e_new"),
+        F.col("commit_seq").alias("e_seq"),
+    )
+    frontier = latest_snapshot(events).select(
+        "repo",
+        F.col("path").alias("live_path"),
+        F.col("path").alias("cur_path"),
+        F.lit(2**62).cast("long").alias("cur_seq"),
+    )
+    out: DataFrame | None = None
+    pick = Window.partitionBy("repo", "live_path").orderBy(
+        F.col("e_seq").desc(), F.col("e_old").asc()
+    )
+    for depth in range(1, max_depth + 1):
+        step = (
+            frontier.join(
+                edges,
+                on=[
+                    F.col("repo") == F.col("e_repo"),
+                    F.col("cur_path") == F.col("e_new"),
+                    F.col("e_seq") < F.col("cur_seq"),
+                ],
+            )
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "repo",
+                "live_path",
+                F.col("e_old").alias("ancestor_path"),
+                F.col("e_seq").alias("renamed_at"),
+                F.lit(depth).cast("long").alias("depth"),
+            )
+        )
+        step = step.localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        out = step if out is None else out.unionByName(step)
+        frontier = step.select(
+            "repo",
+            "live_path",
+            F.col("ancestor_path").alias("cur_path"),
+            F.col("renamed_at").alias("cur_seq"),
+        )
+    if out is None:
+        spark = events.sparkSession
+        return spark.createDataFrame(
+            [],
+            "repo string, live_path string, ancestor_path string, "
+            "renamed_at long, depth long",
+        )
+    return out
 
 
 def symbol_timeline(events: DataFrame) -> DataFrame:

@@ -429,3 +429,154 @@ def test_co_change_random_vs_brute(spark):
                     n_co, na, nb, (100 * n_co) // (na + nb - n_co)
                 )
         assert got == want, f"seed {seed} cap {cap}"
+
+
+def test_diff_numstat_hand_computed(events):
+    got = {
+        (r["repo"], r["path"], r["commit_seq"]): (r["n_added"], r["n_removed"])
+        for r in H.diff_numstat(events).collect()
+    }
+    assert got == {
+        ("r1", "a.py", 0): (2, 0),
+        ("r1", "a.py", 1): (1, 0),       # gamma appended
+        ("r1", "b.py", 0): (1, 0),
+        ("r1", "b.py", 1): (0, 1),       # delete removes every line
+        ("r1", "b.py", 2): (1, 0),       # re-add diffs against empty
+        ("r1", "c.py", 0): (1, 0),
+        ("r1", "c.py", 2): (0, 1),
+        ("r1", "d.py", 2): (1, 0),
+        ("r2", "x.py", 1): (1, 0),
+    }
+
+
+def test_diff_numstat_multiset(spark):
+    """Duplicate lines count as a multiset: dup of an existing line is
+    ONE added line; dropping one of two copies is ONE removed line."""
+    rows = [
+        ("r", "m.py", 0, 1, "x\nx\ny", False),
+        ("r", "m.py", 1, 1, "x\ny\ny\ny", False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        (r["commit_seq"]): (r["n_added"], r["n_removed"])
+        for r in H.diff_numstat(df).collect()
+    }
+    assert got == {0: (3, 0), 1: (2, 1)}  # +2y -1x
+
+
+def test_diff_numstat_random_vs_brute(spark):
+    """Seeded random histories vs a Counter-based brute force."""
+    import random
+    from collections import Counter
+
+    lines_pool = ["a", "b", "c", "dd", ""]
+    for seed in (5, 6, 7):
+        rng = random.Random(seed)
+        rows = []
+        for repo in ("ra", "rb"):
+            for path in ("p", "q"):
+                alive = False
+                for seq in range(5):
+                    r = rng.random()
+                    if r < 0.3:
+                        continue  # untouched this commit
+                    if alive and r < 0.45:
+                        rows.append((repo, path, seq, 1, None, True))
+                        alive = False
+                    else:
+                        body = "\n".join(
+                            rng.choice(lines_pool)
+                            for _ in range(rng.randint(1, 6))
+                        )
+                        rows.append((repo, path, seq, 1, body, False))
+                        alive = True
+        df = spark.createDataFrame(rows, _SCHEMA)
+        got = {
+            (r["repo"], r["path"], r["commit_seq"]):
+                (r["n_added"], r["n_removed"])
+            for r in H.diff_numstat(df).collect()
+        }
+        want = {}
+        by_file: dict = {}
+        for repo, path, seq, _d, text, deleted in rows:
+            by_file.setdefault((repo, path), []).append(
+                (seq, text, deleted)
+            )
+        for (repo, path), evs in by_file.items():
+            prev: Counter = Counter()
+            for seq, text, deleted in sorted(evs):
+                cur = (
+                    Counter() if deleted else Counter(text.split("\n"))
+                )
+                added = sum((cur - prev).values())
+                removed = sum((prev - cur).values())
+                want[(repo, path, seq)] = (added, removed)
+                prev = cur
+        assert got == want, f"seed {seed}"
+
+
+def test_code_survival_hand_computed(events):
+    got = {
+        (r["repo"], r["commit_seq"]): (
+            r["n_introduced"], r["n_surviving"], r["survival_pct"]
+        )
+        for r in H.code_survival(events).collect()
+    }
+    assert got == {
+        ("r1", 0): (4, 2, 50),   # alpha beta bee sea; alpha beta survive
+        ("r1", 1): (1, 1, 100),  # gamma
+        ("r1", 2): (2, 2, 100),  # bee2 + d.py's sea
+        ("r2", 1): (1, 1, 100),  # ex
+    }
+
+
+def test_rename_lineage_single_hop(events):
+    got = [
+        (r["repo"], r["live_path"], r["ancestor_path"],
+         r["renamed_at"], r["depth"])
+        for r in H.rename_lineage(events).collect()
+    ]
+    assert got == [("r1", "d.py", "c.py", 2, 1)]
+
+
+def test_rename_lineage_two_hops(spark):
+    """p0 -> p1 (@1) -> p2 (@2): the live p2 chains back two names, and
+    content-only reconstruction agrees with the doc_id ground truth."""
+    rows = [
+        ("r3", "p0", 0, 9, "zz", False),
+        ("r3", "p0", 1, 9, None, True),
+        ("r3", "p1", 1, 9, "zz", False),
+        ("r3", "p1", 2, 9, None, True),
+        ("r3", "p2", 2, 9, "zz", False),
+        ("r3", "other.py", 0, 8, "unrelated", False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        (r["live_path"], r["depth"]): (r["ancestor_path"], r["renamed_at"])
+        for r in H.rename_lineage(df).collect()
+    }
+    assert got == {("p2", 1): ("p1", 2), ("p2", 2): ("p0", 1)}
+    # ground truth: every ancestor shares the live file's doc_id
+    assert {r[1] for r in rows if r[0] == "r3" and r[3] == 9} >= {
+        "p0", "p1", "p2"
+    }
+
+
+def test_rename_lineage_latest_wins(spark):
+    """A path renamed into twice (created, deleted, re-created via a
+    second rename) follows the LATEST creating rename."""
+    rows = [
+        ("r4", "old1", 0, 1, "v1", False),
+        ("r4", "old1", 1, 1, None, True),
+        ("r4", "dst", 1, 1, "v1", False),    # rename old1 -> dst @1
+        ("r4", "dst", 2, 1, None, True),     # dst deleted
+        ("r4", "old2", 2, 2, "v2", False),
+        ("r4", "old2", 3, 2, None, True),
+        ("r4", "dst", 3, 2, "v2", False),    # rename old2 -> dst @3
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        (r["depth"]): (r["ancestor_path"], r["renamed_at"])
+        for r in H.rename_lineage(df).collect()
+    }
+    assert got == {1: ("old2", 3)}

@@ -759,6 +759,43 @@ def main() -> int:
           and "max_by" in p
           and all("text#" not in b for b in exchange_blocks(p)))
 
+    p = plan_of(HI.diff_numstat(ev))
+    check("numstat: successor window is content-free; content enters "
+          "exchanges only as exploded single lines (no whole bodies), "
+          "no cartesian, no row-Python",
+          "Window" in p and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    p = plan_of(HI.code_survival(ev))
+    check("code survival: attribution pass partial-aggregates single "
+          "lines; commit-grain joins only; no cartesian, no row-Python, "
+          "no whole bodies in exchanges",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
+    # rename_lineage eagerly checkpoints each BFS step, so its returned
+    # plan is a union over materialized step RDDs; the per-step join
+    # shape is rename_detect's (audited above) plus one (repo, new_path)
+    # equi-join — audit the first step's join plan explicitly here.
+    _edges = HI.rename_detect(ev).select(
+        F.col("repo").alias("e_repo"), F.col("old_path").alias("e_old"),
+        F.col("new_path").alias("e_new"), F.col("commit_seq").alias("e_seq"))
+    _front = HI.latest_snapshot(ev).select(
+        "repo", F.col("path").alias("cur_path"),
+        F.lit(2**62).cast("long").alias("cur_seq"))
+    p = plan_of(_front.join(_edges, on=[
+        F.col("repo") == F.col("e_repo"),
+        F.col("cur_path") == F.col("e_new"),
+        F.col("e_seq") < F.col("cur_seq")]))
+    check("rename lineage: each backward BFS step is a narrow equi-join "
+          "on (repo, new_path) with a seq range residual — no cartesian, "
+          "no row-Python, no content in exchanges",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p
+          and ("SortMergeJoin" in p or "BroadcastHashJoin" in p
+               or "ShuffledHashJoin" in p)
+          and all("text#" not in b for b in exchange_blocks(p)))
+
     from search_engine_spark.ops import codegraph as CGR2
 
     docs_cg = spark.read.parquet(f"{sf_dir}/documents.parquet")
