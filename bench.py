@@ -287,6 +287,18 @@ def main() -> None:
     extras["query_surface_r4s6"] = {"medians": t_s6.medians,
                                     "spread": t_s6.spread}
 
+    # --- round-4 sessions 7-8: repository analytics (co-change,
+    # hotspots, call graph, ownership) + git analytics (numstat,
+    # survival, rename lineage) + ranking variants ---
+    t_s7 = Timer(REPS)
+    for name in ("co_change", "hotspots", "call_edges", "function_rank",
+                 "code_ownership", "bus_factor", "bm25_msm_topk",
+                 "bm25_prox_topk", "diff_numstat", "code_survival",
+                 "rename_lineage"):
+        t_s7.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_r4s7"] = {"medians": t_s7.medians,
+                                    "spread": t_s7.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

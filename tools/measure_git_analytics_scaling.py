@@ -1,0 +1,175 @@
+"""Scale probe for the git-analytics history operators (diff_numstat,
+code_survival, rename_lineage) on a realistic multi-version corpus:
+
+* every doc gets 3 versions whose bodies are ~50 single-token lines
+  (translate ' '->'\n' over the realistic-dictionary corpus), each
+  version adding a header + j trailer lines — so numstat/survival push
+  n_docs * versions * ~50 line rows through their exchanges (the cost
+  driver at 10^12 files), while per-event diffs stay small (the
+  realistic shape: most of a file is unchanged).
+* 10% of docs are renamed at the final commit (delete old + add new
+  path, same content) and then touched once more under the new name,
+  giving rename_lineage a real frontier: ALL live paths enter the
+  first BFS step, 10% survive to depth-1 output.
+
+Two parallelism levels, interleaved-draw MIN estimator (BASELINE.md
+host-noise method).
+
+Usage: python tools/measure_git_analytics_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+N_REPOS = 2_000
+
+
+def _write_events(sp, docs_path: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = sp.read.parquet(docs_path)
+    body = F.translate(F.col("text"), " ", "\n")
+    repo = F.concat(F.lit("r"), (F.col("doc_id") % N_REPOS).cast("string"))
+    path0 = F.concat(
+        F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")
+    )
+    path1 = F.concat(
+        F.lit("src/moved/f"), F.col("doc_id").cast("string"), F.lit(".py")
+    )
+    ren = F.col("doc_id") % 10 == 0
+
+    def ver(j: int):
+        return F.concat(
+            F.lit(f"header v{j}\n"), body,
+            F.lit("".join(f"\nextra{i}" for i in range(j))),
+        )
+
+    base = docs.select("doc_id", "text")
+    evs = []
+    for j in range(3):
+        evs.append(base.select(
+            repo.alias("repo"), path0.alias("path"),
+            F.lit(j).cast("long").alias("commit_seq"),
+            F.col("doc_id"), ver(j).alias("text"),
+            F.lit(False).alias("deleted"),
+        ))
+    renamed = base.filter(ren)
+    evs.append(renamed.select(
+        repo.alias("repo"), path0.alias("path"),
+        F.lit(3).cast("long").alias("commit_seq"), F.col("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(True).alias("deleted"),
+    ))
+    evs.append(renamed.select(
+        repo.alias("repo"), path1.alias("path"),
+        F.lit(3).cast("long").alias("commit_seq"), F.col("doc_id"),
+        ver(2).alias("text"), F.lit(False).alias("deleted"),
+    ))
+    evs.append(renamed.select(
+        repo.alias("repo"), path1.alias("path"),
+        F.lit(4).cast("long").alias("commit_seq"), F.col("doc_id"),
+        F.concat(ver(2), F.lit("\npost-rename touch")).alias("text"),
+        F.lit(False).alias("deleted"),
+    ))
+    ev = evs[0]
+    for e in evs[1:]:
+        ev = ev.unionByName(e)
+    ev.write.mode("overwrite").parquet(out)
+
+
+def one_draw(sp, events_path: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import history as H
+
+    events = sp.read.parquet(events_path)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    agg = H.diff_numstat(events).agg(
+        F.count(F.lit(1)), F.sum("n_added"), F.sum("n_removed")
+    ).collect()[0]
+    t["n_events"], t["sum_added"], t["sum_removed"] = (
+        agg[0], int(agg[1]), int(agg[2])
+    )
+    t["diff_numstat"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_survival_rows"] = H.code_survival(events).count()
+    t["code_survival"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_lineage"] = H.rename_lineage(events, max_depth=5).count()
+    t["rename_lineage"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="gita_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+    events_path = f"{tmp}/events.parquet"
+    s = get_spark("gita_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    _write_events(s, docs_path, events_path)
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"gita_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, events_path)
+        )
+        sp.stop()
+
+    timing_ops = ("diff_numstat", "code_survival", "rename_lineage")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "git_analytics_scaling",
+        "n_docs": N_DOCS,
+        "n_repos": N_REPOS,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
