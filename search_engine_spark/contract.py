@@ -530,6 +530,87 @@ def q_bm25_stream_ingested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _maint_search(spark, idx_dir, live=True)
 
 
+def q_bm25_stream_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous commit-crawl ingest (streaming.stream_apply_events):
+    base index over the history fixture's commit-0 snapshot, then the
+    seq-1 and seq-2 CHANGE EVENTS (modifications, deletions, additions,
+    and the delete+add rename pairs) arrive as two parquet files drained
+    one micro-batch each — per batch, each doc's final state wins and
+    rides an epoch-pinned upsert (live beats delete at the same commit,
+    so a rename is ONE upsert); final deletes become tombstones.  Live
+    search must equal BM25 over the latest snapshot under Lucene
+    deleted-but-unmerged stats semantics: the oracle scores the live
+    snapshot at real ids plus every superseded-or-dead generation as a
+    +1e9·(1+gen) shadow, dropping shadows just before ranking."""
+    import glob
+    import shutil
+
+    from . import history as H, postings as P
+    from .config import IndexBuildConfig
+    from .streaming import stream_apply_events
+
+    root = _contract_index_dir("streamevents", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    idx_dir = os.path.join(root, "idx")
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    events = _history_events(_docs(spark, sf_dir))
+    base = H.snapshot_at(events, 0, keep_text=True).select("doc_id", "text")
+    P.build_index(
+        base, idx_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        content_col="text",
+    )
+    for seq in (1, 2):  # one commit per arrival file → ordered batches
+        stage = os.path.join(root, f"_stage_{seq}")
+        events.filter(F.col("commit_seq") == seq).coalesce(1).write.parquet(
+            stage
+        )
+        shutil.move(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(src, f"commits_{seq}.parquet"),
+        )
+    m = stream_apply_events(
+        spark, src, idx_dir, schema=events.schema,
+        content_col="text", max_files_per_trigger=1,
+    )
+    assert m["upsert_batches"] == 2 and m["delete_batches"] >= 1, m
+    return _maint_search(spark, idx_dir, live=True)
+
+
+def _sql_bm25_stream_events() -> str:
+    prelude = (
+        f"{_SQL_HIST},\n"
+        f"{_sql_hist_snap('snap0', 0)},\n"
+        f"{_sql_hist_snap('snap', None)},\n"
+        "gens AS (\n"
+        "  SELECT doc_id, text, CAST(0 AS BIGINT) AS b FROM snap0\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, text, 1 FROM hist WHERE commit_seq = 1"
+        " AND NOT deleted\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, text, 2 FROM hist WHERE commit_seq = 2"
+        " AND NOT deleted\n"
+        "),\n"
+        "maxb AS (SELECT doc_id, MAX(b) AS fb FROM gens GROUP BY doc_id),\n"
+        "livedocs AS (SELECT doc_id, text FROM snap),\n"
+        "ev_corpus AS (\n"
+        "  SELECT doc_id, text FROM livedocs\n"
+        "  UNION ALL\n"
+        f"  SELECT g.doc_id + {_UPSERT_SHADOW} * (1 + g.b) AS doc_id,"
+        " g.text\n"
+        "  FROM gens g\n"
+        "  JOIN maxb m ON m.doc_id = g.doc_id\n"
+        "  LEFT JOIN livedocs l ON l.doc_id = g.doc_id\n"
+        "  WHERE l.doc_id IS NULL OR g.b < m.fb\n"
+        "), "
+    )
+    return _sql_bm25(
+        source_table="ev_corpus",
+        prelude=prelude,
+        score_filter=f"doc_id < {_UPSERT_SHADOW}",
+    )
+
+
 QL_MU = 2000.0
 
 
@@ -7642,6 +7723,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_numstat": q_diff_numstat,
         "code_survival": q_code_survival,
         "rename_lineage": q_rename_lineage,
+        "bm25_stream_events_topk": q_bm25_stream_events_topk,
         "co_change": q_co_change,
         "hotspots": q_hotspots,
         "call_edges": q_call_edges,
@@ -7805,6 +7887,7 @@ def duckdb_oracles() -> dict[str, str]:
         "diff_numstat": _sql_diff_numstat(),
         "code_survival": _sql_code_survival(),
         "rename_lineage": _sql_rename_lineage(),
+        "bm25_stream_events_topk": _sql_bm25_stream_events(),
         "co_change": _sql_co_change(),
         "hotspots": _sql_hotspots(),
         "call_edges": _sql_call_edges(),

@@ -290,9 +290,16 @@ def upsert_docs(
     doc_id_col: str = "doc_id",
     content_col: str = "content",
     key_cols: tuple[str, ...] = (),
+    ordinal: int | None = None,
 ) -> dict:
     """Replace documents in place: tombstone every OLDER epoch's version
     of each doc, then pack the new versions as the next delta.
+
+    ordinal pins the delta epoch (streaming ingest maps micro-batch ids
+    to ordinals for exactly-once replays — a replayed upsert re-appends
+    byte-identical tombstones, which are duplicate-tolerant by
+    membership semantics, and repacks the same pinned delta); default
+    takes the next free ordinal.
 
     Lucene stats semantics until compaction: the superseded versions
     still count in n_docs/avgdl/df (one more 'deleted but unmerged'
@@ -305,10 +312,13 @@ def upsert_docs(
     rather than ever serving both versions at once.  Single-writer, like
     the rest of this module."""
     _recover_compaction(index_dir)
-    existing = list_deltas(index_dir)
-    ordinal = (
-        max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1 if existing else 1
-    )
+    if ordinal is None:
+        existing = list_deltas(index_dir)
+        ordinal = (
+            max(int(d[len(_DELTA_PREFIX) :]) for d in existing) + 1
+            if existing
+            else 1
+        )
     spark = docs.sparkSession
     delete_docs(
         spark,

@@ -16,6 +16,7 @@ maintenance.live_index, compaction policy built in).
 from .incremental import (
     running_user_counts,
     stream_append_deltas,
+    stream_apply_events,
     stream_append_trigrams,
     stream_dedup_exact,
     sessionize_batch,
@@ -26,6 +27,7 @@ from .incremental import (
 __all__ = [
     "running_user_counts",
     "stream_append_deltas",
+    "stream_apply_events",
     "stream_append_trigrams",
     "stream_dedup_exact",
     "sessionize_batch",

@@ -354,6 +354,154 @@ def stream_append_deltas(
     return dict(counters)
 
 
+def stream_apply_events(
+    spark: SparkSession,
+    input_path: str,
+    index_dir: str,
+    schema: T.StructType | str,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+    seq_col: str = "commit_seq",
+    deleted_col: str = "deleted",
+    key_cols: tuple[str, ...] = (),
+    compact_every: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Continuous commit-crawl ingest: a stream of CHANGE EVENTS
+    (repo, path, commit_seq, doc_id, text, deleted — the north-rule
+    history table) keeps an existing index live.  Where
+    stream_append_deltas only ADDS documents, this applies the full
+    event semantics: per micro-batch, each doc's final state wins
+    (max commit_seq; a live event beats a delete at the same commit —
+    the rename shape: delete old path + add new path in one commit) —
+    live finals ride ONE epoch-pinned upsert_docs delta (tombstone
+    kills only superseded generations), deleted finals get plain
+    tombstones.  Between any two triggers, maintenance.live_index
+    serves the crawl's latest applied state under Lucene
+    deleted-but-unmerged stats semantics.
+
+    Event files must arrive in commit order across batches (the shape a
+    crawler appending one file per poll produces); within a batch any
+    interleaving is fine — the max_by reduction linearizes it.
+
+    Exactly-once across checkpoint replays, same intent/done ledger as
+    stream_append_deltas with one twist: tombstone appends are NOT
+    idempotent writes but ARE idempotent by membership semantics
+    (duplicate (doc_id, before_epoch) rows mask the same postings), so
+    a replayed crashed batch re-appends tombstones harmlessly, skips
+    the delta pack iff its manifest already landed, and re-applies the
+    batch's deletes before committing the ledger.
+
+    Returns {"stream_batches", "upsert_batches", "delete_batches",
+    "replays_skipped", "compactions"}.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    counters = {
+        "stream_batches": 0,
+        "upsert_batches": 0,
+        "delete_batches": 0,
+        "replays_skipped": 0,
+        "compactions": 0,
+    }
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        counters["stream_batches"] += 1
+        st = _read_stream_state(index_dir)
+        if b <= st["done_batch_id"]:
+            counters["replays_skipped"] += 1
+            return
+        if batch_df.isEmpty():
+            _write_stream_state(index_dir, {"done_batch_id": b, "intent": None})
+            return
+        # per-doc final state: latest commit wins; at the same commit a
+        # live event beats a delete (rename = delete+add in one commit)
+        live_rank = F.when(F.col(deleted_col), F.lit(0)).otherwise(F.lit(1))
+        final = (
+            batch_df.groupBy(doc_id_col)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(content_col).alias("_text"),
+                        F.col(deleted_col).alias("_deleted"),
+                        *[F.col(c) for c in key_cols],
+                    ),
+                    F.struct(F.col(seq_col), live_rank),
+                ).alias("v")
+            )
+            .select(doc_id_col, "v.*")
+        )
+        ups = (
+            final.filter(~F.col("_deleted"))
+            .select(
+                doc_id_col, F.col("_text").alias(content_col), *key_cols
+            )
+        )
+        dels = final.filter(F.col("_deleted")).select(doc_id_col)
+        has_ups = not ups.isEmpty()
+
+        ordinal: int | None = None
+        if has_ups:
+            intent = st.get("intent")
+            if intent is not None and int(intent["batch_id"]) == b:
+                ordinal = int(intent["ordinal"])  # crashed replay: reuse
+            else:
+                existing = MN.list_deltas(index_dir)
+                ordinal = (
+                    max(int(d[len(MN._DELTA_PREFIX) :]) for d in existing) + 1
+                    if existing
+                    else 1
+                )
+                _write_stream_state(
+                    index_dir,
+                    {
+                        "done_batch_id": st["done_batch_id"],
+                        "intent": {"batch_id": b, "ordinal": ordinal},
+                    },
+                )
+            name = f"{MN._DELTA_PREFIX}{ordinal:04d}"
+            if name in MN.list_deltas(index_dir):
+                # crash fell after the delta manifest: upsert complete
+                # (its tombstones landed first by construction) — only
+                # the deletes below may still be missing
+                counters["replays_skipped"] += 1
+            else:
+                MN.upsert_docs(
+                    ups,
+                    index_dir,
+                    doc_id_col=doc_id_col,
+                    content_col=content_col,
+                    key_cols=key_cols,
+                    ordinal=ordinal,
+                )
+                counters["upsert_batches"] += 1
+        if not dels.isEmpty():
+            MN.delete_docs(
+                spark,
+                index_dir,
+                dels,
+                created_epoch=ordinal,  # None → next free epoch
+            )
+            counters["delete_batches"] += 1
+        _write_stream_state(index_dir, {"done_batch_id": b, "intent": None})
+        if compact_every and len(MN.list_deltas(index_dir)) >= compact_every:
+            MN.compact_index(spark, index_dir)
+            counters["compactions"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{index_dir}/_events_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dict(counters)
+
+
 def stream_index_build(
     spark: SparkSession,
     input_path: str,

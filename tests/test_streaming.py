@@ -482,3 +482,123 @@ def test_stream_append_deltas_crash_and_compaction(spark, docs_df, tmp_path):
     )
     st = _read_stream_state(index_dir)
     assert st["intent"] is None and st["done_batch_id"] >= 0
+
+
+EVENTS_SCHEMA = (
+    "repo string, path string, commit_seq long, doc_id long, "
+    "text string, deleted boolean"
+)
+
+
+def _land_one(df, src, stage_root, name):
+    stage = f"{stage_root}/_stage_{name}"
+    df.coalesce(1).write.parquet(stage)
+    pf = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.move(pf, f"{src}/{name}.parquet")
+
+
+def test_stream_apply_events_matches_batch_lifecycle(spark, tmp_path):
+    """Change events (mods, deletes, adds, delete+add renames) streamed
+    through stream_apply_events produce a live index identical to the
+    same operations applied via batch upsert_docs/delete_docs, a
+    checkpoint-wiped rerun is a pure no-op, and a simulated
+    crash-after-delta-before-done replay re-applies only the batch's
+    deletes (duplicate-tolerant tombstones) without re-packing."""
+    import json as _json
+
+    from search_engine_spark import maintenance as MN
+    from search_engine_spark.streaming import stream_apply_events
+    from search_engine_spark.streaming.incremental import _STREAM_STATE_FILE
+
+    base_rows = [
+        ("r", "p1", 0, 1, "alpha common words here", False),
+        ("r", "p2", 0, 2, "beta common words here", False),
+        ("r", "p3", 0, 3, "gamma common words here", False),
+        ("r", "p4", 0, 4, "delta common words here", False),
+        ("r", "p5", 0, 5, "epsilon common words here", False),
+    ]
+    ev1_rows = [
+        ("r", "p1", 1, 1, "alpha common words here modified", False),
+        ("r", "p2", 1, 2, None, True),                      # delete
+    ]
+    ev2_rows = [
+        ("r", "p3", 2, 3, None, True),                      # rename: del
+        ("r", "p3new", 2, 3, "gamma common words here", False),  # rename: add
+        ("r", "p6", 2, 6, "zeta common words here", False),      # new doc
+        ("r", "p4", 2, 4, None, True),                      # delete
+    ]
+    base = spark.createDataFrame(base_rows, EVENTS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    ev1 = spark.createDataFrame(ev1_rows, EVENTS_SCHEMA)
+    ev2 = spark.createDataFrame(ev2_rows, EVENTS_SCHEMA)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    idx_s = str(tmp_path / "stream_idx")
+    build_index(base, idx_s, IndexBuildConfig(), content_col="text")
+    _land_one(ev1, src, str(tmp_path), "c1")
+    _land_one(ev2, src, str(tmp_path), "c2")
+
+    m = stream_apply_events(
+        spark, src, idx_s, schema=EVENTS_SCHEMA,
+        content_col="text", max_files_per_trigger=1,
+    )
+    assert m["upsert_batches"] == 2 and m["delete_batches"] == 2, m
+
+    # batch twin: the same operations via the maintenance API directly
+    idx_b = str(tmp_path / "batch_idx")
+    build_index(base, idx_b, IndexBuildConfig(), content_col="text")
+    MN.upsert_docs(
+        spark.createDataFrame(
+            [(1, "alpha common words here modified")], "doc_id long, text string"
+        ),
+        idx_b, content_col="text",
+    )
+    MN.delete_docs(spark, idx_b, [2])
+    MN.upsert_docs(
+        spark.createDataFrame(
+            [(3, "gamma common words here"), (6, "zeta common words here")],
+            "doc_id long, text string",
+        ),
+        idx_b, content_col="text",
+    )
+    MN.delete_docs(spark, idx_b, [4])
+
+    queries = [(1, "common"), (2, "alpha"), (3, "beta"), (4, "zeta")]
+    rows_s = _bm25_rows(spark, MN.live_index(spark, idx_s), queries)
+    rows_b = _bm25_rows(spark, MN.live_index(spark, idx_b), queries)
+    assert rows_s == rows_b
+    # deletes really gone, rename and add really searchable
+    hit_docs = {(t, d) for (t, _r, d, _s) in rows_s}
+    assert (3, 2) not in hit_docs          # "beta" doc deleted
+    assert (4, 6) in hit_docs              # streamed add
+    assert (1, 3) in hit_docs              # renamed doc still live
+    assert (1, 4) not in hit_docs and (1, 2) not in hit_docs
+
+    # checkpoint wipe: full replay, ledger skips everything
+    shutil.rmtree(f"{idx_s}/_events_stream_checkpoint")
+    m2 = stream_apply_events(
+        spark, src, idx_s, schema=EVENTS_SCHEMA,
+        content_col="text", max_files_per_trigger=1,
+    )
+    assert m2["upsert_batches"] == 0 and m2["delete_batches"] == 0
+    assert m2["replays_skipped"] == m2["stream_batches"] > 0
+    assert _bm25_rows(spark, MN.live_index(spark, idx_s), queries) == rows_b
+
+    # crash-after-delta-before-done for the SECOND batch (id 1): ledger
+    # rolled back with the intent still pinned; replay must skip the
+    # completed pack, re-apply the deletes, and change nothing
+    with open(f"{idx_s}/{_STREAM_STATE_FILE}", "w") as fh:
+        _json.dump(
+            {"done_batch_id": 0, "intent": {"batch_id": 1, "ordinal": 2}}, fh
+        )
+    shutil.rmtree(f"{idx_s}/_events_stream_checkpoint")
+    m3 = stream_apply_events(
+        spark, src, idx_s, schema=EVENTS_SCHEMA,
+        content_col="text", max_files_per_trigger=1,
+    )
+    assert m3["upsert_batches"] == 0, m3
+    assert m3["delete_batches"] == 1, m3   # batch 1's deletes re-applied
+    assert m3["replays_skipped"] >= 1, m3
+    assert _bm25_rows(spark, MN.live_index(spark, idx_s), queries) == rows_b
