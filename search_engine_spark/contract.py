@@ -6342,7 +6342,10 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_curate_corpus() -> str:
+def _sql_curate_cte() -> str:
+    """The curation fixture + verdict as a reusable CTE chain
+    (pfiles → ccsrc → … → ccv); _sql_curate_corpus selects the verdict,
+    _sql_code_training_export composes the keeps into the pipeline."""
     from .ops.codecurate import SECRET_RULES
     from .ops.codequality import AUTOGEN_MARKERS
 
@@ -6364,8 +6367,7 @@ def _sql_curate_corpus() -> str:
         f"contains(folded, '{m}')" for m in AUTOGEN_MARKERS
     )
     fams = ", ".join(f"'{f}'" for f in _CURATE_FAMILIES)
-    return f"""
-WITH {_SQL_PATHED_FILES},
+    return f"""{_SQL_PATHED_FILES},
 ccsrc AS (
   SELECT doc_id, path, {plant} || content AS content FROM pfiles
 ),
@@ -6407,10 +6409,137 @@ ccv AS (
          WHEN quality_keep = 0 THEN 'quality'
          ELSE '' END AS drop_reason
   FROM ccf
-)
+)"""
+
+
+def _sql_curate_corpus() -> str:
+    return f"""
+WITH {_sql_curate_cte()}
 SELECT doc_id, family, n_secrets, vendored, quality_keep, drop_reason,
        CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM ccv
+"""
+
+
+def q_code_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed code-corpus training export over the north-rule
+    table, one lazy plan end-to-end: pathed+planted corpus → one-pass
+    curation verdict (license allowlist / secrets / vendored paths /
+    quality) → file-level exact dedup (keep-first on content) →
+    sliding-line-window chunking ({_CHUNK_LINES}/{_CHUNK_STRIDE}) →
+    chunk-level exact dedup (keep-first across files — shared
+    boilerplate exported ONCE) → deterministic md5 train/val/test split
+    keyed on chunk_sha → per-split chunk/doc counts, line mass, and a
+    membership md5 over the ordered chunk_sha list.  Every stage is
+    oracle-checked standalone (curate_corpus / dedup_exact /
+    code_chunks / boilerplate_chunks / hash_split); this row proves the
+    COMPOSITION — and that it stays one Arrow/codegen plan with
+    content read once in the scan."""
+    from .ops import codecurate as CC
+    from .ops.dedup import dedup_exact_keep_first
+    from .ops.sampling import with_split
+
+    files = _curate_docs(spark, sf_dir)
+    kept = (
+        CC.curate_corpus(
+            files, allow_families=_CURATE_FAMILIES, keep_cols=("content",)
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "content")
+    )
+    # file-level dedup yields WINNER IDS only; chunking runs doc-local
+    # over every kept file and the narrow chunk rows (ids + shas, never
+    # content) semi-join to the winners — content enters NO exchange
+    # anywhere in this plan (the hash dedup shuffles (md5, id) pairs)
+    surv = dedup_exact_keep_first(kept, "content", "doc_id", algo="md5")
+    chunks = CC.chunk_lines(
+        kept, chunk=_CHUNK_LINES, stride=_CHUNK_STRIDE, text_col="content"
+    ).join(surv, "doc_id", "left_semi")
+    winners = chunks.groupBy("chunk_sha").agg(
+        F.min(F.struct("doc_id", "chunk_no", "n_chunk_lines")).alias("w")
+    ).select(
+        "chunk_sha", F.col("w.doc_id").alias("doc_id"),
+        F.col("w.chunk_no").alias("chunk_no"),
+        F.col("w.n_chunk_lines").alias("n_chunk_lines"),
+    )
+    lab = with_split(
+        winners, SPLIT_WEIGHTS, ("train", "val", "test"),
+        key_col="chunk_sha",
+    )
+    return lab.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_chunk_lines").cast("long").alias("sum_lines"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("chunk_sha")))
+        ).alias("chunks_md5"),
+    )
+
+
+def _sql_code_training_export() -> str:
+    from .ops.sampling import split_thresholds
+
+    t1, t2 = split_thresholds(SPLIT_WEIGHTS)
+    c, s = _CHUNK_LINES, _CHUNK_STRIDE
+    return f"""
+WITH {_sql_curate_cte()},
+ekept AS (
+  SELECT s.doc_id, s.content
+  FROM ccsrc s JOIN ccv v ON v.doc_id = s.doc_id
+  WHERE v.drop_reason = ''
+),
+efk AS (
+  SELECT doc_id, content,
+         row_number() OVER (PARTITION BY md5(content)
+                            ORDER BY doc_id) AS rn
+  FROM ekept
+),
+efdocs AS (SELECT doc_id, content FROM efk WHERE rn = 1),
+ecls AS (
+  SELECT doc_id, regexp_split_to_array(content, chr(10)) AS ls
+  FROM efdocs
+),
+ece AS (
+  SELECT doc_id, ls, len(ls) AS n,
+    unnest(range(0, 1 + CAST(ceil(greatest(0, len(ls) - {c})::DOUBLE
+                                  / {s}) AS BIGINT))) AS i
+  FROM ecls
+),
+ecw AS (
+  SELECT doc_id, i,
+         list_slice(ls, 1 + i * {s}, least(1 + i * {s} + {c} - 1, n))
+           AS win
+  FROM ece
+),
+echunks AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS chunk_no,
+         CAST(len(win) AS BIGINT) AS n_chunk_lines,
+         sha256(array_to_string(win, chr(10))) AS chunk_sha
+  FROM ecw
+),
+eck AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_sha
+                               ORDER BY doc_id, chunk_no) AS rn
+  FROM echunks
+),
+ecd AS (
+  SELECT doc_id, chunk_no, n_chunk_lines, chunk_sha FROM eck WHERE rn = 1
+),
+elab AS (
+  SELECT *,
+    CASE WHEN f < {t1} THEN 'train'
+         WHEN f < {t2} THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT *,
+          CAST(('0x' || substr(md5('split:' || chunk_sha), 1, 15))
+               AS BIGINT) AS f
+        FROM ecd)
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chunk_lines) AS BIGINT) AS sum_lines,
+       md5(string_agg(chunk_sha, ',' ORDER BY chunk_sha)) AS chunks_md5
+FROM elab GROUP BY split
 """
 
 
@@ -7724,6 +7853,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_survival": q_code_survival,
         "rename_lineage": q_rename_lineage,
         "bm25_stream_events_topk": q_bm25_stream_events_topk,
+        "code_training_export": q_code_training_export,
         "co_change": q_co_change,
         "hotspots": q_hotspots,
         "call_edges": q_call_edges,
@@ -7888,6 +8018,7 @@ def duckdb_oracles() -> dict[str, str]:
         "code_survival": _sql_code_survival(),
         "rename_lineage": _sql_rename_lineage(),
         "bm25_stream_events_topk": _sql_bm25_stream_events(),
+        "code_training_export": _sql_code_training_export(),
         "co_change": _sql_co_change(),
         "hotspots": _sql_hotspots(),
         "call_edges": _sql_call_edges(),

@@ -646,13 +646,20 @@ def curate_corpus(
     max_line_len: int = 1000,
     max_avg_line_len: int = 100,
     min_alnum_frac: float = 0.25,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, family, n_secrets, vendored, quality_keep, drop_reason,
-    keep): the full curation verdict in ONE narrow projection — license
-    family gate (when ``allow_families`` is given), secret gate,
-    vendored-path gate (when ``path_col`` exists), Stack-style quality
-    gate — with the first tripped gate recorded as ``drop_reason``
-    ('' when kept).
+    keep[, *keep_cols]): the full curation verdict in ONE narrow
+    projection — license family gate (when ``allow_families`` is
+    given), secret gate, vendored-path gate (when ``path_col`` exists),
+    Stack-style quality gate — with the first tripped gate recorded as
+    ``drop_reason`` ('' when kept).
+
+    ``keep_cols`` carries input columns (e.g. the content itself)
+    through the verdict projection, so a downstream "kept corpus" is a
+    filter on THIS frame — never a corpus-sized join of the verdict
+    back onto the input, which at 10^12 files would shuffle every
+    content byte on doc_id just to re-attach a boolean.
 
     This is the composition shape that matters at 100 TB: every signal
     is an expression over the same scan row, so the whole verdict
@@ -713,6 +720,7 @@ def curate_corpus(
         quality_keep.alias("quality_keep"),
         drop_reason.alias("drop_reason"),
         (drop_reason == "").cast("long").alias("keep"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -796,6 +796,18 @@ def main() -> int:
                or "ShuffledHashJoin" in p)
           and all("text#" not in b for b in exchange_blocks(p)))
 
+    from search_engine_spark.contract import q_code_training_export
+
+    p = plan_of(q_code_training_export(spark, sf_dir))
+    check("code training export: curate verdict is a scan filter (no "
+          "verdict-join), dedup shuffles (md5, id), chunks semi-join "
+          "winners — content/chunk text in NO exchange, no cartesian, "
+          "no row-Python",
+          "LeftSemi" in p and "CartesianProduct" not in p
+          and "BatchEvalPython" not in p
+          and all("content#" not in b and "chunk_text" not in b
+                  for b in exchange_blocks(p)))
+
     from search_engine_spark.ops import codegraph as CGR2
 
     docs_cg = spark.read.parquet(f"{sf_dir}/documents.parquet")
