@@ -254,6 +254,10 @@ def delete_docs(
     before_epoch: postings in epochs STRICTLY BELOW it are dead.  The
     default ALL_EPOCHS kills every version (a plain delete); upsert_docs
     passes the re-added delta's ordinal so only superseded versions die.
+    Callers that may RE-ADD a deleted doc_id later must bound the
+    tombstone to the current epoch (before_epoch = the next delta
+    ordinal, as stream_apply_events does) — an ALL_EPOCHS tombstone
+    also masks every future generation of the id.
 
     created_epoch: the snapshot epoch this tombstone belongs to, for
     as-of (time-travel) reads.  The default stamps the NEXT delta

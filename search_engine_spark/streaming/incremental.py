@@ -480,11 +480,23 @@ def stream_apply_events(
                 )
                 counters["upsert_batches"] += 1
         if not dels.isEmpty():
+            if ordinal is None:  # deletes-only batch: next free epoch
+                existing = MN.list_deltas(index_dir)
+                ordinal = (
+                    max(int(d[len(MN._DELTA_PREFIX) :]) for d in existing) + 1
+                    if existing
+                    else 1
+                )
+            # before_epoch = this batch's epoch, NOT ALL_EPOCHS: the
+            # delete must kill only versions that existed when it was
+            # issued — an unbounded tombstone would also mask a LATER
+            # re-add of the same doc_id (caught by the events fuzz)
             MN.delete_docs(
                 spark,
                 index_dir,
                 dels,
-                created_epoch=ordinal,  # None → next free epoch
+                before_epoch=ordinal,
+                created_epoch=ordinal,
             )
             counters["delete_batches"] += 1
         _write_stream_state(index_dir, {"done_batch_id": b, "intent": None})

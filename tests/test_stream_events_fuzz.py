@@ -1,0 +1,137 @@
+"""Randomized streaming commit-crawl fuzz: arbitrary per-commit event
+mixes (modify / delete / add / re-add / rename) streamed through
+stream_apply_events must leave the live index serving exactly the
+latest snapshot's doc set, and — after compaction re-bases stats —
+rankings bit-identical to a from-scratch rebuild of that snapshot.
+
+The targeted test in test_streaming.py pins each event shape once; this
+fuzz drives random interleavings across 4 commits x ~40 docs so
+ordering bugs between batch reduction (live-beats-delete at the same
+commit), epoch-pinned upserts, and tombstone generations can't hide.
+"""
+
+import glob
+import os
+import random
+import shutil
+
+import pytest
+
+from search_engine_spark import maintenance as MN, postings as P, wand as W
+from search_engine_spark.config import BM25Params, IndexBuildConfig
+from search_engine_spark.contract import SQL_CFG
+from search_engine_spark.streaming import stream_apply_events
+
+QS = [(1, "spark merge window batch"), (2, "parse token index"), (3, "the stream")]
+
+EVENTS_SCHEMA = (
+    "repo string, path string, commit_seq long, doc_id long, "
+    "text string, deleted boolean"
+)
+
+
+def _text(doc_id: int, gen: int) -> str:
+    from search_engine_spark.fixtures import generate_documents
+
+    rows = generate_documents(n_docs=120, seed=7)
+    base = rows[(doc_id + 31 * gen) % len(rows)]["content"]
+    return base + (f" tail{doc_id}" if gen == 0 else f" gen{gen} tail{doc_id}")
+
+
+def _search_rows(spark, idx_dir, as_live):
+    idx = (
+        MN.live_index(spark, idx_dir) if as_live else P.load_index(spark, idx_dir)
+    )
+    return sorted(tuple(r) for r in W.search_bm25(idx, QS, k=100000).collect())
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_stream_events_fuzz_equals_rebuild(spark, tmp_path_factory, seed):
+    rng = random.Random(seed)
+    root = tmp_path_factory.mktemp(f"evfuzz{seed}")
+    idx = str(root / "idx")
+    src = str(root / "incoming")
+    os.makedirs(src)
+    cfg = IndexBuildConfig(analyzer=SQL_CFG)
+
+    gen = {i: 0 for i in range(40)}          # doc -> generation
+    alive = set(gen)
+    dead: set[int] = set()
+    paths = {i: f"p{i}" for i in gen}
+    next_id = 40
+
+    base = spark.createDataFrame(
+        [(i, _text(i, 0)) for i in sorted(alive)], "doc_id long, text string"
+    )
+    P.build_index(base, idx, cfg, BM25Params(), content_col="text")
+
+    for seq in range(1, 5):
+        events = []
+        # each commit: a random mix of ops over disjoint doc sets
+        mods = rng.sample(sorted(alive), min(len(alive), rng.randint(1, 6)))
+        remaining = sorted(alive - set(mods))
+        dels = rng.sample(remaining, min(len(remaining), rng.randint(0, 3)))
+        remaining = sorted(set(remaining) - set(dels))
+        rens = rng.sample(remaining, min(len(remaining), rng.randint(0, 2)))
+        readds = rng.sample(sorted(dead), min(len(dead), rng.randint(0, 2)))
+        n_new = rng.randint(0, 3)
+
+        for d in mods:
+            gen[d] += 1
+            events.append(("r", paths[d], seq, d, _text(d, gen[d]), False))
+        for d in dels:
+            alive.discard(d)
+            dead.add(d)
+            events.append(("r", paths[d], seq, d, None, True))
+        for d in rens:  # delete old path + add new path, same commit
+            events.append(("r", paths[d], seq, d, None, True))
+            paths[d] = f"{paths[d]}_moved"
+            events.append(("r", paths[d], seq, d, _text(d, gen[d]), False))
+        for d in readds:
+            dead.discard(d)
+            alive.add(d)
+            gen[d] += 1
+            events.append(("r", paths[d], seq, d, _text(d, gen[d]), False))
+        for _ in range(n_new):
+            d = next_id
+            next_id += 1
+            gen[d] = 0
+            alive.add(d)
+            paths[d] = f"p{d}"
+            events.append(("r", paths[d], seq, d, _text(d, 0), False))
+
+        if not events:
+            continue
+        stage = str(root / f"_stage_{seq}")
+        spark.createDataFrame(events, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            stage
+        )
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0],
+            f"{src}/commits_{seq}.parquet",
+        )
+
+    m = stream_apply_events(
+        spark, src, idx, schema=EVENTS_SCHEMA,
+        content_col="text", max_files_per_trigger=1,
+    )
+    assert m["upsert_batches"] >= 1, m
+
+    ref = str(root / "ref")
+    snapshot = spark.createDataFrame(
+        [(i, _text(i, gen[i])) for i in sorted(alive)],
+        "doc_id long, text string",
+    )
+    P.build_index(snapshot, ref, cfg, BM25Params(), content_col="text")
+
+    # Lucene stats semantics pre-compaction: doc SETS must match (stale
+    # df can reorder scores but never add/remove a matching doc)
+    got = _search_rows(spark, idx, as_live=True)
+    want = _search_rows(spark, ref, as_live=False)
+    got_docs = {(r[0], r[2]) for r in got}
+    want_docs = {(r[0], r[2]) for r in want}
+    assert got_docs == want_docs, f"seed {seed}"
+
+    # compaction re-bases stats: rankings bit-identical to the rebuild
+    MN.compact_index(spark, idx)
+    assert _search_rows(spark, idx, as_live=True) == want, f"seed {seed}"
