@@ -154,6 +154,38 @@ def cmd_refresh(args: argparse.Namespace) -> None:
     print(json.dumps(metrics))
 
 
+def cmd_crawl(args: argparse.Namespace) -> None:
+    """Drain a directory of change-event parquet files (repo, path,
+    commit_seq, doc_id, text, deleted — the north-rule history shape)
+    into an existing index via Structured Streaming
+    (streaming.stream_apply_events): per micro-batch each doc's final
+    state wins, live finals ride one epoch-pinned upsert delta, deleted
+    finals become epoch-bounded tombstones; exactly-once across
+    restarts via the intent/done ledger.  Run it on a cadence (or keep
+    it running with a real trigger) and the index tracks the crawl."""
+    from .streaming import stream_apply_events
+
+    spark = _get_spark("se-spark-crawl")
+    key_cols = tuple(c for c in (args.key_cols or "").split(",") if c)
+    schema = spark.read.parquet(args.events_dir).schema
+    t0 = time.time()
+    metrics = stream_apply_events(
+        spark,
+        args.events_dir,
+        args.index_dir,
+        schema=schema,
+        doc_id_col=args.doc_id_col,
+        content_col=args.content_col,
+        seq_col=args.seq_col,
+        deleted_col=args.deleted_col,
+        key_cols=key_cols,
+        compact_every=args.compact_every,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    metrics["sec"] = round(time.time() - t0, 3)
+    print(json.dumps(metrics))
+
+
 def cmd_stats(args: argparse.Namespace) -> None:
     """Index statistics report: the reference prints logical counts in
     WriteableIndex.PrintStats() (WriteableIndex.cs:102; its invocation
@@ -600,6 +632,25 @@ def main(argv: list[str] | None = None) -> None:
     rf.add_argument("--compact", action="store_true",
                     help="fold deltas+tombstones into a fresh base after")
     rf.set_defaults(fn=cmd_refresh)
+
+    cw = sub.add_parser(
+        "crawl",
+        help="drain change-event parquet files (commit crawl) into an "
+             "index: streamed upserts + epoch-bounded deletes, "
+             "exactly-once",
+    )
+    cw.add_argument("events_dir", help="dir of change-event parquet files")
+    cw.add_argument("index_dir")
+    cw.add_argument("--doc-id-col", default="doc_id")
+    cw.add_argument("--content-col", default="text")
+    cw.add_argument("--seq-col", default="commit_seq")
+    cw.add_argument("--deleted-col", default="deleted")
+    cw.add_argument("--key-cols", default="")
+    cw.add_argument("--compact-every", type=int, default=None,
+                    help="fold deltas into the base whenever the delta "
+                         "count reaches N")
+    cw.add_argument("--max-files-per-trigger", type=int, default=None)
+    cw.set_defaults(fn=cmd_crawl)
 
     st = sub.add_parser(
         "stats", help="index statistics report (logical + physical layout)"

@@ -602,3 +602,55 @@ def test_stream_apply_events_matches_batch_lifecycle(spark, tmp_path):
     assert m3["delete_batches"] == 1, m3   # batch 1's deletes re-applied
     assert m3["replays_skipped"] >= 1, m3
     assert _bm25_rows(spark, MN.live_index(spark, idx_s), queries) == rows_b
+
+
+def test_cli_crawl_e2e(spark, tmp_path, capsys):
+    """The spark-submit `crawl` surface end-to-end: an events dir drains
+    into a live index (upserts + epoch-bounded deletes), the printed
+    metrics say what happened, and a rerun is a pure replay no-op."""
+    import json as _json
+
+    from search_engine_spark import maintenance as MN
+    from search_engine_spark.__main__ import main
+
+    base_rows = [
+        ("r", "p1", 0, 1, "alpha common words", False),
+        ("r", "p2", 0, 2, "beta common words", False),
+        ("r", "p3", 0, 3, "gamma common words", False),
+    ]
+    ev_rows = [
+        ("r", "p1", 1, 1, "alpha common words modified", False),
+        ("r", "p2", 1, 2, None, True),
+        ("r", "p4", 1, 4, "zeta common words", False),
+    ]
+    base = spark.createDataFrame(base_rows, EVENTS_SCHEMA).select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "crawl_idx")
+    build_index(base, idx, IndexBuildConfig(), content_col="text")
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    _land_one(
+        spark.createDataFrame(ev_rows, EVENTS_SCHEMA), src, str(tmp_path), "e1"
+    )
+
+    main(["crawl", src, idx, "--content-col", "text"])
+    m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["upsert_batches"] == 1 and m["delete_batches"] == 1, m
+
+    rows = _bm25_rows(spark, MN.live_index(spark, idx), [(1, "common")], k=10)
+    docs_hit = {r[2] for r in rows}
+    assert docs_hit == {1, 3, 4}  # doc 2 deleted, doc 4 streamed in
+
+    # rerun with the checkpoint retained: nothing new fires; after a
+    # checkpoint wipe every batch replays and the ledger skips it all
+    main(["crawl", src, idx, "--content-col", "text"])
+    m2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["upsert_batches"] == 0 and m2["delete_batches"] == 0, m2
+    shutil.rmtree(f"{idx}/_events_stream_checkpoint")
+    main(["crawl", src, idx, "--content-col", "text"])
+    m3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m3["replays_skipped"] == m3["stream_batches"] > 0, m3
+    assert _bm25_rows(
+        spark, MN.live_index(spark, idx), [(1, "common")], k=10
+    ) == rows
