@@ -7849,11 +7849,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
-        "diff_numstat": q_diff_numstat,
         "code_survival": q_code_survival,
+        "diff_numstat": q_diff_numstat,
+        "code_training_export": q_code_training_export,
         "rename_lineage": q_rename_lineage,
         "bm25_stream_events_topk": q_bm25_stream_events_topk,
-        "code_training_export": q_code_training_export,
         "co_change": q_co_change,
         "hotspots": q_hotspots,
         "call_edges": q_call_edges,

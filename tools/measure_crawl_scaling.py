@@ -1,0 +1,170 @@
+"""Scale probe for the streaming commit-crawl path
+(streaming.stream_apply_events): a 200k-doc base index absorbs two
+change-event micro-batches (each ~10% mods + 2.5% deletes + 2.5% adds —
+the daily-crawl shape where work tracks the CHANGE SET, not the corpus),
+then serves one live WAND query batch.
+
+Each draw copies the pristine base index (the drain mutates it) and
+drains the same events dir at the draw's parallelism.  Two levels,
+interleaved draws, MIN estimator (BASELINE.md host-noise method).
+
+Usage: python tools/measure_crawl_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+MOD_FRAC, DEL_FRAC, ADD_FRAC = 10, 40, 40  # 1-in-N residues per batch
+
+EVENTS_SCHEMA = (
+    "repo string, path string, commit_seq long, doc_id long, "
+    "text string, deleted boolean"
+)
+
+
+def _prep(sp, tmp: str) -> tuple[str, str, int]:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.config import BM25Params, IndexBuildConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.postings import build_index
+
+    docs_path = f"{tmp}/docs.parquet"
+    realistic_docs_df(sp, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    docs = sp.read.parquet(docs_path)
+    base_idx = f"{tmp}/base_idx"
+    build_index(docs, base_idx, IndexBuildConfig(), BM25Params(),
+                content_col="text")
+
+    src = f"{tmp}/events"
+    d = F.col("doc_id")
+    n_events = 0
+    for seq in (1, 2):
+        mods = docs.filter(d % MOD_FRAC == seq).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("p"), d.cast("string")).alias("path"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            d.alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" gen{seq}")).alias("text"),
+            F.lit(False).alias("deleted"),
+        )
+        dels = docs.filter(d % DEL_FRAC == seq).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("p"), d.cast("string")).alias("path"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            d.alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(True).alias("deleted"),
+        )
+        adds = docs.filter(d % ADD_FRAC == seq).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("pn"), d.cast("string")).alias("path"),
+            F.lit(seq).cast("long").alias("commit_seq"),
+            (d + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            F.lit(False).alias("deleted"),
+        )
+        batch = mods.unionByName(dels).unionByName(adds)
+        n_events += batch.count()
+        stage = f"{tmp}/_stage_{seq}"
+        batch.coalesce(4).write.mode("overwrite").parquet(stage)
+        import glob as _g
+        import os as _o
+
+        _o.makedirs(src, exist_ok=True)
+        for i, pf in enumerate(sorted(_g.glob(f"{stage}/part-*.parquet"))):
+            shutil.move(pf, f"{src}/commits_{seq}_{i}.parquet")
+    return base_idx, src, n_events
+
+
+def one_draw(sp, base_idx: str, src: str, tmp: str, tag: str) -> dict:
+    from search_engine_spark import maintenance as MN, wand as W
+    from search_engine_spark.streaming import stream_apply_events
+
+    idx = f"{tmp}/idx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(base_idx, idx)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    m = stream_apply_events(
+        sp, src, idx, schema=EVENTS_SCHEMA, content_col="text",
+        max_files_per_trigger=4,
+    )
+    t["drain_sec"] = round(time.perf_counter() - t0, 2)
+    t["batches"] = m["stream_batches"]
+
+    t0 = time.perf_counter()
+    idxv = MN.live_index(sp, idx)
+    topics = [(i, "hot0 hot3 merge stream") for i in range(8)]
+    t["n_hits"] = W.search_bm25(idxv, topics, k=20).count()
+    t["live_search_sec"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(idx, ignore_errors=True)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="crawl_scale_")
+    s = get_spark("crawl_prep", master="local[16]", shuffle_partitions=32)
+    base_idx, src, n_events = _prep(s, tmp)
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"crawl_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, base_idx, src, tmp, f"{cores}_{draw_no}")
+        )
+        sp.stop()
+
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "drain_sec_min": min(d["drain_sec"] for d in draws),
+            "events_per_sec": round(
+                n_events / min(d["drain_sec"] for d in draws), 1
+            ),
+            "live_search_sec_min": min(d["live_search_sec"] for d in draws),
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = round(
+        results[lo]["drain_sec_min"] / (results[hi]["drain_sec_min"] * ratio),
+        3,
+    )
+    print(json.dumps({
+        "probe": "crawl_scaling",
+        "n_docs": N_DOCS,
+        "n_events": n_events,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "drain_efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
