@@ -496,7 +496,7 @@ def line_first_seen(
     )
 
 
-def diff_numstat(events: DataFrame) -> DataFrame:
+def diff_numstat(events: DataFrame, hash_lines: bool = False) -> DataFrame:
     """``git log --numstat`` under documented MULTISET-line semantics:
     for every change event, ``n_added`` / ``n_removed`` line counts vs
     the path's previous version — per distinct line, added =
@@ -518,18 +518,33 @@ def diff_numstat(events: DataFrame) -> DataFrame:
          at the successor commit (an in-row explode — no second scan);
       4. per-(event, line) signed sums fold into per-event
          added/removed totals via two partial-aggregated groupBys.
+
+    ``hash_lines=True`` is the at-scale variant: lines reduce to
+    xxhash64 right at the explode, BEFORE any exchange, so the
+    line-grain shuffles carry
+    8-byte keys instead of raw source lines (~10-50x less shuffle
+    volume on real code).  Counts are then exact up to 64-bit hash
+    collisions between DISTINCT lines of the SAME file version pair —
+    ~n²/2⁶⁵ per file, negligible at any file size Spark can hold — the
+    default stays exact (and is what the DuckDB oracle states).
     """
     w = Window.partitionBy("repo", "path").orderBy("commit_seq")
     nxt = (
         events.select("repo", "path", "commit_seq")
         .withColumn("next_seq", F.lead("commit_seq").over(w))
     )
+    line_expr = F.explode(F.split(F.col("text"), "\n")).alias("line")
     lines = events.filter(~F.col("deleted")).select(
         "repo",
         "path",
         "commit_seq",
-        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+        line_expr,
     )
+    if hash_lines:
+        lines = lines.select(
+            "repo", "path", "commit_seq",
+            F.xxhash64("line").alias("line"),
+        )
     one = F.struct(
         F.col("commit_seq").alias("at_seq"),
         F.lit(1).cast("long").alias("delta"),
@@ -583,7 +598,7 @@ def diff_numstat(events: DataFrame) -> DataFrame:
     )
 
 
-def code_survival(events: DataFrame) -> DataFrame:
+def code_survival(events: DataFrame, hash_lines: bool = False) -> DataFrame:
     """git-of-theseus-style line survival: for each (repo, commit_seq),
     how many distinct (path, line) pairs were INTRODUCED at that commit
     (their earliest appearance in that path's history) and how many of
@@ -597,28 +612,30 @@ def code_survival(events: DataFrame) -> DataFrame:
     Plan: one explode→distinct→min(commit_seq) attribution pass (all
     partial-aggregated, single-line rows only in exchanges), a
     semi-join of the latest snapshot's lines onto it, two count aggs of
-    commit-grain cardinality, one commit-grain join."""
+    commit-grain cardinality, one commit-grain join.
+
+    ``hash_lines=True``: both attribution and survival join on
+    xxhash64(line) — 8-byte shuffle/join keys instead of raw source
+    lines (see diff_numstat; same collision bound, default exact)."""
+
+    def _lines_of(frame: DataFrame, cols: list[str]) -> DataFrame:
+        out = frame.select(
+            *cols, F.explode(F.split(F.col("text"), "\n")).alias("line")
+        )
+        if hash_lines:
+            out = out.select(*cols, F.xxhash64("line").alias("line"))
+        return out.distinct()
+
     ev = events.filter(~F.col("deleted"))
-    lines = ev.select(
-        "repo",
-        "path",
-        "commit_seq",
-        F.explode(F.split(F.col("text"), "\n")).alias("line"),
-    ).distinct()
+    lines = _lines_of(ev, ["repo", "path", "commit_seq"])
     first = lines.groupBy("repo", "path", "line").agg(
         F.min("commit_seq").alias("first_seq")
     )
     introduced = first.groupBy("repo", "first_seq").agg(
         F.count(F.lit(1)).alias("n_introduced")
     )
-    latest = (
-        snapshot_at(events, None, keep_text=True)
-        .select(
-            "repo",
-            "path",
-            F.explode(F.split(F.col("text"), "\n")).alias("line"),
-        )
-        .distinct()
+    latest = _lines_of(
+        snapshot_at(events, None, keep_text=True), ["repo", "path"]
     )
     surviving = (
         latest.join(first, ["repo", "path", "line"])

@@ -580,3 +580,25 @@ def test_rename_lineage_latest_wins(spark):
         for r in H.rename_lineage(df).collect()
     }
     assert got == {1: ("old2", 3)}
+
+
+def test_hashed_lines_variants_match_exact(events):
+    """hash_lines=True (8-byte shuffle keys) must agree with the exact
+    default wherever no 64-bit collision occurs — i.e. everywhere on
+    real data; the fixture pins full equality."""
+    exact_n = {
+        (r["repo"], r["path"], r["commit_seq"]): (r["n_added"], r["n_removed"])
+        for r in H.diff_numstat(events).collect()
+    }
+    hashed_n = {
+        (r["repo"], r["path"], r["commit_seq"]): (r["n_added"], r["n_removed"])
+        for r in H.diff_numstat(events, hash_lines=True).collect()
+    }
+    assert exact_n == hashed_n
+    exact_s = sorted(
+        tuple(r) for r in H.code_survival(events).collect()
+    )
+    hashed_s = sorted(
+        tuple(r) for r in H.code_survival(events, hash_lines=True).collect()
+    )
+    assert exact_s == hashed_s
