@@ -53,6 +53,9 @@ _EXPORTS = {
     "build_index": "postings:build_index",
     "load_index": "postings:load_index",
     "index_size_stats": "postings:index_size_stats",
+    "fsck_index": "fsck:fsck_index",
+    "fsck_postings": "fsck:fsck_postings",
+    "fsck_ok": "fsck:fsck_ok",
     "search_bm25": "wand:search_bm25",
     "score_bm25": "query:score_bm25",
     "score_bm25_msm": "query:score_bm25_msm",

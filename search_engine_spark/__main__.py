@@ -7,6 +7,7 @@ plus the beyond-reference code-search surface:
   search <run_name> <topics_file> <index_dir> <out_run_file> [--scorer ...]
   refresh <old_parquet> <new_parquet> <index_dir> [--compact]
   stats  <index_dir> [--live]
+  fsck   <index_dir> [--shallow] [--docs <documents_parquet>]
   trigram-index  <documents_parquet> <index_dir> [--fold-case]
   trigram-append <delta_parquet> <index_dir>
   grep   <documents_parquet> <pattern> [--regex] [--lines] [--ignore-case]
@@ -271,6 +272,42 @@ def cmd_stats(args: argparse.Namespace) -> None:
             }
         )
     )
+
+
+def cmd_fsck(args: argparse.Namespace) -> None:
+    """Distributed index integrity verification (fsck.py): decode
+    round-trip + block metadata + df/epoch + doc_meta/stats checks as
+    Spark jobs over the bucketed layout; exit 1 on any violation.  With
+    --docs, also cross-checks doc_meta.content_sha256 against a sha256
+    recompute over the source table (the input_hint per-row invariant)."""
+    from .fsck import fsck_index
+
+    spark = _get_spark("se-spark-fsck")
+    docs = None
+    if args.docs:
+        docs = spark.read.parquet(args.docs)
+        if "doc_id" not in docs.columns:
+            # same derivation as cmd_index: xxhash64 over the natural key
+            keys = tuple(c for c in (args.key_cols or "").split(",") if c) or (
+                "repo", "path", "commit",
+            )
+            docs = docs.withColumn(
+                "doc_id", F.xxhash64(*[F.col(c) for c in keys])
+            )
+    rep = fsck_index(
+        spark,
+        args.index_dir,
+        deep=not args.shallow,
+        docs=docs,
+        content_col=args.content_col,
+    ).collect()
+    bad = 0
+    for r in rep:
+        print(f"{r['check']:22s} scanned={r['scanned']:>12d} violations={r['violations']}")
+        bad += int(r["violations"])
+    print(("FSCK OK" if bad == 0 else f"FSCK FAILED: {bad} violations"))
+    if bad:
+        sys.exit(1)
 
 
 def cmd_search(args: argparse.Namespace) -> None:
@@ -663,6 +700,23 @@ def main(argv: list[str] | None = None) -> None:
                          "(physical bytes still include tombstoned "
                          "postings until compaction)")
     st.set_defaults(fn=cmd_stats)
+
+    fk = sub.add_parser(
+        "fsck", help="verify index integrity (decode round-trip, block "
+                     "metadata, df, doc_meta/stats; exit 1 on violations)"
+    )
+    fk.add_argument("index_dir")
+    fk.add_argument("--shallow", action="store_true",
+                    help="skip the posting↔doc_meta coverage join "
+                         "(metadata + decode checks only)")
+    fk.add_argument("--docs", default=None,
+                    help="source documents parquet: cross-check "
+                         "content_sha256 per row")
+    fk.add_argument("--key-cols", default="repo,path,commit",
+                    help="doc-key columns for --docs id assignment "
+                         "(must match the build)")
+    fk.add_argument("--content-col", default="content")
+    fk.set_defaults(fn=cmd_fsck)
 
     se = sub.add_parser("search", help="run topics against an index")
     se.add_argument("run_name")

@@ -1,0 +1,590 @@
+"""Distributed index integrity verification (fsck).
+
+The north rule's checkpoint-resumable build story implies indexes that
+outlive the job that wrote them; at 10^12-file scale a persisted index
+WILL eventually see partial writes, bit rot, and operator error, so
+verification has to be a distributed job over the same bucketed parquet
+the query path reads — never a driver-side download.  The reference has
+no equivalent (its index lives in one process's memory and is rebuilt on
+start, /root/reference/src/Program.cs:34-54); this is engine-native
+infrastructure in the spirit of Lucene's CheckIndex, over the block
+layout of postings.pack_postings / codec.py.
+
+Report: one row per check — (check, scanned, violations).
+
+  metadata only (narrow column scan, blocks never decoded):
+    block_meta        1 <= n <= block_size; first<=last; n==1 => first==last
+    block_chain       per (segment, term): block_id contiguous from 0,
+                      doc-id ranges strictly ascending across blocks
+    df_consistent     per (epoch, term): exactly one df value and
+                      sum(n) == df (epoch = segment_id // DELTA_SEG_STRIDE
+                      — delta segments bake delta-local df, maintenance.py)
+  decode pass (ONE mapInArrow over the blocks; each stream decoded with
+  one global vectorized varint pass per batch — the pack_postings
+  discipline in reverse; per-block fallback only for a batch whose byte
+  accounting fails):
+    decode_bytes      each block's three encoded buffers are exactly the
+                      LEB128 bytes of its decoded values (alignment proof
+                      for the global decode, and the corruption catch-all)
+    doc_ids_sorted    within-block gaps >= 1 (strictly increasing ids)
+    block_last_doc    first_doc_id + sum(gaps) == last_doc_id
+    block_max_tf      stored max_tf == max(decoded tfs)
+    tf_range          1 <= tf <= 65535 per posting (the reference's
+                      ushort cap, /root/reference/src/Models/PostingEntry.cs:6)
+    doc_len_range     doc_len >= 1 per posting
+    block_max_score   stored float32 bound bit-equals a recompute from
+                      (df, tf, doc_len) under the stats row — exactly
+                      pack_postings' nextafter(float32(max idf·tf·(k1+1)
+                      /(tf+k1·K)), +inf).  Single-epoch layouts only:
+                      delta epochs bake epoch-local stats.
+  doc_meta / stats (aggregates, no content):
+    doc_meta_unique   doc_id unique
+    sha_format        content_sha256 is 64 lowercase hex chars (the
+                      input_hint per-row invariant)
+    stats_row         persisted stats == recomputed doc_meta aggregates
+  deep=True (the same decode pass also emits in-batch-deduped
+  (doc_id, doc_len) pairs; distinct'd globally then joined to doc_meta):
+    posting_doc_orphans   every posted doc_id exists in doc_meta
+    posting_doc_len       posted doc_len == doc_meta.doc_len
+  docs= provided (source-table cross-check):
+    content_sha256    sha2(content) recomputed from the source table
+                      equals doc_meta.content_sha256 per doc
+
+Scale: the decode pass is a map-only scan of the posting files (no
+exchange carries encoded bytes — each batch reduces to ONE counter row
+plus, in deep mode, its deduped (doc_id, doc_len) pairs); the metadata
+checks shuffle only (segment, term, n, df)-grade columns; the deep join
+shuffles (doc_id, doc_len) against doc_meta.  Nothing is collected but
+the ~14-row report itself.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from .codec import varint_decode
+from .config import BM25Params
+from .postings import DELTA_SEG_STRIDE
+
+TF_CAP = 65535  # reference PostingEntry.cs:6 — ushort term frequency
+
+_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("blocks", T.LongType(), True),
+        T.StructField("postings", T.LongType(), True),
+        T.StructField("v_bytes", T.LongType(), True),
+        T.StructField("v_sorted", T.LongType(), True),
+        T.StructField("v_last", T.LongType(), True),
+        T.StructField("v_maxtf", T.LongType(), True),
+        T.StructField("v_tf", T.LongType(), True),
+        T.StructField("v_dl", T.LongType(), True),
+        T.StructField("v_bms", T.LongType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("doc_len", T.LongType(), True),
+    ]
+)
+
+REPORT_SCHEMA = "check string, scanned long, violations long"
+
+
+def _leb128_widths(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte widths — the encoder's width rule
+    (codec.varint_encode_offsets) restated, so expected-vs-actual byte
+    accounting proves decode alignment."""
+    w = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        w += tmp != 0
+        tmp >>= np.uint64(7)
+    return w
+
+
+def _seg_sums(per_value: np.ndarray, bnd: np.ndarray) -> np.ndarray:
+    """Sum per_value over segments delimited by boundary offsets bnd
+    (len = n_segments + 1) — cumsum-diff, robust to empty segments."""
+    c = np.zeros(per_value.size + 1, dtype=np.int64)
+    np.cumsum(per_value, out=c[1:])
+    return c[bnd[1:]] - c[bnd[:-1]]
+
+
+def _audit_one_block(
+    n: int,
+    first: int,
+    last: int,
+    mtf: int,
+    df: int,
+    bms: float,
+    g_buf: bytes,
+    t_buf: bytes,
+    l_buf: bytes,
+    p: BM25Params,
+    n_docs: float,
+    avgdl: float,
+    check_scores: bool,
+    deep: bool,
+) -> tuple[list[int], np.ndarray | None, np.ndarray | None]:
+    """Per-block fallback audit (corrupt-batch path only): returns
+    ([v_bytes, v_sorted, v_last, v_maxtf, v_tf, v_dl, v_bms], ids, dls)."""
+    out = [0] * 7
+    try:
+        if n < 1:
+            raise ValueError("n < 1")  # block_meta's finding; bytes unusable
+        g = varint_decode(g_buf, n - 1)
+        t = varint_decode(t_buf, n)
+        l = varint_decode(l_buf, n)
+        ok = (
+            int(_leb128_widths(g).sum()) == len(g_buf)
+            and int(_leb128_widths(t).sum()) == len(t_buf)
+            and int(_leb128_widths(l).sum()) == len(l_buf)
+        )
+        if not ok:
+            raise ValueError("width mismatch")
+    except ValueError:
+        out[0] = 1  # decode_bytes; value checks unreachable
+        return out, None, None
+    out[1] = int((g < 1).any())
+    ids = np.empty(n, dtype=np.int64)
+    ids[0] = first
+    ids[1:] = g.astype(np.int64)
+    np.cumsum(ids, out=ids)
+    out[2] = int(ids[-1] != last)
+    out[3] = int(int(t.max()) != mtf)
+    out[4] = int(((t < 1) | (t > TF_CAP)).sum())
+    out[5] = int((l < 1).sum())
+    if check_scores:
+        out[6] = int(
+            _bms_recompute(
+                np.array([df], dtype=np.int64),
+                np.array([n], dtype=np.int64),
+                t.astype(np.int64),
+                l.astype(np.int64),
+                p,
+                n_docs,
+                avgdl,
+            )[0]
+            != np.float32(bms)
+        )
+    return out, (ids if deep else None), (l.astype(np.int64) if deep else None)
+
+
+def _bms_recompute(
+    df_b: np.ndarray,
+    n_b: np.ndarray,
+    all_t: np.ndarray,
+    all_l: np.ndarray,
+    p: BM25Params,
+    n_docs: float,
+    avgdl: float,
+) -> np.ndarray:
+    """pack_postings' block-max bound, bit-for-bit (postings.py:289-303):
+    max over the block of idf·tf·(k1+1)/(tf+k1·K) in float64, cast to
+    float32, nudged one ulp toward +inf."""
+    idf_e = np.repeat(np.log((n_docs - df_b + 0.5) / (df_b + 0.5)), n_b)
+    kk = 1.0 - p.b + p.b * (all_l.astype(np.float64) / avgdl)
+    part = idf_e * (all_t.astype(np.float64) * (p.k1 + 1.0)) / (
+        all_t + p.k1 * kk
+    )
+    bnd = np.zeros(n_b.size + 1, dtype=np.int64)
+    np.cumsum(n_b, out=bnd[1:])
+    mx = np.empty(n_b.size, dtype=np.float64)
+    for i in range(n_b.size):  # only on the (rare) per-block fallback or
+        s, e = bnd[i], bnd[i + 1]  # via reduceat on the fast path below
+        mx[i] = part[s:e].max() if e > s else -np.inf
+    return np.nextafter(mx.astype(np.float32), np.float32(np.inf))
+
+
+def _decode_audit_factory(
+    p_dict: dict,
+    n_docs: float,
+    avgdl: float,
+    check_scores: bool,
+    deep: bool,
+):
+    """mapInArrow body: global vectorized decode + checks per batch."""
+
+    def _audit(batches) -> Iterator:
+        import pyarrow as pa
+
+        p = BM25Params(**p_dict)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            n_arr = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            first = b.column("first_doc_id").to_numpy(zero_copy_only=False)
+            last = b.column("last_doc_id").to_numpy(zero_copy_only=False)
+            mtf = b.column("max_tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            df_b = b.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            bms = b.column("block_max_score").to_numpy(zero_copy_only=False)
+            g_list = b.column("doc_ids_enc").to_pylist()
+            t_list = b.column("tfs_enc").to_pylist()
+            l_list = b.column("doc_lens_enc").to_pylist()
+            nb = n_arr.size
+            counters = np.zeros(7, dtype=np.int64)
+            pairs_i: np.ndarray | None = None
+            pairs_l: np.ndarray | None = None
+
+            n_ok = np.maximum(n_arr, 0)  # n<1 is block_meta's finding
+            g_cnt = np.maximum(n_arr - 1, 0)
+            bnd_n = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(n_ok, out=bnd_n[1:])
+            bnd_g = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(g_cnt, out=bnd_g[1:])
+            fast = bool((n_arr >= 1).all())
+            if fast:
+                try:
+                    all_g = varint_decode(b"".join(g_list), int(bnd_g[-1]))
+                    all_t = varint_decode(b"".join(t_list), int(bnd_n[-1]))
+                    all_l = varint_decode(b"".join(l_list), int(bnd_n[-1]))
+                    act_g = np.fromiter(map(len, g_list), np.int64, nb)
+                    act_t = np.fromiter(map(len, t_list), np.int64, nb)
+                    act_l = np.fromiter(map(len, l_list), np.int64, nb)
+                    bytes_ok = (
+                        (_seg_sums(_leb128_widths(all_g), bnd_g) == act_g)
+                        & (_seg_sums(_leb128_widths(all_t), bnd_n) == act_t)
+                        & (_seg_sums(_leb128_widths(all_l), bnd_n) == act_l)
+                    )
+                    fast = bool(bytes_ok.all())
+                except ValueError:
+                    fast = False
+            if fast:
+                counters[1] = int((_seg_sums((all_g < 1).astype(np.int64), bnd_g) > 0).sum())
+                # segmented cumsum → doc ids (z: first at block starts,
+                # gaps elsewhere; ids = cumsum(z) − prefix before block)
+                total = int(bnd_n[-1])
+                z = np.empty(total, dtype=np.int64)
+                starts = bnd_n[:-1]
+                z[starts] = first
+                m = np.ones(total, dtype=bool)
+                m[starts] = False
+                z[m] = all_g.astype(np.int64)
+                c = np.cumsum(z)
+                ids = c - np.repeat(c[starts] - z[starts], n_ok)
+                counters[2] = int((ids[bnd_n[1:] - 1] != last).sum())
+                counters[3] = int(
+                    (np.maximum.reduceat(all_t, starts).astype(np.int64) != mtf).sum()
+                )
+                counters[4] = int(((all_t < 1) | (all_t > TF_CAP)).sum())
+                counters[5] = int((all_l < 1).sum())
+                if check_scores:
+                    idf_e = np.repeat(
+                        np.log((n_docs - df_b + 0.5) / (df_b + 0.5)), n_ok
+                    )
+                    kk = 1.0 - p.b + p.b * (all_l.astype(np.float64) / avgdl)
+                    part = idf_e * (all_t.astype(np.float64) * (p.k1 + 1.0)) / (
+                        all_t + p.k1 * kk
+                    )
+                    rec = np.nextafter(
+                        np.maximum.reduceat(part, starts).astype(np.float32),
+                        np.float32(np.inf),
+                    )
+                    counters[6] = int((rec != bms.astype(np.float32)).sum())
+                if deep:
+                    pairs_i, pairs_l = ids, all_l.astype(np.int64)
+            else:
+                acc_i: list[np.ndarray] = []
+                acc_l: list[np.ndarray] = []
+                for i in range(nb):
+                    row, ids_i, dls_i = _audit_one_block(
+                        int(n_arr[i]), int(first[i]), int(last[i]),
+                        int(mtf[i]), int(df_b[i]), float(bms[i]),
+                        g_list[i], t_list[i], l_list[i],
+                        p, n_docs, avgdl, check_scores, deep,
+                    )
+                    counters += np.asarray(row, dtype=np.int64)
+                    if ids_i is not None:
+                        acc_i.append(ids_i)
+                        acc_l.append(dls_i)
+                if deep and acc_i:
+                    pairs_i = np.concatenate(acc_i)
+                    pairs_l = np.concatenate(acc_l)
+
+            cols: dict[str, pa.Array] = {
+                "kind": pa.array(["b"], pa.string()),
+                "blocks": pa.array([nb], pa.int64()),
+                "postings": pa.array([int(bnd_n[-1])], pa.int64()),
+            }
+            names = ["v_bytes", "v_sorted", "v_last", "v_maxtf", "v_tf", "v_dl", "v_bms"]
+            for name, v in zip(names, counters):
+                cols[name] = pa.array([int(v)], pa.int64())
+            cols["doc_id"] = pa.array([None], pa.int64())
+            cols["doc_len"] = pa.array([None], pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                list(cols.values()), names=list(cols.keys())
+            )
+            if deep and pairs_i is not None and pairs_i.size:
+                uniq = np.unique(
+                    np.stack([pairs_i, pairs_l], axis=1), axis=0
+                )
+                k = uniq.shape[0]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(["d"] * k, pa.string()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.nulls(k, pa.int64()),
+                        pa.array(uniq[:, 0], pa.int64()),
+                        pa.array(uniq[:, 1], pa.int64()),
+                    ],
+                    names=[f.name for f in _AUDIT_SCHEMA.fields],
+                )
+
+    return _audit
+
+
+def fsck_postings(
+    postings: DataFrame,
+    doc_meta: DataFrame | None = None,
+    *,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    total_terms: int | None = None,
+    params: BM25Params | None = None,
+    block_size: int = 4096,
+    check_scores: bool = True,
+    deep: bool = True,
+    docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Run every applicable check; return the (check, scanned, violations)
+    report (small, deterministic, sorted by check name).
+
+    check_scores requires (n_docs, avgdl, params) of the build that baked
+    block_max_score — skip it for multi-epoch live layouts (delta epochs
+    bake epoch-local stats; fsck_index decides automatically).
+    """
+    spark = postings.sparkSession
+    rows: list[tuple[str, int, int]] = []
+
+    # ---- metadata-only checks (no decode) ----
+    meta_agg = postings.agg(
+        F.count("*").alias("nb"),
+        F.sum(
+            (
+                (F.col("n") < 1)
+                | (F.col("n") > block_size)
+                | (F.col("first_doc_id") > F.col("last_doc_id"))
+                | ((F.col("n") == 1) & (F.col("first_doc_id") != F.col("last_doc_id")))
+            ).cast("long")
+        ).alias("v"),
+    ).collect()[0]
+    n_blocks = int(meta_agg["nb"])
+    rows.append(("block_meta", n_blocks, int(meta_agg["v"] or 0)))
+
+    w = Window.partitionBy("segment_id", "term").orderBy("block_id")
+    chain = (
+        postings.select(
+            "segment_id", "term", "block_id", "first_doc_id", "last_doc_id"
+        )
+        .withColumn("prev_bid", F.lag("block_id").over(w))
+        .withColumn("prev_last", F.lag("last_doc_id").over(w))
+        .select(
+            F.when(
+                F.col("prev_bid").isNull(),
+                (F.col("block_id") != 0).cast("long"),
+            )
+            .otherwise(
+                (
+                    (F.col("block_id") != F.col("prev_bid") + 1)
+                    | (F.col("first_doc_id") <= F.col("prev_last"))
+                ).cast("long")
+            )
+            .alias("v")
+        )
+        .agg(F.sum("v").alias("v"))
+        .collect()[0]
+    )
+    rows.append(("block_chain", n_blocks, int(chain["v"] or 0)))
+
+    dfc = (
+        postings.groupBy(
+            (F.col("segment_id") / F.lit(DELTA_SEG_STRIDE))
+            .cast("long")
+            .alias("epoch"),
+            "term",
+        )
+        .agg(
+            F.count_distinct("df").alias("ndf"),
+            F.sum("n").alias("sn"),
+            F.max("df").alias("df"),
+        )
+        .agg(
+            F.count("*").alias("groups"),
+            F.sum(
+                ((F.col("ndf") != 1) | (F.col("sn") != F.col("df"))).cast("long")
+            ).alias("v"),
+        )
+        .collect()[0]
+    )
+    rows.append(("df_consistent", int(dfc["groups"]), int(dfc["v"] or 0)))
+
+    # ---- decode pass ----
+    p = params or BM25Params()
+    if check_scores and (n_docs is None or avgdl is None):
+        raise ValueError("check_scores=True needs n_docs and avgdl")
+    audit = postings.select(
+        "n", "first_doc_id", "last_doc_id", "max_tf", "df",
+        "block_max_score", "doc_ids_enc", "tfs_enc", "doc_lens_enc",
+    ).mapInArrow(
+        _decode_audit_factory(
+            {"k1": p.k1, "k3": p.k3, "b": p.b},
+            float(n_docs or 1),
+            float(avgdl or 1.0),
+            check_scores,
+            deep,
+        ),
+        schema=_AUDIT_SCHEMA,
+    )
+    if deep:
+        audit = audit.persist()
+    blk = audit.filter(F.col("kind") == "b").agg(
+        F.sum("blocks").alias("blocks"),
+        F.sum("postings").alias("postings"),
+        *[
+            F.sum(c).alias(c)
+            for c in ("v_bytes", "v_sorted", "v_last", "v_maxtf", "v_tf", "v_dl", "v_bms")
+        ],
+    ).collect()[0]
+    d_blocks = int(blk["blocks"] or 0)
+    d_postings = int(blk["postings"] or 0)
+    rows.append(("decode_bytes", d_blocks, int(blk["v_bytes"] or 0)))
+    rows.append(("doc_ids_sorted", d_blocks, int(blk["v_sorted"] or 0)))
+    rows.append(("block_last_doc", d_blocks, int(blk["v_last"] or 0)))
+    rows.append(("block_max_tf", d_blocks, int(blk["v_maxtf"] or 0)))
+    rows.append(("tf_range", d_postings, int(blk["v_tf"] or 0)))
+    rows.append(("doc_len_range", d_postings, int(blk["v_dl"] or 0)))
+    if check_scores:
+        rows.append(("block_max_score", d_blocks, int(blk["v_bms"] or 0)))
+
+    # ---- doc_meta / stats ----
+    if doc_meta is not None:
+        magg = doc_meta.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+            F.sum(
+                (~F.col("content_sha256").rlike("^[0-9a-f]{64}$"))
+                .cast("long")
+            ).alias("badsha"),
+            F.sum(F.col("content_sha256").isNull().cast("long")).alias("nullsha"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("tt"),
+        ).collect()[0]
+        n_meta = int(magg["n"])
+        rows.append(("doc_meta_unique", n_meta, n_meta - int(magg["nd"])))
+        rows.append(
+            ("sha_format", n_meta, int(magg["badsha"] or 0) + int(magg["nullsha"] or 0))
+        )
+        if n_docs is not None:
+            v = int(n_docs != n_meta)
+            if avgdl is not None:
+                v += int(float(avgdl) != float(magg["avgdl"] or 0.0))
+            if total_terms is not None:
+                v += int(int(total_terms) != int(magg["tt"] or 0))
+            rows.append(("stats_row", 3, v))
+        if deep:
+            pairs = (
+                audit.filter(F.col("kind") == "d")
+                .select("doc_id", "doc_len")
+                .distinct()
+            )
+            cov = (
+                pairs.join(
+                    doc_meta.select(
+                        "doc_id", F.col("doc_len").alias("meta_len")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("meta_len").isNull().cast("long")).alias("orph"),
+                    F.sum(
+                        (
+                            F.col("meta_len").isNotNull()
+                            & (F.col("meta_len") != F.col("doc_len"))
+                        ).cast("long")
+                    ).alias("dlm"),
+                )
+                .collect()[0]
+            )
+            rows.append(("posting_doc_orphans", int(cov["n"]), int(cov["orph"] or 0)))
+            rows.append(("posting_doc_len", int(cov["n"]), int(cov["dlm"] or 0)))
+        if docs is not None:
+            sha = (
+                docs.select(
+                    F.col(doc_id_col).cast("long").alias("doc_id"),
+                    F.sha2(F.col(content_col).cast("binary"), 256).alias("sha"),
+                )
+                .join(
+                    doc_meta.select("doc_id", "content_sha256"), "doc_id", "full"
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        (
+                            F.col("sha").isNull()
+                            | F.col("content_sha256").isNull()
+                            | (F.col("sha") != F.col("content_sha256"))
+                        ).cast("long")
+                    ).alias("v"),
+                )
+                .collect()[0]
+            )
+            rows.append(("content_sha256", int(sha["n"]), int(sha["v"] or 0)))
+    if deep:
+        audit.unpersist()
+
+    rows.sort(key=lambda r: r[0])
+    return spark.createDataFrame(rows, schema=REPORT_SCHEMA)
+
+
+def fsck_index(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    deep: bool = True,
+    docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """fsck a persisted build_index layout (postings/doc_meta/stats/
+    manifest).  block_max_score is verified only when every segment is
+    epoch 0 (a base snapshot) — delta epochs bake epoch-local stats that
+    the base stats row cannot reproduce."""
+    from .postings import load_index
+
+    idx = load_index(spark, index_dir)
+    max_seg = idx["postings"].agg(F.max("segment_id").alias("m")).collect()[0]["m"]
+    single_epoch = max_seg is None or int(max_seg) < DELTA_SEG_STRIDE
+    return fsck_postings(
+        idx["postings"],
+        idx["doc_meta"],
+        n_docs=idx["n_docs"],
+        avgdl=idx["avg_doc_len"],
+        total_terms=idx["total_terms"],
+        params=idx["params"],
+        block_size=int(idx["manifest"].get("block_size", 4096)),
+        check_scores=single_epoch,
+        deep=deep,
+        docs=docs,
+        doc_id_col=doc_id_col,
+        content_col=content_col,
+    )
+
+
+def fsck_ok(report: DataFrame) -> bool:
+    """True iff the report has zero violations (collects ~14 rows)."""
+    row = report.agg(F.sum("violations").alias("v")).collect()[0]
+    return int(row["v"] or 0) == 0

@@ -1,0 +1,240 @@
+"""fsck gates: a healthy index reports zero violations everywhere, and
+each planted corruption class is caught by the check built for it —
+including the per-block fallback localizing a single bad block inside an
+otherwise-healthy batch (the global-decode alignment story)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import build as B, fsck as K, postings as P
+from search_engine_spark.codec import varint_decode, varint_encode
+from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
+
+CFG = AnalyzerConfig()
+BS = 16
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    return B.assign_doc_ids(df)
+
+
+@pytest.fixture(scope="module")
+def healthy(spark, docs_df):
+    frags = P.posting_fragments(docs_df.repartition(5), CFG, "doc_id", "content")
+    term_df = P.fragment_term_df(frags)
+    meta = B.build_doc_meta(docs_df, CFG, "doc_id", "content").cache()
+    n_docs, avgdl, tt = B.collect_stats(meta)
+    pdf = P.pack_postings(
+        frags, term_df, n_docs, avgdl, BM25Params(), block_size=BS
+    ).toPandas()
+    pdf = pdf.sort_values(["segment_id", "term", "block_id"]).reset_index(drop=True)
+    return pdf, meta, n_docs, avgdl, tt
+
+
+def _run(spark, pdf, meta, n_docs, avgdl, tt, **kw):
+    pst = spark.createDataFrame(pdf, schema=P.POSTINGS_SCHEMA)
+    kw.setdefault("block_size", BS)
+    rep = K.fsck_postings(
+        pst, meta, n_docs=n_docs, avgdl=avgdl, total_terms=tt, **kw
+    )
+    return {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
+
+
+def _viol(res):
+    return {k: v for k, (_, v) in res.items() if v}
+
+
+def test_healthy_all_green(spark, docs_df, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    res = _run(
+        spark, pdf, meta, n_docs, avgdl, tt,
+        docs=docs_df, content_col="content",
+    )
+    assert _viol(res) == {}
+    assert res["block_meta"][0] == len(pdf)
+    assert res["tf_range"][0] == int(pdf["n"].sum())
+    # single epoch: (epoch, term) groups == distinct terms
+    assert res["df_consistent"][0] == pdf["term"].nunique()
+    # posting coverage scanned = distinct posted docs
+    assert res["posting_doc_orphans"][0] <= n_docs
+    assert res["content_sha256"] == (n_docs, 0)
+
+
+# NOTE on df_consistent scanned above: all base segments share epoch 0,
+# so groups are (0, term) — one per distinct term.
+def test_df_groups_are_per_term(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    res = _run(spark, pdf, meta, n_docs, avgdl, tt, deep=False)
+    assert res["df_consistent"][0] == pdf["term"].nunique()
+
+
+def _first_multi(pdf):
+    """Index of a block with n >= 2."""
+    return int(pdf.index[pdf["n"] >= 2][0])
+
+
+def test_tf_over_cap_and_max_tf(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    i = _first_multi(bad)
+    n = int(bad.at[i, "n"])
+    tfs = varint_decode(bytes(bad.at[i, "tfs_enc"]), n)
+    tfs = tfs.copy()
+    tfs[0] = K.TF_CAP + 5
+    bad.at[i, "tfs_enc"] = varint_encode(tfs)
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["tf_range"][1] == 1
+    assert res["block_max_tf"][1] == 1  # stored max no longer matches
+    assert res["decode_bytes"][1] == 0  # bytes are VALID varints — not a byte error
+
+
+def test_truncated_stream_localized(spark, healthy):
+    """One truncated buffer: the batch falls back per-block and reports
+    exactly one decode_bytes violation; no cascade into value checks."""
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    i = _first_multi(bad)
+    buf = bytes(bad.at[i, "tfs_enc"])
+    bad.at[i, "tfs_enc"] = buf[:-1]
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["decode_bytes"][1] == 1
+    for chk in ("doc_ids_sorted", "block_last_doc", "block_max_tf",
+                "tf_range", "doc_len_range", "block_max_score"):
+        assert res[chk][1] == 0, chk
+
+
+def test_trailing_garbage_byte(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    i = _first_multi(bad)
+    bad.at[i, "doc_lens_enc"] = bytes(bad.at[i, "doc_lens_enc"]) + b"\x01"
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["decode_bytes"][1] == 1
+
+
+def test_zero_gap_unsorted(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    i = _first_multi(bad)
+    n = int(bad.at[i, "n"])
+    gaps = varint_decode(bytes(bad.at[i, "doc_ids_enc"]), n - 1).copy()
+    gaps[0] = 0
+    bad.at[i, "doc_ids_enc"] = varint_encode(gaps)
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["doc_ids_sorted"][1] == 1
+    assert res["block_last_doc"][1] == 1  # sum of gaps changed too
+
+
+def test_wrong_last_doc_id(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    i = _first_multi(bad)
+    bad.at[i, "last_doc_id"] = int(bad.at[i, "last_doc_id"]) + 7
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["block_last_doc"][1] == 1
+
+
+def test_wrong_df(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    bad.at[0, "df"] = int(bad.at[0, "df"]) + 1
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False, check_scores=False)
+    assert res["df_consistent"][1] >= 1
+
+
+def test_wrong_block_max_score(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    bad.at[0, "block_max_score"] = np.float32(bad.at[0, "block_max_score"]) + np.float32(1.0)
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["block_max_score"][1] == 1
+
+
+def test_wrong_block_id_chain(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    # a single-block (segment, term): bump its block_id so the chain
+    # does not start at 0
+    counts = bad.groupby(["segment_id", "term"])["block_id"].transform("count")
+    i = int(bad.index[counts == 1][0])
+    bad.at[i, "block_id"] = 1
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False)
+    assert res["block_chain"][1] == 1
+
+
+def test_n_out_of_range(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    bad = pdf.copy()
+    bad.at[0, "n"] = BS + 5
+    res = _run(spark, bad, meta, n_docs, avgdl, tt, deep=False, check_scores=False)
+    assert res["block_meta"][1] == 1
+    assert res["decode_bytes"][1] >= 1  # buffers can't satisfy the fake n
+
+
+def test_missing_meta_row_is_orphan(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    some_doc = int(pdf.at[_first_multi(pdf), "first_doc_id"])
+    meta_miss = meta.filter(F.col("doc_id") != some_doc)
+    res = _run(spark, pdf, meta_miss, n_docs, avgdl, tt)
+    assert res["posting_doc_orphans"][1] == 1
+    assert res["stats_row"][1] >= 1  # n_docs/avgdl/total_terms all moved
+
+
+def test_duplicate_meta_row(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    dup = meta.unionAll(meta.limit(1))
+    res = _run(spark, pdf, dup, n_docs, avgdl, tt, deep=False)
+    assert res["doc_meta_unique"] == (n_docs + 1, 1)
+
+
+def test_meta_doc_len_drift(spark, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    some_doc = int(pdf.at[_first_multi(pdf), "first_doc_id"])
+    drift = meta.withColumn(
+        "doc_len",
+        F.when(F.col("doc_id") == some_doc, F.col("doc_len") + 1).otherwise(
+            F.col("doc_len")
+        ),
+    )
+    res = _run(spark, pdf, drift, n_docs, avgdl, tt)
+    assert res["posting_doc_len"][1] == 1
+    assert res["stats_row"][1] >= 1  # avgdl/total_terms recompute moved
+
+
+def test_sha_format_and_content_cross_check(spark, docs_df, healthy):
+    pdf, meta, n_docs, avgdl, tt = healthy
+    tampered = meta.withColumn(
+        "content_sha256",
+        F.when(F.col("doc_id") == 0, F.lit("DEADBEEF")).otherwise(
+            F.col("content_sha256")
+        ),
+    )
+    res = _run(
+        spark, pdf, tampered, n_docs, avgdl, tt,
+        deep=False, docs=docs_df, content_col="content",
+    )
+    assert res["sha_format"][1] == 1
+    assert res["content_sha256"][1] == 1
+
+
+def test_fsck_index_end_to_end(spark, docs_df, tmp_path):
+    d = str(tmp_path / "idx")
+    P.build_index(
+        docs_df.repartition(3),
+        d,
+        IndexBuildConfig(analyzer=CFG, block_size=BS),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="content",
+        key_cols=("repo", "path", "commit"),
+    )
+    rep = K.fsck_index(spark, d, deep=True, docs=docs_df, content_col="content")
+    assert K.fsck_ok(rep)
+    checks = {r["check"] for r in rep.collect()}
+    assert "block_max_score" in checks  # single-epoch layout → scores verified
