@@ -279,8 +279,10 @@ def cmd_fsck(args: argparse.Namespace) -> None:
     round-trip + block metadata + df/epoch + doc_meta/stats checks as
     Spark jobs over the bucketed layout; exit 1 on any violation.  With
     --docs, also cross-checks doc_meta.content_sha256 against a sha256
-    recompute over the source table (the input_hint per-row invariant)."""
-    from .fsck import fsck_index
+    recompute over the source table (the input_hint per-row invariant).
+    --live verifies the maintained view (base + deltas + tombstones)
+    instead of the base snapshot."""
+    from .fsck import fsck_index, fsck_live
 
     spark = _get_spark("se-spark-fsck")
     docs = None
@@ -294,13 +296,23 @@ def cmd_fsck(args: argparse.Namespace) -> None:
             docs = docs.withColumn(
                 "doc_id", F.xxhash64(*[F.col(c) for c in keys])
             )
-    rep = fsck_index(
-        spark,
-        args.index_dir,
-        deep=not args.shallow,
-        docs=docs,
-        content_col=args.content_col,
-    ).collect()
+    if args.live or args.as_of is not None:
+        rep = fsck_live(
+            spark,
+            args.index_dir,
+            as_of=args.as_of,
+            deep=not args.shallow,
+            docs=docs,
+            content_col=args.content_col,
+        ).collect()
+    else:
+        rep = fsck_index(
+            spark,
+            args.index_dir,
+            deep=not args.shallow,
+            docs=docs,
+            content_col=args.content_col,
+        ).collect()
     bad = 0
     for r in rep:
         print(f"{r['check']:22s} scanned={r['scanned']:>12d} violations={r['violations']}")
@@ -709,6 +721,12 @@ def main(argv: list[str] | None = None) -> None:
     fk.add_argument("--shallow", action="store_true",
                     help="skip the posting↔doc_meta coverage join "
                          "(metadata + decode checks only)")
+    fk.add_argument("--live", action="store_true",
+                    help="verify the maintained view (base + deltas + "
+                         "tombstones) with live invariants")
+    fk.add_argument("--as-of", type=int, default=None,
+                    help="verify the index as it stood at this snapshot "
+                         "epoch (implies --live)")
     fk.add_argument("--docs", default=None,
                     help="source documents parquet: cross-check "
                          "content_sha256 per row")

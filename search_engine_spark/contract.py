@@ -888,6 +888,72 @@ def q_index_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_size_stats(packed)
 
 
+def q_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index integrity verification (fsck.fsck_postings) with the
+    REPORT itself under the oracle: pack the deterministic doc-range
+    tiling (same layout as index_size_stats), then run every fsck check
+    — decode round-trip, block metadata/chains, per-epoch df, block-max
+    tf/score recompute, doc_meta coverage, and the content_sha256
+    cross-check against the source table (the input_hint per-row
+    invariant).  DuckDB independently derives every `scanned`
+    denominator (blocks from the 32-entry tiling, postings, df groups,
+    posted docs) and asserts zero violations — so a codec, tiling, or
+    checker regression flips the value hash.  The reference has no
+    verifier (its index is rebuilt in-memory each run, Program.cs:34-54);
+    this is engine-native ops infrastructure a persisted 10^12-file
+    index requires."""
+    from .fsck import fsck_postings
+    from .postings import pack_postings
+
+    docs = _docs(spark, sf_dir)
+    tokens = _tokens(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n_docs, avgdl, total_terms = B.collect_stats(meta)
+    term_df = B.term_document_frequency(tokens)
+    frags = (
+        tokens
+        .withColumn(
+            "segment_id",
+            F.floor(F.col("doc_id") / F.lit(SIZE_SEG_WIDTH)).cast("long"),
+        )
+        .groupBy("segment_id", "term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len"))
+            ).alias("ps")
+        )
+        .select(
+            "segment_id",
+            "term",
+            F.col("ps.doc_id").cast("array<long>").alias("doc_ids"),
+            F.col("ps.tf").cast("array<int>").alias("tfs"),
+            F.col("ps.doc_len").cast("array<int>").alias("doc_lens"),
+        )
+    )
+    packed = pack_postings(
+        frags, term_df, n_docs, avgdl, block_size=SIZE_BLOCK
+    ).persist()
+    meta = meta.persist()
+    try:
+        return fsck_postings(
+            packed,
+            meta,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            total_terms=total_terms,
+            block_size=SIZE_BLOCK,
+            check_scores=True,
+            deep=True,
+            docs=docs,
+            content_col="text",
+        )
+    finally:
+        # fsck_postings is eager (the report is literal rows), so the
+        # inputs are safe to release before returning
+        packed.unpersist()
+        meta.unpersist()
+
+
 def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style scoring explanation (query.explain_bm25) for the
     BM25 query's top-10 page: every factor of every matched term,
@@ -2132,6 +2198,53 @@ SELECT segment_id,
        CAST(SUM(tf_b) AS BIGINT) AS tf_bytes,
        CAST(SUM(len_b) AS BIGINT) AS len_bytes
 FROM per_term GROUP BY segment_id
+"""
+
+
+def _sql_fsck_report(seg_width: int = SIZE_SEG_WIDTH, bs: int = SIZE_BLOCK) -> str:
+    """Independently derives every fsck `scanned` denominator from the
+    token stream (block count from the bs-entry tiling, posting count,
+    per-term df groups, posted-doc count, corpus size) and pins every
+    `violations` to zero — a healthy build must verify clean, and a
+    report with the wrong denominators means the checker itself skipped
+    work."""
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+base AS (
+  SELECT t.doc_id, t.term,
+         CAST(floor(t.doc_id / {seg_width}.0) AS BIGINT) AS segment_id
+  FROM tok t
+),
+pt AS (SELECT segment_id, term, COUNT(*) AS cnt FROM base GROUP BY segment_id, term),
+dims AS (
+  SELECT CAST(SUM(CAST(ceil(cnt / {bs}.0) AS BIGINT)) AS BIGINT) AS nb,
+         CAST(SUM(cnt) AS BIGINT) AS np,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS nt
+  FROM pt
+),
+docdims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS nd,
+         (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tok) AS npd
+)
+SELECT "check", scanned, CAST(0 AS BIGINT) AS violations FROM (
+  SELECT 'block_meta' AS "check", nb AS scanned FROM dims
+  UNION ALL SELECT 'block_chain', nb FROM dims
+  UNION ALL SELECT 'decode_bytes', nb FROM dims
+  UNION ALL SELECT 'doc_ids_sorted', nb FROM dims
+  UNION ALL SELECT 'block_last_doc', nb FROM dims
+  UNION ALL SELECT 'block_max_tf', nb FROM dims
+  UNION ALL SELECT 'block_max_score', nb FROM dims
+  UNION ALL SELECT 'df_consistent', nt FROM dims
+  UNION ALL SELECT 'tf_range', np FROM dims
+  UNION ALL SELECT 'doc_len_range', np FROM dims
+  UNION ALL SELECT 'doc_meta_unique', nd FROM docdims
+  UNION ALL SELECT 'sha_format', nd FROM docdims
+  UNION ALL SELECT 'stats_row', CAST(3 AS BIGINT)
+  UNION ALL SELECT 'posting_doc_orphans', npd FROM docdims
+  UNION ALL SELECT 'posting_doc_len', npd FROM docdims
+  UNION ALL SELECT 'content_sha256', nd FROM docdims
+) r
+ORDER BY "check"
 """
 
 
@@ -7998,6 +8111,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": q_synonym_topk,
         "bm25_prf_topk": q_bm25_prf_topk,
         "index_size_stats": q_index_size_stats,
+        "fsck_report": q_fsck_report,
         "ivf_ann_topk": q_ivf_ann_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "tokenize_tf": q_tokenize_tf,
@@ -8092,6 +8206,7 @@ def duckdb_oracles() -> dict[str, str]:
         "fuzzy_topk": _sql_fuzzy_topk(),
         "synonym_topk": _sql_synonym_topk(),
         "index_size_stats": _sql_index_size_stats(),
+        "fsck_report": _sql_fsck_report(),
         "explain_score": _sql_explain_score(),
         "ql_topk": _sql_ql(),
         "bm25f_topk": _sql_bm25f(),

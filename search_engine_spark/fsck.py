@@ -85,6 +85,7 @@ _AUDIT_SCHEMA = T.StructType(
         T.StructField("v_tf", T.LongType(), True),
         T.StructField("v_dl", T.LongType(), True),
         T.StructField("v_bms", T.LongType(), True),
+        T.StructField("epoch", T.LongType(), True),
         T.StructField("doc_id", T.LongType(), True),
         T.StructField("doc_len", T.LongType(), True),
     ]
@@ -215,6 +216,8 @@ def _decode_audit_factory(
         for b in batches:
             if b.num_rows == 0:
                 continue
+            seg = b.column("segment_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            ep = seg // DELTA_SEG_STRIDE
             n_arr = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
             first = b.column("first_doc_id").to_numpy(zero_copy_only=False)
             last = b.column("last_doc_id").to_numpy(zero_copy_only=False)
@@ -226,6 +229,7 @@ def _decode_audit_factory(
             l_list = b.column("doc_lens_enc").to_pylist()
             nb = n_arr.size
             counters = np.zeros(7, dtype=np.int64)
+            pairs_e: np.ndarray | None = None
             pairs_i: np.ndarray | None = None
             pairs_l: np.ndarray | None = None
 
@@ -285,8 +289,10 @@ def _decode_audit_factory(
                     )
                     counters[6] = int((rec != bms.astype(np.float32)).sum())
                 if deep:
+                    pairs_e = np.repeat(ep, n_ok)
                     pairs_i, pairs_l = ids, all_l.astype(np.int64)
             else:
+                acc_e: list[np.ndarray] = []
                 acc_i: list[np.ndarray] = []
                 acc_l: list[np.ndarray] = []
                 for i in range(nb):
@@ -298,9 +304,11 @@ def _decode_audit_factory(
                     )
                     counters += np.asarray(row, dtype=np.int64)
                     if ids_i is not None:
+                        acc_e.append(np.full(ids_i.size, ep[i], dtype=np.int64))
                         acc_i.append(ids_i)
                         acc_l.append(dls_i)
                 if deep and acc_i:
+                    pairs_e = np.concatenate(acc_e)
                     pairs_i = np.concatenate(acc_i)
                     pairs_l = np.concatenate(acc_l)
 
@@ -312,6 +320,7 @@ def _decode_audit_factory(
             names = ["v_bytes", "v_sorted", "v_last", "v_maxtf", "v_tf", "v_dl", "v_bms"]
             for name, v in zip(names, counters):
                 cols[name] = pa.array([int(v)], pa.int64())
+            cols["epoch"] = pa.array([None], pa.int64())
             cols["doc_id"] = pa.array([None], pa.int64())
             cols["doc_len"] = pa.array([None], pa.int64())
             yield pa.RecordBatch.from_arrays(
@@ -319,7 +328,7 @@ def _decode_audit_factory(
             )
             if deep and pairs_i is not None and pairs_i.size:
                 uniq = np.unique(
-                    np.stack([pairs_i, pairs_l], axis=1), axis=0
+                    np.stack([pairs_e, pairs_i, pairs_l], axis=1), axis=0
                 )
                 k = uniq.shape[0]
                 yield pa.RecordBatch.from_arrays(
@@ -336,6 +345,7 @@ def _decode_audit_factory(
                         pa.nulls(k, pa.int64()),
                         pa.array(uniq[:, 0], pa.int64()),
                         pa.array(uniq[:, 1], pa.int64()),
+                        pa.array(uniq[:, 2], pa.int64()),
                     ],
                     names=[f.name for f in _AUDIT_SCHEMA.fields],
                 )
@@ -357,6 +367,7 @@ def fsck_postings(
     docs: DataFrame | None = None,
     doc_id_col: str = "doc_id",
     content_col: str = "content",
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Run every applicable check; return the (check, scanned, violations)
     report (small, deterministic, sorted by check name).
@@ -364,6 +375,13 @@ def fsck_postings(
     check_scores requires (n_docs, avgdl, params) of the build that baked
     block_max_score — skip it for multi-epoch live layouts (delta epochs
     bake epoch-local stats; fsck_index decides automatically).
+
+    Live layouts: pass maintenance.live_index's postings/doc_meta (the
+    _epoch column switches uniqueness + posting coverage to
+    (epoch, doc_id) grain — superseded versions legally coexist until
+    compaction) and its tombstones frame, which adds tombstone_meta and
+    live_doc_unique checks and points the --docs sha cross-check at the
+    effective (newest visible) version of each doc.
     """
     spark = postings.sparkSession
     rows: list[tuple[str, int, int]] = []
@@ -435,7 +453,7 @@ def fsck_postings(
     if check_scores and (n_docs is None or avgdl is None):
         raise ValueError("check_scores=True needs n_docs and avgdl")
     audit = postings.select(
-        "n", "first_doc_id", "last_doc_id", "max_tf", "df",
+        "segment_id", "n", "first_doc_id", "last_doc_id", "max_tf", "df",
         "block_max_score", "doc_ids_enc", "tfs_enc", "doc_lens_enc",
     ).mapInArrow(
         _decode_audit_factory(
@@ -470,9 +488,16 @@ def fsck_postings(
 
     # ---- doc_meta / stats ----
     if doc_meta is not None:
+        # a live view's doc_meta carries _epoch (maintenance.live_index);
+        # uniqueness and posting coverage are then (epoch, doc_id)-grain,
+        # because superseded versions legally coexist until compaction
+        epoch_aware = "_epoch" in doc_meta.columns
+        uniq_key = (
+            F.xxhash64("_epoch", "doc_id") if epoch_aware else F.col("doc_id")
+        )
         magg = doc_meta.agg(
             F.count("*").alias("n"),
-            F.count_distinct("doc_id").alias("nd"),
+            F.count_distinct(uniq_key).alias("nd"),
             F.sum(
                 (~F.col("content_sha256").rlike("^[0-9a-f]{64}$"))
                 .cast("long")
@@ -494,19 +519,30 @@ def fsck_postings(
                 v += int(int(total_terms) != int(magg["tt"] or 0))
             rows.append(("stats_row", 3, v))
         if deep:
-            pairs = (
-                audit.filter(F.col("kind") == "d")
-                .select("doc_id", "doc_len")
-                .distinct()
-            )
-            cov = (
-                pairs.join(
-                    doc_meta.select(
-                        "doc_id", F.col("doc_len").alias("meta_len")
-                    ),
-                    "doc_id",
-                    "left",
+            if epoch_aware:
+                pairs = (
+                    audit.filter(F.col("kind") == "d")
+                    .select("epoch", "doc_id", "doc_len")
+                    .distinct()
                 )
+                meta_side = doc_meta.select(
+                    F.col("_epoch").alias("epoch"),
+                    "doc_id",
+                    F.col("doc_len").alias("meta_len"),
+                )
+                join_on = ["epoch", "doc_id"]
+            else:
+                pairs = (
+                    audit.filter(F.col("kind") == "d")
+                    .select("doc_id", "doc_len")
+                    .distinct()
+                )
+                meta_side = doc_meta.select(
+                    "doc_id", F.col("doc_len").alias("meta_len")
+                )
+                join_on = ["doc_id"]
+            cov = (
+                pairs.join(meta_side, join_on, "left")
                 .agg(
                     F.count("*").alias("n"),
                     F.sum(F.col("meta_len").isNull().cast("long")).alias("orph"),
@@ -521,6 +557,54 @@ def fsck_postings(
             )
             rows.append(("posting_doc_orphans", int(cov["n"]), int(cov["orph"] or 0)))
             rows.append(("posting_doc_len", int(cov["n"]), int(cov["dlm"] or 0)))
+        # ---- live-view checks (epoch-aware layouts) ----
+        sha_meta = doc_meta
+        if epoch_aware:
+            from .maintenance import ALL_EPOCHS
+
+            if tombstones is not None:
+                tagg = tombstones.agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        (
+                            F.col("doc_id").isNull()
+                            | (
+                                F.coalesce("before_epoch", F.lit(ALL_EPOCHS))
+                                < 1
+                            )
+                        ).cast("long")
+                    ).alias("v"),
+                ).collect()[0]
+                rows.append(("tombstone_meta", int(tagg["n"]), int(tagg["v"] or 0)))
+                tomb_agg = tombstones.groupBy("doc_id").agg(
+                    F.max(
+                        F.coalesce("before_epoch", F.lit(ALL_EPOCHS))
+                    ).alias("__before")
+                )
+                vis = doc_meta.join(tomb_agg, "doc_id", "left").filter(
+                    F.col("_epoch") >= F.coalesce("__before", F.lit(0))
+                )
+            else:
+                vis = doc_meta
+            # the live invariant: after masking, exactly one version of
+            # each doc is visible (upsert stamps before_epoch = its own
+            # ordinal, so older generations are dead; plain deletes kill
+            # all of them)
+            lds = (
+                vis.groupBy("doc_id")
+                .agg(F.count("*").alias("c"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum((F.col("c") > 1).cast("long")).alias("v"),
+                )
+                .collect()[0]
+            )
+            rows.append(("live_doc_unique", int(lds["n"]), int(lds["v"] or 0)))
+            wv = Window.partitionBy("doc_id").orderBy(F.col("_epoch").desc())
+            sha_meta = (
+                vis.withColumn("__rn", F.row_number().over(wv))
+                .filter(F.col("__rn") == 1)
+            )
         if docs is not None:
             sha = (
                 docs.select(
@@ -528,7 +612,7 @@ def fsck_postings(
                     F.sha2(F.col(content_col).cast("binary"), 256).alias("sha"),
                 )
                 .join(
-                    doc_meta.select("doc_id", "content_sha256"), "doc_id", "full"
+                    sha_meta.select("doc_id", "content_sha256"), "doc_id", "full"
                 )
                 .agg(
                     F.count("*").alias("n"),
@@ -581,6 +665,46 @@ def fsck_index(
         docs=docs,
         doc_id_col=doc_id_col,
         content_col=content_col,
+    )
+
+
+def fsck_live(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    as_of: int | None = None,
+    deep: bool = True,
+    docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """fsck the LIVE view of a maintained index (base + deltas +
+    tombstones, maintenance.live_index) instead of the base snapshot:
+    per-epoch structural checks plus the live invariants (tombstone
+    sanity, exactly-one-visible-version), with the --docs sha
+    cross-check against the effective corpus the ranking actually
+    serves.  block_max_score is skipped when deltas exist (each epoch
+    bakes epoch-local stats); stats_row checks the summed live totals,
+    which include superseded-but-uncompacted versions by design
+    (Lucene 'deleted but unmerged' semantics, maintenance.upsert_docs)."""
+    from .maintenance import live_index
+
+    idx = live_index(spark, index_dir, as_of=as_of)
+    single_epoch = int(idx.get("n_deltas", 0)) == 0
+    return fsck_postings(
+        idx["postings"],
+        idx["doc_meta"],
+        n_docs=idx["n_docs"],
+        avgdl=idx["avg_doc_len"],
+        total_terms=idx["total_terms"],
+        params=idx["params"],
+        block_size=int(idx["manifest"].get("block_size", 4096)),
+        check_scores=single_epoch,
+        deep=deep,
+        docs=docs,
+        doc_id_col=doc_id_col,
+        content_col=content_col,
+        tombstones=idx.get("tombstones"),
     )
 
 

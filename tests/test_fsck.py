@@ -238,3 +238,109 @@ def test_fsck_index_end_to_end(spark, docs_df, tmp_path):
     assert K.fsck_ok(rep)
     checks = {r["check"] for r in rep.collect()}
     assert "block_max_score" in checks  # single-epoch layout → scores verified
+
+
+# ---- live-layout fsck (base + deltas + tombstones) ----
+
+@pytest.fixture(scope="module")
+def live_idx(spark, docs_df, tmp_path_factory):
+    """Base build, then an upsert (5 changed docs) and a plain delete
+    (3 docs) — the maintained layout fsck_live verifies."""
+    from search_engine_spark import maintenance as M
+
+    d = str(tmp_path_factory.mktemp("fsck_live") / "idx")
+    P.build_index(
+        docs_df.repartition(3),
+        d,
+        IndexBuildConfig(analyzer=CFG, block_size=BS),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="content",
+        key_cols=("repo", "path", "commit"),
+    )
+    changed = (
+        docs_df.orderBy("doc_id").limit(5)
+        .withColumn("content", F.concat(F.col("content"), F.lit(" upserted trailer")))
+    )
+    M.upsert_docs(changed, d, key_cols=("repo", "path", "commit"))
+    gone = [r["doc_id"] for r in docs_df.orderBy(F.col("doc_id").desc()).limit(3).collect()]
+    M.delete_docs(spark, d, gone)
+    live_corpus = (
+        docs_df.filter(~F.col("doc_id").isin(gone))
+        .join(changed.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(changed)
+    )
+    return d, live_corpus, gone
+
+
+def test_fsck_live_green(spark, live_idx):
+    d, live_corpus, _ = live_idx
+    rep = K.fsck_live(spark, d, docs=live_corpus, content_col="content")
+    res = {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
+    assert {k: v for k, (_, v) in res.items() if v} == {}
+    # live invariants present; multi-epoch => no block_max_score row
+    assert "live_doc_unique" in res and "tombstone_meta" in res
+    assert "block_max_score" not in res
+    n_live = live_corpus.count()
+    assert res["live_doc_unique"][0] == n_live
+    assert res["content_sha256"] == (n_live, 0)
+    # superseded versions legally coexist at (epoch, doc) grain
+    assert res["doc_meta_unique"][0] > n_live
+
+
+def test_fsck_live_asof_zero_is_base(spark, docs_df, live_idx):
+    d, _, _ = live_idx
+    rep = K.fsck_live(spark, d, as_of=0, docs=docs_df, content_col="content")
+    res = {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
+    assert {k: v for k, (_, v) in res.items() if v} == {}
+    assert res["content_sha256"] == (docs_df.count(), 0)
+    # as_of=0 excludes every delta => scores verifiable again
+    assert res["block_max_score"][1] == 0
+
+
+def test_fsck_live_lost_tombstones_flagged(spark, live_idx):
+    """Simulate a lost tombstone directory: both generations of each
+    upserted doc become visible — live_doc_unique and the sha
+    cross-check must flag it."""
+    from search_engine_spark.maintenance import live_index
+
+    d, live_corpus, gone = live_idx
+    idx = live_index(spark, d)
+    rep = K.fsck_postings(
+        idx["postings"],
+        idx["doc_meta"],
+        n_docs=idx["n_docs"],
+        avgdl=idx["avg_doc_len"],
+        total_terms=idx["total_terms"],
+        params=idx["params"],
+        block_size=BS,
+        check_scores=False,
+        docs=live_corpus,
+        content_col="content",
+        tombstones=None,  # the loss
+    )
+    res = {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
+    assert res["live_doc_unique"][1] == 5  # each upserted doc twice
+    # deleted docs resurface vs the live corpus
+    assert res["content_sha256"][1] >= len(gone)
+    assert "tombstone_meta" not in res
+
+
+def test_fsck_live_bad_tombstone_meta(spark, live_idx):
+    from search_engine_spark.maintenance import live_index
+
+    d, _, _ = live_idx
+    idx = live_index(spark, d)
+    bad = idx["tombstones"].unionByName(
+        spark.createDataFrame(
+            [(None, 0, 1)], schema="doc_id long, before_epoch long, created_epoch long"
+        )
+    )
+    rep = K.fsck_postings(
+        idx["postings"], idx["doc_meta"],
+        n_docs=idx["n_docs"], avgdl=idx["avg_doc_len"],
+        total_terms=idx["total_terms"], params=idx["params"],
+        block_size=BS, check_scores=False, deep=False, tombstones=bad,
+    )
+    res = {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
+    assert res["tombstone_meta"][1] == 1  # null doc_id AND before_epoch<1

@@ -827,6 +827,39 @@ def main() -> int:
           "BroadcastHashJoin" in p and "CartesianProduct" not in p
           and "BatchEvalPython" not in p)
 
+    # --- fsck: verification must be a distributed scan, not a download ---
+    import tempfile
+
+    from search_engine_spark import fsck as FS
+    from search_engine_spark.config import IndexBuildConfig
+    from search_engine_spark.postings import build_index, load_index
+
+    _fsck_dir = tempfile.mkdtemp(prefix="audit_fsck_") + "/idx"
+    build_index(docs.limit(80), _fsck_dir, IndexBuildConfig(analyzer=cfg),
+                BM25Params(), doc_id_col="doc_id", content_col="text")
+    _idx = load_index(spark, _fsck_dir)
+    _audit = _idx["postings"].select(
+        "segment_id", "n", "first_doc_id", "last_doc_id", "max_tf", "df",
+        "block_max_score", "doc_ids_enc", "tfs_enc", "doc_lens_enc",
+    ).mapInArrow(
+        FS._decode_audit_factory(
+            {"k1": 1.2, "k3": 1000.0, "b": 0.75}, 80.0, 100.0, True, True
+        ),
+        schema=FS._AUDIT_SCHEMA,
+    )
+    p = plan_of(_audit)
+    print("== fsck decode audit ==")
+    check("fsck decode: map-only over the posting scan (no exchange "
+          "carries encoded bytes), Arrow not row-Python",
+          "Exchange" not in p and "MapInArrow" in p
+          and "BatchEvalPython" not in p)
+    p = plan_of(_idx["postings"].agg(
+        F.sum(((F.col("n") < 1)
+               | (F.col("first_doc_id") > F.col("last_doc_id"))).cast("long"))))
+    check("fsck block_meta: metadata aggregate prunes the scan — "
+          "encoded byte columns never read",
+          "_enc" not in p)
+
     failures = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failures)}/{len(CHECKS)} checks passed")
     if failures:
