@@ -386,23 +386,48 @@ def fsck_postings(
     spark = postings.sparkSession
     rows: list[tuple[str, int, int]] = []
 
-    # ---- metadata-only checks (no decode) ----
-    meta_agg = postings.agg(
-        F.count("*").alias("nb"),
-        F.sum(
-            (
-                (F.col("n") < 1)
-                | (F.col("n") > block_size)
-                | (F.col("first_doc_id") > F.col("last_doc_id"))
-                | ((F.col("n") == 1) & (F.col("first_doc_id") != F.col("last_doc_id")))
-            ).cast("long")
-        ).alias("v"),
-    ).collect()[0]
-    n_blocks = int(meta_agg["nb"])
-    rows.append(("block_meta", n_blocks, int(meta_agg["v"] or 0)))
+    def _branch(df: DataFrame, name: str) -> DataFrame:
+        """Normalize an aggregate row (s, v) into one report row."""
+        return df.select(
+            F.lit(name).alias("check"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("scanned"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("violations"),
+        )
+
+    def _collect(branches: list[DataFrame]) -> None:
+        """ONE Spark action for a whole bundle of checks: the branches
+        union into a single ~dozen-row plan, so verification pays one
+        job-scheduling round-trip per bundle, not one per check."""
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        rows.extend(
+            (r["check"], int(r["scanned"]), int(r["violations"]))
+            for r in out.collect()
+        )
+
+    # ---- postings bundle: metadata checks + the decode pass ----
+    bundle: list[DataFrame] = []
+    bundle.append(_branch(
+        postings.agg(
+            F.count("*").alias("s"),
+            F.sum(
+                (
+                    (F.col("n") < 1)
+                    | (F.col("n") > block_size)
+                    | (F.col("first_doc_id") > F.col("last_doc_id"))
+                    | (
+                        (F.col("n") == 1)
+                        & (F.col("first_doc_id") != F.col("last_doc_id"))
+                    )
+                ).cast("long")
+            ).alias("v"),
+        ),
+        "block_meta",
+    ))
 
     w = Window.partitionBy("segment_id", "term").orderBy("block_id")
-    chain = (
+    bundle.append(_branch(
         postings.select(
             "segment_id", "term", "block_id", "first_doc_id", "last_doc_id"
         )
@@ -421,12 +446,11 @@ def fsck_postings(
             )
             .alias("v")
         )
-        .agg(F.sum("v").alias("v"))
-        .collect()[0]
-    )
-    rows.append(("block_chain", n_blocks, int(chain["v"] or 0)))
+        .agg(F.count("*").alias("s"), F.sum("v").alias("v")),
+        "block_chain",
+    ))
 
-    dfc = (
+    bundle.append(_branch(
         postings.groupBy(
             (F.col("segment_id") / F.lit(DELTA_SEG_STRIDE))
             .cast("long")
@@ -439,14 +463,13 @@ def fsck_postings(
             F.max("df").alias("df"),
         )
         .agg(
-            F.count("*").alias("groups"),
+            F.count("*").alias("s"),
             F.sum(
                 ((F.col("ndf") != 1) | (F.col("sn") != F.col("df"))).cast("long")
             ).alias("v"),
-        )
-        .collect()[0]
-    )
-    rows.append(("df_consistent", int(dfc["groups"]), int(dfc["v"] or 0)))
+        ),
+        "df_consistent",
+    ))
 
     # ---- decode pass ----
     p = params or BM25Params()
@@ -465,29 +488,55 @@ def fsck_postings(
         ),
         schema=_AUDIT_SCHEMA,
     )
-    if deep:
+    # the deep pairs feed the coverage join in the SECOND bundle; persist
+    # so the decode never runs twice (filled by this bundle's agg branch)
+    use_pairs = deep and doc_meta is not None
+    if use_pairs:
         audit = audit.persist()
-    blk = audit.filter(F.col("kind") == "b").agg(
-        F.sum("blocks").alias("blocks"),
-        F.sum("postings").alias("postings"),
-        *[
-            F.sum(c).alias(c)
-            for c in ("v_bytes", "v_sorted", "v_last", "v_maxtf", "v_tf", "v_dl", "v_bms")
-        ],
-    ).collect()[0]
-    d_blocks = int(blk["blocks"] or 0)
-    d_postings = int(blk["postings"] or 0)
-    rows.append(("decode_bytes", d_blocks, int(blk["v_bytes"] or 0)))
-    rows.append(("doc_ids_sorted", d_blocks, int(blk["v_sorted"] or 0)))
-    rows.append(("block_last_doc", d_blocks, int(blk["v_last"] or 0)))
-    rows.append(("block_max_tf", d_blocks, int(blk["v_maxtf"] or 0)))
-    rows.append(("tf_range", d_postings, int(blk["v_tf"] or 0)))
-    rows.append(("doc_len_range", d_postings, int(blk["v_dl"] or 0)))
-    if check_scores:
-        rows.append(("block_max_score", d_blocks, int(blk["v_bms"] or 0)))
+    decode_rows = [
+        ("decode_bytes", "blocks", "v_bytes"),
+        ("doc_ids_sorted", "blocks", "v_sorted"),
+        ("block_last_doc", "blocks", "v_last"),
+        ("block_max_tf", "blocks", "v_maxtf"),
+        ("tf_range", "postings", "v_tf"),
+        ("doc_len_range", "postings", "v_dl"),
+    ] + ([("block_max_score", "blocks", "v_bms")] if check_scores else [])
+    bundle.append(
+        audit.filter(F.col("kind") == "b")
+        .agg(
+            F.sum("blocks").alias("blocks"),
+            F.sum("postings").alias("postings"),
+            *[
+                F.sum(c).alias(c)
+                for c in (
+                    "v_bytes", "v_sorted", "v_last", "v_maxtf",
+                    "v_tf", "v_dl", "v_bms",
+                )
+            ],
+        )
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.coalesce(F.col(s), F.lit(0))
+                        .cast("long")
+                        .alias("scanned"),
+                        F.coalesce(F.col(v), F.lit(0))
+                        .cast("long")
+                        .alias("violations"),
+                    )
+                    for name, s, v in decode_rows
+                ])
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    _collect(bundle)
 
-    # ---- doc_meta / stats ----
+    # ---- doc_meta / stats bundle ----
     if doc_meta is not None:
+        bundle = []
         # a live view's doc_meta carries _epoch (maintenance.live_index);
         # uniqueness and posting coverage are then (epoch, doc_id)-grain,
         # because superseded versions legally coexist until compaction
@@ -495,29 +544,56 @@ def fsck_postings(
         uniq_key = (
             F.xxhash64("_epoch", "doc_id") if epoch_aware else F.col("doc_id")
         )
-        magg = doc_meta.agg(
-            F.count("*").alias("n"),
-            F.count_distinct(uniq_key).alias("nd"),
-            F.sum(
-                (~F.col("content_sha256").rlike("^[0-9a-f]{64}$"))
-                .cast("long")
-            ).alias("badsha"),
-            F.sum(F.col("content_sha256").isNull().cast("long")).alias("nullsha"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("tt"),
-        ).collect()[0]
-        n_meta = int(magg["n"])
-        rows.append(("doc_meta_unique", n_meta, n_meta - int(magg["nd"])))
-        rows.append(
-            ("sha_format", n_meta, int(magg["badsha"] or 0) + int(magg["nullsha"] or 0))
-        )
+        meta_rows = [
+            F.struct(
+                F.lit("doc_meta_unique").alias("check"),
+                F.col("n").cast("long").alias("scanned"),
+                (F.col("n") - F.col("nd")).cast("long").alias("violations"),
+            ),
+            F.struct(
+                F.lit("sha_format").alias("check"),
+                F.col("n").cast("long").alias("scanned"),
+                (
+                    F.coalesce(F.col("badsha"), F.lit(0))
+                    + F.coalesce(F.col("nullsha"), F.lit(0))
+                ).cast("long").alias("violations"),
+            ),
+        ]
         if n_docs is not None:
-            v = int(n_docs != n_meta)
+            v_expr = (F.lit(int(n_docs)) != F.col("n")).cast("long")
             if avgdl is not None:
-                v += int(float(avgdl) != float(magg["avgdl"] or 0.0))
+                v_expr = v_expr + (
+                    F.lit(float(avgdl))
+                    != F.coalesce(F.col("avgdl"), F.lit(0.0))
+                ).cast("long")
             if total_terms is not None:
-                v += int(int(total_terms) != int(magg["tt"] or 0))
-            rows.append(("stats_row", 3, v))
+                v_expr = v_expr + (
+                    F.lit(int(total_terms)) != F.coalesce(F.col("tt"), F.lit(0))
+                ).cast("long")
+            meta_rows.append(
+                F.struct(
+                    F.lit("stats_row").alias("check"),
+                    F.lit(3).cast("long").alias("scanned"),
+                    v_expr.cast("long").alias("violations"),
+                )
+            )
+        bundle.append(
+            doc_meta.agg(
+                F.count("*").alias("n"),
+                F.count_distinct(uniq_key).alias("nd"),
+                F.sum(
+                    (~F.col("content_sha256").rlike("^[0-9a-f]{64}$"))
+                    .cast("long")
+                ).alias("badsha"),
+                F.sum(F.col("content_sha256").isNull().cast("long")).alias(
+                    "nullsha"
+                ),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("tt"),
+            )
+            .select(F.explode(F.array(*meta_rows)).alias("r"))
+            .select("r.*")
+        )
         if deep:
             if epoch_aware:
                 pairs = (
@@ -541,7 +617,7 @@ def fsck_postings(
                     "doc_id", F.col("doc_len").alias("meta_len")
                 )
                 join_on = ["doc_id"]
-            cov = (
+            bundle.append(
                 pairs.join(meta_side, join_on, "left")
                 .agg(
                     F.count("*").alias("n"),
@@ -553,29 +629,51 @@ def fsck_postings(
                         ).cast("long")
                     ).alias("dlm"),
                 )
-                .collect()[0]
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.lit("posting_doc_orphans").alias("check"),
+                                F.col("n").cast("long").alias("scanned"),
+                                F.coalesce(F.col("orph"), F.lit(0))
+                                .cast("long")
+                                .alias("violations"),
+                            ),
+                            F.struct(
+                                F.lit("posting_doc_len").alias("check"),
+                                F.col("n").cast("long").alias("scanned"),
+                                F.coalesce(F.col("dlm"), F.lit(0))
+                                .cast("long")
+                                .alias("violations"),
+                            ),
+                        )
+                    ).alias("r")
+                )
+                .select("r.*")
             )
-            rows.append(("posting_doc_orphans", int(cov["n"]), int(cov["orph"] or 0)))
-            rows.append(("posting_doc_len", int(cov["n"]), int(cov["dlm"] or 0)))
         # ---- live-view checks (epoch-aware layouts) ----
         sha_meta = doc_meta
         if epoch_aware:
             from .maintenance import ALL_EPOCHS
 
             if tombstones is not None:
-                tagg = tombstones.agg(
-                    F.count("*").alias("n"),
-                    F.sum(
-                        (
-                            F.col("doc_id").isNull()
-                            | (
-                                F.coalesce("before_epoch", F.lit(ALL_EPOCHS))
-                                < 1
-                            )
-                        ).cast("long")
-                    ).alias("v"),
-                ).collect()[0]
-                rows.append(("tombstone_meta", int(tagg["n"]), int(tagg["v"] or 0)))
+                bundle.append(_branch(
+                    tombstones.agg(
+                        F.count("*").alias("s"),
+                        F.sum(
+                            (
+                                F.col("doc_id").isNull()
+                                | (
+                                    F.coalesce(
+                                        "before_epoch", F.lit(ALL_EPOCHS)
+                                    )
+                                    < 1
+                                )
+                            ).cast("long")
+                        ).alias("v"),
+                    ),
+                    "tombstone_meta",
+                ))
                 tomb_agg = tombstones.groupBy("doc_id").agg(
                     F.max(
                         F.coalesce("before_epoch", F.lit(ALL_EPOCHS))
@@ -590,23 +688,22 @@ def fsck_postings(
             # each doc is visible (upsert stamps before_epoch = its own
             # ordinal, so older generations are dead; plain deletes kill
             # all of them)
-            lds = (
+            bundle.append(_branch(
                 vis.groupBy("doc_id")
                 .agg(F.count("*").alias("c"))
                 .agg(
-                    F.count("*").alias("n"),
+                    F.count("*").alias("s"),
                     F.sum((F.col("c") > 1).cast("long")).alias("v"),
-                )
-                .collect()[0]
-            )
-            rows.append(("live_doc_unique", int(lds["n"]), int(lds["v"] or 0)))
+                ),
+                "live_doc_unique",
+            ))
             wv = Window.partitionBy("doc_id").orderBy(F.col("_epoch").desc())
             sha_meta = (
                 vis.withColumn("__rn", F.row_number().over(wv))
                 .filter(F.col("__rn") == 1)
             )
         if docs is not None:
-            sha = (
+            bundle.append(_branch(
                 docs.select(
                     F.col(doc_id_col).cast("long").alias("doc_id"),
                     F.sha2(F.col(content_col).cast("binary"), 256).alias("sha"),
@@ -615,7 +712,7 @@ def fsck_postings(
                     sha_meta.select("doc_id", "content_sha256"), "doc_id", "full"
                 )
                 .agg(
-                    F.count("*").alias("n"),
+                    F.count("*").alias("s"),
                     F.sum(
                         (
                             F.col("sha").isNull()
@@ -623,11 +720,11 @@ def fsck_postings(
                             | (F.col("sha") != F.col("content_sha256"))
                         ).cast("long")
                     ).alias("v"),
-                )
-                .collect()[0]
-            )
-            rows.append(("content_sha256", int(sha["n"]), int(sha["v"] or 0)))
-    if deep:
+                ),
+                "content_sha256",
+            ))
+        _collect(bundle)
+    if use_pairs:
         audit.unpersist()
 
     rows.sort(key=lambda r: r[0])

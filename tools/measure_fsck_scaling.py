@@ -1,0 +1,103 @@
+"""Scale-probe the distributed index verifier (fsck) on the REALISTIC
+dictionary corpus (fixtures.realistic_docs_df — ~200k-term long tail,
+tiny numerous per-(segment, term) groups).  fsck is read-only, so ONE
+index build is shared across every draw; each draw runs the full deep
+verification (decode round-trip + metadata + doc_meta coverage + the
+content_sha256 source cross-check) at a given parallelism.
+
+Measurement method (BASELINE.md host-noise notes): interleaved draw
+schedule, per-config MIN across draws — the host's contention noise is
+one-sided and hits high-core configs hardest.
+
+Usage: python tools/measure_fsck_scaling.py [n_docs] [draws]
+  draws: comma-separated core counts, default "4,16,16,4,16"
+Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4,16").split(",")
+]
+VOCAB = 200_000
+
+
+def one_draw(sp, docs_path: str, idx: str) -> tuple[float, int, int]:
+    from search_engine_spark.fsck import fsck_index
+
+    docs = sp.read.parquet(docs_path)
+    t0 = time.perf_counter()
+    rep = fsck_index(sp, idx, deep=True, docs=docs, content_col="text").collect()
+    sec = time.perf_counter() - t0
+    violations = sum(int(r["violations"]) for r in rep)
+    postings = next(int(r["scanned"]) for r in rep if r["check"] == "tf_range")
+    return sec, violations, postings
+
+
+def main() -> None:
+    from search_engine_spark.config import BM25Params, IndexBuildConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.postings import build_index
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="fsck_scale_")
+    docs_path, idx = f"{tmp}/docs.parquet", f"{tmp}/idx"
+
+    s = get_spark("fsck_scale_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    t0 = time.perf_counter()
+    build_index(
+        s.read.parquet(docs_path), idx, IndexBuildConfig(), BM25Params(),
+        content_col="text",
+    )
+    build_sec = time.perf_counter() - t0
+    s.stop()
+
+    raw: dict[str, list[float]] = {}
+    postings = 0
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"fsck_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        sec, violations, postings = one_draw(sp, docs_path, idx)
+        sp.stop()
+        if violations:
+            raise SystemExit(f"fsck found {violations} violations — probe void")
+        raw.setdefault(f"local{cores}", []).append(round(sec, 2))
+
+    keys = sorted(raw, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    mins = {k: min(v) for k, v in raw.items()}
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    print(json.dumps({
+        "probe": "fsck_deep_realistic",
+        "n_docs": N_DOCS,
+        "vocab": VOCAB,
+        "n_postings": postings,
+        "build_sec": round(build_sec, 2),
+        "estimator": f"min over draws {DRAWS}",
+        "sec_min": mins,
+        "docs_per_sec": {k: round(N_DOCS / v, 0) for k, v in mins.items()},
+        "postings_per_sec": {
+            k: round(postings / v, 0) for k, v in mins.items()
+        },
+        "efficiency_n_to_4n": round(mins[lo] / (mins[hi] * ratio), 3),
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
