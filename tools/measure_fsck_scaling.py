@@ -9,8 +9,10 @@ Measurement method (BASELINE.md host-noise notes): interleaved draw
 schedule, per-config MIN across draws — the host's contention noise is
 one-sided and hits high-core configs hardest.
 
-Usage: python tools/measure_fsck_scaling.py [n_docs] [draws]
+Usage: python tools/measure_fsck_scaling.py [n_docs] [draws] [mode]
   draws: comma-separated core counts, default "4,16,16,4,16"
+  mode: deep (default) | shallow — shallow skips the doc_meta coverage
+        join and the source sha cross-check, isolating the decode scan
 Prints one JSON line.  Run ALONE.
 """
 
@@ -29,14 +31,16 @@ DRAWS = [
     int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4,16").split(",")
 ]
 VOCAB = 200_000
+MODE = sys.argv[3] if len(sys.argv) > 3 else "deep"
 
 
 def one_draw(sp, docs_path: str, idx: str) -> tuple[float, int, int]:
     from search_engine_spark.fsck import fsck_index
 
-    docs = sp.read.parquet(docs_path)
+    deep = MODE == "deep"
+    docs = sp.read.parquet(docs_path) if deep else None
     t0 = time.perf_counter()
-    rep = fsck_index(sp, idx, deep=True, docs=docs, content_col="text").collect()
+    rep = fsck_index(sp, idx, deep=deep, docs=docs, content_col="text").collect()
     sec = time.perf_counter() - t0
     violations = sum(int(r["violations"]) for r in rep)
     postings = next(int(r["scanned"]) for r in rep if r["check"] == "tf_range")
@@ -83,7 +87,7 @@ def main() -> None:
     mins = {k: min(v) for k, v in raw.items()}
     ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
     print(json.dumps({
-        "probe": "fsck_deep_realistic",
+        "probe": f"fsck_{MODE}_realistic",
         "n_docs": N_DOCS,
         "vocab": VOCAB,
         "n_postings": postings,
