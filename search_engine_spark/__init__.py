@@ -105,6 +105,9 @@ _EXPORTS = {
     "minhash_signatures": "ops.dedup:minhash_signatures",
     "lsh_candidate_pairs": "ops.dedup:lsh_candidate_pairs",
     "ngram_jaccard_pairs": "ops.dedup:ngram_jaccard_pairs",
+    "exactsubstr_spans": "ops.dedup:exactsubstr_spans",
+    "exactsubstr_doc_stats": "ops.dedup:exactsubstr_doc_stats",
+    "exactsubstr_redact": "ops.dedup:exactsubstr_redact",
     "simhash64": "ops.dedup:simhash64",
     "simhash_near_dups": "ops.dedup:simhash_near_dups",
     "connected_components": "ops.dedup:connected_components",

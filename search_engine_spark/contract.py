@@ -1115,6 +1115,41 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, ExactSubstr —
+    ops/dedup.exactsubstr_spans): maximal token runs whose every 8-gram
+    occurs >= 2 times corpus-wide (self-repeats count, as in the paper).
+    Spark keys grams by xxhash64 (8-byte shuffle — the scale form);
+    DuckDB uses the joined-token string, so the value hash additionally
+    proves the hashed form loses/adds nothing on this corpus."""
+    docs = _docs(spark, sf_dir)
+    return D.exactsubstr_spans(docs, "text", "doc_id", k=8).select(
+        "doc_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_exactsubstr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token exposure over the span output — the
+    drop-mostly-boilerplate filter form (every doc appears, zero rows
+    included)."""
+    docs = _docs(spark, sf_dir)
+    return D.exactsubstr_doc_stats(docs, "text", "doc_id", k=8).select(
+        "doc_id", "n_tokens", "dup_tokens", "dup_frac"
+    )
+
+
+def q_exactsubstr_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr-cut policy end-to-end: duplicated spans removed
+    from the token stream, pinned cross-engine via an md5 fingerprint of
+    the surviving (token-normalized) text per doc."""
+    docs = _docs(spark, sf_dir)
+    red = D.exactsubstr_redact(docs, "text", "doc_id", k=8)
+    return red.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
 def _bench_set(docs: DataFrame) -> DataFrame:
     """Deterministic in-corpus 'benchmark' table for the decontamination
     contract: every 41st doc, truncated to its first 200 chars — a
@@ -2672,6 +2707,93 @@ banded AS ({banded})
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def _sql_exactsubstr_cte(k: int = 8, min_count: int = 2) -> str:
+    """CTE `spans` = (doc_id, start_pos, end_pos, n_tokens): restates
+    ops/dedup.exactsubstr_spans on the RAW token stream (the tokens_col
+    split set — nonempty split pieces, no fold/stop/stem): every k-gram
+    position, corpus-wide occurrence count, positions whose gram occurs
+    >= min_count flagged, consecutive flagged positions merged
+    (gaps-and-islands: pos − row_number).  Grams are the joined-token
+    STRINGS here (DuckDB has no xxhash64) — matching the hashed Spark
+    form proves the 8-byte keys are collision-clean on this corpus."""
+    return f"""
+rawtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{DOC_SPLIT_SQL_REGEX}'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(t.ts[u.i + 1 : u.i + {k}], chr(31)) AS gram
+  FROM rawtoks t,
+       LATERAL (SELECT unnest(range(0, greatest(len(t.ts) - {k} + 1, 0))) AS i) u
+),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= {min_count}),
+flagged AS (SELECT g.doc_id, g.pos FROM grams g WHERE g.gram IN (SELECT gram FROM hot)),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS start_pos,
+         CAST(MAX(pos) + {k} AS BIGINT) AS end_pos,
+         CAST(MAX(pos) + {k} - MIN(pos) AS BIGINT) AS n_tokens
+  FROM islands GROUP BY doc_id, grp
+)"""
+
+
+def _sql_exactsubstr_spans(k: int = 8) -> str:
+    return f"""
+WITH {_sql_exactsubstr_cte(k)}
+SELECT doc_id, start_pos, end_pos, n_tokens FROM spans WHERE n_tokens >= {k}
+"""
+
+
+def _sql_exactsubstr_stats(k: int = 8) -> str:
+    return f"""
+WITH {_sql_exactsubstr_cte(k)}
+SELECT d.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.dup, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(s.dup, 0) / greatest(len(t.ts), 1), 6) AS dup_frac
+FROM documents d
+JOIN rawtoks t USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id, SUM(n_tokens) AS dup FROM spans WHERE n_tokens >= {k}
+  GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
+def _sql_exactsubstr_redact(k: int = 8) -> str:
+    return f"""
+WITH {_sql_exactsubstr_cte(k)},
+keepspans AS (SELECT * FROM spans WHERE n_tokens >= {k}),
+toklist AS (
+  SELECT t.doc_id, u.tok, CAST(u.i - 1 AS BIGINT) AS pos
+  FROM rawtoks t,
+       LATERAL (SELECT unnest(t.ts) AS tok,
+                       unnest(range(1, len(t.ts) + 1)) AS i) u
+),
+surviving AS (
+  SELECT tl.doc_id,
+         string_agg(tl.tok, ' ' ORDER BY tl.pos) AS text
+  FROM toklist tl
+  WHERE NOT EXISTS (
+    SELECT 1 FROM keepspans s
+    WHERE s.doc_id = tl.doc_id
+      AND tl.pos >= s.start_pos AND tl.pos < s.end_pos
+  )
+  GROUP BY tl.doc_id
+)
+SELECT d.doc_id, md5(COALESCE(s.text, '')) AS text_md5
+FROM documents d LEFT JOIN surviving s USING (doc_id)
 """
 
 
@@ -7962,6 +8084,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "exactsubstr_redact": q_exactsubstr_redact,
+        "exactsubstr_stats": q_exactsubstr_stats,
+        "exactsubstr_spans": q_exactsubstr_spans,
+        "fsck_report": q_fsck_report,
         "code_survival": q_code_survival,
         "diff_numstat": q_diff_numstat,
         "code_training_export": q_code_training_export,
@@ -8111,7 +8237,6 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": q_synonym_topk,
         "bm25_prf_topk": q_bm25_prf_topk,
         "index_size_stats": q_index_size_stats,
-        "fsck_report": q_fsck_report,
         "ivf_ann_topk": q_ivf_ann_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "tokenize_tf": q_tokenize_tf,
@@ -8234,6 +8359,9 @@ FROM tok GROUP BY term
         "fingerprint": _sql_fingerprint(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "exactsubstr_spans": _sql_exactsubstr_spans(),
+        "exactsubstr_stats": _sql_exactsubstr_stats(),
+        "exactsubstr_redact": _sql_exactsubstr_redact(),
         "contamination": _sql_contamination(),
         "quality_scores": _sql_quality_scores(),
         "unigram_ce": _sql_unigram_ce(),

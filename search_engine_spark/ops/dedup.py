@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from .textstats import tokens_col
 
@@ -573,3 +573,172 @@ def simhash_near_dups(
     return exploded.filter(F.col("hamming") <= max_hamming).select(
         "a", "b", "hamming"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) deduplication — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"
+# ---------------------------------------------------------------------------
+
+def kgram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, gram): every k-token window of every document, with
+    its 0-based token position.
+
+    JVM-only (split / sequence / transform / slice / explode — no UDF).
+    hashed=True keys the window by xxhash64 over the joined tokens (an
+    8-byte shuffle key — the scale form; a collision can only over-flag
+    a position, never lose one); hashed=False keeps the joined-token
+    string (the oracle-exact form — DuckDB has no xxhash64)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    gram_txt = lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, k))  # noqa: E731
+    key = (
+        (lambda i: F.xxhash64(gram_txt(i))) if hashed else gram_txt
+    )
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(i.alias("pos"), key(i).alias("gram")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:%s>>"
+                               % ("bigint" if hashed else "string")))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+
+def exactsubstr_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_len: int | None = None,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans: (doc_id, start_pos, end_pos,
+    n_tokens) — every maximal run of positions whose k-gram occurs >=
+    min_count times in the WHOLE corpus (self-repeats within one doc
+    count, as in the paper), kept if the merged span covers >= min_len
+    tokens (default k).  end_pos is exclusive.
+
+    The suffix-array construction of Lee et al. is a single-machine
+    algorithm; this is the standard distributed restatement at k-gram
+    granularity: a span is reported iff every length-k window inside it
+    is duplicated somewhere, which equals the paper's criterion for
+    duplicated substrings of length >= k (any longer shared substring
+    makes all its k-windows shared).  Scale shape: ONE count agg over
+    8-byte gram keys, ONE semi-join back (positions-only — content never
+    shuffles), ONE per-doc window for the gaps-and-islands merge.
+    """
+    min_len = k if min_len is None else min_len
+    pos = kgram_positions(df, text_col, id_col, k=k, hashed=hashed)
+    hot = (
+        pos.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gram")
+    )
+    flagged = pos.join(hot, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k)).alias("end_pos"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_len)
+    )
+
+
+def exactsubstr_doc_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_len: int | None = None,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-doc duplication exposure: (doc_id, n_tokens, dup_tokens,
+    dup_frac rounded to 6) over the exactsubstr_spans output — the
+    filter-threshold form ("drop docs that are mostly boilerplate").
+    Every doc appears (zero-span docs included)."""
+    spans = exactsubstr_spans(
+        df, text_col, id_col, k=k, min_len=min_len, min_count=min_count,
+        hashed=hashed,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("dup_tokens")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest("n_tokens", F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def exactsubstr_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_len: int | None = None,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cut every duplicated span out of the token stream (the paper's
+    ExactSubstr-cut policy): returns (doc_id, text) where text is the
+    surviving tokens joined by single spaces — TOKEN-NORMALIZED output
+    (original whitespace/punctuation between tokens is not preserved;
+    the analyzer split set defines the tokens)."""
+    spans = exactsubstr_spans(
+        df, text_col, id_col, k=k, min_len=min_len, min_count=min_count,
+        hashed=hashed,
+    )
+    cut = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("cuts")
+    )
+    toks = tokens_col(F.col(text_col))
+    keep = F.filter(
+        F.transform(
+            toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            F.col("cuts"),
+            lambda c: (s["i"] >= c["start_pos"]) & (s["i"] < c["end_pos"]),
+        ),
+    )
+    survivors = F.transform(keep, lambda s: s["t"])
+    out = df.join(cut, df[id_col] == cut["doc_id"], "left").select(
+        df[id_col].alias("doc_id"),
+        F.when(
+            F.col("cuts").isNull(), F.concat_ws(" ", toks)
+        ).otherwise(F.concat_ws(" ", survivors)).alias("text"),
+    )
+    return out

@@ -1,0 +1,155 @@
+"""Span-level exact-substring dedup (ops/dedup.exactsubstr_*): planted
+boilerplate found at exact offsets, maximal-merge semantics, and a pure-
+Python oracle over fuzzed corpora (flag positions whose k-gram occurs >=
+min_count corpus-wide, merge consecutive runs)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import dedup as D
+
+K = 5
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _spans(spark, texts, **kw):
+    kw.setdefault("k", K)
+    out = D.exactsubstr_spans(_df(spark, texts), **kw).collect()
+    return sorted((r["doc_id"], r["start_pos"], r["end_pos"]) for r in out)
+
+
+def _py_oracle(texts, k=K, min_count=2, min_len=None):
+    """Independent restatement: dict-counted k-grams, run merge."""
+    min_len = k if min_len is None else min_len
+    toks = [
+        [t for t in re.split(r"[\x00-\x2f:;=?]+", x) if t] for x in texts
+    ]
+    counts: dict[tuple, int] = {}
+    for ts in toks:
+        for i in range(max(len(ts) - k + 1, 0)):
+            g = tuple(ts[i : i + k])
+            counts[g] = counts.get(g, 0) + 1
+    spans = []
+    for d, ts in enumerate(toks):
+        flagged = [
+            i
+            for i in range(max(len(ts) - k + 1, 0))
+            if counts[tuple(ts[i : i + k])] >= min_count
+        ]
+        run: list[int] = []
+        for p in flagged + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                s, e = run[0], run[-1] + k
+                if e - s >= min_len:
+                    spans.append((d, s, e))
+                run = []
+            if p is not None:
+                run.append(p)
+    return sorted(spans)
+
+
+BOILER = "quick brown fox jumps over the lazy dog tonight"
+
+
+def test_planted_cross_doc_span(spark):
+    texts = [
+        "alpha beta gamma " + BOILER + " delta",
+        "one two " + BOILER + " three four five",
+        "nothing shared here at all in this one honestly",
+    ]
+    got = _spans(spark, texts)
+    # 9-token boilerplate at offsets 3 and 2
+    assert got == [(0, 3, 12), (1, 2, 11)]
+    assert got == _py_oracle(texts)
+
+
+def test_within_doc_repeat_merges_maximal(spark):
+    texts = ["head " + "spam ham eggs bacon toast jam " * 3 + "tail end x"]
+    got = _spans(spark, texts)
+    assert got == _py_oracle(texts)
+    assert len(got) == 1
+    (d, s, e) = got[0]
+    assert (s, e) == (1, 19)  # tokens 1..18: the whole repeated region
+
+
+def test_min_count_three(spark):
+    texts = [
+        "a b c d e f g h i j",
+        "z z2 c d e f g h z3 z4",
+        "y y2 c d e f g h y3 y4",
+    ]
+    # the 6-token overlap c..h appears in 3 docs; with min_count=3 its
+    # 5-grams occur 3x -> still flagged; with min_count=4 nothing
+    assert _spans(spark, texts, min_count=3) == _py_oracle(
+        texts, min_count=3
+    )
+    assert _spans(spark, texts, min_count=4) == []
+
+
+def test_min_len_filters_short_spans(spark):
+    texts = [
+        "p q r s t u unique1 one1 two1 three1 four1",
+        "p q r s t u unique2 one2 two2 three2 four2",
+    ]
+    # shared prefix = 6 tokens -> span len 6; min_len=7 drops it
+    assert len(_spans(spark, texts)) == 2
+    assert _spans(spark, texts, min_len=7) == []
+    assert _py_oracle(texts, min_len=7) == []
+
+
+def test_hashed_equals_string_form(spark):
+    texts = [
+        "alpha beta gamma " + BOILER,
+        BOILER + " omega psi chi",
+        "some other words entirely here today okay then",
+    ]
+    assert _spans(spark, texts, hashed=True) == _spans(
+        spark, texts, hashed=False
+    )
+
+
+def test_fuzzed_against_python_oracle(spark):
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(25):
+        n = rng.randint(0, 40)
+        texts.append(" ".join(rng.choices(vocab, k=n)))
+    # small vocab => plenty of natural k-gram collisions at k=3
+    got = _spans(spark, texts, k=3)
+    assert got == _py_oracle(texts, k=3)
+
+
+def test_doc_stats_and_redact(spark):
+    texts = [
+        "alpha beta gamma " + BOILER + " delta",
+        "one two " + BOILER + " three four five",
+        "nothing shared here at all in this one honestly",
+        "",
+    ]
+    df = _df(spark, texts)
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in D.exactsubstr_doc_stats(df, k=K).collect()
+    }
+    assert len(stats) == 4  # every doc appears
+    assert stats[0] == (13, 9, round(9 / 13, 6))
+    assert stats[2] == (9, 0, 0.0)
+    assert stats[3] == (0, 0, 0.0)
+    red = {
+        r["doc_id"]: r["text"]
+        for r in D.exactsubstr_redact(df, k=K).collect()
+    }
+    assert red[0] == "alpha beta gamma delta"
+    assert red[1] == "one two three four five"
+    assert red[2] == texts[2]  # span-free: token-normalized original
+    assert red[3] == ""

@@ -827,6 +827,17 @@ def main() -> int:
           "BroadcastHashJoin" in p and "CartesianProduct" not in p
           and "BatchEvalPython" not in p)
 
+    # --- exact-substring span dedup: positions shuffle, content doesn't ---
+    from search_engine_spark.ops import dedup as DD2
+
+    p = plan_of(DD2.exactsubstr_spans(docs.selectExpr("doc_id", "text"), k=8))
+    check("exactsubstr: gram-count semi-join + one per-doc window; "
+          "8-byte gram keys in every exchange (text never shuffles); "
+          "no cartesian, no row-Python",
+          "LeftSemi" in p and "Window" in p
+          and "CartesianProduct" not in p and "BatchEvalPython" not in p
+          and all("text#" not in b for b in exchange_blocks(p)))
+
     # --- fsck: verification must be a distributed scan, not a download ---
     import tempfile
 
