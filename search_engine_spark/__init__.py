@@ -55,6 +55,7 @@ _EXPORTS = {
     "index_size_stats": "postings:index_size_stats",
     "fsck_index": "fsck:fsck_index",
     "fsck_live": "fsck:fsck_live",
+    "fsck_trigram_index": "fsck:fsck_trigram_index",
     "fsck_postings": "fsck:fsck_postings",
     "fsck_ok": "fsck:fsck_ok",
     "search_bm25": "wand:search_bm25",

@@ -61,6 +61,21 @@ def _get_spark(app: str) -> SparkSession:
     return b.getOrCreate()
 
 
+def _with_doc_id(docs, doc_id_col: str = "doc_id", key_cols: str = "") -> "DataFrame":
+    """input_hint tables (repo, path, commit, lang, content) carry no id
+    column; every CLI entry point derives the same deterministic
+    xxhash64 over the natural key so artifacts built by different
+    subcommands agree on ids (cmd_index's convention)."""
+    if doc_id_col in docs.columns:
+        return docs
+    keys = tuple(c for c in (key_cols or "").split(",") if c) or (
+        "repo", "path", "commit",
+    )
+    return docs.withColumn(
+        doc_id_col, F.xxhash64(*[F.col(c) for c in keys])
+    )
+
+
 def cmd_index(args: argparse.Namespace) -> None:
     from .config import IndexBuildConfig
     from .resume import resumable_build
@@ -281,22 +296,25 @@ def cmd_fsck(args: argparse.Namespace) -> None:
     --docs, also cross-checks doc_meta.content_sha256 against a sha256
     recompute over the source table (the input_hint per-row invariant).
     --live verifies the maintained view (base + deltas + tombstones)
-    instead of the base snapshot."""
-    from .fsck import fsck_index, fsck_live
+    instead of the base snapshot; --trigram treats index_dir as a
+    write_trigram_index layout (with --docs: the coverage invariant —
+    every current-content trigram present)."""
+    from .fsck import fsck_index, fsck_live, fsck_trigram_index
 
     spark = _get_spark("se-spark-fsck")
     docs = None
     if args.docs:
-        docs = spark.read.parquet(args.docs)
-        if "doc_id" not in docs.columns:
-            # same derivation as cmd_index: xxhash64 over the natural key
-            keys = tuple(c for c in (args.key_cols or "").split(",") if c) or (
-                "repo", "path", "commit",
-            )
-            docs = docs.withColumn(
-                "doc_id", F.xxhash64(*[F.col(c) for c in keys])
-            )
-    if args.live or args.as_of is not None:
+        docs = _with_doc_id(
+            spark.read.parquet(args.docs), key_cols=args.key_cols
+        )
+    if args.trigram:
+        rep = fsck_trigram_index(
+            spark,
+            args.index_dir,
+            docs=docs,
+            text_col=args.content_col,
+        ).collect()
+    elif args.live or args.as_of is not None:
         rep = fsck_live(
             spark,
             args.index_dir,
@@ -427,7 +445,7 @@ def cmd_trigram_index(args: argparse.Namespace) -> None:
 
     spark = _get_spark("se-spark-trigram-index")
     t0 = time.time()
-    docs = spark.read.parquet(args.documents)
+    docs = _with_doc_id(spark.read.parquet(args.documents), args.doc_id_col)
     write_trigram_index(
         docs, args.index_dir, text_col=args.content_col,
         id_col=args.doc_id_col, fold_case=args.fold_case,
@@ -448,7 +466,7 @@ def cmd_trigram_append(args: argparse.Namespace) -> None:
 
     spark = _get_spark("se-spark-trigram-append")
     t0 = time.time()
-    docs = spark.read.parquet(args.documents)
+    docs = _with_doc_id(spark.read.parquet(args.documents), args.doc_id_col)
     append_trigram_index(
         docs, args.index_dir, text_col=args.content_col,
         id_col=args.doc_id_col,
@@ -472,7 +490,7 @@ def cmd_grep(args: argparse.Namespace) -> None:
 
     spark = _get_spark("se-spark-grep")
     t0 = time.time()
-    docs = spark.read.parquet(args.documents)
+    docs = _with_doc_id(spark.read.parquet(args.documents), args.doc_id_col)
     postings = (
         load_trigram_index(spark, args.index) if args.index else None
     )
@@ -727,6 +745,8 @@ def main(argv: list[str] | None = None) -> None:
     fk.add_argument("--as-of", type=int, default=None,
                     help="verify the index as it stood at this snapshot "
                          "epoch (implies --live)")
+    fk.add_argument("--trigram", action="store_true",
+                    help="index_dir is a trigram (grep) index layout")
     fk.add_argument("--docs", default=None,
                     help="source documents parquet: cross-check "
                          "content_sha256 per row")

@@ -954,6 +954,27 @@ def q_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.unpersist()
 
 
+def q_trigram_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fsck of the persisted trigram (grep) artifact under the oracle:
+    write the bucket-partitioned layout (ops/codesearch.
+    write_trigram_index), verify it (fsck.fsck_trigram_index — shape,
+    bucket placement, and the current-content coverage invariant), and
+    let DuckDB independently derive the scanned denominators (distinct
+    (doc, trigram) postings via the same substr explosion) with
+    violations pinned to zero."""
+    import shutil
+
+    from .fsck import fsck_trigram_index
+    from .ops.codesearch import write_trigram_index
+
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", "text")
+    idx_dir = _contract_index_dir("tgfsck", sf_dir)
+    if not os.path.exists(os.path.join(idx_dir, "_properties.json")):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        write_trigram_index(docs, idx_dir)
+    return fsck_trigram_index(spark, idx_dir, docs=docs)
+
+
 def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style scoring explanation (query.explain_bm25) for the
     BM25 query's top-10 page: every factor of every matched term,
@@ -2278,6 +2299,26 @@ SELECT "check", scanned, CAST(0 AS BIGINT) AS violations FROM (
   UNION ALL SELECT 'posting_doc_orphans', npd FROM docdims
   UNION ALL SELECT 'posting_doc_len', npd FROM docdims
   UNION ALL SELECT 'content_sha256', nd FROM docdims
+) r
+ORDER BY "check"
+"""
+
+
+def _sql_trigram_fsck_report() -> str:
+    """Scanned = distinct (doc, trigram) postings, derived from the same
+    substr explosion the index builder uses; violations pinned to 0."""
+    return """
+WITH tg AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INTEGER), 3) AS trigram
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 1, 1))) AS i) u
+  WHERE length(text) >= 3
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM tg)
+SELECT "check", scanned, CAST(0 AS BIGINT) AS violations FROM (
+  SELECT 'bucket_placement' AS "check", s AS scanned FROM n
+  UNION ALL SELECT 'coverage_missing', s FROM n
+  UNION ALL SELECT 'trigram_shape', s FROM n
 ) r
 ORDER BY "check"
 """
@@ -8087,6 +8128,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_redact": q_exactsubstr_redact,
         "exactsubstr_stats": q_exactsubstr_stats,
         "exactsubstr_spans": q_exactsubstr_spans,
+        "trigram_fsck_report": q_trigram_fsck_report,
         "fsck_report": q_fsck_report,
         "code_survival": q_code_survival,
         "diff_numstat": q_diff_numstat,
@@ -8332,6 +8374,7 @@ def duckdb_oracles() -> dict[str, str]:
         "synonym_topk": _sql_synonym_topk(),
         "index_size_stats": _sql_index_size_stats(),
         "fsck_report": _sql_fsck_report(),
+        "trigram_fsck_report": _sql_trigram_fsck_report(),
         "explain_score": _sql_explain_score(),
         "ql_topk": _sql_ql(),
         "bm25f_topk": _sql_bm25f(),

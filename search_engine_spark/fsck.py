@@ -809,3 +809,125 @@ def fsck_ok(report: DataFrame) -> bool:
     """True iff the report has zero violations (collects ~14 rows)."""
     row = report.agg(F.sum("violations").alias("v")).collect()[0]
     return int(row["v"] or 0) == 0
+
+
+def fsck_trigram_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fsck the persisted trigram (grep) index — the engine's second
+    durable artifact (ops/codesearch.write_trigram_index layout).
+
+    Structural checks (one aggregate pass over the postings scan):
+      trigram_shape      every trigram is exactly 3 codepoints, non-null
+      bucket_placement   tg_bucket == hex(first char) — a misplaced row
+                         is INVISIBLE to bucket-pruned queries (silent
+                         missed matches), the worst failure this layout
+                         admits
+      fold_consistent    (folded indexes) trigram == lower(trigram) — an
+                         unfolded generation breaks ignore_case soundness
+      pos_valid          (positional payload) offset >= 1 (1-based)
+
+    docs= provided — the search-correctness invariant (one anti-join):
+      coverage_missing   every trigram (occurrence, for positional
+                         layouts) of the CURRENT corpus content is
+                         present in the index.  Stale extra rows from
+                         append generations are LEGAL by design (they
+                         only widen the candidate superset, and deleted
+                         docs drop in verification; append_trigram_index
+                         docstring) and are NOT flagged.
+
+    Fold/positional modes come from the _properties.json sidecar, same
+    as every reader."""
+    from .ops.codesearch import (
+        _tg_bucket_expr,
+        load_trigram_index,
+        trigram_index_properties,
+        trigram_positions,
+        trigram_postings,
+    )
+
+    idx = load_trigram_index(spark, path)
+    props = trigram_index_properties(path)
+    positional = bool(props.get("positional"))
+    fold = bool(props.get("fold_case"))
+
+    struct_rows = [
+        F.struct(
+            F.lit("trigram_shape").alias("check"),
+            F.col("n").cast("long").alias("scanned"),
+            F.coalesce(F.col("v_shape"), F.lit(0)).cast("long").alias("violations"),
+        ),
+        F.struct(
+            F.lit("bucket_placement").alias("check"),
+            F.col("n").cast("long").alias("scanned"),
+            F.coalesce(F.col("v_bucket"), F.lit(0)).cast("long").alias("violations"),
+        ),
+    ]
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                F.col("trigram").isNull() | (F.length("trigram") != 3)
+            ).cast("long")
+        ).alias("v_shape"),
+        F.sum(
+            (F.col("tg_bucket") != _tg_bucket_expr(F.col("trigram")))
+            .cast("long")
+        ).alias("v_bucket"),
+    ]
+    if fold:
+        aggs.append(
+            F.sum(
+                (F.col("trigram") != F.lower("trigram")).cast("long")
+            ).alias("v_fold")
+        )
+        struct_rows.append(
+            F.struct(
+                F.lit("fold_consistent").alias("check"),
+                F.col("n").cast("long").alias("scanned"),
+                F.coalesce(F.col("v_fold"), F.lit(0)).cast("long").alias("violations"),
+            )
+        )
+    if positional:
+        aggs.append(
+            F.sum((F.col("pos") < 1).cast("long")).alias("v_pos")
+        )
+        struct_rows.append(
+            F.struct(
+                F.lit("pos_valid").alias("check"),
+                F.col("n").cast("long").alias("scanned"),
+                F.coalesce(F.col("v_pos"), F.lit(0)).cast("long").alias("violations"),
+            )
+        )
+    report = (
+        idx.agg(*aggs)
+        .select(F.explode(F.array(*struct_rows)).alias("r"))
+        .select("r.*")
+    )
+
+    if docs is not None:
+        build = trigram_positions if positional else trigram_postings
+        expected = build(docs, text_col, id_col, fold_case=fold)
+        keys = ["trigram", "doc_id"] + (["pos"] if positional else [])
+        missing = expected.join(idx.select(*keys), keys, "left_anti")
+        cov = (
+            expected.agg(F.count("*").alias("s"))
+            .crossJoin(missing.agg(F.count("*").alias("v")))
+            .select(
+                F.lit("coverage_missing").alias("check"),
+                F.col("s").cast("long").alias("scanned"),
+                F.col("v").cast("long").alias("violations"),
+            )
+        )
+        report = report.unionByName(cov)
+
+    rows = sorted(
+        ((r["check"], int(r["scanned"]), int(r["violations"]))
+         for r in report.collect()),
+        key=lambda r: r[0],
+    )
+    return spark.createDataFrame(rows, schema=REPORT_SCHEMA)

@@ -344,3 +344,85 @@ def test_fsck_live_bad_tombstone_meta(spark, live_idx):
     )
     res = {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
     assert res["tombstone_meta"][1] == 1  # null doc_id AND before_epoch<1
+
+
+# ---- trigram (grep) index fsck ----
+
+@pytest.fixture(scope="module")
+def tg_docs(spark, docs_df):
+    return docs_df.selectExpr("doc_id", "content AS text")
+
+
+def _tg_run(spark, d, docs=None):
+    rep = K.fsck_trigram_index(spark, d, docs=docs)
+    return {r["check"]: (r["scanned"], r["violations"]) for r in rep.collect()}
+
+
+def _plant(spark, d, trigram, bucket, pos=None):
+    """Append one raw posting row into a given bucket directory."""
+    import pyarrow as pa, pyarrow.parquet as pq, os, uuid
+    cols = {"trigram": [trigram], "doc_id": [0]}
+    if pos is not None:
+        cols["pos"] = [pos]
+    t = pa.table({k: pa.array(v, pa.string() if k == "trigram" else pa.int64())
+                  for k, v in cols.items()})
+    bdir = os.path.join(d, f"tg_bucket={bucket}")
+    os.makedirs(bdir, exist_ok=True)
+    pq.write_table(t, os.path.join(bdir, f"planted-{uuid.uuid4().hex}.parquet"))
+
+
+def test_trigram_fsck_healthy_and_stale_extra_legal(spark, tg_docs, tmp_path):
+    from search_engine_spark.ops import codesearch as CS
+
+    d = str(tmp_path / "tg")
+    CS.write_trigram_index(tg_docs, d)
+    res = _tg_run(spark, d, docs=tg_docs)
+    assert {k: v for k, (_, v) in res.items() if v} == {}
+    assert res["coverage_missing"][0] > 0
+    # stale generations (upsert appends) are legal: re-append everything
+    CS.append_trigram_index(tg_docs, d)
+    res2 = _tg_run(spark, d, docs=tg_docs)
+    assert {k: v for k, (_, v) in res2.items() if v} == {}
+    assert res2["trigram_shape"][0] == 2 * res["trigram_shape"][0]
+
+
+def test_trigram_fsck_missing_coverage(spark, tg_docs, tmp_path):
+    from search_engine_spark.ops import codesearch as CS
+
+    d = str(tmp_path / "tg")
+    some = tg_docs.limit(1).collect()[0]["doc_id"]
+    CS.write_trigram_index(tg_docs.filter(F.col("doc_id") != some), d)
+    res = _tg_run(spark, d, docs=tg_docs)
+    assert res["coverage_missing"][1] > 0
+
+
+def test_trigram_fsck_misplaced_bucket(spark, tg_docs, tmp_path):
+    from search_engine_spark.ops import codesearch as CS
+
+    d = str(tmp_path / "tg")
+    CS.write_trigram_index(tg_docs, d)
+    _plant(spark, d, "abc", "FF")  # 'a' buckets to 61, not FF
+    res = _tg_run(spark, d)
+    assert res["bucket_placement"][1] == 1
+    assert res["trigram_shape"][1] == 0
+
+
+def test_trigram_fsck_shape_and_fold(spark, tg_docs, tmp_path):
+    from search_engine_spark.ops import codesearch as CS
+
+    d = str(tmp_path / "tg")
+    CS.write_trigram_index(tg_docs, d, fold_case=True)
+    _plant(spark, d, "ABcd", "41")  # 4 chars AND unfolded ('A' = 41)
+    res = _tg_run(spark, d)
+    assert res["trigram_shape"][1] == 1
+    assert res["fold_consistent"][1] == 1
+
+
+def test_trigram_fsck_positional_pos_valid(spark, tg_docs, tmp_path):
+    from search_engine_spark.ops import codesearch as CS
+
+    d = str(tmp_path / "tg")
+    CS.write_trigram_index(tg_docs, d, positional=True)
+    _plant(spark, d, "abc", "61", pos=0)  # offsets are 1-based
+    res = _tg_run(spark, d)
+    assert res["pos_valid"][1] == 1
