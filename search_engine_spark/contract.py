@@ -1171,6 +1171,51 @@ def q_exactsubstr_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return red.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+PERC_REGISTRY = [
+    (1, "spark merge", None),          # AND
+    (2, "customer stream window", 1),  # OR
+    (3, "spark query stream", 2),      # 2-of-3
+    (4, "merge zzznosuchtoken", None), # AND with an impossible term: never fires
+]
+
+
+def q_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (ops/percolate.py): reverse search — which STORED
+    queries match each doc (the Elasticsearch percolate shape; the
+    reference only answers the forward direction).  A doc fires a stored
+    query when it contains >= min_match of the query's distinct analyzed
+    terms; the registry is broadcast, the only wide op is one
+    (query_id, doc_id) count agg."""
+    from .ops import percolate as PC
+
+    toks = _tokens(spark, sf_dir)
+    stored = PC.stored_queries_df(spark, PERC_REGISTRY, SQL_CFG)
+    return PC.percolate(toks, stored).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        "matched_terms",
+        "min_match",
+    )
+
+
+def q_percolate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering-subset percolation: per query only the
+    (n - min_match + 1) RAREST terms generate candidates (any doc
+    matching >= min_match terms must contain one of them), then a
+    verify join restores exactness — pruning must be invisible in the
+    answer, so this shares percolate_match's oracle SQL verbatim."""
+    from .ops import percolate as PC
+
+    toks = _tokens(spark, sf_dir)
+    stored = PC.stored_queries_df(spark, PERC_REGISTRY, SQL_CFG)
+    return PC.percolate_pruned(toks, stored).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        "matched_terms",
+        "min_match",
+    )
+
+
 def _bench_set(docs: DataFrame) -> DataFrame:
     """Deterministic in-corpus 'benchmark' table for the decontamination
     contract: every 41st doc, truncated to its first 200 chars — a
@@ -2809,6 +2854,30 @@ LEFT JOIN (
   SELECT doc_id, SUM(n_tokens) AS dup FROM spans WHERE n_tokens >= {k}
   GROUP BY doc_id
 ) s USING (doc_id)
+"""
+
+
+def _sql_percolate() -> str:
+    """Percolation restated over the shared doc-analyzer CTE: the
+    registry VALUES rows come from the SAME stored_query_rows call the
+    Spark side uses, so both engines see one analyzed registry.
+    min_match is constant per query_id, so MIN() just carries it
+    through the group."""
+    from .ops.percolate import stored_query_rows
+
+    rows = ", ".join(
+        f"({qid}, '{term}', {mm})"
+        for qid, term, mm in stored_query_rows(PERC_REGISTRY, SQL_CFG)
+    )
+    return f"""
+WITH {_sql_tokens_cte()},
+stored(query_id, term, min_match) AS (SELECT * FROM (VALUES {rows}) v(a, b, c))
+SELECT CAST(s.query_id AS BIGINT) AS query_id, t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS matched_terms,
+       CAST(MIN(s.min_match) AS BIGINT) AS min_match
+FROM tok t JOIN stored s USING (term)
+GROUP BY s.query_id, t.doc_id
+HAVING COUNT(*) >= MIN(s.min_match)
 """
 
 
@@ -8125,6 +8194,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "percolate_match": q_percolate_match,
+        "percolate_pruned": q_percolate_pruned,
         "exactsubstr_redact": q_exactsubstr_redact,
         "exactsubstr_stats": q_exactsubstr_stats,
         "exactsubstr_spans": q_exactsubstr_spans,
@@ -8402,6 +8473,8 @@ FROM tok GROUP BY term
         "fingerprint": _sql_fingerprint(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "percolate_match": _sql_percolate(),
+        "percolate_pruned": _sql_percolate(),
         "exactsubstr_spans": _sql_exactsubstr_spans(),
         "exactsubstr_stats": _sql_exactsubstr_stats(),
         "exactsubstr_redact": _sql_exactsubstr_redact(),

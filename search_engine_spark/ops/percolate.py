@@ -1,0 +1,247 @@
+"""Percolator: reverse search — match STORED queries against incoming docs.
+
+The reference engine (sebastian-hofstaetter/search-engine) answers
+"which docs match this query"; a production search system also needs the
+inverse — "which of my registered queries match this new doc" — for
+alerting, saved searches, and routing (the Elasticsearch `percolate`
+query; Lucene's `MemoryIndex`-per-doc design).  On a commit-crawl corpus
+this is "notify me when someone commits code mentioning X AND Y": the
+stored-query registry is dictionary-sized, the doc stream is the 100-TB
+side, so the Spark shape must broadcast the registry and never shuffle
+content.
+
+Semantics (term-set matching, Lucene `minimum_should_match`):
+a stored query is a set of analyzed terms plus an integer `min_match`;
+a doc matches when it contains >= min_match DISTINCT terms of the query.
+`min_match = n_terms` is AND, `1` is OR.  Terms the analyzer drops
+(stopwords) or that never occur simply cannot contribute — a stored
+AND-query containing an impossible term never fires (pinned in pytest).
+
+Engine shape (`percolate`):
+
+    tokens (doc_id, term, tf)  -- already one row per (doc, term)
+      JOIN broadcast(stored (query_id, term))     -- registry broadcast
+      -> groupBy (query_id, doc_id) count         -- ONE partial+final agg
+      JOIN broadcast(per-query min_match)
+      -> filter matched_terms >= min_match
+
+No distinct is needed anywhere: `analysis.analyze_tokens` emits one row
+per (doc, term) and `stored_queries_df` emits one row per (query, term),
+so COUNT(*) after the equi-join IS the distinct-matched-term count.
+The only wide op is the (query_id, doc_id)-keyed count agg, which
+combines map-side; output is proportional to the MATCH set, never the
+corpus.
+
+Scale guard — the percolator fan-out: a very common term registered in
+Q stored queries fans each of its corpus postings into Q joined rows.
+`percolate_pruned` is the classic fix (Elasticsearch extracts a
+covering subset of query terms for candidate generation): per query,
+only the (n_terms - min_match + 1) RAREST terms (by corpus df) generate
+candidates — any doc matching >= min_match of n terms must contain at
+least one of the n - min_match + 1 rarest (two subsets of sizes
+min_match and n - min_match + 1 of an n-set always intersect), so the
+candidate set is a guaranteed superset and the verify join restores
+exactness.  For AND queries that is ONE rarest term per query, so a
+stop-word-grade term in a 3-term AND query generates zero candidate
+fan-out unless all its terms are hot.  Pruning is index-invisible:
+pytest pins percolate_pruned == percolate row-for-row, and the contract
+oracle for both is the same SQL.
+
+`percolate_stream` runs the same operator per micro-batch via
+foreachBatch: a doc arrives whole in one batch, so per-batch matching is
+complete and needs NO cross-batch state — at-least-once replays can only
+re-emit the same alert rows (idempotent by key), the
+streaming-exact-dedup operator upstream already bounds duplicate docs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..config import AnalyzerConfig
+from ..analysis import tokenize_query
+
+
+def stored_query_rows(
+    queries: Sequence[tuple[int, str, int | None]],
+    cfg: AnalyzerConfig | None = None,
+) -> list[tuple[int, str, int]]:
+    """[(query_id, text, min_match|None)] → [(query_id, term, min_match)].
+
+    Pure driver-side registry analysis, shared by stored_queries_df and
+    the contract's DuckDB oracle builder so both engines see literally
+    the same analyzed registry.  Terms are DISTINCT per query (matching
+    is set-semantics; repeated words in the query text don't raise the
+    bar).  min_match=None means ALL distinct analyzed terms (AND); an
+    explicit min_match is clamped to [1, n_terms] so an over-asking
+    registry row stays satisfiable.  A query whose every term is
+    analyzed away yields no rows (it can never fire) — mirroring the
+    reference's silent drop of empty-after-analysis queries
+    (BM25Scorer.cs:34-41 never sees them).
+    """
+    cfg = cfg or AnalyzerConfig()
+    rows: list[tuple[int, str, int]] = []
+    for query_id, text, min_match in queries:
+        terms = sorted({t for t, _qtf in tokenize_query(text, cfg)})
+        if not terms:
+            continue
+        need = len(terms) if min_match is None else max(1, min(int(min_match), len(terms)))
+        for t in terms:
+            rows.append((int(query_id), t, need))
+    return rows
+
+
+def stored_queries_df(
+    spark: SparkSession,
+    queries: Sequence[tuple[int, str, int | None]],
+    cfg: AnalyzerConfig | None = None,
+) -> DataFrame:
+    """[(query_id, text, min_match|None)] → (query_id, term, min_match).
+
+    Query analysis is driver-side Python — the registry is tiny relative
+    to the corpus (same reasoning as query.queries_to_df); row semantics
+    in stored_query_rows.
+    """
+    rows = stored_query_rows(queries, cfg)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("min_match", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def percolate(tokens: DataFrame, stored: DataFrame) -> DataFrame:
+    """Match every doc against every stored query (exact path).
+
+    tokens: (doc_id, term, ...) one row per (doc, term) —
+    analysis.analyze_tokens output.  stored: (query_id, term, min_match)
+    — stored_queries_df output.  Returns (query_id, doc_id,
+    matched_terms, min_match), one row per firing (query, doc).
+    """
+    need = stored.select("query_id", "min_match").distinct()
+    matched = tokens.select("doc_id", "term").join(
+        F.broadcast(stored.select("query_id", "term")), "term", "inner"
+    )
+    hits = matched.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("matched_terms")
+    )
+    return (
+        hits.join(F.broadcast(need), "query_id", "inner")
+        .filter(F.col("matched_terms") >= F.col("min_match"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            F.col("min_match").cast("long").alias("min_match"),
+        )
+    )
+
+
+def percolate_pruned(tokens: DataFrame, stored: DataFrame) -> DataFrame:
+    """Exact percolation with covering-subset candidate generation.
+
+    Per stored query, only its (n_terms - min_match + 1) rarest terms
+    (corpus df ascending, term asc tie-break) join the corpus to produce
+    candidate (query_id, doc_id) pairs; candidates are then verified by
+    re-counting ALL the query's terms against the candidate docs'
+    tokens.  Sound by the covering argument (module docstring); result
+    is row-identical to `percolate` (pytest-pinned, shared oracle SQL).
+
+    df probing costs one agg over the registry-vocabulary-restricted
+    token scan — registry vocab is broadcast-sized, so this is a narrow
+    pass + a tiny agg; a registry term absent from the corpus gets
+    df = 0 and sorts FIRST (it is maximally selective: zero candidates).
+    The verify join shuffles only (query_id, doc_id, term) triples for
+    candidate pairs — candidate-proportional, content-free.
+    """
+    from pyspark.sql.window import Window
+
+    qterms = stored.select("query_id", "term", "min_match")
+    vocab = qterms.select("term").distinct()
+    # corpus df restricted to registry vocabulary (tiny output)
+    dfs = (
+        tokens.select("term")
+        .join(F.broadcast(vocab), "term", "inner")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    probed = qterms.join(F.broadcast(dfs), "term", "left").fillna(
+        0, subset=["df"]
+    )
+    nterms = probed.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+    cand_terms = (
+        probed.withColumn("df_rank", F.row_number().over(w))
+        .join(F.broadcast(nterms), "query_id")
+        .filter(F.col("df_rank") <= F.col("n_terms") - F.col("min_match") + 1)
+        .select("query_id", "term")
+    )
+    candidates = (
+        tokens.select("doc_id", "term")
+        .join(F.broadcast(cand_terms), "term", "inner")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # verify: count ALL query terms present in each candidate doc
+    required = candidates.join(
+        F.broadcast(stored.select("query_id", "term")), "query_id", "inner"
+    )
+    verified = required.join(
+        tokens.select("doc_id", "term"), ["doc_id", "term"], "inner"
+    )
+    hits = verified.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("matched_terms")
+    )
+    need = stored.select("query_id", "min_match").distinct()
+    return (
+        hits.join(F.broadcast(need), "query_id", "inner")
+        .filter(F.col("matched_terms") >= F.col("min_match"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            F.col("min_match").cast("long").alias("min_match"),
+        )
+    )
+
+
+def percolate_stream(
+    docs_stream: DataFrame,
+    stored: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    cfg: AnalyzerConfig | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+):
+    """Percolate a document stream: one batch-percolate per micro-batch,
+    alert rows appended to `out_path` parquet.
+
+    Stateless across batches by design: a doc's tokens are derived
+    entirely within its micro-batch, so the per-batch match set IS the
+    final answer for that doc — no streaming agg state, no watermark.
+    At-least-once replays re-emit identical (query_id, doc_id) alert
+    rows (duplicate-tolerant; readers key on that pair).  Contrast
+    stream_append_deltas, whose segment ordinals DO need the
+    exactly-once ledger.  Returns the started StreamingQuery.
+    """
+    from ..build import analyze_tokens
+
+    cfg = cfg or AnalyzerConfig()
+
+    def _batch(batch_df: DataFrame, _batch_id: int) -> None:
+        toks = analyze_tokens(batch_df, cfg, doc_id_col, content_col)
+        out = percolate(toks, stored)
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

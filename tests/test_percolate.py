@@ -1,0 +1,177 @@
+"""Percolator gates (ops/percolate.py): registry analysis semantics
+(distinct terms, min_match clamping, empty-after-analysis drop), exact
+matching vs a pure-Python set evaluator, pruned == exact row identity
+(incl. on a fuzzed corpus where hot terms make the covering subset
+matter), the impossible-AND-term never-fires pin, and the stateless
+streaming path equal to batch percolation with duplicate-tolerant
+replay semantics."""
+
+import random
+
+import pytest
+
+from search_engine_spark import build as B
+from search_engine_spark.config import AnalyzerConfig
+from search_engine_spark.ops import percolate as P
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+DOCS = [
+    (0, "spark merge window"),
+    (1, "spark merge"),
+    (2, "batch window stream"),
+    (3, "batch"),
+    (4, "spark batch window"),
+    (5, "merge stream"),
+    (6, "spark Spark SPARK stream"),  # folding + repeats (tf>1, still 1 row)
+    (7, "the of and"),  # all stopwords -> empty token set
+]
+
+# (query_id, text, min_match): AND / OR / m-of-n / impossible-term AND
+REGISTRY = [
+    (1, "spark merge", None),          # AND
+    (2, "spark batch stream", 1),      # OR
+    (3, "spark window stream", 2),     # 2-of-3
+    (4, "spark zzznosuchterm", None),  # AND with impossible term
+    (5, "the of", None),               # analyzed to nothing -> never fires
+    (6, "merge merge merge", None),    # repeated word: 1 distinct term
+]
+
+
+def _py_percolate(docs, registry):
+    """Set-semantics oracle over the same analyzer."""
+    from search_engine_spark.analysis import (
+        DOC_SPLIT_RE,
+        STOPWORD_SET,
+        tokenize_query,
+    )
+
+    doc_terms = {}
+    for doc_id, text in docs:
+        terms = set()
+        for w in DOC_SPLIT_RE.split(text):
+            if not w or w.startswith("<") or w.endswith(">"):
+                continue
+            w = w[:100].translate(_ASCII_FOLD)
+            if len(w) <= 4 and w in STOPWORD_SET:
+                continue
+            terms.add(w)
+        doc_terms[doc_id] = terms
+
+    out = set()
+    for qid, text, mm in registry:
+        qterms = sorted({t for t, _ in tokenize_query(text, CFG)})
+        if not qterms:
+            continue
+        need = len(qterms) if mm is None else max(1, min(int(mm), len(qterms)))
+        for doc_id, terms in doc_terms.items():
+            hit = len(terms & set(qterms))
+            if hit >= need:
+                out.add((qid, doc_id, hit, need))
+    return out
+
+
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return B.analyze_tokens(df, CFG, "doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def stored(spark):
+    return P.stored_queries_df(spark, REGISTRY, CFG).cache()
+
+
+def _rows(df):
+    return {
+        (r.query_id, r.doc_id, r.matched_terms, r.min_match)
+        for r in df.collect()
+    }
+
+
+def test_stored_registry_semantics(stored):
+    rows = stored.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # repeated word collapses to one distinct term with min_match 1
+    assert len(by_q[6]) == 1 and by_q[6][0].min_match == 1
+    # empty-after-analysis query emits no rows at all
+    assert 5 not in by_q
+    # AND = all distinct terms
+    assert all(r.min_match == 2 for r in by_q[1]) and len(by_q[1]) == 2
+    # terms are distinct per query
+    for qid, rs in by_q.items():
+        terms = [r.term for r in rs]
+        assert len(terms) == len(set(terms)), qid
+
+
+def test_min_match_clamped(spark):
+    st = P.stored_queries_df(spark, [(9, "spark merge", 99), (10, "spark", 0)], CFG)
+    rows = {r.query_id: r.min_match for r in st.collect()}
+    assert rows[9] == 2  # clamped down to n_terms
+    assert rows[10] == 1  # clamped up to 1
+
+
+def test_percolate_matches_python_oracle(tokens, stored):
+    got = _rows(P.percolate(tokens, stored))
+    assert got == _py_percolate(DOCS, REGISTRY)
+
+
+def test_impossible_and_never_fires(tokens, stored):
+    got = _rows(P.percolate(tokens, stored))
+    assert not any(qid == 4 for qid, *_ in got)
+    # but the OR query fires on docs having any term
+    assert any(qid == 2 for qid, *_ in got)
+
+
+def test_pruned_identical_to_exact(tokens, stored):
+    exact = _rows(P.percolate(tokens, stored))
+    pruned = _rows(P.percolate_pruned(tokens, stored))
+    assert pruned == exact and exact  # non-vacuous
+
+
+def test_pruned_identical_fuzzed(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab[: 5 + (i % 25)], k=rng.randint(3, 40))))
+        for i in range(200)
+    ]
+    registry = []
+    for qid in range(25):
+        n = rng.randint(1, 5)
+        terms = rng.sample(vocab, n)
+        mm = rng.choice([None, 1, rng.randint(1, n)])
+        registry.append((qid, " ".join(terms), mm))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = B.analyze_tokens(df, CFG, "doc_id", "text").cache()
+    stored = P.stored_queries_df(spark, registry, CFG)
+    exact = _rows(P.percolate(toks, stored))
+    pruned = _rows(P.percolate_pruned(toks, stored))
+    assert pruned == exact == _py_percolate(docs, registry)
+    toks.unpersist()
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path, tokens, stored):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    docs_df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs_df.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = P.percolate_stream(stream, stored, out, ckpt, CFG, content_col="text")
+    q.awaitTermination()
+    got = _rows(spark.read.parquet(out))
+    assert got == _rows(P.percolate(tokens, stored))
+    # replay with the same checkpoint: availableNow re-run sees no new
+    # files -> no new rows (and any at-least-once duplicate would be
+    # row-identical anyway: same (query_id, doc_id) keys)
+    q2 = P.percolate_stream(stream, stored, out, ckpt, CFG, content_col="table")
+    q2.awaitTermination()
+    assert _rows(spark.read.parquet(out)) == got
