@@ -8182,6 +8182,229 @@ def q_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARDS_GLOBAL = 8
+_SHARDS_LOCAL = 4
+
+
+def q_bm25_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather sharded top-k, dfs_query_then_fetch mode
+    (query.score_bm25_sharded, local_df=False): {_SHARDS_GLOBAL} shards
+    each rank their own top-k, a coordinator merges the <= S*k
+    survivors.  The oracle is the UNSHARDED shared BM25 SQL verbatim —
+    with global df the merge is provably exact, and this row is the
+    cross-engine proof (rank + float32 score identical to bm25_topk's
+    oracle)."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25_sharded(
+        tokens, n, avgdl, qdf, n_shards=_SHARDS_GLOBAL, k=TOPK
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_bm25_sharded_localdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_then_fetch mode (local_df=True, Elasticsearch's default):
+    each of {_SHARDS_LOCAL} shards scores with its OWN df (N/avgdl stay
+    global — the documented dominant-df simplification).  The oracle
+    restates exactly that: df per (shard, term) with
+    shard = pmod(doc_id, {_SHARDS_LOCAL}), the same float32 fold.  The
+    semantics gap vs global df is itself pinned non-vacuously in
+    tests/test_sharded_ltr.py (skewed corpus -> different scores)."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25_sharded(
+        tokens, n, avgdl, qdf, n_shards=_SHARDS_LOCAL, k=TOPK,
+        local_df=True,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_bm25_sharded_localdf(params: BM25Params = BM25Params()) -> str:
+    k1, k3, b = params.k1, params.k3, params.b
+    s = _SHARDS_LOCAL
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+tdf AS (
+  SELECT ((doc_id % {s}) + {s}) % {s} AS shard, term,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM tok WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT t.doc_id, q.term_pos,
+         CAST(
+           ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
+           * (({k3} + 1.0) * q.qtf) / ({k3} + q.qtf)
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN q ON q.term = t.term
+  JOIN tdf ON tdf.term = t.term
+    AND tdf.shard = ((t.doc_id % {s}) + {s}) % {s}
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature export (query.ltr_features): per matched (topic, doc),
+    count/length features plus the engine's EXACT serving scores (bm25 +
+    tfidf float32 folds, incl. the int-division idf quirk,
+    TfIdfScorer.cs:31) from one matched-postings pass — no train/serve
+    skew by construction (tests/test_sharded_ltr.py pins bit-equality
+    against both scorers)."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.ltr_features(tokens, n, avgdl, qdf)
+    return res.select(
+        "doc_id", "n_query_terms", "n_matched", "sum_tf", "max_tf",
+        "doc_len", "bm25", "tfidf",
+    )
+
+
+def _sql_ltr_features(params: BM25Params = BM25Params()) -> str:
+    k1, k3, b = params.k1, params.k3, params.b
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+tdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+per AS (
+  SELECT t.doc_id, q.term_pos, t.tf, m.doc_len,
+         CAST(
+           ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
+           * (({k3} + 1.0) * q.qtf) / ({k3} + q.qtf)
+         AS FLOAT) AS cb,
+         CAST(ln(1.0 + t.tf)
+              * ln(CAST(floor(CAST(s.n_docs AS DOUBLE) / tdf.df) AS DOUBLE))
+         AS FLOAT) AS ct
+  FROM tok t
+  JOIN q ON q.term = t.term
+  JOIN tdf ON tdf.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_query_terms FROM q)
+SELECT p.doc_id,
+       nq.n_query_terms,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(p.tf) AS BIGINT) AS sum_tf,
+       CAST(MAX(p.tf) AS BIGINT) AS max_tf,
+       CAST(MAX(p.doc_len) AS BIGINT) AS doc_len,
+       list_reduce(list(cb ORDER BY term_pos), (acc, x) -> CAST(acc + x AS FLOAT)) AS bm25,
+       list_reduce(list(ct ORDER BY term_pos), (acc, x) -> CAST(acc + x AS FLOAT)) AS tfidf
+FROM per p CROSS JOIN nq
+GROUP BY p.doc_id, nq.n_query_terms
+"""
+
+
+_LTR_WEIGHTS = {"bm25": 1.0, "n_matched": 0.5, "doc_len": -0.001, "tfidf": 0.2}
+
+
+def q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model re-ranking over the ltr_features vector
+    (query.ltr_rerank) — the deploy shape of a trained LTR model.
+    Feature weights are inlined identically in the oracle; the model
+    score is a double Σ w*f rounded to 6 (inputs exact: integer counts
+    + bit-exact float32 folds)."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.ltr_rerank(tokens, n, avgdl, qdf, _LTR_WEIGHTS, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_ltr_rerank() -> str:
+    w = _LTR_WEIGHTS
+    lin = " + ".join(
+        f"({coef} * CAST({name} AS DOUBLE))" for name, coef in sorted(w.items())
+    )
+    feats = _sql_ltr_features().strip()
+    return f"""
+WITH feats AS ({feats}),
+scored AS (SELECT doc_id, round({lin}, 6) AS score FROM feats),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination (query.search_after): page 2 of the BM25 ranking
+    via the ES search_after cursor — the strict-after (score, doc_id)
+    predicate, NOT offset.  The Spark side collects page 1's last row
+    (one-row action) as the cursor; the oracle derives the same cursor
+    inside SQL (rank = {TOPK} of the shared ranked CTE), so both
+    engines page from the identical position."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    cur = (
+        Q.score_bm25(tokens, n, avgdl, qdf, k=TOPK)
+        .filter(F.col("rank") == TOPK)
+        .select("score", "doc_id")
+        .collect()[0]
+    )
+    res = Q.search_after(
+        tokens, n, avgdl, qdf, (cur.score, cur.doc_id), page=TOPK
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_search_after() -> str:
+    return f"""
+WITH {_sql_bm25_ctes()},
+cur AS (SELECT score AS cs, doc_id AS cd FROM ranked WHERE rank = {TOPK}),
+after AS (
+  SELECT s.doc_id, s.score FROM scores s CROSS JOIN cur
+  WHERE s.score < cur.cs OR (s.score = cur.cs AND s.doc_id > cur.cd)
+),
+paged AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM after
+)
+SELECT rank, doc_id, score FROM paged WHERE rank <= {TOPK}
+"""
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Iteration order IS the driver's check order, and the driver's
     correctness pass is time-budgeted (round 3 recorded only the first
@@ -8194,6 +8417,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "bm25_sharded_topk": q_bm25_sharded_topk,
+        "bm25_sharded_localdf": q_bm25_sharded_localdf,
+        "ltr_features": q_ltr_features,
+        "ltr_rerank": q_ltr_rerank,
+        "search_after": q_search_after,
         "percolate_match": q_percolate_match,
         "percolate_pruned": q_percolate_pruned,
         "exactsubstr_redact": q_exactsubstr_redact,
@@ -8366,6 +8594,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def duckdb_oracles() -> dict[str, str]:
     return {
+        # global-df scatter-gather must equal the UNSHARDED oracle —
+        # the merge-exactness proof rides the shared SQL
+        "bm25_sharded_topk": _sql_bm25(),
+        "bm25_sharded_localdf": _sql_bm25_sharded_localdf(),
+        "ltr_features": _sql_ltr_features(),
+        "ltr_rerank": _sql_ltr_rerank(),
+        "search_after": _sql_search_after(),
         "diff_numstat": _sql_diff_numstat(),
         "code_survival": _sql_code_survival(),
         "rename_lineage": _sql_rename_lineage(),

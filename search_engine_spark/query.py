@@ -68,6 +68,7 @@ def _contributions_bm25(
     n_docs: int,
     avgdl: float,
     params: BM25Params,
+    df_keys: Sequence[str] = ("term",),
 ) -> DataFrame:
     """(topic_id, doc_id, term_pos, contrib float32) per matching posting.
 
@@ -86,9 +87,9 @@ def _contributions_bm25(
     matched = tokens.join(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"
     )
-    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    term_df = matched.groupBy(*df_keys).agg(F.count("*").alias("df"))
     joined = matched.join(F.broadcast(qterms), "term", "inner").join(
-        F.broadcast(term_df), "term", "inner"
+        F.broadcast(term_df), list(df_keys), "inner"
     )
     k1, k3, b = params.k1, params.k3, params.b
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -268,6 +269,234 @@ def score_bm25_msm(
         "topic_id", "doc_id", F.expr(_FOLD_F32_EXPR).alias("score")
     )
     return topk(scored, k)
+
+
+def score_bm25_sharded(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    n_shards: int = 8,
+    params: BM25Params | None = None,
+    k: int = 1000,
+    local_df: bool = False,
+) -> DataFrame:
+    """Scatter-gather sharded top-k — the distributed-search-service
+    execution shape (Elasticsearch query_then_fetch /
+    dfs_query_then_fetch; the reference runs one in-memory index,
+    Program.cs:83, and never faces this): the corpus is split into
+    `n_shards` deterministic shards (pmod(doc_id, S) — any equi-shard
+    function works), each shard ranks its OWN top-k, and a coordinator
+    merges only the S*k survivors.
+
+    local_df=False (dfs_query_then_fetch): term df is gathered GLOBALLY
+    before scoring — one dictionary-sized agg, ES's extra "dfs" round
+    trip.  Because a BM25 score is doc-local given (df, N, avgdl), the
+    per-shard top-k keeps exactly the shard's best k under the global
+    comparator (score desc, doc_id asc), so merging per-shard pages is
+    provably EXACT: bit-identical to the unsharded ranking (shared
+    oracle SQL; pytest pins it at several S).  The merge input is
+    <= S*k rows — the global sort never sees the corpus.
+
+    local_df=True (query_then_fetch, ES's default): each shard scores
+    with its OWN df — one fewer coordination round, but a term rare in
+    one shard scores higher there; ranks are only approximate and pages
+    from different shards are not strictly comparable.  This mode exists
+    because real systems ship it; its semantics are restated exactly in
+    the contract oracle (df per (shard, term); N/avgdl stay global,
+    the dominant-df simplification, documented).  Survivor scores keep
+    the float32 term_pos fold either way.
+    """
+    params = params or BM25Params()
+    sharded = tokens.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    contrib = _contributions_bm25(
+        sharded,
+        qterms,
+        n_docs,
+        avgdl,
+        params,
+        df_keys=("term", "shard") if local_df else ("term",),
+    )
+    scored = _accumulate(contrib, exact_float32=True).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    w_local = Window.partitionBy("topic_id", "shard").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("shard_rank", F.row_number().over(w_local))
+        .filter(F.col("shard_rank") <= k)
+        .select("topic_id", "doc_id", "score")
+    )
+    return topk(survivors, k)
+
+
+def ltr_features(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Learning-to-rank feature export — the training-data side of a
+    ranking pipeline (LETOR/MSLR feature tables; Lucene's LTR contrib
+    computes these per reranked doc): for every (topic, doc) with at
+    least one matched term, the standard query-dependent features, all
+    from ONE matched-postings pass.
+
+    Output: (topic_id, doc_id, n_query_terms, n_matched, sum_tf, max_tf,
+    doc_len, bm25 float32, tfidf float32).  bm25/tfidf are the engine's
+    exact scorer values (float32 term_pos-ordered fold, incl. the
+    reference's integer-division idf quirk for tfidf, TfIdfScorer.cs:31)
+    — the features a model trains on are bit-identical to the scores the
+    serving path ranks with, so there is no train/serve skew by
+    construction.
+
+    Scale shape: the corpus meets the query once — one broadcast
+    semi-join, one df agg over the matched slice, then ONE
+    (topic, doc)-keyed agg computing every feature together (both score
+    folds ride one sorted struct array; counts/maxes are plain agg
+    columns on the same exchange).  Feature vectors ~= match set rows,
+    never corpus rows."""
+    params = params or BM25Params()
+    k1, k3, b = params.k1, params.k3, params.b
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    joined = matched.join(F.broadcast(qterms), "term", "inner").join(
+        F.broadcast(term_df), "term", "inner"
+    )
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    knorm = F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.lit(float(avgdl)))
+    tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
+    qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
+    idf_int = F.log(F.floor(F.lit(n_docs) / F.col("df")).cast("double"))
+    per = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        "tf",
+        "doc_len",
+        (idf * tfp * qtfp).cast("float").alias("cb"),
+        (F.log(F.lit(1.0) + F.col("tf")) * idf_int).cast("float").alias("ct"),
+    )
+    nq = qterms.groupBy("topic_id").agg(
+        F.count("*").cast("long").alias("n_query_terms")
+    )
+    agg = per.groupBy("topic_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.max("doc_len").cast("long").alias("doc_len"),
+        F.sort_array(
+            F.collect_list(F.struct("term_pos", "cb", "ct"))
+        ).alias("parts"),
+    )
+    return agg.join(F.broadcast(nq), "topic_id", "inner").select(
+        "topic_id",
+        "doc_id",
+        "n_query_terms",
+        "n_matched",
+        "sum_tf",
+        "max_tf",
+        "doc_len",
+        F.expr(
+            "aggregate(parts, cast(0.0 as float),"
+            " (acc, x) -> cast(acc + x.cb as float))"
+        ).alias("bm25"),
+        F.expr(
+            "aggregate(parts, cast(0.0 as float),"
+            " (acc, x) -> cast(acc + x.ct as float))"
+        ).alias("tfidf"),
+    )
+
+
+def ltr_rerank(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    weights: dict[str, float],
+    k: int = 1000,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Serving side of the LTR story: re-rank with a LINEAR model over
+    the ltr_features vector (the deploy shape of a model trained on that
+    export — Lucene's LTR contrib and Elasticsearch's rank_eval rescorer
+    both serve linear/GBDT models over exactly these features; the
+    reference ranks by raw BM25 only, BM25Scorer.cs:68).
+
+    ``weights`` maps feature name -> coefficient; missing features get
+    weight 0, unknown names raise (a typo must not silently zero a
+    model).  model_score = Σ w_f * feature_f in DOUBLE, rounded to 6
+    decimals to pin the cross-engine value (the feature inputs
+    themselves are exact — counts are integers, bm25/tfidf are the
+    bit-exact float32 folds).
+
+    Scale shape: identical to ltr_features (one matched-postings pass,
+    one per-doc agg) plus a per-topic top-k window over match-set-sized
+    input — re-ranking adds ZERO extra passes over the corpus because
+    the features and the base scores come out of the same aggregation.
+    """
+    feats = ltr_features(tokens, n_docs, avgdl, qterms, params)
+    feat_cols = set(feats.columns) - {"topic_id", "doc_id"}
+    unknown = set(weights) - feat_cols
+    if unknown:
+        raise ValueError(f"unknown LTR features: {sorted(unknown)}")
+    expr = None
+    for name, w in sorted(weights.items()):
+        term = F.col(name).cast("double") * F.lit(float(w))
+        expr = term if expr is None else expr + term
+    scored = feats.select(
+        "topic_id",
+        "doc_id",
+        F.round(expr, 6).alias("score"),
+    )
+    return topk(scored, k)
+
+
+def search_after(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    cursor: tuple[float, int],
+    page: int = 10,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Deep pagination the Elasticsearch search_after way: page N is
+    "the best `page` docs STRICTLY AFTER the cursor (last (score,
+    doc_id) of the previous page) under the total order (score desc,
+    doc_id asc)" — never "skip offset rows".
+
+    Why it matters at 10^12 docs: OFFSET pagination makes page N cost
+    O(N*page) ranked rows per shard and the coordinator merge grows
+    with depth (ES hard-caps offset at 10k for exactly this reason);
+    the cursor predicate keeps every page the same price — it filters
+    BEFORE the top-k window, so the sort input only shrinks as you
+    page deeper.  The reference has no pagination (top-k once,
+    BM25Scorer.cs:68-73).
+
+    The cursor is (score float32, doc_id); the strict-after predicate
+    is  score < s  OR  (score == s AND doc_id > d)  — float equality is
+    exact here because both sides carry the same float32 fold value.
+    Ranks restart at 1 within the page (ES semantics: the client owns
+    global position)."""
+    params = params or BM25Params()
+    contrib = _contributions_bm25(tokens, qterms, n_docs, avgdl, params)
+    scored = _accumulate(contrib, exact_float32=True)
+    s, d = cursor
+    after = scored.filter(
+        (F.col("score") < F.lit(s).cast("float"))
+        | (
+            (F.col("score") == F.lit(s).cast("float"))
+            & (F.col("doc_id") > F.lit(int(d)))
+        )
+    )
+    return topk(after, page)
 
 
 def score_bm25_prox(

@@ -1,0 +1,168 @@
+"""Gates for the scatter-gather sharded top-k (query.score_bm25_sharded)
+and the LTR feature export (query.ltr_features).
+
+Sharded, global-df mode (dfs_query_then_fetch): bit-identical to the
+unsharded ranking at several shard counts — the scatter-gather merge is
+provably exact under the shared (score desc, doc_id asc) comparator.
+Local-df mode (query_then_fetch): S=1 degenerates to global; S>1
+diverges on a df-skewed corpus (non-vacuous semantics pin).
+
+LTR features: the bm25/tfidf feature columns are BIT-identical to the
+serving scorers' float32 folds (no train/serve skew), and the count
+features match a pure-Python recount."""
+
+import math
+
+import pytest
+
+from search_engine_spark import build as B, query as Q
+from search_engine_spark.config import AnalyzerConfig, BM25Params
+
+CFG = AnalyzerConfig(do_stemming=False)
+QUERIES = [(1, "shard import class"), (2, "def self")]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, corpus):
+    docs = spark.createDataFrame(corpus).selectExpr(
+        "xxhash64(repo, path, commit) as doc_id", "content as text"
+    )
+    tokens = B.analyze_tokens(docs, CFG, "doc_id", "text").cache()
+    meta = B.build_doc_meta(docs, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, QUERIES, CFG)
+    return tokens, n, avgdl, qdf
+
+
+def _rows(df):
+    return sorted(
+        (r.topic_id, r.rank, r.doc_id, r.score) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 8])
+def test_sharded_global_identical_to_unsharded(setup, n_shards):
+    tokens, n, avgdl, qdf = setup
+    plain = _rows(Q.score_bm25(tokens, n, avgdl, qdf, k=25))
+    sharded = _rows(
+        Q.score_bm25_sharded(tokens, n, avgdl, qdf, n_shards=n_shards, k=25)
+    )
+    assert sharded == plain and plain
+
+
+def test_sharded_local_one_shard_is_global(setup):
+    tokens, n, avgdl, qdf = setup
+    plain = _rows(Q.score_bm25(tokens, n, avgdl, qdf, k=25))
+    local = _rows(
+        Q.score_bm25_sharded(
+            tokens, n, avgdl, qdf, n_shards=1, k=25, local_df=True
+        )
+    )
+    assert local == plain
+
+
+def test_sharded_local_diverges_on_skewed_df(spark):
+    # term 'skew' lives almost entirely in shard 0 (even doc_ids):
+    # its shard-local df differs wildly -> local-df scores must differ.
+    docs = [(i, "skew common") if i % 2 == 0 or i == 1 else (i, "common")
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tokens = B.analyze_tokens(df, CFG, "doc_id", "text").cache()
+    meta = B.build_doc_meta(df, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, "skew common")], CFG)
+    glob = {r.doc_id: r.score for r in
+            Q.score_bm25_sharded(tokens, n, avgdl, qdf, n_shards=2, k=50).collect()}
+    loc = {r.doc_id: r.score for r in
+           Q.score_bm25_sharded(tokens, n, avgdl, qdf, n_shards=2, k=50,
+                                local_df=True).collect()}
+    assert set(glob) == set(loc)  # same match set either way
+    assert any(glob[d] != loc[d] for d in glob)  # but different scores
+    tokens.unpersist()
+
+
+def test_ltr_features_match_serving_scores(setup):
+    tokens, n, avgdl, qdf = setup
+    feats = Q.ltr_features(tokens, n, avgdl, qdf).collect()
+    assert feats
+    bm25 = {(r.topic_id, r.doc_id): r.score
+            for r in Q.score_bm25(tokens, n, avgdl, qdf, k=10**6).collect()}
+    tfidf = {(r.topic_id, r.doc_id): r.score
+             for r in Q.score_tfidf(tokens, n, qdf, k=10**6).collect()}
+    for r in feats:
+        key = (r.topic_id, r.doc_id)
+        assert r.bm25 == bm25[key], key  # float32 bit equality
+        assert r.tfidf == tfidf[key], key
+    assert len(feats) == len(bm25)
+
+
+def test_ltr_rerank_bm25_weight_reproduces_ranking(setup):
+    tokens, n, avgdl, qdf = setup
+    plain = [(r.topic_id, r.rank, r.doc_id)
+             for r in Q.score_bm25(tokens, n, avgdl, qdf, k=25).collect()]
+    rr = [(r.topic_id, r.rank, r.doc_id)
+          for r in Q.ltr_rerank(tokens, n, avgdl, qdf,
+                                {"bm25": 1.0}, k=25).collect()]
+    assert sorted(rr) == sorted(plain) and plain
+
+
+def test_ltr_rerank_reorders_and_rejects_typos(setup):
+    tokens, n, avgdl, qdf = setup
+    base = {(r.topic_id, r.rank): r.doc_id
+            for r in Q.ltr_rerank(tokens, n, avgdl, qdf,
+                                  {"bm25": 1.0}, k=25).collect()}
+    # weight on match-count features: a different model, different order
+    alt = {(r.topic_id, r.rank): r.doc_id
+           for r in Q.ltr_rerank(
+               tokens, n, avgdl, qdf,
+               {"bm25": 0.1, "n_matched": 5.0, "doc_len": -0.01},
+               k=25).collect()}
+    assert base != alt  # non-vacuous: the model actually reorders
+    with pytest.raises(ValueError, match="unknown LTR features"):
+        Q.ltr_rerank(tokens, n, avgdl, qdf, {"bm52": 1.0})
+
+
+def test_search_after_pages_reconstruct_full_ranking(setup):
+    tokens, n, avgdl, qdf = setup
+    one_topic = qdf.filter("topic_id = 1")
+    full = [(r.rank, r.doc_id, r.score)
+            for r in Q.score_bm25(tokens, n, avgdl, one_topic, k=10**6)
+            .filter("topic_id = 1").orderBy("rank").collect()]
+    assert len(full) > 12
+    page = 5
+    pages, cursor = [], None
+    while True:
+        if cursor is None:
+            batch = Q.score_bm25(tokens, n, avgdl, one_topic, k=page)
+        else:
+            batch = Q.search_after(
+                tokens, n, avgdl, one_topic, cursor, page=page)
+        rows = batch.filter("topic_id = 1").orderBy("rank").collect()
+        if not rows:
+            break
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        pages.extend((r.doc_id, r.score) for r in rows)
+        cursor = (rows[-1].score, rows[-1].doc_id)
+        if len(rows) < page:
+            break
+    assert pages == [(d, s) for _, d, s in full]  # deep paging is exact
+
+
+def test_ltr_feature_counts(spark):
+    docs = [(1, "alpha alpha beta"), (2, "alpha gamma"), (3, "delta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tokens = B.analyze_tokens(df, CFG, "doc_id", "text")
+    meta = B.build_doc_meta(df, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(7, "alpha beta beta")], CFG)
+    rows = {r.doc_id: r for r in
+            Q.ltr_features(tokens, n, avgdl, qdf).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1.n_query_terms, r1.n_matched, r1.sum_tf, r1.max_tf,
+            r1.doc_len) == (2, 2, 3, 2, 3)
+    r2 = rows[2]
+    assert (r2.n_matched, r2.sum_tf, r2.max_tf, r2.doc_len) == (1, 1, 1, 2)
+    # tfidf int-division quirk visible: df(alpha)=2, floor(3/2)=1 -> idf 0
+    assert r2.tfidf == 0.0
+    assert all(math.isfinite(r.bm25) for r in rows.values())

@@ -1,0 +1,136 @@
+"""Scale probe for the distributed-serving layer (query.score_bm25_sharded,
+query.ltr_features) on the realistic corpus.
+
+The scenario the sharded path exists for: a FEW topics over a corpus
+where hot query terms match (nearly) every document.  Plain
+query.topk's window partitions by topic_id only, so ONE task per topic
+sorts the whole matched set — at 10^12 docs that task never finishes,
+and even here it caps scaling at n_topics tasks.  The scatter-gather
+path ranks (topic, shard) partitions (n_topics * S tasks over
+matched/S-row inputs) and the coordinator merge sees only S*k survivor
+rows per topic.  Same float32 scores, bit-identical ranking (contract
+row `bm25_sharded_topk` shares the unsharded oracle SQL).
+
+Measures, at two parallelism levels with the interleaved-draw MIN
+estimator (BASELINE.md host-noise method):
+
+* bm25_unsharded — Q.score_bm25 top-100, 4 hot-term topics
+* bm25_sharded   — Q.score_bm25_sharded, n_shards=32, same topics
+* ltr_features   — the LETOR feature-table export over the same match set
+
+Usage: python tools/measure_serving_scaling.py [n_docs] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+N_SHARDS = 32
+K = 100
+# hot terms put (nearly) every doc in every topic's match set — the
+# single-partition-window worst case; one tail term per topic keeps the
+# per-topic contribution sets distinct.
+TOPICS = [
+    (i, f"hot{i} hot{i + 1} hot{i + 2} t{1000 + 7 * i}") for i in range(4)
+]
+
+
+def one_draw(sp, tokens_path: str, n: int, avgdl: float) -> dict:
+    from search_engine_spark import query as Q
+    from search_engine_spark.config import AnalyzerConfig
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tokens = sp.read.parquet(tokens_path)
+    qdf = Q.queries_to_df(sp, TOPICS, cfg)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    t["n_unsharded"] = Q.score_bm25(tokens, n, avgdl, qdf, k=K).count()
+    t["bm25_unsharded"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_sharded"] = Q.score_bm25_sharded(
+        tokens, n, avgdl, qdf, n_shards=N_SHARDS, k=K
+    ).count()
+    t["bm25_sharded"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_features"] = Q.ltr_features(tokens, n, avgdl, qdf).count()
+    t["ltr_features"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark import build as B
+    from search_engine_spark.config import AnalyzerConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tmp = tempfile.mkdtemp(prefix="serving_scale_")
+    tokens_path = f"{tmp}/tokens.parquet"
+    s = get_spark("serving_prep", master="local[16]", shuffle_partitions=32)
+    docs = realistic_docs_df(s, N_DOCS, vocab=VOCAB)
+    B.analyze_tokens(docs, cfg, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(tokens_path)
+    meta = B.build_doc_meta(docs, cfg, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"serving_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, tokens_path, n, avgdl)
+        )
+        sp.stop()
+
+    timing_ops = ("bm25_unsharded", "bm25_sharded", "ltr_features")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "serving_scaling",
+        "n_docs": N_DOCS,
+        "n_topics": len(TOPICS),
+        "n_shards": N_SHARDS,
+        "k": K,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
