@@ -8405,6 +8405,51 @@ SELECT rank, doc_id, score FROM paged WHERE rank <= {TOPK}
 """
 
 
+_SIGTERMS_LANG = "de"
+_SIGTERMS_MIN_FG = 3
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation (ops/facets.significant_terms):
+    the terms OVERREPRESENTED in the lang='{_SIGTERMS_LANG}' foreground
+    vs the whole corpus, scored with ES's JLH heuristic
+    (fg_pct - bg_pct) * (fg_pct / bg_pct), min_doc_count gate, top-k by
+    (score desc, term asc).  The foreground here is a metadata filter
+    (the "characterize this slice" use); any match set works."""
+    from .ops.facets import significant_terms
+
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    fg = docs.filter(F.col("lang") == _SIGTERMS_LANG).select("doc_id")
+    return significant_terms(
+        tokens, fg, docs.count(), k=TOPK, min_fg=_SIGTERMS_MIN_FG
+    )
+
+
+def _sql_significant_terms() -> str:
+    return f"""
+WITH {_sql_tokens_cte()},
+fgids AS (SELECT doc_id FROM documents WHERE lang = '{_SIGTERMS_LANG}'),
+nfg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_fg FROM fgids),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+fg AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS fg_df FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM fgids) GROUP BY term
+),
+bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT f.term, f.fg_df, b.df,
+         round(((CAST(f.fg_df AS DOUBLE) / n_fg) - (CAST(b.df AS DOUBLE) / n_docs))
+               * ((CAST(f.fg_df AS DOUBLE) / n_fg) / (CAST(b.df AS DOUBLE) / n_docs)),
+               8) AS score
+  FROM fg f JOIN bg b USING (term) CROSS JOIN nfg CROSS JOIN nd
+  WHERE f.fg_df >= {_SIGTERMS_MIN_FG}
+)
+SELECT term, fg_df, df, score FROM scored WHERE score > 0
+ORDER BY score DESC, term ASC LIMIT {TOPK}
+"""
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Iteration order IS the driver's check order, and the driver's
     correctness pass is time-budgeted (round 3 recorded only the first
@@ -8422,6 +8467,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "ltr_rerank": q_ltr_rerank,
         "search_after": q_search_after,
+        "significant_terms": q_significant_terms,
         "percolate_match": q_percolate_match,
         "percolate_pruned": q_percolate_pruned,
         "exactsubstr_redact": q_exactsubstr_redact,
@@ -8601,6 +8647,7 @@ def duckdb_oracles() -> dict[str, str]:
         "ltr_features": _sql_ltr_features(),
         "ltr_rerank": _sql_ltr_rerank(),
         "search_after": _sql_search_after(),
+        "significant_terms": _sql_significant_terms(),
         "diff_numstat": _sql_diff_numstat(),
         "code_survival": _sql_code_survival(),
         "rename_lineage": _sql_rename_lineage(),

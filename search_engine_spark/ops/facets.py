@@ -97,3 +97,59 @@ def facet_topk(
         .filter(F.col("rank") <= k)
         .select("facet", "value", "n_docs", "rank")
     )
+
+
+def significant_terms(
+    tokens: DataFrame,
+    fg_docs: DataFrame,
+    n_docs: int,
+    k: int = 20,
+    min_fg: int = 3,
+    term_df: DataFrame | None = None,
+) -> DataFrame:
+    """Elasticsearch's significant_terms aggregation: the terms that
+    CHARACTERIZE a document subset against the corpus background — not
+    the most frequent terms in the matches (that's facet_counts), the
+    most *overrepresented* ones ("what is different about the docs
+    matching this query").  The reference has no aggregations at all.
+
+    Scoring is ES's JLH heuristic (SignificantTermsAggregationBuilder's
+    default family):  score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    with fg_pct = fg_df/n_fg and bg_pct = df/n_docs — the absolute-lift
+    times relative-lift product that balances rare-but-exclusive against
+    common-but-skewed terms.  Only terms with fg_pct > bg_pct qualify
+    (ES drops negatively-associated terms); `min_fg` is ES's
+    min_doc_count noise gate.  Deterministic page: score desc, term asc,
+    limit k (TakeOrderedAndProject — never a single-partition window).
+
+    Scale shape (10^12 docs): the foreground slice is one semi-join on
+    doc_id (Catalyst/AQE picks broadcast when the match set is small;
+    plain shuffle join when it is not — both correct), then ONE
+    map-side-combinable count per term.  The background df is
+    dictionary-sized; pass `term_df` (term, df) to reuse the stored
+    index statistics (postings manifest / build.term_document_frequency)
+    instead of re-scanning the corpus — at scale the background is
+    already materialized.  Relies on the analyze_tokens invariant (one
+    row per (doc_id, term)) so count(*) IS the distinct-doc count.
+    n_fg is a one-row action on the (already tiny relative to corpus)
+    foreground id set."""
+    n_fg = fg_docs.select("doc_id").distinct().count()
+    if n_fg == 0:
+        return tokens.sparkSession.createDataFrame(
+            [], "term string, fg_df long, df long, score double"
+        )
+    fg_tokens = tokens.join(fg_docs.select("doc_id").distinct(), "doc_id", "semi")
+    fg = fg_tokens.groupBy("term").agg(F.count("*").alias("fg_df"))
+    bg = term_df if term_df is not None else tokens.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    joined = fg.join(bg, "term", "inner").filter(F.col("fg_df") >= min_fg)
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    scored = joined.select(
+        "term",
+        F.col("fg_df").cast("long").alias("fg_df"),
+        F.col("df").cast("long").alias("df"),
+        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 8).alias("score"),
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)

@@ -319,7 +319,18 @@ def score_bm25_sharded(
         params,
         df_keys=("term", "shard") if local_df else ("term",),
     )
-    scored = _accumulate(contrib, exact_float32=True).withColumn(
+    scored = _accumulate(contrib, exact_float32=True)
+    return sharded_topk(scored, n_shards, k)
+
+
+def sharded_topk(
+    scores: DataFrame, n_shards: int, k: int = 1000
+) -> DataFrame:
+    """The gather half of scatter-gather, standalone: per-(topic, shard)
+    top-k, then merge the <= S*k survivors per topic.  Exact under the
+    (score desc, doc_id asc) comparator for ANY per-doc score column —
+    usable over any (topic_id, doc_id, score) table, not just BM25."""
+    scored = scores.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
     w_local = Window.partitionBy("topic_id", "shard").orderBy(

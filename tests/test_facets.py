@@ -53,3 +53,61 @@ def test_single_shuffle_plan(spark):
     plan = facet_counts(matches, docs, ["lang", "source"])._jdf.queryExecution().executedPlan().toString()
     # metadata side joined via broadcast; only the final count shuffles
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _sig_corpus(spark):
+    # 100 docs: every doc has 'uniform'; docs 0-4 are the foreground and
+    # carry 'planted'; docs 5-6 also carry 'planted' (bg leak); docs 0-1
+    # carry 'rare' (below min_fg=3)
+    rows = []
+    for i in range(100):
+        text = "uniform common0 common1"
+        if i <= 6:
+            text += " planted"
+        if i <= 1:
+            text += " rare"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from search_engine_spark import build as B
+    from search_engine_spark.config import AnalyzerConfig
+
+    tokens = B.analyze_tokens(
+        docs, AnalyzerConfig(do_stemming=False), "doc_id", "text"
+    )
+    fg = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    return tokens, fg
+
+
+def test_significant_terms_jlh(spark):
+    from search_engine_spark.ops.facets import significant_terms
+
+    tokens, fg = _sig_corpus(spark)
+    rows = significant_terms(tokens, fg, 100, k=10, min_fg=3).collect()
+    got = {r.term: r for r in rows}
+    # 'planted': fg_pct 5/5=1.0, bg_pct 7/100 -> JLH (1-.07)*(1/.07)
+    assert set(got) == {"planted"}
+    r = got["planted"]
+    assert (r.fg_df, r.df) == (5, 7)
+    assert abs(r.score - (1.0 - 0.07) * (1.0 / 0.07)) < 1e-6
+    # 'uniform' (fg_pct == bg_pct) and 'rare' (fg_df < min_fg) are out
+
+
+def test_significant_terms_reuses_stored_df(spark):
+    from search_engine_spark import build as B
+    from search_engine_spark.ops.facets import significant_terms
+
+    tokens, fg = _sig_corpus(spark)
+    stored = B.term_document_frequency(tokens)
+    a = significant_terms(tokens, fg, 100, k=10, min_fg=1).collect()
+    b = significant_terms(
+        tokens, fg, 100, k=10, min_fg=1, term_df=stored
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+
+def test_significant_terms_empty_foreground(spark):
+    from search_engine_spark.ops.facets import significant_terms
+
+    tokens, _ = _sig_corpus(spark)
+    empty = tokens.sparkSession.createDataFrame([], "doc_id long")
+    assert significant_terms(tokens, empty, 100).collect() == []

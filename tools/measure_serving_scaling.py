@@ -17,6 +17,13 @@ estimator (BASELINE.md host-noise method):
 * bm25_unsharded — Q.score_bm25 top-100, 4 hot-term topics
 * bm25_sharded   — Q.score_bm25_sharded, n_shards=32, same topics
 * ltr_features   — the LETOR feature-table export over the same match set
+* rank_unsharded / rank_sharded — the RANKING STAGE ISOLATED: topk vs
+  sharded_topk over a precomputed (topic_id, doc_id, score) parquet
+  (n_topics * n_docs rows), so the scoring pipeline (scan + joins +
+  fold agg, identical in both paths) doesn't mask the window shape.
+  This pair is the honest measurement of the scatter-gather claim:
+  plain topk gives ONE task per topic; sharded_topk gives
+  n_topics * S tasks and a S*k-row merge.
 
 Usage: python tools/measure_serving_scaling.py [n_docs] [draws]
   draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
@@ -47,7 +54,9 @@ TOPICS = [
 ]
 
 
-def one_draw(sp, tokens_path: str, n: int, avgdl: float) -> dict:
+def one_draw(
+    sp, tokens_path: str, scored_path: str, n: int, avgdl: float
+) -> dict:
     from search_engine_spark import query as Q
     from search_engine_spark.config import AnalyzerConfig
 
@@ -69,6 +78,15 @@ def one_draw(sp, tokens_path: str, n: int, avgdl: float) -> dict:
     t0 = time.perf_counter()
     t["n_features"] = Q.ltr_features(tokens, n, avgdl, qdf).count()
     t["ltr_features"] = round(time.perf_counter() - t0, 2)
+
+    scored = sp.read.parquet(scored_path)
+    t0 = time.perf_counter()
+    t["n_rank_plain"] = Q.topk(scored, k=K).count()
+    t["rank_unsharded"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_rank_sharded"] = Q.sharded_topk(scored, N_SHARDS, k=K).count()
+    t["rank_sharded"] = round(time.perf_counter() - t0, 2)
     return t
 
 
@@ -81,6 +99,7 @@ def main() -> None:
     cfg = AnalyzerConfig(do_stemming=False)
     tmp = tempfile.mkdtemp(prefix="serving_scale_")
     tokens_path = f"{tmp}/tokens.parquet"
+    scored_path = f"{tmp}/scored.parquet"
     s = get_spark("serving_prep", master="local[16]", shuffle_partitions=32)
     docs = realistic_docs_df(s, N_DOCS, vocab=VOCAB)
     B.analyze_tokens(docs, cfg, "doc_id", "text").write.mode(
@@ -88,6 +107,24 @@ def main() -> None:
     ).parquet(tokens_path)
     meta = B.build_doc_meta(docs, cfg, "doc_id", "text")
     n, avgdl, _ = B.collect_stats(meta)
+    # precomputed per-doc scores for the isolated ranking-stage pair:
+    # synthetic but BM25-shaped (deterministic hash-derived floats),
+    # n_topics * n_docs rows — the worst case where every doc matched.
+    from pyspark.sql import functions as F
+
+    ids = s.range(0, N_DOCS, numPartitions=256)
+    topics = F.explode(
+        F.array(*[F.lit(t) for t, _ in TOPICS])
+    ).alias("topic_id")
+    scored = ids.select(F.col("id").alias("doc_id"), topics).select(
+        F.col("topic_id").cast("int"),
+        "doc_id",
+        (
+            F.pmod(F.xxhash64("doc_id", "topic_id"), F.lit(10_000_000))
+            .cast("float") / 1e6
+        ).alias("score"),
+    )
+    scored.write.mode("overwrite").parquet(scored_path)
     s.stop()
 
     raw: dict[str, list[dict]] = {}
@@ -98,11 +135,12 @@ def main() -> None:
             shuffle_partitions=cores * 2,
         )
         raw.setdefault(f"local{cores}", []).append(
-            one_draw(sp, tokens_path, n, avgdl)
+            one_draw(sp, tokens_path, scored_path, n, avgdl)
         )
         sp.stop()
 
-    timing_ops = ("bm25_unsharded", "bm25_sharded", "ltr_features")
+    timing_ops = ("bm25_unsharded", "bm25_sharded", "ltr_features",
+                  "rank_unsharded", "rank_sharded")
     results = {}
     for key, draws in raw.items():
         results[key] = {
