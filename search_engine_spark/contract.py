@@ -125,6 +125,21 @@ def _query_values_sql(text: str) -> str:
     return f"q(term, qtf, term_pos) AS (SELECT * FROM (VALUES {rows}) v(a,b,c))"
 
 
+def _boosted_query_values_sql(text: str) -> str:
+    """The q CTE with a boost column, from the SAME driver-side parse the
+    Spark side uses (query.parse_boost_syntax) — the oracle checks the
+    distributed boost-folded scoring, not the (driver-side) parse."""
+    terms, boosts = Q.parse_boost_syntax(text, SQL_CFG)
+    rows = ", ".join(
+        f"('{t}', {qtf}, {pos}, {_sql_double(boosts.get(t, 1.0))})"
+        for pos, (t, qtf) in enumerate(terms)
+    )
+    return (
+        "q(term, qtf, term_pos, boost) AS "
+        f"(SELECT * FROM (VALUES {rows}) v(a,b,c,d))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark queries (each: (spark, sf_dir) -> DataFrame)
 # ---------------------------------------------------------------------------
@@ -2103,17 +2118,25 @@ def _sql_bm25_ctes(
     query_text: str | None = None,
     score_filter: str = "",
     min_match: int = 1,
+    boosted: bool = False,
 ) -> str:
     """The BM25 pipeline as a CTE chain ending in `ranked` (no top-k cut)
     — shared by _sql_bm25 and the composed oracles (RRF fusion, field
     collapsing) that post-process the ranking.  min_match > 1 adds the
     Lucene minimum_should_match HAVING gate on distinct matched terms
-    (query.score_bm25_msm) — survivor scores are untouched."""
+    (query.score_bm25_msm) — survivor scores are untouched.  boosted=True
+    parses `term^2.5` boosts out of query_text and folds each term's
+    boost into its contribution BEFORE the float32 cast, mirroring
+    _contributions_bm25's boost column (outermost multiply on both
+    sides, so the double-precision value agrees bit-for-bit)."""
     k1, k3, b = params.k1, params.k3, params.b
     where_scores = f"WHERE {score_filter}" if score_filter else ""
     having = f"HAVING COUNT(*) >= {min_match}" if min_match > 1 else ""
+    text = query_text or BM25_QUERY_TEXT
+    q_cte = _boosted_query_values_sql(text) if boosted else _query_values_sql(text)
+    boost_mul = "* q.boost" if boosted else ""
     return f"""{prelude}{_sql_tokens_cte(source_table)}, {_sql_meta_stats_cte(source_table)},
-{_query_values_sql(query_text or BM25_QUERY_TEXT)},
+{q_cte},
 tdf AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
   WHERE term IN (SELECT term FROM q) GROUP BY term
@@ -2124,6 +2147,7 @@ contrib AS (
            ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
            * (t.tf * ({k1} + 1.0)) / (t.tf + {k1} * (1.0 - {b} + {b} * (m.doc_len / s.avgdl)))
            * (({k3} + 1.0) * q.qtf) / ({k3} + q.qtf)
+           {boost_mul}
          AS FLOAT) AS c
   FROM tok t
   JOIN q ON q.term = t.term
@@ -2148,13 +2172,15 @@ def _sql_bm25(
     query_text: str | None = None,
     score_filter: str = "",
     min_match: int = 1,
+    boosted: bool = False,
 ) -> str:
     """score_filter (a doc_id predicate) drops docs AFTER scoring but
     BEFORE ranking — tombstone semantics: stats/df still count the
     deleted docs (Lucene-style, maintenance.delete_docs), the ranking
     just never returns them."""
     ctes = _sql_bm25_ctes(
-        params, source_table, prelude, query_text, score_filter, min_match
+        params, source_table, prelude, query_text, score_filter, min_match,
+        boosted,
     )
     return f"""
 WITH {ctes}
@@ -8362,6 +8388,73 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+BOOSTED_QUERY_TEXT = "spark merge^2.5 window batch^0.5 part the"
+_CASCADE_N = 50
+
+
+def q_bm25_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query-time term boosts (query.parse_boosted_query →
+    _contributions_bm25's boost fold): `merge^2.5` / `batch^0.5` scale
+    those terms' contributions before the float32 cast (BoostQuery
+    semantics; the reference scores unweighted terms only,
+    BM25Scorer.cs:55).  Exact-float32 verify path."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.parse_boosted_query(spark, [(1, BOOSTED_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_bm25(tokens, n, avgdl, qdf, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_ltr_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (query.rerank_cascade): exact
+    BM25 top-{n} page, LTR features computed ONLY for that page
+    (candidates= hook keeps df/idf corpus-global, so stage-2 bm25
+    features == stage-1 scores bit-for-bit), linear model re-ranks.
+    The oracle reuses the feature CTE for both stages — stage 1 is
+    row_number over the bm25 feature, which IS the exact serving
+    score."""
+    docs = _docs(spark, sf_dir)
+    tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.rerank_cascade(
+        tokens, n, avgdl, qdf, _LTR_WEIGHTS, n_retrieve=_CASCADE_N, k=TOPK
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_ltr_cascade() -> str:
+    w = _LTR_WEIGHTS
+    lin = " + ".join(
+        f"({coef} * CAST({name} AS DOUBLE))" for name, coef in sorted(w.items())
+    )
+    feats = _sql_ltr_features().strip()
+    return f"""
+WITH feats AS ({feats}),
+stage1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM feats
+),
+scored AS (
+  SELECT f.doc_id, round({lin}, 6) AS score
+  FROM feats f JOIN stage1 s ON s.doc_id = f.doc_id AND s.r <= {_CASCADE_N}
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep pagination (query.search_after): page 2 of the BM25 ranking
     via the ES search_after cursor — the strict-after (score, doc_id)
@@ -8466,6 +8559,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
         "ltr_rerank": q_ltr_rerank,
+        "ltr_cascade_topk": q_ltr_cascade_topk,
+        "bm25_boosted_topk": q_bm25_boosted_topk,
         "search_after": q_search_after,
         "significant_terms": q_significant_terms,
         "percolate_match": q_percolate_match,
@@ -8646,6 +8741,10 @@ def duckdb_oracles() -> dict[str, str]:
         "bm25_sharded_localdf": _sql_bm25_sharded_localdf(),
         "ltr_features": _sql_ltr_features(),
         "ltr_rerank": _sql_ltr_rerank(),
+        "ltr_cascade_topk": _sql_ltr_cascade(),
+        "bm25_boosted_topk": _sql_bm25(
+            query_text=BOOSTED_QUERY_TEXT, boosted=True
+        ),
         "search_after": _sql_search_after(),
         "significant_terms": _sql_significant_terms(),
         "diff_numstat": _sql_diff_numstat(),

@@ -62,6 +62,63 @@ def queries_to_df(
     return spark.createDataFrame(rows, schema=schema)
 
 
+_BOOST_RE = __import__("re").compile(
+    r"^(?P<body>.*?)\^(?P<boost>\d+(?:\.\d+)?)$"
+)
+
+
+def parse_boost_syntax(
+    text: str, cfg: AnalyzerConfig
+) -> tuple[list[tuple[str, int]], dict[str, float]]:
+    """Driver-side parse of the Lucene `term^2.5` boost syntax: returns
+    the analyzed (term, qtf) list of the de-boosted text plus the
+    analyzed-term -> boost map.  Shared by parse_boosted_query and the
+    DuckDB oracle builder (query analysis is driver-side by design —
+    SURVEY.md §2 #18 — so both engines consume the SAME parse and the
+    oracle checks the distributed scoring math)."""
+    boosts: dict[str, float] = {}
+    clean_chunks = []
+    for chunk in text.split():
+        m = _BOOST_RE.match(chunk)
+        if m and m.group("body"):
+            chunk = m.group("body")
+            for t, _ in tokenize_query(chunk, cfg):
+                boosts[t] = float(m.group("boost"))
+        clean_chunks.append(chunk)
+    return tokenize_query(" ".join(clean_chunks), cfg), boosts
+
+
+def parse_boosted_query(
+    spark: SparkSession, queries: Sequence[tuple[int, str]], cfg: AnalyzerConfig
+) -> DataFrame:
+    """Lucene query-time term boosts: `merge^2.5 window` gives the
+    analyzed form(s) of `merge` weight 2.5 and everything else 1.0.
+    Output = queries_to_df's schema + a `boost` double column, which
+    _contributions_bm25 multiplies into the term weight (BoostQuery
+    semantics) — so every BM25 scorer variant accepts a boosted qterms
+    DataFrame unchanged.  A chunk whose analyzed form collides with an
+    unboosted occurrence of the same term takes the boost (per-term,
+    not per-clause — documented simplification; Lucene's per-clause
+    boosts only differ when one term appears in several clauses)."""
+    rows = []
+    for topic_id, text in queries:
+        terms, boosts = parse_boost_syntax(text, cfg)
+        for pos, (term, qtf) in enumerate(terms):
+            rows.append(
+                (int(topic_id), term, int(qtf), pos, boosts.get(term, 1.0))
+            )
+    schema = T.StructType(
+        [
+            T.StructField("topic_id", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("qtf", T.IntegerType(), False),
+            T.StructField("term_pos", T.IntegerType(), False),
+            T.StructField("boost", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def _contributions_bm25(
     tokens: DataFrame,
     qterms: DataFrame,
@@ -75,6 +132,13 @@ def _contributions_bm25(
     doc_len rides on every token row (analyze_arrow emits it in-batch),
     so NO doc_id-keyed join is needed — the only wide op left is the
     per-doc accumulation.
+
+    If `qterms` carries a `boost` column (parse_boosted_query /
+    apply_term_boosts), each term's contribution is multiplied by it
+    BEFORE the float32 cast — Lucene's query-time term boost (`term^2`
+    syntax; boost folds into the term weight, BoostQuery semantics), so
+    the per-doc accumulation stays the exact float32 fold of the
+    (boosted) per-term values.
 
     Plan note: `matched` (which embeds the tokens lineage) feeds both
     the term_df aggregation and the contribution join, so an UNCACHED
@@ -96,11 +160,14 @@ def _contributions_bm25(
     knorm = F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.lit(float(avgdl)))
     tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
     qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
+    contrib = idf * tfp * qtfp
+    if "boost" in qterms.columns:
+        contrib = contrib * F.col("boost").cast("double")
     return joined.select(
         "topic_id",
         "doc_id",
         "term_pos",
-        (idf * tfp * qtfp).cast("float").alias("contrib"),
+        contrib.cast("float").alias("contrib"),
     )
 
 
@@ -350,6 +417,7 @@ def ltr_features(
     avgdl: float,
     qterms: DataFrame,
     params: BM25Params | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Learning-to-rank feature export — the training-data side of a
     ranking pipeline (LETOR/MSLR feature tables; Lucene's LTR contrib
@@ -370,7 +438,17 @@ def ltr_features(
     (topic, doc)-keyed agg computing every feature together (both score
     folds ride one sorted struct array; counts/maxes are plain agg
     columns on the same exchange).  Feature vectors ~= match set rows,
-    never corpus rows."""
+    never corpus rows.
+
+    ``candidates`` (optional (topic_id, doc_id) DataFrame — e.g. a
+    first-stage retriever's top-N page) restricts the feature agg to
+    those pairs via a broadcast semi-join.  df/idf are STILL computed
+    over the full matched corpus slice BEFORE the restriction — the
+    bm25/tfidf features of a candidate stay bit-identical to its
+    full-corpus serving score (no train/serve skew, no candidate-local
+    statistics), so a cascade's stage-2 model sees exactly the numbers
+    stage 1 ranked with.  Only the per-doc feature agg shrinks (match
+    set → topics*N rows)."""
     params = params or BM25Params()
     k1, k3, b = params.k1, params.k3, params.b
     matched = tokens.join(
@@ -380,6 +458,12 @@ def ltr_features(
     joined = matched.join(F.broadcast(qterms), "term", "inner").join(
         F.broadcast(term_df), "term", "inner"
     )
+    if candidates is not None:
+        joined = joined.join(
+            F.broadcast(candidates.select("topic_id", "doc_id").distinct()),
+            ["topic_id", "doc_id"],
+            "left_semi",
+        )
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     knorm = F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.lit(float(avgdl)))
     tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
@@ -453,6 +537,15 @@ def ltr_rerank(
     the features and the base scores come out of the same aggregation.
     """
     feats = ltr_features(tokens, n_docs, avgdl, qterms, params)
+    return topk(linear_score(feats, weights), k)
+
+
+def linear_score(feats: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """Σ w_f * feature_f in DOUBLE over any (topic_id, doc_id, features…)
+    table, rounded to 6 decimals (pins the cross-engine value; inputs
+    are exact — integer counts + bit-exact float32 folds).  Unknown
+    feature names raise (a typo must not silently zero a model);
+    features missing from ``weights`` get coefficient 0."""
     feat_cols = set(feats.columns) - {"topic_id", "doc_id"}
     unknown = set(weights) - feat_cols
     if unknown:
@@ -461,12 +554,45 @@ def ltr_rerank(
     for name, w in sorted(weights.items()):
         term = F.col(name).cast("double") * F.lit(float(w))
         expr = term if expr is None else expr + term
-    scored = feats.select(
-        "topic_id",
-        "doc_id",
-        F.round(expr, 6).alias("score"),
+    return feats.select("topic_id", "doc_id", F.round(expr, 6).alias("score"))
+
+
+def rerank_cascade(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    weights: dict[str, float],
+    n_retrieve: int = 100,
+    k: int = 10,
+    params: BM25Params | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the standard serving cascade
+    (Lucene LTR contrib / ES rescorer: cheap recall stage, expensive
+    model over its top window only).  Stage 1 retrieves top
+    ``n_retrieve`` per topic with exact-float32 BM25 (or accepts any
+    precomputed ``candidates`` (topic_id, doc_id) page — e.g. the WAND
+    fast path's output, which is rank-identical by contract); stage 2
+    computes the LTR feature vector ONLY for those candidates
+    (ltr_features ``candidates=`` hook — df/idf stay corpus-global, so
+    stage-2 bm25 features are bit-identical to stage-1 scores) and
+    re-ranks with the linear model.
+
+    Scale shape: stage 2 adds one broadcast semi-join on a
+    topics*n_retrieve-row page; the per-doc feature agg shrinks from
+    match-set-sized to page-sized.  The corpus is still met twice
+    (stage-1 scoring + stage-2 df/feature pass over the matched slice)
+    — at serving time stage 1 is the WAND path over the persisted
+    index, and this module's tokens-table form is the verify shape."""
+    if candidates is None:
+        candidates = score_bm25(
+            tokens, n_docs, avgdl, qterms, params, k=n_retrieve
+        ).select("topic_id", "doc_id")
+    feats = ltr_features(
+        tokens, n_docs, avgdl, qterms, params, candidates=candidates
     )
-    return topk(scored, k)
+    return topk(linear_score(feats, weights), k)
 
 
 def search_after(

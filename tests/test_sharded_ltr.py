@@ -166,3 +166,84 @@ def test_ltr_feature_counts(spark):
     # tfidf int-division quirk visible: df(alpha)=2, floor(3/2)=1 -> idf 0
     assert r2.tfidf == 0.0
     assert all(math.isfinite(r.bm25) for r in rows.values())
+
+
+def test_parse_boosted_query_terms_and_defaults(spark):
+    qdf = Q.parse_boosted_query(
+        spark, [(1, "alpha^2.5 beta gamma^0.5")], CFG
+    ).collect()
+    rows = {r.term: r for r in qdf}
+    assert set(rows) == {"alpha", "beta", "gamma"}
+    assert rows["alpha"].boost == 2.5
+    assert rows["beta"].boost == 1.0
+    assert rows["gamma"].boost == 0.5
+    # positions follow the de-boosted token order
+    assert [r.term for r in sorted(qdf, key=lambda r: r.term_pos)] == [
+        "alpha", "beta", "gamma"
+    ]
+
+
+def test_boost_one_is_bitwise_unboosted(setup):
+    tokens, n, avgdl, qdf = setup
+    spark = tokens.sparkSession
+    texts = [(t, " ".join(q.split())) for t, q in QUERIES]
+    boosted = Q.parse_boosted_query(spark, texts, CFG)
+    assert set(boosted.columns) == set(qdf.columns) | {"boost"}
+    plain = _rows(Q.score_bm25(tokens, n, avgdl, qdf, k=25))
+    b1 = _rows(Q.score_bm25(tokens, n, avgdl, boosted, k=25))
+    assert b1 == plain and plain  # boost column of 1.0s changes nothing
+
+
+def test_boost_scales_single_term_contribution(spark):
+    docs = [(i, "alpha beta") if i % 3 else (i, "beta") for i in range(1, 31)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tokens = B.analyze_tokens(df, CFG, "doc_id", "text")
+    meta = B.build_doc_meta(df, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    plain = {r.doc_id: r.score for r in Q.score_bm25(
+        tokens, n, avgdl, Q.queries_to_df(spark, [(1, "alpha")], CFG),
+        k=100, exact_float32=False).collect()}
+    boosted = {r.doc_id: r.score for r in Q.score_bm25(
+        tokens, n, avgdl,
+        Q.parse_boosted_query(spark, [(1, "alpha^4.0")], CFG),
+        k=100, exact_float32=False).collect()}
+    assert set(boosted) == set(plain) and plain
+    for d, s in plain.items():
+        # single term => one contribution per doc; a power-of-two boost
+        # commutes exactly with the float32 cast, so x4 is bit-exact
+        assert boosted[d] == 4.0 * s
+
+
+def test_ltr_features_candidates_restrict_without_skew(setup):
+    tokens, n, avgdl, qdf = setup
+    full = {(r.topic_id, r.doc_id): r
+            for r in Q.ltr_features(tokens, n, avgdl, qdf).collect()}
+    page = Q.score_bm25(tokens, n, avgdl, qdf, k=5).select(
+        "topic_id", "doc_id"
+    )
+    sub = Q.ltr_features(
+        tokens, n, avgdl, qdf, candidates=page
+    ).collect()
+    keys = {(r.topic_id, r.doc_id) for r in page.collect()}
+    assert {(r.topic_id, r.doc_id) for r in sub} == keys
+    for r in sub:  # identical rows incl. the bit-exact score features
+        assert r == full[(r.topic_id, r.doc_id)]
+
+
+def test_rerank_cascade_equals_manual_composition(setup):
+    tokens, n, avgdl, qdf = setup
+    casc = _rows(Q.rerank_cascade(
+        tokens, n, avgdl, qdf, {"bm25": 0.1, "n_matched": 5.0},
+        n_retrieve=10, k=8))
+    page = Q.score_bm25(tokens, n, avgdl, qdf, k=10).select(
+        "topic_id", "doc_id")
+    manual = _rows(Q.topk(Q.linear_score(
+        Q.ltr_features(tokens, n, avgdl, qdf, candidates=page),
+        {"bm25": 0.1, "n_matched": 5.0}), k=8))
+    assert casc == manual and casc
+    # wide-retrieve cascade with a bm25-only model == plain ranking
+    plain = _rows(Q.score_bm25(tokens, n, avgdl, qdf, k=8))
+    wide = _rows(Q.rerank_cascade(
+        tokens, n, avgdl, qdf, {"bm25": 1.0}, n_retrieve=10**6, k=8))
+    assert [(t, r, d) for t, r, d, _ in wide] == [
+        (t, r, d) for t, r, d, _ in plain]

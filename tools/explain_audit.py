@@ -71,6 +71,24 @@ def main() -> int:
     check("bm25: query terms broadcast", "BroadcastHashJoin" in p)
     check("bm25: no cartesian", "CartesianProduct" not in p)
 
+    # --- 2b. LTR cascade: candidate page rides a broadcast SEMI join,
+    # the boosted scorer stays codegen (no Python anywhere) ---
+    casc = Q.rerank_cascade(tokens, 1000, 100.0, qdf, {"bm25": 1.0},
+                            n_retrieve=20, k=5)
+    p = plan_of(casc)
+    print("== ltr cascade ==")
+    check("cascade: candidate page broadcast semi-join",
+          "BroadcastHashJoin" in p and "LeftSemi" in p)
+    check("cascade: no cartesian, no row-Python",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p)
+    boosted = Q.score_bm25(
+        tokens, 1000, 100.0,
+        Q.parse_boosted_query(spark, [(1, "merge^2.0 index")], cfg),
+        BM25Params(), k=10, exact_float32=False)
+    p = plan_of(boosted)
+    check("boosted bm25: pure codegen (boost fold is a column multiply)",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p)
+
     # --- 3. posting build: ONE wide exchange keyed on (segment, term) ---
     frags = posting_fragments(docs, cfg, "doc_id", "text")
     packed = pack_postings(frags, fragment_term_df(frags), 1000, 100.0)
