@@ -8430,6 +8430,33 @@ def q_ltr_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ltr_cascade_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INDEX-BACKED serving cascade (wand.search_rerank_cascade):
+    WAND top-{n} page over the persisted delta+varint index, LTR
+    features decoded from the same bucket-pruned posting slice (df =
+    posting counts, doc_len from the blocks — zero corpus access),
+    linear rerank.  Shares the tokens-path cascade oracle: the decoded
+    slice reproduces the corpus features bit-for-bit
+    (tests/test_index_cascade.py pins the equality end to end)."""
+    from . import postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("wand", sf_dir)
+    docs = _docs(spark, sf_dir)
+    P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        doc_id_col="doc_id", content_col="text",
+    )
+    idx = P.load_index(spark, idx_dir)
+    res = W.search_rerank_cascade(
+        idx, [(1, BM25_QUERY_TEXT)], _LTR_WEIGHTS,
+        n_retrieve=_CASCADE_N, k=TOPK,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def _sql_ltr_cascade() -> str:
     w = _LTR_WEIGHTS
     lin = " + ".join(
@@ -8560,6 +8587,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "ltr_rerank": q_ltr_rerank,
         "ltr_cascade_topk": q_ltr_cascade_topk,
+        "ltr_cascade_index_topk": q_ltr_cascade_index_topk,
         "bm25_boosted_topk": q_bm25_boosted_topk,
         "search_after": q_search_after,
         "significant_terms": q_significant_terms,
@@ -8742,6 +8770,7 @@ def duckdb_oracles() -> dict[str, str]:
         "ltr_features": _sql_ltr_features(),
         "ltr_rerank": _sql_ltr_rerank(),
         "ltr_cascade_topk": _sql_ltr_cascade(),
+        "ltr_cascade_index_topk": _sql_ltr_cascade(),
         "bm25_boosted_topk": _sql_bm25(
             query_text=BOOSTED_QUERY_TEXT, boosted=True
         ),

@@ -292,6 +292,20 @@ def _segment_topic_topk(
     return uniq, scores, n_pruned
 
 
+def _matched_postings(index: dict, terms: set[str]) -> DataFrame:
+    """The query's posting slice: directory-partition pruning to the
+    terms' bucket dirs (only <=|query| of term_buckets slices are
+    listed/read), then the term IN-filter (pushed to the parquet scan)."""
+    matched = index["postings"]
+    n_buckets = (index.get("manifest") or {}).get("term_buckets")
+    if n_buckets and "term_bucket" in matched.columns:
+        from .postings import term_bucket_py
+
+        buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+        matched = matched.filter(F.col("term_bucket").isin(buckets))
+    return matched.filter(F.col("term").isin(list(terms)))
+
+
 def search_bm25(
     index: dict,
     queries: Sequence[tuple[int, str]],
@@ -345,16 +359,7 @@ def search_bm25(
             [], schema="topic_id int, rank int, doc_id long, score float"
         )
 
-    matched = index["postings"]
-    n_buckets = (index.get("manifest") or {}).get("term_buckets")
-    if n_buckets and "term_bucket" in matched.columns:
-        # directory-partition pruning: only the query terms' bucket dirs
-        # are listed/read — <=|query| of term_buckets slices of the index
-        from .postings import term_bucket_py
-
-        buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
-        matched = matched.filter(F.col("term_bucket").isin(buckets))
-    matched = matched.filter(F.col("term").isin(list(all_terms)))
+    matched = _matched_postings(index, all_terms)
 
     df_map: dict[str, int] | None = None
     tomb_arr: np.ndarray | None = None
@@ -515,3 +520,62 @@ def search_bm25(
         if tomb_bc is not None:
             weakref.finalize(result, tomb_bc.unpersist, False)
     return result
+
+
+def search_rerank_cascade(
+    index: dict,
+    queries: Sequence[tuple[int, str]],
+    weights: dict[str, float],
+    n_retrieve: int = 100,
+    k: int = 10,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Index-backed two-stage serving: WAND top-``n_retrieve`` page →
+    LTR feature vectors decoded from the SAME pruned posting slice →
+    linear-model rerank.  The production shape of query.rerank_cascade:
+    ZERO corpus access — df is the posting count of each query term
+    (every posting is one unique (doc, term)), doc_len rides the posting
+    blocks, n_docs/avgdl come from the index manifest, and the bm25
+    feature is the identical float32 fold WAND ranks with, so stage-2
+    features are bit-for-bit the stage-1 scores (no train/serve skew).
+
+    Scale shape: stage 1 is the block-max WAND pass; stage 2 re-reads
+    only the bucket-pruned, term-IN-filtered posting slice (<=|query|
+    term lists, the same parquet row groups stage 1 touched — typically
+    page-cached), decodes it with the Arrow codec, and aggregates
+    features for the topics×n_retrieve candidate page only (broadcast
+    semi-join before the agg).  Rerank cost tracks the page size, not
+    the corpus.
+
+    Live indexes are refused: a live slice spans base+delta epochs where
+    upserted docs appear in several segments and tombstones are masked
+    at score time — compact_index first (the compacted snapshot is
+    bit-identical to a rebuild by the maintenance contract)."""
+    if index.get("live"):
+        raise ValueError(
+            "search_rerank_cascade serves base/compacted snapshots; "
+            "run maintenance.compact_index on the live index first"
+        )
+    from .postings import postings_to_tokens
+    from .query import linear_score, ltr_features, queries_to_df, topk as qtopk
+
+    p = params or index["params"]
+    cfg: AnalyzerConfig = index["analyzer"]
+    stage1 = search_bm25(index, queries, k=n_retrieve, params=p)
+    qdf = queries_to_df(index["postings"].sparkSession, queries, cfg)
+    all_terms = {r.term for r in qdf.select("term").distinct().collect()}
+    if not all_terms:
+        spark = index["postings"].sparkSession
+        return spark.createDataFrame(
+            [], schema="topic_id int, rank int, doc_id long, score float"
+        )
+    tokens_slice = postings_to_tokens(_matched_postings(index, all_terms))
+    feats = ltr_features(
+        tokens_slice,
+        index["n_docs"],
+        index["avg_doc_len"],
+        qdf,
+        p,
+        candidates=stage1.select("topic_id", "doc_id"),
+    )
+    return qtopk(linear_score(feats, weights), k)

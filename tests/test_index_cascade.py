@@ -1,0 +1,75 @@
+"""Gates for the index-backed serving cascade (wand.search_rerank_cascade):
+the production two-stage path — WAND top-N page, LTR features decoded
+from the pruned posting slice, linear rerank — must be bit-identical to
+the tokens-table cascade (query.rerank_cascade) end to end, because
+df from posting counts == corpus df, doc_len rides the blocks, and both
+stages share the exact float32 fold."""
+
+import pytest
+
+from search_engine_spark import build as B, query as Q, wand as W
+from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
+from search_engine_spark.postings import build_index, load_index
+
+CFG = AnalyzerConfig(do_stemming=False)
+QUERIES = [(1, "shard import class"), (2, "def self")]
+WEIGHTS = {"bm25": 0.2, "n_matched": 3.0, "doc_len": -0.01}
+
+
+@pytest.fixture(scope="module")
+def setup(spark, corpus, tmp_path_factory):
+    docs = spark.createDataFrame(corpus).selectExpr(
+        "xxhash64(repo, path, commit) as doc_id", "content as text"
+    )
+    idx_dir = str(tmp_path_factory.mktemp("casc_idx") / "idx")
+    build_index(docs, idx_dir, IndexBuildConfig(analyzer=CFG), BM25Params(),
+                doc_id_col="doc_id", content_col="text")
+    idx = load_index(spark, idx_dir)
+    tokens = B.analyze_tokens(docs, CFG, "doc_id", "text").cache()
+    meta = B.build_doc_meta(docs, CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    return idx, tokens, n, avgdl
+
+
+def _rows(df):
+    return sorted(
+        (r.topic_id, r.rank, r.doc_id, r.score) for r in df.collect()
+    )
+
+
+def test_index_cascade_matches_tokens_cascade(setup, spark):
+    idx, tokens, n, avgdl = setup
+    qdf = Q.queries_to_df(spark, QUERIES, CFG)
+    via_tokens = _rows(Q.rerank_cascade(
+        tokens, n, avgdl, qdf, WEIGHTS, n_retrieve=15, k=10))
+    via_index = _rows(W.search_rerank_cascade(
+        idx, QUERIES, WEIGHTS, n_retrieve=15, k=10))
+    assert via_index == via_tokens and via_index
+
+
+def test_index_cascade_bm25_only_reproduces_wand(setup):
+    idx, *_ = setup
+    wand = _rows(W.search_bm25(idx, QUERIES, k=10))
+    casc = _rows(W.search_rerank_cascade(
+        idx, QUERIES, {"bm25": 1.0}, n_retrieve=10**6, k=10))
+    # same docs in the same order; the cascade's score is the rounded
+    # double model score of the bit-identical bm25 feature
+    assert [(t, r, d) for t, r, d, _ in casc] == [
+        (t, r, d) for t, r, d, _ in wand] and casc
+    wand_scores = {(t, d): s for t, _, d, s in wand}
+    for t, _, d, s in casc:
+        assert s == round(float(wand_scores[(t, d)]), 6)
+
+
+def test_index_cascade_refuses_live_index(setup, spark):
+    idx, *_ = setup
+    live = dict(idx)
+    live["live"] = True
+    with pytest.raises(ValueError, match="compact"):
+        W.search_rerank_cascade(live, QUERIES, {"bm25": 1.0})
+
+
+def test_index_cascade_empty_query(setup):
+    idx, *_ = setup
+    out = W.search_rerank_cascade(idx, [(9, "")], {"bm25": 1.0})
+    assert out.count() == 0

@@ -119,6 +119,16 @@ def main() -> int:
     check("wand: postings scan prunes encoded cols only as needed",
           "doc_lens_enc" in p)  # full block decode requires the enc cols
 
+    from search_engine_spark.wand import search_rerank_cascade
+
+    p = plan_of(search_rerank_cascade(
+        index, [(1, "merge index")], {"bm25": 1.0}, n_retrieve=20, k=5))
+    check("index cascade: term filter pushed into BOTH stage scans",
+          p.count("PushedFilters: [In(term") >= 2)
+    check("index cascade: candidate page broadcast semi-join, no cartesian",
+          "LeftSemi" in p and "BroadcastHashJoin" in p
+          and "CartesianProduct" not in p)
+
     # --- 4b. pruned-branch WAND (contract bm25_wand_pruned): pruning must
     # actually fire — the accumulator is the evidence, not just the plan
     from search_engine_spark.contract import (
