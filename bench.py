@@ -299,6 +299,26 @@ def main() -> None:
     extras["query_surface_r4s7"] = {"medians": t_s7.medians,
                                     "spread": t_s7.spread}
 
+    # --- round-4 sessions 9-10: fsck, exact-substring dedup, percolator,
+    # distributed-serving layer (sharded top-k, LTR, cascade, boosts) ---
+    t_s9 = Timer(REPS)
+    for name in ("exactsubstr_spans", "exactsubstr_stats",
+                 "exactsubstr_redact", "percolate_match",
+                 "percolate_pruned", "significant_terms",
+                 "bm25_sharded_topk", "ltr_features", "ltr_rerank",
+                 "search_after", "bm25_boosted_topk",
+                 "ltr_cascade_topk"):
+        t_s9.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    # index-building / index-walking entries: one rep each (the fsck and
+    # cascade probes carry their scale evidence; 3 reps of a full build
+    # would dominate bench wall time)
+    for name in ("fsck_report", "trigram_fsck_report",
+                 "bm25_wand_boosted", "ltr_cascade_index_topk"):
+        t_s9.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count(),
+                   reps=1)
+    extras["query_surface_r4s9s10"] = {"medians": t_s9.medians,
+                                       "spread": t_s9.spread}
+
     # --- tier2: same core probes at a ~40x corpus (~200k docs) so a
     # regression can't hide inside per-job fixed overhead ---
     if DO_TIER2:

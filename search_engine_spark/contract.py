@@ -701,6 +701,74 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_comb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibrated fusion (query.comb_fuse, CombMNZ): BM25 top-50
+    and TF-IDF top-50 pages min-max normalized per run, summed, times
+    the per-doc run count.  Both input scores are the engines' exact
+    float32 folds (the ltr_features CTE computes the identical pair),
+    so the fused double rounds to 6 decimals cross-engine."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    lex = Q.score_bm25(tokens, n, avgdl, qdf, k=RRF_DEPTH)
+    tfidf = Q.score_tfidf(tokens, n, qdf, k=RRF_DEPTH)
+    fused = Q.comb_fuse(
+        [
+            lex.select("topic_id", "doc_id", "score"),
+            tfidf.select("topic_id", "doc_id", "score"),
+        ],
+        mnz=True,
+        k=TOPK,
+    )
+    return fused.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_hybrid_comb() -> str:
+    feats = _sql_ltr_features().strip()
+    return f"""
+WITH feats AS ({feats}),
+b AS (
+  SELECT doc_id, CAST(bm25 AS DOUBLE) AS s,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM feats
+),
+t AS (
+  SELECT doc_id, CAST(tfidf AS DOUBLE) AS s,
+         row_number() OVER (ORDER BY tfidf DESC, doc_id ASC) AS r
+  FROM feats
+),
+bn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+              ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+         END AS part
+  FROM b WHERE r <= {RRF_DEPTH}
+),
+tn AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+              ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+         END AS part
+  FROM t WHERE r <= {RRF_DEPTH}
+),
+u AS (SELECT * FROM bn UNION ALL SELECT * FROM tn),
+scored AS (
+  SELECT doc_id, round(SUM(part) * COUNT(*), 6) AS score
+  FROM u GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 MLT_SEEDS = (3, 11)
 MLT_TERMS = 8
 
@@ -2125,10 +2193,13 @@ def _sql_bm25_ctes(
     collapsing) that post-process the ranking.  min_match > 1 adds the
     Lucene minimum_should_match HAVING gate on distinct matched terms
     (query.score_bm25_msm) — survivor scores are untouched.  boosted=True
-    parses `term^2.5` boosts out of query_text and folds each term's
-    boost into its contribution BEFORE the float32 cast, mirroring
-    _contributions_bm25's boost column (outermost multiply on both
-    sides, so the double-precision value agrees bit-for-bit)."""
+    parses `term^2.5` boosts out of query_text and multiplies each
+    term's boost into its contribution BEFORE the float32 cast.  The
+    Spark side folds boost into the qtfp factor ((idf·tfp)·(qtfp·boost),
+    pinning bit-identity with the WAND fast path); this SQL appends it
+    after the qtfp factor — a different float64 association, absorbed by
+    the float32 cast exactly like the base expression's (the unboosted
+    SQL already associates the divisions differently and hash-matches)."""
     k1, k3, b = params.k1, params.k3, params.b
     where_scores = f"WHERE {score_filter}" if score_filter else ""
     having = f"HAVING COUNT(*) >= {min_match}" if min_match > 1 else ""
@@ -8409,6 +8480,30 @@ def q_bm25_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_wand_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted query on the WAND FAST PATH (search_bm25 boosted=True):
+    the `term^2.5` boost folds into the query-term factor so block
+    upper bounds scale with it and positive boosts keep pruning sound
+    (tests/test_wand_pruned.py proves the pruned branch fires boosted).
+    Shares the boosted oracle SQL with bm25_boosted_topk — the hash
+    match IS the proof the fast path reproduces the boosted oracle
+    ranking and float32 scores exactly."""
+    from . import postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    idx_dir = _contract_index_dir("wand", sf_dir)
+    docs = _docs(spark, sf_dir)
+    P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        doc_id_col="doc_id", content_col="text",
+    )
+    idx = P.load_index(spark, idx_dir)
+    res = W.search_bm25(idx, [(1, BOOSTED_QUERY_TEXT)], k=TOPK, boosted=True)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def q_ltr_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve-then-rerank (query.rerank_cascade): exact
     BM25 top-{n} page, LTR features computed ONLY for that page
@@ -8586,9 +8681,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
         "ltr_rerank": q_ltr_rerank,
-        "ltr_cascade_topk": q_ltr_cascade_topk,
-        "ltr_cascade_index_topk": q_ltr_cascade_index_topk,
         "bm25_boosted_topk": q_bm25_boosted_topk,
+        "hybrid_comb_topk": q_hybrid_comb_topk,
+        "ltr_cascade_topk": q_ltr_cascade_topk,
+        "bm25_wand_boosted": q_bm25_wand_boosted,
+        "ltr_cascade_index_topk": q_ltr_cascade_index_topk,
         "search_after": q_search_after,
         "significant_terms": q_significant_terms,
         "percolate_match": q_percolate_match,
@@ -8774,6 +8871,10 @@ def duckdb_oracles() -> dict[str, str]:
         "bm25_boosted_topk": _sql_bm25(
             query_text=BOOSTED_QUERY_TEXT, boosted=True
         ),
+        "bm25_wand_boosted": _sql_bm25(
+            query_text=BOOSTED_QUERY_TEXT, boosted=True
+        ),
+        "hybrid_comb_topk": _sql_hybrid_comb(),
         "search_after": _sql_search_after(),
         "significant_terms": _sql_significant_terms(),
         "diff_numstat": _sql_diff_numstat(),

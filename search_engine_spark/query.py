@@ -133,12 +133,14 @@ def _contributions_bm25(
     so NO doc_id-keyed join is needed — the only wide op left is the
     per-doc accumulation.
 
-    If `qterms` carries a `boost` column (parse_boosted_query /
-    apply_term_boosts), each term's contribution is multiplied by it
-    BEFORE the float32 cast — Lucene's query-time term boost (`term^2`
-    syntax; boost folds into the term weight, BoostQuery semantics), so
-    the per-doc accumulation stays the exact float32 fold of the
-    (boosted) per-term values.
+    If `qterms` carries a `boost` column (parse_boosted_query), each
+    term's boost folds into the QUERY-TERM factor (qtfp · boost) before
+    the contribution product and the float32 cast — Lucene's query-time
+    term boost (`term^2` syntax, BoostQuery semantics).  Folding into
+    qtfp (not an outermost multiply) pins the float64 association to
+    (idf·tfp)·(qtfp·boost), the SAME order wand._segment_topic_topk
+    computes with its scalar qtf_part·boost — so the WAND fast path
+    stays BIT-identical to this oracle path for boosted queries too.
 
     Plan note: `matched` (which embeds the tokens lineage) feeds both
     the term_df aggregation and the contribution join, so an UNCACHED
@@ -160,9 +162,9 @@ def _contributions_bm25(
     knorm = F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.lit(float(avgdl)))
     tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + F.lit(k1) * knorm)
     qtfp = (F.lit(k3 + 1.0) * F.col("qtf")) / (F.lit(k3) + F.col("qtf"))
-    contrib = idf * tfp * qtfp
     if "boost" in qterms.columns:
-        contrib = contrib * F.col("boost").cast("double")
+        qtfp = qtfp * F.col("boost").cast("double")
+    contrib = idf * tfp * qtfp
     return joined.select(
         "topic_id",
         "doc_id",
@@ -418,6 +420,7 @@ def ltr_features(
     qterms: DataFrame,
     params: BM25Params | None = None,
     candidates: DataFrame | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """Learning-to-rank feature export — the training-data side of a
     ranking pipeline (LETOR/MSLR feature tables; Lucene's LTR contrib
@@ -448,13 +451,21 @@ def ltr_features(
     full-corpus serving score (no train/serve skew, no candidate-local
     statistics), so a cascade's stage-2 model sees exactly the numbers
     stage 1 ranked with.  Only the per-doc feature agg shrinks (match
-    set → topics*N rows)."""
+    set → topics*N rows).
+
+    ``term_df`` (optional (term, df) DataFrame) overrides the internal
+    df aggregation — the index-backed cascade passes Σ block posting
+    counts from posting METADATA, so `tokens` may already be a
+    candidate-restricted slice without corrupting idf.  The override
+    must be the exact corpus df (each posting is one unique
+    (doc, term), so the metadata sum qualifies bit-for-bit)."""
     params = params or BM25Params()
     k1, k3, b = params.k1, params.k3, params.b
     matched = tokens.join(
         F.broadcast(qterms.select("term").distinct()), "term", "inner"
     )
-    term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
+    if term_df is None:
+        term_df = matched.groupBy("term").agg(F.count("*").alias("df"))
     joined = matched.join(F.broadcast(qterms), "term", "inner").join(
         F.broadcast(term_df), "term", "inner"
     )
@@ -918,6 +929,70 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     scores = u.groupBy("topic_id", "doc_id").agg(F.sum("part").alias("score"))
+    return topk(scores, k)
+
+
+def comb_fuse(
+    rankings: Sequence[DataFrame],
+    weights: Sequence[float] | None = None,
+    norm: str = "minmax",
+    mnz: bool = False,
+    k: int = 1000,
+) -> DataFrame:
+    """CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2) — the
+    score-calibrated complement to rrf_fuse: each run's scores are
+    min-max normalized to [0, 1] PER (topic, run), then summed with
+    optional per-run weights; CombMNZ (mnz=True) multiplies the sum by
+    the number of runs that returned the doc, rewarding consensus.
+
+    Each input: (topic_id, doc_id, score) — a top-k page, not a corpus
+    ranking.  norm='minmax' maps a constant-score run to 1.0 (a
+    degenerate one-score page still votes); norm='none' trusts raw
+    scores (only meaningful for runs on a shared scale).  The fused
+    score is double arithmetic over the runs' (float32-exact) scores,
+    rounded to 6 decimals to pin the cross-engine value.
+
+    Scale: inputs are top-k lists (k rows per topic), so the per-topic
+    min/max windows and the fusion agg are broadcast-sized regardless
+    of corpus size — same shape as rrf_fuse."""
+    if norm not in ("minmax", "none"):
+        raise ValueError(f"unknown norm: {norm!r}")
+    ws = [float(w) for w in weights] if weights is not None else [1.0] * len(
+        rankings
+    )
+    if len(ws) != len(rankings):
+        raise ValueError("weights must match rankings 1:1")
+    parts = []
+    for r, w in zip(rankings, ws):
+        s = r.select(
+            "topic_id", "doc_id", F.col("score").cast("double").alias("s")
+        )
+        if norm == "minmax":
+            wnd = Window.partitionBy("topic_id")
+            mn, mx = F.min("s").over(wnd), F.max("s").over(wnd)
+            ns = F.when(mx == mn, F.lit(1.0)).otherwise(
+                (F.col("s") - mn) / (mx - mn)
+            )
+        else:
+            ns = F.col("s")
+        parts.append(
+            s.select(
+                "topic_id", "doc_id", (F.lit(w) * ns).alias("part")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("topic_id", "doc_id").agg(
+        F.sum("part").alias("s"), F.count("*").alias("nz")
+    )
+    scores = agg.select(
+        "topic_id",
+        "doc_id",
+        F.round(
+            F.col("s") * (F.col("nz") if mnz else F.lit(1)).cast("double"), 6
+        ).alias("score"),
+    )
     return topk(scores, k)
 
 

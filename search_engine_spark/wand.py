@@ -187,13 +187,27 @@ def _segment_topic_topk(
     if tombstones is not None and len(tombstones[0]) == 0:
         tombstones = None
     active = []  # (term_pos, idf, qtfp, ub, blocks)
-    for term, qtf, term_pos in topic_terms:
+    all_boosts_pos = True
+    for item in topic_terms:
+        term, qtf, term_pos = item[0], item[1], item[2]
+        # query-time term boost (search_bm25 boosted=True): folds into
+        # the query-term factor, so every downstream use — θ bootstrap,
+        # block upper bounds, exact contributions — scales with it in
+        # ONE place.  (idf·tfp)·(qtfp·boost) is the association the
+        # oracle path pins (query._contributions_bm25), so boosted
+        # scores stay bit-identical.  Bounds stay sound for boost > 0:
+        # both the bound and the contribution scale by the same factor
+        # (the pack-time one-ulp nudge's 2^-24 headroom dwarfs the one
+        # extra float64 rounding).
+        boost = float(item[3]) if len(item) > 3 else 1.0
+        if boost <= 0.0:
+            all_boosts_pos = False
         blocks = term_blocks.get(term)
         if not blocks:
             continue
         df = df_map[term] if df_map is not None else blocks[0]["df"]
         idf = math.log((n_docs - df + 0.5) / (df + 0.5))
-        qtfp = _qtf_part(qtf, p)
+        qtfp = _qtf_part(qtf, p) * boost
         if live_bounds:
             bmax = max(_maxtf_bound(b["max_tf"], idf, p) for b in blocks)
         else:
@@ -215,7 +229,11 @@ def _segment_topic_topk(
     # score exhaustively — exactly what the reference always does
     # (BM25Scorer.cs:34-66), so this is never worse than parity.
     theta = -np.inf
-    boot = active if (allow_prune and all(a[1] > 0 for a in active)) else []
+    # non-positive boosts flip/zero contribution signs exactly like
+    # negative idf — same soundness gate, same exhaustive fallback
+    boot = active if (
+        allow_prune and all_boosts_pos and all(a[1] > 0 for a in active)
+    ) else []
     if boot:
         champ = max(boot, key=lambda a: a[3])
         term_pos, idf, qtfp, _, blocks = champ
@@ -312,12 +330,21 @@ def search_bm25(
     k: int = 1000,
     params: BM25Params | None = None,
     prune_accumulator=None,
+    boosted: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over a load_index() result via block-max WAND.
 
     Returns (topic_id, rank, doc_id, score) — rank-identical (incl.
     float32 scores) to query.score_bm25's oracle path and the pure-
     Python oracle.
+
+    `boosted=True` parses Lucene `term^2.5` query-time boosts
+    (query.parse_boost_syntax — the same driver-side parse the oracle
+    path uses) and folds each boost into the term's query factor; block
+    bounds scale with it, so positive boosts RIDE THE PRUNED FAST PATH
+    (a non-positive boost falls back to exhaustive scoring via the
+    soundness gate, like negative idf).  Bit-identical to
+    query.score_bm25 over parse_boosted_query.
 
     `prune_accumulator`: an optional SparkContext accumulator; each task
     adds the number of posting blocks interval-pruning skipped.  After
@@ -345,14 +372,24 @@ def search_bm25(
         allow_prune = p == index["params"]
     live_bounds = live and allow_prune
 
-    topics: list[tuple[int, list[tuple[str, int, int]]]] = []
+    topics: list[tuple[int, list[tuple]]] = []
     all_terms: set[str] = set()
     for topic_id, text in queries:
-        terms = [
-            (t, qtf, pos) for pos, (t, qtf) in enumerate(tokenize_query(text, cfg))
-        ]
+        if boosted:
+            from .query import parse_boost_syntax
+
+            tlist, boosts = parse_boost_syntax(text, cfg)
+            terms: list[tuple] = [
+                (t, qtf, pos, boosts.get(t, 1.0))
+                for pos, (t, qtf) in enumerate(tlist)
+            ]
+        else:
+            terms = [
+                (t, qtf, pos)
+                for pos, (t, qtf) in enumerate(tokenize_query(text, cfg))
+            ]
         topics.append((int(topic_id), terms))
-        all_terms.update(t for t, _, _ in terms)
+        all_terms.update(t[0] for t in terms)
     if not all_terms:
         spark = index["postings"].sparkSession
         return spark.createDataFrame(
@@ -539,13 +576,18 @@ def search_rerank_cascade(
     feature is the identical float32 fold WAND ranks with, so stage-2
     features are bit-for-bit the stage-1 scores (no train/serve skew).
 
-    Scale shape: stage 1 is the block-max WAND pass; stage 2 re-reads
-    only the bucket-pruned, term-IN-filtered posting slice (<=|query|
-    term lists, the same parquet row groups stage 1 touched — typically
-    page-cached), decodes it with the Arrow codec, and aggregates
-    features for the topics×n_retrieve candidate page only (broadcast
-    semi-join before the agg).  Rerank cost tracks the page size, not
-    the corpus.
+    Scale shape: stage 1 is the block-max WAND pass.  Stage 2's costs
+    track the PAGE, not the matched slice: term df comes from posting
+    METADATA (Σ block counts — the encoded bytes are never read for
+    it), and the feature decode visits only blocks whose
+    [first_doc_id, last_doc_id] range contains a candidate doc
+    (searchsorted against the sorted page ids — a hot term's
+    corpus-length posting list contributes at most ~|page| decoded
+    blocks, the rest skip without touching the varint bytes).  The
+    candidate page itself is coordinator-held by definition
+    (topics × n_retrieve rows — the same object a scatter-gather
+    serving tier materializes), shipped to decode tasks via closure or
+    broadcast by the topic-batch economics above.
 
     Live indexes are refused: a live slice spans base+delta epochs where
     upserted docs appear in several segments and tombstones are masked
@@ -556,26 +598,123 @@ def search_rerank_cascade(
             "search_rerank_cascade serves base/compacted snapshots; "
             "run maintenance.compact_index on the live index first"
         )
-    from .postings import postings_to_tokens
     from .query import linear_score, ltr_features, queries_to_df, topk as qtopk
 
+    spark = index["postings"].sparkSession
     p = params or index["params"]
     cfg: AnalyzerConfig = index["analyzer"]
-    stage1 = search_bm25(index, queries, k=n_retrieve, params=p)
-    qdf = queries_to_df(index["postings"].sparkSession, queries, cfg)
+    qdf = queries_to_df(spark, queries, cfg)
     all_terms = {r.term for r in qdf.select("term").distinct().collect()}
+    empty = spark.createDataFrame(
+        [], schema="topic_id int, rank int, doc_id long, score float"
+    )
     if not all_terms:
-        spark = index["postings"].sparkSession
-        return spark.createDataFrame(
-            [], schema="topic_id int, rank int, doc_id long, score float"
-        )
-    tokens_slice = postings_to_tokens(_matched_postings(index, all_terms))
+        return empty
+    # one stage-1 action: the page feeds BOTH the per-topic candidate
+    # semi-join and the block-range pruning of the feature decode
+    page = search_bm25(index, queries, k=n_retrieve, params=p).select(
+        "topic_id", "doc_id"
+    ).collect()
+    if not page:
+        return empty
+    cand_df = spark.createDataFrame(
+        [(r.topic_id, r.doc_id) for r in page],
+        schema="topic_id int, doc_id long",
+    )
+    cand_ids = np.unique(np.fromiter(
+        (r.doc_id for r in page), dtype=np.int64, count=len(page)
+    ))
+    matched = _matched_postings(index, all_terms)
+    term_df = matched.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
     feats = ltr_features(
-        tokens_slice,
+        _decode_candidate_tokens(matched, cand_ids),
         index["n_docs"],
         index["avg_doc_len"],
         qdf,
         p,
-        candidates=stage1.select("topic_id", "doc_id"),
+        candidates=cand_df,
+        term_df=term_df,
     )
     return qtopk(linear_score(feats, weights), k)
+
+
+_CAND_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+    ]
+)
+
+
+def _decode_candidate_tokens(matched: DataFrame, cand_ids) -> DataFrame:
+    """(doc_id, term, tf, doc_len) for CANDIDATE docs only, from posting
+    blocks: a block whose [first_doc_id, last_doc_id] contains no
+    candidate id is skipped WITHOUT decoding its varint bytes
+    (searchsorted range test on the sorted id array), surviving blocks
+    decode vectorized and mask to candidates.  Output ≈ |page| × query
+    terms rows — the candidate-restricted twin of
+    postings.postings_to_tokens, shaped for ltr_features input."""
+    spark = matched.sparkSession
+    bc = (
+        spark.sparkContext.broadcast(cand_ids)
+        if len(cand_ids) > 65536
+        else None
+    )
+    closure = None if bc is not None else cand_ids
+
+    def _dec(batches):
+        import pyarrow as pa
+
+        cands = bc.value if bc is not None else closure
+        for batch in batches:
+            rows = batch.to_pylist()
+            ids_out, terms_out, tfs_out, dls_out = [], [], [], []
+            for row in rows:
+                lo = int(np.searchsorted(cands, row["first_doc_id"]))
+                hi = int(
+                    np.searchsorted(cands, row["last_doc_id"], side="right")
+                )
+                if lo == hi:  # no candidate falls in this block's range
+                    continue
+                d, t, l = decode_block(row)
+                keep = _in_sorted(cands, d)
+                if not keep.any():
+                    continue
+                ids_out.append(d[keep])
+                terms_out.extend([row["term"]] * int(keep.sum()))
+                tfs_out.append(t[keep])
+                dls_out.append(l[keep])
+            if ids_out:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(ids_out), pa.int64()),
+                        pa.array(terms_out, pa.string()),
+                        pa.array(
+                            np.concatenate(tfs_out).astype(np.int32),
+                            pa.int32(),
+                        ),
+                        pa.array(
+                            np.concatenate(dls_out).astype(np.int32),
+                            pa.int32(),
+                        ),
+                    ],
+                    names=["doc_id", "term", "tf", "doc_len"],
+                )
+
+    # coarse range predicate first: pushed to the parquet scan, it
+    # prunes whole row groups via first/last_doc_id min-max stats before
+    # the exact per-block searchsorted test runs in Python
+    out = matched.filter(
+        (F.col("last_doc_id") >= int(cand_ids[0]))
+        & (F.col("first_doc_id") <= int(cand_ids[-1]))
+    ).select(
+        "term", "n", "first_doc_id", "last_doc_id",
+        "doc_ids_enc", "tfs_enc", "doc_lens_enc",
+    ).mapInArrow(_dec, schema=_CAND_TOKENS_SCHEMA)
+    if bc is not None:
+        import weakref
+
+        weakref.finalize(out, bc.unpersist, False)
+    return out

@@ -270,3 +270,55 @@ def test_prox_alpha_zero_is_plain_bm25(spark, prox_corpus):
         (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
     )
     assert key(prox) == key(plain)
+
+
+def _mk_run(spark, rows):
+    return spark.createDataFrame(
+        rows, "topic_id int, doc_id long, score double"
+    )
+
+
+def test_comb_fuse_matches_manual(spark):
+    r1 = _mk_run(spark, [(1, 10, 8.0), (1, 11, 4.0), (1, 12, 2.0),
+                         (2, 20, 1.0)])
+    r2 = _mk_run(spark, [(1, 11, 0.9), (1, 13, 0.3), (2, 20, 0.5),
+                         (2, 21, 0.1)])
+
+    def norm(rows):
+        by_t = {}
+        for t, d, s in rows:
+            by_t.setdefault(t, []).append(s)
+        out = {}
+        for t, d, s in rows:
+            lo, hi = min(by_t[t]), max(by_t[t])
+            out[(t, d)] = 1.0 if hi == lo else (s - lo) / (hi - lo)
+        return out
+
+    n1, n2 = norm([(1, 10, 8.0), (1, 11, 4.0), (1, 12, 2.0), (2, 20, 1.0)]), \
+        norm([(1, 11, 0.9), (1, 13, 0.3), (2, 20, 0.5), (2, 21, 0.1)])
+    want = {}
+    for key in set(n1) | set(n2):
+        parts = [m[key] for m in (n1, n2) if key in m]
+        want[key] = round(sum(parts) * len(parts), 6)  # CombMNZ
+
+    got = {(r.topic_id, r.doc_id): r.score
+           for r in Q.comb_fuse([r1, r2], mnz=True, k=10).collect()}
+    assert got == want
+    # constant-score runs normalize to 1.0 (topic 2: one-row page in r1,
+    # and doc 20 tops r2's page) -> CombMNZ (1+1)*2
+    assert got[(2, 20)] == 4.0
+
+
+def test_comb_fuse_combsum_weights_and_validation(spark):
+    r1 = _mk_run(spark, [(1, 10, 2.0), (1, 11, 1.0)])
+    r2 = _mk_run(spark, [(1, 10, 5.0), (1, 12, 5.0)])
+    got = {r.doc_id: r.score
+           for r in Q.comb_fuse([r1, r2], weights=[2.0, 1.0],
+                                mnz=False, k=10).collect()}
+    # r1 norm: 10 -> 1.0, 11 -> 0.0; r2 constant -> both 1.0
+    assert got == {10: round(2.0 * 1.0 + 1.0, 6),
+                   11: 0.0, 12: 1.0}
+    with pytest.raises(ValueError, match="norm"):
+        Q.comb_fuse([r1], norm="zscore")
+    with pytest.raises(ValueError, match="weights"):
+        Q.comb_fuse([r1, r2], weights=[1.0])

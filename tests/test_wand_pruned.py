@@ -81,3 +81,50 @@ def test_pruned_docs_are_provably_hopeless(spark, pruned_index):
         .collect()[0]["score"]
     )
     assert best_qqa < kth
+
+
+def test_boosted_wand_prunes_and_matches_oracle(spark, pruned_index):
+    """Positive `term^boost` boosts must RIDE the pruned fast path
+    (bounds scale with the boost) and stay bit-identical to the
+    tokens-path boosted scorer."""
+    idx, corpus = pruned_index
+    qtext = "qqa^2.5 qqc^0.5"
+    acc = spark.sparkContext.accumulator(0)
+    res = W.search_bm25(
+        idx, [(1, qtext)], k=TOPK, prune_accumulator=acc, boosted=True
+    )
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()]
+    assert acc.value > 0, "boosted query fell off the pruned branch"
+
+    tokens = B.analyze_tokens(corpus, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(corpus, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.parse_boosted_query(spark, [(1, qtext)], SQL_CFG)
+    ref = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+    )
+    want = [(r["rank"], r["doc_id"], r["score"]) for r in ref.collect()]
+    assert got == want and got
+
+
+def test_boosted_wand_zero_boost_exact_via_exhaustive(spark, pruned_index):
+    """A non-positive boost trips the soundness gate (no pruning) but
+    the answer still matches the oracle path bit for bit."""
+    idx, corpus = pruned_index
+    qtext = "qqa^0.0 qqc"
+    acc = spark.sparkContext.accumulator(0)
+    res = W.search_bm25(
+        idx, [(1, qtext)], k=TOPK, prune_accumulator=acc, boosted=True
+    )
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()]
+    assert acc.value == 0  # gate forced exhaustive scoring
+
+    tokens = B.analyze_tokens(corpus, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(corpus, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.parse_boosted_query(spark, [(1, qtext)], SQL_CFG)
+    ref = Q.score_bm25(
+        tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
+    )
+    want = [(r["rank"], r["doc_id"], r["score"]) for r in ref.collect()]
+    assert got == want and got

@@ -121,10 +121,17 @@ def main() -> int:
 
     from search_engine_spark.wand import search_rerank_cascade
 
+    # stage 1 is an action inside the call (the page is coordinator-held
+    # by design), so the returned plan is stage 2: the feature decode
+    # over the pruned posting slice
     p = plan_of(search_rerank_cascade(
         index, [(1, "merge index")], {"bm25": 1.0}, n_retrieve=20, k=5))
-    check("index cascade: term filter pushed into BOTH stage scans",
-          p.count("PushedFilters: [In(term") >= 2)
+    check("index cascade: stage-2 term IN-filter pushed to posting scan",
+          "In(term" in p)
+    check("index cascade: candidate block-range filter pushed "
+          "(first/last_doc_id min-max prunes row groups)",
+          "LessThanOrEqual(first_doc_id" in p
+          and "GreaterThanOrEqual(last_doc_id" in p)
     check("index cascade: candidate page broadcast semi-join, no cartesian",
           "LeftSemi" in p and "BroadcastHashJoin" in p
           and "CartesianProduct" not in p)

@@ -1,0 +1,127 @@
+"""Scale probe for the index-backed serving cascade
+(wand.search_rerank_cascade) on the realistic dictionary.
+
+What it pins: the rerank stage's price relative to the WAND retrieval it
+rides on, and whether both stay shuffle/CPU-bound (scaling) rather than
+fixed-cost-bound at a 200-topic batch — the throughput regime round 3
+established for the WAND instrument (small batches measure session
+overhead, not the engine).
+
+Protocol: ONE shared index (both ops are read-only) built once at
+local[16]; then interleaved draws (default 4,16,16,4) each timing
+
+  * wand_topk  — search_bm25, 200 topics (1 hot + 2 tail terms each),
+    k=100: the stage-1 baseline.
+  * cascade    — search_rerank_cascade, same topics, n_retrieve=100,
+    k=10: stage 1 + posting-decoded LTR features for the 200x100
+    candidate page + linear rerank.
+
+Report: per-op min per config, 4->16 efficiency, and the cascade/wand
+ratio at each config (the rerank premium).
+
+Usage: python tools/measure_cascade_scaling.py [n_docs] [draws]
+Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+N_TOPICS = 200
+TOPICS = [
+    (i, f"hot{i % 10} t{1000 + 7 * i} t{50000 + 13 * i}")
+    for i in range(N_TOPICS)
+]
+WEIGHTS = {"bm25": 1.0, "n_matched": 0.3, "doc_len": -0.0005, "max_tf": 0.05}
+
+
+def one_draw(sp, idx_dir: str) -> dict:
+    from search_engine_spark import postings as P, wand as W
+
+    idx = P.load_index(sp, idx_dir)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    t["n_wand"] = W.search_bm25(idx, TOPICS, k=100).count()
+    t["wand_topk"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_cascade"] = W.search_rerank_cascade(
+        idx, TOPICS, WEIGHTS, n_retrieve=100, k=10
+    ).count()
+    t["cascade"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark import postings as P
+    from search_engine_spark.config import BM25Params, IndexBuildConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="cascade_scale_")
+    idx_dir = f"{tmp}/idx"
+    s = get_spark("cascade_prep", master="local[16]", shuffle_partitions=32)
+    docs = realistic_docs_df(s, N_DOCS, vocab=VOCAB)
+    t0 = time.perf_counter()
+    P.build_index(docs, idx_dir, IndexBuildConfig(), BM25Params(),
+                  doc_id_col="doc_id", content_col="text")
+    build_s = round(time.perf_counter() - t0, 2)
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"cascade_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(one_draw(sp, idx_dir))
+        sp.stop()
+
+    ops = ("wand_topk", "cascade")
+    results = {
+        key: {"sec_min": {op: min(d[op] for d in draws) for op in ops},
+              "draws": draws}
+        for key, draws in raw.items()
+    }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(results[lo]["sec_min"][op]
+                  / (results[hi]["sec_min"][op] * ratio), 3)
+        for op in ops
+    }
+    premium = {
+        key: round(results[key]["sec_min"]["cascade"]
+                   / results[key]["sec_min"]["wand_topk"], 2)
+        for key in keys
+    }
+    print(json.dumps({
+        "probe": "cascade_scaling",
+        "n_docs": N_DOCS,
+        "n_topics": N_TOPICS,
+        "n_retrieve": 100,
+        "build_s_local16": build_s,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+        "cascade_over_wand": premium,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
