@@ -769,6 +769,68 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
 """
 
 
+DECAY_SCALE = 200.0
+DECAY = 0.5
+
+
+def q_decay_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score decay re-scoring (query.function_score_decay):
+    the BM25 top-50 page multiplied by a gauss decay over n_chars
+    (origin 0 — shorter docs boosted; the code-search recency-boost
+    shape with n_chars standing in for a timestamp).  The decay factor
+    is exp() of a bit-exact double product in both engines (the
+    ln(decay)/scale² constant ships via the frexp literal), and the
+    combined score rounds to 6 decimals."""
+    tokens = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    lex = Q.score_bm25(tokens, n, avgdl, qdf, k=RRF_DEPTH)
+    res = Q.function_score_decay(
+        lex.select("topic_id", "doc_id", "score"),
+        docs,
+        "n_chars",
+        origin=0.0,
+        scale=DECAY_SCALE,
+        decay=DECAY,
+        mode="gauss",
+        k=TOPK,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_decay_rescore() -> str:
+    import math
+
+    c = _sql_double(math.log(DECAY) / (DECAY_SCALE * DECAY_SCALE))
+    ctes = _sql_bm25_ctes()
+    return f"""
+WITH {ctes},
+page AS (
+  SELECT doc_id, CAST(score AS DOUBLE) AS s FROM ranked
+  WHERE rank <= {RRF_DEPTH}
+),
+rescored AS (
+  SELECT p.doc_id,
+         round(p.s * exp(
+           (greatest(0.0, abs(CAST(d.n_chars AS DOUBLE) - 0.0) - 0.0))
+           * (greatest(0.0, abs(CAST(d.n_chars AS DOUBLE) - 0.0) - 0.0))
+           * ({c})
+         ), 6) AS score
+  FROM page p JOIN documents d ON d.doc_id = p.doc_id
+),
+final AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM rescored
+)
+SELECT rank, doc_id, score FROM final WHERE rank <= {TOPK}
+"""
+
+
 MLT_SEEDS = (3, 11)
 MLT_TERMS = 8
 
@@ -1828,6 +1890,41 @@ def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ptoks = positional_tokens(docs, SQL_CFG, "doc_id", "text")
     return proximity_match(ptoks, PHRASE[0], PHRASE[1], PROX_WINDOW)
+
+
+SPAN_TERMS = ("customer", "join", "merge")
+SPAN_SLOP = 6
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-term sloppy phrase (positional.span_near — Lucene
+    SpanNearQuery in_order): strictly increasing positions whose total
+    in-between gap <= slop; counts satisfying tuples + tightest width.
+    slop=0 == exact phrase (pytest-gated against phrase_match)."""
+    from .positional import positional_tokens, span_near
+
+    docs = _docs(spark, sf_dir)
+    ptoks = positional_tokens(docs, SQL_CFG, "doc_id", "text")
+    return span_near(ptoks, list(SPAN_TERMS), slop=SPAN_SLOP)
+
+
+def _sql_span_near() -> str:
+    a, b, c = SPAN_TERMS
+    n = len(SPAN_TERMS)
+    return f"""
+WITH {_sql_ptok_cte()},
+sp AS (
+  SELECT a.doc_id, (c.pos - a.pos - {n - 1}) AS w
+  FROM ptok a
+  JOIN ptok b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  JOIN ptok c ON c.doc_id = a.doc_id AND c.pos > b.pos
+  WHERE a.term = '{a}' AND b.term = '{b}' AND c.term = '{c}'
+    AND (c.pos - a.pos - {n - 1}) <= {SPAN_SLOP}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(w) AS BIGINT) AS min_width
+FROM sp GROUP BY doc_id
+"""
 
 
 PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream
@@ -8683,6 +8780,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_rerank": q_ltr_rerank,
         "bm25_boosted_topk": q_bm25_boosted_topk,
         "hybrid_comb_topk": q_hybrid_comb_topk,
+        "decay_rescore_topk": q_decay_rescore_topk,
+        "span_near": q_span_near,
         "ltr_cascade_topk": q_ltr_cascade_topk,
         "bm25_wand_boosted": q_bm25_wand_boosted,
         "ltr_cascade_index_topk": q_ltr_cascade_index_topk,
@@ -8875,6 +8974,8 @@ def duckdb_oracles() -> dict[str, str]:
             query_text=BOOSTED_QUERY_TEXT, boosted=True
         ),
         "hybrid_comb_topk": _sql_hybrid_comb(),
+        "decay_rescore_topk": _sql_decay_rescore(),
+        "span_near": _sql_span_near(),
         "search_after": _sql_search_after(),
         "significant_terms": _sql_significant_terms(),
         "diff_numstat": _sql_diff_numstat(),

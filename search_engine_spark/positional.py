@@ -435,3 +435,50 @@ def proximity_match(
         F.count("*").cast("long").alias("n_pairs"),
         F.min("dist").cast("long").alias("min_dist"),
     )
+
+
+def span_near(
+    ptokens: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    count_col: str = "n_matches",
+) -> DataFrame:
+    """(doc_id, n_matches, min_width) — ordered multi-term sloppy
+    phrase, the Lucene SpanNearQuery(in_order=true) shape: positions
+    p1 < p2 < ... < pn (strictly increasing — repeated query terms
+    naturally demand distinct occurrences) with total in-between gap
+    (pn - p1) - (n - 1) <= slop.  slop=0 degenerates to the exact
+    phrase (pytest-gated against phrase_match's doc set); NEAR/k of two
+    terms is proximity_match (which also offers the unordered form).
+
+    n_matches counts satisfying position tuples; min_width is the
+    tightest span's gap (0 = consecutive).
+
+    Scale: each slot is a single-term position stream (term == pruned
+    at the scan / posting lookup), chained through n-1 doc_id-keyed
+    equi-joins whose fan-out is the doc's tf product BEFORE the slop
+    filter — proportional to the true tuple count for selective slops,
+    the same contract as proximity_match; corpus size never enters."""
+    if len(terms) < 2:
+        raise ValueError("span_near needs >= 2 terms")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    joined = ptokens.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = ptokens.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        joined = joined.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") > F.col(f"p{i - 1}")
+        )
+    n = len(terms)
+    width = F.col(f"p{n - 1}") - F.col("p0") - F.lit(n - 1)
+    spans = joined.filter(width <= slop).select(
+        "doc_id", width.alias("w")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias(count_col),
+        F.min("w").cast("long").alias("min_width"),
+    )

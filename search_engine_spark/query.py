@@ -996,6 +996,79 @@ def comb_fuse(
     return topk(scores, k)
 
 
+def function_score_decay(
+    ranked: DataFrame,
+    fields: DataFrame,
+    field_col: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    mode: str = "gauss",
+    k: int = 1000,
+) -> DataFrame:
+    """ES function_score decay re-scoring: multiply each hit's relevance
+    score by a distance decay over a numeric doc field (recency,
+    size, …) — `gauss` / `exp` / `linear` with ES's parameterization
+    (the curve passes through `decay` at distance `origin ± scale`,
+    distances inside `offset` score 1.0):
+
+        d       = max(0, |field - origin| - offset)
+        gauss   = exp(-d² · ln(decay) / scale²)      [sign folded: decay<1]
+        exp     = exp(d · ln(decay) / scale)
+        linear  = max(0, (1 - d·(1-decay)/scale))
+
+    Input `ranked`: a top-k page (topic_id, doc_id, score); `fields`:
+    (doc_id, field_col).  A doc missing from `fields` keeps factor 1.0
+    (ES's missing-value behavior needs an explicit `missing`; we default
+    to neutral).  The combined score is double arithmetic rounded to 6
+    decimals (cross-engine pin) and the page is re-ranked.
+
+    Scale: the page is broadcast-sized; the corpus-sized field table is
+    first cut to the page (page ids broadcast into a semi-join at the
+    field scan), then the page-sized slice broadcasts back into the
+    LEFT join — the corpus side never shuffles and the final window is
+    page-sized."""
+    if mode not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay mode: {mode!r}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if scale <= 0:
+        raise ValueError("scale must be > 0")
+    import math as _math
+
+    ln_d = _math.log(decay)
+    fv = F.col("_fv").cast("double")
+    d = F.greatest(
+        F.lit(0.0), F.abs(fv - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if mode == "gauss":
+        factor = F.exp(d * d * F.lit(ln_d / (scale * scale)))
+    elif mode == "exp":
+        factor = F.exp(d * F.lit(ln_d / scale))
+    else:
+        factor = F.greatest(
+            F.lit(0.0), F.lit(1.0) - d * F.lit((1.0 - decay) / scale)
+        )
+    page = ranked.select(
+        "topic_id", "doc_id", F.col("score").cast("double").alias("s")
+    )
+    fslice = fields.select("doc_id", F.col(field_col).alias("_fv")).join(
+        F.broadcast(page.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    joined = page.join(F.broadcast(fslice), "doc_id", "left")
+    scored = joined.select(
+        "topic_id",
+        "doc_id",
+        F.round(
+            F.col("s") * F.when(F.col("_fv").isNull(), F.lit(1.0))
+            .otherwise(factor),
+            6,
+        ).alias("score"),
+    )
+    return topk(scored, k)
+
+
 def collapse_topk(
     ranked: DataFrame,
     groups: DataFrame,

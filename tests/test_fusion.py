@@ -322,3 +322,41 @@ def test_comb_fuse_combsum_weights_and_validation(spark):
         Q.comb_fuse([r1], norm="zscore")
     with pytest.raises(ValueError, match="weights"):
         Q.comb_fuse([r1, r2], weights=[1.0])
+
+
+def test_function_score_decay_modes_and_missing(spark):
+    page = _mk_run(spark, [(1, 10, 2.0), (1, 11, 2.0), (1, 12, 1.0)])
+    fields = spark.createDataFrame(
+        [(10, 5.0), (11, 25.0)], "doc_id long, ts double"
+    )  # doc 12 has no field value -> neutral 1.0
+    got = {r.doc_id: r.score for r in Q.function_score_decay(
+        page, fields, "ts", origin=5.0, scale=10.0, decay=0.5,
+        mode="gauss", k=10).collect()}
+    # gauss factor = decay^((d/scale)^2): d=0 -> 1.0; d=20 -> 0.5^4
+    assert got[10] == 2.0 and got[12] == 1.0
+    assert got[11] == round(2.0 * 0.5 ** 4, 6)
+
+    got_exp = {r.doc_id: r.score for r in Q.function_score_decay(
+        page, fields, "ts", origin=5.0, scale=10.0, decay=0.5,
+        mode="exp", k=10).collect()}
+    assert got_exp[11] == round(2.0 * 0.5 ** 2.0, 6)  # decay^(d/scale)
+
+    got_lin = {r.doc_id: r.score for r in Q.function_score_decay(
+        page, fields, "ts", origin=5.0, scale=10.0, decay=0.5,
+        mode="linear", k=10).collect()}
+    assert got_lin[11] == 0.0  # d=20 > scale/(1-decay) -> clamped to 0
+    assert got_lin[10] == 2.0
+
+    # offset: distances inside it score 1.0
+    got_off = {r.doc_id: r.score for r in Q.function_score_decay(
+        page, fields, "ts", origin=5.0, scale=10.0, decay=0.5,
+        offset=30.0, mode="gauss", k=10).collect()}
+    assert got_off == {10: 2.0, 11: 2.0, 12: 1.0}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        Q.function_score_decay(page, fields, "ts", 0.0, 1.0, mode="log")
+    with _pt.raises(ValueError, match="decay"):
+        Q.function_score_decay(page, fields, "ts", 0.0, 1.0, decay=1.5)
+    with _pt.raises(ValueError, match="scale"):
+        Q.function_score_decay(page, fields, "ts", 0.0, 0.0)

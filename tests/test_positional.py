@@ -256,3 +256,48 @@ def test_proximity_rejects_bad_args(spark, prox_docs):
         proximity_match(ptoks, "alpha", "alpha", 3)
     with pytest.raises(ValueError):
         proximity_match(ptoks, "alpha", "beta", 0)
+
+
+def test_span_near_hand_cases(spark):
+    from search_engine_spark.positional import span_near
+
+    texts = [
+        (0, "alpha beta gamma"),          # exact order, width 0
+        (1, "alpha x beta y gamma"),      # gaps total 2
+        (2, "gamma beta alpha"),          # wrong order
+        (3, "alpha beta x x x x gamma"),  # gap 4
+        (4, "alpha gamma beta"),          # b after c -> no ordered tuple
+        (5, "alpha beta gamma alpha beta gamma"),  # multiple tuples
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, content string")
+    ptoks = positional_tokens(df, CFG, "doc_id", "content")
+
+    got = {r.doc_id: (r.n_matches, r.min_width) for r in span_near(
+        ptoks, ["alpha", "beta", "gamma"], slop=0).collect()}
+    assert got == {0: (1, 0), 5: (2, 0)}
+    # doc 5's second tuple: (alpha@3, beta@4, gamma@5); cross tuple
+    # (alpha@0, beta@4, gamma@5) has width 3 -> appears at slop >= 3
+
+    got2 = {r.doc_id: (r.n_matches, r.min_width) for r in span_near(
+        ptoks, ["alpha", "beta", "gamma"], slop=4).collect()}
+    assert got2[1] == (1, 2)
+    assert got2[3] == (1, 4)
+    assert 2 not in got2 and 4 not in got2
+    assert got2[5][0] > 2  # cross-occurrence tuples now count too
+
+    with pytest.raises(ValueError, match=">= 2"):
+        span_near(ptoks, ["alpha"])
+    with pytest.raises(ValueError, match="slop"):
+        span_near(ptoks, ["alpha", "beta"], slop=-1)
+
+
+def test_span_near_slop0_equals_phrase_docs(spark, pdocs):
+    from search_engine_spark.positional import span_near
+
+    _, df = pdocs
+    ptoks = positional_tokens(df, CFG, "doc_id", "content")
+    phr = {r.doc_id: r.n_matches
+           for r in phrase_match(ptoks, ["alpha", "beta"]).collect()}
+    spn = {r.doc_id: r.n_matches
+           for r in span_near(ptoks, ["alpha", "beta"], slop=0).collect()}
+    assert spn == phr and phr
