@@ -372,6 +372,25 @@ def cmd_search(args: argparse.Namespace) -> None:
     # runs TF-IDF, BM25, and BM25-ADPT over the same topics
     # (Program.cs:99-108), one run file per scorer (suffix .<scorer>).
     scorers = ["tfidf", "bm25", "bm25adpt"] if args.scorer == "all" else [args.scorer]
+    if (args.boosted or args.rerank) and scorers != ["bm25"]:
+        raise SystemExit("--boosted/--rerank require --scorer bm25")
+    if args.rerank and (args.path != "wand" or args.live or args.as_of):
+        raise SystemExit(
+            "--rerank runs the index-backed cascade: --path wand, "
+            "base/compacted snapshot only (compact a live index first)"
+        )
+    rerank_weights = None
+    if args.rerank:
+        # "bm25=1.0,n_matched=0.5" -> {feature: coefficient}; typos in
+        # feature names raise inside linear_score, not silently zero
+        try:
+            rerank_weights = {
+                kv.split("=", 1)[0].strip(): float(kv.split("=", 1)[1])
+                for kv in args.rerank.split(",")
+                if kv.strip()
+            }
+        except (IndexError, ValueError):
+            raise SystemExit(f"bad --rerank spec: {args.rerank!r}")
     tokens = qdf = None
 
     def _decoded():
@@ -380,13 +399,25 @@ def cmd_search(args: argparse.Namespace) -> None:
             tokens = postings_to_tokens(index["postings"])
             if len(scorers) > 1:
                 tokens = tokens.persist()
-            qdf = queries_to_df(spark, topics, index["analyzer"])
+            if args.boosted:
+                from .query import parse_boosted_query
+
+                qdf = parse_boosted_query(spark, topics, index["analyzer"])
+            else:
+                qdf = queries_to_df(spark, topics, index["analyzer"])
         return tokens, qdf
 
     outputs = []
     for sc in scorers:
-        if sc == "bm25" and args.path == "wand":
-            res = search_bm25(index, topics, k=args.k)
+        if sc == "bm25" and rerank_weights is not None:
+            from .wand import search_rerank_cascade
+
+            res = search_rerank_cascade(
+                index, topics, rerank_weights,
+                n_retrieve=args.rerank_depth, k=args.k,
+            )
+        elif sc == "bm25" and args.path == "wand":
+            res = search_bm25(index, topics, k=args.k, boosted=args.boosted)
         else:
             toks, q = _decoded()
             if sc == "bm25":
@@ -767,6 +798,17 @@ def main(argv: list[str] | None = None) -> None:
                          "per invocation (Program.cs:99-108)")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
     se.add_argument("--k", type=int, default=1000)
+    se.add_argument("--boosted", action="store_true",
+                    help="parse Lucene term^2.5 query-time boosts "
+                         "(bm25 only; boosts ride the WAND pruned path)")
+    se.add_argument("--rerank", default=None, metavar="W",
+                    help="two-stage serving: comma list of LTR "
+                         "feature=coefficient (e.g. 'bm25=1.0,"
+                         "n_matched=0.5') re-ranks the WAND page "
+                         "(wand.search_rerank_cascade)")
+    se.add_argument("--rerank-depth", type=int, default=100,
+                    dest="rerank_depth",
+                    help="stage-1 candidates per topic for --rerank")
     se.add_argument("--live", action="store_true",
                     help="search base + delta segments with tombstones "
                          "applied (maintenance.live_index)")

@@ -306,6 +306,34 @@ def test_cli_index_and_search(spark, docs_df, tmp_path, capsys):
         tag = f"r3-{o['scorer']}"
         assert all(l.split()[5] == tag for l in open(o["out"]).read().splitlines())
 
+    # --boosted: term^2 boosts ride the WAND path; boost=1 everywhere
+    # is byte-identical to the plain run
+    run_b = str(tmp_path / "run_b.trec")
+    boosted_topics = str(tmp_path / "topics_b.tsv")
+    with open(boosted_topics, "w") as fh:
+        fh.write("1\tmerge^1.0 index\n2\timport return^1.0\n")
+    main(["search", "r1", boosted_topics, index_dir, run_b,
+          "--boosted", "--k", "10"])
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert open(run_b).read() == open(run_path).read()
+
+    # --rerank: the index-backed cascade from the CLI; bm25-only
+    # weights at full depth reproduce the plain ranking's docs
+    run_r = str(tmp_path / "run_r.trec")
+    main(["search", "r1", topics_path, index_dir, run_r,
+          "--rerank", "bm25=1.0", "--rerank-depth", "1000", "--k", "10"])
+    out_r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out_r["results"] > 0
+    docs_plain = [l.split()[:4] for l in open(run_path).read().splitlines()]
+    docs_rr = [l.split()[:4] for l in open(run_r).read().splitlines()]
+    assert docs_rr == docs_plain  # same (topic, Q0, doc, rank) order
+    with pytest.raises(SystemExit, match="--scorer bm25"):
+        main(["search", "rX", topics_path, index_dir, run_r,
+              "--rerank", "bm25=1.0", "--scorer", "tfidf"])
+    with pytest.raises(SystemExit, match="bad --rerank"):
+        main(["search", "rX", topics_path, index_dir, run_r,
+              "--rerank", "bm25:1.0"])
+
     # stats report: logical counts pinned against an independent
     # recomputation, physical payload smaller than the 16B/posting raw
     main(["stats", index_dir, "--top", "3"])
