@@ -313,7 +313,8 @@ def main() -> None:
     # cascade probes carry their scale evidence; 3 reps of a full build
     # would dominate bench wall time)
     for name in ("fsck_report", "trigram_fsck_report",
-                 "bm25_wand_boosted", "ltr_cascade_index_topk"):
+                 "bm25_wand_boosted", "ltr_cascade_index_topk",
+                 "bm25_federated_topk"):
         t_s9.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count(),
                    reps=1)
     extras["query_surface_r4s9s10"] = {"medians": t_s9.medians,

@@ -8601,6 +8601,34 @@ def q_bm25_wand_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-index federation (wand.search_bm25_federated): the corpus
+    split by doc_id parity into two INDEPENDENTLY BUILT indexes,
+    searched as one — global N/avgdl from exact stored totals, global
+    df = Σ member posting counts, members scored under the global stats
+    with stats-free sound bounds, local top-k merged.  Shares
+    bm25_topk's oracle SQL: the hash match proves the federation
+    correction reproduces the pooled-corpus ranking and float32 scores
+    exactly."""
+    from . import postings as P, wand as W
+    from .config import IndexBuildConfig
+
+    docs = _docs(spark, sf_dir)
+    halves = []
+    for i in (0, 1):
+        d = _contract_index_dir(f"fed{i}", sf_dir)
+        P.build_index(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i), d,
+            IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+            doc_id_col="doc_id", content_col="text",
+        )
+        halves.append(P.load_index(spark, d))
+    res = W.search_bm25_federated(halves, [(1, BM25_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def q_ltr_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve-then-rerank (query.rerank_cascade): exact
     BM25 top-{n} page, LTR features computed ONLY for that page
@@ -8785,6 +8813,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_cascade_topk": q_ltr_cascade_topk,
         "bm25_wand_boosted": q_bm25_wand_boosted,
         "ltr_cascade_index_topk": q_ltr_cascade_index_topk,
+        "bm25_federated_topk": q_bm25_federated_topk,
         "search_after": q_search_after,
         "significant_terms": q_significant_terms,
         "percolate_match": q_percolate_match,
@@ -8974,6 +9003,7 @@ def duckdb_oracles() -> dict[str, str]:
             query_text=BOOSTED_QUERY_TEXT, boosted=True
         ),
         "hybrid_comb_topk": _sql_hybrid_comb(),
+        "bm25_federated_topk": _sql_bm25(),
         "decay_rescore_topk": _sql_decay_rescore(),
         "span_near": _sql_span_near(),
         "search_after": _sql_search_after(),

@@ -331,8 +331,17 @@ def search_bm25(
     params: BM25Params | None = None,
     prune_accumulator=None,
     boosted: bool = False,
+    _stats_override: tuple[int, float] | None = None,
+    _df_override: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over a load_index() result via block-max WAND.
+
+    `_stats_override` ((n_docs, avgdl)) and `_df_override` (term -> df)
+    replace this index's collection statistics — the federation hook
+    (search_bm25_federated scores each member index under the GLOBAL
+    stats).  Overridden stats invalidate the stored block bounds, so
+    pruning switches to the stats-free _maxtf_bound exactly like the
+    live path.
 
     Returns (topic_id, rank, doc_id, score) — rank-identical (incl.
     float32 scores) to query.score_bm25's oracle path and the pure-
@@ -354,6 +363,8 @@ def search_bm25(
     p = params or index["params"]
     cfg: AnalyzerConfig = index["analyzer"]
     n_docs, avgdl = index["n_docs"], index["avg_doc_len"]
+    if _stats_override is not None:
+        n_docs, avgdl = int(_stats_override[0]), float(_stats_override[1])
     p_dict = {"k1": p.k1, "k3": p.k3, "b": p.b}
     # stored block_max_score bakes in the BUILD-time k1/b; pruning with
     # different scoring params would treat stale bounds as upper bounds
@@ -366,11 +377,12 @@ def search_bm25(
     # prunes true top-k docs).  Outside that range live search scores
     # exhaustively, matching the non-live fallback's caution.
     live = bool(index.get("live"))
-    if live:
+    overridden = _stats_override is not None or _df_override is not None
+    if live or overridden:
         allow_prune = 0.0 <= p.b <= 1.0 and p.k1 >= 0.0
     else:
         allow_prune = p == index["params"]
-    live_bounds = live and allow_prune
+    live_bounds = (live or overridden) and allow_prune
 
     topics: list[tuple[int, list[tuple]]] = []
     all_terms: set[str] = set()
@@ -400,18 +412,21 @@ def search_bm25(
 
     df_map: dict[str, int] | None = None
     tomb_arr: np.ndarray | None = None
+    if _df_override is not None:
+        df_map = dict(_df_override)
     if live:
         # True live df per query term = Σ block posting counts across all
         # epochs (each posting is one unique (doc, term)) — one tiny agg
         # over the already term-filtered, bucket-pruned scan.  Per Lucene
         # stats semantics, tombstoned docs still count in df/avgdl until
         # compaction (documented in maintenance.py).
-        df_map = {
-            r["term"]: int(r["df_live"])
-            for r in matched.groupBy("term")
-            .agg(F.sum("n").alias("df_live"))
-            .collect()
-        }
+        if df_map is None:  # an explicit _df_override wins (federation)
+            df_map = {
+                r["term"]: int(r["df_live"])
+                for r in matched.groupBy("term")
+                .agg(F.sum("n").alias("df_live"))
+                .collect()
+            }
         # collected once by live_index (not per search); compact_index is
         # the designed response when the set outgrows driver memory —
         # it's the operation that physically removes tombstones.
@@ -718,3 +733,83 @@ def _decode_candidate_tokens(matched: DataFrame, cand_ids) -> DataFrame:
 
         weakref.finalize(out, bc.unpersist, False)
     return out
+
+
+def search_bm25_federated(
+    indexes: Sequence[dict],
+    queries: Sequence[tuple[int, str]],
+    k: int = 1000,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Cross-index federation — one BM25 ranking over several
+    independently built indexes (per-cluster / per-tenant / per-epoch
+    shards that never met at build time), the dfs_query_then_fetch
+    shape one level up from score_bm25_sharded's row shards:
+
+      1. global stats: N = Σ n_docs_i, avgdl = (Σ total_terms_i) / N —
+         both sums over EXACT stored integers, so the division is
+         bit-identical to the pooled corpus's avg(doc_len).
+      2. global df per query term: Σ over members of the term's posting
+         count, read from block METADATA on the bucket-pruned matched
+         slice (one tiny agg per member; encoded bytes never touched).
+      3. each member scores under the GLOBAL stats (_stats_override /
+         _df_override — stored block bounds are stale under foreign
+         stats, so pruning rides the stats-free _maxtf_bound exactly
+         like the live path), returns its local top-k.
+      4. merge: window top-k over Σ|members|·k survivor rows.
+
+    EXACT by the scatter-gather argument: a doc lives in exactly one
+    member (doc_ids must be globally unique — the builder's xxhash64
+    keys are), its score depends only on global stats, and the shared
+    (score desc, doc_id asc) comparator makes local-top-k-then-merge
+    lossless.  Bit-identical to score_bm25 over the pooled corpus
+    (pytest pins it; the contract row shares bm25_topk's oracle SQL).
+
+    Members must share the analyzer; live members are refused (their
+    tombstone/epoch semantics belong to live_index — compact first)."""
+    if not indexes:
+        raise ValueError("no indexes to federate")
+    if any(ix.get("live") for ix in indexes):
+        raise ValueError(
+            "federation serves base/compacted snapshots; "
+            "compact live members first"
+        )
+    cfgs = {repr(ix["analyzer"]) for ix in indexes}
+    if len(cfgs) > 1:
+        raise ValueError("federated members must share one analyzer")
+    p = params or indexes[0]["params"]
+    n_docs = sum(int(ix["n_docs"]) for ix in indexes)
+    total_terms = sum(int(ix["total_terms"]) for ix in indexes)
+    avgdl = total_terms / n_docs if n_docs else 0.0
+
+    cfg: AnalyzerConfig = indexes[0]["analyzer"]
+    all_terms: set[str] = set()
+    for _, text in queries:
+        all_terms.update(t for t, _ in tokenize_query(text, cfg))
+    spark = indexes[0]["postings"].sparkSession
+    if not all_terms:
+        return spark.createDataFrame(
+            [], schema="topic_id int, rank int, doc_id long, score float"
+        )
+    df_map: dict[str, int] = {}
+    for ix in indexes:
+        rows = (
+            _matched_postings(ix, all_terms)
+            .groupBy("term")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["n"])
+
+    parts = [
+        search_bm25(
+            ix, queries, k=k, params=p,
+            _stats_override=(n_docs, avgdl), _df_override=df_map,
+        ).select("topic_id", "doc_id", "score")
+        for ix in indexes
+    ]
+    u = parts[0]
+    for q in parts[1:]:
+        u = u.unionByName(q)
+    return topk(u, k)

@@ -6,6 +6,7 @@ df from posting counts == corpus df, doc_len rides the blocks, and both
 stages share the exact float32 fold."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark import build as B, query as Q, wand as W
 from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
@@ -73,3 +74,43 @@ def test_index_cascade_empty_query(setup):
     idx, *_ = setup
     out = W.search_rerank_cascade(idx, [(9, "")], {"bm25": 1.0})
     assert out.count() == 0
+
+
+def test_federated_equals_pooled_oracle(setup, spark, corpus, tmp_path_factory):
+    """Two independently built half-indexes, federated under global
+    stats, must reproduce the pooled-corpus oracle ranking bit for
+    bit — df and avgdl corrections included."""
+    idx_all, tokens, n, avgdl = setup
+    docs = spark.createDataFrame(corpus).selectExpr(
+        "xxhash64(repo, path, commit) as doc_id", "content as text"
+    )
+    base = tmp_path_factory.mktemp("fed_idx")
+    halves = []
+    for i in range(2):
+        d = str(base / f"h{i}")
+        build_index(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i), d,
+                    IndexBuildConfig(analyzer=CFG), BM25Params(),
+                    doc_id_col="doc_id", content_col="text")
+        halves.append(load_index(spark, d))
+    fed = _rows(W.search_bm25_federated(halves, QUERIES, k=25))
+    pooled = _rows(Q.score_bm25(
+        tokens, n, avgdl,
+        Q.queries_to_df(spark, QUERIES, CFG), k=25))
+    assert fed == pooled and fed
+
+    # degenerate federation of ONE member == plain search (overridden
+    # stats equal the stored ones; only the bounds path differs)
+    solo = _rows(W.search_bm25_federated([idx_all], QUERIES, k=25))
+    plain = _rows(W.search_bm25(idx_all, QUERIES, k=25))
+    assert solo == plain
+
+    live = dict(halves[0])
+    live["live"] = True
+    with pytest.raises(ValueError, match="compact"):
+        W.search_bm25_federated([live, halves[1]], QUERIES)
+    other = dict(halves[1])
+    other["analyzer"] = AnalyzerConfig(do_stemming=True)
+    with pytest.raises(ValueError, match="analyzer"):
+        W.search_bm25_federated([halves[0], other], QUERIES)
+    with pytest.raises(ValueError, match="no indexes"):
+        W.search_bm25_federated([], QUERIES)
