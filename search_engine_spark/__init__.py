@@ -59,12 +59,25 @@ _EXPORTS = {
     "fsck_postings": "fsck:fsck_postings",
     "fsck_ok": "fsck:fsck_ok",
     "search_bm25": "wand:search_bm25",
+    "search_bm25_federated": "wand:search_bm25_federated",
+    "search_rerank_cascade": "wand:search_rerank_cascade",
     "score_bm25": "query:score_bm25",
     "score_bm25_msm": "query:score_bm25_msm",
+    "score_bm25_sharded": "query:score_bm25_sharded",
+    "sharded_topk": "query:sharded_topk",
+    "ltr_features": "query:ltr_features",
+    "ltr_rerank": "query:ltr_rerank",
+    "linear_score": "query:linear_score",
+    "rerank_cascade": "query:rerank_cascade",
+    "parse_boosted_query": "query:parse_boosted_query",
+    "search_after": "query:search_after",
     "score_tfidf": "query:score_tfidf",
     "score_ql": "query:score_ql",
     "score_bm25f": "query:score_bm25f",
     "rrf_fuse": "query:rrf_fuse",
+    "comb_fuse": "query:comb_fuse",
+    "function_score_decay": "query:function_score_decay",
+    "span_near": "positional:span_near",
     "collapse_topk": "query:collapse_topk",
     "boolean_and": "query:boolean_and",
     "score_bm25_prf": "query:score_bm25_prf",

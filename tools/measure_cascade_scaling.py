@@ -38,7 +38,9 @@ DRAWS = [
     int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4").split(",")
 ]
 VOCAB = 200_000
-N_TOPICS = 200
+# round-3 lesson: small batches measure session fixed cost, not the
+# engine — the WAND instrument needed 800 topics to clear the floor
+N_TOPICS = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 TOPICS = [
     (i, f"hot{i % 10} t{1000 + 7 * i} t{50000 + 13 * i}")
     for i in range(N_TOPICS)
