@@ -740,6 +740,7 @@ def search_bm25_federated(
     queries: Sequence[tuple[int, str]],
     k: int = 1000,
     params: BM25Params | None = None,
+    boosted: bool = False,
 ) -> DataFrame:
     """Cross-index federation — one BM25 ranking over several
     independently built indexes (per-cluster / per-tenant / per-epoch
@@ -785,7 +786,13 @@ def search_bm25_federated(
     cfg: AnalyzerConfig = indexes[0]["analyzer"]
     all_terms: set[str] = set()
     for _, text in queries:
-        all_terms.update(t for t, _ in tokenize_query(text, cfg))
+        if boosted:
+            from .query import parse_boost_syntax
+
+            tlist, _ = parse_boost_syntax(text, cfg)
+        else:
+            tlist = tokenize_query(text, cfg)
+        all_terms.update(t for t, _ in tlist)
     spark = indexes[0]["postings"].sparkSession
     if not all_terms:
         return spark.createDataFrame(
@@ -804,7 +811,7 @@ def search_bm25_federated(
 
     parts = [
         search_bm25(
-            ix, queries, k=k, params=p,
+            ix, queries, k=k, params=p, boosted=boosted,
             _stats_override=(n_docs, avgdl), _df_override=df_map,
         ).select("topic_id", "doc_id", "score")
         for ix in indexes

@@ -114,3 +114,24 @@ def test_federated_equals_pooled_oracle(setup, spark, corpus, tmp_path_factory):
         W.search_bm25_federated([halves[0], other], QUERIES)
     with pytest.raises(ValueError, match="no indexes"):
         W.search_bm25_federated([], QUERIES)
+
+
+def test_federated_boosted_matches_pooled(setup, spark, corpus, tmp_path_factory):
+    idx_all, tokens, n, avgdl = setup
+    docs = spark.createDataFrame(corpus).selectExpr(
+        "xxhash64(repo, path, commit) as doc_id", "content as text"
+    )
+    base = tmp_path_factory.mktemp("fedb_idx")
+    halves = []
+    for i in range(2):
+        d = str(base / f"h{i}")
+        build_index(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i), d,
+                    IndexBuildConfig(analyzer=CFG), BM25Params(),
+                    doc_id_col="doc_id", content_col="text")
+        halves.append(load_index(spark, d))
+    btopics = [(1, "shard^2.5 import class"), (2, "def^0.5 self")]
+    fed = _rows(W.search_bm25_federated(halves, btopics, k=25, boosted=True))
+    pooled = _rows(Q.score_bm25(
+        tokens, n, avgdl,
+        Q.parse_boosted_query(spark, btopics, CFG), k=25))
+    assert fed == pooled and fed
