@@ -54,6 +54,11 @@ def one_draw(sp, idx_dir: str) -> dict:
     idx = P.load_index(sp, idx_dir)
     t: dict[str, object] = {}
 
+    # bench.py scaling-probe protocol: a 2-topic warmup job per session
+    # so Python-worker/JVM spin-up (~1.4 s, amortized in a long-lived
+    # serving session) is excluded from the measured batch
+    W.search_bm25(idx, TOPICS[:2], k=100).count()
+
     t0 = time.perf_counter()
     t["n_wand"] = W.search_bm25(idx, TOPICS, k=100).count()
     t["wand_topk"] = round(time.perf_counter() - t0, 2)
@@ -77,8 +82,11 @@ def main() -> None:
     s = get_spark("cascade_prep", master="local[16]", shuffle_partitions=32)
     docs = realistic_docs_df(s, N_DOCS, vocab=VOCAB)
     t0 = time.perf_counter()
-    P.build_index(docs, idx_dir, IndexBuildConfig(), BM25Params(),
-                  doc_id_col="doc_id", content_col="text")
+    # 64 segments (bench.py scaling-probe sizing): larger per-segment
+    # posting lists amortize the per-(segment, topic) kernel overhead —
+    # 256 tiny segments measured ~30% slower queries there
+    P.build_index(docs.repartition(64), idx_dir, IndexBuildConfig(),
+                  BM25Params(), doc_id_col="doc_id", content_col="text")
     build_s = round(time.perf_counter() - t0, 2)
     s.stop()
 
