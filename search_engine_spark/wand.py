@@ -43,7 +43,6 @@ from collections import defaultdict
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .analysis import tokenize_query
