@@ -282,7 +282,8 @@ def main() -> None:
     # --- round-4 session-6: transitive import closure + repo-level
     # ranked search ---
     t_s6 = Timer(REPS)
-    for name in ("import_closure", "impact_count", "repo_topk"):
+    for name in ("import_closure", "impact_count", "repo_topk",
+                 "circular_imports"):
         t_s6.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
     extras["query_surface_r4s6"] = {"medians": t_s6.medians,
                                     "spread": t_s6.spread}

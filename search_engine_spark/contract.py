@@ -5521,6 +5521,36 @@ FROM walk GROUP BY src, dst
 """
 
 
+def q_circular_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-dependency report (ops.codegraph.circular_imports):
+    depth-bounded SCCs over the module graph — mutual reachability
+    within {_CL_DEPTH} hops, scc_id = min member, cycle_size = |SCC|.
+    The oracle runs the identical bounded computation over the
+    recursive closure CTE, so the depth-truncation semantics are
+    pinned, not idealized."""
+    from .ops import codegraph as CGR
+
+    return CGR.circular_imports(
+        _closure_edges(spark, sf_dir), max_depth=_CL_DEPTH
+    )
+
+
+def _sql_circular_imports() -> str:
+    base = _sql_import_closure().strip()
+    # rindex: the walk CTE's seed SELECT also starts "SELECT src, dst,"
+    head = base[: base.rindex("SELECT src, dst,")].rstrip()
+    return f"""{head},
+c AS (SELECT DISTINCT src, dst FROM walk),
+mutual AS (
+  SELECT a.src AS module, a.dst AS peer
+  FROM c a JOIN c b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT module, MIN(peer) AS scc_id,
+       CAST(COUNT(DISTINCT peer) AS BIGINT) AS cycle_size
+FROM mutual GROUP BY module
+"""
+
+
 def q_impact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact leaderboard — the closure read backwards: for every
     module, how many modules TRANSITIVELY depend on it within
@@ -8837,6 +8867,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bus_factor": q_bus_factor,
         "bm25_prox_topk": q_bm25_prox_topk,
         "import_closure": q_import_closure,
+        "circular_imports": q_circular_imports,
         "impact_count": q_impact_count,
         "repo_topk": q_repo_topk,
         "grep_highlight": q_grep_highlight,
@@ -9129,6 +9160,7 @@ FROM tok GROUP BY term
         "trigram_search_nocase": _sql_literal_nocase(LITERAL_NEEDLE_NOCASE),
         "grep_lines": _sql_grep_lines(LITERAL_NEEDLE),
         "import_closure": _sql_import_closure(),
+        "circular_imports": _sql_circular_imports(),
         "impact_count": _sql_impact_count(),
         "repo_topk": _sql_repo_topk(),
         "grep_highlight": _sql_grep_highlight(LITERAL_NEEDLE),

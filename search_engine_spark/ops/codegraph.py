@@ -593,3 +593,43 @@ def call_graph(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+def circular_imports(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """(module, scc_id, cycle_size) — modules sitting on an import
+    CYCLE, grouped into strongly-connected components: x and y share an
+    SCC iff each transitively reaches the other within ``max_depth``
+    hops; scc_id = the component's lexicographically smallest member,
+    cycle_size = |component|.  The circular-dependency report every
+    repo-health dashboard carries (Python's import-cycle lint, Nx/Bazel
+    cycle checks).
+
+    Depth-bounded semantics, stated honestly: a cycle longer than
+    max_depth is invisible, and mutual-reachability-within-d is only
+    transitive when the component's internal diameter fits in d — the
+    default of 8 comfortably covers real circular-import chains
+    (2-4 modules).  The contract oracle restates the IDENTICAL bounded
+    computation, so the cross-engine check pins these semantics, not an
+    idealized unbounded SCC.
+
+    Scale shape: one import_closure (module graph ≈ 10^5-10^6 nodes —
+    metadata-sized), one self-join of the closure on reversed keys
+    (output = Σ |SCC|² pairs, bounded by the cycle report itself), one
+    agg.  Non-cyclic modules never reach the join output: (x, y≠x)
+    mutual implies x→y→x, and the (x, x) closure rows — present exactly
+    for on-a-cycle modules — make each member its own peer, so
+    cycle_size counts the full component including the module."""
+    c = import_closure(edges, max_depth).select("src", "dst")
+    mutual = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.src") == F.col("b.dst"))
+            & (F.col("a.dst") == F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("module"), F.col("a.dst").alias("peer"))
+    )
+    return mutual.groupBy("module").agg(
+        F.min("peer").alias("scc_id"),
+        F.count_distinct("peer").cast("long").alias("cycle_size"),
+    )

@@ -605,3 +605,27 @@ def test_call_sites_random_vs_brute(spark):
                         continue
                     want.add((doc_id, i, enclosing, callee))
         assert got == want, f"seed {seed}"
+
+
+def test_circular_imports_hand_graph(spark):
+    # two disjoint cycles (a<->b, c->d->e->c), a tail into a cycle
+    # (t->a), and an acyclic branch (x->y)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),
+         ("c", "d"), ("d", "e"), ("e", "c"),
+         ("t", "a"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["module"]: (r["scc_id"], r["cycle_size"])
+           for r in CG.circular_imports(edges, max_depth=8).collect()}
+    assert got == {
+        "a": ("a", 2), "b": ("a", 2),
+        "c": ("c", 3), "d": ("c", 3), "e": ("c", 3),
+    }  # t and x/y are not on any cycle
+
+    # depth bound: an L-cycle's mutual pairs need depth >= L-1, so at
+    # depth 1 only the direct 2-cycle is visible (the 3-cycle's return
+    # paths take 2 hops)
+    shallow = {r["module"] for r in
+               CG.circular_imports(edges, max_depth=1).collect()}
+    assert shallow == {"a", "b"}
