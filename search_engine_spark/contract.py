@@ -54,8 +54,50 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_TOKENS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return B.analyze_tokens(_docs(spark, sf_dir), SQL_CFG, "doc_id", "text")
+    """Analyzed tokens for the contract corpus, persisted ONCE per
+    (session, sf_dir): ~100 contract queries start from this exact
+    frame, and the driver's correctness pass is time-budgeted — paying
+    the Arrow analysis per query would spend the budget re-deriving
+    identical rows.  The cache holds a persisted DataFrame keyed by the
+    live session's id; sf0.01 tokens are ~10k rows, so executor memory
+    cost is nil.  Queries that need a DIFFERENT analyzer or corpus
+    build their own tokens and are unaffected."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TOKENS_CACHE.get(key)
+    if df is None:
+        df = B.analyze_tokens(
+            _docs(spark, sf_dir), SQL_CFG, "doc_id", "text"
+        ).persist()
+        _TOKENS_CACHE[key] = df
+    return df
+
+
+_STATS_CACHE: dict[tuple[str, str], tuple[int, float, int]] = {}
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
+    """(n_docs, avgdl) of the standard contract corpus, computed ONCE
+    per (session, sf_dir) — the collect_stats ACTION otherwise runs a
+    full analysis pass inside ~26 contract queries, and the driver's
+    correctness budget is better spent on queries than on re-deriving
+    two constants.  Queries over custom corpora (_pruned_corpus,
+    _prox_docs, _bm25_over callers) keep their own stats passes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _STATS_CACHE.get(key)
+    if st is None:
+        meta = B.build_doc_meta(_docs(spark, sf_dir), SQL_CFG, "doc_id", "text")
+        st = B.collect_stats(meta)  # (n_docs, avgdl, total_terms)
+        _STATS_CACHE[key] = st
+    return st[0], st[1]
+
+
+def _corpus_total_terms(spark: SparkSession, sf_dir: str) -> int:
+    _corpus_stats(spark, sf_dir)
+    return _STATS_CACHE[(spark.sparkContext.applicationId, sf_dir)][2]
 
 
 # ---------------------------------------------------------------------------
@@ -635,9 +677,7 @@ def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-contribution float32 casts + the float32 left fold + one final
     float32 add of the doc-length term)."""
     tokens = _tokens(spark, sf_dir)
-    docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    _, _, total_terms = B.collect_stats(meta)
+    total_terms = _corpus_total_terms(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_ql(tokens, total_terms, qdf, mu=QL_MU, k=TOPK)
     return res.select(
@@ -682,8 +722,7 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks, so the fused ranking is oracle-checked unrounded."""
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     lex = Q.score_bm25(tokens, n, avgdl, qdf, k=RRF_DEPTH)
     embs = _embs(spark, sf_dir)
@@ -709,8 +748,7 @@ def q_hybrid_comb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the fused double rounds to 6 decimals cross-engine."""
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     lex = Q.score_bm25(tokens, n, avgdl, qdf, k=RRF_DEPTH)
     tfidf = Q.score_tfidf(tokens, n, qdf, k=RRF_DEPTH)
@@ -783,8 +821,7 @@ def q_decay_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined score rounds to 6 decimals."""
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     lex = Q.score_bm25(tokens, n, avgdl, qdf, k=RRF_DEPTH)
     res = Q.function_score_decay(
@@ -841,8 +878,7 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is dropped from its results."""
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     res = Q.more_like_this(
         tokens, n, avgdl, MLT_SEEDS, n_terms=MLT_TERMS, k=TOPK
     )
@@ -861,8 +897,7 @@ def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — the whole expand-then-rescore pipeline under one oracle."""
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25_prf(
         tokens, n, avgdl, qdf, fb_k=PRF_FB_K, n_exp=PRF_N_EXP, k=TOPK
@@ -918,8 +953,7 @@ def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source, top-10 sources — result diversification."""
     tokens = _tokens(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     lex = Q.score_bm25(tokens, n, avgdl, qdf, k=COLLAPSE_DEPTH)
     res = Q.collapse_topk(
@@ -935,9 +969,7 @@ def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tfidf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _tokens(spark, sf_dir)
-    docs = _docs(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, _, _ = B.collect_stats(meta)
+    n, _ = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, TFIDF_QUERY_TEXT)], SQL_CFG)
     res = Q.score_tfidf(tokens, n, qdf, k=TOPK, exact_float32=True)
     return res.select(
@@ -1004,8 +1036,7 @@ def q_index_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n_docs, avgdl, _ = B.collect_stats(meta)
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
     term_df = B.term_document_frequency(tokens)
     frags = (
         tokens
@@ -1053,7 +1084,8 @@ def q_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
     meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n_docs, avgdl, total_terms = B.collect_stats(meta)
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
+    total_terms = _corpus_total_terms(spark, sf_dir)
     term_df = B.term_document_frequency(tokens)
     frags = (
         tokens
@@ -1126,8 +1158,7 @@ def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib float32-exact, factor doubles rounded to 6."""
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     page = Q.score_bm25(
         tokens, n, avgdl, qdf, BM25Params(), k=10, exact_float32=True
@@ -1158,8 +1189,7 @@ def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its own df/idf; float32-bit-exact like fuzzy."""
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n_docs, avgdl, _ = B.collect_stats(meta)
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25_syn(
         tokens, n_docs, avgdl, qdf, list(SYNONYMS), weight=SYN_WEIGHT,
@@ -1179,8 +1209,7 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df/idf scaled by the Lucene-style boost 1 − dist/max(len)."""
     docs = _docs(spark, sf_dir)
     tokens = _tokens(spark, sf_dir)
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n_docs, avgdl, _ = B.collect_stats(meta)
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, FUZZY_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25_fuzzy(
         tokens, n_docs, avgdl, qdf, max_dist=1, k=TOPK
@@ -1966,8 +1995,7 @@ def q_trec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, EVAL_QUERY_TEXT)], SQL_CFG)
     run = Q.score_bm25(
         tokens, n, avgdl, qdf, BM25Params(), k=TOPK, exact_float32=True
@@ -2096,8 +2124,7 @@ def q_bm25_adpt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = score_bm25_adpt(tokens, n, avgdl, qdf, b=0.75, k=TOPK)
     return res.select(
@@ -5614,8 +5641,7 @@ def q_repo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals on both sides (SUM order is engine-chosen)."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     scores = Q.score_bm25(
         tokens, n, avgdl, qdf, BM25Params(), k=1 << 30, exact_float32=True
@@ -8397,8 +8423,7 @@ def q_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING to the shared BM25 CTE chain and nothing else."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25_msm(tokens, n, avgdl, qdf, _MSM, BM25Params(), k=TOPK)
     return res.select(
@@ -8420,8 +8445,7 @@ def q_bm25_sharded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25_sharded(
         tokens, n, avgdl, qdf, n_shards=_SHARDS_GLOBAL, k=TOPK
@@ -8441,8 +8465,7 @@ def q_bm25_sharded_localdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sharded_ltr.py (skewed corpus -> different scores)."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25_sharded(
         tokens, n, avgdl, qdf, n_shards=_SHARDS_LOCAL, k=TOPK,
@@ -8499,8 +8522,7 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     against both scorers)."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.ltr_features(tokens, n, avgdl, qdf)
     return res.select(
@@ -8559,8 +8581,7 @@ def q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     + bit-exact float32 folds)."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.ltr_rerank(tokens, n, avgdl, qdf, _LTR_WEIGHTS, k=TOPK)
     return res.select(
@@ -8598,8 +8619,7 @@ def q_bm25_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25Scorer.cs:55).  Exact-float32 verify path."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.parse_boosted_query(spark, [(1, BOOSTED_QUERY_TEXT)], SQL_CFG)
     res = Q.score_bm25(tokens, n, avgdl, qdf, k=TOPK)
     return res.select(
@@ -8669,8 +8689,7 @@ def q_ltr_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     res = Q.rerank_cascade(
         tokens, n, avgdl, qdf, _LTR_WEIGHTS, n_retrieve=_CASCADE_N, k=TOPK
@@ -8741,8 +8760,7 @@ def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines page from the identical position."""
     docs = _docs(spark, sf_dir)
     tokens = B.analyze_tokens(docs, SQL_CFG, "doc_id", "text")
-    meta = B.build_doc_meta(docs, SQL_CFG, "doc_id", "text")
-    n, avgdl, _ = B.collect_stats(meta)
+    n, avgdl = _corpus_stats(spark, sf_dir)
     qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
     cur = (
         Q.score_bm25(tokens, n, avgdl, qdf, k=TOPK)
