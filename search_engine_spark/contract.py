@@ -360,13 +360,18 @@ def _sql_pruned_corpus_cte() -> str:
 ), """
 
 
-def q_bm25_wand_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max WAND with the interval-pruning branch ACTUALLY firing,
-    under the driver oracle (exhaustive BM25 SQL over the same union
-    corpus) — see the corpus-construction comment above."""
-    from . import postings as P, wand as W
+_PRUNED_IDX_DONE: dict[str, str] = {}
+
+
+def _pruned_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One physical pruned-corpus index per process, shared by the WAND
+    and MaxScore pruning contract rows (same memo economics as
+    _maint_stage — the driver's correctness pass is time-budgeted)."""
+    from . import postings as P
     from .config import IndexBuildConfig
 
+    if sf_dir in _PRUNED_IDX_DONE:
+        return _PRUNED_IDX_DONE[sf_dir]
     idx_dir = _contract_index_dir("wandpruned", sf_dir)
     P.build_index(
         _pruned_corpus(spark, sf_dir),
@@ -376,8 +381,38 @@ def q_bm25_wand_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id_col="doc_id",
         content_col="text",
     )
-    idx = P.load_index(spark, idx_dir)
+    _PRUNED_IDX_DONE[sf_dir] = idx_dir
+    return idx_dir
+
+
+def q_bm25_wand_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND with the interval-pruning branch ACTUALLY firing,
+    under the driver oracle (exhaustive BM25 SQL over the same union
+    corpus) — see the corpus-construction comment above."""
+    from . import postings as P, wand as W
+
+    idx = P.load_index(spark, _pruned_index_dir(spark, sf_dir))
     res = W.search_bm25(idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore dynamic pruning (wand._segment_topic_topk_maxscore —
+    essential/non-essential term partitioning, the strategy Lucene
+    defaults to) under the driver oracle: the SAME rare-term union
+    corpus and exhaustive BM25 SQL as bm25_wand_pruned, so one oracle
+    pins both pruning strategies to the same bit-exact answer.  The
+    non-essential term's entire posting range here contains no
+    candidate doc, so block skipping provably fires (the mechanism gate
+    lives in tests/test_maxscore.py via the prune accumulator)."""
+    from . import postings as P, wand as W
+
+    idx = P.load_index(spark, _pruned_index_dir(spark, sf_dir))
+    res = W.search_bm25(
+        idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, strategy="maxscore"
+    )
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
@@ -8850,6 +8885,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
+        "bm25_maxscore_topk": q_bm25_maxscore_topk,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
@@ -9084,6 +9120,13 @@ def duckdb_oracles() -> dict[str, str]:
         # pruned-branch WAND vs EXHAUSTIVE BM25 SQL over the same
         # rare-term union corpus — pruning must not change the answer
         "bm25_wand_pruned": _sql_bm25(
+            source_table="corpus",
+            prelude=_sql_pruned_corpus_cte(),
+            query_text=WAND_PRUNED_QUERY_TEXT,
+        ),
+        # MaxScore term-partitioned pruning vs the SAME exhaustive SQL —
+        # both pruning strategies pinned to one bit-exact answer
+        "bm25_maxscore_topk": _sql_bm25(
             source_table="corpus",
             prelude=_sql_pruned_corpus_cte(),
             query_text=WAND_PRUNED_QUERY_TEXT,

@@ -143,6 +143,96 @@ def _contrib32(
     return (idf * tfp * qtfp).astype(np.float32)
 
 
+def _gather_active(
+    term_blocks: dict[str, list[dict]],
+    topic_terms: list[tuple],
+    n_docs: int,
+    p: BM25Params,
+    df_map: dict | None,
+    live_bounds: bool,
+) -> tuple[list[tuple], bool]:
+    """Resolve a topic's terms against one segment's blocks.
+
+    Returns ([(term_pos, idf, qtfp, ub, blocks)], all_boosts_pos) —
+    the shared intake of both pruning kernels (WAND interval pruning
+    and MaxScore term partitioning).  Query-time term boosts fold into
+    qtfp here, so θ bootstraps, block upper bounds, and exact
+    contributions all scale in ONE place ((idf·tfp)·(qtfp·boost) is
+    the association the oracle path pins, query._contributions_bm25);
+    bounds stay sound for boost > 0 because bound and contribution
+    scale by the same factor (the pack-time one-ulp nudge's 2^-24
+    headroom dwarfs the one extra float64 rounding)."""
+    active = []  # (term_pos, idf, qtfp, ub, blocks)
+    all_boosts_pos = True
+    for item in topic_terms:
+        term, qtf, term_pos = item[0], item[1], item[2]
+        boost = float(item[3]) if len(item) > 3 else 1.0
+        if boost <= 0.0:
+            all_boosts_pos = False
+        blocks = term_blocks.get(term)
+        if not blocks:
+            continue
+        df = df_map[term] if df_map is not None else blocks[0]["df"]
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        qtfp = _qtf_part(qtf, p) * boost
+        if live_bounds:
+            bmax = max(_maxtf_bound(b["max_tf"], idf, p) for b in blocks)
+        else:
+            bmax = max(b["block_max_score"] for b in blocks)
+        ub = bmax * qtfp
+        active.append((term_pos, idf, qtfp, ub, blocks))
+    return active, all_boosts_pos
+
+
+def _bootstrap_theta(
+    active: list[tuple],
+    k: int,
+    dec,
+    avgdl: float,
+    p: BM25Params,
+    tombstones: tuple[np.ndarray, np.ndarray] | None,
+    seg_epoch: int,
+) -> float:
+    """θ = k-th best single-term contribution of the highest-upper-bound
+    term — a valid lower bound on the k-th FINAL score when every active
+    term's contribution is non-negative (the caller's soundness gate),
+    because the remaining terms can only add.  Tombstoned docs are
+    masked out of the bootstrap: a dead champ doc would inflate θ above
+    the true live k-th floor and over-prune live top-k docs."""
+    champ = max(active, key=lambda a: a[3])
+    term_pos, idf, qtfp, _, blocks = champ
+    parts = []
+    for b in blocks:
+        d, t, l = dec(b)
+        c = _contrib32(t, l, idf, qtfp, avgdl, p)
+        if tombstones is not None:
+            c = c[~_tomb_mask(tombstones, seg_epoch, d)]
+        parts.append(c)
+    cs = np.concatenate(parts)
+    if len(cs) >= k:
+        return float(np.partition(cs, -k)[-k])
+    return -np.inf
+
+
+def _finalize_topk(
+    uniq: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    n_pruned: int,
+    tombstones: tuple[np.ndarray, np.ndarray] | None,
+    seg_epoch: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Shared tail of both kernels: tombstone mask, then per-segment
+    top-k (score desc, doc_id asc)."""
+    if tombstones is not None and len(uniq):
+        keep = ~_tomb_mask(tombstones, seg_epoch, uniq)
+        uniq, scores = uniq[keep], scores[keep]
+    if len(uniq) > k:
+        order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
+        return uniq[order], scores[order], n_pruned
+    return uniq, scores, n_pruned
+
+
 def _segment_topic_topk(
     term_blocks: dict[str, list[dict]],
     topic_terms: list[tuple[str, int, int]],
@@ -185,34 +275,9 @@ def _segment_topic_topk(
     a zero-pruning 'fast path' is just the exhaustive path)."""
     if tombstones is not None and len(tombstones[0]) == 0:
         tombstones = None
-    active = []  # (term_pos, idf, qtfp, ub, blocks)
-    all_boosts_pos = True
-    for item in topic_terms:
-        term, qtf, term_pos = item[0], item[1], item[2]
-        # query-time term boost (search_bm25 boosted=True): folds into
-        # the query-term factor, so every downstream use — θ bootstrap,
-        # block upper bounds, exact contributions — scales with it in
-        # ONE place.  (idf·tfp)·(qtfp·boost) is the association the
-        # oracle path pins (query._contributions_bm25), so boosted
-        # scores stay bit-identical.  Bounds stay sound for boost > 0:
-        # both the bound and the contribution scale by the same factor
-        # (the pack-time one-ulp nudge's 2^-24 headroom dwarfs the one
-        # extra float64 rounding).
-        boost = float(item[3]) if len(item) > 3 else 1.0
-        if boost <= 0.0:
-            all_boosts_pos = False
-        blocks = term_blocks.get(term)
-        if not blocks:
-            continue
-        df = df_map[term] if df_map is not None else blocks[0]["df"]
-        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
-        qtfp = _qtf_part(qtf, p) * boost
-        if live_bounds:
-            bmax = max(_maxtf_bound(b["max_tf"], idf, p) for b in blocks)
-        else:
-            bmax = max(b["block_max_score"] for b in blocks)
-        ub = bmax * qtfp
-        active.append((term_pos, idf, qtfp, ub, blocks))
+    active, all_boosts_pos = _gather_active(
+        term_blocks, topic_terms, n_docs, p, df_map, live_bounds
+    )
     if not active:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32), 0
 
@@ -227,28 +292,11 @@ def _segment_topic_topk(
     # Either error can prune true top-k docs.  Mixed queries therefore
     # score exhaustively — exactly what the reference always does
     # (BM25Scorer.cs:34-66), so this is never worse than parity.
+    # Non-positive boosts flip/zero contribution signs exactly like
+    # negative idf — same soundness gate, same exhaustive fallback.
     theta = -np.inf
-    # non-positive boosts flip/zero contribution signs exactly like
-    # negative idf — same soundness gate, same exhaustive fallback
-    boot = active if (
-        allow_prune and all_boosts_pos and all(a[1] > 0 for a in active)
-    ) else []
-    if boot:
-        champ = max(boot, key=lambda a: a[3])
-        term_pos, idf, qtfp, _, blocks = champ
-        parts = []
-        for b in blocks:
-            d, t, l = dec(b)
-            c = _contrib32(t, l, idf, qtfp, avgdl, p)
-            if tombstones is not None:
-                # a tombstoned champ doc is not a candidate — keeping it
-                # would inflate θ above the true live k-th floor and
-                # over-prune live top-k docs
-                c = c[~_tomb_mask(tombstones, seg_epoch, d)]
-            parts.append(c)
-        cs = np.concatenate(parts)
-        if len(cs) >= k:
-            theta = float(np.partition(cs, -k)[-k])
+    if allow_prune and all_boosts_pos and all(a[1] > 0 for a in active):
+        theta = _bootstrap_theta(active, k, dec, avgdl, p, tombstones, seg_epoch)
 
     # --- interval pruning over the doc_id axis ---
     n_pruned = 0
@@ -299,14 +347,131 @@ def _segment_topic_topk(
         c = _contrib32(np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, p)
         per_term.append((term_pos, None, d, c, None))
     uniq, scores = _exact_scores(per_term)
-    if tombstones is not None and len(uniq):
-        keep = ~_tomb_mask(tombstones, seg_epoch, uniq)
-        uniq, scores = uniq[keep], scores[keep]
-    if len(uniq) > k:
-        # top-k: score desc, doc_id asc
-        order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
-        return uniq[order], scores[order], n_pruned
-    return uniq, scores, n_pruned
+    return _finalize_topk(uniq, scores, k, n_pruned, tombstones, seg_epoch)
+
+
+def _segment_topic_topk_maxscore(
+    term_blocks: dict[str, list[dict]],
+    topic_terms: list[tuple[str, int, int]],
+    n_docs: int,
+    avgdl: float,
+    p: BM25Params,
+    k: int,
+    dec=decode_block,
+    allow_prune: bool = True,
+    df_map: dict | None = None,
+    live_bounds: bool = False,
+    tombstones: tuple[np.ndarray, np.ndarray] | None = None,
+    seg_epoch: int = 0,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """MaxScore-pruned exact top-k for one (segment, topic) — the
+    term-partitioning alternative to _segment_topic_topk's doc-interval
+    pruning (Turtle & Flood 1995; Lucene's default dynamic-pruning
+    strategy).  Same signature, same soundness gate, same float32 score
+    discipline — rank-identical (incl. float32 bits) to the exhaustive
+    oracle path, so both kernels share one DuckDB oracle.
+
+    Term partitioning: sort active terms ASCENDING by per-term upper
+    bound ub_t; the longest prefix whose cumulative Σub < θ is the
+    NON-ESSENTIAL set — a document appearing ONLY in non-essential
+    lists scores ≤ Σ_{non-ess} ub < θ ≤ k-th final score, so it cannot
+    enter the top-k (strictly below the k-th score, so the doc_id
+    tiebreak cannot rescue it either).  θ is the same champion-term
+    bootstrap both kernels use, valid for the same reason (all active
+    contributions non-negative under the gate).  The champion term
+    itself can never be non-essential (θ ≤ its max contribution ≤ its
+    ub), so the candidate set always holds ≥ k docs when θ was set.
+
+    Execution: decode essential lists fully → sorted candidate doc
+    set; a non-essential block whose [first_doc_id, last_doc_id] range
+    contains NO candidate is skipped without decoding (counted in
+    n_pruned — the same skipped-blocks proof the WAND branch reports);
+    surviving non-essential blocks decode and keep candidate rows
+    only.  Exact scoring then folds every kept contribution per doc in
+    term_pos order with the float32 left fold (_exact_scores lexsorts
+    by (doc, term_pos), so per-term arrival order is irrelevant).
+
+    Where WAND wins: clustered doc_id ranges (pruning whole intervals).
+    Where MaxScore wins: many low-impact terms (long stop-word-ish
+    lists never decode at all once θ clears their summed bounds) —
+    which is why serving stacks keep both."""
+    if tombstones is not None and len(tombstones[0]) == 0:
+        tombstones = None
+    active, all_boosts_pos = _gather_active(
+        term_blocks, topic_terms, n_docs, p, df_map, live_bounds
+    )
+    if not active:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32), 0
+
+    # Same soundness gate as the WAND kernel (see its comment): any
+    # negative-idf term or non-positive boost → θ stays -inf → the
+    # essential set is ALL terms → exhaustive scoring, reference parity.
+    theta = -np.inf
+    if allow_prune and all_boosts_pos and all(a[1] > 0 for a in active):
+        theta = _bootstrap_theta(active, k, dec, avgdl, p, tombstones, seg_epoch)
+
+    n_pruned = 0
+    per_term: list[tuple] = []
+    if theta > -np.inf and len(active) > 1:
+        by_ub = sorted(active, key=lambda a: a[3])
+        prefix = 0.0
+        m = 0
+        for a in by_ub:
+            if prefix + a[3] < theta:  # strict: Σ == θ could tie into top-k
+                prefix += a[3]
+                m += 1
+            else:
+                break
+        nonessential, essential = by_ub[:m], by_ub[m:]
+    else:
+        nonessential, essential = [], active
+
+    if not nonessential:
+        # no term cleared the bound — exhaustive, same as WAND's fallback
+        for term_pos, idf, qtfp, _, blocks in essential:
+            ds, ts, ls = zip(*(dec(b) for b in blocks))
+            d = np.concatenate(ds)
+            c = _contrib32(
+                np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, p
+            )
+            per_term.append((term_pos, None, d, c, None))
+        uniq, scores = _exact_scores(per_term)
+        return _finalize_topk(uniq, scores, k, 0, tombstones, seg_epoch)
+
+    # --- essential lists: decode fully, accumulate the candidate set ---
+    cand_parts = []
+    for term_pos, idf, qtfp, _, blocks in essential:
+        ds, ts, ls = zip(*(dec(b) for b in blocks))
+        d = np.concatenate(ds)
+        c = _contrib32(np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, p)
+        per_term.append((term_pos, None, d, c, None))
+        cand_parts.append(d)
+    cand = np.unique(np.concatenate(cand_parts))  # sorted
+
+    # --- non-essential lists: candidate-gated block decode ---
+    for term_pos, idf, qtfp, _, blocks in nonessential:
+        kept_d, kept_t, kept_l = [], [], []
+        for b in blocks:
+            lo = np.searchsorted(cand, b["first_doc_id"], side="left")
+            hi = np.searchsorted(cand, b["last_doc_id"], side="right")
+            if lo >= hi:  # no candidate doc falls in this block's range
+                n_pruned += 1
+                continue
+            d, t, l = dec(b)
+            in_c = _in_sorted(cand, d)
+            if in_c.any():
+                kept_d.append(d[in_c])
+                kept_t.append(t[in_c])
+                kept_l.append(l[in_c])
+        if kept_d:
+            d = np.concatenate(kept_d)
+            c = _contrib32(
+                np.concatenate(kept_t), np.concatenate(kept_l), idf, qtfp, avgdl, p
+            )
+            per_term.append((term_pos, None, d, c, None))
+
+    uniq, scores = _exact_scores(per_term)
+    return _finalize_topk(uniq, scores, k, n_pruned, tombstones, seg_epoch)
 
 
 def _matched_postings(index: dict, terms: set[str]) -> DataFrame:
@@ -332,8 +497,19 @@ def search_bm25(
     boosted: bool = False,
     _stats_override: tuple[int, float] | None = None,
     _df_override: dict[str, int] | None = None,
+    strategy: str = "wand",
 ) -> DataFrame:
     """Top-k BM25 over a load_index() result via block-max WAND.
+
+    `strategy` picks the per-(segment, topic) dynamic-pruning kernel:
+    "wand" (default — doc-interval pruning over block maxima,
+    _segment_topic_topk) or "maxscore" (essential/non-essential term
+    partitioning, _segment_topic_topk_maxscore).  Both are EXACT — the
+    returned (rank, doc_id, float32 score) rows are bit-identical to
+    each other and to the exhaustive oracle path — they differ only in
+    which posting blocks they can avoid decoding, so callers pick by
+    workload (clustered doc ranges → wand; many low-impact terms →
+    maxscore) without a correctness trade.
 
     `_stats_override` ((n_docs, avgdl)) and `_df_override` (term -> df)
     replace this index's collection statistics — the federation hook
@@ -359,6 +535,10 @@ def search_bm25(
     an action on the result its .value proves whether the pruned branch
     fired (0 on negative-idf corpora where the soundness gate forces
     exhaustive scoring)."""
+    if strategy not in ("wand", "maxscore"):
+        raise ValueError(f"strategy must be 'wand' or 'maxscore', got {strategy!r}")
+    # module-level function: pickles by reference into the task closure
+    kern = _segment_topic_topk if strategy == "wand" else _segment_topic_topk_maxscore
     p = params or index["params"]
     cfg: AnalyzerConfig = index["analyzer"]
     n_docs, avgdl = index["n_docs"], index["avg_doc_len"]
@@ -538,7 +718,7 @@ def search_bm25(
             for tb in term_blocks.values():
                 tb.sort(key=lambda r: r["block_id"])
             for topic_id, terms in get_topics():
-                ids, scores, n_pruned = _segment_topic_topk(
+                ids, scores, n_pruned = kern(
                     term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune,
                     df_map, live_bounds, tomb, seg // DELTA_SEG_STRIDE,
                 )

@@ -1,0 +1,138 @@
+"""MaxScore dynamic pruning (wand._segment_topic_topk_maxscore):
+
+1. the mechanism fires (non-zero skipped-blocks accumulator) on the
+   contract's rare-term union corpus — the same can't-silently-degrade
+   gate test_wand_pruned.py pins for the interval-pruning branch;
+2. the answer is bit-identical to the exhaustive oracle path AND to the
+   WAND kernel across the full fixture query set (single-term,
+   multi-term with qtf>1, stopword-only, absent terms, and hot-head
+   negative-idf queries that must trip the shared soundness gate).
+
+MaxScore (Turtle & Flood 1995) is the term-partitioning alternative to
+WAND's doc-interval pruning; both kernels share _gather_active /
+_bootstrap_theta / _finalize_topk, so these tests double as gates on
+that shared scaffolding.
+"""
+
+import pytest
+
+from search_engine_spark import build as B, postings as P, query as Q, wand as W
+from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
+from search_engine_spark.contract import (
+    SQL_CFG,
+    TOPK,
+    WAND_PRUNED_QUERY_TEXT,
+    _pruned_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = AnalyzerConfig()
+K = 50
+
+
+@pytest.fixture(scope="module")
+def pruned_index(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("maxscore_idx"))
+    corpus = _pruned_corpus(spark, SF_DIR)
+    P.build_index(
+        corpus,
+        idx_dir,
+        IndexBuildConfig(analyzer=SQL_CFG),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="text",
+    )
+    return P.load_index(spark, idx_dir), corpus
+
+
+def _oracle_rows(spark, corpus, queries, k, boosted=False):
+    tokens = B.analyze_tokens(corpus, SQL_CFG, "doc_id", "text")
+    meta = B.build_doc_meta(corpus, SQL_CFG, "doc_id", "text")
+    n, avgdl, _ = B.collect_stats(meta)
+    if boosted:
+        qdf = Q.parse_boosted_query(spark, queries, SQL_CFG)
+    else:
+        qdf = Q.queries_to_df(spark, queries, SQL_CFG)
+    ref = Q.score_bm25(tokens, n, avgdl, qdf, BM25Params(), k=k, exact_float32=True)
+    return sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in ref.collect()
+    )
+
+
+def test_maxscore_prunes_and_matches_exhaustive(spark, pruned_index):
+    idx, corpus = pruned_index
+    acc = spark.sparkContext.accumulator(0)
+    res = W.search_bm25(
+        idx,
+        [(1, WAND_PRUNED_QUERY_TEXT)],
+        k=TOPK,
+        prune_accumulator=acc,
+        strategy="maxscore",
+    )
+    got = sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in res.collect()
+    )
+    assert acc.value > 0, (
+        "MaxScore skipped zero non-essential blocks on the corpus built "
+        "to exercise pruning — the strategy degraded into exhaustive"
+    )
+    assert got == _oracle_rows(spark, corpus, [(1, WAND_PRUNED_QUERY_TEXT)], TOPK)
+
+
+def test_maxscore_boosted_prunes_and_matches(spark, pruned_index):
+    idx, corpus = pruned_index
+    qtext = "qqa^0.5 qqc^2.0"
+    acc = spark.sparkContext.accumulator(0)
+    res = W.search_bm25(
+        idx, [(1, qtext)], k=TOPK, prune_accumulator=acc,
+        boosted=True, strategy="maxscore",
+    )
+    got = sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in res.collect()
+    )
+    assert acc.value > 0, "boosted query fell off the MaxScore fast path"
+    assert got == _oracle_rows(spark, corpus, [(1, qtext)], TOPK, boosted=True)
+
+
+def test_maxscore_rejects_unknown_strategy(spark, pruned_index):
+    idx, _ = pruned_index
+    with pytest.raises(ValueError, match="strategy"):
+        W.search_bm25(idx, [(1, "qqa")], strategy="bmw")
+
+
+@pytest.fixture(scope="module")
+def fixture_index(spark, corpus, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("maxscore_fix_idx"))
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    docs = B.assign_doc_ids(df).select(
+        "doc_id", "content"
+    )
+    P.build_index(
+        docs,
+        idx_dir,
+        IndexBuildConfig(analyzer=CFG),
+        BM25Params(),
+        doc_id_col="doc_id",
+        content_col="content",
+    )
+    return P.load_index(spark, idx_dir)
+
+
+def test_maxscore_equals_wand_on_fixture_queries(spark, fixture_index, queries_fixture):
+    """Full fixture query set (50 topics in one batch job): MaxScore and
+    WAND must return identical (topic, rank, doc, float32 score) rows —
+    including topics where the soundness gate forces both exhaustive."""
+    batch = [(q["topic_id"], q["query_text"]) for q in queries_fixture]
+    wand_rows = sorted(
+        tuple(r)
+        for r in W.search_bm25(fixture_index, batch, k=K, strategy="wand").collect()
+    )
+    ms_rows = sorted(
+        tuple(r)
+        for r in W.search_bm25(fixture_index, batch, k=K, strategy="maxscore").collect()
+    )
+    assert wand_rows == ms_rows
+    assert wand_rows  # non-vacuous
