@@ -19,7 +19,10 @@ Layout:
     maintenance.py incremental maintenance: delta segments, tombstones,
                  compaction (live search bit-identical to a rebuild)
     query.py     DataFrame scorers (BM25, TF-IDF, boolean) + top-k
-    wand.py      block-max WAND scorer over posting segments (mapInArrow)
+    wand.py      block-max WAND + MaxScore pruning over posting segments
+                 (mapInArrow; strategy-selectable, both exact)
+    impact.py    impact-ordered quantized index + anytime top-k
+                 (Anh & Moffat score-at-index-time)
     adpt.py      BM25-ADPT adaptive-k1 scorer
     positional.py positional index (Arrow), compressed position postings,
                  phrase matching, snippets
@@ -61,6 +64,10 @@ _EXPORTS = {
     "search_bm25": "wand:search_bm25",
     "search_bm25_federated": "wand:search_bm25_federated",
     "search_rerank_cascade": "wand:search_rerank_cascade",
+    # impact-ordered quantized index (anytime ranking)
+    "build_impact_index": "impact:build_impact_index",
+    "load_impact_index": "impact:load_impact_index",
+    "search_impact": "impact:search_impact",
     "score_bm25": "query:score_bm25",
     "score_bm25_msm": "query:score_bm25_msm",
     "score_bm25_sharded": "query:score_bm25_sharded",

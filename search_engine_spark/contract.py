@@ -418,6 +418,88 @@ def q_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered quantized index (impact.py — Anh & Moffat score-
+    at-index-time) under a FULL DuckDB oracle: the 8-bit quantized
+    ranking is a deterministic function of the corpus (float32
+    contribution cast → exact-IEEE double divide → floor), so the
+    oracle restates build + query end-to-end in SQL and the integer
+    scores must match exactly.  Same rare-term union corpus as the
+    pruning rows (the driver corpus's all-negative-idf vocabulary
+    would quantize to an empty index — documented impact-index
+    behavior for stop-word-like terms)."""
+    from . import impact as I
+
+    idx_dir = _contract_index_dir("impact", sf_dir)
+    if idx_dir not in _IMPACT_IDX_DONE:
+        I.build_impact_index(
+            _pruned_corpus(spark, sf_dir),
+            idx_dir,
+            cfg=SQL_CFG,
+            params=BM25Params(),
+            doc_id_col="doc_id",
+            content_col="text",
+        )
+        _IMPACT_IDX_DONE.add(idx_dir)
+    idx = I.load_impact_index(spark, idx_dir)
+    res = I.search_impact(idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_IMPACT_IDX_DONE: set[str] = set()
+
+
+def _sql_impact_topk() -> str:
+    """Build-to-query impact oracle over the pruned union corpus.
+
+    Mirrors impact.build_impact_index + search_impact exactly: float32
+    query-independent contribution, float32 global max, exact double
+    floor-quantization to 255 levels, postings with impact >= 1 only,
+    score = Σ qtf · impact as integers, rank by (score DESC, doc_id)."""
+    p = BM25Params()
+    return f"""
+WITH {_sql_pruned_corpus_cte()}{_sql_tokens_cte("corpus")}, {_sql_meta_stats_cte("corpus")},
+{_query_values_sql(WAND_PRUNED_QUERY_TEXT)},
+tdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term
+),
+c AS (
+  SELECT t.doc_id, t.term,
+         CAST(
+           ln((s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (t.tf * ({p.k1} + 1.0))
+           / (t.tf + {p.k1} * (1.0 - {p.b} + {p.b} * (m.doc_len / s.avgdl)))
+         AS FLOAT) AS c32
+  FROM tok t
+  JOIN tdf USING (term)
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+mx AS (SELECT MAX(c32) AS maxc FROM c),
+imp AS (
+  SELECT doc_id, term,
+         CAST(floor(CAST(c32 AS DOUBLE) / CAST(maxc AS DOUBLE) * 255.0)
+              AS BIGINT) AS impact
+  FROM c CROSS JOIN mx
+),
+scores AS (
+  SELECT i.doc_id, CAST(SUM(q.qtf * i.impact) AS BIGINT) AS score
+  FROM imp i JOIN q ON q.term = i.term
+  WHERE i.impact >= 1
+  GROUP BY i.doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 # --- incremental index maintenance under the driver oracle -----------------
 # Base = docs with doc_id % 5 != 0, delta = the rest, tombstones =
 # doc_id % 7 == 0: three lifecycle stages, each against plain BM25 SQL —
@@ -8886,6 +8968,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
         "bm25_maxscore_topk": q_bm25_maxscore_topk,
+        "impact_topk": q_impact_topk,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
@@ -9131,6 +9214,10 @@ def duckdb_oracles() -> dict[str, str]:
             prelude=_sql_pruned_corpus_cte(),
             query_text=WAND_PRUNED_QUERY_TEXT,
         ),
+        # impact-ordered quantized index: the whole build (float32
+        # contribution → floor-quantize to 255 levels) + integer-score
+        # query restated in SQL — exact integer match end to end
+        "impact_topk": _sql_impact_topk(),
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),

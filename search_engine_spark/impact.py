@@ -1,0 +1,447 @@
+"""Impact-ordered quantized index + anytime top-k (Anh & Moffat 2005).
+
+A second index ORGANIZATION next to the doc-ordered posting segments
+(postings.py): the query-independent part of every posting's BM25
+contribution — idf · tf_part, exactly the quantity pack_postings bakes
+into block_max_score bounds — is quantized at BUILD time to a b-bit
+integer impact, and postings are stored grouped by (segment, term,
+impact) with impact as the primary sort key.  Query evaluation then
+processes buckets in DESCENDING impact order and stops as soon as the
+top-k set is provably fixed, giving bounded query cost regardless of
+how long the tail of low-impact postings is — the classic "anytime"
+property for web-scale serving.
+
+Ranking semantics (pinned by a full DuckDB oracle, q_impact_topk):
+
+    impact(t, d) = floor( float64(c32(t,d)) / float64(maxc) · (2^bits - 1) )
+    c32(t, d)    = float32( idf_t · tf(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) )
+    maxc         = max over ALL postings of c32      (a float32 scalar)
+    score(q, d)  = Σ_{t ∈ q} qtf_t · impact(t, d)    (exact BIGINT sum)
+
+over postings with impact ≥ 1; ties broken doc_id ASC.  This is a
+quantized SURROGATE of BM25, not BM25 itself — the standard impact-
+index trade (Anh & Moffat §2): integer arithmetic, rank ≈ BM25 rank,
+and negative-idf (stop-word-like) postings quantize below 1 and leave
+the index entirely.  Cross-engine float discipline: the only float
+steps are the float32 cast of the contribution (the same cast the BM25
+contract rows already pin bit-identical between Spark's JVM expressions
+and DuckDB) and an exact-IEEE double divide/multiply/floor on those
+float32 values, so Spark and DuckDB produce identical integer impacts.
+
+Scale shape (100 TB):
+  * build: one term-df aggregate, one dictionary join, one global max
+    (scalar), one (segment, term, impact) aggregate — all JVM/Catalyst;
+    no Python touches the corpus.
+  * storage: directory-partitioned by md5 term bucket exactly like the
+    main index (postings.term_bucket_col), so a k-term query PRUNES to
+    ≤ k directory slices; within a bucket, rows sort (term, segment,
+    impact DESC) for row-group locality.
+  * query: one bucket-pruned scan → repartition(segment_id) →
+    mapInArrow kernel per (segment, topic); per-segment exact top-k,
+    global window top-k over the tiny candidate union (same gather
+    shape as wand.search_bm25).
+
+Reference parity note: the reference engine (Program.cs scorer loop)
+has no impact index — this is scale surface beyond it, like WAND.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .analysis import tokenize_query
+from .config import AnalyzerConfig, BM25Params
+from .postings import term_bucket_col, term_bucket_py
+
+N_TERM_BUCKETS = 64
+
+IMPACT_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("impact", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("doc_ids", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("topic_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.LongType(), False),
+    ]
+)
+
+
+def impact_contribution(
+    tokens: DataFrame,
+    term_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params | None = None,
+):
+    """(doc_id, term, c32) — the float32 query-independent BM25 part.
+
+    Same expression pack_postings evaluates per posting for block
+    bounds (postings.py block-max comment), here as one Catalyst
+    projection: whole-stage-codegen, no Python.  tokens already carry
+    doc_len in-row (build.TOKENS_SCHEMA), so the only join is the
+    dictionary-sized term-df one."""
+    p = params or BM25Params()
+    t = tokens.join(term_df, "term")
+    idf = F.ln(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    kk = (
+        F.lit(1.0 - p.b)
+        + F.lit(p.b) * (F.col("doc_len").cast("double") / F.lit(float(avgdl)))
+    )
+    tfp = (F.col("tf").cast("double") * F.lit(p.k1 + 1.0)) / (
+        F.col("tf").cast("double") + F.lit(p.k1) * kk
+    )
+    return t.select(
+        "doc_id", "term", (idf * tfp).cast("float").alias("c32")
+    )
+
+
+def build_impact_index(
+    docs: DataFrame,
+    index_dir: str,
+    cfg: AnalyzerConfig | None = None,
+    params: BM25Params | None = None,
+    bits: int = 8,
+    n_segments: int = 8,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> dict:
+    """Build + persist the impact-ordered index (parquet layout).
+
+      index_dir/impacts/    (term_bucket=*/…) IMPACT_SCHEMA rows
+      index_dir/manifest.json  analyzer, params, bits, maxc, stats
+
+    Two Spark actions: the stats row and the float32 global max (the
+    quantization denominator must be a known scalar before the bucket
+    aggregate — the one inherent sequential point of score-at-index-
+    time designs).  Everything else is one lazy JVM plan ending in the
+    bucketed write."""
+    from . import build as B
+
+    cfg = cfg or AnalyzerConfig()
+    p = params or BM25Params()
+    docs = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    )
+    tokens = B.analyze_tokens(docs, cfg, "doc_id", "content")
+    meta = B.build_doc_meta(docs, cfg, "doc_id", "content")
+    n_docs, avgdl, total_terms = B.collect_stats(meta)
+    term_df = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = impact_contribution(tokens, term_df, n_docs, avgdl, p)
+    contrib = contrib.persist()
+    try:
+        maxc = contrib.agg(F.max("c32").alias("m")).collect()[0]["m"]
+        if maxc is None or float(maxc) <= 0.0:
+            raise ValueError(
+                "impact index needs at least one positive-idf posting "
+                f"(max contribution = {maxc!r})"
+            )
+        maxc = float(maxc)
+        levels = (1 << bits) - 1
+        quant = F.floor(
+            F.col("c32").cast("double") / F.lit(maxc) * F.lit(float(levels))
+        ).cast("int")
+        seg = F.pmod(F.xxhash64("doc_id"), F.lit(n_segments)).cast("int")
+        rows = (
+            contrib.select(
+                seg.alias("segment_id"), "term", quant.alias("impact"), "doc_id"
+            )
+            .filter(F.col("impact") >= 1)
+            .groupBy("segment_id", "term", "impact")
+            .agg(
+                F.count("*").cast("int").alias("n"),
+                F.min("doc_id").alias("first_doc_id"),
+                F.max("doc_id").alias("last_doc_id"),
+                F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            )
+        )
+        out = (
+            rows.withColumn(
+                "term_bucket", term_bucket_col(F.col("term"), N_TERM_BUCKETS)
+            )
+            .repartition("term_bucket")
+            .sortWithinPartitions(
+                "term", "segment_id", F.col("impact").desc()
+            )
+        )
+        out.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(index_dir, "impacts")
+        )
+    finally:
+        contrib.unpersist()
+    manifest = {
+        "analyzer": cfg.to_dict(),
+        "params": {"k1": p.k1, "k3": p.k3, "b": p.b},
+        "bits": bits,
+        "levels": (1 << bits) - 1,
+        "max_contribution": maxc,
+        "n_docs": n_docs,
+        "avg_doc_len": avgdl,
+        "total_terms": total_terms,
+        "n_segments": n_segments,
+        "n_term_buckets": N_TERM_BUCKETS,
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def load_impact_index(spark: SparkSession, index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return {
+        "impacts": spark.read.parquet(os.path.join(index_dir, "impacts")),
+        "analyzer": AnalyzerConfig.from_dict(manifest["analyzer"]),
+        "params": BM25Params(**manifest["params"]),
+        **{
+            k: manifest[k]
+            for k in (
+                "bits",
+                "levels",
+                "max_contribution",
+                "n_docs",
+                "avg_doc_len",
+                "n_segments",
+                "n_term_buckets",
+            )
+        },
+    }
+
+
+def _segment_topic_impact_topk(
+    term_buckets: dict[str, list[tuple[int, np.ndarray]]],
+    topic_terms: list[tuple[str, int]],
+    k: int,
+    budget: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Anytime top-k for one (segment, topic) over impact-ordered lists.
+
+    term_buckets: term → [(impact, sorted doc_id array)], any order.
+    topic_terms:  [(term, qtf)] — qtf is the integer weight.
+
+    Phase 1 processes buckets in descending weighted impact v = qtf ·
+    impact, merging each into a (sorted docs, int64 scores) accumulator,
+    and stops when the top-k SET is provably fixed: with θ_k = k-th
+    largest accumulated score, χ = largest accumulated score outside the
+    current top-k (0 if unseen docs remain possible), and R = Σ_t qtf_t
+    · (highest unprocessed impact of t), every current-top-k doc's final
+    score is ≥ θ_k and every other doc's is ≤ χ + R, so θ_k > χ + R
+    fixes membership (strict — an integer tie at the boundary keeps
+    processing, which also makes the doc_id tiebreak safe).  Phase 2
+    completes EXACT scores for just those k docs: remaining buckets
+    whose [first, last] doc range contains no candidate are skipped
+    without touching the array (counted in n_skipped — the pruning
+    proof), the rest add weights at candidate positions only.
+
+    budget (anytime mode): cap phase-1 postings processed; once
+    exceeded, return the CURRENT accumulator top-k (approximate —
+    rank quality grows monotonically with budget, pytest-gated).
+    """
+    buckets: list[tuple[int, int, np.ndarray]] = []  # (v, order_key, docs)
+    next_best: dict[int, list[int]] = {}
+    per_term: list[list[tuple[int, np.ndarray]]] = []
+    weights: list[int] = []
+    for term, qtf in topic_terms:
+        lst = term_buckets.get(term)
+        if not lst:
+            continue
+        w = int(qtf)
+        srt = sorted(lst, key=lambda iv: -iv[0])
+        per_term.append(srt)
+        weights.append(w)
+    if not per_term:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    # flatten into one descending-v stream; remember (term index, rank in
+    # term) so remaining-max R is maintainable incrementally
+    stream: list[tuple[int, int, int, np.ndarray]] = []
+    for ti, srt in enumerate(per_term):
+        for ri, (imp, docs) in enumerate(srt):
+            stream.append((weights[ti] * imp, ti, ri, docs))
+    stream.sort(key=lambda s: -s[0])
+    # next unprocessed index per term (for R); buckets arrive in global
+    # descending v order but per-term order is also descending, so the
+    # per-term pointer only advances
+    ptr = [0] * len(per_term)
+
+    def remaining() -> int:
+        r = 0
+        for ti, srt in enumerate(per_term):
+            if ptr[ti] < len(srt):
+                r += weights[ti] * srt[ptr[ti]][0]
+        return r
+
+    docs_acc = np.empty(0, np.int64)
+    scores_acc = np.empty(0, np.int64)
+    processed = 0
+    pos_in_stream = 0
+    fixed = False
+    for si, (v, ti, ri, bd) in enumerate(stream):
+        # membership check BEFORE consuming the next bucket (θ/χ/R are
+        # all current); also the budget gate
+        n_acc = len(docs_acc)
+        if n_acc >= k:
+            part = np.partition(scores_acc, n_acc - k)
+            theta = int(part[n_acc - k])
+            chi = int(part[n_acc - k - 1]) if n_acc > k else 0
+            if theta > chi + remaining():
+                fixed = True
+                pos_in_stream = si
+                break
+        if budget is not None and processed >= budget:
+            pos_in_stream = si
+            break
+        # consume bucket: merge into the sorted accumulator
+        pos = np.searchsorted(docs_acc, bd)
+        if len(docs_acc):
+            safe = np.minimum(pos, len(docs_acc) - 1)
+            found = docs_acc[safe] == bd
+        else:
+            found = np.zeros(len(bd), dtype=bool)
+        if found.any():
+            np.add.at(scores_acc, pos[found], v)
+        new = bd[~found]
+        if len(new):
+            ins = np.searchsorted(docs_acc, new)
+            docs_acc = np.insert(docs_acc, ins, new)
+            scores_acc = np.insert(scores_acc, ins, np.int64(v))
+        processed += len(bd)
+        ptr[ti] = ri + 1
+        pos_in_stream = si + 1
+
+    n_skipped = 0
+    if fixed:
+        # phase 2: exact completion for the fixed top-k set only
+        order = np.lexsort((docs_acc, -scores_acc))[:k]
+        cand = np.sort(docs_acc[order])
+        cscore = scores_acc[np.searchsorted(docs_acc, cand)]
+        for v, ti, ri, bd in stream[pos_in_stream:]:
+            if ri < ptr[ti]:  # already consumed in phase 1
+                continue
+            lo = np.searchsorted(cand, bd[0], side="left")
+            hi = np.searchsorted(cand, bd[-1], side="right")
+            if lo >= hi:
+                n_skipped += 1
+                continue
+            pos = np.minimum(np.searchsorted(cand, bd), len(cand) - 1)
+            hit = cand[pos] == bd
+            if hit.any():
+                np.add.at(cscore, pos[hit], v)
+            else:
+                n_skipped += 1
+        docs_acc, scores_acc = cand, cscore
+
+    if len(docs_acc) > k:
+        order = np.lexsort((docs_acc, -scores_acc))[:k]
+        return docs_acc[order], scores_acc[order], n_skipped
+    return docs_acc, scores_acc, n_skipped
+
+
+def search_impact(
+    index: dict,
+    queries: Sequence[tuple[int, str]],
+    k: int = 1000,
+    budget: int | None = None,
+    skip_accumulator=None,
+) -> DataFrame:
+    """(topic_id, rank, doc_id, score BIGINT) — exact impact-score top-k
+    (budget=None) or anytime approximation (budget=max phase-1 postings
+    per (segment, topic)).  skip_accumulator: SparkContext accumulator
+    collecting phase-2 skipped-bucket counts (the pruning proof)."""
+    cfg: AnalyzerConfig = index["analyzer"]
+    spark = index["impacts"].sparkSession
+    topics: list[tuple[int, list[tuple[str, int]]]] = []
+    all_terms: set[str] = set()
+    for topic_id, text in queries:
+        terms = [(t, int(qtf)) for t, qtf in tokenize_query(text, cfg)]
+        topics.append((int(topic_id), terms))
+        all_terms.update(t for t, _ in terms)
+    if not all_terms:
+        return spark.createDataFrame(
+            [], schema="topic_id int, rank int, doc_id long, score long"
+        )
+    nb = index["n_term_buckets"]
+    buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+    matched = (
+        index["impacts"]
+        .filter(F.col("term_bucket").isin(buckets))  # directory pruning
+        .filter(F.col("term").isin(sorted(all_terms)))
+        .select(
+            "segment_id", "term", "impact", "first_doc_id", "last_doc_id",
+            "doc_ids",
+        )
+        .repartition("segment_id")
+    )
+
+    def _kern(batches):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        segs: dict[int, dict[str, list]] = defaultdict(lambda: defaultdict(list))
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seg_a = batch.column("segment_id").to_numpy(zero_copy_only=False)
+            terms = batch.column("term").to_pylist()
+            imp_a = batch.column("impact").to_numpy(zero_copy_only=False)
+            dcol = batch.column("doc_ids")
+            off = dcol.offsets.to_numpy(zero_copy_only=False)
+            vals = dcol.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            for i in range(batch.num_rows):
+                segs[int(seg_a[i])][terms[i]].append(
+                    (int(imp_a[i]), vals[off[i] : off[i + 1]])
+                )
+        out_t, out_d, out_s = [], [], []
+        for seg, tb in segs.items():
+            for topic_id, terms in topics:
+                ids, scores, n_skipped = _segment_topic_impact_topk(
+                    tb, terms, k, budget
+                )
+                if skip_accumulator is not None and n_skipped:
+                    skip_accumulator.add(n_skipped)
+                out_t.append(np.full(len(ids), topic_id, dtype=np.int32))
+                out_d.append(ids)
+                out_s.append(scores)
+        if out_t:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_t), pa.int32()),
+                    pa.array(np.concatenate(out_d), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.int64()),
+                ],
+                names=["topic_id", "doc_id", "score"],
+            )
+
+    candidates = matched.mapInArrow(_kern, schema=_RESULT_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("topic_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("topic_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,162 @@
+"""Impact-ordered index (impact.py): quantization bounds, anytime
+early-termination exactness, phase-2 skip proof, and budget mode.
+
+The driver contract row (impact_topk) pins the END-TO-END integer
+ranking against a full DuckDB restatement of build + query; these gates
+pin the MECHANISM — that early termination actually fires, that it
+skips buckets, and that it never changes the answer vs a trivial
+reference computed from the persisted index itself.
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_spark import build as B, impact as I
+from search_engine_spark.config import AnalyzerConfig, BM25Params
+from search_engine_spark.contract import (
+    SQL_CFG,
+    TOPK,
+    WAND_PRUNED_QUERY_TEXT,
+    _pruned_corpus,
+)
+from search_engine_spark.analysis import tokenize_query
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = AnalyzerConfig()
+K = 25
+
+
+@pytest.fixture(scope="module")
+def fixture_impact(spark, corpus, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("impact_fix"))
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    docs = B.assign_doc_ids(df).select("doc_id", "content")
+    I.build_impact_index(docs, idx_dir, cfg=CFG, params=BM25Params())
+    return I.load_impact_index(spark, idx_dir)
+
+
+@pytest.fixture(scope="module")
+def pruned_impact(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("impact_pruned"))
+    I.build_impact_index(
+        _pruned_corpus(spark, SF_DIR),
+        idx_dir,
+        cfg=SQL_CFG,
+        params=BM25Params(),
+        content_col="text",
+    )
+    return I.load_impact_index(spark, idx_dir)
+
+
+def _reference_topk(index, queries, k):
+    """Trivial reference over the PERSISTED index: explode every stored
+    (term, impact, doc) posting and sum integer scores in Python."""
+    rows = (
+        index["impacts"]
+        .select("term", "impact", "doc_ids")
+        .collect()
+    )
+    cfg = index["analyzer"]
+    out = {}
+    for topic_id, text in queries:
+        qts = tokenize_query(text, cfg)
+        acc: dict[int, int] = {}
+        for term, qtf in qts:
+            for r in rows:
+                if r["term"] != term:
+                    continue
+                for d in r["doc_ids"]:
+                    acc[d] = acc.get(d, 0) + int(qtf) * int(r["impact"])
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[topic_id] = [
+            (rank + 1, d, s) for rank, (d, s) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_quantization_bounds(fixture_impact):
+    rows = fixture_impact["impacts"].select("impact").distinct().collect()
+    imps = sorted(r["impact"] for r in rows)
+    assert imps[0] >= 1  # zero/negative impacts never stored
+    assert imps[-1] == fixture_impact["levels"]  # max posting hits top level
+
+
+def test_exact_matches_reference_all_fixture_queries(
+    spark, fixture_impact, queries_fixture
+):
+    batch = [(q["topic_id"], q["query_text"]) for q in queries_fixture[:12]]
+    got = {}
+    res = I.search_impact(fixture_impact, batch, k=K).collect()
+    for r in res:
+        got.setdefault(r["topic_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    want = _reference_topk(fixture_impact, batch, K)
+    for tid, rows in want.items():
+        assert got.get(tid, []) == rows, f"topic {tid}"
+    # topics with no positive-impact match return nothing, like want
+    assert set(got) == {t for t, rows in want.items() if rows}
+
+
+def test_early_termination_skips_and_is_exact(spark, pruned_impact):
+    acc = spark.sparkContext.accumulator(0)
+    res = I.search_impact(
+        pruned_impact, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, skip_accumulator=acc
+    ).collect()
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in res]
+    assert len(got) == TOPK
+    want = _reference_topk(
+        pruned_impact, [(1, WAND_PRUNED_QUERY_TEXT)], TOPK
+    )[1]
+    assert got == want
+    assert acc.value > 0, (
+        "anytime termination never skipped a bucket on the corpus built "
+        "to exercise pruning"
+    )
+
+
+def test_budget_mode_is_anytime(spark, pruned_impact):
+    """A huge budget reproduces the exact ranking; a tiny budget still
+    returns a full, validly-ranked page (approximate scores)."""
+    exact = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in I.search_impact(
+            pruned_impact, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK
+        ).collect()
+    ]
+    huge = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in I.search_impact(
+            pruned_impact, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, budget=10**9
+        ).collect()
+    ]
+    assert huge == exact
+    small = I.search_impact(
+        pruned_impact, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, budget=32
+    ).collect()
+    assert len(small) == TOPK
+    scores = [r["score"] for r in sorted(small, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_kernel_unit_membership_tie_keeps_processing():
+    """Pure-kernel unit: a tie at the top-k boundary must defer
+    termination (strict θ > χ + R), so the doc_id tiebreak stays
+    correct.  Docs 1 and 2 tie on the high bucket; doc 3 overtakes
+    via two other terms' buckets that a premature cut would have
+    dropped (a (term, doc) pair holds exactly ONE impact bucket — the
+    index invariant the remaining-mass bound R relies on)."""
+    tb = {
+        "a": [(10, np.array([1, 2], dtype=np.int64))],
+        "b": [(9, np.array([3], dtype=np.int64))],
+        "c": [(2, np.array([3], dtype=np.int64))],
+    }
+    ids, scores, _ = I._segment_topic_impact_topk(
+        tb, [("a", 1), ("b", 1), ("c", 1)], k=2
+    )
+    got = list(zip(ids.tolist(), scores.tolist()))
+    # doc3 = 9 + 2 = 11 > doc1 = doc2 = 10; k=2 keeps doc3 then doc1
+    assert got == [(3, 11), (1, 10)]
