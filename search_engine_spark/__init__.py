@@ -68,6 +68,9 @@ _EXPORTS = {
     "build_impact_index": "impact:build_impact_index",
     "load_impact_index": "impact:load_impact_index",
     "search_impact": "impact:search_impact",
+    # additional relevance models
+    "score_lmjm": "query:score_lmjm",
+    "score_pl2": "query:score_pl2",
     "score_bm25": "query:score_bm25",
     "score_bm25_msm": "query:score_bm25_msm",
     "score_bm25_sharded": "query:score_bm25_sharded",

@@ -802,6 +802,129 @@ def q_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LMJM_LAMBDA = 0.1
+PL2_C = 1.0
+
+
+def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer query likelihood (query.score_lmjm) — the second
+    classic LM smoothing next to Dirichlet; float32-exact cross-engine
+    via the shared cast+fold discipline."""
+    tokens = _tokens(spark, sf_dir)
+    total_terms = _corpus_total_terms(spark, sf_dir)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_lmjm(tokens, total_terms, qdf, lam=LMJM_LAMBDA, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR PL2 (query.score_pl2, Terrier's default DFR model) —
+    Poisson randomness + Laplace after-effect + normalization 2,
+    float32-exact cross-engine."""
+    tokens = _tokens(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    res = Q.score_pl2(tokens, n_docs, avgdl, qdf, c=PL2_C, k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _sql_lmjm() -> str:
+    """score_lmjm restated: double math per contribution, float32 cast,
+    term_pos-ordered float32 fold — no doc-length tail term (the
+    dropped JM remainder is a per-query constant, see the scorer)."""
+    lam_ratio = _sql_double((1.0 - LMJM_LAMBDA) / LMJM_LAMBDA)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+tt AS (SELECT CAST(SUM(doc_len) AS DOUBLE) AS total_terms FROM meta),
+ctf AS (
+  SELECT term, CAST(SUM(tf) AS DOUBLE) AS ctf FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+lq AS (
+  SELECT q.term, q.qtf, q.term_pos, ctf.ctf
+  FROM q JOIN ctf ON ctf.term = q.term
+),
+contrib AS (
+  SELECT t.doc_id, lq.term_pos,
+         CAST(CAST(lq.qtf AS DOUBLE)
+              * ln(1.0 + {lam_ratio}
+                         * (CAST(t.tf AS DOUBLE) / CAST(m.doc_len AS DOUBLE))
+                         / (lq.ctf / tt.total_terms))
+         AS FLOAT) AS c
+  FROM tok t
+  JOIN lq ON lq.term = t.term
+  JOIN meta m ON m.doc_id = t.doc_id
+  CROSS JOIN tt
+),
+scores AS (
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_pl2() -> str:
+    """score_pl2 restated: tfn = tf·log2(1 + c·avgdl/dl), λ = ctf/N,
+    the PL2 weight in double, float32 cast, term_pos-ordered fold.
+    log2(e) and 2π are injected as exact double literals so both
+    engines share the identical constants."""
+    import math
+
+    log2e = _sql_double(math.log2(math.e))
+    two_pi = _sql_double(2.0 * math.pi)
+    c = _sql_double(PL2_C)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+{_query_values_sql(BM25_QUERY_TEXT)},
+ctf AS (
+  SELECT term, CAST(SUM(tf) AS DOUBLE) AS ctf FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+lq AS (
+  SELECT q.term, q.qtf, q.term_pos, ctf.ctf
+  FROM q JOIN ctf ON ctf.term = q.term
+),
+contrib AS (
+  SELECT doc_id, term_pos,
+         CAST(CAST(qtf AS DOUBLE)
+              * (1.0 / (tfn + 1.0))
+              * (tfn * log2(tfn / lam)
+                 + (lam - tfn) * {log2e}
+                 + 0.5 * log2({two_pi} * tfn))
+         AS FLOAT) AS c
+  FROM (
+    SELECT t.doc_id, lq.term_pos, lq.qtf,
+           CAST(t.tf AS DOUBLE)
+             * log2(1.0 + {c} * s.avgdl / CAST(m.doc_len AS DOUBLE)) AS tfn,
+           lq.ctf / CAST(s.n_docs AS DOUBLE) AS lam
+    FROM tok t
+    JOIN lq ON lq.term = t.term
+    JOIN meta m ON m.doc_id = t.doc_id
+    CROSS JOIN stats s
+  )
+),
+scores AS (
+  SELECT doc_id, {_FOLD_F32_SQL} AS score FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, score
+  FROM scores
+)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 BM25F_QUERY_TEXT = "spark merge src4 batch"
 # (column, weight, length-norm b) — `source` is the "title-like" short
 # field (one token per doc), boosted and normalized more gently.
@@ -8969,6 +9092,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the block; the shadiff index build is the expensive tail) ---
         "bm25_maxscore_topk": q_bm25_maxscore_topk,
         "impact_topk": q_impact_topk,
+        "lmjm_topk": q_lmjm_topk,
+        "pl2_topk": q_pl2_topk,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
@@ -9218,6 +9343,10 @@ def duckdb_oracles() -> dict[str, str]:
         # contribution → floor-quantize to 255 levels) + integer-score
         # query restated in SQL — exact integer match end to end
         "impact_topk": _sql_impact_topk(),
+        # the two new relevance models: LM Jelinek-Mercer and DFR PL2,
+        # each a full float32-exact restatement
+        "lmjm_topk": _sql_lmjm(),
+        "pl2_topk": _sql_pl2(),
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),

@@ -821,6 +821,106 @@ def score_ql(
     return topk(scores, k)
 
 
+def score_lmjm(
+    tokens: DataFrame,
+    total_terms: int,
+    qterms: DataFrame,
+    lam: float = 0.1,
+    k: int = 1000,
+) -> DataFrame:
+    """Jelinek-Mercer smoothed query likelihood (Zhai & Lafferty 2001)
+    — the second classic LM smoothing next to score_ql's Dirichlet.
+    Rank-equivalent decomposition over MATCHED postings only:
+
+        score(q, d) = Σ_{t ∈ q AND d} qtf_t
+                      · ln(1 + ((1-λ)/λ) · (tf/doc_len) / p(t|C))
+
+    with p(t|C) = ctf_t / total_terms.  The dropped Σ qtf·ln(λ·p(t|C))
+    remainder is a per-query constant (uniform additive shift across
+    ALL docs), so ranks and score DIFFERENCES are preserved — standard
+    practice (Zhai & Lafferty eq. 6).  Query terms absent from the
+    collection (ctf = 0) drop from the sum like score_ql.
+
+    Float discipline: per-contribution float64 math → float32 cast →
+    term_pos-ordered float32 left fold (same as every scorer here), so
+    the DuckDB oracle matches bit-for-bit.  Same broadcast-semi-join
+    shape as score_bm25: only matched postings are touched."""
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    live_q = qterms.join(F.broadcast(ctf), "term", "inner")  # drops ctf=0
+    joined = matched.join(F.broadcast(live_q), "term", "inner")
+    p_c = F.col("ctf").cast("double") / F.lit(float(total_terms))
+    ratio = (
+        F.lit((1.0 - lam) / lam)
+        * (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+        / p_c
+    )
+    contrib = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        (F.col("qtf").cast("double") * F.log(F.lit(1.0) + ratio))
+        .cast("float")
+        .alias("contrib"),
+    )
+    return topk(_accumulate(contrib, exact_float32=True), k)
+
+
+def score_pl2(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    qterms: DataFrame,
+    c: float = 1.0,
+    k: int = 1000,
+) -> DataFrame:
+    """DFR PL2 (Amati & van Rijsbergen 2002; Terrier's default
+    divergence-from-randomness model): Poisson randomness, Laplace
+    after-effect, normalization 2.
+
+        tfn  = tf · log2(1 + c · avgdl / doc_len)
+        λ_t  = ctf_t / N            (Poisson mean over the collection)
+        w(t,d) = qtf · (1 / (tfn + 1))
+                 · ( tfn·log2(tfn/λ_t) + (λ_t − tfn)·log2(e)
+                     + 0.5·log2(2π·tfn) )
+
+    qtf is used as the raw query weight (Terrier normalizes by max qtf;
+    a per-query positive constant factor — rank-invariant — omitted and
+    documented).  Hot terms with ctf > N get λ_t > 1 and can produce
+    negative w — kept as computed, matching Terrier, and pinned by the
+    oracle either way.  Same float32 cast + term_pos-ordered fold
+    discipline as every scorer in this module."""
+    import math as _math
+
+    matched = tokens.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "inner"
+    )
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    live_q = qterms.join(F.broadcast(ctf), "term", "inner")
+    joined = matched.join(F.broadcast(live_q), "term", "inner")
+    tfn = F.col("tf").cast("double") * F.log2(
+        F.lit(1.0) + F.lit(float(c) * float(avgdl)) / F.col("doc_len").cast("double")
+    )
+    lam = F.col("ctf").cast("double") / F.lit(float(n_docs))
+    w = (
+        (F.lit(1.0) / (tfn + F.lit(1.0)))
+        * (
+            tfn * F.log2(tfn / lam)
+            + (lam - tfn) * F.lit(_math.log2(_math.e))
+            + F.lit(0.5) * F.log2(F.lit(2.0 * _math.pi) * tfn)
+        )
+    )
+    contrib = joined.select(
+        "topic_id",
+        "doc_id",
+        "term_pos",
+        (F.col("qtf").cast("double") * w).cast("float").alias("contrib"),
+    )
+    return topk(_accumulate(contrib, exact_float32=True), k)
+
+
 def score_bm25f(
     fields: Sequence[tuple[DataFrame, float, float, float]],
     n_docs: int,

@@ -1,0 +1,108 @@
+"""LM Jelinek-Mercer and DFR PL2 scorers: hand-computed values on a toy
+corpus (the driver contract rows pin cross-engine float32 equality at
+sf0.01; these pin the FORMULA against an independent pure-Python
+restatement, including the float32 cast-and-fold discipline)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from search_engine_spark import query as Q
+from search_engine_spark.config import AnalyzerConfig
+
+CFG = AnalyzerConfig(do_stemming=False)
+
+DOCS = [
+    (1, "alpha alpha beta gamma"),
+    (2, "alpha beta beta beta"),
+    (3, "gamma gamma delta delta delta"),
+    (4, "alpha delta"),
+]
+
+
+@pytest.fixture(scope="module")
+def toy_tokens(spark):
+    rows = []
+    for doc_id, text in DOCS:
+        terms = text.split()
+        dl = len(terms)
+        for t in set(terms):
+            rows.append((doc_id, t, terms.count(t), dl))
+    return spark.createDataFrame(
+        rows, schema="doc_id long, term string, tf int, doc_len int"
+    )
+
+
+def _fold32(contribs):
+    acc = np.float32(0.0)
+    for c in contribs:
+        acc = np.float32(acc + np.float32(c))
+    return float(acc)
+
+
+def test_lmjm_hand_values(spark, toy_tokens):
+    lam = 0.1
+    total = sum(len(t.split()) for _, t in DOCS)  # 15
+    ctf = {"alpha": 4, "beta": 4, "gamma": 3, "delta": 4}
+    qdf = Q.queries_to_df(spark, [(1, "alpha beta")], CFG)
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in Q.score_lmjm(toy_tokens, total, qdf, lam=lam, k=10).collect()
+    }
+
+    def contrib(tf, dl, c):
+        return (1.0) * math.log(
+            1.0 + ((1 - lam) / lam) * (tf / dl) / (c / total)
+        )
+
+    # doc 2: alpha tf1 dl4, beta tf3 dl4
+    want2 = _fold32(
+        [contrib(1, 4, ctf["alpha"]), contrib(3, 4, ctf["beta"])]
+    )
+    assert got[2][1] == pytest.approx(want2, abs=0.0)
+    # doc 4 matches alpha only
+    want4 = _fold32([contrib(1, 2, ctf["alpha"])])
+    assert got[4][1] == pytest.approx(want4, abs=0.0)
+    assert 3 not in got  # gamma/delta-only doc never matches
+    # ranking is by the folded scores desc
+    ranks = sorted(got.values())
+    assert [s for _, s in ranks] == sorted(
+        (s for _, s in got.values()), reverse=True
+    )
+
+
+def test_pl2_hand_values(spark, toy_tokens):
+    c = 1.0
+    n_docs = 4
+    avgdl = 15 / 4
+    ctf = {"alpha": 4, "beta": 4, "gamma": 3, "delta": 4}
+    qdf = Q.queries_to_df(spark, [(1, "alpha")], CFG)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in Q.score_pl2(
+            toy_tokens, n_docs, avgdl, qdf, c=c, k=10
+        ).collect()
+    }
+
+    def w(tf, dl, ctf_t):
+        tfn = tf * math.log2(1.0 + c * avgdl / dl)
+        lam = ctf_t / n_docs
+        return (1.0 / (tfn + 1.0)) * (
+            tfn * math.log2(tfn / lam)
+            + (lam - tfn) * math.log2(math.e)
+            + 0.5 * math.log2(2.0 * math.pi * tfn)
+        )
+
+    for doc_id, tf, dl in ((1, 2, 4), (2, 1, 4), (4, 1, 2)):
+        assert got[doc_id] == pytest.approx(
+            _fold32([w(tf, dl, ctf["alpha"])]), abs=0.0
+        ), f"doc {doc_id}"
+    assert 3 not in got
+
+
+def test_lmjm_absent_term_drops(spark, toy_tokens):
+    qdf = Q.queries_to_df(spark, [(1, "alpha nosuchterm")], CFG)
+    got = Q.score_lmjm(toy_tokens, 15, qdf, k=10).collect()
+    # absent term contributes nothing; alpha docs still score
+    assert {r["doc_id"] for r in got} == {1, 2, 4}

@@ -1,0 +1,147 @@
+"""Scale probe for the session-11 query-evaluation additions on the
+realistic corpus: MaxScore vs WAND batch throughput, and the impact
+index (build + exact anytime query) — each at two parallelism levels
+with the interleaved-draw MIN estimator (BASELINE.md host-noise
+method).
+
+Topics draw TAIL terms only (t{...}, df ≈ n_docs·tail/vocab — positive
+idf): a hot{i} term would trip the shared soundness gate and force all
+three engines exhaustive, measuring nothing but the fallback.
+
+* wand_batch     — wand.search_bm25(strategy="wand"), T topics, k=100
+* maxscore_batch — the same batch, strategy="maxscore"
+* impact_batch   — impact.search_impact over the same topics (integer
+                   anytime ranking; exact mode)
+* impact_build   — build_impact_index end-to-end (token analyze + df
+                   join + quantize + bucket agg + bucketed write)
+
+Usage: python tools/measure_pruning_scaling.py [n_docs] [topics] [draws]
+  draws default "4,16,16,4".  Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+N_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+DRAWS = [
+    int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+K = 100
+
+TOPICS = [
+    (
+        i,
+        f"t{(7 * i) % VOCAB} t{(7 * i + 311) % VOCAB} "
+        f"t{(7 * i + 4441) % VOCAB} t{(7 * i + 65537) % VOCAB}",
+    )
+    for i in range(N_TOPICS)
+]
+
+
+def one_draw(sp, idx_dir: str, imp_dir: str, docs_path: str) -> dict:
+    from search_engine_spark import impact as I, postings as P, wand as W
+
+    t: dict[str, object] = {}
+    idx = P.load_index(sp, idx_dir)
+
+    t0 = time.perf_counter()
+    t["n_wand"] = W.search_bm25(idx, TOPICS, k=K, strategy="wand").count()
+    t["wand_batch"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_maxscore"] = W.search_bm25(idx, TOPICS, k=K, strategy="maxscore").count()
+    t["maxscore_batch"] = round(time.perf_counter() - t0, 2)
+
+    imp = I.load_impact_index(sp, imp_dir)
+    t0 = time.perf_counter()
+    t["n_impact"] = I.search_impact(imp, TOPICS, k=K).count()
+    t["impact_batch"] = round(time.perf_counter() - t0, 2)
+
+    from search_engine_spark.config import AnalyzerConfig
+
+    docs = sp.read.parquet(docs_path)
+    build_dir = tempfile.mkdtemp(prefix="imp_build_")
+    t0 = time.perf_counter()
+    I.build_impact_index(
+        docs, build_dir, cfg=AnalyzerConfig(do_stemming=False),
+        content_col="text",
+    )
+    t["impact_build"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(build_dir, ignore_errors=True)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark import impact as I, postings as P
+    from search_engine_spark.config import AnalyzerConfig, IndexBuildConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tmp = tempfile.mkdtemp(prefix="pruning_scale_")
+    docs_path = f"{tmp}/docs.parquet"
+    idx_dir = f"{tmp}/idx"
+    imp_dir = f"{tmp}/imp"
+    s = get_spark("pruning_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    docs = s.read.parquet(docs_path)
+    P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=cfg), content_col="text"
+    )
+    I.build_impact_index(docs, imp_dir, cfg=cfg, content_col="text")
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"pruning_scale_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(
+            one_draw(sp, idx_dir, imp_dir, docs_path)
+        )
+        sp.stop()
+
+    timing_ops = ("wand_batch", "maxscore_batch", "impact_batch", "impact_build")
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in timing_ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in timing_ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    print(json.dumps({
+        "probe": "pruning_scaling",
+        "n_docs": N_DOCS,
+        "n_topics": N_TOPICS,
+        "k": K,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
