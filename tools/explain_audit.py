@@ -153,6 +153,36 @@ def main() -> int:
     check("wand: interval pruning fires on the rare-term corpus",
           acc.value > 0, f"blocks pruned: {acc.value}")
 
+    # --- 4c. MaxScore strategy: same pushed/pruned scan as WAND, and
+    # block skipping fires via its own mechanism ---
+    p = plan_of(search_bm25(index, [(1, "merge index")], k=10,
+                            strategy="maxscore"))
+    check("maxscore: term filter pushed to scan", "PushedFilters: [In(term" in p)
+    check("maxscore: Arrow kernel, no row-Python",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+    acc2 = spark.sparkContext.accumulator(0)
+    search_bm25(pidx2, [(1, WAND_PRUNED_QUERY_TEXT)], k=20,
+                prune_accumulator=acc2, strategy="maxscore").count()
+    check("maxscore: candidate-gated block skipping fires",
+          acc2.value > 0, f"blocks skipped: {acc2.value}")
+
+    # --- 4d. impact index: bucket-pruned, term-pushed, Arrow-only ---
+    from search_engine_spark.impact import (
+        build_impact_index, load_impact_index, search_impact,
+    )
+
+    build_impact_index(_pruned_corpus(spark, sf_dir), f"{tmp}/impidx",
+                       cfg=SQL_CFG, content_col="text")
+    impidx = load_impact_index(spark, f"{tmp}/impidx")
+    p = plan_of(search_impact(impidx, [(1, WAND_PRUNED_QUERY_TEXT)], k=20))
+    print("== impact search ==")
+    check("impact: term filter pushed to scan", "In(term" in p)
+    check("impact: term-bucket partition pruning",
+          "PartitionFilters: [" in p
+          and "term_bucket" in p.split("PartitionFilters")[1][:200])
+    check("impact: Arrow kernel, no row-Python",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+
     # --- 5. dedup exact: single partial-agg shuffle ---
     from search_engine_spark.ops.dedup import exact_duplicates
 
