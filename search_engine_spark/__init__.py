@@ -71,6 +71,10 @@ _EXPORTS = {
     # additional relevance models
     "score_lmjm": "query:score_lmjm",
     "score_pl2": "query:score_pl2",
+    # ES-style aggregations framework
+    "date_histogram": "ops.aggs:date_histogram",
+    "composite_buckets": "ops.aggs:composite_buckets",
+    "moving_metrics": "ops.aggs:moving_metrics",
     "score_bm25": "query:score_bm25",
     "score_bm25_msm": "query:score_bm25_msm",
     "score_bm25_sharded": "query:score_bm25_sharded",

@@ -1905,6 +1905,141 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with min_doc_count=0 (ops/aggs.date_histogram):
+    daily buckets per event_type, EMPTY days inside each type's span
+    materialized with n_events=0 — the gapless-axis semantics time-
+    series consumers expect.  Buckets emitted as epoch seconds for
+    cross-engine hash stability (q_sessions' convention)."""
+    from .ops import aggs as AG
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the sf events table has an event in EVERY (type, day) bucket, which
+    # would make the min_doc_count=0 fill vacuous — plant deterministic
+    # gaps (drop days divisible by 3) on BOTH engines so the driver row
+    # actually exercises empty-bucket materialization
+    ev = ev.filter(F.dayofmonth("ts") % 3 != 0)
+    h = AG.date_histogram(
+        ev, "ts", "day", ("event_type",), value_col="value", min_doc_count=0
+    )
+    return h.select(
+        "event_type",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation, one after-key page (ops/aggs.
+    composite_buckets): the 50 (event_type, user_id) buckets strictly
+    after ('click', 25) in total key order — paged iteration over the
+    whole bucket space at page-cost, the search_after economics applied
+    to aggregations."""
+    from .ops import aggs as AG
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return AG.composite_buckets(
+        ev, ("event_type", "user_id"), page_size=50, after=("click", 25)
+    )
+
+
+def q_moving_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (ops/aggs.moving_metrics) chained onto
+    the gapless daily histogram: trailing-7 moving average, bucket
+    derivative, cumulative sum — one window pass reusing the
+    histogram's partitioning."""
+    from .ops import aggs as AG
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # same planted gaps as q_date_histogram (shared oracle CTE): the
+    # filled zero-buckets are exactly where moving_avg/derivative
+    # behavior under gaps gets pinned
+    ev = ev.filter(F.dayofmonth("ts") % 3 != 0)
+    h = AG.date_histogram(ev, "ts", "day", ("event_type",), min_doc_count=0)
+    m = AG.moving_metrics(
+        h, "bucket_start", "n_events", ("event_type",), window=7
+    )
+    return m.select(
+        "event_type",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_s"),
+        "n_events",
+        "moving_avg",
+        "derivative",
+        "cumulative",
+    )
+
+
+def _sql_date_histogram_ctes() -> str:
+    """Shared CTE chain: observed daily buckets per event_type + the
+    min_doc_count=0 filled axis (generate_series over each type's
+    span), ending in `filled`."""
+    return """
+obs AS (
+  -- day(ts) % 3 = 0 dropped: deterministic gaps so the
+  -- min_doc_count=0 fill is non-vacuous (see q_date_histogram)
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 4) AS sum_value
+  FROM events WHERE day(ts) % 3 <> 0 GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY 1
+),
+axis AS (
+  SELECT event_type,
+         unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS b
+  FROM spans
+),
+filled AS (
+  SELECT a.event_type, a.b,
+         CAST(COALESCE(o.n_events, 0) AS BIGINT) AS n_events,
+         COALESCE(o.sum_value, 0.0) AS sum_value
+  FROM axis a LEFT JOIN obs o ON o.event_type = a.event_type AND o.b = a.b
+)"""
+
+
+def _sql_date_histogram() -> str:
+    return f"""
+WITH {_sql_date_histogram_ctes()}
+SELECT event_type, CAST(epoch(b) AS BIGINT) AS bucket_s, n_events, sum_value
+FROM filled
+"""
+
+
+def _sql_composite_page() -> str:
+    return """
+SELECT * FROM (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS doc_count
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+WHERE (event_type, user_id) > ('click', 25)
+ORDER BY event_type, user_id
+LIMIT 50
+"""
+
+
+def _sql_moving_daily() -> str:
+    return f"""
+WITH {_sql_date_histogram_ctes()}
+SELECT event_type, CAST(epoch(b) AS BIGINT) AS bucket_s, n_events,
+       ROUND(AVG(n_events) OVER w7, 4) AS moving_avg,
+       n_events - LAG(n_events, 1) OVER wo AS derivative,
+       CAST(SUM(n_events) OVER wc AS BIGINT) AS cumulative
+FROM filled
+WINDOW
+  w7 AS (PARTITION BY event_type ORDER BY b
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+  wo AS (PARTITION BY event_type ORDER BY b),
+  wc AS (PARTITION BY event_type ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets family, absent from the
     reference — SURVEY.md §2.16): doc counts + char sums per (lang,
@@ -9094,6 +9229,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_topk": q_impact_topk,
         "lmjm_topk": q_lmjm_topk,
         "pl2_topk": q_pl2_topk,
+        "date_histogram": q_date_histogram,
+        "composite_page": q_composite_page,
+        "moving_daily": q_moving_daily,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
@@ -9347,6 +9485,10 @@ def duckdb_oracles() -> dict[str, str]:
         # each a full float32-exact restatement
         "lmjm_topk": _sql_lmjm(),
         "pl2_topk": _sql_pl2(),
+        # ES-style aggregations framework (ops/aggs.py)
+        "date_histogram": _sql_date_histogram(),
+        "composite_page": _sql_composite_page(),
+        "moving_daily": _sql_moving_daily(),
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),

@@ -1,0 +1,164 @@
+"""Elasticsearch-style analytics aggregations over event/metadata tables.
+
+The serving layers of search engines ship an aggregation framework next
+to ranking (ES aggs, Solr JSON facets); the reference has none (§2.16),
+so this is deliberate scale surface beyond it, expressed as pure
+Catalyst plans:
+
+* date_histogram — calendar/fixed-interval bucketing with per-bucket
+  metrics and ES `min_doc_count=0` semantics: EMPTY buckets inside each
+  group's observed span are materialized (sequence + explode against a
+  per-group min/max — a metadata-sized generate, never a corpus-sized
+  one) so time-series consumers see a gapless axis.
+* composite_buckets — after-key paged iteration over the full bucket
+  space of a multi-column group-by, ES composite-agg semantics: page N
+  costs one filtered agg + sort + limit, the after-key is the last row
+  of the previous page, and paging is exhaustive + non-overlapping
+  under concurrent-append because the key order is total.
+* moving_metrics — ES pipeline aggregations (moving_avg / derivative /
+  cumulative_sum) over a bucketed series via one window pass.
+
+At 100 TB: every function here is a single shuffle (the group-by) plus
+window passes partitioned by the same keys; empty-bucket generation
+joins a per-group 2-row min/max against a generated sequence, so no
+step is ever corpus × buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_CAL = {"day": "1 day", "week": "1 week", "hour": "1 hour"}
+
+
+def date_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "day",
+    group_cols: Sequence[str] = (),
+    value_col: str | None = None,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """Per-(group, calendar bucket) event counts + optional value sum.
+
+    interval: 'hour' | 'day' | 'week' (date_trunc units — 'week' is the
+    ISO Monday week both engines agree on).  min_doc_count=0 fills every
+    empty bucket between each group's first and last event with
+    n_events=0 (ES date_histogram semantics); min_doc_count>=1 returns
+    observed buckets only.
+
+    Returns (group_cols..., bucket_start timestamp, n_events,
+    [sum_value]) — sum_value rounded to 4 decimals for cross-engine
+    hash stability (double sums are order-sensitive)."""
+    gcols = list(group_cols)
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket_start")
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    observed = events.groupBy(*gcols, bucket).agg(*aggs)
+    if min_doc_count >= 1:
+        return observed.filter(F.col("n_events") >= min_doc_count)
+
+    # ES min_doc_count=0: materialize empty buckets across each group's
+    # observed span.  sequence() over the per-group [min, max] bucket
+    # pair is metadata-sized (groups × span-buckets), generated JVM-side.
+    step = F.expr(f"interval {_CAL[interval]}")
+    spans = observed.groupBy(*gcols).agg(
+        F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1")
+    )
+    axis = spans.select(
+        *gcols,
+        F.explode(F.sequence(F.col("b0"), F.col("b1"), step)).alias(
+            "bucket_start"
+        ),
+    )
+    filled = axis.join(observed, [*gcols, "bucket_start"], "left")
+    out_cols: list[Column] = [
+        *[F.col(c) for c in gcols],
+        "bucket_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    ]
+    if value_col is not None:
+        out_cols.append(
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value")
+        )
+    return filled.select(*out_cols)
+
+
+def composite_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    page_size: int = 100,
+    after: tuple | None = None,
+    metrics: Sequence[Column] = (),
+) -> DataFrame:
+    """One page of the composite aggregation over `keys`.
+
+    Buckets are the distinct key tuples ordered by the full key tuple
+    ASC (nulls excluded — ES requires missing_bucket opt-in; rows with
+    a null key column are dropped, documented).  `after` is the LAST
+    key tuple of the previous page; the page holds the next `page_size`
+    buckets strictly greater in lexicographic key order.  Because the
+    order is total and the predicate is strict-greater, pages are
+    non-overlapping and exhaustive — and each page's plan is agg →
+    after-filter → sort → limit, never a full materialization of all
+    prior pages (the search_after economics, applied to aggregations).
+
+    metrics: extra aggregate Columns (already aliased) computed per
+    bucket, e.g. F.count('*').alias('doc_count')."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("composite_buckets needs at least one key column")
+    base = df.na.drop(subset=keys)
+    aggs = list(metrics) or [F.count("*").cast("long").alias("doc_count")]
+    buckets = base.groupBy(*keys).agg(*aggs)
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(f"after must have {len(keys)} values")
+        # lexicographic strict-greater as nested OR/AND — pushable,
+        # sargable, and exactly DuckDB's row-value (k1, k2) > (a1, a2)
+        cond = None
+        for i in range(len(keys)):
+            eq = None
+            for j in range(i):
+                e = F.col(keys[j]) == F.lit(after[j])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(keys[i]) > F.lit(after[i])
+            clause = gt if eq is None else (eq & gt)
+            cond = clause if cond is None else (cond | clause)
+        buckets = buckets.filter(cond)
+    return buckets.orderBy(*[F.col(c).asc() for c in keys]).limit(page_size)
+
+
+def moving_metrics(
+    series: DataFrame,
+    bucket_col: str = "bucket_start",
+    value_col: str = "n_events",
+    group_cols: Sequence[str] = (),
+    window: int = 7,
+) -> DataFrame:
+    """ES pipeline aggregations over a bucketed series, one window pass:
+
+      moving_avg   — mean of the TRAILING `window` buckets (current
+                     inclusive; shorter at the series head, like ES)
+      derivative   — value − previous bucket's value (null at the head)
+      cumulative   — running sum from the series start
+
+    Rounded to 4 decimals for cross-engine hash stability.  The window
+    partitions by group_cols and orders by bucket — same shuffle as the
+    histogram that produced the series, so Catalyst reuses the
+    partitioning when chained."""
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(bucket_col)
+    trailing = w.rowsBetween(-(window - 1), 0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return series.select(
+        *gcols,
+        bucket_col,
+        F.col(value_col),
+        F.round(F.avg(value_col).over(trailing), 4).alias("moving_avg"),
+        (F.col(value_col) - F.lag(value_col, 1).over(w)).alias("derivative"),
+        F.sum(value_col).over(run).cast("long").alias("cumulative"),
+    )

@@ -1,0 +1,104 @@
+"""ES-style aggregations (ops/aggs.py): empty-bucket fill on a gapped
+toy series, composite paging exhaustiveness/non-overlap, pipeline
+metrics hand-values.  The driver rows (date_histogram, composite_page,
+moving_daily) pin cross-engine equality at sf0.01; these pin semantics
+the sf tables can't express as sharply."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import aggs as AG
+
+
+@pytest.fixture(scope="module")
+def gapped_events(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        # type a: days 1, 2, 5 — gap at 3, 4
+        ("a", dt.datetime(2024, 1, 1, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 2, 11), 2.0),
+        ("a", dt.datetime(2024, 1, 2, 12), 3.0),
+        ("a", dt.datetime(2024, 1, 5, 9), 4.0),
+        # type b: single day — span has no interior, nothing to fill
+        ("b", dt.datetime(2024, 1, 3, 8), 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, schema="event_type string, ts timestamp, value double"
+    )
+
+
+def test_fill_materializes_interior_gaps_only(spark, gapped_events):
+    h = AG.date_histogram(
+        gapped_events, "ts", "day", ("event_type",), value_col="value"
+    ).collect()
+    by_key = {
+        (r["event_type"], r["bucket_start"].day): (r["n_events"], r["sum_value"])
+        for r in h
+    }
+    # a: 5 buckets (days 1-5), zeros at 3 and 4
+    assert by_key[("a", 1)] == (1, 1.0)
+    assert by_key[("a", 2)] == (2, 5.0)
+    assert by_key[("a", 3)] == (0, 0.0)
+    assert by_key[("a", 4)] == (0, 0.0)
+    assert by_key[("a", 5)] == (1, 4.0)
+    # b: exactly one bucket; nothing outside either group's span
+    assert [k for k in by_key if k[0] == "b"] == [("b", 3)]
+    assert len(by_key) == 6
+
+
+def test_min_doc_count_1_returns_observed_only(spark, gapped_events):
+    h = AG.date_histogram(
+        gapped_events, "ts", "day", ("event_type",), min_doc_count=1
+    ).collect()
+    assert len(h) == 4  # a×3 observed days + b×1
+    assert all(r["n_events"] >= 1 for r in h)
+
+
+def test_composite_paging_exhaustive_and_disjoint(spark):
+    rows = [(f"t{i % 5}", i % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, schema="event_type string, user_id int")
+    all_buckets = sorted(
+        {(r[0], r[1]) for r in rows}
+    )  # 5*13 = 65 distinct buckets
+    pages, after = [], None
+    while True:
+        page = AG.composite_buckets(
+            df, ("event_type", "user_id"), page_size=10, after=after
+        ).collect()
+        if not page:
+            break
+        pages.append([(r["event_type"], r["user_id"]) for r in page])
+        after = pages[-1][-1]
+    flat = [b for p in pages for b in p]
+    assert flat == all_buckets  # exhaustive, ordered, no overlap
+    assert [len(p) for p in pages] == [10] * 6 + [5]
+
+
+def test_composite_rejects_bad_after(spark):
+    df = spark.createDataFrame([("a", 1)], "event_type string, user_id int")
+    with pytest.raises(ValueError, match="after"):
+        AG.composite_buckets(df, ("event_type", "user_id"), after=("a",))
+
+
+def test_moving_metrics_hand_values(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    series = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, d), n)
+            for d, n in ((1, 10), (2, 0), (3, 5), (4, 1))
+        ],
+        schema="event_type string, bucket_start timestamp, n_events long",
+    )
+    m = {
+        r["bucket_start"].day: r
+        for r in AG.moving_metrics(
+            series, group_cols=("event_type",), window=3
+        ).collect()
+    }
+    assert m[1]["moving_avg"] == 10.0 and m[1]["derivative"] is None
+    assert m[2]["moving_avg"] == 5.0 and m[2]["derivative"] == -10
+    assert m[3]["moving_avg"] == 5.0 and m[3]["cumulative"] == 15
+    assert m[4]["moving_avg"] == 2.0 and m[4]["derivative"] == -4
+    assert m[4]["cumulative"] == 16

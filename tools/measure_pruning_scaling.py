@@ -29,19 +29,29 @@ import time
 
 sys.path.insert(0, ".")
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-N_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+TERMS_PER_TOPIC = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 DRAWS = [
     int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "4,16,16,4").split(",")
 ]
 VOCAB = 200_000
 K = 100
 
+# 16 tail terms per topic (positive idf — a hot term would trip the
+# soundness gate and measure only the exhaustive fallback); stride-7
+# walk overlaps terms across topics so the per-task memoized block
+# decode sees realistic re-use.  At the defaults each topic touches
+# ~16 · n_docs·40/VOCAB postings (~3.2k at 1M docs), 800 topics ≈ 2.6M
+# posting-scores per draw — enough work per core to clear the host's
+# fixed-cost floor, unlike a 4-term probe.
 TOPICS = [
     (
         i,
-        f"t{(7 * i) % VOCAB} t{(7 * i + 311) % VOCAB} "
-        f"t{(7 * i + 4441) % VOCAB} t{(7 * i + 65537) % VOCAB}",
+        " ".join(
+            f"t{(7 * i + 311 * j + 65537 * (j % 3)) % VOCAB}"
+            for j in range(TERMS_PER_TOPIC)
+        ),
     )
     for i in range(N_TOPICS)
 ]
