@@ -417,7 +417,10 @@ def cmd_search(args: argparse.Namespace) -> None:
                 n_retrieve=args.rerank_depth, k=args.k,
             )
         elif sc == "bm25" and args.path == "wand":
-            res = search_bm25(index, topics, k=args.k, boosted=args.boosted)
+            res = search_bm25(
+                index, topics, k=args.k, boosted=args.boosted,
+                strategy=args.strategy,
+            )
         else:
             toks, q = _decoded()
             if sc == "bm25":
@@ -432,6 +435,18 @@ def cmd_search(args: argparse.Namespace) -> None:
 
                 res = score_ql(
                     toks, index["total_terms"], q, k=args.k
+                )
+            elif sc == "lmjm":
+                from .query import score_lmjm
+
+                res = score_lmjm(
+                    toks, index["total_terms"], q, k=args.k
+                )
+            elif sc == "pl2":
+                from .query import score_pl2
+
+                res = score_pl2(
+                    toks, index["n_docs"], index["avg_doc_len"], q, k=args.k
                 )
             else:
                 from .adpt import score_bm25_adpt
@@ -792,11 +807,18 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("topics")
     se.add_argument("index_dir")
     se.add_argument("out")
-    se.add_argument("--scorer", choices=["bm25", "tfidf", "bm25adpt", "ql", "all"],
+    se.add_argument("--scorer",
+                    choices=["bm25", "tfidf", "bm25adpt", "ql", "lmjm",
+                             "pl2", "all"],
                     default="bm25",
                     help="'all' = the reference's behavior: every scorer "
-                         "per invocation (Program.cs:99-108)")
+                         "per invocation (Program.cs:99-108); lmjm/pl2 "
+                         "run on the DataFrame path")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
+    se.add_argument("--strategy", choices=["wand", "maxscore"],
+                    default="wand",
+                    help="dynamic-pruning kernel for the wand path "
+                         "(both exact; see wand.search_bm25)")
     se.add_argument("--k", type=int, default=1000)
     se.add_argument("--boosted", action="store_true",
                     help="parse Lucene term^2.5 query-time boosts "
