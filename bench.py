@@ -230,6 +230,16 @@ def main() -> None:
     extras["query_surface_r4"] = {"medians": t_r4.medians,
                                   "spread": t_r4.spread}
 
+    # --- round-4 session-11: pruning strategies, impact index, new
+    # relevance models, aggregation framework (extras-only) ---
+    t_s11 = Timer(REPS)
+    for name in ("bm25_maxscore_topk", "impact_topk", "lmjm_topk",
+                 "pl2_topk", "date_histogram", "composite_page",
+                 "moving_daily"):
+        t_s11.timed(name, lambda n=name: qcat_r3[n](spark, SF_DIR).count())
+    extras["query_surface_s11"] = {"medians": t_s11.medians,
+                                   "spread": t_s11.spread}
+
     # --- round-4 session-2: code-graph analytics + sha-diff reindex ---
     t_cg = Timer(REPS)
     for name in ("import_extract", "module_fanin", "module_pagerank",

@@ -300,9 +300,18 @@ def _segment_topic_impact_topk(
         # all current); also the budget gate
         n_acc = len(docs_acc)
         if n_acc >= k:
-            part = np.partition(scores_acc, n_acc - k)
-            theta = int(part[n_acc - k])
-            chi = int(part[n_acc - k - 1]) if n_acc > k else 0
+            # partition at BOTH order statistics: with a single kth-index
+            # partition, part[n_acc-k-1] is an arbitrary member of the
+            # lower block, not the (k+1)-th largest — an underestimated χ
+            # terminates early and drops true top-k docs (caught by the
+            # kernel fuzz, tests/test_fuzz_pruning.py)
+            if n_acc > k:
+                part = np.partition(scores_acc, [n_acc - k - 1, n_acc - k])
+                theta = int(part[n_acc - k])
+                chi = int(part[n_acc - k - 1])
+            else:
+                theta = int(scores_acc.min())
+                chi = 0
             if theta > chi + remaining():
                 fixed = True
                 pos_in_stream = si

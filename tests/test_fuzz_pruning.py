@@ -1,0 +1,218 @@
+"""Property fuzz for the three top-k kernels, at the kernel level (pure
+numpy, no Spark): on random corpora — including negative-idf hot terms,
+qtf > 1, term boosts (positive, zero, negative), score ties, and every
+k regime — block-max WAND and MaxScore must return EXACTLY (ids +
+float32 score bits + order) what the exhaustive fold returns, and the
+impact kernel must match a brute-force integer ranking.
+
+This is the gate that keeps the soundness reasoning honest: the driver
+contract rows exercise two fixed corpora; hypothesis shrinks any
+violation of the θ-bootstrap / essential-partition / termination
+arguments to a minimal counterexample.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from search_engine_spark import wand as W
+from search_engine_spark.config import BM25Params
+from search_engine_spark.impact import _segment_topic_impact_topk
+
+P = BM25Params()
+BLOCK = 4  # small blocks so pruning decisions happen often
+
+
+def _dec(b):
+    return b["_data"]
+
+
+def _mk_blocks(postings: dict[str, list[tuple[int, int]]], n_docs: int,
+               avgdl: float, doc_len: dict[int, int]):
+    """postings: term -> [(doc_id, tf)] -> the kernel's block-dict shape,
+    with block_max_score computed exactly like pack_postings (max of the
+    query-independent part + one float32-ulp nudge)."""
+    term_blocks = {}
+    for term, plist in postings.items():
+        plist = sorted(plist)
+        df = len(plist)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        blocks = []
+        for bi in range(0, len(plist), BLOCK):
+            chunk = plist[bi : bi + BLOCK]
+            d = np.array([c[0] for c in chunk], dtype=np.int64)
+            t = np.array([c[1] for c in chunk], dtype=np.int64)
+            l = np.array([doc_len[c[0]] for c in chunk], dtype=np.int64)
+            kk = 1.0 - P.b + P.b * (l.astype(np.float64) / avgdl)
+            part = idf * (t * (P.k1 + 1.0)) / (t + P.k1 * kk)
+            bms = float(
+                np.nextafter(np.float32(part.max()), np.float32(np.inf))
+            )
+            blocks.append(
+                {
+                    "df": df,
+                    "block_id": bi // BLOCK,
+                    "n": len(chunk),
+                    "first_doc_id": int(d[0]),
+                    "last_doc_id": int(d[-1]),
+                    "max_tf": int(t.max()),
+                    "block_max_score": bms,
+                    "_data": (d, t, l),
+                }
+            )
+        term_blocks[term] = blocks
+    return term_blocks
+
+
+def _exhaustive(term_blocks, topic_terms, n_docs, avgdl):
+    per_term = []
+    for item in topic_terms:
+        term, qtf, pos = item[0], item[1], item[2]
+        boost = float(item[3]) if len(item) > 3 else 1.0
+        blocks = term_blocks.get(term)
+        if not blocks:
+            continue
+        df = blocks[0]["df"]
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        qtfp = W._qtf_part(qtf, P) * boost
+        ds, ts, ls = zip(*(_dec(b) for b in blocks))
+        d = np.concatenate(ds)
+        c = W._contrib32(
+            np.concatenate(ts), np.concatenate(ls), idf, qtfp, avgdl, P
+        )
+        per_term.append((pos, None, d, c, None))
+    if not per_term:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    return W._exact_scores(per_term)
+
+
+corpus_st = st.lists(  # doc -> list of (term_index, tf)
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(1, 5)),
+        min_size=0, max_size=6,
+    ),
+    min_size=1, max_size=40,
+)
+query_st = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(1, 3)),
+    min_size=1, max_size=5,
+)
+boost_st = st.lists(
+    st.sampled_from([1.0, 2.5, 0.5, 0.0, -1.0]), min_size=5, max_size=5
+)
+
+
+def _setup(corpus, query):
+    postings: dict[str, list[tuple[int, int]]] = {}
+    doc_len: dict[int, int] = {}
+    for doc_id, terms in enumerate(corpus):
+        seen: dict[str, int] = {}
+        for ti, tf in terms:
+            seen[f"w{ti}"] = seen.get(f"w{ti}", 0) + tf
+        doc_len[doc_id] = sum(seen.values())
+        for term, tf in seen.items():
+            postings.setdefault(term, []).append((doc_id, tf))
+    n_docs = len(corpus)
+    total = sum(doc_len.values())
+    avgdl = (total / n_docs) or 1.0
+    # query: dedupe terms, keep first qtf — mirrors tokenize_query's
+    # aggregation into (term, qtf) pairs
+    topic, seen_q = [], set()
+    for pos, (ti, qtf) in enumerate(query):
+        if ti in seen_q:
+            continue
+        seen_q.add(ti)
+        topic.append((f"w{ti}", qtf, len(topic)))
+    return postings, doc_len, n_docs, avgdl, topic
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus=corpus_st, query=query_st, k=st.integers(1, 12))
+def test_wand_and_maxscore_match_exhaustive(corpus, query, k):
+    postings, doc_len, n_docs, avgdl, topic = _setup(corpus, query)
+    if not postings:
+        return
+    tb = _mk_blocks(postings, n_docs, avgdl, doc_len)
+    uniq, scores = _exhaustive(tb, topic, n_docs, avgdl)
+    if len(uniq):
+        order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
+        want = list(zip(uniq[order].tolist(), scores[order].tolist()))
+    else:
+        want = []
+    # kernels return per-segment candidates UNORDERED when <= k survive
+    # (the global window sorts); normalize both sides to (score desc, id)
+    want = sorted(want, key=lambda r: (-r[1], r[0]))
+    for kern in (W._segment_topic_topk, W._segment_topic_topk_maxscore):
+        ids, sc, _ = kern(tb, topic, n_docs, avgdl, P, k, dec=_dec)
+        got = sorted(zip(ids.tolist(), sc.tolist()), key=lambda r: (-r[1], r[0]))
+        assert got == want, kern.__name__
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus=corpus_st, query=query_st, k=st.integers(1, 12),
+       boosts=boost_st)
+def test_boosted_kernels_match_exhaustive(corpus, query, k, boosts):
+    """Boost tuples — including zero and negative boosts that must trip
+    the soundness gate — keep both kernels bit-identical to the
+    exhaustive fold with the same boost-folded qtfp."""
+    postings, doc_len, n_docs, avgdl, topic = _setup(corpus, query)
+    if not postings:
+        return
+    topic = [
+        (term, qtf, pos, boosts[pos % len(boosts)])
+        for term, qtf, pos in topic
+    ]
+    tb = _mk_blocks(postings, n_docs, avgdl, doc_len)
+    uniq, scores = _exhaustive(tb, topic, n_docs, avgdl)
+    if len(uniq):
+        order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
+        want = list(zip(uniq[order].tolist(), scores[order].tolist()))
+    else:
+        want = []
+    # kernels return per-segment candidates UNORDERED when <= k survive
+    # (the global window sorts); normalize both sides to (score desc, id)
+    want = sorted(want, key=lambda r: (-r[1], r[0]))
+    for kern in (W._segment_topic_topk, W._segment_topic_topk_maxscore):
+        ids, sc, _ = kern(tb, topic, n_docs, avgdl, P, k, dec=_dec)
+        got = sorted(zip(ids.tolist(), sc.tolist()), key=lambda r: (-r[1], r[0]))
+        assert got == want, kern.__name__
+
+
+impact_st = st.dictionaries(  # term -> {doc: impact}
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.dictionaries(st.integers(0, 30), st.integers(1, 255),
+                    min_size=1, max_size=20),
+    min_size=1, max_size=4,
+)
+iquery_st = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(1, 3)),
+    min_size=1, max_size=4, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=impact_st, query=iquery_st, k=st.integers(1, 8),
+       bucket=st.integers(1, 4))
+def test_impact_kernel_matches_bruteforce(data, query, k, bucket):
+    """Anytime termination + phase-2 completion + budget-free exactness
+    vs a dict-based integer brute force, arbitrary bucket splits."""
+    term_buckets = {}
+    for term, docs in data.items():
+        by_imp: dict[int, list[int]] = {}
+        for doc, imp in docs.items():
+            by_imp.setdefault(imp, []).append(doc)
+        lst = []
+        for imp, ds in by_imp.items():
+            ds = sorted(ds)
+            for i in range(0, len(ds), bucket):  # arbitrary sub-blocks
+                lst.append((imp, np.array(ds[i : i + bucket], np.int64)))
+        term_buckets[term] = lst
+    acc: dict[int, int] = {}
+    for term, qtf in query:
+        for doc, imp in data.get(term, {}).items():
+            acc[doc] = acc.get(doc, 0) + qtf * imp
+    want = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    ids, sc, _ = _segment_topic_impact_topk(term_buckets, list(query), k)
+    got = sorted(zip(ids.tolist(), sc.tolist()), key=lambda r: (-r[1], r[0]))
+    assert got == want
