@@ -68,9 +68,10 @@ _EXPORTS = {
     "build_impact_index": "impact:build_impact_index",
     "load_impact_index": "impact:load_impact_index",
     "search_impact": "impact:search_impact",
-    # additional relevance models
+    # additional relevance models + doc introspection
     "score_lmjm": "query:score_lmjm",
     "score_pl2": "query:score_pl2",
+    "term_vectors": "query:term_vectors",
     # ES-style aggregations framework
     "date_histogram": "ops.aggs:date_histogram",
     "composite_buckets": "ops.aggs:composite_buckets",

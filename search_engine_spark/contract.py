@@ -832,6 +832,35 @@ def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERM_VECTOR_DOCS = (3, 17, 41, 256, 499)
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors parity (query.term_vectors): per-(doc, term)
+    tf/doc_len plus collection df/ttf for a small fetch set — the
+    stats agg runs over the FULL corpus, the doc filter pushes to the
+    scan."""
+    tokens = _tokens(spark, sf_dir)
+    return Q.term_vectors(tokens, TERM_VECTOR_DOCS)
+
+
+def _sql_term_vectors() -> str:
+    ids = ", ".join(str(d) for d in TERM_VECTOR_DOCS)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_meta_stats_cte()},
+stats_t AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS ttf
+  FROM tok GROUP BY term
+)
+SELECT t.doc_id, t.term, t.tf, m.doc_len, s.df, s.ttf
+FROM tok t
+JOIN meta m ON m.doc_id = t.doc_id
+JOIN stats_t s ON s.term = t.term
+WHERE t.doc_id IN ({ids})
+"""
+
+
 def _sql_lmjm() -> str:
     """score_lmjm restated: double math per contribution, float32 cast,
     term_pos-ordered float32 fold — no doc-length tail term (the
@@ -9232,6 +9261,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "composite_page": q_composite_page,
         "moving_daily": q_moving_daily,
+        "term_vectors": q_term_vectors,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
@@ -9489,6 +9519,7 @@ def duckdb_oracles() -> dict[str, str]:
         "date_histogram": _sql_date_histogram(),
         "composite_page": _sql_composite_page(),
         "moving_daily": _sql_moving_daily(),
+        "term_vectors": _sql_term_vectors(),
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),

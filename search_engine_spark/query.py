@@ -821,6 +821,34 @@ def score_ql(
     return topk(scores, k)
 
 
+def term_vectors(
+    tokens: DataFrame,
+    doc_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """ES _termvectors with term_statistics=true: per (doc, term) rows
+    (doc_id, term, tf, doc_len, df, ttf) where df / ttf are COLLECTION
+    statistics (doc frequency, total term frequency) of that term.
+
+    Scale shape: the doc filter is an IN-list pushed into the tokens
+    scan; the stats side aggregates the full tokens table to dictionary
+    size and joins back on term — when `doc_ids` is a small fetch set
+    the per-doc side is tiny and Catalyst broadcasts it INTO the join,
+    so no corpus-sized shuffle keys on doc_id.  (Per-request economics:
+    the stats agg is the reusable expensive part; persist
+    `tokens.groupBy('term')` stats once per session for repeated
+    term-vector fetches.)"""
+    side = tokens.select("doc_id", "term", "tf", "doc_len")
+    if doc_ids is not None:
+        side = side.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    stats = tokens.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ttf"),
+    )
+    return side.join(stats, "term").select(
+        "doc_id", "term", "tf", "doc_len", "df", "ttf"
+    )
+
+
 def score_lmjm(
     tokens: DataFrame,
     total_terms: int,
