@@ -72,6 +72,9 @@ _EXPORTS = {
     "score_lmjm": "query:score_lmjm",
     "score_pl2": "query:score_pl2",
     "term_vectors": "query:term_vectors",
+    # int8 vector quantization
+    "quantize_embeddings": "ops.similarity:quantize_embeddings",
+    "ann_int8_topk": "ops.similarity:ann_int8_topk",
     # ES-style aggregations framework
     "date_histogram": "ops.aggs:date_histogram",
     "composite_buckets": "ops.aggs:composite_buckets",

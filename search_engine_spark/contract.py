@@ -2669,6 +2669,62 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized integer-dot ANN (ops/similarity.quantize_embeddings
+    + ann_int8_topk) under a FULL oracle: one global float32 |x| max,
+    exact-IEEE floor quantization, BIGINT dot products — the ranking is
+    integer-deterministic end to end, so the SQL restates build + query
+    exactly (the similarity-side twin of the impact index's
+    quantization discipline)."""
+    embs = _embs(spark, sf_dir)
+    qemb, scale = S.quantize_embeddings(embs)
+    queries = qemb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    res = S.ann_int8_topk(qemb, queries, k=10)
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "dot"
+    )
+
+
+def _sql_ann_int8() -> str:
+    """quantize + integer-dot rank restated: list_inner_product over
+    BIGINT lists is exact here (|dot| ≤ 127²·dim ≪ 2^53, so the DOUBLE
+    return round-trips to BIGINT losslessly)."""
+    return """
+WITH mx AS (
+  SELECT CAST(MAX(list_max(list_transform(embedding, x -> abs(x)))) AS FLOAT)
+           AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) * 127.0)
+                     AS BIGINT)
+         ) AS qvec
+  FROM embeddings CROSS JOIN mx
+),
+queries AS (SELECT vec_id AS query_id, qvec AS qq FROM qz WHERE vec_id < 5),
+dots AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(list_inner_product(q.qq, e.qvec) AS BIGINT) AS dot
+  FROM qz e CROSS JOIN queries q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, vec_id ASC) AS BIGINT)
+           AS rank,
+         vec_id, dot
+  FROM dots
+)
+SELECT query_id, rank, vec_id, dot FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -9262,6 +9318,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "moving_daily": q_moving_daily,
         "term_vectors": q_term_vectors,
+        "ann_int8_topk": q_ann_int8_topk,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,
@@ -9520,6 +9577,7 @@ def duckdb_oracles() -> dict[str, str]:
         "composite_page": _sql_composite_page(),
         "moving_daily": _sql_moving_daily(),
         "term_vectors": _sql_term_vectors(),
+        "ann_int8_topk": _sql_ann_int8(),
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),

@@ -69,6 +69,89 @@ def cosine_topk_bruteforce(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    scale: float | None = None,
+) -> tuple[DataFrame, float]:
+    """Symmetric integer quantization of an embedding column — the
+    memory/SIMD trade every vector store at scale makes (int8 is 4×
+    smaller than float32 and dot products run on integer units).
+
+    q_i = floor( float64(x_i) / float64(scale) · (2^(bits-1) − 1) )
+
+    with one GLOBAL float32 scale = max |x| over the corpus (a single
+    agg; pass `scale` to reuse a stored one — queries MUST quantize
+    under the corpus scale or dot products are meaningless).  floor —
+    not round — because round's tie behavior differs across engines
+    while floor is unambiguous, making the quantized grid (and thus
+    integer ANN rankings) engine-deterministic; the ≤1-level asymmetry
+    on negatives is a documented non-issue for ranking.  Mirrors the
+    impact index's build-side quantization discipline (impact.py).
+
+    Returns (df with `qvec` array<int> replacing nothing — original
+    columns kept, plus qvec), and the float scale used."""
+    levels = float((1 << (bits - 1)) - 1)
+    if scale is None:
+        row = embeddings.agg(
+            F.max(
+                F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+            ).cast("float").alias("m")
+        ).collect()[0]
+        if row["m"] is None or float(row["m"]) <= 0.0:
+            raise ValueError("quantize_embeddings needs a non-zero corpus")
+        scale = float(row["m"])
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") / F.lit(scale) * F.lit(levels)
+        ).cast("int"),
+    )
+    return embeddings.withColumn("qvec", qvec), scale
+
+
+def ann_int8_topk(
+    quantized: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, rank, vec_id, dot BIGINT) — exact top-k by INTEGER
+    dot product over quantize_embeddings output (both sides quantized
+    under the SAME corpus scale).  Integer scores make the ranking
+    engine-deterministic bit-for-bit — no float-sum order sensitivity —
+    so the whole quantize+rank pipeline sits under a full SQL oracle.
+    Same broadcast-cross-join + window shape as the float brute force;
+    the SRP/IVF bucketing paths compose in front of it unchanged (pass
+    their candidate pairs and filter)."""
+    q = queries_q.select(
+        F.col(query_id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    e = quantized.select(F.col(id_col).alias("vec_id"), F.col("qvec").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qq"), F.col("qv"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "dot")
+    )
+
+
 def srp_buckets(
     embeddings: DataFrame,
     planes: list[list[float]],

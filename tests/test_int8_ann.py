@@ -1,0 +1,70 @@
+"""int8 embedding quantization (ops/similarity.quantize_embeddings +
+ann_int8_topk): hand-value exactness, determinism of the floor grid,
+and recall vs the float dot-product brute force (quantization error
+only — the metric is dot on both sides).  The driver row ann_int8_topk
+pins cross-engine integer equality end-to-end."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_quantize_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [-1.0, 0.0, 0.5])],
+        schema="vec_id long, embedding array<float>",
+    )
+    qdf, scale = S.quantize_embeddings(df)
+    assert scale == 1.0
+    rows = {r["vec_id"]: r["qvec"] for r in qdf.collect()}
+    # floor semantics: -0.5*127 = -63.5 -> -64 (not round-to -63)
+    assert rows[1] == [127, -64, 31]
+    assert rows[2] == [-127, 0, 63]
+
+
+def test_int8_dot_matches_numpy(spark, embs):
+    qdf, scale = S.quantize_embeddings(embs)
+    queries = qdf.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["dot"]
+        for r in S.ann_int8_topk(qdf, queries, k=5).collect()
+    }
+    mat = {r["vec_id"]: np.array(r["qvec"], dtype=np.int64) for r in qdf.collect()}
+    for (qid, vid), dot in got.items():
+        assert dot == int(mat[qid] @ mat[vid])
+
+
+def test_int8_recall_vs_float_dot(spark, embs):
+    """Quantization-only ranking error: recall@10 of the int8 ranking
+    against the float64 dot ranking must stay high (same metric, no
+    normalization confound)."""
+    rows = embs.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qdf, scale = S.quantize_embeddings(embs)
+    queries = qdf.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    got: dict[int, list[int]] = {}
+    for r in S.ann_int8_topk(qdf, queries, k=10).collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    recalls = []
+    for qid in range(10):
+        q = vecs[qid]
+        exact = sorted(
+            ((vid, float(q @ v)) for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        want = {vid for vid, _ in exact}
+        recalls.append(len(want & set(got[qid])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
