@@ -75,6 +75,7 @@ _EXPORTS = {
     # int8 vector quantization
     "quantize_embeddings": "ops.similarity:quantize_embeddings",
     "ann_int8_topk": "ops.similarity:ann_int8_topk",
+    "mmr_rerank_page": "ops.similarity:mmr_rerank_page",
     # ES-style aggregations framework
     "date_histogram": "ops.aggs:date_histogram",
     "composite_buckets": "ops.aggs:composite_buckets",

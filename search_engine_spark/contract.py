@@ -2687,6 +2687,23 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (ops/similarity.mmr_rerank_page) of the BM25
+    top-50 page using int8-quantized embedding cosines for the
+    diversity term.  Greedy MMR is inherently sequential in k, so this
+    is a documented ROWS-ONLY contract row (like ivf_ann_topk's
+    iterative k-means); determinism and greedy-correctness are pinned
+    in tests/test_mmr.py against a pure-Python restatement."""
+    tokens = _tokens(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats(spark, sf_dir)
+    qdf = Q.queries_to_df(spark, [(1, BM25_QUERY_TEXT)], SQL_CFG)
+    page = Q.score_bm25(
+        tokens, n_docs, avgdl, qdf, BM25Params(), k=50, exact_float32=True
+    ).select("topic_id", "doc_id", "score")
+    qemb, _ = S.quantize_embeddings(_embs(spark, sf_dir))
+    return S.mmr_rerank_page(page, qemb, lam=0.7, k=10)
+
+
 def _sql_ann_int8() -> str:
     """quantize + integer-dot rank restated: list_inner_product over
     BIGINT lists is exact here (|dot| ≤ 127²·dim ≪ 2^53, so the DOUBLE
@@ -9310,15 +9327,18 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest, never driver-sampled: first (cheapest-first within
         # the block; the shadiff index build is the expensive tail) ---
-        "bm25_maxscore_topk": q_bm25_maxscore_topk,
-        "impact_topk": q_impact_topk,
-        "lmjm_topk": q_lmjm_topk,
-        "pl2_topk": q_pl2_topk,
-        "date_histogram": q_date_histogram,
+        # session-11 block, cheapest-first (the index-building pruning
+        # rows are the expensive tail of the block)
         "composite_page": q_composite_page,
         "moving_daily": q_moving_daily,
-        "term_vectors": q_term_vectors,
+        "date_histogram": q_date_histogram,
         "ann_int8_topk": q_ann_int8_topk,
+        "pl2_topk": q_pl2_topk,
+        "lmjm_topk": q_lmjm_topk,
+        "term_vectors": q_term_vectors,
+        "mmr_rerank": q_mmr_rerank,
+        "bm25_maxscore_topk": q_bm25_maxscore_topk,
+        "impact_topk": q_impact_topk,
         "bm25_sharded_topk": q_bm25_sharded_topk,
         "bm25_sharded_localdf": q_bm25_sharded_localdf,
         "ltr_features": q_ltr_features,

@@ -152,6 +152,78 @@ def ann_int8_topk(
     )
 
 
+def mmr_rerank_page(
+    page: DataFrame,
+    quantized: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) of a retrieval page: greedily pick
+
+        argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ S} cos(d, s)
+
+    (ties → doc_id asc; the first pick has no diversity term).  `page`
+    is (topic_id, doc_id, score) — a TOP-N candidate page, coordinator-
+    sized by construction like every reranker here (wand.search_rerank_
+    cascade's economics); `quantized` is quantize_embeddings output.
+
+    Determinism: the diversity cosines are computed from the INT8
+    vectors — exact integer dots and norms, divided/sqrt'd in float64 —
+    so the greedy trajectory has no float-summation-order sensitivity
+    anywhere (raw float32 embedding dots would depend on SIMD reduction
+    order and could flip near-tie picks between hosts).  Greedy MMR is
+    inherently sequential in k; it runs driver-side over the collected
+    page — k and N are page-sized, never corpus-sized (documented
+    rows-only contract row, like IVF's iterative k-means).
+
+    Returns (topic_id, rank, doc_id, mmr_score float64 rounded 6)."""
+    import numpy as np
+
+    rows = (
+        page.join(
+            quantized.select(
+                F.col(id_col).alias("doc_id"), "qvec"
+            ),
+            "doc_id",
+        )
+        .select("topic_id", "doc_id", "score", "qvec")
+        .collect()
+    )
+    by_topic: dict[int, list] = {}
+    for r in rows:
+        by_topic.setdefault(r["topic_id"], []).append(r)
+    out = []
+    for topic_id, cand in sorted(by_topic.items()):
+        cand.sort(key=lambda r: r["doc_id"])
+        ids = np.array([r["doc_id"] for r in cand], dtype=np.int64)
+        rel = np.array([r["score"] for r in cand], dtype=np.float64)
+        Q = np.array([r["qvec"] for r in cand], dtype=np.int64)
+        norms = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        max_sim = np.zeros(len(ids), dtype=np.float64)
+        picked = np.zeros(len(ids), dtype=bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            # first pick: max_sim is all-zero, so this IS λ·rel
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr = np.where(picked, -np.inf, mmr)
+            # argmax with doc_id-asc tiebreak: ids are sorted asc, and
+            # np.argmax returns the FIRST maximal position
+            best = int(np.argmax(mmr))
+            picked[best] = True
+            out.append((int(topic_id), rank, int(ids[best]),
+                        round(float(mmr[best]), 6)))
+            # update the diversity term with the newly selected doc
+            dots = (Q @ Q[best]).astype(np.float64)
+            cos = dots / (norms * norms[best])
+            max_sim = np.maximum(max_sim, cos)
+    spark = page.sparkSession
+    return spark.createDataFrame(
+        out, schema="topic_id int, rank int, doc_id long, mmr_score double"
+    )
+
+
 def srp_buckets(
     embeddings: DataFrame,
     planes: list[list[float]],

@@ -1,0 +1,106 @@
+"""MMR diversification (ops/similarity.mmr_rerank_page): greedy
+trajectory pinned against an independent pure-Python restatement on the
+real embeddings, hand-built diversity behavior, and λ edge cases.
+(The contract row mmr_rerank is documented rows-only — greedy MMR is
+sequential in k — so these gates carry its correctness.)"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _python_mmr(cands, lam, k):
+    """cands: [(doc_id, rel, qvec list)] — independent greedy MMR."""
+    cands = sorted(cands, key=lambda c: c[0])
+    ids = [c[0] for c in cands]
+    rel = [c[1] for c in cands]
+    Q = [np.array(c[2], dtype=np.int64) for c in cands]
+    norms = [math.sqrt(float(q @ q)) or 1.0 for q in Q]
+    max_sim = [0.0] * len(ids)
+    picked = [False] * len(ids)
+    out = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        best, best_v = None, -math.inf
+        for i in range(len(ids)):
+            if picked[i]:
+                continue
+            v = lam * rel[i] - (1.0 - lam) * max_sim[i]
+            if v > best_v:  # strict: first (lowest doc_id) wins ties
+                best, best_v = i, v
+        picked[best] = True
+        out.append((rank, ids[best], round(best_v, 6)))
+        for i in range(len(ids)):
+            cos = float(Q[i] @ Q[best]) / (norms[i] * norms[best])
+            max_sim[i] = max(max_sim[i], cos)
+    return out
+
+
+@pytest.fixture(scope="module")
+def qembs(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf, _ = S.quantize_embeddings(embs)
+    return qdf
+
+
+def test_mmr_matches_python_restatement(spark, qembs):
+    # synthetic relevance page over real vectors: rel = hash-free
+    # deterministic function of doc_id
+    page = spark.range(40).select(
+        F.lit(1).alias("topic_id"),
+        F.col("id").alias("doc_id"),
+        (10.0 - F.col("id") * 0.2).cast("float").alias("score"),
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["mmr_score"])
+        for r in S.mmr_rerank_page(page, qembs, lam=0.7, k=10)
+        .orderBy("rank").collect()
+    ]
+    cand_rows = qembs.filter(F.col("vec_id") < 40).collect()
+    rels = {r["vec_id"]: float(np.float32(10.0 - r["vec_id"] * 0.2))
+            for r in cand_rows}
+    cands = [(r["vec_id"], rels[r["vec_id"]], r["qvec"]) for r in cand_rows]
+    want = _python_mmr(cands, 0.7, 10)
+    assert got == [(rk, d, s) for rk, d, s in want]
+
+
+def test_lambda_one_is_pure_relevance(spark, qembs):
+    page = spark.range(20).select(
+        F.lit(1).alias("topic_id"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("float").alias("score"),
+    )
+    got = [
+        r["doc_id"]
+        for r in S.mmr_rerank_page(page, qembs, lam=1.0, k=5)
+        .orderBy("rank").collect()
+    ]
+    # pure relevance: score desc, doc_id asc tiebreak
+    want = [d for d, _ in sorted(
+        ((i, i % 7) for i in range(20)), key=lambda t: (-t[1], t[0])
+    )[:5]]
+    assert got == want
+
+
+def test_diversity_term_splits_duplicate_cluster(spark):
+    """Two identical vectors with top relevance: pure relevance ranks
+    them 1-2; MMR must interleave the dissimilar doc at rank 2."""
+    qdf = spark.createDataFrame(
+        [(0, [100, 0]), (1, [100, 0]), (2, [0, 100])],
+        schema="vec_id long, qvec array<int>",
+    )
+    page = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 0.99), (1, 2, 0.5)],
+        schema="topic_id int, doc_id long, score float",
+    )
+    got = [
+        r["doc_id"]
+        for r in S.mmr_rerank_page(page, qdf, lam=0.5, k=3)
+        .orderBy("rank").collect()
+    ]
+    assert got == [0, 2, 1]
