@@ -120,7 +120,7 @@ def build_impact_index(
     cfg: AnalyzerConfig | None = None,
     params: BM25Params | None = None,
     bits: int = 8,
-    n_segments: int = 8,
+    n_segments: int | None = None,
     doc_id_col: str = "doc_id",
     content_col: str = "content",
 ) -> dict:
@@ -138,6 +138,14 @@ def build_impact_index(
 
     cfg = cfg or AnalyzerConfig()
     p = params or BM25Params()
+    if n_segments is None:
+        # segment count IS the query path's task parallelism (the kernel
+        # runs per (segment, topic), one task per segment) — a fixed
+        # small default caps scaling the moment cores outgrow it
+        # (measured: 1M-doc batch flat from 4→16 cores at 5 segments).
+        # Default to 2× the build cluster's parallelism, floor 8; pass
+        # explicitly to pin a layout across differently-sized builds.
+        n_segments = max(8, docs.sparkSession.sparkContext.defaultParallelism * 2)
     docs = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(content_col).alias("content"),

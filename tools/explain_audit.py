@@ -183,6 +183,34 @@ def main() -> int:
     check("impact: Arrow kernel, no row-Python",
           "MapInArrow" in p and "BatchEvalPython" not in p)
 
+    # --- 4e. int8 ANN: queries broadcast, all-JVM (no Python rows) ---
+    from search_engine_spark.ops.similarity import (
+        ann_int8_topk, quantize_embeddings,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qemb, _ = quantize_embeddings(embs)
+    qrs = qemb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    p = plan_of(ann_int8_topk(qemb, qrs, k=5))
+    print("== int8 ann ==")
+    check("int8 ann: query side broadcast", "Broadcast" in p)
+    check("int8 ann: pure JVM (no Python workers at all)",
+          "Python" not in p and "MapInArrow" not in p)
+
+    # --- 4f. date_histogram fill: axis generated from the per-group
+    # span agg (metadata-sized), never corpus x buckets ---
+    from search_engine_spark.ops.aggs import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = plan_of(date_histogram(ev, "ts", "day", ("event_type",),
+                               value_col="value"))
+    print("== date_histogram ==")
+    check("date_histogram: no cartesian/broadcast-nested-loop",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("date_histogram: pure JVM", "Python" not in p)
+
     # --- 5. dedup exact: single partial-agg shuffle ---
     from search_engine_spark.ops.dedup import exact_duplicates
 
