@@ -2687,6 +2687,82 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANALYZE_SAMPLE = (
+    "The QUICK <b>brown</b> Fox: jumps-over 42 lazy_dogs and THE "
+    "supercalifragilisticexpialidocious0123456789supercalifragilistic"
+    "expialidocious0123456789supercalifragilistic <tag>:"
+)  # trailing ':' → a trailing EMPTY split, exercising drop:empty too
+
+
+def q_analyze_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES /_analyze parity: the document analyzer's stage-by-stage
+    verdict for every raw split of a fixture string — (pos, raw token,
+    folded form, why it dropped or the emitted term).  Exercises every
+    drop rule in one row: tag-shaped tokens, empties, the 100-char cap,
+    ASCII-only folding, and the 39-word stop list (SQL_CFG, stemming
+    off — the stemmed path is pytest-gated against the Porter golden
+    vectors).  Runs on a one-row DataFrame; the oracle restates it over
+    VALUES."""
+    raw = spark.createDataFrame([(ANALYZE_SAMPLE,)], schema="text string")
+    toks = raw.select(
+        F.posexplode(F.split("text", DOC_SPLIT_SQL_REGEX)).alias("pos", "raw")
+    )
+    folded = F.translate(F.substring("raw", 1, 100), _UPPER, _LOWER)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    verdict = (
+        F.when(F.col("raw") == "", F.lit("drop:empty"))
+        .when(
+            F.col("raw").startswith("<") | F.col("raw").endswith(">"),
+            F.lit("drop:tag"),
+        )
+        .when(
+            F.array_contains(stop_arr, folded), F.lit("drop:stopword")
+        )
+        .otherwise(F.lit("emit"))
+    )
+    return toks.select(
+        F.col("pos").cast("long").alias("pos"),
+        "raw",
+        folded.alias("folded"),
+        verdict.alias("verdict"),
+        F.when(verdict == "emit", folded).alias("term"),
+    )
+
+
+def _sql_analyze_text() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sample = ANALYZE_SAMPLE.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT regexp_split_to_array('{sample}', '{DOC_SPLIT_SQL_REGEX}') AS a
+),
+raw AS (
+  -- parallel unnests of equal-length lists align positionally
+  SELECT CAST(unnest(range(0, len(a))) AS BIGINT) AS pos,
+         unnest(a) AS raw
+  FROM toks
+),
+staged AS (
+  SELECT pos, raw,
+         translate(substr(raw, 1, 100), '{_UPPER}', '{_LOWER}') AS folded
+  FROM raw
+),
+verdicts AS (
+  SELECT pos, raw, folded,
+         CASE
+           WHEN raw = '' THEN 'drop:empty'
+           WHEN starts_with(raw, '<') OR ends_with(raw, '>') THEN 'drop:tag'
+           WHEN folded IN ({stoplist}) THEN 'drop:stopword'
+           ELSE 'emit'
+         END AS verdict
+  FROM staged
+)
+SELECT pos, raw, folded, verdict,
+       CASE WHEN verdict = 'emit' THEN folded END AS term
+FROM verdicts
+"""
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (ops/similarity.mmr_rerank_page) of the BM25
     top-50 page using int8-quantized embedding cosines for the
@@ -9330,6 +9406,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-11 block, cheapest-first (the index-building pruning
         # rows are the expensive tail of the block)
         "composite_page": q_composite_page,
+        "analyze_text": q_analyze_text,
         "moving_daily": q_moving_daily,
         "date_histogram": q_date_histogram,
         "ann_int8_topk": q_ann_int8_topk,
@@ -9598,6 +9675,7 @@ def duckdb_oracles() -> dict[str, str]:
         "moving_daily": _sql_moving_daily(),
         "term_vectors": _sql_term_vectors(),
         "ann_int8_topk": _sql_ann_int8(),
+        "analyze_text": _sql_analyze_text(),
         # incremental maintenance lifecycle (maintenance.py): the live
         # delta view must reproduce plain full-corpus BM25 …
         "bm25_delta_topk": _sql_bm25(),
