@@ -815,10 +815,11 @@ def main(argv: list[str] | None = None) -> None:
                          "per invocation (Program.cs:99-108); lmjm/pl2 "
                          "run on the DataFrame path")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
-    se.add_argument("--strategy", choices=["wand", "maxscore"],
+    se.add_argument("--strategy", choices=["wand", "maxscore", "batch"],
                     default="wand",
-                    help="dynamic-pruning kernel for the wand path "
-                         "(both exact; see wand.search_bm25)")
+                    help="indexed-path kernel: wand/maxscore pruning or the "
+                         "topics-vectorized batch kernel (all exact; "
+                         "see wand.search_bm25)")
     se.add_argument("--k", type=int, default=1000)
     se.add_argument("--boosted", action="store_true",
                     help="parse Lucene term^2.5 query-time boosts "

@@ -474,6 +474,116 @@ def _segment_topic_topk_maxscore(
     return _finalize_topk(uniq, scores, k, n_pruned, tombstones, seg_epoch)
 
 
+def _segment_batch_exhaustive(
+    term_blocks: dict[str, list[dict]],
+    topics: list[tuple[int, list[tuple]]],
+    n_docs: int,
+    avgdl: float,
+    p: BM25Params,
+    k: int,
+    dec=decode_block,
+    df_map: dict | None = None,
+    tombstones: tuple[np.ndarray, np.ndarray] | None = None,
+    seg_epoch: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Topics-VECTORIZED exhaustive scoring for one segment — the
+    long-tail batch regime's kernel.
+
+    The per-(segment, topic) kernels (_segment_topic_topk and the
+    MaxScore variant) pay ~ms of Python per invocation building active
+    lists, bootstrapping θ, and lexsorting a per-topic result.  That is
+    the right trade when a topic touches thousands of postings (the
+    pruning saves dominate), and exactly the wrong one for a batch of
+    thousands of TINY topics: measured on 800 × 16-tail-term topics
+    over 64 segments, per-invocation overhead was ~95% of the runtime
+    (≈50 postings per (segment, topic)).  Here every term's postings
+    decode ONCE per segment, per-(topic, term) work is a single
+    vectorized contribution op, and the float32 left fold runs as ONE
+    global pass keyed by (topic, doc) — the same matrix-accumulate
+    _exact_scores uses, lifted to the whole batch.
+
+    Exactness contract unchanged: float64 per-posting math → float32
+    cast → float32 left fold in term_pos order per (topic, doc) —
+    bit-identical to the oracle path and to the pruning kernels, for
+    ANY idf sign or boost (no soundness gate needed: nothing prunes).
+
+    Returns (topic_ids, doc_ids, scores) — per-topic top-k applied
+    (score desc, doc_id asc), tombstones masked first."""
+    if tombstones is not None and len(tombstones[0]) == 0:
+        tombstones = None
+    # decode + per-term constants once per segment
+    term_data: dict[str, tuple] = {}
+    for term, blocks in term_blocks.items():
+        ds, ts, ls = zip(*(dec(b) for b in blocks))
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        l = np.concatenate(ls)
+        df = df_map[term] if df_map is not None else blocks[0]["df"]
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        term_data[term] = (d, t, l, idf)
+
+    T_parts, D_parts, P_parts, C_parts = [], [], [], []
+    for t_idx, (topic_id, terms) in enumerate(topics):
+        for item in terms:
+            term, qtf, term_pos = item[0], item[1], item[2]
+            boost = float(item[3]) if len(item) > 3 else 1.0
+            td = term_data.get(term)
+            if td is None:
+                continue
+            d, tf, dl, idf = td
+            c = _contrib32(tf, dl, idf, _qtf_part(qtf, p) * boost, avgdl, p)
+            T_parts.append(np.full(len(d), t_idx, dtype=np.int64))
+            D_parts.append(d)
+            P_parts.append(np.full(len(d), term_pos, dtype=np.int32))
+            C_parts.append(c)
+    if not T_parts:
+        return (np.empty(0, np.int32), np.empty(0, np.int64),
+                np.empty(0, np.float32))
+    T = np.concatenate(T_parts)
+    D = np.concatenate(D_parts)
+    POS = np.concatenate(P_parts)
+    C = np.concatenate(C_parts)
+
+    # one global float32 left fold keyed by (topic, doc), term_pos order
+    order = np.lexsort((POS, D, T))
+    T, D, C = T[order], D[order], C[order]
+    boundary = np.empty(len(T), dtype=bool)
+    boundary[0] = True
+    np.logical_or(T[1:] != T[:-1], D[1:] != D[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    grp = np.cumsum(boundary) - 1
+    within = np.arange(len(T)) - starts[grp]
+    width = int(within.max()) + 1
+    m = np.zeros((len(starts), width), dtype=np.float32)
+    m[grp, within] = C
+    scores = np.add.accumulate(m, axis=1, dtype=np.float32)[:, -1]
+    g_topic = T[starts]
+    g_doc = D[starts]
+
+    if tombstones is not None and len(g_doc):
+        keep = ~_tomb_mask(tombstones, seg_epoch, g_doc)
+        g_topic, g_doc, scores = g_topic[keep], g_doc[keep], scores[keep]
+
+    # per-topic top-k: groups are contiguous in g_topic (lexsort major
+    # key); tiny per-topic slices, trivial ops in the loop
+    out_t, out_d, out_s = [], [], []
+    tb = np.flatnonzero(
+        np.diff(g_topic, prepend=(g_topic[0] - 1 if len(g_topic) else 0)) != 0
+    )
+    bounds = np.append(tb, len(g_topic))
+    for i in range(len(tb)):
+        s, e = bounds[i], bounds[i + 1]
+        dd, ss = g_doc[s:e], scores[s:e]
+        if len(dd) > k:
+            o = np.lexsort((dd, -ss.astype(np.float64)))[:k]
+            dd, ss = dd[o], ss[o]
+        out_t.append(np.full(len(dd), topics[g_topic[s]][0], dtype=np.int32))
+        out_d.append(dd)
+        out_s.append(ss)
+    return (np.concatenate(out_t), np.concatenate(out_d),
+            np.concatenate(out_s))
+
+
 def _matched_postings(index: dict, terms: set[str]) -> DataFrame:
     """The query's posting slice: directory-partition pruning to the
     terms' bucket dirs (only <=|query| of term_buckets slices are
@@ -501,15 +611,17 @@ def search_bm25(
 ) -> DataFrame:
     """Top-k BM25 over a load_index() result via block-max WAND.
 
-    `strategy` picks the per-(segment, topic) dynamic-pruning kernel:
-    "wand" (default — doc-interval pruning over block maxima,
-    _segment_topic_topk) or "maxscore" (essential/non-essential term
-    partitioning, _segment_topic_topk_maxscore).  Both are EXACT — the
-    returned (rank, doc_id, float32 score) rows are bit-identical to
-    each other and to the exhaustive oracle path — they differ only in
-    which posting blocks they can avoid decoding, so callers pick by
-    workload (clustered doc ranges → wand; many low-impact terms →
-    maxscore) without a correctness trade.
+    `strategy` picks the per-segment kernel: "wand" (default —
+    doc-interval pruning over block maxima, _segment_topic_topk),
+    "maxscore" (essential/non-essential term partitioning,
+    _segment_topic_topk_maxscore), or "batch" (topics-vectorized
+    exhaustive scoring, _segment_batch_exhaustive — decode each term
+    once per segment, one global float32 fold across the whole topic
+    batch).  ALL are EXACT — identical (rank, doc_id, float32 score)
+    rows — so callers pick purely by workload: heavy topics over long
+    posting lists → wand/maxscore (pruning wins); thousands of tiny
+    long-tail topics → batch (per-invocation overhead wins; measured
+    ~95% of runtime at ~50 postings per (segment, topic)).
 
     `_stats_override` ((n_docs, avgdl)) and `_df_override` (term -> df)
     replace this index's collection statistics — the federation hook
@@ -535,8 +647,10 @@ def search_bm25(
     an action on the result its .value proves whether the pruned branch
     fired (0 on negative-idf corpora where the soundness gate forces
     exhaustive scoring)."""
-    if strategy not in ("wand", "maxscore"):
-        raise ValueError(f"strategy must be 'wand' or 'maxscore', got {strategy!r}")
+    if strategy not in ("wand", "maxscore", "batch"):
+        raise ValueError(
+            f"strategy must be 'wand', 'maxscore', or 'batch', got {strategy!r}"
+        )
     # module-level function: pickles by reference into the task closure
     kern = _segment_topic_topk if strategy == "wand" else _segment_topic_topk_maxscore
     p = params or index["params"]
@@ -717,6 +831,15 @@ def search_bm25(
         for seg, term_blocks in segs.items():
             for tb in term_blocks.values():
                 tb.sort(key=lambda r: r["block_id"])
+            if strategy == "batch":
+                tids, ids, scores = _segment_batch_exhaustive(
+                    term_blocks, get_topics(), n_docs, avgdl, pp, k, dec,
+                    df_map, tomb, seg // DELTA_SEG_STRIDE,
+                )
+                out_t.append(tids)
+                out_d.append(ids)
+                out_s.append(scores)
+                continue
             for topic_id, terms in get_topics():
                 ids, scores, n_pruned = kern(
                     term_blocks, terms, n_docs, avgdl, pp, k, dec, allow_prune,

@@ -147,6 +147,12 @@ def test_wand_and_maxscore_match_exhaustive(corpus, query, k):
         ids, sc, _ = kern(tb, topic, n_docs, avgdl, P, k, dec=_dec)
         got = sorted(zip(ids.tolist(), sc.tolist()), key=lambda r: (-r[1], r[0]))
         assert got == want, kern.__name__
+    # topics-vectorized batch kernel: same exactness, whole-batch API
+    _, bids, bsc = W._segment_batch_exhaustive(
+        tb, [(1, topic)], n_docs, avgdl, P, k, dec=_dec
+    )
+    got = sorted(zip(bids.tolist(), bsc.tolist()), key=lambda r: (-r[1], r[0]))
+    assert got == want, "_segment_batch_exhaustive"
 
 
 @settings(max_examples=150, deadline=None)
@@ -177,6 +183,12 @@ def test_boosted_kernels_match_exhaustive(corpus, query, k, boosts):
         ids, sc, _ = kern(tb, topic, n_docs, avgdl, P, k, dec=_dec)
         got = sorted(zip(ids.tolist(), sc.tolist()), key=lambda r: (-r[1], r[0]))
         assert got == want, kern.__name__
+    # topics-vectorized batch kernel: same exactness, whole-batch API
+    _, bids, bsc = W._segment_batch_exhaustive(
+        tb, [(1, topic)], n_docs, avgdl, P, k, dec=_dec
+    )
+    got = sorted(zip(bids.tolist(), bsc.tolist()), key=lambda r: (-r[1], r[0]))
+    assert got == want, "_segment_batch_exhaustive"
 
 
 impact_st = st.dictionaries(  # term -> {doc: impact}

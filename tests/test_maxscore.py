@@ -121,18 +121,32 @@ def fixture_index(spark, corpus, tmp_path_factory):
     return P.load_index(spark, idx_dir)
 
 
-def test_maxscore_equals_wand_on_fixture_queries(spark, fixture_index, queries_fixture):
-    """Full fixture query set (50 topics in one batch job): MaxScore and
-    WAND must return identical (topic, rank, doc, float32 score) rows —
-    including topics where the soundness gate forces both exhaustive."""
+def test_all_strategies_equal_on_fixture_queries(spark, fixture_index, queries_fixture):
+    """Full fixture query set (50 topics in one batch job): MaxScore,
+    the topics-vectorized batch kernel, and WAND must return identical
+    (topic, rank, doc, float32 score) rows — including topics where the
+    soundness gate forces the pruning kernels exhaustive."""
     batch = [(q["topic_id"], q["query_text"]) for q in queries_fixture]
     wand_rows = sorted(
         tuple(r)
         for r in W.search_bm25(fixture_index, batch, k=K, strategy="wand").collect()
     )
-    ms_rows = sorted(
-        tuple(r)
-        for r in W.search_bm25(fixture_index, batch, k=K, strategy="maxscore").collect()
-    )
-    assert wand_rows == ms_rows
     assert wand_rows  # non-vacuous
+    for strategy in ("maxscore", "batch"):
+        rows = sorted(
+            tuple(r)
+            for r in W.search_bm25(
+                fixture_index, batch, k=K, strategy=strategy
+            ).collect()
+        )
+        assert rows == wand_rows, strategy
+
+
+def test_batch_strategy_boosted_matches(spark, pruned_index):
+    idx, corpus = pruned_index
+    qtext = "qqa^0.5 qqc^2.0"
+    res = W.search_bm25(idx, [(1, qtext)], k=TOPK, boosted=True, strategy="batch")
+    got = sorted(
+        (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in res.collect()
+    )
+    assert got == _oracle_rows(spark, corpus, [(1, qtext)], TOPK, boosted=True)

@@ -71,6 +71,10 @@ def one_draw(sp, idx_dir: str, imp_dir: str, docs_path: str) -> dict:
     t["n_maxscore"] = W.search_bm25(idx, TOPICS, k=K, strategy="maxscore").count()
     t["maxscore_batch"] = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    t["n_batch"] = W.search_bm25(idx, TOPICS, k=K, strategy="batch").count()
+    t["batch_batch"] = round(time.perf_counter() - t0, 2)
+
     imp = I.load_impact_index(sp, imp_dir)
     t0 = time.perf_counter()
     t["n_impact"] = I.search_impact(imp, TOPICS, k=K).count()
@@ -132,7 +136,7 @@ def main() -> None:
         )
         sp.stop()
 
-    timing_ops = ("wand_batch", "maxscore_batch", "impact_batch", "impact_build")
+    timing_ops = ("wand_batch", "maxscore_batch", "batch_batch", "impact_batch", "impact_build")
     results = {}
     for key, draws in raw.items():
         results[key] = {
