@@ -511,7 +511,13 @@ def _segment_batch_exhaustive(
     (score desc, doc_id asc), tombstones masked first."""
     if tombstones is not None and len(tombstones[0]) == 0:
         tombstones = None
-    # decode + per-term constants once per segment
+    # decode once per segment + precompute the TERM-ONLY part of the
+    # contribution: base = idf · tf_part (a float64 vector).  Per
+    # (topic, term) the remaining work is ONE scalar multiply + float32
+    # cast: (base · qtfp) == ((idf · tfp) · qtfp), numpy's evaluation
+    # order inside _contrib32 — bit-identical, just hoisted out of the
+    # 10^4-10^5-pair loop (the loop's other per-pair arrays are built
+    # with two global np.repeat calls below instead of per-pair fills)
     term_data: dict[str, tuple] = {}
     for term, blocks in term_blocks.items():
         ds, ts, ls = zip(*(dec(b) for b in blocks))
@@ -520,9 +526,14 @@ def _segment_batch_exhaustive(
         l = np.concatenate(ls)
         df = df_map[term] if df_map is not None else blocks[0]["df"]
         idf = math.log((n_docs - df + 0.5) / (df + 0.5))
-        term_data[term] = (d, t, l, idf)
+        kk = 1.0 - p.b + p.b * (l.astype(np.float64) / avgdl)
+        tfp = t.astype(np.float64) * (p.k1 + 1.0) / (t + p.k1 * kk)
+        term_data[term] = (d, idf * tfp)
 
-    T_parts, D_parts, P_parts, C_parts = [], [], [], []
+    pair_tidx: list[int] = []
+    pair_pos: list[int] = []
+    pair_len: list[int] = []
+    D_parts, C_parts = [], []
     for t_idx, (topic_id, terms) in enumerate(topics):
         for item in terms:
             term, qtf, term_pos = item[0], item[1], item[2]
@@ -530,18 +541,19 @@ def _segment_batch_exhaustive(
             td = term_data.get(term)
             if td is None:
                 continue
-            d, tf, dl, idf = td
-            c = _contrib32(tf, dl, idf, _qtf_part(qtf, p) * boost, avgdl, p)
-            T_parts.append(np.full(len(d), t_idx, dtype=np.int64))
+            d, base = td
+            C_parts.append((base * (_qtf_part(qtf, p) * boost)).astype(np.float32))
             D_parts.append(d)
-            P_parts.append(np.full(len(d), term_pos, dtype=np.int32))
-            C_parts.append(c)
-    if not T_parts:
+            pair_tidx.append(t_idx)
+            pair_pos.append(term_pos)
+            pair_len.append(len(d))
+    if not D_parts:
         return (np.empty(0, np.int32), np.empty(0, np.int64),
                 np.empty(0, np.float32))
-    T = np.concatenate(T_parts)
+    lens = np.array(pair_len, dtype=np.int64)
+    T = np.repeat(np.array(pair_tidx, dtype=np.int64), lens)
+    POS = np.repeat(np.array(pair_pos, dtype=np.int32), lens)
     D = np.concatenate(D_parts)
-    POS = np.concatenate(P_parts)
     C = np.concatenate(C_parts)
 
     # one global float32 left fold keyed by (topic, doc), term_pos order
