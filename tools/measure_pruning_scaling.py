@@ -22,6 +22,7 @@ Usage: python tools/measure_pruning_scaling.py [n_docs] [topics] [draws]
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -80,6 +81,8 @@ def one_draw(sp, idx_dir: str, imp_dir: str, docs_path: str) -> dict:
     t["n_impact"] = I.search_impact(imp, TOPICS, k=K).count()
     t["impact_batch"] = round(time.perf_counter() - t0, 2)
 
+    if os.environ.get("SPARK_GRAFT_SKIP_IMPACT_BUILD") == "1":
+        return t
     from search_engine_spark.config import AnalyzerConfig
 
     docs = sp.read.parquet(docs_path)
@@ -136,7 +139,9 @@ def main() -> None:
         )
         sp.stop()
 
-    timing_ops = ("wand_batch", "maxscore_batch", "batch_batch", "impact_batch", "impact_build")
+    timing_ops = ["wand_batch", "maxscore_batch", "batch_batch", "impact_batch"]
+    if os.environ.get("SPARK_GRAFT_SKIP_IMPACT_BUILD") != "1":
+        timing_ops.append("impact_build")
     results = {}
     for key, draws in raw.items():
         results[key] = {
