@@ -18,6 +18,8 @@ Layout:
     resume.py    checkpoint-resumable chunked build + segments ledger
     maintenance.py incremental maintenance: delta segments, tombstones,
                  compaction (live search bit-identical to a rebuild)
+    snapshot.py  index snapshot/verify/restore with a distributed
+                 sha256 manifest (binaryFile source)
     query.py     DataFrame scorers (BM25, TF-IDF, boolean) + top-k
     wand.py      block-max WAND + MaxScore pruning over posting segments
                  (mapInArrow; strategy-selectable, both exact)
@@ -56,6 +58,9 @@ _EXPORTS = {
     "build_index": "postings:build_index",
     "load_index": "postings:load_index",
     "index_size_stats": "postings:index_size_stats",
+    "snapshot_index": "snapshot:snapshot_index",
+    "verify_snapshot": "snapshot:verify_snapshot",
+    "restore_index": "snapshot:restore_index",
     "fsck_index": "fsck:fsck_index",
     "fsck_live": "fsck:fsck_live",
     "fsck_trigram_index": "fsck:fsck_trigram_index",

@@ -289,6 +289,27 @@ def cmd_stats(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_snapshot(args: argparse.Namespace) -> None:
+    """snapshot.py: archive an index with a distributed checksum
+    manifest (`snapshot`), re-verify an archive (`--verify-only`), or
+    copy it back and verify the restored bytes (`--restore-to`)."""
+    from . import snapshot as SN
+
+    spark = _get_spark("se-spark-snapshot")
+    if args.verify_only:
+        bad = SN.verify_snapshot(spark, args.snap_dir)
+        print(json.dumps({"discrepancies": bad}))
+        sys.exit(1 if bad else 0)
+    if args.restore_to:
+        out = SN.restore_index(spark, args.snap_dir, args.restore_to)
+        print(json.dumps(out))
+        return
+    if not args.index_dir:
+        raise SystemExit("snapshot needs <index_dir> (or --verify-only/"
+                         "--restore-to on an existing snapshot)")
+    print(json.dumps(SN.snapshot_index(spark, args.index_dir, args.snap_dir)))
+
+
 def cmd_fsck(args: argparse.Namespace) -> None:
     """Distributed index integrity verification (fsck.py): decode
     round-trip + block metadata + df/epoch + doc_meta/stats checks as
@@ -776,6 +797,23 @@ def main(argv: list[str] | None = None) -> None:
                          "(physical bytes still include tombstoned "
                          "postings until compaction)")
     st.set_defaults(fn=cmd_stats)
+
+    sn = sub.add_parser(
+        "snapshot", help="archive an index with a distributed sha256 "
+                         "manifest; --verify-only / --restore-to for the "
+                         "recovery side"
+    )
+    sn.add_argument("snap_dir", help="snapshot directory")
+    sn.add_argument("index_dir", nargs="?", default=None,
+                    help="index to archive (omit with --verify-only/"
+                         "--restore-to)")
+    sn.add_argument("--verify-only", action="store_true",
+                    help="re-checksum snap_dir against its manifest; "
+                         "exit 1 on discrepancies")
+    sn.add_argument("--restore-to", default=None, metavar="DIR",
+                    help="copy the snapshot into DIR and verify the "
+                         "restored bytes")
+    sn.set_defaults(fn=cmd_snapshot)
 
     fk = sub.add_parser(
         "fsck", help="verify index integrity (decode round-trip, block "

@@ -1,0 +1,89 @@
+"""Snapshot / verify / restore (snapshot.py): round trip, tamper
+detection (corrupt / missing / foreign), and the full recovery drill —
+restore then fsck then search, bit-identical to the original index."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import postings as P, snapshot as SN, wand as W
+from search_engine_spark.config import BM25Params, IndexBuildConfig
+from search_engine_spark.contract import SQL_CFG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("snap_idx"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=SQL_CFG), BM25Params(),
+        doc_id_col="doc_id", content_col="text",
+    )
+    return idx_dir
+
+
+def test_snapshot_roundtrip_and_recovery_drill(spark, built_index, tmp_path):
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "restored")
+    meta = SN.snapshot_index(spark, built_index, snap)
+    assert meta["n_files"] > 0 and meta["total_bytes"] > 0
+    assert SN.verify_snapshot(spark, snap) == []
+
+    SN.restore_index(spark, snap, dest)
+    # the restored index must SEARCH bit-identically
+    q = [(1, "spark merge batch")]
+    orig = sorted(
+        tuple(r)
+        for r in W.search_bm25(P.load_index(spark, built_index), q, k=20).collect()
+    )
+    rest = sorted(
+        tuple(r)
+        for r in W.search_bm25(P.load_index(spark, dest), q, k=20).collect()
+    )
+    assert orig == rest and orig
+
+
+def test_verify_detects_tampering(spark, built_index, tmp_path):
+    snap = str(tmp_path / "snap2")
+    SN.snapshot_index(spark, built_index, snap)
+
+    # corrupt: flip bytes in one manifest-covered file
+    victim = None
+    for root, _, files in os.walk(snap):
+        for fn in files:
+            if fn.endswith(".parquet") and SN.MANIFEST_NAME not in root:
+                victim = os.path.join(root, fn)
+                break
+        if victim:
+            break
+    with open(victim, "r+b") as f:
+        f.seek(0)
+        f.write(b"XXXX")
+    bad = SN.verify_snapshot(spark, snap)
+    assert any(b["status"] == "corrupt" for b in bad)
+
+    # missing: delete it
+    os.remove(victim)
+    bad = SN.verify_snapshot(spark, snap)
+    assert any(b["status"] == "missing" for b in bad)
+
+    # foreign: drop an unexpected file in
+    with open(os.path.join(snap, "stray.bin"), "wb") as f:
+        f.write(b"not part of the snapshot")
+    bad = SN.verify_snapshot(spark, snap)
+    statuses = {b["status"] for b in bad}
+    assert "foreign" in statuses and "missing" in statuses
+
+
+def test_snapshot_refuses_nonempty_target(spark, built_index, tmp_path):
+    tgt = tmp_path / "occupied"
+    tgt.mkdir()
+    (tgt / "x").write_text("y")
+    with pytest.raises(ValueError, match="not empty"):
+        SN.snapshot_index(spark, built_index, str(tgt))
+    with pytest.raises(ValueError, match="not empty"):
+        SN.restore_index(spark, str(tgt), str(tgt))
