@@ -270,9 +270,24 @@ def cmd_stats(args: argparse.Namespace) -> None:
         by_term.unpersist()
     payload = agg["gap_bytes"] + agg["tf_bytes"] + agg["len_bytes"]
     raw = agg["n_postings"] * 16  # 8B doc id + 4B tf + 4B doc len unpacked
+    # Segment count IS the query path's task parallelism (one task per
+    # segment in the per-(segment, topic) kernels); measured: a 5-segment
+    # 1M-doc layout was FLAT from 4→16 cores because 11 cores had no
+    # task (BASELINE.md session 11).  Surface the operational advisory
+    # here, where operators look first.
+    par = spark.sparkContext.defaultParallelism
+    advisory = None
+    if agg["n_segments"] < par:
+        advisory = (
+            f"n_segments ({agg['n_segments']}) < cluster parallelism "
+            f"({par}): query tasks cannot occupy all cores — rebuild "
+            f"with more input partitions or compact with a smaller "
+            f"segment size target"
+        )
     print(
         json.dumps(
             {
+                "segment_parallelism_advisory": advisory,
                 "n_docs": index["n_docs"],
                 "avg_doc_len": round(index["avg_doc_len"], 4),
                 "total_terms": index["total_terms"],
