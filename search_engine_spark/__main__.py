@@ -304,6 +304,61 @@ def cmd_stats(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_impact_index(args: argparse.Namespace) -> None:
+    """Build the impact-ordered quantized index (impact.py) — the
+    anytime-ranking artifact next to the main posting index."""
+    from .impact import build_impact_index
+
+    spark = _get_spark("se-spark-impact-index")
+    docs = spark.read.parquet(args.documents)
+    docs = _with_doc_id(docs, args.doc_id_col, args.key_cols)
+    t0 = time.time()
+    manifest = build_impact_index(
+        docs,
+        args.index_dir,
+        cfg=_parse_options(args.options),
+        bits=args.bits,
+        n_segments=args.segments,
+        doc_id_col=args.doc_id_col,
+        content_col=args.content_col,
+    )
+    print(json.dumps({
+        "n_docs": manifest["n_docs"],
+        "levels": manifest["levels"],
+        "n_segments": manifest["n_segments"],
+        "max_contribution": manifest["max_contribution"],
+        "sec": round(time.time() - t0, 3),
+    }))
+
+
+def cmd_impact_search(args: argparse.Namespace) -> None:
+    """Anytime top-k over an impact index: exact by default, bounded
+    work with --budget (postings per (segment, topic))."""
+    from .impact import load_impact_index, search_impact
+    from .topics import QueryOptions, load_topics, write_trec_run
+
+    spark = _get_spark("se-spark-impact-search")
+    index = load_impact_index(spark, args.index_dir)
+    opts = QueryOptions(
+        use_title=not args.no_title, use_desc=args.desc, use_narr=args.narr
+    )
+    topics = load_topics(args.topics, opts)
+    t0 = time.time()
+    res = search_impact(index, topics, k=args.k, budget=args.budget)
+    rows = [
+        (r["topic_id"], r["rank"], str(r["doc_id"]), float(r["score"]))
+        for r in res.collect()
+    ]
+    n = write_trec_run(rows, args.run_name, args.out)
+    print(json.dumps({
+        "run": args.run_name,
+        "topics": len(topics),
+        "results": n,
+        "budget": args.budget,
+        "sec": round(time.time() - t0, 3),
+    }))
+
+
 def cmd_snapshot(args: argparse.Namespace) -> None:
     """snapshot.py: archive an index with a distributed checksum
     manifest (`snapshot`), re-verify an archive (`--verify-only`), or
@@ -812,6 +867,40 @@ def main(argv: list[str] | None = None) -> None:
                          "(physical bytes still include tombstoned "
                          "postings until compaction)")
     st.set_defaults(fn=cmd_stats)
+
+    ii = sub.add_parser(
+        "impact-index", help="build the impact-ordered quantized index "
+                             "(anytime ranking; impact.py)"
+    )
+    ii.add_argument("documents", help="parquet path of the documents table")
+    ii.add_argument("index_dir")
+    ii.add_argument("--options", default=None)
+    ii.add_argument("--bits", type=int, default=8)
+    ii.add_argument("--segments", type=int, default=None,
+                    help="segment count (default: 2x build parallelism)")
+    ii.add_argument("--doc-id-col", default="doc_id")
+    ii.add_argument("--content-col", default="content")
+    ii.add_argument("--key-cols", default="",
+                    help="natural-key columns for doc-id derivation when "
+                         "the table has no doc_id")
+    ii.set_defaults(fn=cmd_impact_index)
+
+    isr = sub.add_parser(
+        "impact-search", help="anytime top-k over an impact index "
+                              "(exact, or bounded with --budget)"
+    )
+    isr.add_argument("run_name")
+    isr.add_argument("topics", help="TREC topics file")
+    isr.add_argument("index_dir")
+    isr.add_argument("out", help="TREC run output file")
+    isr.add_argument("--k", type=int, default=1000)
+    isr.add_argument("--budget", type=int, default=None,
+                     help="max phase-1 postings per (segment, topic); "
+                          "omit for the provably-exact mode")
+    isr.add_argument("--no-title", action="store_true")
+    isr.add_argument("--desc", action="store_true")
+    isr.add_argument("--narr", action="store_true")
+    isr.set_defaults(fn=cmd_impact_search)
 
     sn = sub.add_parser(
         "snapshot", help="archive an index with a distributed sha256 "
