@@ -418,6 +418,22 @@ def q_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The topics-vectorized batch kernel (wand._segment_batch_exhaustive)
+    under the driver oracle — third strategy, same memoized index and
+    same exhaustive BM25 SQL as the two pruning rows, so all three
+    kernels are pinned to one bit-exact answer by the driver itself."""
+    from . import postings as P, wand as W
+
+    idx = P.load_index(spark, _pruned_index_dir(spark, sf_dir))
+    res = W.search_bm25(
+        idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK, strategy="batch"
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact-ordered quantized index (impact.py — Anh & Moffat score-
     at-index-time) under a FULL DuckDB oracle: the 8-bit quantized
@@ -9414,6 +9430,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmjm_topk": q_lmjm_topk,
         "term_vectors": q_term_vectors,
         "mmr_rerank": q_mmr_rerank,
+        "bm25_batch_topk": q_bm25_batch_topk,
         "bm25_maxscore_topk": q_bm25_maxscore_topk,
         "impact_topk": q_impact_topk,
         "bm25_sharded_topk": q_bm25_sharded_topk,
@@ -9657,6 +9674,11 @@ def duckdb_oracles() -> dict[str, str]:
         # MaxScore term-partitioned pruning vs the SAME exhaustive SQL —
         # both pruning strategies pinned to one bit-exact answer
         "bm25_maxscore_topk": _sql_bm25(
+            source_table="corpus",
+            prelude=_sql_pruned_corpus_cte(),
+            query_text=WAND_PRUNED_QUERY_TEXT,
+        ),
+        "bm25_batch_topk": _sql_bm25(
             source_table="corpus",
             prelude=_sql_pruned_corpus_cte(),
             query_text=WAND_PRUNED_QUERY_TEXT,
