@@ -139,8 +139,17 @@ def _core_queries(spark, sf_dir: str, t: Timer, extras_key: str | None,
     import tempfile as _tf
 
     idx_tmp = _tf.mkdtemp(prefix="bench_idx_")
+    # target=None pins the r1-r4 input-partition segment layout for
+    # cross-round comparability; the new data-sized default (r5,
+    # IndexBuildConfig.target_postings_per_segment) is pytest-gated
+    # and would collapse this toy corpus to ~1 segment — correct, but
+    # it would serialize the wand_topk probe and break the A/B series.
+    from search_engine_spark.config import IndexBuildConfig as _IBC
+
     t.timed("index_materialize", lambda: build_index(
-        docs, f"{idx_tmp}/idx", doc_id_col="doc_id", content_col="text"))
+        docs, f"{idx_tmp}/idx",
+        _IBC(target_postings_per_segment=None),
+        doc_id_col="doc_id", content_col="text"))
     index = load_index(spark, f"{idx_tmp}/idx")
     t.timed("wand_topk", lambda: search_bm25(index, TOPICS, k=100).count())
     if extras_key is None:
@@ -470,9 +479,16 @@ def main() -> None:
         # WAND overhead (256 tiny segments measured ~30% slower queries)
         from search_engine_spark.postings import build_index, load_index
 
+        from search_engine_spark.config import IndexBuildConfig as _IBC
+
         s32 = get_spark("bench-scale-prep2", master=f"local[{CPUS}]",
                         shuffle_partitions=CPUS)
+        # target=None: this probe pins its 64-segment layout explicitly
+        # via repartition(64) (measured sweet spot) — identical layout
+        # at both core counts is what makes the N-vs-4N query numbers
+        # an apples-to-apples scaling comparison.
         build_index(s32.read.parquet(big_path).repartition(64), f"{tmp}/idx",
+                    _IBC(target_postings_per_segment=None),
                     doc_id_col="doc_id", content_col="text")
         s32.stop()
 

@@ -470,6 +470,21 @@ def cmd_search(args: argparse.Namespace) -> None:
             "--rerank runs the index-backed cascade: --path wand, "
             "base/compacted snapshot only (compact a live index first)"
         )
+    if args.strategy == "impact":
+        if scorers != ["bm25"] or args.path != "wand":
+            raise SystemExit(
+                "--strategy impact requires --scorer bm25 --path wand"
+            )
+        if args.live or args.as_of is not None or args.boosted or args.rerank:
+            raise SystemExit(
+                "--strategy impact serves base/compacted snapshots "
+                "without boosts/rerank (compact a live index first)"
+            )
+        if not args.impact_dir:
+            raise SystemExit(
+                "--strategy impact needs --impact-dir "
+                "(build one with the `impact-index` subcommand)"
+            )
     rerank_weights = None
     if args.rerank:
         # "bm25=1.0,n_matched=0.5" -> {feature: coefficient}; typos in
@@ -506,6 +521,14 @@ def cmd_search(args: argparse.Namespace) -> None:
             res = search_rerank_cascade(
                 index, topics, rerank_weights,
                 n_retrieve=args.rerank_depth, k=args.k,
+            )
+        elif sc == "bm25" and args.strategy == "impact":
+            from .impact import load_impact_index, search_impact_cascade
+
+            res = search_impact_cascade(
+                load_impact_index(spark, args.impact_dir), index, topics,
+                n_retrieve=args.impact_depth, k=args.k,
+                budget=args.impact_budget,
             )
         elif sc == "bm25" and args.path == "wand":
             res = search_bm25(
@@ -957,11 +980,30 @@ def main(argv: list[str] | None = None) -> None:
                          "per invocation (Program.cs:99-108); lmjm/pl2 "
                          "run on the DataFrame path")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
-    se.add_argument("--strategy", choices=["wand", "maxscore", "batch"],
+    se.add_argument("--strategy",
+                    choices=["wand", "maxscore", "batch", "impact"],
                     default="wand",
-                    help="indexed-path kernel: wand/maxscore pruning or the "
+                    help="indexed-path kernel: wand/maxscore pruning, the "
                          "topics-vectorized batch kernel (all exact; "
-                         "see wand.search_bm25)")
+                         "see wand.search_bm25), or 'impact' — the "
+                         "anytime cascade (impact-index stage-1 page → "
+                         "exact float32 BM25 rescore; needs "
+                         "--impact-dir). Pick by workload: wand for few "
+                         "heavy topics, maxscore ~5-10%% faster same "
+                         "shape, batch/impact for thousand-topic "
+                         "long tails (impact ≈2× batch, measured)")
+    se.add_argument("--impact-dir", default=None, dest="impact_dir",
+                    help="impact-ordered index dir (build with "
+                         "`impact-index`) for --strategy impact")
+    se.add_argument("--impact-depth", type=int, default=100,
+                    dest="impact_depth",
+                    help="stage-1 page size per topic for "
+                         "--strategy impact (rescore depth)")
+    se.add_argument("--impact-budget", type=int, default=None,
+                    dest="impact_budget",
+                    help="anytime budget: max phase-1 postings per "
+                         "(segment, topic) in the impact stage "
+                         "(default exact)")
     se.add_argument("--k", type=int, default=1000)
     se.add_argument("--boosted", action="store_true",
                     help="parse Lucene term^2.5 query-time boosts "

@@ -68,3 +68,17 @@ class IndexBuildConfig:
     # whole index; md5-based so drivers can compute bucket ids without a
     # Spark job.  At cluster scale raise toward ~1 bucket per few GB.
     term_buckets: int = 16
+    # size SEGMENTS BY DATA, not build parallelism: the maintenance
+    # compaction rule (maintenance.compact_index's 4M-posting targets)
+    # applied at FRESH build time — build_index assigns doc-range
+    # segments of ~this many postings (count = ceil(tokens/target),
+    # invariant of cluster width), and resumable finalize first-fit
+    # folds its chunk-namespaced staging segments toward it.  Without
+    # it a fresh index on a 1000-executor cluster starts with
+    # fleet-proportional segment overhead (measured r4: segment count
+    # tracked cluster width; the `stats` CLI advisory flagged it but
+    # only compaction fixed it).  None = legacy input-partition
+    # segmentation.  Query-side note: segment count IS the per-topic
+    # kernel parallelism — benchmarks at toy scale pass a smaller
+    # target so the probe still fans out (bench.py does).
+    target_postings_per_segment: int | None = 4_000_000

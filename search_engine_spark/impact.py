@@ -462,3 +462,93 @@ def search_impact(
         .filter(F.col("rank") <= k)
         .select("topic_id", "rank", "doc_id", "score")
     )
+
+
+def search_impact_cascade(
+    impact_index: dict,
+    word_index: dict,
+    queries: Sequence[tuple[int, str]],
+    n_retrieve: int = 100,
+    k: int = 10,
+    budget: int | None = None,
+    params: BM25Params | None = None,
+    skip_accumulator=None,
+) -> DataFrame:
+    """Anytime serving with EXACT final scores: impact stage-1 page →
+    exact float32 BM25 rescore of the page from the word index.
+
+    Stage 1 runs the impact kernel (bounded integer cost — with a
+    ``budget`` it is the anytime path; without one it is the exact
+    impact ranking) for the top-``n_retrieve`` page per topic.  Stage 2
+    decodes ONLY candidate postings from the word index — the same
+    block-range-pruned decode the LTR cascade uses
+    (wand._decode_candidate_tokens: a block whose doc-id range holds no
+    candidate skips without touching its varint bytes) — with df from
+    posting METADATA, and emits query.ltr_features' ``bm25`` column,
+    which is bit-for-bit search_bm25's float32 term_pos-ordered fold.
+    So whenever the true BM25 top-k survives in the stage-1 page (ample
+    ``budget`` + ``n_retrieve`` ≥ a small multiple of k — pytest pins
+    run-file byte-equality on the contract corpus), the output is
+    IDENTICAL to the exhaustive/WAND/MaxScore strategies: same
+    (topic_id, rank, doc_id, float32 score) rows.
+
+    This is the long-tail batch answer BASELINE.md session 11 measured:
+    the impact kernel runs the thousand-topic tail 2-2.3× faster than
+    any float kernel, and this wrapper restores exact BM25 semantics at
+    page cost.  CLI: ``search --strategy impact --impact-dir DIR``.
+
+    Scale shape: stage-1 cost is bounded by the impact budget; stage-2
+    cost tracks the PAGE (topics × n_retrieve), never the matched
+    slice.  Live word indexes are refused like search_rerank_cascade
+    (compact first — stage 2 reads base-epoch blocks only)."""
+    if word_index.get("live"):
+        raise ValueError(
+            "search_impact_cascade serves base/compacted snapshots; "
+            "run maintenance.compact_index on the live index first"
+        )
+    from .query import ltr_features, queries_to_df, topk as qtopk
+    from .wand import _decode_candidate_tokens, _matched_postings
+
+    spark = word_index["postings"].sparkSession
+    p = params or word_index["params"]
+    cfg_w: AnalyzerConfig = word_index["analyzer"]
+    qdf = queries_to_df(spark, queries, cfg_w)
+    all_terms = {r.term for r in qdf.select("term").distinct().collect()}
+    empty = spark.createDataFrame(
+        [], schema="topic_id int, rank int, doc_id long, score float"
+    )
+    if not all_terms:
+        return empty
+    page = (
+        search_impact(
+            impact_index, queries, k=n_retrieve, budget=budget,
+            skip_accumulator=skip_accumulator,
+        )
+        .select("topic_id", "doc_id")
+        .collect()
+    )
+    if not page:
+        return empty
+    cand_df = spark.createDataFrame(
+        [(r.topic_id, r.doc_id) for r in page],
+        schema="topic_id int, doc_id long",
+    )
+    cand_ids = np.unique(np.fromiter(
+        (r.doc_id for r in page), dtype=np.int64, count=len(page)
+    ))
+    matched = _matched_postings(word_index, all_terms)
+    term_df = matched.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+    feats = ltr_features(
+        _decode_candidate_tokens(matched, cand_ids),
+        word_index["n_docs"],
+        word_index["avg_doc_len"],
+        qdf,
+        p,
+        candidates=cand_df,
+        term_df=term_df,
+    )
+    # the bm25 FEATURE is already the exact serving score (float32
+    # fold, corpus df) — no linear_score double/round detour
+    return qtopk(
+        feats.select("topic_id", "doc_id", F.col("bm25").alias("score")), k
+    )

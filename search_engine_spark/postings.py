@@ -98,17 +98,31 @@ def posting_fragments(
     cfg: AnalyzerConfig | None = None,
     doc_id_col: str = "doc_id",
     content_col: str = "content",
+    segment_expr=None,
 ) -> DataFrame:
-    """documents → per-(input partition, term) posting fragments.
+    """documents → per-(segment, term) posting fragments.
 
     Narrow (no shuffle).  Within a fragment, doc_ids are ascending —
     batches are sorted by doc_id before the per-term list aggregation,
     and input partitions are processed batch-by-batch in order.
-    """
+
+    ``segment_expr`` (optional Column) overrides the default
+    input-partition segmentation with a DATA-derived segment id
+    (build_index's doc-range rule: segment count invariant of cluster
+    width).  A batch may then span several segments — the kernel splits
+    it per segment (with ids correlated to input order, ≤2 segments per
+    partition, so the split is near-free; uncorrelated ids degrade to
+    ~(partitions·segments) fragment rows for hot terms, which
+    pack_postings merges like any multi-fragment group)."""
     cfg = cfg or AnalyzerConfig()
     cfg_dict = cfg.to_dict()
+    seg_col = (
+        F.spark_partition_id().cast("long")
+        if segment_expr is None
+        else segment_expr.cast("long")
+    )
     narrow = docs.select(
-        F.spark_partition_id().cast("long").alias("segment_id"),
+        seg_col.alias("segment_id"),
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(content_col).alias("content"),
     )
@@ -126,27 +140,79 @@ def posting_fragments(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            seg = batch.column("segment_id")[0].as_py()
-            toks = analyze_arrow(batch, c)
-            if toks.num_rows == 0:
-                continue
-            tbl = pa.Table.from_batches([toks]).sort_by("doc_id")
-            grouped = tbl.group_by(["term"], use_threads=False).aggregate(
-                [("doc_id", "list"), ("tf", "list"), ("doc_len", "list")]
-            )
-            n = grouped.num_rows
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([seg] * n, pa.int64()),
-                    grouped.column("term").combine_chunks(),
-                    grouped.column("doc_id_list").combine_chunks(),
-                    grouped.column("tf_list").combine_chunks(),
-                    grouped.column("doc_len_list").combine_chunks(),
-                ],
-                names=["segment_id", "term", "doc_ids", "tfs", "doc_lens"],
-            )
+            seg_arr = batch.column("segment_id")
+            uniq = sorted(pc.unique(seg_arr).to_pylist())
+            for seg in uniq:
+                sub = (
+                    batch
+                    if len(uniq) == 1
+                    else batch.filter(pc.equal(seg_arr, seg))
+                )
+                toks = analyze_arrow(sub, c)
+                if toks.num_rows == 0:
+                    continue
+                tbl = pa.Table.from_batches([toks]).sort_by("doc_id")
+                grouped = tbl.group_by(["term"], use_threads=False).aggregate(
+                    [("doc_id", "list"), ("tf", "list"), ("doc_len", "list")]
+                )
+                n = grouped.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([seg] * n, pa.int64()),
+                        grouped.column("term").combine_chunks(),
+                        grouped.column("doc_id_list").combine_chunks(),
+                        grouped.column("tf_list").combine_chunks(),
+                        grouped.column("doc_len_list").combine_chunks(),
+                    ],
+                    names=["segment_id", "term", "doc_ids", "tfs", "doc_lens"],
+                )
 
     return narrow.mapInArrow(_fragments, schema=FRAGMENTS_SCHEMA)
+
+
+def coalesce_segment_ids(
+    fragments: DataFrame, target: int | None
+) -> DataFrame:
+    """Greedy first-fit fold of fragment segments into ~``target``-
+    posting segments — maintenance.compact_index's renumber rule
+    applied at FRESH finalize (resume/streaming builds), where staging
+    segments are chunk-namespaced (chunk · SEGMENTS_PER_CHUNK +
+    partition id) and would otherwise track cluster width × chunk
+    count.  One driver-sized (segment, Σ postings) agg, then a
+    broadcast-joined renumber map; fragments of a folded segment meet
+    their new siblings in pack_postings' ordinary multi-fragment merge.
+    Unlike build_index's doc-range rule the fold can't SPLIT an
+    oversized staging segment, so the count is data-proportional but
+    only ≈ ceil(total/target) when staging segments are smaller than
+    the target (true whenever chunk partitions are reasonable);
+    compaction remains the governor for maintained indexes."""
+    if not target:
+        return fragments
+    seg_rows = sorted(
+        (int(r["segment_id"]), int(r["n"]))
+        for r in fragments.groupBy("segment_id")
+        .agg(F.sum(F.size("doc_ids")).alias("n"))
+        .collect()
+    )
+    if len(seg_rows) <= 1:
+        return fragments
+    mapping, new_id, acc = [], 0, 0
+    for seg, n in seg_rows:
+        if acc > 0 and acc + n > int(target):
+            new_id += 1
+            acc = 0
+        mapping.append((seg, new_id))
+        acc += n
+    if new_id + 1 == len(seg_rows):
+        return fragments  # nothing folds — skip the join
+    mdf = fragments.sparkSession.createDataFrame(
+        mapping, schema="segment_id long, _new_segment long"
+    )
+    return (
+        fragments.join(F.broadcast(mdf), "segment_id")
+        .drop("segment_id")
+        .withColumnRenamed("_new_segment", "segment_id")
+    )
 
 
 def fragment_term_df(fragments: DataFrame) -> DataFrame:
@@ -679,7 +745,36 @@ def build_index(
     )
     t_meta = time.time()
 
-    fragments = posting_fragments(docs, cfg, doc_id_col, content_col)
+    # DATA-sized segments (the compaction rule at fresh build): segment
+    # count = ceil(tokens/target), assigned by doc-id RANGE — one
+    # min/max agg on the already-written doc_meta, then a pure
+    # expression on the narrow projection.  No extra shuffle, full
+    # analysis parallelism, and the count is invariant of cluster
+    # width (pytest pins local-4 vs local-16 equality) — a fresh index
+    # on a wide cluster no longer starts with fleet-proportional
+    # segment overhead that only compaction used to repair.
+    seg_expr = None
+    tps = build_cfg.target_postings_per_segment
+    if tps:
+        n_segments = max(1, -(-total_terms // int(tps)))
+        bounds = (
+            spark.read.parquet(f"{index_dir}/doc_meta")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()[0]
+        )
+        lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
+        seg_expr = F.least(
+            F.floor(
+                (F.col(doc_id_col).cast("double") - F.lit(float(lo)))
+                / F.lit(float(span))
+                * F.lit(float(n_segments))
+            ),
+            F.lit(n_segments - 1),
+        ).cast("long")
+
+    fragments = posting_fragments(
+        docs, cfg, doc_id_col, content_col, segment_expr=seg_expr
+    )
     term_df = fragment_term_df(fragments)
     postings = pack_postings(
         fragments, term_df, n_docs, avgdl, params, build_cfg.block_size

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import build as B
 from .config import AnalyzerConfig, BM25Params, IndexBuildConfig
 from .postings import (
+    coalesce_segment_ids,
     fragment_term_df,
     pack_postings,
     posting_fragments,
@@ -276,6 +277,12 @@ def _finalize(
     n_docs, avgdl, total_terms = B.collect_stats(doc_meta)
 
     fragments = spark.read.parquet(f"{index_dir}/staging/fragments").drop("chunk")
+    # data-sized segments for the FRESH index (IndexBuildConfig.
+    # target_postings_per_segment): fold chunk-namespaced staging
+    # segments so the final count tracks data, not chunks × width
+    fragments = coalesce_segment_ids(
+        fragments, build_cfg.target_postings_per_segment
+    )
     term_df = fragment_term_df(fragments)
     postings = pack_postings(
         fragments, term_df, n_docs, avgdl, params, build_cfg.block_size

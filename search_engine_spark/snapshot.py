@@ -51,9 +51,15 @@ def _checksum_tree(spark: SparkSession, root: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(root)
     )
-    rel = F.regexp_replace(
-        F.col("path"), "^file:" + root.rstrip("/") + "/", ""
-    )
+    # literal prefix strip, NOT regexp_replace: regex metacharacters in
+    # the directory path ('+', '(', '[' in temp/user dirs) would make a
+    # concatenated '^file:<root>/' pattern silently fail to match and
+    # every verify/restore would report spurious missing/foreign rows.
+    prefix = "file:" + root.rstrip("/") + "/"
+    rel = F.when(
+        F.col("path").startswith(prefix),
+        F.col("path").substr(F.lit(len(prefix) + 1), F.length("path")),
+    ).otherwise(F.col("path"))
     return (
         df.select(
             rel.alias("rel_path"),

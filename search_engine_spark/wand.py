@@ -575,6 +575,14 @@ def _segment_batch_exhaustive(
     if tombstones is not None and len(g_doc):
         keep = ~_tomb_mask(tombstones, seg_epoch, g_doc)
         g_topic, g_doc, scores = g_topic[keep], g_doc[keep], scores[keep]
+        if not len(g_doc):
+            # every scored doc in this segment was tombstoned (e.g. a
+            # delta segment fully superseded by upserts/deletes): the
+            # per-topic loop below would run zero times and
+            # np.concatenate([]) raises — mirror the `if not D_parts`
+            # empty-segment return above.
+            return (np.empty(0, np.int32), np.empty(0, np.int64),
+                    np.empty(0, np.float32))
 
     # per-topic top-k: groups are contiguous in g_topic (lexsort major
     # key); tiny per-topic slices, trivial ops in the loop

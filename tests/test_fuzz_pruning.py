@@ -191,6 +191,73 @@ def test_boosted_kernels_match_exhaustive(corpus, query, k, boosts):
     assert got == want, "_segment_batch_exhaustive"
 
 
+tomb_frac_st = st.sampled_from([0.3, 0.7, 1.0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus=corpus_st, query=query_st, k=st.integers(1, 12),
+       frac=tomb_frac_st, seed=st.integers(0, 2**31 - 1))
+def test_tombstoned_kernels_match_exhaustive(corpus, query, k, frac, seed):
+    """All three kernels under a tombstone set — including frac=1.0
+    where EVERY scored doc in the segment is dead (a delta segment
+    fully superseded by upserts/deletes).  The batch kernel used to
+    crash there: the tombstone mask emptied g_doc and the final
+    np.concatenate ran on zero per-topic slices (ADVICE r4 high)."""
+    from search_engine_spark.maintenance import ALL_EPOCHS
+
+    postings, doc_len, n_docs, avgdl, topic = _setup(corpus, query)
+    if not postings:
+        return
+    tb = _mk_blocks(postings, n_docs, avgdl, doc_len)
+    all_docs = sorted(doc_len)
+    rng = np.random.default_rng(seed)
+    n_dead = int(math.ceil(frac * len(all_docs)))
+    dead = np.sort(rng.choice(all_docs, size=n_dead, replace=False).astype(np.int64))
+    tomb = (dead, np.full(len(dead), ALL_EPOCHS, dtype=np.int64))
+    uniq, scores = _exhaustive(tb, topic, n_docs, avgdl)
+    if len(uniq):
+        keep = ~np.isin(uniq, dead)
+        uniq, scores = uniq[keep], scores[keep]
+    if len(uniq):
+        order = np.lexsort((uniq, -scores.astype(np.float64)))[:k]
+        want = list(zip(uniq[order].tolist(), scores[order].tolist()))
+    else:
+        want = []
+    want = sorted(want, key=lambda r: (-r[1], r[0]))
+    for kern in (W._segment_topic_topk, W._segment_topic_topk_maxscore):
+        ids, sc, *_ = kern(
+            tb, topic, n_docs, avgdl, P, k, dec=_dec,
+            tombstones=tomb, seg_epoch=0,
+        )
+        got = sorted(zip(ids.tolist(), sc.tolist()), key=lambda r: (-r[1], r[0]))
+        assert got == want, kern.__name__
+    _, bids, bsc = W._segment_batch_exhaustive(
+        tb, [(1, topic)], n_docs, avgdl, P, k, dec=_dec,
+        tombstones=tomb, seg_epoch=0,
+    )
+    got = sorted(zip(bids.tolist(), bsc.tolist()), key=lambda r: (-r[1], r[0]))
+    assert got == want, "_segment_batch_exhaustive"
+
+
+def test_batch_kernel_all_docs_tombstoned_regression():
+    """Deterministic pin of the ADVICE r4 high finding: batch kernel on
+    a segment whose every scored doc is tombstoned must return empty
+    arrays, not ValueError from np.concatenate on empty lists."""
+    from search_engine_spark.maintenance import ALL_EPOCHS
+
+    postings = {"w0": [(0, 2), (1, 1)], "w1": [(0, 1)]}
+    doc_len = {0: 3, 1: 1}
+    tb = _mk_blocks(postings, 2, 2.0, doc_len)
+    tomb = (np.array([0, 1], dtype=np.int64),
+            np.full(2, ALL_EPOCHS, dtype=np.int64))
+    t, d, s = W._segment_batch_exhaustive(
+        tb, [(1, [("w0", 1, 0), ("w1", 1, 1)])], 2, 2.0, P, 10,
+        dec=_dec, tombstones=tomb, seg_epoch=0,
+    )
+    assert len(t) == 0 and len(d) == 0 and len(s) == 0
+    assert t.dtype == np.int32 and d.dtype == np.int64 and s.dtype == np.float32
+
+
 impact_st = st.dictionaries(  # term -> {doc: impact}
     st.sampled_from(["a", "b", "c", "d"]),
     st.dictionaries(st.integers(0, 30), st.integers(1, 255),

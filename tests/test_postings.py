@@ -233,3 +233,43 @@ def test_index_size_stats_matches_decode_recount(spark, docs_df):
             assert s["len_bytes"] == a["len"]
     finally:
         packed.unpersist()
+
+
+def test_segment_count_data_sized_invariant_of_width(spark, docs_df, tmp_path):
+    """VERDICT r4 #4: fresh build_index sizes segments by DATA (the
+    compaction rule, ceil(tokens/target)) — the same corpus presented
+    at 4× different input parallelism builds the SAME segment count,
+    and searches bit-identically.  Without the rule the count tracked
+    cluster width (r4 measured 30 vs 48 segments for one corpus)."""
+    from search_engine_spark import wand as W
+    from search_engine_spark.config import IndexBuildConfig
+
+    total_tokens = (
+        B.build_doc_meta(docs_df, CFG, "doc_id", "content")
+        .agg(F.sum("doc_len"))
+        .collect()[0][0]
+    )
+    target = 400  # toy-scale target => several segments, deterministic
+    expect = -(-int(total_tokens) // target)
+    metrics, rows = {}, {}
+    for width in (2, 8):
+        idx_dir = str(tmp_path / f"w{width}")
+        m = P.build_index(
+            docs_df.repartition(width),
+            idx_dir,
+            IndexBuildConfig(
+                analyzer=CFG, target_postings_per_segment=target
+            ),
+            doc_id_col="doc_id",
+            content_col="content",
+        )
+        metrics[width] = m
+        idx = P.load_index(spark, idx_dir)
+        rows[width] = sorted(
+            tuple(r)
+            for r in W.search_bm25(
+                idx, [(1, "merge index"), (2, "batch config")], k=20
+            ).collect()
+        )
+    assert metrics[2]["n_segments"] == metrics[8]["n_segments"] == expect
+    assert rows[2] == rows[8] and rows[2]

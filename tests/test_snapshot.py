@@ -87,3 +87,26 @@ def test_snapshot_refuses_nonempty_target(spark, built_index, tmp_path):
         SN.snapshot_index(spark, built_index, str(tgt))
     with pytest.raises(ValueError, match="not empty"):
         SN.restore_index(spark, str(tgt), str(tgt))
+
+
+def test_snapshot_path_with_regex_metachars(spark, built_index, tmp_path):
+    """ADVICE r5 low: the manifest's rel_path strip must be a LITERAL
+    prefix strip — a snapshot directory containing regex metacharacters
+    ('+', '(') used to defeat the regexp_replace-based strip and
+    report every file as missing/foreign.  ('[' and '*' are excluded:
+    those are Hadoop PATH GLOB chars, rejected at load time for any
+    reader — not this module's concern.)"""
+    weird = tmp_path / "snap+dir (v2)"
+    snap = str(weird)
+    meta = SN.snapshot_index(spark, built_index, snap)
+    assert meta["n_files"] > 0
+    # rel_paths must be RELATIVE (prefix actually stripped) …
+    rels = [
+        r["rel_path"]
+        for r in spark.read.parquet(
+            os.path.join(snap, SN.MANIFEST_NAME)
+        ).collect()
+    ]
+    assert rels and all(not rp.startswith("file:") for rp in rels)
+    # … and verify must be clean, not a wall of spurious mismatches
+    assert SN.verify_snapshot(spark, snap) == []

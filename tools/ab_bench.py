@@ -111,8 +111,19 @@ toks.unpersist()
 
 import tempfile, shutil
 idx_tmp = tempfile.mkdtemp(prefix="ab_idx_")
-timed("index_materialize", lambda: build_index(
-    docs, f"{idx_tmp}/idx", doc_id_col="doc_id", content_col="text"))
+# pin the pre-r5 input-partition segment layout so A/B probes compare
+# kernels, not segmentation defaults (r5 sizes segments by data)
+try:
+    from search_engine_spark.config import IndexBuildConfig as _IBC
+    _ibc = _IBC(target_postings_per_segment=None)
+except TypeError:
+    _ibc = None
+timed("index_materialize", lambda: (
+    build_index(docs, f"{idx_tmp}/idx", _ibc,
+                doc_id_col="doc_id", content_col="text")
+    if _ibc is not None else
+    build_index(docs, f"{idx_tmp}/idx",
+                doc_id_col="doc_id", content_col="text")))
 index = load_index(spark, f"{idx_tmp}/idx")
 timed("wand_topk", lambda: search_bm25(index, topics, k=100).count())
 shutil.rmtree(idx_tmp, ignore_errors=True)

@@ -1,0 +1,182 @@
+"""Floor-calibrate compact_index's core scaling (VERDICT r4 #2).
+
+The r4 lifecycle probe measured compact_index at 0.42 N→4N efficiency
+(1M docs × 200k vocab) — the one wide op that never got the round-3
+`pack_over_floor` decomposition proving whether the ceiling is the
+host's shared memory bus (as it is for the build-path pack stage,
+pack_over_floor 1.6-1.7 stable) or a vectorization gap in the
+decode→mask→re-encode pass.
+
+This probe runs BOTH on the same prepared live index (base + delta +
+deletes + upserts, the exact pre-compaction state):
+
+  * compact: maintenance.compact_index, timed end to end.
+  * floor:   the identical plan SHAPE minus every byte of codec work —
+    live_index open, posting scan, a passthrough mapInArrow (the
+    Arrow worker pipe), the (segment_id, term) repartition carrying
+    the same packed-block payload, a second passthrough pipe, and the
+    parquet write.  No varint decode, no tombstone mask, no re-encode,
+    no block-max math.  The floor's payload is the ENCODED blocks
+    (smaller than the decoded int64 fragment arrays the real shuffle
+    carries), so the floor is conservative: compact_over_floor
+    overestimates the engine's distance from the pipe.
+
+Interleaved draw schedule + per-op MIN across draws, like every probe
+here (host noise is one-sided and hits high-core configs hardest).
+
+Usage: python tools/measure_compact_floor.py [n_docs] [draws]
+Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DRAWS = [
+    int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16,16,4,16").split(",")
+]
+VOCAB = 200_000
+DEL_MOD = 13
+UPS_MOD = 31
+
+
+def _prep(tmp: str) -> str:
+    """Build the pre-compaction live state ONCE (unmeasured)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import maintenance as MN, postings as P
+    from search_engine_spark.config import BM25Params, IndexBuildConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    sp = get_spark("compact_floor_prep", master="local[16]", shuffle_partitions=32)
+    docs_path = f"{tmp}/docs.parquet"
+    realistic_docs_df(sp, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    docs = sp.read.parquet(docs_path)
+    idx = f"{tmp}/prep_idx"
+    P.build_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx,
+        IndexBuildConfig(), BM25Params(), content_col="text",
+    )
+    MN.append_delta(docs.filter(F.col("doc_id") % 5 == 0), idx, content_col="text")
+    MN.delete_docs(
+        sp, idx, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    upd = docs.filter(F.col("doc_id") % UPS_MOD == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" upserted marker"))
+    )
+    MN.upsert_docs(upd, idx, content_col="text")
+    sp.stop()
+    return idx
+
+
+def one_draw(sp, prep_idx: str, tmp: str, tag: str) -> dict:
+    from search_engine_spark import maintenance as MN
+
+    t: dict[str, float] = {}
+
+    # --- the real compaction (dir copy excluded from timing) ---
+    work = f"{tmp}/work_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(prep_idx, work)
+    t0 = time.perf_counter()
+    metrics = MN.compact_index(sp, work)
+    t["compact"] = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+
+    # --- the floor: same plan shape, zero codec work ---
+    fl = f"{tmp}/fl_{tag}"
+    shutil.rmtree(fl, ignore_errors=True)
+    shutil.copytree(prep_idx, fl)
+    out = f"{tmp}/fl_out_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    t0 = time.perf_counter()
+    live = MN.live_index(sp, fl)
+    posts = live["postings"]
+    passthru = posts.mapInArrow(_noop, posts.schema)
+    shuffled = passthru.repartition("segment_id", "term").mapInArrow(
+        _noop, posts.schema
+    )
+    shuffled.write.parquet(out)
+    t["floor"] = time.perf_counter() - t0
+    shutil.rmtree(fl, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    t["compact_over_floor"] = t["compact"] / t["floor"]
+    t["_metrics"] = {
+        k: v for k, v in metrics.items() if isinstance(v, (int, float))
+    }
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="compact_floor_")
+    prep_idx = _prep(tmp)
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"compact_floor_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        t = one_draw(sp, prep_idx, tmp, f"{cores}_{draw_no}")
+        sp.stop()
+        raw.setdefault(f"local{cores}", []).append(
+            {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in t.items()
+            }
+        )
+
+    results: dict[str, dict] = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "compact_min": min(d["compact"] for d in draws),
+            "floor_min": min(d["floor"] for d in draws),
+            "compact_over_floor_min": round(
+                min(d["compact_over_floor"] for d in draws), 2
+            ),
+            "draws": [
+                {k: v for k, v in d.items() if not k.startswith("_")}
+                for d in draws
+            ],
+            "compact_metrics": draws[0]["_metrics"],
+        }
+
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    out = {
+        "n_docs": N_DOCS,
+        "vocab": VOCAB,
+        "results": results,
+        "efficiency_n_to_4n": {
+            op: round(
+                (results[lo][f"{op}_min"] / results[hi][f"{op}_min"]) / ratio,
+                3,
+            )
+            for op in ("compact", "floor")
+        },
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
