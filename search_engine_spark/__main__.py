@@ -278,11 +278,16 @@ def cmd_stats(args: argparse.Namespace) -> None:
     par = spark.sparkContext.defaultParallelism
     advisory = None
     if agg["n_segments"] < par:
+        # belt-and-suspenders since r5: fresh builds size segments by
+        # DATA (IndexBuildConfig.target_postings_per_segment, default
+        # 4M — the compaction rule), so this fires mainly on small
+        # corpora (where few segments are correct) or indexes built
+        # with target=None
         advisory = (
             f"n_segments ({agg['n_segments']}) < cluster parallelism "
-            f"({par}): query tasks cannot occupy all cores — rebuild "
-            f"with more input partitions or compact with a smaller "
-            f"segment size target"
+            f"({par}): query tasks cannot occupy all cores — for a "
+            f"corpus large enough to fill them, rebuild or compact "
+            f"with a smaller target_postings_per_segment"
         )
     print(
         json.dumps(

@@ -138,14 +138,7 @@ def build_impact_index(
 
     cfg = cfg or AnalyzerConfig()
     p = params or BM25Params()
-    if n_segments is None:
-        # segment count IS the query path's task parallelism (the kernel
-        # runs per (segment, topic), one task per segment) — a fixed
-        # small default caps scaling the moment cores outgrow it
-        # (measured: 1M-doc batch flat from 4→16 cores at 5 segments).
-        # Default to 2× the build cluster's parallelism, floor 8; pass
-        # explicitly to pin a layout across differently-sized builds.
-        n_segments = max(8, docs.sparkSession.sparkContext.defaultParallelism * 2)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.col(content_col).alias("content"),
@@ -153,6 +146,21 @@ def build_impact_index(
     tokens = B.analyze_tokens(docs, cfg, "doc_id", "content")
     meta = B.build_doc_meta(docs, cfg, "doc_id", "content")
     n_docs, avgdl, total_terms = B.collect_stats(meta)
+    if n_segments is None:
+        # segment count IS the query path's task parallelism (the kernel
+        # runs per (segment, topic), one task per segment) — a fixed
+        # small default caps scaling the moment cores outgrow it
+        # (measured: 1M-doc batch flat from 4→16 cores at 5 segments).
+        # Default: 2× the build cluster's parallelism (floor 8), BUT
+        # data-bounded at ~256k tokens per segment so a toy corpus on a
+        # wide cluster doesn't fragment into fleet-proportional
+        # near-empty segments (the r4 word-index pathology, fixed by
+        # the same bound discipline there).  Pass explicitly to pin a
+        # layout across differently-sized builds.
+        n_segments = max(
+            1,
+            min(max(8, par * 2), -(-total_terms // 256_000)),
+        )
     term_df = tokens.groupBy("term").agg(F.count("*").alias("df"))
     contrib = impact_contribution(tokens, term_df, n_docs, avgdl, p)
     contrib = contrib.persist()

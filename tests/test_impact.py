@@ -34,7 +34,11 @@ def fixture_impact(spark, corpus, tmp_path_factory):
         schema="repo string, path string, commit string, lang string, content string",
     )
     docs = B.assign_doc_ids(df).select("doc_id", "content")
-    I.build_impact_index(docs, idx_dir, cfg=CFG, params=BM25Params())
+    # n_segments pinned: these gates test kernel MECHANICS (skip
+    # counters, anytime termination) whose firing depends on the
+    # per-segment stream shape, not on the r5 data-sized default
+    I.build_impact_index(docs, idx_dir, cfg=CFG, params=BM25Params(),
+                         n_segments=8)
     return I.load_impact_index(spark, idx_dir)
 
 
@@ -47,6 +51,7 @@ def pruned_impact(spark, tmp_path_factory):
         cfg=SQL_CFG,
         params=BM25Params(),
         content_col="text",
+        n_segments=8,  # pinned: see fixture_impact
     )
     return I.load_impact_index(spark, idx_dir)
 

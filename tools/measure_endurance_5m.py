@@ -1,0 +1,172 @@
+"""Endurance probe (VERDICT r4 #7): one larger-scale pass to catch
+superlinear effects the 1M-doc probes can't.
+
+tier2 is 200k docs and every lifecycle probe runs at 1M; the
+diff_numstat spill artifact (BASELINE r4 s8) proved the
+superlinear-effect class exists on this host.  This probe runs the full
+lifecycle once at 5M docs x 200k-term realistic vocab (250M tokens —
+the data-sized segment rule produces ~63 four-million-posting
+segments):
+
+  build (fresh, data-sized segments) -> append_delta (20%) ->
+  delete_docs -> compact_index -> 800-topic long-tail WAND batch ->
+  impact build -> impact page + exact-rescore cascade
+
+Single config (local[16] — the probe hunts superlinearity vs the 1M
+numbers, not core scaling), min-of-2 draws per op, wall times +
+partition-sizing notes in the output.  Compare each op against 5x the
+1M-doc minimum from the corresponding BASELINE table; anything growing
+much faster than the data is the finding.
+
+Usage: python tools/measure_endurance_5m.py [n_docs] [reps]
+Prints one JSON line.  Run ALONE — this is the long one (~30-60 min).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+VOCAB = 200_000
+DEL_MOD = 13
+N_TOPICS = 800
+TERMS_PER_TOPIC = 16
+K = 10
+
+TOPICS = [
+    (
+        i,
+        " ".join(
+            f"t{(7 * i + 311 * j + 65537 * (j % 3)) % VOCAB}"
+            for j in range(TERMS_PER_TOPIC)
+        ),
+    )
+    for i in range(N_TOPICS)
+]
+
+
+def one_rep(sp, docs_path: str, tmp: str, rep: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import impact as I, maintenance as MN, postings as P
+    from search_engine_spark import wand as W
+    from search_engine_spark.config import AnalyzerConfig, BM25Params, IndexBuildConfig
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    docs = sp.read.parquet(docs_path)
+    idx = f"{tmp}/idx_{rep}"
+    imp = f"{tmp}/imp_{rep}"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(imp, ignore_errors=True)
+    t: dict[str, object] = {}
+
+    t0 = time.perf_counter()
+    m = P.build_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx,
+        IndexBuildConfig(analyzer=cfg), BM25Params(), content_col="text",
+    )
+    t["build_base"] = round(time.perf_counter() - t0, 2)
+    t["base_segments"] = m["n_segments"]
+    t["base_blocks"] = m["n_blocks"]
+
+    t0 = time.perf_counter()
+    MN.append_delta(docs.filter(F.col("doc_id") % 5 == 0), idx, content_col="text")
+    t["append_delta"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    MN.delete_docs(
+        sp, idx, docs.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    )
+    t["delete_docs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cm = MN.compact_index(sp, idx)
+    t["compact_index"] = round(time.perf_counter() - t0, 2)
+    t["compact_segments"] = cm["n_segments"]
+    t["compact_postings"] = cm["n_postings"]
+
+    idx_l = P.load_index(sp, idx)
+    W.search_bm25(idx_l, TOPICS[:2], k=K).count()  # serving warmup
+    t0 = time.perf_counter()
+    t["n_wand"] = W.search_bm25(idx_l, TOPICS, k=K, strategy="wand").count()
+    t["wand_800"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_batch"] = W.search_bm25(idx_l, TOPICS, k=K, strategy="batch").count()
+    t["batch_800"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    im = I.build_impact_index(
+        docs.filter(F.col("doc_id") % DEL_MOD != 0), imp, cfg=cfg,
+        content_col="text",
+    )
+    t["impact_build"] = round(time.perf_counter() - t0, 2)
+    t["impact_segments"] = im["n_segments"]
+
+    imp_l = I.load_impact_index(sp, imp)
+    I.search_impact(imp_l, TOPICS[:2], k=K).count()
+    t0 = time.perf_counter()
+    t["n_impact"] = I.search_impact(imp_l, TOPICS, k=K).count()
+    t["impact_800"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_cascade"] = I.search_impact_cascade(
+        imp_l, idx_l, TOPICS, n_retrieve=30, k=K
+    ).count()
+    t["impact_cascade_800"] = round(time.perf_counter() - t0, 2)
+
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(imp, ignore_errors=True)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix="endurance_")
+    docs_path = f"{tmp}/docs.parquet"
+    s = get_spark("endurance_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    s.stop()
+
+    draws = []
+    for rep in range(REPS):
+        sp = get_spark(
+            f"endurance_{rep}", master="local[16]", shuffle_partitions=32
+        )
+        draws.append(one_rep(sp, docs_path, tmp, rep))
+        sp.stop()
+
+    timing = [
+        k for k in draws[0]
+        if not k.startswith("n_") and not k.endswith(("_segments", "_blocks", "_postings"))
+    ]
+    out = {
+        "probe": "endurance",
+        "n_docs": N_DOCS,
+        "vocab": VOCAB,
+        "n_topics": N_TOPICS,
+        "sec_min": {op: min(d[op] for d in draws) for op in timing},
+        "layout": {
+            k: draws[0][k]
+            for k in draws[0]
+            if k.endswith(("_segments", "_blocks", "_postings"))
+        },
+        "draws": draws,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

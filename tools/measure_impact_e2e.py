@@ -1,0 +1,191 @@
+"""End-to-end long-tail serving probe: float kernels vs the impact
+cascade (VERDICT r4 #3's BASELINE row).
+
+Session 11 measured the impact KERNEL answering an 800-topic long-tail
+batch 2-2.3x faster than any float kernel — but the kernel returns
+quantized integer scores.  Round 5 added `search --strategy impact`
+(impact.search_impact_cascade): impact stage-1 page -> exact float32
+BM25 rescore of the page from the word index.  This probe measures that
+WHOLE cascade end-to-end against the float kernels on the same batch,
+so the BASELINE row shows what a user actually gets by switching
+strategy: anytime latency with exact final scores.
+
+Layout: both indexes are built with the engine's r5 DEFAULTS — the
+word index data-sizes its segments (ceil(tokens/4M): 13 segments at
+1M x 50-token docs, the layout a size-targeted compaction produces),
+the impact index uses its 2x-parallelism default.  The probe reports
+both counts.  Topics are the session-11 tail-term generator (positive
+idf; a hot term would trip the soundness gate and measure only the
+exhaustive fallback).
+
+Per session: one 2-topic warmup per index (serving protocol — worker
+spin-up is amortized in a long-lived session), then each op timed once;
+interleaved draws, MIN per config.
+
+Usage: python tools/measure_impact_e2e.py [n_docs] [topics] [draws]
+Prints one JSON line.  Run ALONE.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+N_TOPICS = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+DRAWS = [
+    int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "4,16,16,4").split(",")
+]
+VOCAB = 200_000
+TERMS_PER_TOPIC = 16
+import os
+K = int(os.environ.get("IMPACT_E2E_K", "10"))
+N_RETRIEVE = int(os.environ.get("IMPACT_E2E_RETRIEVE", "30"))
+# match the impact layout to the word index's data-sized segment count
+# unless overridden — mismatched segment counts would compare
+# per-invocation overheads, not kernels
+IMP_SEGS = os.environ.get("IMPACT_E2E_SEGS")
+
+TOPICS = [
+    (
+        i,
+        " ".join(
+            f"t{(7 * i + 311 * j + 65537 * (j % 3)) % VOCAB}"
+            for j in range(TERMS_PER_TOPIC)
+        ),
+    )
+    for i in range(N_TOPICS)
+]
+
+
+def one_draw(sp, idx_dir: str, imp_dir: str) -> dict:
+    from search_engine_spark import impact as I, postings as P, wand as W
+
+    t: dict[str, object] = {}
+    idx = P.load_index(sp, idx_dir)
+    imp = I.load_impact_index(sp, imp_dir)
+
+    # serving-protocol warmups (spin up Python workers on both paths)
+    W.search_bm25(idx, TOPICS[:2], k=K, strategy="batch").count()
+    I.search_impact(imp, TOPICS[:2], k=K).count()
+
+    t0 = time.perf_counter()
+    t["n_wand"] = W.search_bm25(idx, TOPICS, k=K, strategy="wand").count()
+    t["wand"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_batch"] = W.search_bm25(idx, TOPICS, k=K, strategy="batch").count()
+    t["batch"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_impact_page"] = I.search_impact(imp, TOPICS, k=K).count()
+    t["impact_page"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    t["n_cascade"] = I.search_impact_cascade(
+        imp, idx, TOPICS, n_retrieve=N_RETRIEVE, k=K
+    ).count()
+    t["impact_cascade"] = round(time.perf_counter() - t0, 2)
+
+    # the anytime property — the knob no float kernel has: phase-1 cost
+    # capped at `budget` postings per (segment, topic), page quality
+    # degrades gracefully, latency bounded regardless of tail length
+    t0 = time.perf_counter()
+    t["n_budget"] = I.search_impact(imp, TOPICS, k=K, budget=200).count()
+    t["impact_budget200"] = round(time.perf_counter() - t0, 2)
+    return t
+
+
+def main() -> None:
+    from search_engine_spark import impact as I, postings as P
+    from search_engine_spark.config import AnalyzerConfig, IndexBuildConfig
+    from search_engine_spark.fixtures import realistic_docs_df
+    from search_engine_spark.session import get_spark
+
+    cfg = AnalyzerConfig(do_stemming=False)
+    tmp = tempfile.mkdtemp(prefix="impact_e2e_")
+    docs_path = f"{tmp}/docs.parquet"
+    idx_dir = f"{tmp}/idx"
+    imp_dir = f"{tmp}/imp"
+    s = get_spark("impact_e2e_prep", master="local[16]", shuffle_partitions=32)
+    realistic_docs_df(s, N_DOCS, vocab=VOCAB).write.mode("overwrite").parquet(
+        docs_path
+    )
+    docs = s.read.parquet(docs_path)
+    m = P.build_index(
+        docs, idx_dir, IndexBuildConfig(analyzer=cfg), content_col="text"
+    )
+    imp_manifest = I.build_impact_index(
+        docs, imp_dir, cfg=cfg, content_col="text",
+        n_segments=int(IMP_SEGS) if IMP_SEGS else m["n_segments"],
+    )
+    layout = {
+        "word_segments": m["n_segments"],
+        "impact_segments": imp_manifest["n_segments"],
+    }
+    s.stop()
+
+    raw: dict[str, list[dict]] = {}
+    for draw_no, cores in enumerate(DRAWS):
+        sp = get_spark(
+            f"impact_e2e_{cores}_{draw_no}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        raw.setdefault(f"local{cores}", []).append(one_draw(sp, idx_dir, imp_dir))
+        sp.stop()
+
+    ops = ["wand", "batch", "impact_page", "impact_cascade", "impact_budget200"]
+    results = {}
+    for key, draws in raw.items():
+        results[key] = {
+            "sec_min": {op: min(d[op] for d in draws) for op in ops},
+            "draws": draws,
+        }
+    keys = sorted(results, key=lambda k: int(k.replace("local", "")))
+    lo, hi = keys[0], keys[-1]
+    ratio = int(hi.replace("local", "")) / int(lo.replace("local", ""))
+    eff = {
+        op: round(
+            results[lo]["sec_min"][op] / (results[hi]["sec_min"][op] * ratio), 3
+        )
+        for op in ops
+        if results[hi]["sec_min"][op] > 0
+    }
+    speedup = {
+        key: {
+            "batch_over_cascade": round(
+                results[key]["sec_min"]["batch"]
+                / results[key]["sec_min"]["impact_cascade"],
+                2,
+            ),
+            "batch_over_impact_page": round(
+                results[key]["sec_min"]["batch"]
+                / results[key]["sec_min"]["impact_page"],
+                2,
+            ),
+        }
+        for key in results
+    }
+    print(json.dumps({
+        "probe": "impact_e2e",
+        "n_docs": N_DOCS,
+        "n_topics": N_TOPICS,
+        "k": K,
+        "n_retrieve": N_RETRIEVE,
+        "layout": layout,
+        "estimator": f"min over draws {DRAWS}",
+        **results,
+        "efficiency_n_to_4n": eff,
+        "speedup": speedup,
+    }))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
