@@ -905,7 +905,8 @@ def main(argv: list[str] | None = None) -> None:
     ii.add_argument("--options", default=None)
     ii.add_argument("--bits", type=int, default=8)
     ii.add_argument("--segments", type=int, default=None,
-                    help="segment count (default: 2x build parallelism)")
+                    help="segment count (default: 2x build parallelism, "
+                         "data-bounded at ~256k tokens/segment)")
     ii.add_argument("--doc-id-col", default="doc_id")
     ii.add_argument("--content-col", default="content")
     ii.add_argument("--key-cols", default="",
