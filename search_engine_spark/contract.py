@@ -446,6 +446,21 @@ def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior for stop-word-like terms)."""
     from . import impact as I
 
+    idx = I.load_impact_index(spark, _impact_index_dir(spark, sf_dir))
+    res = I.search_impact(idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_IMPACT_IDX_DONE: set[str] = set()
+
+
+def _impact_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the impact index over the rare-term union
+    corpus (shared by q_impact_topk and the r5 cascade row)."""
+    from . import impact as I
+
     idx_dir = _contract_index_dir("impact", sf_dir)
     if idx_dir not in _IMPACT_IDX_DONE:
         I.build_impact_index(
@@ -457,14 +472,28 @@ def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             content_col="text",
         )
         _IMPACT_IDX_DONE.add(idx_dir)
-    idx = I.load_impact_index(spark, idx_dir)
-    res = I.search_impact(idx, [(1, WAND_PRUNED_QUERY_TEXT)], k=TOPK)
+    return idx_dir
+
+
+def q_bm25_impact_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 anytime serving under the driver oracle: the impact
+    stage-1 page (impact.search_impact over q_impact_topk's cached
+    index) rescored to EXACT float32 BM25 from the word index
+    (impact.search_impact_cascade — the `search --strategy impact`
+    path).  Ample depth (n_retrieve=500 ≥ every retrievable match)
+    makes the output bit-identical to exhaustive BM25, so the oracle
+    is the SAME exhaustive SQL the wand/maxscore/batch rows share —
+    all FOUR serving strategies pinned to one bit-exact answer."""
+    from . import impact as I, postings as P
+
+    imp = I.load_impact_index(spark, _impact_index_dir(spark, sf_dir))
+    word = P.load_index(spark, _pruned_index_dir(spark, sf_dir))
+    res = I.search_impact_cascade(
+        imp, word, [(1, WAND_PRUNED_QUERY_TEXT)], n_retrieve=500, k=TOPK
+    )
     return res.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score"
     )
-
-
-_IMPACT_IDX_DONE: set[str] = set()
 
 
 def _sql_impact_topk() -> str:
@@ -9700,6 +9729,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "media_features": q_media_features,
         "ivf_ann_topk": q_ivf_ann_topk,
+        # r5 addition, LAST on purpose: must never displace the
+        # never-driver-sampled entries at the front of the budget
+        "bm25_impact_cascade": q_bm25_impact_cascade,
     }
 
 
@@ -9773,6 +9805,13 @@ def duckdb_oracles() -> dict[str, str]:
         # contribution → floor-quantize to 255 levels) + integer-score
         # query restated in SQL — exact integer match end to end
         "impact_topk": _sql_impact_topk(),
+        # r5 cascade: impact page -> exact rescore must equal the same
+        # exhaustive SQL the float kernels are pinned to
+        "bm25_impact_cascade": _sql_bm25(
+            source_table="corpus",
+            prelude=_sql_pruned_corpus_cte(),
+            query_text=WAND_PRUNED_QUERY_TEXT,
+        ),
         # the two new relevance models: LM Jelinek-Mercer and DFR PL2,
         # each a full float32-exact restatement
         "lmjm_topk": _sql_lmjm(),
