@@ -37,9 +37,9 @@ N_PROC = int(os.environ.get("AB_BENCH_PROCS", "3"))  # processes per variant
 REPS = int(os.environ.get("AB_BENCH_REPS", "3"))  # in-process reps per probe
 
 # round tips (git history is append-only across rounds)
-# round tips: r2/r3 as judged; r4 = this tree.  (r1 83ed06f dropped from
-# the default set in round 4 — the open question is r3-vs-r2 tfidf.)
-VARIANTS = {"r2": "ac3ec3f", "r3": "d6b7328", "r4": None}  # None = this tree
+# round tips: r3/r4 as judged; r5 = this tree.  (r1/r2 dropped from the
+# default set — every probe measured at-or-below r2 in the r4 draws.)
+VARIANTS = {"r3": "d6b7328", "r4": "56750ac", "r5": None}  # None = this tree
 # override via AB_BENCH_VARIANTS='{"name": "sha-or-null", ...}'
 if os.environ.get("AB_BENCH_VARIANTS"):
     VARIANTS = {
