@@ -273,3 +273,36 @@ def test_segment_count_data_sized_invariant_of_width(spark, docs_df, tmp_path):
         )
     assert metrics[2]["n_segments"] == metrics[8]["n_segments"] == expect
     assert rows[2] == rows[8] and rows[2]
+
+
+def test_coalesce_segment_ids_first_fit(spark):
+    """Direct pin of the finalize-path fold (resume._finalize uses it):
+    greedy first-fit in segment-id order, dense new ids, posting counts
+    preserved, and the no-fold fast path returns the input unchanged."""
+    rows = []
+    # segments 0..3 with 3 postings each (one 3-doc fragment per segment)
+    for seg in range(4):
+        rows.append((seg, f"t{seg}", [1, 2, 3], [1, 1, 1], [3, 3, 3]))
+    frags = spark.createDataFrame(
+        rows,
+        schema="segment_id long, term string, doc_ids array<long>, "
+               "tfs array<long>, doc_lens array<long>",
+    )
+    out = P.coalesce_segment_ids(frags, target=7)
+    got = {
+        (r["segment_id"], r["term"]) for r in out.collect()
+    }
+    # first-fit at target 7: segs {0,1} -> 0 (3+3=6 <= 7; +3 would be 9),
+    # segs {2,3} -> 1
+    assert got == {(0, "t0"), (0, "t1"), (1, "t2"), (1, "t3")}
+    # per-new-segment posting totals preserved
+    sums = {
+        r["segment_id"]: r["n"]
+        for r in out.groupBy("segment_id")
+        .agg(F.sum(F.size("doc_ids")).alias("n"))
+        .collect()
+    }
+    assert sums == {0: 6, 1: 6}
+    # target None / nothing-to-fold: the input plan is returned as-is
+    assert P.coalesce_segment_ids(frags, None) is frags
+    assert P.coalesce_segment_ids(frags, target=2) is frags  # no fold fits
