@@ -762,15 +762,21 @@ def build_index(
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
             .collect()[0]
         )
-        lo, span = int(bounds["lo"]), int(bounds["hi"]) - int(bounds["lo"]) + 1
-        seg_expr = F.least(
-            F.floor(
-                (F.col(doc_id_col).cast("double") - F.lit(float(lo)))
-                / F.lit(float(span))
-                * F.lit(float(n_segments))
-            ),
-            F.lit(n_segments - 1),
-        ).cast("long")
+        if bounds["lo"] is None:
+            # empty corpus: no doc-id range to partition — keep the
+            # input-partition segmentation (the index is empty anyway)
+            seg_expr = None
+        else:
+            lo = int(bounds["lo"])
+            span = int(bounds["hi"]) - lo + 1
+            seg_expr = F.least(
+                F.floor(
+                    (F.col(doc_id_col).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(span))
+                    * F.lit(float(n_segments))
+                ),
+                F.lit(n_segments - 1),
+            ).cast("long")
 
     fragments = posting_fragments(
         docs, cfg, doc_id_col, content_col, segment_expr=seg_expr

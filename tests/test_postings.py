@@ -306,3 +306,26 @@ def test_coalesce_segment_ids_first_fit(spark):
     # target None / nothing-to-fold: the input plan is returned as-is
     assert P.coalesce_segment_ids(frags, None) is frags
     assert P.coalesce_segment_ids(frags, target=2) is frags  # no fold fits
+
+
+def test_build_index_single_doc(spark, tmp_path):
+    """Degenerate doc-range edge for the data-sized segment rule: one
+    doc (lo == hi, span 1) must build a single-segment index that
+    searches correctly.  (A fully EMPTY corpus is unsupported by
+    build_index — the doc_meta parquet read-back has no schema — and
+    was before r5 too; the rule's bounds guard covers the
+    readable-but-empty case.)"""
+    from search_engine_spark.config import IndexBuildConfig
+
+    one = spark.createDataFrame(
+        [(7, "solo merge doc")], schema="doc_id long, content string"
+    )
+    idx_dir = str(tmp_path / "one_idx")
+    m = P.build_index(
+        one, idx_dir, IndexBuildConfig(analyzer=CFG),
+        doc_id_col="doc_id", content_col="content",
+    )
+    assert m["n_docs"] == 1 and m["n_segments"] == 1
+    idx = P.load_index(spark, idx_dir)
+    rows = W.search_bm25(idx, [(1, "merge")], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [7]
