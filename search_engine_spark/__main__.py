@@ -987,11 +987,14 @@ def main(argv: list[str] | None = None) -> None:
                          "run on the DataFrame path")
     se.add_argument("--path", choices=["wand", "dataframe"], default="wand")
     se.add_argument("--strategy",
-                    choices=["wand", "maxscore", "batch", "impact"],
+                    choices=["auto", "wand", "maxscore", "batch", "impact"],
                     default="wand",
                     help="indexed-path kernel: wand/maxscore pruning, the "
                          "topics-vectorized batch kernel (all exact; "
-                         "see wand.search_bm25), or 'impact' — the "
+                         "see wand.search_bm25), 'auto' — route by "
+                         "topic count (wand.choose_strategy: maxscore "
+                         "for few heavy topics, batch for large "
+                         "long-tail batches), or 'impact' — the "
                          "anytime cascade (impact-index stage-1 page → "
                          "exact float32 BM25 rescore; needs "
                          "--impact-dir). Pick by workload: wand for few "

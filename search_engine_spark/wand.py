@@ -618,6 +618,26 @@ def _matched_postings(index: dict, terms: set[str]) -> DataFrame:
     return matched.filter(F.col("term").isin(list(terms)))
 
 
+AUTO_BATCH_TOPICS = 64
+
+
+def choose_strategy(n_topics: int) -> str:
+    """The workload heuristic behind strategy="auto", pure so tests pin
+    it.  Measured basis (BASELINE sessions 11 + r5 e2e probe): the
+    per-(segment, topic) kernels pay ~ms of Python per invocation —
+    the right trade for FEW topics over long posting lists, where
+    MaxScore's term partitioning prunes (and runs ~5-10% ahead of WAND
+    on the same shape); at hundreds-to-thousands of topics the
+    invocation overhead dominates (~95% of wall time at 800 topics ×
+    tail terms) and the topics-vectorized batch kernel wins.  All
+    kernels are EXACT — routing changes latency, never the answer —
+    so the threshold (64, bracketed by the 10-topic bench batches
+    where wand/maxscore win and the 200+-topic probes where batch
+    does) costs at most a constant factor when wrong, not
+    correctness."""
+    return "batch" if n_topics >= AUTO_BATCH_TOPICS else "maxscore"
+
+
 def search_bm25(
     index: dict,
     queries: Sequence[tuple[int, str]],
@@ -631,7 +651,8 @@ def search_bm25(
 ) -> DataFrame:
     """Top-k BM25 over a load_index() result via block-max WAND.
 
-    `strategy` picks the per-segment kernel: "wand" (default —
+    `strategy` picks the per-segment kernel: "auto" (route by topic
+    count via choose_strategy), "wand" (default —
     doc-interval pruning over block maxima, _segment_topic_topk),
     "maxscore" (essential/non-essential term partitioning,
     _segment_topic_topk_maxscore), or "batch" (topics-vectorized
@@ -667,9 +688,12 @@ def search_bm25(
     an action on the result its .value proves whether the pruned branch
     fired (0 on negative-idf corpora where the soundness gate forces
     exhaustive scoring)."""
+    if strategy == "auto":
+        strategy = choose_strategy(len(queries))
     if strategy not in ("wand", "maxscore", "batch"):
         raise ValueError(
-            f"strategy must be 'wand', 'maxscore', or 'batch', got {strategy!r}"
+            f"strategy must be 'auto', 'wand', 'maxscore', or 'batch', "
+            f"got {strategy!r}"
         )
     # module-level function: pickles by reference into the task closure
     kern = _segment_topic_topk if strategy == "wand" else _segment_topic_topk_maxscore

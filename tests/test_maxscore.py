@@ -150,3 +150,23 @@ def test_batch_strategy_boosted_matches(spark, pruned_index):
         (r["topic_id"], r["rank"], r["doc_id"], r["score"]) for r in res.collect()
     )
     assert got == _oracle_rows(spark, corpus, [(1, qtext)], TOPK, boosted=True)
+
+
+def test_auto_strategy_routes_and_matches(spark, fixture_index, queries_fixture):
+    """strategy="auto" (wand.choose_strategy): few topics route to
+    maxscore, large batches to the batch kernel — and since every
+    kernel is exact, auto's rows equal the explicit kernels' rows."""
+    assert W.choose_strategy(1) == "maxscore"
+    assert W.choose_strategy(W.AUTO_BATCH_TOPICS - 1) == "maxscore"
+    assert W.choose_strategy(W.AUTO_BATCH_TOPICS) == "batch"
+    assert W.choose_strategy(10_000) == "batch"
+    batch = [(q["topic_id"], q["query_text"]) for q in queries_fixture[:5]]
+    want = sorted(
+        tuple(r)
+        for r in W.search_bm25(fixture_index, batch, k=K, strategy="maxscore").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in W.search_bm25(fixture_index, batch, k=K, strategy="auto").collect()
+    )
+    assert got == want and got
