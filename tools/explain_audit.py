@@ -183,6 +183,27 @@ def main() -> int:
     check("impact: Arrow kernel, no row-Python",
           "MapInArrow" in p and "BatchEvalPython" not in p)
 
+    # --- 4d2. impact serving cascade (r5): stage-2 exact rescore must
+    # ride the bucket-pruned word-index scan with candidate-range
+    # pruning — never a full decode or a cartesian ---
+    from search_engine_spark.impact import search_impact_cascade
+
+    casc = search_impact_cascade(
+        impidx, pidx2, [(1, WAND_PRUNED_QUERY_TEXT)], n_retrieve=50, k=10
+    )
+    p = plan_of(casc)
+    print("== impact cascade ==")
+    check("cascade stage-2: term filter pushed to word-index scan",
+          "In(term" in p)
+    check("cascade stage-2: term-bucket partition pruning",
+          "PartitionFilters: [" in p
+          and "term_bucket" in p.split("PartitionFilters")[1][:200])
+    check("cascade stage-2: Arrow decode, no row-Python",
+          "MapInArrow" in p and "BatchEvalPython" not in p)
+    check("cascade stage-2: candidate page broadcast into the feature agg",
+          "Broadcast" in p)
+    check("cascade: no cartesian product", "Cartesian" not in p)
+
     # --- 4e. int8 ANN: queries broadcast, all-JVM (no Python rows) ---
     from search_engine_spark.ops.similarity import (
         ann_int8_topk, quantize_embeddings,
